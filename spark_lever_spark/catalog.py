@@ -1,0 +1,85 @@
+"""Table catalog over the driver-provided parquet test data.
+
+Mirrors the reference's data-source layer conceptually
+(sql/core/.../parquet/ParquetRelation.scala in the reference tree):
+scans are plain ``spark.read.parquet`` so Catalyst gets filter
+pushdown, column pruning and partition discovery for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H region/nation are constant-size; supplier/part/customer grow
+# with SF so they are *not* listed here.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_parity_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, set defensively because the
+    caller (e.g. the correctness driver) may hand us a vanilla session:
+    nanos timestamps in `events` parquet, and a pinned UTC session TZ so
+    collected timestamps match the (naive) DuckDB oracle values."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — session.py defaults already cover it
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_parity_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
+        # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long —
+        # truncate to micros exactly like DuckDB's nanos->micros read.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table that exists under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works on the
+    same names the DuckDB oracle uses."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

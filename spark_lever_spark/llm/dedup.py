@@ -1,0 +1,358 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-safe and driver-collect-free (designed for
+the 100 TB point; verified on the synthetic `documents` table):
+
+- exact dedup: md5 content fingerprint → groupBy. One shuffle on the
+  16-byte digest, never on the document text itself (at 100 TB the
+  shuffle carries digests + doc ids, not payloads).
+- near-dup via n-gram Jaccard: token-set overlap join with cheap
+  blocking (same lang + length band) to keep the candidate-pair count
+  subquadratic.
+- MinHash + LSH banding: k deterministic hash functions over the token
+  set, banded into b buckets; candidate pairs share a band bucket.
+  Verified in tests against brute-force Jaccard (no SQL oracle — the
+  hash family isn't reasonably expressible in ANSI SQL).
+- SimHash: 64-bit sign-aggregated token hashes; near-dups = small
+  Hamming distance, blocked by 16-bit chunks (pigeonhole: distance<=3
+  implies >=1 of 4 chunks equal).
+
+Everything uses built-in JVM expressions (md5/conv/bit ops/higher-order
+array functions) — zero Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared helpers (importable API surface, not just query closures)
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(col: Column) -> Column:
+    """128-bit md5 content fingerprint of a text column (hex string)."""
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercased, whitespace-collapsed normalization for fuzzy-exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens_distinct(col: Column) -> Column:
+    """Distinct non-empty whitespace tokens of a text column."""
+    return F.array_distinct(
+        F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    )
+
+
+def token_hash(col: Column, bits: int = 40) -> Column:
+    """Deterministic integer hash of a token via md5 (endianness- and
+    engine-independent, unlike Spark's murmur `hash`).
+
+    Default 40 bits so affine MinHash permutations (x*a+b with a<64)
+    stay well inside signed-64 range under ANSI overflow checking.
+    """
+    nhex = bits // 4
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, nhex), 16, 10).cast(
+        "long"
+    )
+
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def minhash_signature(tokens_hashed: Column, k: int) -> Column:
+    """k-permutation MinHash signature over an array<long> of token
+    hashes: h_i(x) = (a_i*x + b_i) mod p, deterministic a_i/b_i.
+
+    Returns array<long> of length k. Pure JVM higher-order functions.
+    """
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the Python
+        # signature, so default-arg tricks break higher-order functions
+        return lambda x: (x * a + b) % F.lit(_MERSENNE_P)
+
+    sigs = [
+        F.array_min(F.transform(tokens_hashed, perm(2 * i + 1, 7919 * (i + 1))))
+        for i in range(k)
+    ]
+    return F.array(*sigs)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per content digest."""
+    return (
+        df.withColumn("fp", content_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered parity queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_md5",
+    oracle="""
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_id
+""",
+    category="llm_dedup",
+    bench=True,
+)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5 content fingerprint — shuffles digests, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).orderBy("keep_id")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+""",
+    category="llm_dedup",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lower/trim/space-collapse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", content_fingerprint(normalized_text(F.col("text"))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, n_chars,
+         unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE word <> ''),
+card AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tok2 a JOIN tok2 b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+   AND a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 30
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (ca.n_tok + cb.n_tok - n_common), 4)
+           AS jaccard
+FROM pairs
+JOIN card ca ON ca.doc_id = id_a
+JOIN card cb ON cb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_tok + cb.n_tok - n_common) >= 0.8
+ORDER BY id_a, id_b
+""",
+    category="llm_dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by exact token-set Jaccard with blocking.
+
+    Blocking (same lang + |len diff|<=30) bounds the pair count; the
+    token join computes intersections distributively (token → pair →
+    count), never materializing per-doc cross products. At 100 TB you
+    would add a band-bucket prefilter (see minhash_lsh_pairs) — this is
+    the exact verifier stage of that pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.explode(tokens_distinct(F.col("text"))).alias("word"),
+        )
+    )
+    card = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n_tok").alias("na"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash family not SQL-expressible; verified in
+    # tests/test_llm_dedup.py against brute-force Jaccard.
+    category="llm_dedup",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32) + LSH banding (8 bands x 4 rows) candidate pairs.
+
+    Pipeline: tokens → 60-bit md5 hashes → k-permutation signature →
+    band digests → self-join on (band_idx, band_digest) → distinct
+    candidate pairs with estimated similarity = fraction of matching
+    signature positions. At scale the band join is the only shuffle
+    that matters and its keys are uniformly-distributed digests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k, bands = 32, 8
+    rows_per_band = k // bands
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(
+            F.transform(tokens_distinct(F.col("text")), lambda t: token_hash(t)), k
+        ).alias("sig"),
+    )
+    band_digests = F.array(
+        *[
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col("sig")[j].cast("string")
+                            for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                        ],
+                    ),
+                    "UTF-8",
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(band_digests).alias("band_idx", "band_digest"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-level hash family; verified in tests/test_llm_dedup.py.
+    category="llm_dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs with chunk blocking.
+
+    Per doc: for each bit j, sum +-1 over token hashes' bit j; sign
+    gives the simhash bit. Near-dup candidates block on one of four
+    15-bit chunks being equal (pigeonhole for hamming<=3), then exact
+    hamming distance via bit_count(xor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_distinct(F.col("text"))).alias("word")
+    ).withColumn("h", token_hash(F.col("word"), bits=60))
+    bit = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"),
+        "h",
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(shiftright(h, j) & 1)") == 1, 1).otherwise(-1),
+    )
+    # bit j set iff the weighted sum is positive; assemble the 64-bit
+    # word with bit_or (no additive overflow concerns under ANSI mode).
+    sim = (
+        bit.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.bit_or("bitval").alias("simhash"))
+    )
+    chunked = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"),
+    ).withColumn(
+        "chunk",
+        F.expr("shiftright(simhash, chunk_idx * 15) & 32767"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; LSH-bucketed search is
+the scale path (candidate set shrinks by ~bands/2^bits, verified for
+recall in tests/test_llm_similarity.py). Dot products run JVM-side via
+higher-order array functions (zip_with + aggregate) in double
+precision — no Python in the hot path; a vectorized pandas-UDF variant
+exists in tests for comparison.
+
+Scale notes (100 TB / billions of vectors):
+- top-k against a single query broadcasts the query vector (literal) —
+  the scan is embarrassingly parallel, the only shuffle is the final
+  TakeOrdered over k rows per partition.
+- similarity *join* prefilters by a blocking key (label here; LSH
+  bucket in the hashed variant) so the pair count stays subquadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "knn_cosine_topk",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    category="llm_similarity",
+    bench=True,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vector 0 (exact ANN baseline).
+
+    The 1-row query side is broadcast; ordering is a TakeOrdered top-k,
+    not a full sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "similarity_join_blocked",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+ORDER BY id_a, id_b
+""",
+    category="llm_similarity",
+)
+def similarity_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity join with label blocking (the exact
+    form of an embedding near-dup stage; LSH bucketing replaces the
+    label key at scale)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cs = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cs >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round(cs, 6).alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))), 6)
+           AS avg_norm,
+       round(avg(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                 / len(embedding)), 6) AS avg_mean_component
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    category="llm_similarity",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column statistics (norms, component means) per label —
+    the sanity profile every embedding pipeline runs before indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            l2_norm(v).alias("norm"),
+            (
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding")
+            ).alias("mean_comp"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.avg("mean_comp"), 6).alias("avg_mean_component"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ann_lsh_hyperplane",
+    oracle=None,  # LSH bucket assignment isn't SQL-expressible; recall
+    # vs the brute-force baseline is asserted in tests/test_llm_similarity.py.
+    category="llm_similarity",
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (16-bit signatures) bucket histogram.
+
+    Hyperplane h_j component i = deterministic pseudo-random +-1 from
+    md5(j,i) parity — reproducible across runs with no stored model.
+    Query-side use: hash the query with the same planes, probe its
+    bucket (plus neighbors at hamming<=1) instead of scanning all rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbits = 16
+    v = as_double(F.col("embedding"))
+
+    def plane_sign(j: int) -> Column:
+        # deterministic +-1 pattern per (plane j, component i); closure
+        # factory keeps the zip_with lambda binary
+        def signed(x, i):
+            parity = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws("_", F.lit(str(j)), i.cast("string")),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+            )
+            return F.when(parity == 0, x).otherwise(-x)
+
+        return F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size("embedding") - 1), signed),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = emb.select(
+        "vec_id",
+        "label",
+        F.concat(
+            *[
+                F.when(plane_sign(j) > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(nbits)
+            ]
+        ).alias("bucket"),
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), "bucket")
+    )

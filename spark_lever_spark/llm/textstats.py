@@ -1,0 +1,237 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All built-in-function pipelines (split/regexp/higher-order array ops)
+— JVM-side, whole-stage-codegen friendly, no UDFs. Each is the Spark
+expression of a standard LLM-corpus preprocessing stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+# tiny built-in stopword lists for the n-gram/stopword language ID
+# heuristic (public common-word lists, truncated)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+WORD_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token proxy: words / digit-runs / single punctuation."""
+    return F.size(F.regexp_extract_all(col, F.lit(WORD_REGEX), F.lit(0)))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: t.isin(words))
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS INT)
+           AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+           AS n_regex_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+""",
+    category="llm_text",
+    bench=True,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-proxy) tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            regex_token_count(F.col("text")).alias("n_regex_tokens"),
+            F.length("text").alias("n_chars_computed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+             AS n_tok,
+         length(text) AS n_ch,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+             AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       round(CAST(n_ch AS DOUBLE) / n_tok, 4) AS avg_token_len,
+       round(CAST(stop_hits AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+       CAST(n_tok BETWEEN 10 AND 100000 AND n_ch / n_tok < 12 AS BOOLEAN)
+           AS passes_quality
+FROM t
+ORDER BY doc_id
+""",
+    category="llm_text",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio, and a
+    composed boolean gate (`quality_filter` building block)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    n_ch = F.length("text")
+    stop = stopword_hits(F.col("text"), "en")
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(n_ch.cast("double") / n_tok, 4).alias("avg_token_len"),
+            F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+            (
+                n_tok.between(10, 100000)
+                & (n_ch.cast("double") / n_tok < 12)
+            ).alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS hits_en,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) AS hits_es,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('der','die','und','das','ist','von','mit','den','ein','zu'))) AS hits_de
+  FROM documents
+)
+SELECT doc_id, lang AS lang_actual,
+       CAST(hits_en AS INT) AS hits_en,
+       CAST(hits_es AS INT) AS hits_es,
+       CAST(hits_de AS INT) AS hits_de,
+       CASE WHEN hits_de > hits_en AND hits_de > hits_es THEN 'de'
+            WHEN hits_es > hits_en AND hits_es >= hits_de THEN 'es'
+            WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+            ELSE 'unknown' END AS lang_pred
+FROM s
+ORDER BY doc_id
+""",
+    category="llm_text",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID heuristic with a deterministic
+    tie-break (en > es > de priority)."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = stopword_hits(F.col("text"), "en")
+    es = stopword_hits(F.col("text"), "es")
+    de = stopword_hits(F.col("text"), "de")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("lang_actual"),
+            en.alias("hits_en"),
+            es.alias("hits_es"),
+            de.alias("hits_de"),
+        )
+        .withColumn(
+            "lang_pred",
+            F.when(
+                (F.col("hits_de") > F.col("hits_en"))
+                & (F.col("hits_de") > F.col("hits_es")),
+                "de",
+            )
+            .when(
+                (F.col("hits_es") > F.col("hits_en"))
+                & (F.col("hits_es") >= F.col("hits_de")),
+                "es",
+            )
+            .when(
+                (F.col("hits_en") >= F.col("hits_es"))
+                & (F.col("hits_en") >= F.col("hits_de")),
+                "en",
+            )
+            .otherwise("unknown"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint_shingles",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS idx,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id,
+         md5(a.word || ' ' || b.word || ' ' || c.word) AS shingle_hash
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+)
+SELECT doc_id, min(shingle_hash) AS fingerprint,
+       CAST(count(*) AS INT) AS n_shingles
+FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+    category="llm_text",
+)
+def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 3-token shingles (winnowing-
+    style rolling fingerprint; the single-hash special case of MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+                "UTF-8",
+            )
+        ),
+    )
+    return (
+        docs.select("doc_id", shingles.alias("sh"))
+        .select(
+            "doc_id",
+            F.array_min("sh").alias("fingerprint"),
+            F.size("sh").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

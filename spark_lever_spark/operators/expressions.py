@@ -1,0 +1,353 @@
+"""Scalar expression surface (reference §2.F expression library).
+
+Covers the reference's catalyst expression inventory — arithmetic
+(reference expressions/arithmetic.scala), predicates + CASE WHEN
+(predicates.scala), null handling (nullFunctions.scala), strings
+(stringOperations.scala), complex types (complexTypes.scala), Cast
+(Cast.scala) — plus the modern datetime/JSON superset. All computed
+JVM-side inside whole-stage codegen; no Python UDFs anywhere here.
+
+Oracle parity pitfalls handled:
+- DuckDB CAST(double AS INT) rounds, Spark truncates → oracle uses
+  trunc() to match Spark semantics.
+- Spark dayofweek is 1-based Sunday-first; DuckDB 0-based → +1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+@register(
+    "expr_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                      AS uname,
+       lower(c_mktsegment)                AS lseg,
+       substr(c_name, 1, 8)               AS prefix,
+       CAST(length(c_name) AS INT)        AS name_len,
+       c_name || ':' || c_mktsegment      AS joined,
+       replace(c_name, '#', '-')          AS dashed,
+       trim(lpad(c_mktsegment, 12, ' '))  AS padded_trimmed,
+       reverse(c_mktsegment)              AS rev
+FROM customer
+ORDER BY c_custkey
+""",
+    category="expressions",
+)
+def expr_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String ops (reference stringOperations.scala: Upper:140 Lower:150
+    Substring:211 + modern concat/replace/pad/reverse superset)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.lower("c_mktsegment").alias("lseg"),
+            F.substring("c_name", 1, 8).alias("prefix"),
+            F.length("c_name").alias("name_len"),
+            F.concat_ws(":", "c_name", "c_mktsegment").alias("joined"),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+            F.trim(F.lpad("c_mktsegment", 12, " ")).alias("padded_trimmed"),
+            F.reverse("c_mktsegment").alias("rev"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "expr_like_rlike",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%gold%'
+   OR regexp_matches(p_type, '^(PROMO|ECONOMY)$')
+ORDER BY p_partkey
+""",
+    category="expressions",
+)
+def expr_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + RLIKE predicates (reference stringOperations.scala Like:98
+    RLike:129; LikeSimplification rewrite Optimizer.scala:188)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%gold%")
+            | F.col("p_type").rlike("^(PROMO|ECONOMY)$")
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "expr_case_null",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_is_null,
+       CASE WHEN c_custkey % 2 = 0 THEN c_custkey ELSE NULL END AS even_or_null
+FROM customer
+ORDER BY c_custkey
+""",
+    category="expressions",
+)
+def expr_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / IF / null functions (reference predicates.scala
+    CaseWhen:363 If:319; nullFunctions.scala Coalesce:23 IsNull:56)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("rich")
+            .alias("tier"),
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+            ).alias("seg_or_other"),
+            F.col("c_acctbal").isNull().alias("bal_is_null"),
+            F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey")).alias(
+                "even_or_null"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "expr_cast_matrix",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(trunc(l_extendedprice) AS BIGINT)      AS price_long,
+       CAST(l_quantity AS VARCHAR)                  AS qty_str,
+       CAST(l_linenumber AS DOUBLE)                 AS ln_dbl,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR)    AS ship_day,
+       CAST(l_orderkey % 2 = 0 AS BOOLEAN)          AS even_key,
+       CAST(CAST(l_linenumber AS VARCHAR) AS INT)   AS roundtrip_int
+FROM lineitem
+WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="expressions",
+)
+def expr_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix (reference Cast.scala full coercion table).
+
+    Spark double→integral truncates toward zero; the oracle matches
+    with trunc()."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("long").alias("price_long"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            F.col("l_linenumber").cast("double").alias("ln_dbl"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+            (F.col("l_orderkey") % 2 == 0).alias("even_key"),
+            F.col("l_linenumber").cast("string").cast("int").alias("roundtrip_int"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "expr_math",
+    oracle="""
+SELECT s_suppkey,
+       round(abs(s_acctbal), 2)            AS abs_bal,
+       round(sqrt(abs(s_acctbal)), 4)      AS sqrt_bal,
+       CAST(floor(s_acctbal) AS BIGINT)    AS floor_bal,
+       CAST(ceil(s_acctbal)  AS BIGINT)    AS ceil_bal,
+       round(ln(abs(s_acctbal) + 1), 4)    AS ln_bal,
+       round(log10(abs(s_acctbal) + 1), 4) AS log10_bal,
+       round(pow(s_suppkey, 2), 1)         AS key_sq,
+       s_suppkey % 3                       AS key_mod,
+       CAST(sign(s_acctbal) AS DOUBLE)     AS bal_sign
+FROM supplier
+ORDER BY s_suppkey
+""",
+    category="expressions",
+)
+def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/math (reference arithmetic.scala: Add..Remainder
+    :110-233, Sqrt:47, Abs:375 + modern ln/log10/pow/sign)."""
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return (
+        s.select(
+            "s_suppkey",
+            F.round(F.abs(bal), 2).alias("abs_bal"),
+            F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
+            F.floor(bal).alias("floor_bal"),
+            F.ceil(bal).alias("ceil_bal"),
+            F.round(F.log(F.abs(bal) + 1), 4).alias("ln_bal"),
+            F.round(F.log10(F.abs(bal) + 1), 4).alias("log10_bal"),
+            F.round(F.pow("s_suppkey", F.lit(2)), 1).alias("key_sq"),
+            (F.col("s_suppkey") % 3).alias("key_mod"),
+            F.signum(bal).alias("bal_sign"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "expr_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)      AS yr,
+       CAST(month(o_orderdate) AS INT)     AS mo,
+       CAST(day(o_orderdate) AS INT)       AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT)   AS qtr,
+       date_trunc('month', o_orderdate)    AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_y2002
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+    category="expressions",
+)
+def expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime superset (the reference had ONLY date/timestamp casts —
+    SURVEY.md §2.F; modern year/month/dayofweek/trunc/add/diff exposed)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30)
+            .cast("string")
+            .alias("due_date"),
+            F.datediff(
+                F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+            ).alias("days_to_y2002"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "expr_complex_types",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       [l_quantity, l_discount, l_tax][1]          AS arr_first,
+       CAST(len([l_quantity, l_discount, l_tax]) AS INT) AS arr_len,
+       round(l_quantity + l_tax, 2)                AS struct_sum,
+       round(l_discount, 2)                        AS map_val
+FROM lineitem
+WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="expressions",
+)
+def expr_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type construction + access (reference complexTypes.scala:
+    GetItem:27 StructGetField:87 CreateArray:120; MapType dataTypes.scala:1132).
+
+    Arrays/structs/maps are built then fields extracted back to scalars
+    so the oracle compares flat values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    st = F.struct(
+        F.col("l_quantity").alias("q"), F.col("l_tax").alias("t")
+    )
+    mp = F.create_map(F.lit("disc"), F.col("l_discount"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.element_at(arr, 1).alias("arr_first"),
+            F.size(arr).alias("arr_len"),
+            F.round(st.getField("q") + st.getField("t"), 2).alias("struct_sum"),
+            F.round(F.element_at(mp, F.lit("disc")), 2).alias("map_val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "expr_explode_words",
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 25
+""",
+    category="expressions",
+    bench=True,
+)
+def expr_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate/explode (reference execution/Generate.scala:35, Explode
+    generators.scala:98) — the classic wordcount as explode + agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(25)
+    )
+
+
+@register(
+    "expr_posexplode",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 5
+ORDER BY doc_id, pos
+""",
+    category="expressions",
+)
+def expr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (reference UserDefinedGenerator analog, generators.scala:79)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "expr_json_extract",
+    oracle="""
+SELECT event_id, CAST(props->>'k' AS INT) AS k_val
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+""",
+    category="expressions",
+)
+def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (modern superset of the reference's
+    JSON-source schema inference, json/JsonRDD.scala)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,333 @@
+"""Join operator surface (reference §2.F joins, sql/core/.../execution/joins/).
+
+Covers every join type the reference planner could produce —
+broadcast-hash (reference joins/BroadcastHashJoin.scala), shuffled-hash
+(ShuffledHashJoin.scala), outer (HashOuterJoin.scala), left-semi
+(LeftSemiJoinHash.scala), nested-loop theta (BroadcastNestedLoopJoin.scala),
+cartesian (CartesianProduct.scala) — plus `left_anti` and pandas-cogroup
+as the documented modern superset (anti join was absent in the
+reference per SURVEY.md §2.F).
+
+Scale notes: dims are broadcast explicitly; fact-fact joins shuffle on
+their keys and rely on AQE skew-join splitting at the 100 TB point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+SELECT o_orderpriority, c_mktsegment,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority, c_mktsegment
+ORDER BY o_orderpriority, c_mktsegment
+""",
+    category="joins",
+    bench=True,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (reference ShuffledHashJoin/BroadcastHashJoin)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_big_orders
+FROM customer LEFT JOIN (
+    SELECT * FROM orders WHERE o_totalprice > 300000
+) o ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+    category="joins",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (reference HashOuterJoin.scala) — unmatched
+    customers keep NULL order side; count(col) skips the NULLs."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+    category="joins",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (reference HashOuterJoin.scala, RightOuter)."""
+    cust = load_table(spark, sf_dir, "customer")
+    fin = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        fin.join(cust, fin.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH hi_cust AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     hi_ord  AS (SELECT o_custkey, count(*) AS n FROM orders
+                 WHERE o_totalprice > 250000 GROUP BY o_custkey)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS is_rich,
+       coalesce(n, 0) AS n_big
+FROM hi_cust FULL OUTER JOIN hi_ord ON c_custkey = o_custkey
+ORDER BY custkey
+""",
+    category="joins",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (reference HashOuterJoin.scala, FullOuter)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("is_rich"),
+            F.coalesce("n", F.lit(0)).alias("n_big"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+ORDER BY c_custkey
+""",
+    category="joins",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference LeftSemiJoinHash.scala; SQL `LEFT SEMI
+    JOIN` keyword in the reference parser SqlParser.scala:106)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+ORDER BY c_custkey
+""",
+    category="joins",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — beyond-reference superset (absent in the
+    reference planner per SURVEY.md §2.F); also the subtractByKey
+    equivalent (reference PairRDDFunctions.scala:825)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    category="joins",
+    bench=True,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join (reference BroadcastHashJoin.scala;
+    threshold logic SparkStrategies.scala:68-110). nation/region are
+    constant-size — broadcast at every SF, no shuffle of the fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_theta_nonequi",
+    oracle="""
+SELECT s_suppkey, count(*) AS n_pricier_parts
+FROM supplier JOIN part ON p_retailprice > s_acctbal / 100
+GROUP BY s_suppkey ORDER BY s_suppkey
+""",
+    category="joins",
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi theta join (reference
+    BroadcastNestedLoopJoin.scala; strategy SparkStrategies.scala:169-183)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        supp.join(part, part.p_retailprice > supp.s_acctbal / 100)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_pricier_parts"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_cartesian",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+    category="joins",
+)
+def join_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (reference CartesianProduct.scala) — only ever
+    sane between bounded dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name").orderBy(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "join_mixed_equi_nonequi",
+    oracle="""
+SELECT l_orderkey, l_linenumber, p_partkey
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_extendedprice > 40 * p_retailprice
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="joins",
+)
+def join_mixed_equi_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with residual non-equi condition — hash join on the
+    equi key, residual filter applied post-match (how the reference's
+    HashJoin handled `otherPredicates`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            part,
+            (li.l_partkey == part.p_partkey)
+            & (li.l_extendedprice > 40 * part.p_retailprice),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "cogroup_pandas",
+    oracle="""
+WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS total_spent
+           FROM orders GROUP BY o_custkey),
+     c AS (SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+           FROM customer)
+SELECT coalesce(c.custkey, o.custkey) AS custkey,
+       coalesce(o.n_orders, 0)  AS n_orders,
+       coalesce(o.total_spent, 0.0) AS total_spent,
+       coalesce(c.acctbal, 0.0) AS acctbal
+FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+ORDER BY custkey
+""",
+    category="joins",
+)
+def cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup (reference PairRDDFunctions.cogroup :696-803) as a
+    pandas cogroup-applyInPandas: both sides grouped on the key, each
+    key's two pandas frames combined in one Arrow batch. This is the
+    general escape hatch for per-key logic no SQL construct expresses;
+    here the logic is also SQL-expressible so the oracle can check it."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(c_pdf):
+            key = int(c_pdf.c_custkey.iloc[0])
+            acctbal = round(float(c_pdf.c_acctbal.iloc[0]), 2)
+        else:
+            key = int(o_pdf.o_custkey.iloc[0])
+            acctbal = 0.0
+        n_orders = int(len(o_pdf))
+        total = round(float(o_pdf.o_totalprice.sum()), 2) if n_orders else 0.0
+        return pd.DataFrame(
+            {
+                "custkey": [key],
+                "n_orders": [n_orders],
+                "total_spent": [total],
+                "acctbal": [acctbal],
+            }
+        )
+
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="custkey long, n_orders long, total_spent double, acctbal double",
+        )
+    )
+    return out.orderBy("custkey")

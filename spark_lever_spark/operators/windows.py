@@ -1,0 +1,209 @@
+"""SQL window functions (beyond-reference superset).
+
+The reference had NO window functions (no OVER in its parser —
+SURVEY.md §2.F: they arrived in Spark 1.4). This engine exposes the
+full `pyspark.sql.Window` surface as a documented superset:
+ranking (row_number/rank/dense_rank/ntile), offsets (lag/lead),
+frames (running aggregates), per-partition top-k.
+
+Determinism: every window ORDER BY carries a unique tiebreaker so
+results are reproducible across engines and partitionings.
+
+Scale note: window partitions shuffle on partitionBy keys — a window
+partitioned by a high-cardinality key scales linearly; an
+*unpartitioned* ordered window funnels everything to one task and is
+only used in tests on bounded dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    category="windows",
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the canonical distributed
+    groupwise-top-k (one shuffle on the partition key, no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT s_nationkey, s_suppkey,
+       CAST(rank()       OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal*100) DESC) AS INT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal*100) DESC) AS INT) AS drnk
+FROM supplier
+ORDER BY s_nationkey, rnk, s_suppkey
+""",
+    category="windows",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with real ties (rounded balance)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc(F.round(F.col("s_acctbal") * 100))
+    )
+    return (
+        supp.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INT) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS next_orderkey
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    category="windows",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets: days between consecutive orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(round(o_totalprice*100)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100 AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    category="windows",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.round(F.sum(F.round(F.col("o_totalprice") * 100)).over(w)) / 100
+            ).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(round(o_totalprice*100)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100 AS avg3
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    category="windows",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row moving average (bounded ROWS frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.round(F.avg(F.round(F.col("o_totalprice") * 100)).over(w)) / 100
+            ).alias("avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+SELECT quartile, count(*) AS cnt, round(min(c_acctbal)*100)/100 AS lo,
+       round(max(c_acctbal)*100)/100 AS hi
+FROM (
+  SELECT c_acctbal,
+         CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+  FROM customer
+) GROUP BY quartile ORDER BY quartile
+""",
+    category="windows",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing → quartile summary (DoubleRDD-stats analog)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.round(F.min("c_acctbal") * 100) / 100).alias("lo"),
+            (F.round(F.max("c_acctbal") * 100) / 100).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
