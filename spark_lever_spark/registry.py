@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         rollups,
         windows,
         expressions,
+        lever_demo,
     )
     from spark_lever_spark.llm import (  # noqa: F401
         dedup,
