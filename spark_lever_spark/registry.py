@@ -103,5 +103,6 @@ def _ensure_loaded() -> None:
         similarity,
         textstats,
     )
+    from spark_lever_spark.streaming import queries as streaming_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,170 @@
+"""Oracle-checked streaming queries over the driver's parquet tables.
+
+Pattern: stream the table through the file source (availableNow drains
+it in deterministic micro-batches), maintain state incrementally, and
+return the FINAL result — which must equal the batch/SQL answer. This
+is the strongest correctness statement Structured Streaming allows: the
+incremental stateful plan converges to the relational result the DuckDB
+oracle computes (reference parity target: §2.C keyed streaming ops,
+which the reference could only golden-test per batch —
+TestSuiteBase.scala).
+
+The parquet inputs are single files; the file source requires a
+directory, so each run streams through a symlink dir (cheap, read-only).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import _ensure_parity_confs, table_path
+from spark_lever_spark.registry import register
+
+
+def _stream_table(
+    spark: SparkSession, sf_dir: str, name: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming scan of one driver table via a symlink directory."""
+    _ensure_parity_confs(spark)
+    src = table_path(sf_dir, name)
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(d)
+    )
+    if name == "events":
+        from pyspark.sql import types as T
+
+        if isinstance(schema["ts"].dataType, T.LongType):
+            sdf = sdf.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return sdf
+
+
+def _drain_complete(out: DataFrame, name_hint: str) -> DataFrame:
+    """Run a complete-mode stateful plan to exhaustion; returns the
+    final in-memory table."""
+    spark = out.sparkSession
+    qname = f"{name_hint}_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ck, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "stream_agg_orders_status",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_totalprice) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    category="streaming",
+)
+def stream_agg_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keyed aggregation over a drained stream
+    (reduceByKey parity, PairDStreamFunctions.scala:78-103): final
+    state == the batch GROUP BY."""
+    sdf = _stream_table(spark, sf_dir, "orders")
+    agg = sdf.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total")
+    )
+    return _drain_complete(agg, "orders_status").orderBy("o_orderstatus")
+
+
+@register(
+    "stream_windowed_events_hourly",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    category="streaming",
+)
+def stream_windowed_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation over the drained events
+    stream (groupByKeyAndWindow parity, PairDStreamFunctions.scala:
+    124-195; window impl WindowedDStream.scala:63-71): hourly windows
+    equal the batch date_trunc rollup."""
+    from spark_lever_spark.streaming.core import tumbling_window_agg
+
+    sdf = _stream_table(spark, sf_dir, "events")
+    win = tumbling_window_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("events"), F.sum("value").alias("sum_value")],
+    )
+    final = _drain_complete(win, "events_hourly")
+    return final.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "events",
+        "sum_value",
+    ).orderBy("hour_start", "event_type")
+
+
+@register(
+    "stream_update_state_customer_counts",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS cnt
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    category="streaming",
+)
+def stream_update_state_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateStateByKey parity (StateDStream.scala:29-110) through
+    applyInPandasWithState: running per-segment counts; after draining
+    all batches the state equals the batch GROUP BY count."""
+    from spark_lever_spark.streaming.harness import BatchCollector
+    from spark_lever_spark.streaming.stateful import (
+        running_count_update,
+        update_state_by_key,
+    )
+
+    sdf = _stream_table(spark, sf_dir, "customer", files_per_trigger=1)
+    out = update_state_by_key(
+        sdf.select("c_mktsegment"),
+        ["c_mktsegment"],
+        running_count_update,
+        state_schema="cnt long",
+        output_schema="c_mktsegment string, cnt long",
+    )
+    collector = BatchCollector()
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            out.writeStream.foreachBatch(collector)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ck, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+    # last emission per key == final state
+    final: dict[str, int] = {}
+    for _, rows in sorted(collector.batches):
+        for seg, cnt in rows:
+            final[seg] = cnt
+    return spark.createDataFrame(
+        sorted(final.items()), "c_mktsegment string, cnt long"
+    ).orderBy("c_mktsegment")

@@ -1,0 +1,242 @@
+"""Streaming operator parity: per-batch golden-output tests in the
+reference's TestSuiteBase style (SURVEY.md §5.1) — deterministic input
+batches via one-file-per-trigger, expected output per batch.
+
+Covers §2.B element-wise ops, §2.C keyed ops (per-batch and stateful),
+windows, updateStateByKey parity, and stream-static join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lever_spark.streaming import run_file_batches, update_state_by_key
+from spark_lever_spark.streaming.core import (
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SCHEMA_KV = "k string, v long"
+SCHEMA_LINE = "line string"
+SCHEMA_TS = "ts timestamp, k string, v long"
+
+BATCHES_KV = [
+    [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
+    [{"k": "a", "v": 3}],
+    [{"k": "b", "v": 4}, {"k": "c", "v": 5}],
+]
+
+
+def test_map_filter_per_batch(spark):
+    """DStream.map + filter (DStream.scala:442,:455): element-wise on
+    the streaming plan, batch boundaries preserved."""
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        transform=lambda df: df.filter(F.col("v") >= 2).select(
+            "k", (F.col("v") * 10).alias("v10")
+        ),
+    )
+    assert col.rows_per_batch == [
+        [("b", 20)],
+        [("a", 30)],
+        [("b", 40), ("c", 50)],
+    ]
+
+
+def test_flatmap_explode_per_batch(spark):
+    """DStream.flatMap (DStream.scala:450) as explode(split(...))."""
+    batches = [[{"line": "x y"}, {"line": "z"}], [{"line": "p q r"}]]
+    col = run_file_batches(
+        spark,
+        batches,
+        SCHEMA_LINE,
+        transform=lambda df: df.select(
+            F.explode(F.split("line", " ")).alias("w")
+        ),
+    )
+    assert col.rows_per_batch == [
+        [("x",), ("y",), ("z",)],
+        [("p",), ("q",), ("r",)],
+    ]
+
+
+def test_per_batch_reduce_by_key(spark):
+    """reduceByKey per batch (PairDStreamFunctions.scala:78) — the
+    reference recomputes each batch independently; modeled with the
+    foreachBatch-side transform (DStream.transform parity)."""
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        batch_transform=lambda df: df.groupBy("k").agg(
+            F.sum("v").alias("s")
+        ),
+    )
+    assert col.rows_per_batch == [
+        [("a", 1), ("b", 2)],
+        [("a", 3)],
+        [("b", 4), ("c", 5)],
+    ]
+
+
+def test_stateful_running_agg_update_mode(spark):
+    """Cross-batch incremental aggregation (what the reference needed
+    updateStateByKey or invReduceFunc for): update mode emits only the
+    keys touched in the batch, with running totals."""
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        transform=lambda df: df.groupBy("k").agg(F.sum("v").alias("s")),
+        output_mode="update",
+    )
+    assert col.rows_per_batch == [
+        [("a", 1), ("b", 2)],
+        [("a", 4)],
+        [("b", 6), ("c", 5)],
+    ]
+
+
+def test_update_state_by_key_running_count(spark):
+    """updateStateByKey parity (StateDStream.scala:29-110) via
+    applyInPandasWithState: full state emitted per touched key."""
+    from spark_lever_spark.streaming.stateful import running_count_update
+
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        transform=lambda df: update_state_by_key(
+            df,
+            ["k"],
+            running_count_update,
+            state_schema="cnt long",
+            output_schema="k string, cnt long",
+        ),
+        output_mode="update",
+    )
+    assert col.rows_per_batch == [
+        [("a", 1), ("b", 1)],
+        [("a", 2)],
+        [("b", 2), ("c", 1)],
+    ]
+
+
+def test_update_state_by_key_running_sum_drop(spark):
+    """State removal: update_fn returning None drops the key
+    (reference Option[S] => None semantics)."""
+
+    def sum_until_10(key, pdf, old):
+        total = (old[0] if old else 0) + int(pdf["v"].sum())
+        return None if total >= 10 else (total,)
+
+    batches = [
+        [{"k": "a", "v": 4}],
+        [{"k": "a", "v": 7}],  # total 11 -> state dropped, no emit
+        [{"k": "a", "v": 2}],  # starts fresh
+    ]
+    col = run_file_batches(
+        spark,
+        batches,
+        SCHEMA_KV,
+        transform=lambda df: update_state_by_key(
+            df,
+            ["k"],
+            sum_until_10,
+            state_schema="s long",
+            output_schema="k string, s long",
+        ),
+        output_mode="update",
+    )
+    assert col.rows_per_batch == [[("a", 4)], [], [("a", 2)]]
+
+
+def _ts(s: str) -> str:
+    return f"2026-01-01 00:00:{s}"
+
+
+def test_tumbling_window_counts(spark):
+    """window(winDur) tumbling counts (DStream.scala:640) keyed by an
+    event-time column — arrival-time order reproduced with explicit ts."""
+    batches = [
+        [
+            {"ts": _ts("01"), "k": "a", "v": 1},
+            {"ts": _ts("02"), "k": "a", "v": 1},
+        ],
+        [
+            {"ts": _ts("11"), "k": "a", "v": 1},
+            {"ts": _ts("12"), "k": "b", "v": 1},
+        ],
+    ]
+    col = run_file_batches(
+        spark,
+        batches,
+        SCHEMA_TS,
+        transform=lambda df: tumbling_window_agg(
+            df, "ts", "10 seconds", keys=["k"]
+        ).select(
+            F.col("window.start").cast("string").alias("ws"),
+            "k",
+            "count",
+        ),
+        output_mode="update",
+    )
+    assert col.rows_per_batch == [
+        [("2026-01-01 00:00:00", "a", 2)],
+        [("2026-01-01 00:00:10", "a", 1), ("2026-01-01 00:00:10", "b", 1)],
+    ]
+
+
+def test_sliding_window_counts(spark):
+    """Sliding window (DStream.scala:651 / reduceByKeyAndWindow):
+    each event lands in windowDur/slideDur overlapping windows."""
+    batches = [[{"ts": _ts("05"), "k": "a", "v": 1}]]
+    col = run_file_batches(
+        spark,
+        batches,
+        SCHEMA_TS,
+        transform=lambda df: sliding_window_agg(
+            df, "ts", "10 seconds", "5 seconds", keys=["k"]
+        ).select(F.col("window.start").cast("string").alias("ws"), "k", "count"),
+        output_mode="update",
+    )
+    # event at :05 belongs to windows [00:00,00:10) and [00:05,00:15)
+    assert col.rows_per_batch == [
+        [
+            ("2026-01-01 00:00:00", "a", 1),
+            ("2026-01-01 00:00:05", "a", 1),
+        ]
+    ]
+
+
+def test_stream_static_join(spark):
+    """Stream-batch join (the reference did this via transform + RDD
+    join, DStream.scala:552): dimension enrichment of a stream."""
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, name string"
+    )
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        transform=lambda df: df.join(dim, "k").select("k", "v", "name"),
+    )
+    assert col.rows_per_batch == [
+        [("a", 1, "alpha"), ("b", 2, "beta")],
+        [("a", 3, "alpha")],
+        [("b", 4, "beta")],  # 'c' has no dim row -> inner join drops it
+    ]
+
+
+def test_union_and_count_per_batch(spark):
+    """DStream.union + count (DStream.scala:494,:747) per batch."""
+    col = run_file_batches(
+        spark,
+        BATCHES_KV,
+        SCHEMA_KV,
+        batch_transform=lambda df: df.union(df).agg(
+            F.count("*").alias("n")
+        ),
+    )
+    assert col.rows_per_batch == [[(4,)], [(2,)], [(4,)]]
