@@ -1,0 +1,122 @@
+"""Embedding-column operators: near-dup by cosine, IVF-style ANN.
+
+Completes the LLM-pipeline dedup/similarity family (SURVEY.md §7 P5):
+- `dedup_embedding_cosine`: the embedding analog of MinHash dedup —
+  a blocked all-pairs cosine join marks duplicates and elects the
+  lowest-id member as canonical. Blocking key here is `label` (stand-in
+  for an LSH bucket / IVF cell at 100 TB: replace the equality key,
+  keep the plan).
+- `ann_ivf`: inverted-file ANN — partition vectors into cells (label
+  as the cell id; k-means at scale), compute cell centroids
+  distributively, probe the nprobe nearest cells, exact-search only
+  within them. Complements `ann_lsh_hyperplane` (llm/similarity.py) as
+  the second scale path next to brute-force `knn_cosine_topk`.
+
+The synthetic embeddings are near-orthogonal random vectors (max
+intra-label cosine ~0.45 at sf0.001), so the dedup threshold is set at
+0.35 to exercise non-empty outputs; production near-dup would sit at
+~0.95 with the identical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.llm.similarity import as_double, cosine
+from spark_lever_spark.registry import register
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 250)
+SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS canonical_id
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+GROUP BY b.vec_id
+ORDER BY dup_id
+""",
+    category="llm_dedup",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: within each block, a vector is a
+    duplicate of the earliest vector it matches at >= threshold; emit
+    (dup_id, canonical_id). At scale: O(pairs-within-block), never
+    global O(n^2) — block size is the knob, exactly like LSH banding."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 250)
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= 0.35)
+        .groupBy(F.col("b.vec_id").alias("dup_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("canonical_id"))
+        .orderBy("dup_id")
+    )
+
+
+def cell_centroids(emb: DataFrame, cell_col: str = "label") -> DataFrame:
+    """Per-cell centroid, computed distributively: posexplode the
+    vectors, average per (cell, dimension), reassemble ordered arrays.
+    Two narrow shuffles on small keys; no vector ever collects to the
+    driver."""
+    by_dim = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    ).groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    return by_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+
+
+@register(
+    "ann_ivf",
+    oracle=None,  # approximate search: validated by recall test vs
+    # brute-force knn (tests/test_llm_ann.py), not by SQL equivalence
+    category="llm_similarity",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN for query vector 0: probe the 2 nearest of 10 cells,
+    exact top-10 within them. The centroid table is tiny (cells x dim)
+    and broadcast both times; only the probed cells' vectors are
+    scanned — at 100 TB that is the difference between reading 2/nlist
+    of the data and all of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = cell_centroids(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"))
+        .limit(2)
+        .select("cell")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), emb["label"] == F.col("cell"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -347,3 +347,34 @@ def values_collected_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "sample_by_key_stratified",
+    oracle=None,  # seeded Bernoulli sampling: Spark-RNG-specific rows;
+    # statistical contract asserted in tests/test_queries_oracle.py
+    # (rows-only) and the fraction check below is self-validating
+    category="relational",
+)
+def sample_by_key_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampleByKey / df.stat.sampleBy (reference PairRDDFunctions.scala:
+    214-262): per-stratum Bernoulli sampling with per-key fractions.
+    Returns per-segment (sampled, total) counts so the result schema is
+    stable while the sample stays seed-deterministic within a Spark
+    version."""
+    cust = load_table(spark, sf_dir, "customer")
+    fractions = {
+        "AUTOMOBILE": 0.5,
+        "BUILDING": 0.25,
+        "FURNITURE": 0.1,
+        "HOUSEHOLD": 1.0,
+        "MACHINERY": 0.0,
+    }
+    sampled = cust.stat.sampleBy("c_mktsegment", fractions, seed=42)
+    totals = cust.groupBy("c_mktsegment").agg(F.count("*").alias("total"))
+    picked = sampled.groupBy("c_mktsegment").agg(F.count("*").alias("sampled"))
+    return (
+        totals.join(picked, "c_mktsegment", "left")
+        .fillna(0, subset=["sampled"])
+        .orderBy("c_mktsegment")
+    )

@@ -106,3 +106,32 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+    category="rollups",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reference had only GROUP BY + CASE; pivot is the modern
+    sugar for the same Expand-style plan). Pivot values are given
+    EXPLICITLY — at scale, omitting them adds a blocking distinct scan
+    just to discover the columns."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("day")
+    )
+    return piv.fillna(0)

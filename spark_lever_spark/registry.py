@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
     # operator modules import `register` from this module.
     from spark_lever_spark.operators import (  # noqa: F401
         tpch,
+        tpch2,
         relational,
         joins,
         setops,
@@ -99,6 +100,7 @@ def _ensure_loaded() -> None:
     )
     from spark_lever_spark.llm import (  # noqa: F401
         dedup,
+        embeddings,
         multimodal,
         similarity,
         textstats,
