@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         similarity,
         textstats,
     )
+    from spark_lever_spark.functions import udfs  # noqa: F401
     from spark_lever_spark.streaming import queries as streaming_queries  # noqa: F401
 
     _LOADED = True
