@@ -378,3 +378,73 @@ def sample_by_key_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["sampled"])
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "map_in_pandas_partition_stats",
+    oracle=None,  # per-partition row counts depend on the physical
+    # split layout; data-preservation is asserted via the total
+    category="relational",
+)
+def map_in_pandas_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapPartitions/glom parity (reference RDD.scala:641,:544) via
+    mapInPandas: Arrow-batched per-partition Python access. The demo
+    computes per-partition (rows, min_key, max_key) and re-aggregates to
+    a stable 1-row summary — the pattern for partition-local algorithms
+    (reservoir sampling, per-shard model scoring) without a shuffle."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def per_partition(batches):
+        rows = 0
+        lo = None
+        hi = None
+        for pdf in batches:
+            rows += len(pdf)
+            if len(pdf):
+                lo = pdf.l_orderkey.min() if lo is None else min(lo, pdf.l_orderkey.min())
+                hi = pdf.l_orderkey.max() if hi is None else max(hi, pdf.l_orderkey.max())
+        if rows:
+            yield pd.DataFrame(
+                {"part_rows": [rows], "min_key": [lo], "max_key": [hi]}
+            )
+
+    per_part = li.repartition(8).mapInPandas(
+        per_partition, "part_rows long, min_key long, max_key long"
+    )
+    return per_part.agg(
+        F.count("*").alias("partitions"),
+        F.sum("part_rows").alias("total_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    category="relational",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    on (key, salt) spreading each hot key over 16 reducers, stage 2
+    merges the partials per key. Correctness-neutral for algebraic aggs
+    (same result as the direct groupBy — the oracle proves it); at
+    100 TB this is the standard fix when one key holds >> 1/parallelism
+    of the rows and AQE skew handling cannot split an agg. l_returnflag
+    (3 values over 6M rows/SF) is exactly that shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt__", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt__").agg(
+        F.count("*").alias("c"), F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("c").alias("cnt"), F.sum("q").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

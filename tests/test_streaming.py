@@ -240,3 +240,79 @@ def test_union_and_count_per_batch(spark):
         ),
     )
     assert col.rows_per_batch == [[(4,)], [(2,)], [(4,)]]
+
+
+def test_stream_stream_inner_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks
+    (PairDStreamFunctions.scala:513-542 parity): two file-source
+    streams joined on key; both sides drained with availableNow."""
+    import json as _json
+    import os
+
+    from spark_lever_spark.streaming.core import file_stream, stream_stream_join
+
+    left_dir, right_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    ck = str(tmp_path / "ck")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+    ts = "2026-01-01 00:00:{:02d}"
+    with open(os.path.join(left_dir, "b0.json"), "w") as f:
+        for i, k in enumerate(["a", "b", "c"]):
+            f.write(_json.dumps({"lts": ts.format(i), "k": k, "lv": i}) + "\n")
+    with open(os.path.join(right_dir, "b0.json"), "w") as f:
+        for i, k in enumerate(["b", "c", "d"]):
+            f.write(_json.dumps({"rts": ts.format(i), "k": k, "rv": i * 10}) + "\n")
+
+    left = file_stream(spark, left_dir, "lts timestamp, k string, lv long")
+    right = file_stream(spark, right_dir, "rts timestamp, k string, rv long")
+    joined = stream_stream_join(
+        left,
+        right,
+        on=["k"],
+        left_watermark=("lts", "10 seconds"),
+        right_watermark=("rts", "10 seconds"),
+    ).select("k", "lv", "rv")
+
+    from spark_lever_spark.streaming.harness import BatchCollector
+
+    collector = BatchCollector()
+    q = (
+        joined.writeStream.foreachBatch(collector)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    assert collector.all_rows == [("b", 1, 0), ("c", 2, 10)]
+
+
+def test_streaming_file_sink_roundtrip(spark, tmp_path):
+    """saveAsTextFiles/saveAsObjectFiles parity (DStream.scala:787-806):
+    writeStream to parquet, read back the union of all batches."""
+    import json as _json
+    import os
+
+    from spark_lever_spark.streaming.core import file_stream
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    os.makedirs(in_dir)
+    for i in range(2):
+        with open(os.path.join(in_dir, f"b{i}.json"), "w") as f:
+            f.write(_json.dumps({"k": "x", "v": i}) + "\n")
+
+    sdf = file_stream(spark, in_dir, "k string, v long", max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [("x", 0), ("x", 1)]
