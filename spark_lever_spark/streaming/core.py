@@ -133,6 +133,28 @@ def sliding_window_agg(
     return df.groupBy(*group).agg(*agg_cols)
 
 
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap_duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows — BEYOND-reference superset (SURVEY.md §2.B:
+    'Session windows: absent' in the reference's processing-time model).
+    Events within `gap_duration` of each other merge into one variable
+    -length session per key."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [
+        F.session_window(F.col(ts_col), gap_duration),
+        *[F.col(k) for k in keys],
+    ]
+    agg_cols = list(aggs) or [F.count("*").alias("count")]
+    return df.groupBy(*group).agg(*agg_cols)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

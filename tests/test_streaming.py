@@ -316,3 +316,84 @@ def test_streaming_file_sink_roundtrip(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(out_dir)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [("x", 0), ("x", 1)]
+
+
+def test_session_window_merging(spark):
+    """Session windows (beyond-reference superset): events <=10s apart
+    merge; a >10s gap starts a new session."""
+    from spark_lever_spark.streaming.core import session_window_agg
+
+    batches = [
+        [
+            {"ts": _ts("01"), "k": "a", "v": 1},
+            {"ts": _ts("05"), "k": "a", "v": 1},  # same session (gap 4s)
+            {"ts": _ts("30"), "k": "a", "v": 1},  # new session (gap 25s)
+        ]
+    ]
+    col = run_file_batches(
+        spark,
+        batches,
+        SCHEMA_TS,
+        transform=lambda df: session_window_agg(
+            df, "ts", "10 seconds", keys=["k"]
+        ).select(
+            F.col("session_window.start").cast("string").alias("ss"),
+            "k",
+            "count",
+        ),
+        output_mode="complete",
+    )
+    assert col.rows_per_batch == [
+        [
+            ("2026-01-01 00:00:01", "a", 2),
+            ("2026-01-01 00:00:30", "a", 1),
+        ]
+    ]
+
+
+def test_socket_source_live(spark):
+    """socketTextStream parity (SocketInputDStream.scala) against a
+    real local TCP server: lines arrive as `value` rows."""
+    import socket
+    import threading
+    import time as _time
+
+    from spark_lever_spark.streaming.core import socket_stream
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(b"hello\nworld\n")
+            _time.sleep(3)  # keep the connection up past the first batch
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    sdf = socket_stream(spark, "127.0.0.1", port)
+    assert sdf.isStreaming and sdf.columns == ["value"]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("socket_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 20
+        rows = []
+        while _time.time() < deadline:
+            rows = [r["value"] for r in spark.table("socket_t").collect()]
+            if len(rows) >= 2:
+                break
+            _time.sleep(0.3)
+        assert sorted(rows[:2]) == ["hello", "world"]
+    finally:
+        q.stop()
+        server.close()
