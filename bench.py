@@ -32,8 +32,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm-up: JVM + parquet footer reads + the codegen paths the suite
+    # uses (hash agg, distinct-agg Expand, window, broadcast join) so
+    # measured timings reflect steady-state execution, not first-compile
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    warm = li.limit(10_000)
+    warm.groupBy("l_returnflag").agg(
+        F.count("*"), F.countDistinct("l_orderkey"), F.sum("l_quantity")
+    ).collect()
+    from pyspark.sql.window import Window
+
+    warm.select(
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        )
+    ).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.bench_queries().items()):

@@ -83,3 +83,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL entry point (reference SQLContext.sql, SQLContext.scala:913):
+    registers the driver tables as views and delegates to spark.sql —
+    the reference's whole parser/analyzer/optimizer pipeline (SURVEY.md
+    §3.2) IS Catalyst here; the dialect is a strict superset of the
+    reference's SqlParser (§2.F)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
         dedup,
         embeddings,
         multimodal,
+        pipeline,
         similarity,
         textstats,
     )

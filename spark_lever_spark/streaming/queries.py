@@ -50,12 +50,31 @@ def _stream_table(
     return sdf
 
 
+class _bounded_shuffle:
+    """Stateful streaming disables AQE coalescing, so a vanilla
+    session's 200 shuffle partitions become 200 tiny state-store tasks
+    per micro-batch — pure overhead at test SF. Pin a sane parallelism
+    for the drain, restore after. (State-store partitioning is
+    checkpoint-scoped; each drain uses a fresh checkpoint, so changing
+    it between runs is safe.)"""
+
+    def __init__(self, spark: SparkSession, n: int = 32) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _drain_complete(out: DataFrame, name_hint: str) -> DataFrame:
     """Run a complete-mode stateful plan to exhaustion; returns the
     final in-memory table."""
     spark = out.sparkSession
     qname = f"{name_hint}_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ck:
+    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(qname)
@@ -151,7 +170,7 @@ def stream_update_state_customer_counts(spark: SparkSession, sf_dir: str) -> Dat
         output_schema="c_mktsegment string, cnt long",
     )
     collector = BatchCollector()
-    with tempfile.TemporaryDirectory() as ck:
+    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
         q = (
             out.writeStream.foreachBatch(collector)
             .outputMode("update")

@@ -108,3 +108,30 @@ def test_max_records_per_file(spark, tmp_path):
     write_partitioned(df, path, max_records_per_file=25)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= 4  # 100 rows / 25 per file
+
+
+def test_sql_entry_point(spark, sf_dir):
+    """engine.sql() passthrough: the reference SQL dialect's core
+    clauses in one statement (SELECT/JOIN/WHERE/GROUP BY/HAVING/
+    ORDER BY/LIMIT/CASE/BETWEEN/IN/LIKE)."""
+    from spark_lever_spark.catalog import sql
+
+    out = sql(
+        spark,
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        """
+        SELECT n_name,
+               COUNT(*) AS suppliers,
+               SUM(CASE WHEN s_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END)
+                 AS mid_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name LIKE 'NATION%' AND n_nationkey IN (0, 1, 2, 3, 4)
+        GROUP BY n_name
+        HAVING COUNT(*) >= 0
+        ORDER BY n_name
+        LIMIT 10
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) <= 10
+    assert out.columns == ["n_name", "suppliers", "mid_bal"]
