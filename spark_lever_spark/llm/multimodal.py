@@ -143,3 +143,68 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(unnest(generate_series(0, strlen(text) % 16, 4)) AS INT)
+         AS frame_idx
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id, frame_idx
+""",
+    category="llm_multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per selected frame (stride 4) from each
+    video payload (n_frames from the stub decoder, = strlen%16+1).
+    The explode happens JVM-side (`sequence` + `explode`) — per-frame
+    work distributes over the cluster; at 100 TB the payload column is
+    carried as a pointer (doc_id) and frames re-fetch lazily, never
+    duplicating the binary per frame row."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    decoded = decode_media(attach_binary_payload(docs))
+    return (
+        decoded.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+            ).alias("frame_idx"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(strlen(text) % 640 + 1 AS INT) AS width,
+         CAST(strlen(text) % 480 + 1 AS INT) AS height
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR(224.0 * width  / GREATEST(width, height)) AS INT) AS out_w,
+       CAST(FLOOR(224.0 * height / GREATEST(width, height)) AS INT) AS out_h
+FROM d ORDER BY doc_id
+""",
+    category="llm_multimodal",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit-224 planning: target dimensions computed JVM-side
+    from decoded metadata (aspect-preserving letterbox). The pixel-level
+    resample itself would run in the same mapInPandas slot as
+    decode_image_batch (stubbed here — no image libs in container); the
+    schema and batch shape are what a real PIL/torchvision stage uses."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    decoded = decode_media(attach_binary_payload(docs))
+    longest = F.greatest(F.col("width"), F.col("height"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(224.0 * F.col("width") / longest).cast("int").alias("out_w"),
+        F.floor(224.0 * F.col("height") / longest).cast("int").alias("out_h"),
+    ).orderBy("doc_id")
