@@ -60,8 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: `/ 1000` would go through DOUBLE, and a
+            # 2024-era nanos value (~1.7e18) exceeds double's 2^53 exact
+            # range — the last microseconds digit comes back wrong
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
     return df
 

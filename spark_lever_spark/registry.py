@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         rollups,
         windows,
         expressions,
+        events,
         lever_demo,
     )
     from spark_lever_spark.llm import (  # noqa: F401

@@ -44,8 +44,10 @@ def _stream_table(
         from pyspark.sql import types as T
 
         if isinstance(schema["ts"].dataType, T.LongType):
+            # integer division — see catalog.load_table: double division
+            # corrupts the microsecond digit at 2024-era nano magnitudes
             sdf = sdf.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
     return sdf
 
