@@ -100,3 +100,10 @@ def test_filter_pushdown_through_streaming_helpers(spark, sf_dir):
     assert any("o_orderstatus" in p for p in pushed_filters(df))
     (cols,) = scan_read_schema(df)
     assert set(cols) <= {"o_orderkey", "o_orderstatus"}
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization: both window passes and the rollup share the
+    user_id partitioning -> exactly one exchange plus the final sort."""
+    df = ALL["sessionize_events"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 2
