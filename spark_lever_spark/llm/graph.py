@@ -1,0 +1,178 @@
+"""Distributed connected components + duplicate-cluster extraction.
+
+LSH/minhash dedup (llm/dedup.py) stops at candidate *pairs*; a real
+corpus-scale dedup pipeline must transitively close those pairs into
+duplicate clusters and elect one canonical document per cluster. The
+reference engine has no graph operator for this (its GraphX tree is
+stock upstream code, SURVEY.md §2.I), so this module is part of the
+LLM-pipeline extension (SURVEY.md §7 P5).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed in
+pure DataFrame ops. Each half-round is one hash shuffle on the
+grouping node (a partition-wide window min) plus a distinct; the edge
+set converges to a star forest in O(log n) rounds even on worst-case
+path graphs — this is the property that makes it the 100 TB choice
+over naive label propagation, whose round count is the graph diameter.
+Lineage is truncated with ``localCheckpoint`` every round so the plan
+does not compound across iterations (on a cluster you would use
+reliable ``checkpoint`` with an HDFS dir instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node, link every strictly-larger neighbor to the
+    minimum of its neighborhood (including itself)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; for each node, link it and all its
+    smaller neighbors to the minimum of those neighbors."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    withm = oriented.withColumn("m", F.min("v").over(w))
+    nbr = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    center = withm.select("u", F.col("m").alias("v"))
+    return nbr.union(center).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, component)`` where component is the minimum node
+    id in each connected component. Nodes that appear in no edge are
+    absent — callers left-join and coalesce to self for isolated nodes.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e_next = _small_star(_large_star(e)).localCheckpoint()
+        changed = (
+            not e_next.exceptAll(e).isEmpty()
+            or not e.exceptAll(e_next).isEmpty()
+        )
+        e = e_next
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixpoint is a star forest oriented node -> root (= component min).
+    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return assign.union(roots).distinct()
+
+
+@register(
+    "dedup_cc_chain_clusters",
+    oracle="""
+WITH flags AS (
+  SELECT d.doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM documents d
+  LEFT JOIN documents p ON p.doc_id = d.doc_id - 1 AND p.lang = d.lang
+),
+comp AS (
+  SELECT doc_id,
+         MAX(CASE WHEN is_start = 1 THEN doc_id END)
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS component
+  FROM flags
+)
+SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+FROM comp
+GROUP BY component
+ORDER BY component
+""",
+    category="llm_dedup",
+)
+def dedup_cc_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-cluster extraction, oracle-checkable variant.
+
+    Edges link consecutive doc_ids sharing a language, so ground-truth
+    components are id-contiguous same-lang runs — which the DuckDB
+    oracle computes analytically (gaps-and-islands) while the Spark
+    side runs the *generic* large-star/small-star iteration and must
+    land on identical clusters. Isolated docs become singleton
+    components via coalesce-to-self."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select(
+        F.col("doc_id").alias("nxt_id"), F.col("lang").alias("nxt_lang")
+    )
+    edges = docs.join(
+        nxt,
+        (F.col("nxt_id") == F.col("doc_id") + F.lit(1))
+        & (F.col("nxt_lang") == F.col("lang")),
+    ).select(F.col("doc_id").alias("src"), F.col("nxt_id").alias("dst"))
+    comp = connected_components(edges)
+    labeled = docs.join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    return (
+        labeled.groupBy("component")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("component")
+    )
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=None,  # banded-LSH hash family not SQL-expressible; the CC
+    # step itself is oracle-checked by dedup_cc_chain_clusters and
+    # tests/test_graph.py (union-find cross-check).
+    category="llm_dedup",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash+LSH candidate pairs ->
+    connected components -> duplicate clusters with an elected
+    canonical doc (min doc_id). This is the composition a training-data
+    pipeline actually runs; keep-list = canonical docs plus isolated
+    docs."""
+    from spark_lever_spark.llm.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+        )
+        .orderBy("component")
+    )

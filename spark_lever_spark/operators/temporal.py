@@ -1,0 +1,231 @@
+"""Temporal joins: as-of join and bucketed range join.
+
+Neither exists in the reference (its join surface is equi/theta only,
+SURVEY.md §2.F "Range / as-of / interval joins: absent") nor as a
+Spark built-in — both are implemented as compositions of DataFrame
+primitives chosen for their shuffle shape at 100 TB:
+
+- ``asof_join``: union-and-window. Tagging both inputs, unioning, and
+  taking ``last(..., ignorenulls=True)`` over a per-key time-ordered
+  window costs exactly ONE hash shuffle on the key — versus the
+  broadcast-nested-loop plan a naive ``ts <= ts`` join condition
+  produces (quadratic per key) or a per-key ``collect_list`` UDF
+  (memory-unbounded per group).
+- ``range_join_bucketed``: explode the left interval onto fixed-width
+  buckets and equi-join on (key, bucket). Turns an inequality join
+  that Catalyst can only BNL into a hash join whose fan-out is
+  ``interval/bucket_width`` — tune the width to the query's interval,
+  not the data size, so the plan is scale-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_on`` <= ``left_on`` (< when ``allow_exact_matches=False``)
+    within the same ``by`` group; nulls when no such row (left-join
+    semantics, matching DuckDB ``ASOF LEFT JOIN``).
+
+    ``value_cols`` are the right columns carried over (default: all
+    non-key, non-time columns; include ``right_on`` itself to get the
+    matched timestamp). The matched columns come atomically from ONE
+    right row via a struct, so a null value inside a right row never
+    bleeds an older row's value through ``ignorenulls``. Right rows
+    must be unique per (by, right_on) for a deterministic result —
+    the same precondition DuckDB's ASOF JOIN has.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, right_on)]
+    struct_fields = list(dict.fromkeys([right_on, *value_cols]))
+    left_payload = [c for c in left.columns if c not in (*by, left_on)]
+
+    rrows = right.select(
+        *by,
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.struct(*[F.col(c) for c in struct_fields]).alias("__r"),
+    )
+    rtype = rrows.schema["__r"].dataType
+    lrows = left.select(
+        *by,
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        *left_payload,
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    # At equal timestamps the right row sorts before the left iff exact
+    # matches count (window frame is "rows up to current").
+    side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = lrows.unionByName(rrows).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("__side") == 1).select(
+        *by,
+        F.col("__t").alias(left_on),
+        *left_payload,
+        *[F.col(f"__r.{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    lo: str,
+    hi: str,
+    right_on: str,
+    bucket_width: int,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = True,
+) -> DataFrame:
+    """Inner-join left rows to right rows with ``right_on`` inside
+    [lo, hi] (bounds configurable), accelerated by equi-joining on
+    fixed-width buckets of the time axis (``bucket_width`` in the
+    units of ``cast(col as double)`` — seconds for timestamps).
+
+    Each right row lands in exactly one bucket, each left interval
+    explodes onto the buckets it overlaps, so every qualifying pair
+    meets exactly once: no post-join dedup needed. Output = all left
+    columns + all right columns (caller aliases collisions away).
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo).cast("double") / bucket_width),
+                F.floor(F.col(hi).cast("double") / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket", F.floor(F.col(right_on).cast("double") / bucket_width)
+    )
+    lo_ok = F.col(right_on) >= F.col(lo) if lo_inclusive else F.col(right_on) > F.col(lo)
+    hi_ok = F.col(right_on) <= F.col(hi) if hi_inclusive else F.col(right_on) < F.col(hi)
+    return lb.join(rb, [*by, "__bucket"]).filter(lo_ok & hi_ok).drop("__bucket")
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts AS last_view_ts, event_id AS last_view_id
+           FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.purchase_ts, p.purchase_id,
+       v.last_view_ts, v.last_view_id
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.last_view_ts <= p.purchase_ts
+ORDER BY p.purchase_id
+""",
+    category="temporal",
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's latest at-or-before view
+    (classic last-touch attribution). One shuffle on user_id; the
+    DuckDB oracle is a native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("last_view_ts"),
+        F.col("event_id").alias("last_view_id"),
+    )
+    out = asof_join(
+        p,
+        v,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="last_view_ts",
+        value_cols=["last_view_ts", "last_view_id"],
+    )
+    return out.select(
+        "user_id", "purchase_ts", "purchase_id", "last_view_ts", "last_view_id"
+    ).orderBy("purchase_id")
+
+
+@register(
+    "range_join_views_before_purchase",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       COUNT(v.view_ts) AS n_views_24h
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOUR
+ AND v.view_ts < p.purchase_ts
+GROUP BY p.purchase_id, p.user_id, p.purchase_ts
+ORDER BY p.purchase_id
+""",
+    category="temporal",
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views within the 24 h before each purchase, per purchase —
+    an interval join the oracle runs as an inequality join but Spark
+    runs as a bucketed hash join (1 h buckets -> 25-way left fan-out,
+    constant in data size). Purchases with zero prior views are kept
+    with n_views_24h = 0 via the aggregate-then-left-join-back step."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    pw = p.withColumn(
+        "lo", F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+    ).withColumn("hi", F.col("purchase_ts"))
+    pairs = range_join_bucketed(
+        pw,
+        v,
+        by=["user_id"],
+        lo="lo",
+        hi="hi",
+        right_on="view_ts",
+        bucket_width=3600,
+        lo_inclusive=True,
+        hi_inclusive=False,
+    )
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_views_24h")
+    )
+    return (
+        p.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce("n_views_24h", F.lit(0)).alias("n_views_24h"),
+        )
+        .orderBy("purchase_id")
+    )

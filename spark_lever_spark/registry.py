@@ -98,10 +98,12 @@ def _ensure_loaded() -> None:
         expressions,
         events,
         lever_demo,
+        temporal,
     )
     from spark_lever_spark.llm import (  # noqa: F401
         dedup,
         embeddings,
+        graph,
         multimodal,
         pipeline,
         similarity,

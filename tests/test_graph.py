@@ -1,0 +1,66 @@
+"""Connected components (llm/graph.py): generic large-star/small-star
+iteration cross-checked against a driver-side union-find on seeded
+random graphs, plus the worst-case shapes (long paths) that punish
+naive label propagation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from spark_lever_spark.llm.graph import connected_components
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative, only for nodes that appear in an edge
+    seen = {x for e in edges for x in e}
+    return {x: find(x) for x in sorted(seen)}
+
+
+def _cc_spark(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = connected_components(df, **kw).collect()
+    return {r.node: r.component for r in got}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc_spark(spark, edges) == _union_find_components(n, edges)
+
+
+def test_cc_path_graph_converges_logarithmically(spark):
+    # a single 64-node path: diameter 63, but star-contraction must
+    # finish in far fewer than diameter rounds (max_iter=10 ~ O(log n))
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_spark(spark, edges, max_iter=10)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_two_components_and_descending_edges(spark):
+    edges = [(5, 3), (3, 9), (20, 11), (11, 20)]
+    got = _cc_spark(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 11: 11, 20: 11}
+
+
+def test_cc_raises_when_iteration_budget_exhausted(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
