@@ -14,6 +14,7 @@ from spark_lever_spark.plans.inspect import (
     broadcast_join_count,
     exchange_count,
     formatted_plan,
+    nested_loop_join_count,
     pushed_filters,
     scan_read_schema,
     shuffle_join_count,
@@ -24,6 +25,7 @@ __all__ = [
     "broadcast_join_count",
     "exchange_count",
     "formatted_plan",
+    "nested_loop_join_count",
     "pushed_filters",
     "scan_read_schema",
     "shuffle_join_count",

@@ -67,6 +67,14 @@ def shuffle_join_count(df: DataFrame) -> int:
     return _op_count(df, "SortMergeJoin|ShuffledHashJoin")
 
 
+def nested_loop_join_count(df: DataFrame) -> int:
+    """BroadcastNestedLoopJoin occurrences — the quadratic fallback
+    Catalyst picks for non-equi conditions. Any operator claiming a
+    'bucketed' or 'windowed' rewrite of an inequality join must show
+    zero of these."""
+    return _op_count(df, "BroadcastNestedLoopJoin|CartesianProduct")
+
+
 def wholestage_codegen_count(df: DataFrame) -> int:
     """Whole-stage-codegen subtrees (wider/fewer is better: fewer
     virtual-call boundaries; subsumes the reference's expression codegen

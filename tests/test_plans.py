@@ -107,3 +107,23 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     user_id partitioning -> exactly one exchange plus the final sort."""
     df = ALL["sessionize_events"].fn(spark, sf_dir)
     assert exchange_count(df) <= 2
+
+
+def test_asof_join_pays_one_data_shuffle(spark, sf_dir):
+    # union-and-window as-of: the only data shuffle is the window's
+    # hash partition on user_id; the trailing orderBy adds one range
+    # exchange for presentation. No join operator at all in the plan.
+    df = ALL["asof_purchase_last_view"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 2
+    assert shuffle_join_count(df) == 0
+    from spark_lever_spark.plans import nested_loop_join_count
+    assert nested_loop_join_count(df) == 0
+
+
+def test_range_join_bucketed_avoids_nested_loop(spark, sf_dir):
+    # the bucketed rewrite must turn the interval predicate into a
+    # hash-joinable equi-key: zero BNL/cartesian operators allowed
+    from spark_lever_spark.plans import nested_loop_join_count
+    df = ALL["range_join_views_before_purchase"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert broadcast_join_count(df) + shuffle_join_count(df) >= 1
