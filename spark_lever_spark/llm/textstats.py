@@ -235,3 +235,85 @@ def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(l) AS w FROM tok
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+wstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+         CAST(MAX(c) AS BIGINT) AS max_wc
+  FROM wc GROUP BY doc_id
+),
+big AS (
+  SELECT t.doc_id, t.l[CAST(i.i AS INT)] || ' ' || t.l[CAST(i.i AS INT) + 1] AS bg
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.l))) AS i) i
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+bstats AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bc FROM bc GROUP BY doc_id)
+SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       CAST(w.max_wc AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+       CAST(b.max_bc AS DOUBLE) / CAST(w.n_words - 1 AS DOUBLE) AS top_bigram_frac
+FROM wstats w JOIN bstats b USING (doc_id)
+ORDER BY w.doc_id
+""",
+    category="llm_text",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-common
+    word share and most-common bigram share (high values = boilerplate /
+    degenerate text a training pipeline drops). All counting happens on
+    exploded (doc_id, token) pairs — two hash aggregations partitioned
+    by doc_id that Catalyst pipelines into one shuffle each — and the
+    final fractions are single double divisions of exact integer
+    counts, so both engines produce bit-identical doubles (the
+    functions/exact.py doctrine applied to ratios)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.split("text", " ").alias("l"))
+
+    wc = (
+        tok.select("doc_id", F.explode("l").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("max_wc"),
+    )
+    bigrams = F.expr(
+        "filter(transform(l, (t, i) -> "
+        "IF(i < size(l) - 1, concat(t, ' ', element_at(l, i + 2)), NULL)), "
+        "x -> x IS NOT NULL)"
+    )
+    bstats = (
+        tok.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bc"))
+    )
+    return (
+        wstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            (
+                F.col("max_wc").cast("double") / F.col("n_words").cast("double")
+            ).alias("top_word_frac"),
+            (
+                F.col("max_bc").cast("double")
+                / (F.col("n_words") - 1).cast("double")
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -448,3 +448,103 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("cnt"), F.sum("q").alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stat_corr_covar_by_flag",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         AS covar_pop_qty_price_cents,
+       (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+       / sqrt(
+           (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         )
+         AS corr_qty_price
+FROM m ORDER BY l_returnflag
+""",
+    category="relational",
+)
+def stat_corr_covar_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance (reference DoubleRDDFunctions stats +
+    MLlib stat, SURVEY.md §2.E) computed scale-exactly: built-in
+    corr()/covar_pop() accumulate doubles in partition order, which is
+    nondeterministic across engines AND across cluster runs — so this
+    aggregates exact integer moments (DECIMAL(38,0): overflow-proof at
+    any SF) and derives the statistics with one identical double
+    formula on both engines. Bit-identical output, any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = cents(F.col("l_extendedprice"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    covp = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    return m.select(
+        "l_returnflag",
+        "n",
+        covp.alias("covar_pop_qty_price_cents"),
+        (covp / F.sqrt(vx * vy)).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=None,  # GK-sketch output is algorithm-specific (DuckDB uses
+    # t-digest); contract = rank error vs exact, tests/test_approx_stats.py
+    category="relational",
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) p50/p90/p99 of
+    o_totalprice per order status. The sketch is mergeable — partials
+    combine across partitions without a global sort, the property that
+    makes it the 100 TB percentile path (exact percentile_cont needs a
+    full sort per group). Accuracy 10000 => rank error <= n/10000."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.9, 0.99], 10000
+            ).alias("pctiles"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.col("pctiles")[0].alias("p50"),
+            F.col("pctiles")[1].alias("p90"),
+            F.col("pctiles")[2].alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -189,3 +189,45 @@ def stream_update_state_customer_counts(spark: SparkSession, sf_dir: str) -> Dat
     return spark.createDataFrame(
         sorted(final.items()), "c_mktsegment string, cnt long"
     ).orderBy("c_mktsegment")
+
+
+def _drain_append(out: DataFrame, name_hint: str) -> DataFrame:
+    """Run an append-mode streaming plan to exhaustion; returns the
+    union of all emitted micro-batch outputs."""
+    spark = out.sparkSession
+    qname = f"{name_hint}_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ck, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""",
+    category="streaming",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates keyed state emits each
+    (user_id, event_type) exactly once across all micro-batches — the
+    streaming-ingest half of the dedup pipeline (exact dedup at ingest
+    time, before any LSH pass). Only the key columns are emitted, so
+    the output is deterministic regardless of which arrival 'wins'
+    inside a batch; final union == batch DISTINCT. At scale the state
+    store holds one entry per distinct key — bound it with a watermark
+    on an event-time column when keys grow unboundedly."""
+    sdf = _stream_table(spark, sf_dir, "events")
+    deduped = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _drain_append(deduped, "dedup_events").orderBy("user_id", "event_type")

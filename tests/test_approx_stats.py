@@ -1,0 +1,36 @@
+"""Approximate-sketch operators whose contract is an error bound, not
+value equality: GK percentile rank error vs the exact quantile."""
+
+from __future__ import annotations
+
+from spark_lever_spark import registry
+from spark_lever_spark.catalog import load_table
+
+
+def test_approx_percentile_rank_error(spark, sf_correct):
+    got = {
+        r.o_orderstatus: r
+        for r in registry.all_queries()["approx_percentile_prices"]
+        .fn(spark, sf_correct)
+        .collect()
+    }
+    orders = load_table(spark, sf_correct, "orders")
+    for status, row in got.items():
+        vals = sorted(
+            x.o_totalprice
+            for x in orders.filter(orders.o_orderstatus == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        assert row.n == n
+        for q, v in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            # GK guarantee: returned value's rank within n/accuracy of
+            # the target rank (accuracy=10000; allow +1 for ties)
+            import bisect
+
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            target = q * (n - 1)
+            tol = n / 10000 + 1
+            assert lo - tol <= target <= hi + tol, (status, q, v, lo, hi, target)
