@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
     from spark_lever_spark.operators import (  # noqa: F401
         tpch,
         tpch2,
+        tpch3,
         relational,
         joins,
         setops,
