@@ -83,7 +83,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier set, joined back on (part, min-cost). At scale the
     part-side filter (p_size/p_type) makes the part probe tiny ->
     broadcast; the ps aggregation is the one big shuffle and its
-    grouping key (partkey, suppkey) is near-unique, so no skew."""
+    grouping key (partkey, suppkey) is near-unique, so no skew. The
+    per-part min is a WINDOW min + filter rather than an agg joined
+    back on (partkey, min_cost): same result (ties kept), but one
+    partkey shuffle replaces an agg shuffle plus a composite-key
+    re-shuffle of both join sides (6 exchanges -> 3, pinned in
+    tests/test_plans.py)."""
     ps = _derived_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -97,17 +102,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_supplycost_1e4", "s_acctbal", "s_name", "n_name")
     )
-    best = eu.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost_1e4").alias("min_cost_1e4")
+    from pyspark.sql.window import Window
+
+    min_cost = F.min("ps_supplycost_1e4").over(
+        Window.partitionBy("ps_partkey")
+    )
+    cheapest = eu.withColumn("min_cost_1e4", min_cost).filter(
+        F.col("ps_supplycost_1e4") == F.col("min_cost_1e4")
     )
     return (
         F.broadcast(part)
-        .join(eu, part.p_partkey == eu.ps_partkey)
-        .join(
-            best,
-            (eu.ps_partkey == best.ps_partkey)
-            & (eu.ps_supplycost_1e4 == best.min_cost_1e4),
-        )
+        .join(cheapest, part.p_partkey == cheapest.ps_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -251,8 +256,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds twice their 1996 shipments (availqty > half-of-shipped
     adapted to the derived schema, keeping the nested IN -> semi-join
     -> semi-join topology). Both ps and sh96 aggregate lineitem on the
-    same (partkey, suppkey) key: Catalyst plans one exchange reused by
-    both aggregations and a co-partitioned join between them."""
+    same (partkey, suppkey) key, so their outputs arrive identically
+    hash-partitioned and the join between them needs NO additional
+    exchange — the whole query pays the two aggregation shuffles plus
+    the presentation sort (verified: 3 exchanges total)."""
     ps = _derived_partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     sh96 = (

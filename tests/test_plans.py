@@ -127,3 +127,22 @@ def test_range_join_bucketed_avoids_nested_loop(spark, sf_dir):
     df = ALL["range_join_views_before_purchase"].fn(spark, sf_dir)
     assert nested_loop_join_count(df) == 0
     assert broadcast_join_count(df) + shuffle_join_count(df) >= 1
+
+
+def test_q20_co_partitioned_agg_join(spark, sf_dir):
+    # ps and sh96 both aggregate lineitem on (partkey, suppkey); the
+    # join between them must reuse that partitioning: 2 agg shuffles +
+    # 1 presentation sort, nothing for the join itself
+    df = ALL["q20_potential_promotion"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 3
+    from spark_lever_spark.plans import nested_loop_join_count
+    assert nested_loop_join_count(df) == 0
+
+
+def test_q2_broadcasts_all_dims(spark, sf_dir):
+    # supplier/nation/region/filtered-part all arrive broadcast; the
+    # only shuffles are the derived-partsupp agg, the window-min's
+    # partkey partition, and the final sort
+    df = ALL["q2_min_cost_supplier"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4
+    assert exchange_count(df) <= 3
