@@ -239,6 +239,7 @@ def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_repetition_signals",
+    bench=True,
     oracle="""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents

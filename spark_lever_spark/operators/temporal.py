@@ -129,6 +129,7 @@ def range_join_bucketed(
 
 @register(
     "asof_purchase_last_view",
+    bench=True,
     oracle="""
 WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
            FROM events WHERE event_type = 'purchase'),
@@ -172,6 +173,7 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_views_before_purchase",
+    bench=True,
     oracle="""
 WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
            FROM events WHERE event_type = 'purchase'),
