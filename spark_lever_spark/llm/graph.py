@@ -77,13 +77,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
     for _ in range(max_iter):
         e_next = _small_star(_large_star(e)).localCheckpoint()
-        changed = (
-            not e_next.exceptAll(e).isEmpty()
-            or not e.exceptAll(e_next).isEmpty()
-        )
-        e = e_next
+        # Both sides are distinct sets, so equal cardinality plus
+        # one-direction containment proves set equality — one count
+        # (cheap agg) replaces one of the two exceptAll jobs, and the
+        # except is skipped entirely when the counts already differ.
+        n_next = e_next.count()
+        changed = n_next != n_edges or not e_next.exceptAll(e).isEmpty()
+        e, n_edges = e_next, n_next
         if not changed:
             break
     else:

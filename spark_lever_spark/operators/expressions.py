@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_lever_spark.catalog import load_table
+from spark_lever_spark.functions.exact import cents
 from spark_lever_spark.registry import register
 
 
@@ -350,4 +351,102 @@ def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "expr_bitwise_in_greatest",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 15 AS bor,
+       xor(o_orderkey, 129) AS bxor,
+       ~o_orderkey AS bnot,
+       o_orderkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
+       greatest(o_orderkey % 7, o_orderkey % 5, 3) AS g3,
+       least(o_orderkey % 7, o_orderkey % 5, 3) AS l3
+FROM orders
+ORDER BY o_orderkey
+""",
+    category="expressions",
+)
+def expr_bitwise_in_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/not/shifts (reference arithmetic.scala:
+    234-297), IN-list predicate (predicates.scala In/InSet — Catalyst
+    still compiles long IN lists to a hash set), and greatest/least
+    (the n-ary generalization of the reference's MaxOf). Pure row-wise
+    codegen, no shuffle except the presentation sort."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(F.lit(129)).alias("bxor"),
+        F.expr("~o_orderkey").alias("bnot"),
+        F.shiftleft(k, 3).cast("long").alias("shl"),
+        F.shiftright(k, 2).cast("long").alias("shr"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_hot"),
+        F.greatest(k % 7, k % 5, F.lit(3)).alias("g3"),
+        F.least(k % 7, k % 5, F.lit(3)).alias("l3"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "na_fill_drop_replace",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END
+           AS status,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS tp
+  FROM orders
+)
+SELECT status,
+       COUNT(*) AS n_rows,
+       COUNT(tp) AS n_after_drop,
+       CAST(SUM(CAST(round(COALESCE(tp, 0.0) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_filled_cents
+FROM base GROUP BY status ORDER BY status
+""",
+    category="expressions",
+)
+def na_fill_drop_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions parity (reference DataFrame.na in 1.3:
+    fill/drop/replace): nulls are synthesized on 'P' orders, then the
+    three na ops feed one rollup — count survives na.drop, the exact-
+    cents sum uses na.fill(0), and na.replace rewrites the group key.
+    All three are pure projections (no extra shuffle beyond the one
+    group-by)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    base = o.withColumn(
+        "tp",
+        F.when(F.col("o_orderstatus") == "P", None).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).na.replace({"P": "PENDING"}, subset=["o_orderstatus"])
+    n = base.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_rows")
+    )
+    dropped = (
+        base.na.drop(subset=["tp"])
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_after_drop"))
+    )
+    filled = (
+        base.na.fill({"tp": 0.0})
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.sum(cents(F.col("tp"))).alias("sum_filled_cents"))
+    )
+    return (
+        n.join(dropped, "status", "left")
+        .join(filled, "status", "left")
+        .select(
+            "status",
+            "n_rows",
+            F.coalesce("n_after_drop", F.lit(0)).alias("n_after_drop"),
+            "sum_filled_cents",
+        )
+        .orderBy("status")
     )
