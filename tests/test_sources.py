@@ -135,3 +135,19 @@ def test_sql_entry_point(spark, sf_dir):
     rows = out.collect()
     assert len(rows) <= 10
     assert out.columns == ["n_name", "suppliers", "mid_bal"]
+
+
+def test_orc_roundtrip_with_pruning(spark, sample_df, tmp_path):
+    # ORC ships in Spark core (the reference's Hadoop-format I/O class,
+    # §2.E I/O row, maps to parquet/orc in modern Spark); same
+    # predicate-pushdown contract as parquet
+    path = str(tmp_path / "orc_rt")
+    write_partitioned(sample_df, path, fmt="orc", partition_by=["tag"])
+    back = spark.read.orc(path)
+    assert back.count() == sample_df.count()
+    only_a = back.filter(back.tag == "a")
+    # partition pruning: the executed plan's scan lists only the tag=a
+    # directory (same contract the parquet test pins)
+    plan = only_a._jdf.queryExecution().executedPlan().toString()
+    assert "tag=b" not in plan
+    assert only_a.count() == sample_df.filter(sample_df.tag == "a").count()
