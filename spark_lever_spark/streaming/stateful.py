@@ -39,14 +39,29 @@ def update_state_by_key(
     state_schema: StructType | str,
     output_schema: StructType | str,
     timeout: str = "NoTimeout",
+    timeout_ms_fn: Callable[[tuple, tuple], int] | None = None,
+    on_timeout: Callable[[tuple, tuple | None], tuple | None] | None = None,
 ) -> DataFrame:
-    """updateStateByKey(updateFunc) parity.
+    """updateStateByKey(updateFunc) parity, plus state expiry.
 
     ``update_fn(key, batch_pdf, old_state) -> new_state | None`` mirrors
     the reference's ``(Seq[V], Option[S]) => Option[S]``: returning None
     drops the key's state (StateDStream.scala:60-65). The emitted rows
     are key + new state fields — the full state per touched key, every
     batch, exactly like the reference's state DStream.
+
+    Expiry (a superset: the reference touches EVERY key each batch via
+    the full-state cogroup, so idle-key cleanup was the update
+    function's job; applyInPandasWithState only sees keys with data, so
+    idle keys need the timeout mechanism): with
+    ``timeout="EventTimeTimeout"``, ``timeout_ms_fn(key, new_state)``
+    arms an absolute epoch-ms deadline after every update (the input
+    stream must carry a watermark); with ``"ProcessingTimeTimeout"`` it
+    is a relative duration. When the deadline passes,
+    ``on_timeout(key, old_state)`` runs with no batch data, its
+    non-None return is emitted as the key's FINAL row, and the state is
+    removed either way — the finalize-and-evict shape sessionization
+    needs, and the bound that keeps the state store finite at 100 TB.
     """
     timeout_conf = {
         "NoTimeout": GroupStateTimeout.NoTimeout,
@@ -58,6 +73,13 @@ def update_state_by_key(
     def handle(
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            old_t: tuple | None = tuple(state.get) if state.exists else None
+            res = on_timeout(key, old_t) if on_timeout else None
+            state.remove()
+            if res is not None:
+                yield pd.DataFrame([dict(zip(out_names, (*key, *res)))])
+            return
         old: tuple | None = tuple(state.get) if state.exists else None
         new: tuple | None = old
         for pdf in pdf_iter:
@@ -67,6 +89,15 @@ def update_state_by_key(
                 state.remove()
             return
         state.update(new)
+        if timeout_ms_fn is not None:
+            deadline = timeout_ms_fn(key, new)
+            # GroupStateTimeout members are plain strings: compare with
+            # ==, never `is` (the closure's copy is unpickled on the
+            # worker and not guaranteed interned)
+            if timeout_conf == GroupStateTimeout.EventTimeTimeout:
+                state.setTimeoutTimestamp(deadline)
+            elif timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
+                state.setTimeoutDuration(deadline)
         yield pd.DataFrame([dict(zip(out_names, (*key, *new)))])
 
     return (

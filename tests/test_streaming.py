@@ -397,3 +397,52 @@ def test_socket_source_live(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_update_state_event_time_timeout_finalizes_idle_keys(spark):
+    """Event-time expiry: a key idle past its deadline is finalized
+    with a last `expired=true` row and evicted — deterministic because
+    the deadline and the watermark both derive from event time.
+    Timeline (watermark delay 10 s, deadline = last event + 30 s):
+    batch1 a@0,b@0; batch2 b@60 (wm=-10: nothing fires); batch3 b@120
+    (wm=50 > a's deadline 30: a fires)."""
+    import pandas as pd
+
+    def upd(key, pdf, old):
+        cnt = (old[0] if old else 0) + len(pdf)
+        last_ms = max(
+            int(pd.Timestamp(t).timestamp() * 1000) for t in pdf["ts"]
+        )
+        if old:
+            last_ms = max(last_ms, old[1])
+        return (cnt, last_ms, False)
+
+    col = run_file_batches(
+        spark,
+        [
+            [{"k": "a", "ts": "2024-01-01T00:00:00"},
+             {"k": "b", "ts": "2024-01-01T00:00:00"}],
+            [{"k": "b", "ts": "2024-01-01T00:01:00"}],
+            [{"k": "b", "ts": "2024-01-01T00:02:00"}],
+        ],
+        "k string, ts timestamp",
+        transform=lambda df: update_state_by_key(
+            df.withWatermark("ts", "10 seconds"),
+            ["k"],
+            upd,
+            state_schema="cnt long, last_ms long, expired boolean",
+            output_schema="k string, cnt long, last_ms long, expired boolean",
+            timeout="EventTimeTimeout",
+            timeout_ms_fn=lambda key, st: st[1] + 30_000,
+            on_timeout=lambda key, old: (old[0], old[1], True) if old else None,
+        ),
+        output_mode="update",
+    )
+    t0 = 1704067200000  # 2024-01-01T00:00:00 UTC in epoch ms
+    per_batch = [sorted(rows) for rows in col.rows_per_batch]
+    assert per_batch[0] == [("a", 1, t0, False), ("b", 1, t0, False)]
+    assert per_batch[1] == [("b", 2, t0 + 60_000, False)]
+    assert per_batch[2] == [
+        ("a", 1, t0, True),
+        ("b", 3, t0 + 120_000, False),
+    ]
