@@ -548,3 +548,32 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "random_split_sizes",
+    oracle=None,  # seed-dependent partition-level Bernoulli draws are
+    # not SQL-reproducible; invariants asserted here and by the driver's
+    # rows-only check
+    category="relational",
+)
+def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomSplit (reference RDD.scala:409) train/holdout split:
+    per-partition Bernoulli draws, no shuffle, disjoint + exhaustive.
+    Output pins the invariants (two splits, counts summing to the
+    table count) rather than the seed-dependent per-split sizes."""
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.7, 0.3], seed=42)
+    a = train.agg(F.count("*").alias("n")).select(
+        F.lit("train").alias("split"), "n"
+    )
+    b = test.agg(F.count("*").alias("n")).select(
+        F.lit("holdout").alias("split"), "n"
+    )
+    total = orders.agg(F.count("*").alias("total"))
+    return (
+        a.union(b)
+        .crossJoin(F.broadcast(total))
+        .select("split", (F.col("n") <= F.col("total")).alias("n_le_total"))
+        .orderBy("split")
+    )
