@@ -28,10 +28,14 @@ from spark_lever_spark.streaming.core import (
     tumbling_window_agg,
     with_arrival_time,
 )
-from spark_lever_spark.streaming.stateful import update_state_by_key
+from spark_lever_spark.streaming.stateful import (
+    sessionize_stream,
+    update_state_by_key,
+)
 from spark_lever_spark.streaming.harness import BatchCollector, run_file_batches
 
 __all__ = [
+    "sessionize_stream",
     "BatchCollector",
     "file_stream",
     "rate_stream",

@@ -128,3 +128,76 @@ def running_sum_update(value_col: str) -> Callable[[tuple, pd.DataFrame, tuple |
         return (float(prev) + float(pdf[value_col].sum()),)
 
     return fn
+
+
+def sessionize_stream(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Streaming gap-sessionization over arbitrary keyed state — the
+    stateful twin of the batch `sessionize_events` operator and the
+    canonical use of finalize-and-evict expiry.
+
+    Emits each session EXACTLY ONCE, when it closes, via either path:
+    (a) a later event for the same key arrives past the gap (in-batch
+    split — the closed session is flushed with the triggering batch),
+    or (b) the key goes idle and the event-time watermark passes
+    last_event + gap (timeout flush). Spark invokes a group either
+    with data or as timed-out, never both in one batch, so the two
+    paths cannot double-emit. Open sessions hold (start, last, count)
+    in the state store — one row per ACTIVE key, evicted on close,
+    which is what keeps state bounded at 100 TB. The input must carry
+    ``withWatermark`` on ``ts_col``; sessions still open when the
+    stream ends stay unemitted (inherent to streaming: they are not
+    closed yet).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        f"{user_col} long, session_start_ms long, session_end_ms long, "
+        "n_events long"
+    )
+
+    def handle(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [dict(zip(out_schema.replace(" long", "").split(", "),
+                          (*key, start, last, n)))]
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        ts_all: list[int] = []
+        for pdf in pdf_iter:
+            ts_all.extend(
+                int(pd.Timestamp(t).timestamp() * 1000) for t in pdf[ts_col]
+            )
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
+                closed.append((*key, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            cols = [user_col, "session_start_ms", "session_end_ms", "n_events"]
+            yield pd.DataFrame([dict(zip(cols, c)) for c in closed])
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType="start_ms long, last_ms long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -446,3 +446,48 @@ def test_update_state_event_time_timeout_finalizes_idle_keys(spark):
         ("a", 1, t0, True),
         ("b", 3, t0 + 120_000, False),
     ]
+
+
+def test_sessionize_stream_emits_each_session_once(spark):
+    """Both close paths, no double emission: in-batch gap split flushes
+    with the triggering batch; idle keys flush when the watermark
+    passes last+gap. Gap 30 min, watermark 10 min. u1: 00:00,00:10 |
+    01:00 (gap>30m -> closes s1, opens s2; s2 closes by timeout once
+    wm=01:50 after b3). u2: 00:00 | 02:00 (in-batch? no - cross-batch
+    gap closes s1 in b3). u3 filler advances the watermark."""
+    from spark_lever_spark.streaming import sessionize_stream
+
+    col = run_file_batches(
+        spark,
+        [
+            [{"u": 1, "ts": "2024-01-01T00:00:00"},
+             {"u": 1, "ts": "2024-01-01T00:10:00"},
+             {"u": 2, "ts": "2024-01-01T00:00:00"}],
+            [{"u": 1, "ts": "2024-01-01T01:00:00"}],
+            [{"u": 2, "ts": "2024-01-01T02:00:00"}],
+            [{"u": 3, "ts": "2024-01-01T03:00:00"}],
+        ],
+        "u long, ts timestamp",
+        transform=lambda df: sessionize_stream(
+            df.withWatermark("ts", "10 minutes"), "u", "ts",
+            gap_ms=30 * 60 * 1000,
+        ),
+        output_mode="append",
+    )
+    t0 = 1704067200000
+    MIN = 60_000
+    per_batch = [sorted(rows) for rows in col.rows_per_batch]
+    assert per_batch[0] == []
+    # u1's first session closes when the 01:00 event arrives past the gap
+    assert per_batch[1] == [(1, t0, t0 + 10 * MIN, 2)]
+    # u2's 02:00 event closes its 00:00 singleton session
+    assert per_batch[2] == [(2, t0, t0, 1)]
+    # wm after b3 = 01:50 > u1's deadline 01:30 -> timeout flush of s2;
+    # u2's s2 (deadline 02:30) and u3 still open in this batch
+    assert per_batch[3] == [(1, t0 + 60 * MIN, t0 + 60 * MIN, 1)]
+    # availableNow runs one final no-data batch; by then wm = 02:50
+    # passes u2's s2 deadline (02:30) -> timeout flush. u3 (deadline
+    # 03:30) is still open and stays unemitted.
+    assert per_batch[4] == [(2, t0 + 120 * MIN, t0 + 120 * MIN, 1)]
+    # total: each closed session exactly once, open sessions withheld
+    assert sum(len(b) for b in per_batch) == 4
