@@ -95,7 +95,14 @@ def update_state_by_key(
             # ==, never `is` (the closure's copy is unpickled on the
             # worker and not guaranteed interned)
             if timeout_conf == GroupStateTimeout.EventTimeTimeout:
-                state.setTimeoutTimestamp(deadline)
+                # Late data is NOT filtered before arbitrary-state
+                # operators, so a deadline computed from a late event
+                # can trail the watermark — which setTimeoutTimestamp
+                # rejects (query crash). Clamp forward: the key then
+                # times out in the next batch, the correct semantics
+                # for an already-expired session.
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(deadline, wm + 1))
             elif timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
                 state.setTimeoutDuration(deadline)
         yield pd.DataFrame([dict(zip(out_names, (*key, *new)))])
@@ -189,7 +196,12 @@ def sessionize_stream(
             else:
                 last, n = max(last, t), n + 1
         state.update((start, last, n))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # clamp: a session rebuilt from late data may already be past
+        # its deadline relative to the watermark; arm for next batch
+        # instead of crashing on a rejected timestamp
+        state.setTimeoutTimestamp(
+            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if closed:
             cols = [user_col, "session_start_ms", "session_end_ms", "n_events"]
             yield pd.DataFrame([dict(zip(cols, c)) for c in closed])

@@ -491,3 +491,36 @@ def test_sessionize_stream_emits_each_session_once(spark):
     assert per_batch[4] == [(2, t0 + 120 * MIN, t0 + 120 * MIN, 1)]
     # total: each closed session exactly once, open sessions withheld
     assert sum(len(b) for b in per_batch) == 4
+
+
+def test_sessionize_stream_survives_late_data(spark):
+    """A late event (older than watermark - gap) rebuilds state whose
+    natural deadline already trails the watermark; the clamp arms it
+    for the next batch instead of crashing on setTimeoutTimestamp.
+    u1@00:05 arrives after u9@02:00 pushed wm to 01:50."""
+    from spark_lever_spark.streaming import sessionize_stream
+
+    col = run_file_batches(
+        spark,
+        [
+            [{"u": 1, "ts": "2024-01-01T00:00:00"}],
+            [{"u": 9, "ts": "2024-01-01T02:00:00"}],
+            [{"u": 1, "ts": "2024-01-01T00:05:00"}],
+            [{"u": 9, "ts": "2024-01-01T02:30:00"}],
+        ],
+        "u long, ts timestamp",
+        transform=lambda df: sessionize_stream(
+            df.withWatermark("ts", "10 minutes"), "u", "ts",
+            gap_ms=30 * 60 * 1000,
+        ),
+        output_mode="append",
+    )
+    t0 = 1704067200000
+    MIN = 60_000
+    flat = sorted(r for b in col.rows_per_batch for r in b)
+    # u1's session closed (via timeout after the late event merged in);
+    # whether the late row extended the session or timed out first is
+    # engine scheduling — but the query must SURVIVE and u1 must close
+    # exactly once with start at 00:00
+    u1 = [r for r in flat if r[0] == 1]
+    assert len(u1) == 1 and u1[0][1] == t0 and u1[0][3] in (1, 2)
