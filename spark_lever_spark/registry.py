@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         windows,
         expressions,
         events,
+        layout,
         lever_demo,
         temporal,
     )
