@@ -231,3 +231,80 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("purchase_id")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "INTERVAL 1 HOUR",
+    unit: str = "hour",
+) -> DataFrame:
+    """Per-key fixed-step resampling with forward fill: build each
+    key's grid from its own [trunc(min ts), trunc(max ts)] span via
+    ``sequence`` + explode (no driver loop, no cross join against a
+    global calendar), then as-of join the original rows onto the grid.
+    Two hash shuffles on the key total — the bounds aggregation and the
+    as-of window — regardless of grid resolution or data size. Grid
+    points before a key's first event carry nulls (nothing to fill
+    from)."""
+    bounds = df.groupBy(*by).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__h0"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__h1"),
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr(step))
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        df.select(*by, ts_col, *value_cols),
+        by=by,
+        left_on="grid_ts",
+        right_on=ts_col,
+        value_cols=[ts_col, *value_cols],
+    )
+
+
+@register(
+    "resample_hourly_ffill",
+    oracle="""
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, e.ts AS last_event_ts, e.value AS last_value
+FROM grid g ASOF LEFT JOIN ev e
+  ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+ORDER BY g.user_id, g.grid_ts
+""",
+    category="temporal",
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly forward-fill resample of each user's event `value` —
+    the gap-filling step a telemetry/training pipeline runs before
+    windowed feature extraction. Oracle: generate_series + native ASOF
+    LEFT JOIN."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "value")
+    )
+    out = resample_ffill(
+        ev, by=["user_id"], ts_col="ts", value_cols=["value"]
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.col("ts").alias("last_event_ts"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id", "grid_ts")
