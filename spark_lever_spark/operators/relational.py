@@ -577,3 +577,61 @@ def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", (F.col("n") <= F.col("total")).alias("n_le_total"))
         .orderBy("split")
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+WITH flag_dim AS (
+  SELECT l_returnflag AS f, COUNT(*) AS flag_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * flag_rows) AS BIGINT)
+         AS weighted_qty
+FROM lineitem JOIN flag_dim ON l_returnflag = f
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    category="relational",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join for skewed keys, oracle-equal to the plain
+    join. l_returnflag has 3 values over every lineitem row — the
+    degenerate case where a hash join puts ~1/3 of the fact table on
+    single reducers. The fact side gets a deterministic per-row salt
+    (xxhash64 of the row's unique key), the dim side is replicated
+    once per salt, and the join key becomes (key, salt): each hot key
+    spreads over 16 reducers. AQE's skew-join split handles the cases
+    it can see; salting is the manual fallback when the partitioning is
+    pinned (e.g. reused by a downstream agg) — here forced to a
+    sort-merge join via hint to prove the technique, since a 3-row dim
+    would otherwise broadcast."""
+    n_salts = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    flag_dim = (
+        li.groupBy(F.col("l_returnflag").alias("f"))
+        .agg(F.count("*").alias("flag_rows"))
+    )
+    salted_fact = li.withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    replicated_dim = flag_dim.crossJoin(
+        spark.range(n_salts).select(F.col("id").alias("__salt"))
+    )
+    return (
+        salted_fact.join(
+            replicated_dim.hint("merge"),
+            (F.col("l_returnflag") == F.col("f"))
+            & (salted_fact["__salt"] == replicated_dim["__salt"]),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long") * F.col("flag_rows")).alias(
+                "weighted_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
