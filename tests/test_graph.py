@@ -64,3 +64,8 @@ def test_cc_raises_when_iteration_budget_exhausted(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0

@@ -97,3 +97,26 @@ def test_range_join_bucketed_matches_naive(spark):
         if lk == rk and lt - 37 <= rt < lt
     }
     assert got == want
+
+
+def test_asof_join_empty_sides(spark):
+    ldf = spark.createDataFrame([(1, 5.0, 0)], ["k", "t", "lid"])
+    rdf = spark.createDataFrame([], "k long, rt double, rid long")
+    # empty right: left rows survive with null matches
+    out = asof_join(ldf, rdf, by=["k"], left_on="t", right_on="rt",
+                    value_cols=["rt", "rid"]).collect()
+    assert len(out) == 1 and out[0].rt is None and out[0].rid is None
+    # empty left: empty result, schema intact
+    out2 = asof_join(rdf.selectExpr("k", "rt as t", "rid as lid"), ldf.selectExpr("k", "t as rt", "lid as rid"),
+                     by=["k"], left_on="t", right_on="rt",
+                     value_cols=["rt", "rid"])
+    assert out2.count() == 0
+    assert set(out2.columns) == {"k", "t", "lid", "rt", "rid"}
+
+
+def test_range_join_bucketed_empty_right(spark):
+    ldf = spark.createDataFrame([(1, 0.0, 10.0, 7)], ["k", "lo", "hi", "lid"])
+    rdf = spark.createDataFrame([], "k long, rt double, rid long")
+    assert range_join_bucketed(
+        ldf, rdf, by=["k"], lo="lo", hi="hi", right_on="rt", bucket_width=5
+    ).count() == 0
