@@ -524,3 +524,84 @@ def test_sessionize_stream_survives_late_data(spark):
     # exactly once with start at 00:00
     u1 = [r for r in flat if r[0] == 1]
     assert len(u1) == 1 and u1[0][1] == t0 and u1[0][3] in (1, 2)
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join (PairDStreamFunctions.scala:
+    544-578 parity): a left row with no match is held in state and
+    emitted with nulls only once the watermark proves no future right
+    row can join it — Structured Streaming needs the event-time range
+    condition to bound that state, where the reference's per-batch
+    cogroup used the batch boundary."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from spark_lever_spark.streaming.core import file_stream, stream_stream_join
+    from spark_lever_spark.streaming.harness import BatchCollector
+
+    left_dir, right_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    ck = str(tmp_path / "ck")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+
+    import time as _time
+
+    base = _time.time() - 100
+
+    def write(d, name, rows):
+        path = os.path.join(d, name)
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        # strict mtime ordering so BOTH sources process files in batch
+        # order — otherwise the pairing is arbitrary and a "late" right
+        # row gets dropped by the already-advanced watermark
+        i = int(name[1])
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    # batch files (one per side; file source orders by mtime/name):
+    # a matches within the 5-min band, b never matches, z rows advance
+    # both watermarks far enough to prove b unmatched
+    write(left_dir, "b0.json", [
+        {"lts": "2026-01-01 00:00:00", "k": "a", "lv": 1},
+        {"lts": "2026-01-01 00:00:00", "k": "b", "lv": 2},
+    ])
+    write(right_dir, "b0.json", [{"rts": "2026-01-01 00:02:00", "k": "a", "rv": 10}])
+    write(left_dir, "b1.json", [{"lts": "2026-01-01 01:00:00", "k": "z", "lv": 0}])
+    write(right_dir, "b1.json", [{"rts": "2026-01-01 01:00:00", "k": "z", "rv": 0}])
+    write(left_dir, "b2.json", [{"lts": "2026-01-01 02:00:00", "k": "z2", "lv": 0}])
+    write(right_dir, "b2.json", [{"rts": "2026-01-01 02:00:00", "k": "z2", "rv": 0}])
+
+    left = file_stream(
+        spark, left_dir, "lts timestamp, k string, lv long",
+        max_files_per_trigger=1,
+    ).withWatermark("lts", "10 minutes").alias("l")
+    right = file_stream(
+        spark, right_dir, "rts timestamp, k string, rv long",
+        max_files_per_trigger=1,
+    ).withWatermark("rts", "10 minutes").alias("r")
+    joined = stream_stream_join(
+        left,
+        right,
+        on=F.expr(
+            "l.k = r.k AND rts BETWEEN lts - INTERVAL 5 MINUTES "
+            "AND lts + INTERVAL 5 MINUTES"
+        ),
+        how="left_outer",
+    ).select("l.k", "lv", "rv")
+
+    collector = BatchCollector()
+    q = (
+        joined.writeStream.foreachBatch(collector)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(collector.all_rows, key=str)
+    matched = [r for r in rows if r[2] is not None and r[0] != "z" and r[0] != "z2"]
+    nulls = [r for r in rows if r[2] is None]
+    assert matched == [("a", 1, 10)]
+    assert nulls == [("b", 2, None)]
