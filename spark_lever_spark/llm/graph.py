@@ -78,7 +78,10 @@ def connected_components(
         .localCheckpoint()
     )
     n_edges = e.count()
-    for _ in range(max_iter):
+    # max_iter + 1 passes: detecting the fixpoint costs one comparison
+    # round beyond the round that PRODUCES it, so a graph converging
+    # exactly at the budget must not be reported as divergent
+    for _ in range(max_iter + 1):
         e_next = _small_star(_large_star(e)).localCheckpoint()
         # Both sides are distinct sets, so equal cardinality plus
         # one-direction containment proves set equality — one count

@@ -559,23 +559,26 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """randomSplit (reference RDD.scala:409) train/holdout split:
-    per-partition Bernoulli draws, no shuffle, disjoint + exhaustive.
-    Output pins the invariants (two splits, counts summing to the
-    table count) rather than the seed-dependent per-split sizes."""
+    per-partition Bernoulli draws, no shuffle. Output is one row of
+    invariant booleans — counts summing exactly to the table count
+    (disjoint + exhaustive) and each split bounded by it — so any
+    regression to overlapping or lossy splits flips a value instead of
+    hiding in seed-dependent sizes."""
     orders = load_table(spark, sf_dir, "orders")
     train, test = orders.randomSplit([0.7, 0.3], seed=42)
-    a = train.agg(F.count("*").alias("n")).select(
-        F.lit("train").alias("split"), "n"
-    )
-    b = test.agg(F.count("*").alias("n")).select(
-        F.lit("holdout").alias("split"), "n"
-    )
+    a = train.agg(F.count("*").alias("n_train"))
+    b = test.agg(F.count("*").alias("n_holdout"))
     total = orders.agg(F.count("*").alias("total"))
     return (
-        a.union(b)
+        a.crossJoin(b)
         .crossJoin(F.broadcast(total))
-        .select("split", (F.col("n") <= F.col("total")).alias("n_le_total"))
-        .orderBy("split")
+        .select(
+            (F.col("n_train") + F.col("n_holdout") == F.col("total")).alias(
+                "disjoint_exhaustive"
+            ),
+            (F.col("n_train") <= F.col("total")).alias("train_le_total"),
+            (F.col("n_holdout") <= F.col("total")).alias("holdout_le_total"),
+        )
     )
 
 

@@ -151,9 +151,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation's total. value is exact BIGINT (fixed-point cost x qty), so
     the HAVING threshold — a scalar aggregate of the same relation —
     is engine-independent. Spark expresses the scalar subquery as a
-    1-row broadcast cross join; natps is computed once, cached, and
-    feeds both the per-part agg and the total (one shuffle + a
-    broadcast, no recompute)."""
+    1-row broadcast cross join; natps feeds both the per-part agg and
+    the total within ONE plan, so Catalyst's ReuseExchange serves both
+    from the same shuffle output — no cache (which would pin executor
+    storage across invocations) needed."""
     ps = _derived_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -164,7 +165,6 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey",
             (F.col("ps_supplycost_1e4") * F.col("ps_availqty")).alias("value_1e4"),
         )
-        .cache()
     )
     total = natps.agg(F.sum("value_1e4").cast("double").alias("total_1e4"))
     return (

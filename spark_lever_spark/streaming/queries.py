@@ -71,22 +71,27 @@ class _bounded_shuffle:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def _drain_complete(out: DataFrame, name_hint: str) -> DataFrame:
-    """Run a complete-mode stateful plan to exhaustion; returns the
-    final in-memory table."""
+def _drain(out: DataFrame, name_hint: str, mode: str) -> DataFrame:
+    """Run a streaming plan to exhaustion into a memory sink; returns
+    the resulting table (final state for complete mode, union of all
+    emissions for append)."""
     spark = out.sparkSession
     qname = f"{name_hint}_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(qname)
-            .outputMode("complete")
+            .outputMode(mode)
             .trigger(availableNow=True)
             .option("checkpointLocation", os.path.join(ck, "ck"))
             .start()
         )
         q.awaitTermination()
     return spark.table(qname)
+
+
+def _drain_complete(out: DataFrame, name_hint: str) -> DataFrame:
+    return _drain(out, name_hint, "complete")
 
 
 @register(
@@ -192,21 +197,7 @@ def stream_update_state_customer_counts(spark: SparkSession, sf_dir: str) -> Dat
 
 
 def _drain_append(out: DataFrame, name_hint: str) -> DataFrame:
-    """Run an append-mode streaming plan to exhaustion; returns the
-    union of all emitted micro-batch outputs."""
-    spark = out.sparkSession
-    qname = f"{name_hint}_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(ck, "ck"))
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname)
+    return _drain(out, name_hint, "append")
 
 
 @register(

@@ -68,6 +68,16 @@ def update_state_by_key(
         "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
         "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
     }[timeout]
+    if (timeout != "NoTimeout") != (timeout_ms_fn is not None):
+        # a timeout mode without an arming function never fires (state
+        # grows without bound — the exact failure expiry exists to
+        # prevent), and an arming function without a mode is dead code;
+        # fail loudly at construction instead
+        raise ValueError(
+            "timeout mode and timeout_ms_fn must be provided together "
+            f"(got timeout={timeout!r}, timeout_ms_fn="
+            f"{'set' if timeout_ms_fn else 'None'})"
+        )
     out_names = _field_names(output_schema)
 
     def handle(
@@ -159,6 +169,12 @@ def sessionize_stream(
     ``withWatermark`` on ``ts_col``; sessions still open when the
     stream ends stay unemitted (inherent to streaming: they are not
     closed yet).
+
+    Late events are folded as intervals: the open state and every batch
+    event merge under the gap rule in time order, so an event OLDER
+    than the open session's start forms (or joins) its own earlier
+    session — emitted closed immediately, since a later session exists
+    — rather than being silently absorbed into the open one.
     """
     import pandas as pd
 
@@ -168,33 +184,36 @@ def sessionize_stream(
         f"{user_col} long, session_start_ms long, session_end_ms long, "
         "n_events long"
     )
+    cols = [user_col, "session_start_ms", "session_end_ms", "n_events"]
 
     def handle(
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        closed: list[tuple] = []
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                [dict(zip(out_schema.replace(" long", "").split(", "),
-                          (*key, start, last, n)))]
-            )
+            yield pd.DataFrame([dict(zip(cols, (*key, start, last, n)))])
             return
-        start, last, n = state.get if state.exists else (None, None, 0)
-        ts_all: list[int] = []
-        for pdf in pdf_iter:
-            ts_all.extend(
+        # fold state + batch as (start, last, count) intervals, merge
+        # on the gap in time order
+        items: list[tuple[int, int, int]] = [
+            (t_ms, t_ms, 1)
+            for pdf in pdf_iter
+            for t_ms in (
                 int(pd.Timestamp(t).timestamp() * 1000) for t in pdf[ts_col]
             )
-        for t in sorted(ts_all):
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_ms:
-                closed.append((*key, start, last, n))
-                start, last, n = t, t, 1
+        ]
+        if state.exists:
+            items.append(tuple(state.get))
+        items.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, l, c in items:
+            if merged and s - merged[-1][1] <= gap_ms:
+                ps, pl, pc = merged[-1]
+                merged[-1] = (ps, max(pl, l), pc + c)
             else:
-                last, n = max(last, t), n + 1
+                merged.append((s, l, c))
+        *done, (start, last, n) = merged
         state.update((start, last, n))
         # clamp: a session rebuilt from late data may already be past
         # its deadline relative to the watermark; arm for next batch
@@ -202,9 +221,10 @@ def sessionize_stream(
         state.setTimeoutTimestamp(
             max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
-        if closed:
-            cols = [user_col, "session_start_ms", "session_end_ms", "n_events"]
-            yield pd.DataFrame([dict(zip(cols, c)) for c in closed])
+        if done:
+            yield pd.DataFrame(
+                [dict(zip(cols, (*key, s, l, c))) for s, l, c in done]
+            )
 
     return df.groupBy(user_col).applyInPandasWithState(
         handle,

@@ -34,3 +34,14 @@ def test_approx_percentile_rank_error(spark, sf_correct):
             target = q * (n - 1)
             tol = n / 10000 + 1
             assert lo - tol <= target <= hi + tol, (status, q, v, lo, hi, target)
+
+
+def test_random_split_invariants_hold(spark, sf_correct):
+    from spark_lever_spark import registry
+
+    row = (
+        registry.all_queries()["random_split_sizes"]
+        .fn(spark, sf_correct)
+        .collect()[0]
+    )
+    assert row.disjoint_exhaustive and row.train_le_total and row.holdout_le_total

@@ -69,3 +69,10 @@ def test_cc_raises_when_iteration_budget_exhausted(spark):
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_cc_converges_exactly_at_budget(spark):
+    # a single edge's star forms in round 1; detection costs one more
+    # comparison pass, which must not count against the budget
+    got = _cc_spark(spark, [(0, 1)], max_iter=1)
+    assert got == {0: 0, 1: 0}

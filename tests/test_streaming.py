@@ -605,3 +605,50 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     nulls = [r for r in rows if r[2] is None]
     assert matched == [("a", 1, 10)]
     assert nulls == [("b", 2, None)]
+
+
+def test_sessionize_stream_late_event_forms_earlier_session(spark):
+    """A late event OLDER than the open session's start must not be
+    absorbed into it — it forms its own earlier session, emitted closed
+    immediately (a later session exists)."""
+    from spark_lever_spark.streaming import sessionize_stream
+
+    col = run_file_batches(
+        spark,
+        [
+            [{"u": 1, "ts": "2024-01-01T10:00:00"}],
+            # late: 10h before the open session, within the watermark
+            # allowance only because the wm hasn't advanced past it yet
+            [{"u": 1, "ts": "2024-01-01T00:05:00"}],
+            [{"u": 9, "ts": "2024-01-01T23:00:00"}],
+        ],
+        "u long, ts timestamp",
+        transform=lambda df: sessionize_stream(
+            df.withWatermark("ts", "1 DAY"), "u", "ts",
+            gap_ms=30 * 60 * 1000,
+        ),
+        output_mode="append",
+    )
+    t0 = 1704067200000
+    MIN = 60_000
+    flat = sorted(r for b in col.rows_per_batch for r in b)
+    # the late 00:05 singleton closed on arrival; the 10:00 session
+    # must NOT report n_events=2 or a zero-length 2-event window
+    assert (1, t0 + 5 * MIN, t0 + 5 * MIN, 1) in flat
+    assert all(not (r[0] == 1 and r[3] == 2) for r in flat)
+
+
+def test_update_state_timeout_args_validated(spark):
+    import pytest as _pytest
+    from spark_lever_spark.streaming.stateful import (
+        running_count_update,
+        update_state_by_key,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with _pytest.raises(ValueError, match="together"):
+        update_state_by_key(
+            df, ["k"], running_count_update,
+            state_schema="cnt long", output_schema="k string, cnt long",
+            timeout="EventTimeTimeout",  # no timeout_ms_fn -> never arms
+        )
