@@ -638,3 +638,28 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stat_freq_items",
+    oracle=None,  # Karp-Papadimitriou-Shenker sketch: support-dependent
+    # superset of the true frequent items, not value-reproducible in SQL
+    category="relational",
+)
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.freqItems (heavy hitters, single pass, no shuffle —
+    KPS'03 streaming algorithm; superset guarantee: every item with
+    frequency > support is present). Output pins the guarantee: all
+    three l_returnflag values occur well above 10% support, so they
+    must all be found."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.stat.freqItems(["l_returnflag"], support=0.1)
+    return freq.select(
+        F.array_sort(F.col("l_returnflag_freqItems")).alias("flags_found"),
+        (
+            F.size(F.array_intersect(
+                F.array_sort(F.col("l_returnflag_freqItems")),
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            )) == 3
+        ).alias("all_flags_present"),
+    )
