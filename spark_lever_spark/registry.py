@@ -107,6 +107,7 @@ def _ensure_loaded() -> None:
         embeddings,
         graph,
         multimodal,
+        packing,
         pipeline,
         similarity,
         textstats,
