@@ -105,8 +105,8 @@ def pack_documents(
         pdf_all = pd.concat(list(batches), ignore_index=True) if batches else None
         if pdf_all is None or pdf_all.empty:
             return
-        for _, r in pdf_all.sort_values(id_col).iterrows():
-            need = int(r[n_tokens_col])
+        for r in pdf_all.sort_values(id_col).itertuples(index=False):
+            need = int(getattr(r, n_tokens_col))
             target = None
             for i, fill in enumerate(bins):
                 if fill + need <= capacity:
@@ -116,7 +116,7 @@ def pack_documents(
                 bins.append(0)
                 target = len(bins) - 1
             bins[target] += need
-            rows.append((int(r[id_col]), need, base + target))
+            rows.append((int(getattr(r, id_col)), need, base + target))
         fills = {base + i: f for i, f in enumerate(bins)}
         yield pd.DataFrame(
             [
