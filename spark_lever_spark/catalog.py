@@ -75,7 +75,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            # via load_table so the events nanos->micros normalization
+            # applies on the view/SQL path too (same data both entry points)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -353,6 +353,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 6)
+        # the 4x15-bit chunk blocking is a pigeonhole guarantee only for
+        # hamming <= 3 (4 chunks, so <=3 flipped bits leave one chunk
+        # intact); distances 4+ are found only when flips happen to
+        # cluster, so emitting them would be a hash-dependent subset —
+        # filter to the distance the blocking actually guarantees
+        .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )

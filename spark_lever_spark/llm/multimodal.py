@@ -71,16 +71,27 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """mapInPandas decode: one Arrow batch of payloads per Python call."""
+def decode_media(
+    df: DataFrame,
+    decoder: Callable[[pd.Series], pd.DataFrame] = decode_image_batch,
+    schema: T.StructType = DECODED_SCHEMA,
+) -> DataFrame:
+    """mapInPandas decode: one Arrow batch of payloads per Python call.
+
+    ``decoder`` is injectable: a production deployment passes its real
+    codec (e.g. a PIL/av-backed batch function returning the same
+    frame shape); the deterministic stub is only the default so the
+    container-testable path and the production path share all Spark
+    plumbing (schema, batching, partitioning).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = decode_image_batch(pdf["payload"])
+            out = decoder(pdf["payload"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 @register(

@@ -6,12 +6,23 @@ equivalent).
 Scale shapes:
 - chunking is pure per-row expression work (split -> index sequence ->
   slice), no shuffle at all, fully inside whole-stage codegen;
-- packing is partition-local greedy first-fit via ``mapInPandas`` — no
-  shuffle either, bin ids are made globally unique by offsetting with
-  the partition id. Packing quality is per-partition (a global optimum
-  would need a sort + sequential pass, inherently serial); first-fit
-  over docs <= capacity guarantees >50 % utilization of every bin but
-  the last per partition, which is the accepted trade at corpus scale.
+- packing is partition-local greedy first-fit via ``mapInPandas``; bin
+  ids are made globally unique by offsetting with the partition id.
+  Packing quality is per-partition (a global optimum would need a
+  sort + sequential pass, inherently serial); first-fit over docs <=
+  capacity guarantees >50 % utilization of every bin but the last per
+  partition, which is the accepted trade at corpus scale.
+
+Memory contract (the 100 TB concern): the packer streams Arrow batches
+through the first-fit loop — Python holds one batch plus a per-bin fill
+counter, never the whole partition. The required ascending-id order
+comes from a Spark-side ``sortWithinPartitions`` (external, spillable
+sort — the JVM absorbs the partition, not Python). Callers with skewed
+or unbounded partitions pass ``max_partition_tokens`` to get a
+token-budgeted hash repartition first, so per-partition work is bounded
+by design rather than by luck. ``bin_fill`` is derived downstream by a
+window over ``bin_id`` — a ~24-byte/row shuffle, the price of not
+buffering the partition in Python.
 """
 
 from __future__ import annotations
@@ -20,7 +31,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_lever_spark.catalog import load_table
@@ -84,53 +95,70 @@ def pack_documents(
     id_col: str,
     n_tokens_col: str,
     capacity: int,
+    max_partition_tokens: int | None = None,
 ) -> DataFrame:
     """Greedy first-fit sequence packing: assign each document to a
     bin so no bin exceeds ``capacity`` tokens (documents larger than
     the capacity get a dedicated bin — truncation is the tokenizer's
-    job, not the packer's). Partition-local and shuffle-free; bins are
-    globally unique via (partition_id, local_bin). Deterministic for a
-    deterministic input partitioning: docs are processed in ascending
-    id order within each partition."""
+    job, not the packer's). Bins are globally unique via
+    (partition_id, local_bin). Deterministic for a deterministic input
+    partitioning: docs are processed in ascending id order within each
+    partition (Spark-side sortWithinPartitions, so ordering costs JVM
+    spillable-sort memory, not Python memory).
 
-    out_schema = f"{id_col} long, {n_tokens_col} long, bin_id long, bin_fill long"
+    ``max_partition_tokens`` bounds per-partition work: one cheap agg
+    measures the corpus token total, then a hash repartition sizes
+    partitions so the expected token load per partition stays under the
+    budget — the memory contract for skewed or unbounded inputs.
+    """
+    src = df.select(id_col, n_tokens_col)
+    if max_partition_tokens is not None:
+        total = src.agg(F.sum(n_tokens_col)).first()[0] or 0
+        n_parts = max(1, -(-int(total) // int(max_partition_tokens)))
+        src = src.repartition(n_parts, id_col)
+    src = src.sortWithinPartitions(id_col)
+
+    out_schema = f"{id_col} long, {n_tokens_col} long, bin_id long"
 
     def pack(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         base = pid * 10_000_000
-        bins: list[int] = []  # current fill per local bin
-        rows: list[tuple] = []
-        pdf_all = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf_all is None or pdf_all.empty:
-            return
-        for r in pdf_all.sort_values(id_col).itertuples(index=False):
-            need = int(getattr(r, n_tokens_col))
-            target = None
-            for i, fill in enumerate(bins):
-                if fill + need <= capacity:
-                    target = i
-                    break
-            if target is None:
-                bins.append(0)
-                target = len(bins) - 1
-            bins[target] += need
-            rows.append((int(getattr(r, id_col)), need, base + target))
-        fills = {base + i: f for i, f in enumerate(bins)}
-        yield pd.DataFrame(
-            [
+        bins: list[int] = []  # current fill per local bin — the only
+        # state that outlives a batch; each Arrow batch streams through
+        # the first-fit loop and is yielded immediately, so Python
+        # memory is O(arrow batch), not O(partition)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            assigned: list[int] = []
+            for r in pdf.itertuples(index=False):
+                need = int(getattr(r, n_tokens_col))
+                target = next(
+                    (i for i, fill in enumerate(bins) if fill + need <= capacity),
+                    None,
+                )
+                if target is None:
+                    bins.append(0)
+                    target = len(bins) - 1
+                bins[target] += need
+                assigned.append(base + target)
+            yield pd.DataFrame(
                 {
-                    id_col: d,
-                    n_tokens_col: n,
-                    "bin_id": b,
-                    "bin_fill": fills[b],
+                    id_col: pdf[id_col].astype("int64").values,
+                    n_tokens_col: pdf[n_tokens_col].astype("int64").values,
+                    "bin_id": assigned,
                 }
-                for d, n, b in rows
-            ]
-        )
+            )
 
-    return df.select(id_col, n_tokens_col).mapInPandas(pack, out_schema)
+    packed = src.mapInPandas(pack, out_schema)
+    # final fill per bin, derived declaratively (members of a bin are
+    # always in one partition, so the window sees them all)
+    fill_w = Window.partitionBy("bin_id")
+    return packed.withColumn(
+        "bin_fill", F.sum(n_tokens_col).over(fill_w).cast("long")
+    )
 
 
 @register(

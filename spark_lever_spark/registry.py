@@ -60,9 +60,64 @@ def register(
     return deco
 
 
+# The correctness driver consumes queries() in dict order and has a
+# per-round budget (round 1 stopped after the first 50 registered).
+# Order the exposed dict so that budget lands where it buys the most
+# new information:
+#   0. never-driver-checked queries with a SQL oracle (strongest check),
+#      streaming drains last within the group (slowest per row),
+#   1. never-checked rows-only queries,
+#   2. the 8 queries red in CORRECTNESS_r01 (all fixed in round 2 —
+#      re-proving them matters, but less than first-time checks),
+#   3. the 42 queries already green in r01 (pure re-verification).
+_R01_CHECKED: frozenset[str] = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
+    "q18_large_volume_customer", "q9_profit_by_nation_year",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q22_dormant_customers", "q12_late_shipment_priority",
+    "q21_waiting_supplier", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_potential_promotion",
+    "scan_project_filter", "distinct_pairs", "dropduplicates_orders",
+    "topk_orders", "agg_stats_full", "first_last_per_group",
+    "approx_count_distinct", "sample_deterministic",
+    "histogram_fixed_buckets", "percentiles_exact", "count_by_value",
+    "values_collected_sorted", "sample_by_key_stratified",
+    "map_in_pandas_partition_stats", "skew_salted_agg",
+    "stat_corr_covar_by_flag", "approx_percentile_prices",
+    "random_split_sizes", "skew_salted_join", "stat_freq_items",
+    "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_broadcast_dim",
+    "join_theta_nonequi",
+})
+_R01_RED: frozenset[str] = frozenset({
+    "q12_late_shipment_priority", "approx_count_distinct",
+    "values_collected_sorted", "sample_by_key_stratified",
+    "map_in_pandas_partition_stats", "approx_percentile_prices",
+    "random_split_sizes", "stat_freq_items",
+})
+
+
+def _driver_group(q: Query) -> int:
+    if q.name not in _R01_CHECKED:
+        return 0 if q.oracle else 1
+    return 2 if q.name in _R01_RED else 3
+
+
 def all_queries() -> dict[str, Query]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    order = list(_REGISTRY)
+    keyed = sorted(
+        _REGISTRY.values(),
+        key=lambda q: (
+            _driver_group(q),
+            q.category == "streaming",
+            order.index(q.name),
+        ),
+    )
+    return {q.name: q for q in keyed}
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -87,9 +87,10 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC partitioned read (reference JDBCRDD.scala:
     stride-partitioned by `partition_column`, WHERE-clause pushdown).
-    The container has no JDBC driver jar, so this surface is exercised
-    only for argument handling in tests; on a cluster it is a straight
-    passthrough to spark.read.jdbc."""
+    Exercised end-to-end in tests/test_jdbc.py against the embedded
+    Derby engine in Spark's own jars — pushdown (`PushedFilters`),
+    stride partitioning, and explicit per-partition predicates all
+    verified in-container."""
     props = properties or {}
     if predicates:
         return spark.read.jdbc(url, table, predicates=predicates, properties=props)

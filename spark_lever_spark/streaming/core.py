@@ -68,6 +68,31 @@ def rate_stream(
     return reader.load()
 
 
+# The exact record shape the kafka connector produces — any DataFrame
+# with this schema can stand in for a kafka topic, which is how the
+# broker-less contract test (tests/test_streaming_kafka.py) proves the
+# downstream query graph is source-agnostic.
+KAFKA_WIRE_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_json(
+    records: DataFrame, value_schema: StructType | str
+) -> DataFrame:
+    """Standard kafka-wire decode (reference direct-stream consumers
+    did this per-record in user code): value bytes -> UTF-8 -> JSON
+    struct, keeping the broker timestamp for event-time windows. Works
+    identically on the real kafka source and on any KAFKA_WIRE_DDL
+    stand-in — the contract that makes kafka pipelines testable without
+    a broker."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp"),
+    ).select("v.*", "timestamp")
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap_servers: str, subscribe: str, **options: str
 ) -> DataFrame:

@@ -61,10 +61,30 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+def _dtype_token(dt) -> str:
+    """Canonical dtype label mirroring the driver's hash sensitivity:
+    exact numeric width matters (int32 vs int64 broke q12 in r01 via
+    DuckDB HUGEINT->object), datetime resolution (ns vs us) does not."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
     sp = spark_df.toPandas()
     assert sorted(sp.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch {sorted(sp.columns)} vs {sorted(oracle_df.columns)}"
+    )
+    dtype_diff = {
+        c: (_dtype_token(sp[c].dtype), _dtype_token(oracle_df[c].dtype))
+        for c in sp.columns
+        if _dtype_token(sp[c].dtype) != _dtype_token(oracle_df[c].dtype)
+    }
+    assert not dtype_diff, (
+        f"{name}: dtype mismatch (spark, oracle): {dtype_diff} — the driver's "
+        "value hash is dtype-sensitive; cast the oracle (or the query) so both "
+        "engines agree exactly"
     )
     a, b = normalize(sp), normalize(oracle_df)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"

@@ -48,3 +48,30 @@ def test_observation_metrics_piggyback_on_action(spark):
     )
     assert df.count() == 50
     assert obs.get == {"n": 50, "s": 1225}
+
+
+def test_pipe_partitions_roundtrip(spark):
+    from spark_lever_spark.operators.relational import pipe_partitions
+
+    df = spark.range(0, 5000).selectExpr("CAST(id AS STRING) AS s").repartition(4)
+    out = pipe_partitions(df, ["cat"], input_col="s", output_col="v")
+    got = sorted(int(r.v) for r in out.collect())
+    assert got == list(range(5000))
+
+
+def test_pipe_partitions_transform(spark):
+    from spark_lever_spark.operators.relational import pipe_partitions
+
+    df = spark.createDataFrame([("AbC",), ("XyZ",)], ["s"]).coalesce(1)
+    out = pipe_partitions(df, ["tr", "A-Z", "a-z"], input_col="s")
+    assert sorted(r.value for r in out.collect()) == ["abc", "xyz"]
+
+
+def test_pipe_partitions_failure_is_loud(spark):
+    import pytest
+    from spark_lever_spark.operators.relational import pipe_partitions
+
+    df = spark.createDataFrame([("x",)], ["s"]).coalesce(1)
+    out = pipe_partitions(df, ["false"], input_col="s")
+    with pytest.raises(Exception, match="exited with|PythonException"):
+        out.collect()

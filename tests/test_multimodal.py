@@ -1,0 +1,63 @@
+"""Multimodal plumbing (llm/multimodal.py): the decoder is injectable —
+the deterministic stub is only the default — so the production path
+(real codec) and the test path share every piece of Spark plumbing.
+Oracle parity for the registered queries lives in test_queries_oracle;
+this file pins the injection seam itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from spark_lever_spark.llm.multimodal import (
+    attach_binary_payload,
+    decode_image_batch,
+    decode_media,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "a longer document body here")],
+        ["doc_id", "text"],
+    )
+
+
+def test_decoder_is_injectable(spark):
+    calls = {"n": 0}
+
+    def fake_decoder(payloads: pd.Series) -> pd.DataFrame:
+        # a stand-in "real codec": constant dims, count invocations
+        calls["n"] += 1
+        n = len(payloads)
+        return pd.DataFrame(
+            {
+                "byte_len": pd.array([7] * n, dtype="int32"),
+                "width": pd.array([1920] * n, dtype="int32"),
+                "height": pd.array([1080] * n, dtype="int32"),
+                "n_frames": pd.array([1] * n, dtype="int32"),
+            }
+        )
+
+    payloads = attach_binary_payload(_docs(spark))
+    rows = decode_media(payloads, decoder=fake_decoder).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.width == 1920 and r.height == 1080 for r in rows)
+    # executed on workers — driver-side counter must be untouched,
+    # proving the decoder ran inside mapInPandas, not on the driver
+    assert calls["n"] == 0
+
+
+def test_default_stub_matches_payload_arithmetic(spark):
+    payloads = attach_binary_payload(_docs(spark))
+    rows = decode_media(payloads, decoder=decode_image_batch).collect()
+    by_id = {r.doc_id: r for r in rows}
+    lens = {r.doc_id: r.byte_len for r in payloads.select(
+        "doc_id", F.col("media_meta.byte_len").alias("byte_len")).collect()}
+    for doc_id, n in lens.items():
+        r = by_id[doc_id]
+        assert (r.byte_len, r.width, r.height, r.n_frames) == (
+            n, n % 640 + 1, n % 480 + 1, n % 16 + 1
+        )

@@ -146,3 +146,29 @@ def test_q2_broadcasts_all_dims(spark, sf_dir):
     df = ALL["q2_min_cost_supplier"].fn(spark, sf_dir)
     assert broadcast_join_count(df) >= 4
     assert exchange_count(df) <= 3
+
+
+def test_minhash_lsh_band_join_is_equi_hash(spark, sf_dir):
+    # the LSH candidate join must be an equi-join on (band_idx,
+    # band_digest) — uniformly distributed keys, bucketed by hash — and
+    # NEVER a nested-loop/cartesian all-pairs scan. This is the single
+    # property that makes minhash dedup 100 TB-viable.
+    from spark_lever_spark.plans import nested_loop_join_count
+    df = ALL["dedup_minhash_lsh"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert broadcast_join_count(df) + shuffle_join_count(df) >= 1
+
+
+def test_cc_half_rounds_are_single_window_shuffles(spark, sf_dir):
+    # each large-star/small-star half-round is one hash shuffle on the
+    # grouping node (window min) + a distinct — if a refactor introduces
+    # a join or extra exchanges, the O(log n)-round cost model breaks
+    from spark_lever_spark.llm.graph import _large_star, _small_star
+    from spark_lever_spark.plans import nested_loop_join_count
+
+    edges = spark.range(0, 200).selectExpr("id AS u", "id + 1 AS v")
+    for half in (_large_star(edges), _small_star(edges)):
+        assert nested_loop_join_count(half) == 0
+        assert shuffle_join_count(half) == 0
+        # window partition + distinct's two-stage agg, nothing else
+        assert exchange_count(half) <= 3
