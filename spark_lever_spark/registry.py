@@ -64,11 +64,12 @@ def register(
 # per-round budget (round 1 stopped after the first 50 registered).
 # Order the exposed dict so that budget lands where it buys the most
 # new information:
-#   0. never-driver-checked queries with a SQL oracle (strongest check),
+#   0. the 8 queries red in CORRECTNESS_r01 — all fixed this round, and
+#      the round-1 verdict's done-criteria require their r02 rows green,
+#      so they must be inside any budget window,
+#   1. never-driver-checked queries with a SQL oracle (strongest check),
 #      streaming drains last within the group (slowest per row),
-#   1. never-checked rows-only queries,
-#   2. the 8 queries red in CORRECTNESS_r01 (all fixed in round 2 —
-#      re-proving them matters, but less than first-time checks),
+#   2. never-checked rows-only queries,
 #   3. the 42 queries already green in r01 (pure re-verification).
 _R01_CHECKED: frozenset[str] = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -101,9 +102,11 @@ _R01_RED: frozenset[str] = frozenset({
 
 
 def _driver_group(q: Query) -> int:
+    if q.name in _R01_RED:
+        return 0
     if q.name not in _R01_CHECKED:
-        return 0 if q.oracle else 1
-    return 2 if q.name in _R01_RED else 3
+        return 1 if q.oracle else 2
+    return 3
 
 
 def all_queries() -> dict[str, Query]:
