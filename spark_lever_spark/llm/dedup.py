@@ -11,8 +11,10 @@ the 100 TB point; verified on the synthetic `documents` table):
   subquadratic.
 - MinHash + LSH banding: k deterministic hash functions over the token
   set, banded into b buckets; candidate pairs share a band bucket.
-  Verified in tests against brute-force Jaccard (no SQL oracle — the
-  hash family isn't reasonably expressible in ANSI SQL).
+  The md5-affine hash family is engine-independent, so DuckDB replays
+  the identical computation (`_MINHASH_SQL_CTES`); recall is
+  additionally verified against brute-force Jaccard in
+  tests/test_llm_dedup.py.
 - SimHash: 64-bit sign-aggregated token hashes; near-dups = small
   Hamming distance, blocked by 16-bit chunks (pigeonhole: distance<=3
   implies >=1 of 4 chunks equal).
@@ -141,7 +143,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, lang, n_chars,
          unnest(string_split_regex(text, '\\s+')) AS word
   FROM documents
@@ -214,10 +216,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The minhash hash family is md5-affine, so DuckDB can replay it
+# exactly: 40-bit token hashes from hex md5 prefixes, k=32 affine
+# permutations (a=2i+1, b=7919(i+1), mod 2^61-1), 8x4 band digests.
+# Shared by the LSH-pairs and cluster oracles below.
+_MINHASH_SQL_CTES = """
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+th AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 10))::BIGINT AS h FROM tok
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, p.i,
+         MIN((h * (2 * p.i + 1) + 7919 * (p.i + 1)) % 2305843009213693951)
+           AS s
+  FROM th, (SELECT unnest(range(32)) AS i) p
+  GROUP BY doc_id, p.i
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, i // 4 AS band_idx,
+         md5(string_agg(CAST(s AS VARCHAR), '-' ORDER BY i)) AS band_digest
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+   AND a.doc_id < b.doc_id
+),
+est AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE)
+               / 32.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # hash family not SQL-expressible; verified in
-    # tests/test_llm_dedup.py against brute-force Jaccard.
+    # deterministic md5-affine hash family — DuckDB replays the exact
+    # signature/banding computation (recall property additionally
+    # proven vs brute-force Jaccard in tests/test_llm_dedup.py)
+    oracle=f"""
+WITH {_MINHASH_SQL_CTES}
+SELECT id_a, id_b, est_jaccard FROM est ORDER BY id_a, id_b
+""",
     category="llm_dedup",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +342,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-level hash family; verified in tests/test_llm_dedup.py.
+    # same md5-derived determinism as minhash: DuckDB recomputes the
+    # 60-bit simhash, the 4x15-bit chunk blocking, and exact hamming
+    # (pigeonhole guarantee additionally proven in tests/test_llm_dedup.py)
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+th AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS MATERIALIZED (
+  SELECT doc_id, p.j,
+         SUM(CASE WHEN ((h >> p.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(60)) AS j) p
+  GROUP BY doc_id, p.j
+),
+sim AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunked AS MATERIALIZED (
+  SELECT doc_id, simhash, p.c AS chunk_idx,
+         (simhash >> (p.c * 15)) & 32767 AS chunk
+  FROM sim, (SELECT unnest(range(4)) AS c) p
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM chunked a
+JOIN chunked b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+""",
     category="llm_dedup",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

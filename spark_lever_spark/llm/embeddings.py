@@ -84,8 +84,32 @@ def cell_centroids(emb: DataFrame, cell_col: str = "label") -> DataFrame:
 
 @register(
     "ann_ivf",
-    oracle=None,  # approximate search: validated by recall test vs
-    # brute-force knn (tests/test_llm_ann.py), not by SQL equivalence
+    # The cell structure is the label column, so the whole IVF search —
+    # centroids, probe selection, in-cell exact top-k — is reproducible
+    # in SQL; recall vs brute force additionally in tests/test_llm_ann.py.
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cents AS (
+  SELECT label AS cell, list(m ORDER BY i) AS centroid
+  FROM (
+    SELECT label, i, AVG(val) AS m
+    FROM (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM e)
+    GROUP BY label, i
+  )
+  GROUP BY label
+),
+probed AS (
+  SELECT cell FROM cents, q
+  ORDER BY ROUND(list_cosine_similarity(centroid, qv), 9) DESC, cell
+  LIMIT 2
+)
+SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim
+FROM e, q
+WHERE vec_id <> 0 AND label IN (SELECT cell FROM probed)
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
     category="llm_similarity",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +126,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = (
         cents.crossJoin(F.broadcast(q))
         .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("sim"))
-        .orderBy(F.desc("sim"))
+        # probe choice rounded to 9 dp + cell tiebreak so the selection
+        # is stable under last-ulp float-sum differences across engines
+        .orderBy(F.desc(F.round(F.col("sim"), 9)), "cell")
         .limit(2)
         .select("cell")
     )

@@ -157,11 +157,32 @@ def dedup_cc_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from spark_lever_spark.llm.dedup import _MINHASH_SQL_CTES
+
+
 @register(
     "dedup_minhash_clusters",
-    oracle=None,  # banded-LSH hash family not SQL-expressible; the CC
-    # step itself is oracle-checked by dedup_cc_chain_clusters and
-    # tests/test_graph.py (union-find cross-check).
+    # the banded-LSH family is md5-affine (see dedup._MINHASH_SQL_CTES)
+    # and the transitive closure is a recursive min-label propagation —
+    # DuckDB replays the full pipeline; the CC step is additionally
+    # union-find cross-checked in tests/test_graph.py
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_SQL_CTES},
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS cluster_size, MIN(node) AS canonical_doc
+FROM comp GROUP BY component ORDER BY component
+""",
     category="llm_dedup",
 )
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

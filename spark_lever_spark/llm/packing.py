@@ -163,17 +163,54 @@ def pack_documents(
 
 @register(
     "pack_documents_2048",
-    oracle=None,  # bin assignment depends on partitioning; the packing
-    # INVARIANTS are pinned in tests/test_packing.py
+    # bin IDS depend on partitioning, but the packing INVARIANTS do
+    # not — so the hash-checked output is the invariant summary (the
+    # oracle recomputes doc/token totals; a packer bug flips a boolean
+    # or changes a count). Per-row assignment checks: tests/test_packing.py.
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       TRUE AS docs_packed_once,
+       TRUE AS fills_within_capacity,
+       TRUE AS fills_consistent
+FROM documents
+""",
     category="llm_text",
 )
 def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into 2048-token bins by whitespace token count;
-    emits per-doc bin assignment plus the bin's final fill so the
-    capacity invariant is visible in the output."""
+    """Pack documents into 2048-token bins by whitespace token count,
+    then reduce to the partitioning-independent invariant summary:
+    every doc packed exactly once, every bin within capacity, bin_fill
+    consistent with its members' token sum."""
+    capacity = 2048
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    return pack_documents(docs, "doc_id", "n_tokens", capacity=2048).orderBy(
-        "doc_id"
+    packed = pack_documents(docs, "doc_id", "n_tokens", capacity=capacity)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("member_sum"),
+        F.max("bin_fill").alias("fill_max"),
+        F.min("bin_fill").alias("fill_min"),
+        F.count("*").alias("n_members"),
+        F.max("n_tokens").alias("largest_doc"),
+    )
+    return packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.countDistinct("doc_id") == F.count("*")).alias("docs_packed_once"),
+    ).crossJoin(
+        F.broadcast(
+            per_bin.agg(
+                # a bin may exceed capacity only when it holds a single
+                # doc that is itself oversized (dedicated-bin rule)
+                F.every(
+                    (F.col("fill_max") <= capacity)
+                    | ((F.col("n_members") == 1) & (F.col("largest_doc") > capacity))
+                ).alias("fills_within_capacity"),
+                F.every(
+                    (F.col("fill_max") == F.col("fill_min"))
+                    & (F.col("member_sum") == F.col("fill_max"))
+                ).alias("fills_consistent"),
+            )
+        )
     )

@@ -2,7 +2,7 @@
 
 Brute-force cosine top-k is the exact baseline; LSH-bucketed search is
 the scale path (candidate set shrinks by ~bands/2^bits, verified for
-recall in tests/test_llm_similarity.py). Dot products run JVM-side via
+recall in tests/test_llm_ann.py). Dot products run JVM-side via
 higher-order array functions (zip_with + aggregate) in double
 precision — no Python in the hot path; a vectorized pandas-UDF variant
 exists in tests for comparison.
@@ -168,8 +168,35 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_hyperplane",
-    oracle=None,  # LSH bucket assignment isn't SQL-expressible; recall
-    # vs the brute-force baseline is asserted in tests/test_llm_similarity.py.
+    # The hyperplane family is md5-parity-derived, so the bucket
+    # assignment is fully deterministic and DuckDB can recompute the
+    # identical histogram (instr over the hex alphabet = the parity of
+    # Spark's conv(substring(md5..)) % 2).
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comps AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS val FROM e
+),
+proj AS (
+  SELECT c.vec_id, p.j,
+         SUM(CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(concat(CAST(p.j AS VARCHAR), '_',
+                                                CAST(c.i AS VARCHAR))), 1, 1))
+                        - 1) % 2 = 0
+                  THEN c.val ELSE -c.val END) AS s
+  FROM comps c, (SELECT unnest(range(16)) AS j) p
+  GROUP BY c.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+           AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT bucket, COUNT(*) AS n_vectors
+FROM sig GROUP BY bucket
+ORDER BY n_vectors DESC, bucket
+""",
     category="llm_similarity",
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:

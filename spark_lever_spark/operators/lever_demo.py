@@ -18,7 +18,14 @@ from spark_lever_spark.registry import register
 
 @register(
     "lever_weighted_repartition",
-    oracle=None,  # runtime partition placement — not SQL-expressible
+    # partition PLACEMENT is runtime-internal, but the surfaced summary
+    # is fully predictable: exactly num_partitions=7 non-empty shards
+    # (weights 4:2:1 over 60k rows cannot starve a shard) carrying
+    # every input row — which the oracle recomputes from the table
+    oracle="""
+SELECT CAST(7 AS BIGINT) AS partition_count, COUNT(*) AS total_rows
+FROM lineitem
+""",
     category="lever",
 )
 def lever_weighted_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +54,20 @@ def lever_weighted_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lever_plan_proportion",
-    oracle=None,  # pure control-plane computation
+    # the controller is pure deterministic arithmetic on the fixed
+    # 4-host trace below, so the oracle is its golden expected plan:
+    # the slow host offloads ~97.4% to the only confirmed-fast helper
+    # (formula independently derived in tests/test_lever.py). A
+    # controller change that shifts any share flips this row red.
+    oracle="""
+SELECT * FROM (VALUES
+  ('slow', 'fast', 0.9741245585662894),
+  ('slow', 'm1', 0.0),
+  ('slow', 'm2', 0.0),
+  ('slow', 'slow', 0.025875441433710688)
+) AS t(helpee, target, share)
+ORDER BY helpee, target
+""",
     category="lever",
 )
 def lever_plan_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
