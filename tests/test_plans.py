@@ -172,3 +172,19 @@ def test_cc_half_rounds_are_single_window_shuffles(spark, sf_dir):
         assert shuffle_join_count(half) == 0
         # window partition + distinct's two-stage agg, nothing else
         assert exchange_count(half) <= 3
+
+
+def test_llm_blocked_joins_never_cartesian(spark, sf_dir):
+    # every blocked similarity/near-dup join must reach Catalyst as an
+    # equi-join on its blocking key (token+lang / label / band digest)
+    # with the similarity predicate as residual filter — a refactor
+    # that degrades any of them to BroadcastNestedLoop/Cartesian would
+    # be quadratic at 100 TB
+    from spark_lever_spark.plans import nested_loop_join_count
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "similarity_join_blocked",
+    ):
+        df = ALL[name].fn(spark, sf_dir)
+        assert nested_loop_join_count(df) == 0, name
