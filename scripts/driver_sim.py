@@ -24,15 +24,18 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else "/root/testdata/sf0.01"
     only = None
+    exclude: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--exclude="):
+            exclude = set(a.split("=", 1)[1].split(","))
     spark = get_session(app_name="driver-sim", shuffle_partitions=32)
     con = duckdb_con(sf_dir)
     results: dict[str, dict] = {}
     qs = registry.all_queries()
     for name, q in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in exclude:
             continue
         t0 = time.time()
         status = "green"

@@ -21,6 +21,16 @@ the 100 TB point; verified on the synthetic `documents` table):
 
 Everything uses built-in JVM expressions (md5/conv/bit ops/higher-order
 array functions) — zero Python UDFs in any hot path.
+
+Density note: the synthetic corpus draws from a ~31-word vocabulary, so
+pairwise Jaccard between ordinary documents is high (~0.5-0.8) and the
+8x4 banding (s50 ~ 0.6) correctly emits a DENSE candidate graph —
+7.7M pairs from 5k docs at sf0.1. That is the corpus, not a bug; it is
+also why the band join must carry bare doc-id pairs (signatures
+re-attached per distinct pair) — anything wider through that join
+multiplies by the collision count. A real web corpus at the same
+banding yields a sparse graph; tune (bands, rows) to the corpus via
+the s50 = (1/b)^(1/r) curve.
 """
 
 from __future__ import annotations
@@ -307,14 +317,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(bands)
         ]
     )
+    # The band self-join carries ONLY (doc_id, band digest): duplicate
+    # docs share all 8 bands, so routing the 32-long signatures through
+    # the exploded join would replicate each signature once per
+    # (band, matching neighbor) — measured as a driver-heap OOM at
+    # sf0.1 and a shuffle explosion at scale. Pairs are deduplicated
+    # down to bare id pairs first; signatures re-attach afterwards,
+    # once per distinct pair.
     banded = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(band_digests).alias("band_idx", "band_digest"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -324,11 +340,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = pairs.join(sa, "id_a").join(sb, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m

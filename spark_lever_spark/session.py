@@ -72,6 +72,12 @@ def get_session(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # local mode: the driver JVM IS the executor; Spark's 1g default
+        # heap OOMs on wide-shuffle workloads long before the machine
+        # does. Only effective at JVM launch — a pre-existing session
+        # keeps its heap. Cluster deployments size executors explicitly.
+        conf.setdefault("spark.driver.memory", "8g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
