@@ -1,0 +1,332 @@
+"""Corpus-curation operators: benchmark decontamination, held-out LM
+novelty scoring, deterministic hash sampling, winnowing fingerprints.
+
+These are the remaining standard stages of a large-scale training-data
+pipeline (GPT-3 §5 / The Pile appendix-style decontamination, CCNet-
+style LM quality partitioning, MOSS winnowing): each is expressed as a
+pure built-in-expression DataFrame pipeline — md5/conv for engine-
+portable hashing, higher-order array functions for per-doc n-gram work,
+broadcast equi-joins for the corpus-level reference tables. Zero Python
+UDFs; every hash is the md5-affine family replayed exactly by the
+DuckDB oracles (('0x' || substr(md5(x), 1, n))::BIGINT).
+
+Scale notes (the 100 TB shapes):
+- decontamination joins exploded doc n-grams against a DISTINCT
+  benchmark-gram table. Benchmarks are tiny relative to the corpus
+  (thousands of eval docs vs billions of training docs), so the gram
+  blocklist broadcasts and the scan-side work is map-only — the single
+  groupBy(doc_id) afterwards is the only shuffle, and it carries
+  (doc_id, int) pairs, never text.
+- the held-out LM join is a plain equi-join on the bigram string; at
+  real scale the count table exceeds broadcast range and becomes a
+  shuffled hash join on a uniformly-distributed key — both sides
+  already projected to (bigram, count) / (doc_id, bigram).
+- hash-bucket sampling is a stateless filter: no shuffle, no seed
+  coordination across executors, reproducible on any cluster layout —
+  the property that makes it the standard way to cut a stable 1% of a
+  100 TB corpus.
+- winnowing is per-document array work (map-only, codegen'd); the
+  fingerprint set per doc is O(tokens/window) longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+# Benchmark membership and sampling use the same engine-portable affine
+# hash family as llm/dedup.py: int(md5(x)[:n], 16).
+_GRAM_N = 8          # decontamination n-gram length (tokens)
+_BENCH_MOD = 20      # ~5% of docs act as the "eval benchmark" set
+_WINNOW_K = 3        # winnowing k-gram (tokens)
+_WINNOW_W = 4        # winnowing window (k-gram hashes per window)
+
+
+def _md5_long(col, nhex: int):
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 1, nhex), 16, 10
+    ).cast("long")
+
+
+def _token_ngrams(toks, n: int):
+    """Array of space-joined n-grams of a token-array column (empty
+    array when the doc has fewer than n tokens — guarded because Spark's
+    sequence(1, 0) DESCENDS instead of being empty)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {_BENCH_MOD} = 0 AS is_benchmark,
+         string_split(text, ' ') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_benchmark,
+         ('0x' || substr(md5(unnest(list_transform(
+             range(1, greatest(len(l) - {_GRAM_N - 2}, 1)),
+             i -> list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + {_GRAM_N - 1}],
+                                 'string_agg', ' ')))), 1, 12))::BIGINT AS gh
+  FROM base
+),
+blocklist AS (SELECT DISTINCT gh FROM grams WHERE is_benchmark),
+hits AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.gh) AS BIGINT) AS n_hits
+  FROM grams g LEFT JOIN blocklist b USING (gh)
+  WHERE NOT g.is_benchmark
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_hits, n_hits > 0 AS contaminated
+FROM hits ORDER BY doc_id
+""",
+    category="llm_curation",
+    bench=True,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token n-gram with a held-out benchmark set (the GPT-3 / Pile
+    decontamination op). Benchmark membership is hash-assigned (~5% of
+    docs) so the query is self-contained and deterministic. The gram
+    blocklist is DISTINCT-ed then broadcast — at 100 TB the benchmark
+    side stays tiny, so the corpus scan is map-only and the lone
+    shuffle carries (doc_id, long) pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (_md5_long(F.col("doc_id").cast("string"), 8) % _BENCH_MOD == 0).alias(
+            "is_benchmark"
+        ),
+    )
+    toks = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        "is_benchmark",
+        F.explode(_token_ngrams(toks, _GRAM_N)).alias("gram"),
+    ).select("doc_id", "is_benchmark", _md5_long(F.col("gram"), 12).alias("gh"))
+    blocklist = (
+        grams.where("is_benchmark").select("gh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.where(~F.col("is_benchmark"))
+        .join(F.broadcast(blocklist), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigram_novelty",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_train, string_split(text, ' ') AS l
+  FROM documents
+),
+big AS (
+  SELECT doc_id, is_train,
+         t.l[CAST(i.i AS INT)] || ' ' || t.l[CAST(i.i AS INT) + 1] AS bg
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.l))) AS i) i
+),
+lm AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM big WHERE is_train GROUP BY bg
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(*) FILTER (WHERE lm.c IS NULL) AS BIGINT) AS n_oov,
+         CAST(coalesce(sum(lm.c), 0) AS BIGINT) AS sum_train_freq
+  FROM big b LEFT JOIN lm USING (bg)
+  WHERE NOT b.is_train
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_oov, sum_train_freq,
+       CAST(n_oov AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS oov_rate,
+       CAST(sum_train_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           AS avg_train_freq
+FROM scored ORDER BY doc_id
+""",
+    category="llm_curation",
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality partitioning, exact-arithmetic form: train
+    a bigram count model on half the corpus (doc_id % 2 = 0), score each
+    held-out document's bigrams against it — out-of-vocabulary rate and
+    average training-corpus frequency. High-OOV / low-frequency docs are
+    the "novel or noisy" tail a curation pipeline routes to review.
+
+    All statistics are exact integer sums with one final double
+    division, so both engines produce bit-identical doubles (no
+    float-accumulation-order divergence — the functions/exact.py
+    doctrine). The LM table is (bigram, count): broadcastable here; at
+    100 TB it becomes a shuffled hash join on the uniformly-distributed
+    bigram key, with both sides pre-projected to two columns."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.split("text", " ").alias("l"),
+    )
+    big = tok.select(
+        "doc_id",
+        "is_train",
+        F.explode(_token_ngrams(F.col("l"), 2)).alias("bg"),
+    )
+    lm = big.where("is_train").groupBy("bg").agg(F.count("*").alias("c"))
+    return (
+        big.where(~F.col("is_train"))
+        .join(F.broadcast(lm), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count(F.when(F.col("c").isNull(), 1)).alias("n_oov"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("sum_train_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            "sum_train_freq",
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("oov_rate"),
+            (
+                F.col("sum_train_freq").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_train_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_hash_bucket",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            AS INT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+ORDER BY doc_id
+""",
+    category="llm_curation",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling: keep documents whose
+    md5(doc_id) bucket falls under the cut (25/100 here). Unlike seeded
+    Bernoulli sampling, membership is a property of the ROW, not of the
+    run — stable across engines, cluster layouts, retries, and corpus
+    re-partitioning, which is why production pipelines cut stable eval
+    slices of a 100 TB corpus this way. Stateless filter: no shuffle,
+    pushdown-friendly, map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (_md5_long(F.col("doc_id").cast("string"), 8) % 100).cast("int")
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < 25)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(l) - {_WINNOW_K - 2}, 1)),
+           i -> ('0x' || substr(md5(
+                  list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + {_WINNOW_K - 1}],
+                                 'string_agg', ' ')), 1, 10))::BIGINT
+         ) AS h
+  FROM tok
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(h) - {_WINNOW_W - 2}, 2)),
+           i -> list_min(h[CAST(i AS INT):CAST(i AS INT) + {_WINNOW_W - 1}])
+         ) AS w
+  FROM kg
+),
+fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(w, x -> x IS NOT NULL))) AS d
+  FROM wins
+)
+SELECT doc_id,
+       CAST(len(d) AS INT) AS n_fps,
+       array_to_string(list_transform(d, x -> CAST(x AS VARCHAR)), ',') AS fps
+FROM fp ORDER BY doc_id
+""",
+    category="llm_curation",
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints: hash every 3-token k-gram,
+    slide a window of 4 hashes, keep each window's minimum; the distinct
+    minima are the document's fingerprint set (guaranteed to detect any
+    shared run of k+w-1 = 6 tokens between two documents — the
+    positional guarantee plain min-shingle fingerprints lack). Pure
+    per-document array work: map-only, whole-stage-codegen, no shuffle;
+    emitted as a sorted comma-joined string so the driver can hash it.
+
+    Reference winnowing paper: Schleimer, Wilkerson, Aiken (SIGMOD'03).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    kgram_hashes = F.transform(
+        _token_ngrams(F.col("l"), _WINNOW_K),
+        lambda g: F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 1, 10), 16, 10)
+        .cast("long"),
+    )
+    kg = docs.select("doc_id", kgram_hashes.alias("h"))
+    wins = kg.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("h") - (_WINNOW_W - 1), F.lit(1)),
+            ),
+            lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W)),
+        ).alias("w"),
+    )
+    fp = F.sort_array(
+        F.array_distinct(F.filter(F.col("w"), lambda x: x.isNotNull()))
+    )
+    return wins.select(
+        "doc_id",
+        F.size(fp).alias("n_fps"),
+        F.concat_ws(",", F.transform(fp, lambda x: x.cast("string"))).alias(
+            "fps"
+        ),
+    ).orderBy("doc_id")

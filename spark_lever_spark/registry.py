@@ -161,6 +161,7 @@ def _ensure_loaded() -> None:
         temporal,
     )
     from spark_lever_spark.llm import (  # noqa: F401
+        curation,
         dedup,
         embeddings,
         graph,
