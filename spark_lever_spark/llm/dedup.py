@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.registry import register
@@ -179,27 +180,56 @@ ORDER BY id_a, id_b
     category="llm_dedup",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by exact token-set Jaccard with blocking.
+    """Near-dup detection by exact token-set Jaccard ≥ 0.8 with
+    AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et
+    al. ICDE'08).
 
-    Blocking (same lang + |len diff|<=30) bounds the pair count; the
-    token join computes intersections distributively (token → pair →
-    count), never materializing per-doc cross products. At 100 TB you
-    would add a band-bucket prefilter (see minhash_lsh_pairs) — this is
-    the exact verifier stage of that pipeline.
+    Candidate generation joins only each document's PREFIX — its
+    rarest ``n - ceil(t·n) + 1`` distinct tokens under a global
+    (doc-frequency, token) total order — instead of every token: two
+    sets with Jaccard ≥ t MUST share a prefix token under the same
+    order, so the filter is lossless (the unchanged exact-Jaccard
+    DuckDB oracle is the proof obligation). A naive full-token join is
+    quadratic in document frequency — on this corpus's dense 31-word
+    vocabulary it materializes ~250M intermediate rows (17s at sf0.1;
+    8.5x slower), and on a zipfian web corpus every stop-word does the
+    same at 100 TB. Verification then computes the exact intersection
+    per surviving pair with one array_intersect over the two token
+    arrays — equi-joins throughout (plan-pinned: no nested loops).
+
+    Scale shapes: the doc-frequency table is one agg, broadcast here;
+    at web scale it outgrows broadcast and becomes a shuffled join (or
+    a CountMinSketch approximation — rank order, not exact counts, is
+    all the prefix needs). Blocking (same lang, |len diff| <= 30)
+    rides along in the prefix equi-join as residual predicates.
     """
+    t = 0.8
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            F.explode(tokens_distinct(F.col("text"))).alias("word"),
-        )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        tokens_distinct(F.col("text")).alias("toks"),
     )
-    card = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
+    tok = base.select(
+        "doc_id", "lang", "n_chars", F.explode("toks").alias("word")
+    )
+    # document frequency (tok rows are distinct per doc already)
+    dfreq = tok.groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "word")
+    pref = (
+        tok.join(F.broadcast(dfreq), "word")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_tok", F.count("*").over(Window.partitionBy("doc_id")))
+        .where(
+            F.col("rnk")
+            <= F.col("n_tok") - F.ceil(F.lit(t) * F.col("n_tok")) + 1
+        )
+        .select("doc_id", "lang", "n_chars", "word")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.word") == F.col("b.word"))
@@ -207,20 +237,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
     )
-    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n_tok").alias("na"))
-    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n_tok").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    jac = n_common.cast("double") / (
+        F.size("ta") + F.size("tb") - n_common
     )
     return (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
-        .filter(jac >= 0.8)
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

@@ -210,20 +210,17 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-md5 over 3-token shingles (winnowing-
     style rolling fingerprint; the single-hash special case of MinHash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Token array is materialized as a column first: subexpression
+    # elimination does not reach inside higher-order-function lambdas,
+    # so an inline split(text) would re-tokenize the document at every
+    # shingle position (llm/curation.py measured 8.7x at sf0.1).
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
+        F.sequence(F.lit(1), F.size("l") - 2),
         lambda i: F.md5(
-            F.encode(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-                "UTF-8",
-            )
+            F.encode(F.array_join(F.slice(F.col("l"), i, 3), " "), "UTF-8")
         ),
     )
     return (
