@@ -12,6 +12,7 @@ from spark_lever_spark import registry
 from spark_lever_spark.plans import (
     broadcast_join_count,
     exchange_count,
+    nested_loop_join_count,
     pushed_filters,
     scan_read_schema,
     shuffle_join_count,
@@ -188,3 +189,50 @@ def test_llm_blocked_joins_never_cartesian(spark, sf_dir):
     ):
         df = ALL[name].fn(spark, sf_dir)
         assert nested_loop_join_count(df) == 0, name
+
+
+def test_decontaminate_blocklist_broadcasts(spark, sf_dir):
+    # the benchmark-gram blocklist is tiny relative to the corpus by
+    # construction (eval benchmarks vs training data) — it must reach
+    # the probe side as a broadcast hash join so the corpus scan stays
+    # map-only; the lone shuffle is the (doc_id, long) groupBy. A
+    # refactor that shuffles the corpus grams by hash to meet the
+    # blocklist would move the whole 100 TB through the network.
+    df = ALL["text_decontaminate"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+
+
+def test_bigram_novelty_lm_join_stays_equi(spark, sf_dir):
+    # the held-out-vs-LM join must be an equi-join on the bigram key
+    # (broadcast at this scale; shuffled-hash at web scale) — never a
+    # nested loop
+    df = ALL["text_bigram_novelty"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+
+
+def test_hash_bucket_sample_is_map_only(spark, sf_dir):
+    # deterministic sampling is a stateless filter: zero exchanges
+    # before the presentation sort — the property that lets it cut a
+    # stable slice of a 100 TB corpus without any shuffle
+    df = ALL["sample_hash_bucket"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 1  # presentation orderBy only
+
+
+def test_winnow_fingerprints_map_only(spark, sf_dir):
+    # winnowing is per-document array work: no joins, no aggregation —
+    # nothing but the presentation sort may exchange
+    df = ALL["text_fingerprint_winnow"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert shuffle_join_count(df) + broadcast_join_count(df) == 0
+    assert exchange_count(df) <= 1
+
+
+def test_jaccard_prefix_filter_joins_stay_equi(spark, sf_dir):
+    # AllPairs prefix filtering adds a df-rank window and two
+    # verification joins — all must remain hash equi-joins; the
+    # candidate join keys on the prefix token, never an all-pairs scan
+    df = ALL["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert broadcast_join_count(df) + shuffle_join_count(df) >= 3
