@@ -334,3 +334,183 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fps"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "mix_source_weights",
+    oracle="""
+WITH per AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM per)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+           AS token_share,
+       least(1.0,
+             (CAST(1 AS DOUBLE) / CAST(n_groups AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+           AS sample_rate
+FROM per, tot
+ORDER BY source, lang
+""",
+    category="llm_curation",
+)
+def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per (source, lang) token shares and the
+    down-sampling rate that flattens the mix to a uniform target share
+    (the knob a training pipeline turns to rebalance domains — DoReMi /
+    The Pile-style mixture control, here with the uniform target).
+
+    One groupBy carrying only counts, one scalar-aggregate broadcast
+    back over the group rows — no row-level shuffle of text. All ratios
+    are single double divisions of exact integer sums, so both engines
+    produce bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tok"),
+    )
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_groups"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    target = F.lit(1).cast("double") / F.col("n_groups").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            F.least(F.lit(1.0), target / share).alias("sample_rate"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "pipeline_curate_sample_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         string_split(text, ' ') AS l,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+             AS n_tok,
+         length(text) AS n_ch,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {_BENCH_MOD} = 0 AS is_benchmark
+  FROM documents
+),
+gated AS (
+  SELECT * FROM tok
+  WHERE n_tok BETWEEN 10 AND 100000
+    AND CAST(n_ch AS DOUBLE) / n_tok < 12
+),
+grams AS (
+  SELECT doc_id, is_benchmark,
+         ('0x' || substr(md5(unnest(list_transform(
+             range(1, greatest(len(l) - {_GRAM_N - 2}, 1)),
+             i -> list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + {_GRAM_N - 1}],
+                                 'string_agg', ' ')))), 1, 12))::BIGINT AS gh
+  FROM tok
+),
+blocklist AS (SELECT DISTINCT gh FROM grams WHERE is_benchmark),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN blocklist b USING (gh)
+  WHERE NOT g.is_benchmark
+),
+clean AS (
+  SELECT t.* FROM gated t
+  LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL AND NOT t.is_benchmark
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 100 < 50
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM sampled
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    category="llm_pipeline",
+)
+def pipeline_curate_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality gate → benchmark
+    decontamination (drop any training doc sharing an 8-gram with the
+    hash-assigned benchmark set) → deterministic 50% hash sample →
+    per-(lang, source) corpus stats. The end-to-end shape a real
+    pretraining data build runs; every stage is the registered operator
+    it composes, so this query is the integration test of the family.
+
+    Note the sampling hash reads md5 offset 2 so it is independent of
+    the benchmark-membership hash (offset 1) — correlated hashes would
+    silently bias the sample toward/away from benchmark-adjacent docs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split("text", " ").alias("l"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tok"),
+        F.length("text").alias("n_ch"),
+        (_md5_long(F.col("doc_id").cast("string"), 8) % _BENCH_MOD == 0).alias(
+            "is_benchmark"
+        ),
+    )
+    gated = docs.where(
+        F.col("n_tok").between(10, 100000)
+        & (F.col("n_ch").cast("double") / F.col("n_tok") < 12)
+    )
+    grams = docs.select(
+        "doc_id",
+        "is_benchmark",
+        F.explode(_token_ngrams(F.col("l"), _GRAM_N)).alias("gram"),
+    ).select("doc_id", "is_benchmark", _md5_long(F.col("gram"), 12).alias("gh"))
+    blocklist = grams.where("is_benchmark").select("gh").distinct()
+    contaminated = (
+        grams.where(~F.col("is_benchmark"))
+        .join(F.broadcast(blocklist), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    sample_h = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 2, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        gated.where(~F.col("is_benchmark"))
+        .join(contaminated, "doc_id", "left_anti")
+        .where(sample_h % 100 < 50)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "source")
+    )
