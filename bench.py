@@ -52,6 +52,17 @@ def main() -> None:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
         F.avg("l_quantity"),
     ).collect()
+    # moment-stats kernel (stddev/var/skew/kurt/corr) for agg_stats_full
+    # and the stat queries — measured to need 2-3 executions before the
+    # JIT stabilizes, so warm it twice
+    for _ in range(2):
+        warm.groupBy("l_returnflag").agg(
+            F.stddev("l_quantity"),
+            F.variance("l_extendedprice"),
+            F.skewness("l_quantity"),
+            F.kurtosis("l_quantity"),
+            F.corr("l_quantity", "l_extendedprice"),
+        ).collect()
     from pyspark.sql.window import Window
 
     warm.select(
