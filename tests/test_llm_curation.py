@@ -156,3 +156,59 @@ def test_winnow_shared_run_guarantee(spark, sf_dir, docs_pdf):
                 )
                 checked += 1
     assert checked > 0, "corpus has no shared runs — guarantee untested"
+
+
+def test_mix_source_weights_invariants(spark, sf_dir):
+    got = ALL["mix_source_weights"].fn(spark, sf_dir).toPandas()
+    # shares partition the corpus exactly
+    assert abs(got.token_share.sum() - 1.0) < 1e-9
+    assert ((got.sample_rate > 0) & (got.sample_rate <= 1.0)).all()
+    # a down-sampled group lands exactly on the uniform target share
+    target = 1.0 / len(got)
+    down = got[got.sample_rate < 1.0]
+    assert ((down.token_share * down.sample_rate - target).abs() < 1e-9).all()
+    # over-represented groups are the ones down-sampled
+    assert (down.token_share > target).all()
+
+
+def test_pipeline_curate_sample_matches_python_ground_truth(
+    spark, sf_dir, docs_pdf
+):
+    got = ALL["pipeline_curate_sample_stats"].fn(spark, sf_dir).toPandas()
+    # Python ground truth of the full chain
+    grams: dict[int, set[int]] = {}
+    bench: set[int] = set()
+    meta: dict[int, tuple] = {}
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        n_tok = len([t for t in r.text.split() if t])
+        grams[r.doc_id] = {
+            _md5_long(" ".join(toks[i : i + _GRAM_N]), 12)
+            for i in range(len(toks) - _GRAM_N + 1)
+        }
+        if _md5_long(str(r.doc_id), 8) % _BENCH_MOD == 0:
+            bench.add(r.doc_id)
+        meta[r.doc_id] = (r.lang, r.source, n_tok, len(r.text))
+    blocklist = {h for d in bench for h in grams[d]}
+    agg: dict[tuple, list] = {}
+    for d, (lang, source, n_tok, n_ch) in meta.items():
+        if d in bench or not (10 <= n_tok <= 100000) or n_ch / n_tok >= 12:
+            continue
+        if grams[d] & blocklist:
+            continue
+        samp = int(hashlib.md5(str(d).encode()).hexdigest()[1:9], 16)
+        if samp % 100 >= 50:
+            continue
+        key = (lang, source)
+        cur = agg.setdefault(key, [0, 0, d])
+        cur[0] += 1
+        cur[1] += n_tok
+        cur[2] = min(cur[2], d)
+    expect = {
+        k: tuple(v) for k, v in agg.items()
+    }
+    got_map = {
+        (r.lang, r.source): (r.docs, r.total_tokens, r.first_doc)
+        for r in got.itertuples()
+    }
+    assert got_map == expect
