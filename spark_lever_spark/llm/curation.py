@@ -514,3 +514,89 @@ def pipeline_curate_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_SPAN_N = 20         # exact-substring dedup span length (tokens)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_transform(
+             range(1, greatest(len(l) - {_SPAN_N - 2}, 1)),
+             i -> list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + {_SPAN_N - 1}],
+                                 'string_agg', ' ')))), 1, 12))::BIGINT AS sh
+  FROM tok
+),
+shared AS (
+  SELECT sh FROM spans GROUP BY sh
+  HAVING count(DISTINCT doc_id) > 1
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(sh2.sh) AS BIGINT) AS n_dup_spans
+  FROM spans s LEFT JOIN shared sh2 USING (sh)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac
+FROM per_doc
+WHERE n_spans > 0
+ORDER BY doc_id
+""",
+    category="llm_dedup",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr criterion, here at token granularity): for every
+    document, the fraction of its 20-token spans that appear verbatim
+    in at least one other document. A pipeline drops or trims documents
+    above a dup_span_frac threshold.
+
+    Distributed shape: span hashes (12-hex md5 = 48 bits) explode to
+    (doc_id, long) pairs; one groupBy(sh) finds spans spanning >1 doc —
+    a uniformly-hashed aggregation that replaces the suffix array of
+    the paper (which is single-machine) with two shuffles of fixed-width
+    longs, never text. The shared-span table is corpus-global state the
+    same way the LSH band table is; both scale by key uniformity.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(_token_ngrams(F.col("l"), _SPAN_N)).alias("gram"),
+    ).select("doc_id", _md5_long(F.col("gram"), 12).alias("sh"))
+    shared = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("sh")
+        .withColumn("is_shared", F.lit(1))
+    )
+    return (
+        spans.join(shared, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_shared").alias("n_dup_spans"),
+        )
+        .where(F.col("n_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
