@@ -222,3 +222,49 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _drain_append(deduped, "dedup_events").orderBy("user_id", "event_type")
+
+
+@register(
+    "stream_static_orders_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       COUNT(*) AS cnt,
+       SUM(o.o_totalprice) AS total
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    category="streaming",
+)
+def stream_static_orders_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment join (the pattern DStream.transform +
+    rdd.join(staticRDD) served in the reference, DStream.scala
+    transform ops): the orders stream joins two STATIC dimensions
+    (customer, nation) inside the micro-batch plan — Catalyst
+    broadcasts the dims, so each micro-batch pays zero shuffle for the
+    join and only the keyed-agg state shuffle. Final drained state
+    equals the batch three-way join the oracle computes. At 100 TB the
+    static side is the standard slowly-changing dim broadcast; the
+    stream side never re-shuffles on the join key."""
+    from spark_lever_spark.catalog import load_table
+
+    sdf = _stream_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    enriched = (
+        sdf.join(F.broadcast(cust), sdf.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = enriched.groupBy("nation").agg(
+        F.count("*").alias("cnt"),
+        F.sum("o_totalprice").alias("total"),
+    )
+    return _drain_complete(agg, "orders_by_nation").orderBy("nation")
