@@ -146,3 +146,89 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS l
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, l,
+         list_max(list_transform(l, v -> abs(v))) / 127.0 AS scale
+  FROM b
+),
+q AS (
+  SELECT vec_id, l, scale,
+         CASE WHEN scale = 0 THEN list_transform(l, v -> 0)
+              ELSE list_transform(l, v -> CAST(floor(v / scale + 0.5) AS INT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       array_to_string(list_transform(qv, v -> CAST(v AS VARCHAR)), ',') AS q,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE list_max(list_transform(range(1, len(l) + 1),
+                 i -> abs(qv[CAST(i AS INT)] * scale - l[CAST(i AS INT)])))
+       END AS max_abs_err,
+       CASE WHEN scale = 0 THEN TRUE
+            ELSE list_max(list_transform(range(1, len(l) + 1),
+                 i -> abs(qv[CAST(i AS INT)] * scale - l[CAST(i AS INT)])))
+                 <= scale * 0.5
+       END AS within_bound
+FROM q ORDER BY vec_id
+""",
+    category="llm_embeddings",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (absmax
+    scaling, the layout a 100 TB vector store actually persists — 4x
+    smaller than float32, dequantization error bounded by scale/2).
+    Rounding is the explicit ``floor(x/scale + 0.5)`` formula so both
+    engines execute identical IEEE double ops — SQL round() half-away
+    semantics differ in edge representations across engines, the
+    floor form cannot. Reductions are max-based (order-independent),
+    so partitioning cannot perturb the result. ``scale`` is
+    materialized as a column before the quantizing lambda consumes it
+    (the HOF-lambda re-evaluation rule — see _token_ngrams in
+    curation.py). Map-only: no shuffle but the presentation sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    s = b.select(
+        "vec_id",
+        "l",
+        (
+            F.array_max(F.transform("l", lambda v: F.abs(v))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    sc = F.col("scale")
+    q = s.select(
+        "vec_id",
+        "l",
+        "scale",
+        F.when(
+            sc == 0, F.transform("l", lambda v: F.lit(0))
+        )
+        .otherwise(
+            F.transform(
+                "l", lambda v: F.floor(v / sc + F.lit(0.5)).cast("int")
+            )
+        )
+        .alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with("qv", "l", lambda a, b_: F.abs(a * sc - b_))
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform("qv", lambda v: v.cast("string"))
+        ).alias("q"),
+        F.when(sc == 0, F.lit(0.0)).otherwise(err).alias("max_abs_err"),
+        F.when(sc == 0, F.lit(True)).otherwise(err <= sc * 0.5).alias(
+            "within_bound"
+        ),
+    ).orderBy("vec_id")
