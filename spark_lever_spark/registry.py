@@ -61,16 +61,15 @@ def register(
 
 
 # The correctness driver consumes queries() in dict order and has a
-# per-round budget (round 1 stopped after the first 50 registered).
-# Order the exposed dict so that budget lands where it buys the most
-# new information:
-#   0. the 8 queries red in CORRECTNESS_r01 — all fixed this round, and
-#      the round-1 verdict's done-criteria require their r02 rows green,
-#      so they must be inside any budget window,
-#   1. never-driver-checked queries with a SQL oracle (strongest check),
+# per-round budget (rounds 1 and 2 each checked exactly the first 50
+# registered — r01/r02 keys == then-current names[:50]). Order the
+# exposed dict so that budget lands where it buys the most new
+# information:
+#   0. never-driver-checked queries with a SQL oracle (strongest check),
 #      streaming drains last within the group (slowest per row),
-#   2. never-checked rows-only queries,
-#   3. the 42 queries already green in r01 (pure re-verification).
+#   1. never-checked rows-only queries,
+#   2. the 92 queries already driver-green (r01 ∪ r02 — pure
+#      re-verification), red-in-a-previous-round first if any regress.
 _R01_CHECKED: frozenset[str] = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
@@ -93,20 +92,35 @@ _R01_CHECKED: frozenset[str] = frozenset({
     "join_left_semi", "join_left_anti", "join_broadcast_dim",
     "join_theta_nonequi",
 })
-_R01_RED: frozenset[str] = frozenset({
+_R02_CHECKED: frozenset[str] = frozenset({
     "q12_late_shipment_priority", "approx_count_distinct",
     "values_collected_sorted", "sample_by_key_stratified",
     "map_in_pandas_partition_stats", "approx_percentile_prices",
-    "random_split_sizes", "stat_freq_items",
+    "random_split_sizes", "stat_freq_items", "pipe_partitions_tr",
+    "join_cartesian", "join_mixed_equi_nonequi", "cogroup_pandas",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "zip_with_index", "cube_flag_status", "rollup_region_nation",
+    "grouping_sets_explicit", "pivot_event_type_daily",
+    "window_topk_per_group", "window_rank_dense", "window_lag_lead",
+    "window_running_sum", "window_moving_avg", "window_ntile_quartiles",
+    "expr_string_funcs", "expr_like_rlike", "expr_case_null",
+    "expr_cast_matrix", "expr_math", "expr_datetime",
+    "expr_complex_types", "expr_explode_words", "expr_posexplode",
+    "expr_json_extract", "expr_bitwise_in_greatest",
+    "na_fill_drop_replace", "sessionize_events",
+    "funnel_view_click_purchase", "layout_zorder_events",
+    "lever_weighted_repartition", "lever_plan_proportion",
+    "asof_purchase_last_view", "range_join_views_before_purchase",
+    "resample_hourly_ffill", "text_decontaminate", "text_bigram_novelty",
+    "sample_hash_bucket",
 })
+_DRIVER_GREEN: frozenset[str] = _R01_CHECKED | _R02_CHECKED
 
 
 def _driver_group(q: Query) -> int:
-    if q.name in _R01_RED:
-        return 0
-    if q.name not in _R01_CHECKED:
-        return 1 if q.oracle else 2
-    return 3
+    if q.name not in _DRIVER_GREEN:
+        return 0 if q.oracle else 1
+    return 2
 
 
 def all_queries() -> dict[str, Query]:
