@@ -236,3 +236,16 @@ def test_jaccard_prefix_filter_joins_stay_equi(spark, sf_dir):
     df = ALL["dedup_ngram_jaccard"].fn(spark, sf_dir)
     assert nested_loop_join_count(df) == 0
     assert broadcast_join_count(df) + shuffle_join_count(df) >= 3
+
+
+def test_agg_stats_two_stage_distinct_no_expand(spark, sf_dir):
+    # exact count-distinct runs as a pre-dedup aggregate broadcast back
+    # onto the moment stats — the inline countDistinct Expand (which
+    # doubles every input row before the partial agg) must not return
+    df = ALL["agg_stats_full"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_join_count(df) == 0
+    # stats agg + dedup distinct + its re-agg + presentation sort
+    assert exchange_count(df) <= 4
