@@ -71,11 +71,20 @@ def main() -> None:
         )
     ).limit(1).collect()
 
+    # Per-query isolation: one broken query must never cost the whole
+    # suite its perf signal (BENCH_r03/r04 were both lost to a single
+    # analysis-time crash aborting the loop before the JSON printed).
     timings: dict[str, float] = {}
+    errs: dict[str, str] = {}
     for name, q in sorted(registry.bench_queries().items()):
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            q.fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            msg = str(exc).split("\n", 1)[0][:300]
+            errs[name] = f"{type(exc).__name__}: {msg}"
+            print(f"[bench] {name} FAILED: {errs[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -85,6 +94,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if errs:
+        result["errs"] = errs
     print(json.dumps(result))
     spark.stop()
 

@@ -50,22 +50,39 @@ def _ensure_parity_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table, normalizing timestamps to exactly ONE type
+    (TIMESTAMP, i.e. LTZ under the pinned-UTC session) no matter how the
+    driver regenerates the parquet. The generator has shipped the same
+    column as TIMESTAMP(NANOS) (surfaces as long under nanosAsLong) and
+    as plain timestamp[us] (surfaces as TIMESTAMP_NTZ, which Spark
+    forbids in unix_micros / numeric casts); every downstream operator
+    is written against the single post-catalog type."""
     _ensure_parity_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-        # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long —
-        # truncate to micros exactly like DuckDB's nanos->micros read.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer division: `/ 1000` would go through DOUBLE, and a
-            # 2024-era nanos value (~1.7e18) exceeds double's 2^53 exact
-            # range — the last microseconds digit comes back wrong
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # legacy TIMESTAMP(NANOS) footer read as long via
+        # spark.sql.legacy.parquet.nanosAsLong — truncate to micros
+        # exactly like DuckDB's nanos->micros read. Integer division:
+        # `/ 1000` would go through DOUBLE, and a 2024-era nanos value
+        # (~1.7e18) exceeds double's 2^53 exact range — the last
+        # microseconds digit comes back wrong.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    # timestamp[us] parquet (no tz) surfaces as TIMESTAMP_NTZ; cast to
+    # TIMESTAMP. Under the pinned UTC session TZ the cast is the
+    # identity on the stored micros value, so DuckDB (which reads the
+    # same file as naive TIMESTAMP) still sees identical values.
+    ntz_casts = {
+        f.name: F.col(f.name).cast(T.TimestampType())
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    if ntz_casts:
+        df = df.withColumns(ntz_casts)
     return df
 
 

@@ -50,11 +50,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is `session_window_agg` (streaming/core.py)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # gap in MICROseconds: cast('long') floors to whole seconds, which
-    # misclassifies gaps in (1800.0, 1801.0)s against the oracle's
-    # full-precision `ts - LAG(ts) > INTERVAL 30 MINUTE`
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    # gap as a timestamp-interval comparison, exactly what the oracle
+    # does: full microsecond precision (cast('long') floors to whole
+    # seconds and misclassifies gaps in (1800.0, 1801.0)s), and — unlike
+    # unix_micros, which rejects TIMESTAMP_NTZ — valid for either
+    # timestamp type, so the query survives the driver regenerating the
+    # parquet with a different physical timestamp encoding.
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     sessions = ev.withColumn(
         "session_no",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

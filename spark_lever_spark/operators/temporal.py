@@ -110,17 +110,30 @@ def range_join_bucketed(
     meets exactly once: no post-join dedup needed. Output = all left
     columns + all right columns (caller aliases collisions away).
     """
+
+    def _axis(df: DataFrame, col: str):
+        # Spark forbids TIMESTAMP_NTZ -> numeric casts outright
+        # (CAST_WITHOUT_SUGGESTION); hop through TIMESTAMP first — exact
+        # under the engine's pinned-UTC session TZ. The catalog already
+        # normalizes NTZ away, but callers may hand us their own frames.
+        from pyspark.sql import types as T
+
+        c = F.col(col)
+        if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
     lb = left.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo).cast("double") / bucket_width),
-                F.floor(F.col(hi).cast("double") / bucket_width),
+                F.floor(_axis(left, lo) / bucket_width),
+                F.floor(_axis(left, hi) / bucket_width),
             )
         ),
     )
     rb = right.withColumn(
-        "__bucket", F.floor(F.col(right_on).cast("double") / bucket_width)
+        "__bucket", F.floor(_axis(right, right_on) / bucket_width)
     )
     lo_ok = F.col(right_on) >= F.col(lo) if lo_inclusive else F.col(right_on) > F.col(lo)
     hi_ok = F.col(right_on) <= F.col(hi) if hi_inclusive else F.col(right_on) < F.col(hi)

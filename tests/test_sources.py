@@ -151,3 +151,44 @@ def test_orc_roundtrip_with_pruning(spark, sample_df, tmp_path):
     plan = only_a._jdf.queryExecution().executedPlan().toString()
     assert "tag=b" not in plan
     assert only_a.count() == sample_df.filter(sample_df.tag == "a").count()
+
+
+def test_catalog_timestamp_normalization(spark, sf_dir):
+    # The driver has regenerated events.ts with different physical
+    # encodings across rounds (TIMESTAMP(NANOS)-as-long, then plain
+    # timestamp[us] = TIMESTAMP_NTZ — the latter broke unix_micros and
+    # numeric casts at two call sites in round 4). catalog.load_table is
+    # the single chokepoint that normalizes every variant to TIMESTAMP,
+    # so downstream operators only ever see one timestamp type. Pin that
+    # contract for every time-bearing column of every table.
+    from pyspark.sql import types as T
+
+    from spark_lever_spark.catalog import TABLES, load_table
+
+    expected = {
+        "events": ["ts"],
+        "lineitem": ["l_shipdate"],
+        "orders": ["o_orderdate"],
+    }
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, T.TimestampNTZType), (
+                f"{name}.{f.name} leaked TIMESTAMP_NTZ past the catalog"
+            )
+        for col in expected.get(name, []):
+            assert isinstance(df.schema[col].dataType, T.TimestampType), (
+                f"{name}.{col} should normalize to TIMESTAMP, "
+                f"got {df.schema[col].dataType}"
+            )
+    # NTZ -> TIMESTAMP under the pinned-UTC session is the identity on
+    # the stored value: spot-check against a raw NTZ read of the file.
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        raw_min = raw.agg(F.min("ts")).collect()[0][0]
+        norm_min = (
+            load_table(spark, sf_dir, "events").agg(F.min("ts")).collect()[0][0]
+        )
+        assert raw_min.replace(tzinfo=None) == norm_min.replace(tzinfo=None)
