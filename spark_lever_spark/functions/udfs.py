@@ -126,3 +126,55 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@register(
+    "udtf_word_offsets",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < 20
+),
+w AS (
+  SELECT doc_id, ws[pos] AS word, CAST(pos AS BIGINT) AS pos
+  FROM s, LATERAL unnest(generate_series(1, len(ws))) AS t(pos)
+)
+SELECT doc_id, pos, word,
+       CAST(COALESCE(SUM(length(word) + 1) OVER (
+         PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_off
+FROM w
+ORDER BY doc_id, pos
+""",
+    category="udf",
+)
+def udtf_word_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4 table function) used via SQL LATERAL:
+    one input row fans out to many output rows with per-row state
+    carried across yields (the running character offset) — the piece
+    posexplode cannot produce in one step. Like the row UDF above, this
+    exists to exercise the UDTF registration + lateral-join surface and
+    stays off hot paths (a built-in posexplode + window computes the
+    same thing, as the oracle demonstrates); it runs pre-filtered on a
+    bounded input."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, word: string, start_off: bigint")
+    class WordOffsets:
+        def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
+            off = 0
+            for pos, w in enumerate((text or "").split(" "), start=1):
+                yield (pos, w, off)
+                off += len(w) + 1
+
+    spark.udtf.register("word_offsets", WordOffsets)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word, t.start_off
+        FROM docs_udtf_v d, LATERAL word_offsets(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

@@ -14,7 +14,9 @@ from spark_lever_spark.sources.io import (
     read_json,
     read_parquet,
     read_text,
+    read_xml,
     write_partitioned,
+    write_xml,
 )
 
 __all__ = [
@@ -23,5 +25,7 @@ __all__ = [
     "read_json",
     "read_parquet",
     "read_text",
+    "read_xml",
     "write_partitioned",
+    "write_xml",
 ]

@@ -192,3 +192,25 @@ def test_catalog_timestamp_normalization(spark, sf_dir):
             load_table(spark, sf_dir, "events").agg(F.min("ts")).collect()[0][0]
         )
         assert raw_min.replace(tzinfo=None) == norm_min.replace(tzinfo=None)
+
+
+def test_xml_roundtrip(spark, sample_df, tmp_path):
+    # Native XML source (new in Spark 4's sql module; superset — the
+    # reference predates any XML source). Write partitions as rooted
+    # documents, read back via rowTag with schema inference.
+    from spark_lever_spark.sources import read_xml, write_xml
+
+    path = str(tmp_path / "x")
+    write_xml(sample_df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec")
+    assert back.count() == sample_df.count()
+    got = sorted(
+        (r["id"], r["tag"], r["x"]) for r in back.collect()
+    )
+    want = sorted(
+        (r["id"], r["tag"], r["x"]) for r in sample_df.collect()
+    )
+    assert got == want
+    # explicit schema skips the inference pass (the at-scale path)
+    back2 = read_xml(spark, path, row_tag="rec", schema=sample_df.schema)
+    assert back2.schema == sample_df.schema
