@@ -40,15 +40,23 @@ def _stream_table(
         .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(d)
     )
-    if name == "events":
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
-        if isinstance(schema["ts"].dataType, T.LongType):
-            # integer division — see catalog.load_table: double division
-            # corrupts the microsecond digit at 2024-era nano magnitudes
-            sdf = sdf.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+    if name == "events" and isinstance(schema["ts"].dataType, T.LongType):
+        # integer division — see catalog.load_table: double division
+        # corrupts the microsecond digit at 2024-era nano magnitudes
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # mirror catalog.load_table's TIMESTAMP_NTZ -> TIMESTAMP
+    # normalization so the stream side carries the same single
+    # timestamp type as the batch side (stream-static joins and any
+    # future epoch math would otherwise meet mixed types)
+    ntz = {
+        f.name: F.col(f.name).cast(T.TimestampType())
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    if ntz:
+        sdf = sdf.withColumns(ntz)
     return sdf
 
 

@@ -214,3 +214,68 @@ def test_xml_roundtrip(spark, sample_df, tmp_path):
     # explicit schema skips the inference pass (the at-scale path)
     back2 = read_xml(spark, path, row_tag="rec", schema=sample_df.schema)
     assert back2.schema == sample_df.schema
+
+
+def test_data_contract_full_schemas(spark, sf_dir):
+    # Full post-catalog schema pin for every driver table. The driver
+    # regenerates /root/testdata between rounds and has already shifted
+    # physical types once (see test_catalog_timestamp_normalization);
+    # when it happens again, this test names the exact column that
+    # moved instead of leaving operators to fail mid-round. Types here
+    # are what the ENGINE expects after catalog normalization — update
+    # deliberately (with the affected operators) if the contract moves.
+    from spark_lever_spark.catalog import load_table
+
+    expected = {
+        "region": [("r_regionkey", "int"), ("r_name", "string")],
+        "nation": [
+            ("n_nationkey", "int"), ("n_name", "string"),
+            ("n_regionkey", "int"),
+        ],
+        "customer": [
+            ("c_custkey", "bigint"), ("c_name", "string"),
+            ("c_nationkey", "int"), ("c_acctbal", "double"),
+            ("c_mktsegment", "string"),
+        ],
+        "supplier": [
+            ("s_suppkey", "bigint"), ("s_name", "string"),
+            ("s_nationkey", "int"), ("s_acctbal", "double"),
+        ],
+        "part": [
+            ("p_partkey", "bigint"), ("p_name", "string"),
+            ("p_brand", "string"), ("p_type", "string"),
+            ("p_size", "int"), ("p_retailprice", "double"),
+        ],
+        "orders": [
+            ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+            ("o_orderstatus", "string"), ("o_totalprice", "double"),
+            ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+        ],
+        "lineitem": [
+            ("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+            ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+            ("l_quantity", "double"), ("l_extendedprice", "double"),
+            ("l_discount", "double"), ("l_tax", "double"),
+            ("l_returnflag", "string"), ("l_linestatus", "string"),
+            ("l_shipdate", "timestamp"),
+        ],
+        "events": [
+            ("event_id", "bigint"), ("ts", "timestamp"),
+            ("user_id", "bigint"), ("event_type", "string"),
+            ("value", "double"), ("props", "string"),
+        ],
+        "documents": [
+            ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "bigint"),
+        ],
+        "embeddings": [
+            ("vec_id", "bigint"), ("embedding", "array<float>"),
+            ("label", "int"),
+        ],
+    }
+    for name, want in expected.items():
+        got = [
+            (f.name, f.dataType.simpleString())
+            for f in load_table(spark, sf_dir, name).schema.fields
+        ]
+        assert got == want, f"{name} schema drifted: {got} != {want}"
