@@ -84,6 +84,7 @@ def cell_centroids(emb: DataFrame, cell_col: str = "label") -> DataFrame:
 
 @register(
     "ann_ivf",
+    bench=True,
     # The cell structure is the label column, so the whole IVF search —
     # centroids, probe selection, in-cell exact top-k — is reproducible
     # in SQL; recall vs brute force additionally in tests/test_llm_ann.py.

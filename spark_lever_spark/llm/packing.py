@@ -163,6 +163,7 @@ def pack_documents(
 
 @register(
     "pack_documents_2048",
+    bench=True,
     # bin IDS depend on partitioning, but the packing INVARIANTS do
     # not — so the hash-checked output is the invariant summary (the
     # oracle recomputes doc/token totals; a packer bug flips a boolean

@@ -168,6 +168,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_hyperplane",
+    bench=True,
     # The hyperplane family is md5-parity-derived, so the bucket
     # assignment is fully deterministic and DuckDB can recompute the
     # identical histogram (instr over the hex alphabet = the parity of
