@@ -3,7 +3,13 @@ DuckDB oracle with driver-style canonicalization (dtype-sensitive), and
 time each one. This is the pre-flight for CORRECTNESS_r{N}.json — any
 red row here would be red in the driver's file.
 
-Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2]
+Usage: python scripts/driver_sim.py [sf_dir] [--only=name1,name2]
+       [--exclude=...] [--window=N]
+
+--window=N restricts to the FIRST N entries of registry.all_queries()
+— exactly the set the correctness driver will check with an N-query
+budget (50 in every round so far), so `--window=50` is the pre-flight
+for the next CORRECTNESS file.
 """
 
 from __future__ import annotations
@@ -25,15 +31,20 @@ def main() -> None:
         else "/root/testdata/sf0.01"
     only = None
     exclude: set[str] = set()
+    window = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
         if a.startswith("--exclude="):
             exclude = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--window="):
+            window = int(a.split("=", 1)[1])
     spark = get_session(app_name="driver-sim", shuffle_partitions=32)
     con = duckdb_con(sf_dir)
     results: dict[str, dict] = {}
     qs = registry.all_queries()
+    if window is not None:
+        qs = dict(list(qs.items())[:window])
     for name, q in qs.items():
         if (only and name not in only) or name in exclude:
             continue
