@@ -249,3 +249,15 @@ def test_agg_stats_two_stage_distinct_no_expand(spark, sf_dir):
     assert shuffle_join_count(df) == 0
     # stats agg + dedup distinct + its re-agg + presentation sort
     assert exchange_count(df) <= 4
+
+
+def test_variant_json_parses_once_and_prunes(spark, sf_dir):
+    """The VARIANT query's scale claim: ONE binary-variant extraction
+    per row (Catalyst fuses parse_json + variant_get into a single
+    direct extraction — no per-aggregate string re-parse), and the scan
+    reads only the two referenced columns."""
+    df = ALL["expr_variant_json"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("variant_get") == 1
+    (cols,) = scan_read_schema(df)
+    assert set(cols) == {"event_type", "props"}
