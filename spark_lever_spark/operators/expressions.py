@@ -396,6 +396,39 @@ def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "expr_xml_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS s, o_totalprice AS p
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+    category="expressions",
+)
+def expr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level XML functions (Spark 4 `from_xml` — completes the
+    XML story next to the file-level source in sources/io.py): build an
+    XML fragment from row values, parse it back through the schema'd
+    struct, and emit the extracted fields. The oracle computes the same
+    values directly, so the hash check verifies the construct->parse->
+    extract machinery is lossless (incl. double->string->double, exact
+    because Spark's cast emits the shortest round-trippable decimal)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    xml = F.concat(
+        F.lit("<r><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><p>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</p></r>"),
+    )
+    parsed = F.from_xml(xml, "s string, p double")
+    return (
+        o.select("o_orderkey", parsed.alias("x"))
+        .select("o_orderkey", F.col("x.s").alias("s"), F.col("x.p").alias("p"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "expr_bitwise_in_greatest",
     oracle="""
 SELECT o_orderkey,
