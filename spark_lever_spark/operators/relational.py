@@ -282,6 +282,71 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_mergeable",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__ALL__' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+ORDER BY event_type
+""",
+    category="relational",
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL aggregates (hll_sketch_agg /
+    hll_union_agg, Spark 3.5+) — the at-scale successor to the scalar
+    approx_count_distinct above: per-group sketches are REUSABLE partial
+    aggregates (store per-day/per-source sketch tables, roll any
+    combination up later by unioning binary sketches — no second pass
+    over 100 TB of raw data). Superset of the reference's HLL
+    (aggregates.scala:249-284), which could only produce a final
+    scalar. Sketch bytes aren't SQL-reproducible, so the hash-checked
+    output is the accuracy invariant per group AND for the two-level
+    union rollup (default lgConfigK=12 -> rsd ~1.6 %; 5 % is a ~3-sigma
+    bound, deterministic for Spark's fixed hash)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # exact side via pre-dedup count (no Expand, same doctrine as
+    # approx_count_distinct above)
+    exact = (
+        ev.distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_users"))
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users")).cast("double")
+        / F.col("exact_users")
+        <= 0.05
+    )
+    per_group = sk.join(exact, "event_type").select(
+        "event_type", "exact_users", ok.alias("within_5pct")
+    )
+    g_sk = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+    )
+    g_exact = (
+        ev.select("user_id").distinct().agg(F.count("*").alias("exact_users"))
+    )
+    g_ok = (
+        F.abs(F.col("est_all") - F.col("exact_users")).cast("double")
+        / F.col("exact_users")
+        <= 0.05
+    )
+    rollup = (
+        g_sk.crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("__ALL__").alias("event_type"),
+            "exact_users",
+            g_ok.alias("within_5pct"),
+        )
+    )
+    return per_group.unionByName(rollup).orderBy("event_type")
+
+
+@register(
     "sample_deterministic",
     oracle="""
 SELECT o_orderkey, o_custkey, round(o_totalprice*100)/100 AS o_totalprice
