@@ -347,6 +347,47 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bitmap_exact_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__ALL__' AS event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+ORDER BY event_type
+""",
+    category="relational",
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmap partials
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count, Spark 3.5+) — the integer-key counterpart to the HLL
+    sketch rollup above with zero approximation error. The two-level
+    shape is the point at 100 TB: level 1 builds one compact bitmap per
+    (group, 32k-bucket) — a partial aggregate you can persist per
+    day/source — and any later rollup ORs bitmaps instead of re-shuffling
+    raw ids (the global row here merges the per-type bitmaps it already
+    built). Unlike count(DISTINCT), which shuffles every distinct id,
+    the shuffle carries fixed-size bitmaps."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sub = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    per_type = sub.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    global_row = (
+        sub.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("__ALL__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(global_row).orderBy("event_type")
+
+
+@register(
     "sample_deterministic",
     oracle="""
 SELECT o_orderkey, o_custkey, round(o_totalprice*100)/100 AS o_totalprice
