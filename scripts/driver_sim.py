@@ -10,6 +10,10 @@ Usage: python scripts/driver_sim.py [sf_dir] [--only=name1,name2]
 — exactly the set the correctness driver will check with an N-query
 budget (50 in every round so far), so `--window=50` is the pre-flight
 for the next CORRECTNESS file.
+
+--window composes with --only/--exclude as an INTERSECTION (the window
+is sliced first); an --only name outside the window is skipped with a
+warning rather than silently dropped.
 """
 
 from __future__ import annotations
@@ -45,6 +49,14 @@ def main() -> None:
     qs = registry.all_queries()
     if window is not None:
         qs = dict(list(qs.items())[:window])
+        if only:
+            dropped = only - set(qs)
+            if dropped:
+                print(
+                    f"WARNING: --only names outside the first {window} "
+                    f"window are skipped: {sorted(dropped)}",
+                    file=sys.stderr,
+                )
     for name, q in qs.items():
         if (only and name not in only) or name in exclude:
             continue

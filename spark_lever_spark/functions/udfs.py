@@ -163,8 +163,12 @@ def udtf_word_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, word: string, start_off: bigint")
     class WordOffsets:
         def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
+            if text is None:
+                # Match the oracle: string_split(NULL) yields no rows
+                # (generate_series(1, NULL) is empty), not one '' row.
+                return
             off = 0
-            for pos, w in enumerate((text or "").split(" "), start=1):
+            for pos, w in enumerate(text.split(" "), start=1):
                 yield (pos, w, off)
                 off += len(w) + 1
 

@@ -75,3 +75,27 @@ def test_pipe_partitions_failure_is_loud(spark):
     out = pipe_partitions(df, ["false"], input_col="s")
     with pytest.raises(Exception, match="exited with|PythonException"):
         out.collect()
+
+
+def test_udtf_word_offsets_null_text_yields_no_rows(spark, sf_correct):
+    """NULL text must produce ZERO output rows — matching the DuckDB
+    oracle's string_split(NULL) → generate_series(1, NULL) → empty —
+    not one (1, '', 0) row (ADVICE r5: latent hash mismatch if the
+    driver ever regenerates documents with a NULL text)."""
+    from spark_lever_spark.functions.udfs import udtf_word_offsets
+
+    udtf_word_offsets(spark, sf_correct)  # registers word_offsets
+    spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id int, text string"
+    ).createOrReplaceTempView("udtf_null_text_v")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word, t.start_off
+        FROM udtf_null_text_v d, LATERAL word_offsets(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    ).collect()
+    assert [(r.doc_id, r.pos, r.word, r.start_off) for r in rows] == [
+        (2, 1, "a", 0),
+        (2, 2, "b", 2),
+    ]

@@ -1,0 +1,100 @@
+"""Driver-verification window ordering (registry.py).
+
+The correctness driver checks only the first 50 names of
+``registry.all_queries()`` per round, so the ordering IS the
+verification schedule.  These tests pin the schedule's derivation from
+the committed CORRECTNESS_r*.json artifacts: failed-latest-check
+queries re-front, never-checked queries come next (oracle-backed
+first), and green queries rotate oldest-vintage-first.
+"""
+
+from __future__ import annotations
+
+import json
+
+from spark_lever_spark import registry
+
+
+def _write(tmp_path, rnd: int, rows: dict) -> None:
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+BAD_HASH = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+ERR = {"rows_match": False, "schema_match": False, "hash_match": False, "err": "boom"}
+
+
+def test_last_green_takes_latest_round(tmp_path):
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN})
+    _write(tmp_path, 2, {"a": GREEN})
+    last_green, refront = registry._load_driver_checks(tmp_path)
+    assert last_green == {"a": 2, "b": 1}
+    assert refront == frozenset()
+
+
+def test_failed_latest_check_refronts(tmp_path):
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN, "c": GREEN})
+    _write(tmp_path, 2, {"a": ERR, "b": BAD_HASH})
+    last_green, refront = registry._load_driver_checks(tmp_path)
+    # a/b keep their round-1 green vintage but must re-front because
+    # their LATEST check failed; c stays plain green.
+    assert last_green == {"a": 1, "b": 1, "c": 1}
+    assert refront == {"a", "b"}
+
+
+def test_refront_clears_after_green_recheck(tmp_path):
+    _write(tmp_path, 1, {"a": ERR})
+    _write(tmp_path, 2, {"a": GREEN})
+    last_green, refront = registry._load_driver_checks(tmp_path)
+    assert last_green == {"a": 2}
+    assert refront == frozenset()
+
+
+def test_rows_only_green_counts(tmp_path):
+    # Rows-only (no-oracle) checks report rows_match without hash_match.
+    _write(tmp_path, 3, {"s": {"rows_match": True, "hash_match": None, "err": None}})
+    last_green, refront = registry._load_driver_checks(tmp_path)
+    assert last_green == {"s": 3}
+    assert refront == frozenset()
+
+
+def test_malformed_artifacts_degrade_to_never_checked(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r02.json").write_text('["a", "list"]')
+    last_green, refront = registry._load_driver_checks(tmp_path)
+    assert last_green == {}
+    assert refront == frozenset()
+
+
+def test_live_window_rotates_to_oldest_vintage():
+    """The real repo artifacts: window 50 must hold the least-recently
+    driver-checked queries (plus any refronts/never-checked), never a
+    re-run of the newest round's set."""
+    names = list(registry.all_queries())
+    assert len(names) == len(set(names))
+    window = set(names[:50])
+    newest = max(registry._LAST_GREEN.values(), default=0)
+    newest_only = {
+        n
+        for n, rnd in registry._LAST_GREEN.items()
+        if rnd == newest and n not in registry._REFRONT
+    }
+    # Queries whose latest green check is the newest round sort last;
+    # they only enter the window if everything older already fits.
+    overlap = window & newest_only
+    older_or_new = [
+        n
+        for n in names
+        if n in registry._REFRONT or registry._LAST_GREEN.get(n, 0) < newest
+    ]
+    assert not overlap or len(older_or_new) < 50
+
+
+def test_never_checked_oracle_queries_lead_green_requeue():
+    """A query with no CORRECTNESS row anywhere must sort before every
+    already-green query (the driver should spend budget on new
+    information first)."""
+    qs = registry.all_queries()
+    groups = [registry._driver_group(q)[0] for q in qs.values()]
+    # group ids must be non-decreasing in the exposed order
+    assert groups == sorted(groups)
