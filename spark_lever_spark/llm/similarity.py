@@ -166,6 +166,29 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hyperplane_signs(nbits: int, dim: int) -> list[list[float]]:
+    """The deterministic +-1 hyperplane family: component i of plane j
+    is +1 iff the first hex digit of md5("{j}_{i}") is even — the same
+    function the DuckDB oracle evaluates in SQL.  Computed ONCE on the
+    driver (nbits x dim tiny table) instead of per row: the executors
+    then do pure dot products against literal arrays, which removes
+    nbits x dim md5/conv/substring evaluations from every row (the
+    dominant cost at any scale) without changing a single output bit.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+
 @register(
     "ann_lsh_hyperplane",
     bench=True,
@@ -207,36 +230,26 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(j,i) parity — reproducible across runs with no stored model.
     Query-side use: hash the query with the same planes, probe its
     bucket (plus neighbors at hamming<=1) instead of scanning all rows.
+
+    Sign application is a conditional negate (not a multiply) and the
+    fold order is element order, so the per-plane sums are bit-identical
+    to evaluating the md5 inline — the form the oracle uses and the one
+    this query shipped with through round 5.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     nbits = 16
     v = as_double(F.col("embedding"))
 
-    def plane_sign(j: int) -> Column:
-        # deterministic +-1 pattern per (plane j, component i); closure
-        # factory keeps the zip_with lambda binary
-        def signed(x, i):
-            parity = (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.encode(
-                                F.concat_ws("_", F.lit(str(j)), i.cast("string")),
-                                "UTF-8",
-                            )
-                        ),
-                        1,
-                        1,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-            )
-            return F.when(parity == 0, x).otherwise(-x)
+    # Fixed-dim contract (TESTDATA.md: embeddings are constant-length);
+    # a LIMIT-1 probe reads one row, which stays O(1) at any scale.
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = hyperplane_signs(nbits, dim)
 
+    def plane_sign(j: int) -> Column:
+        signs = F.array(*[F.lit(s) for s in planes[j]])
         return F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.size("embedding") - 1), signed),
+            F.zip_with(v, signs, lambda x, s: F.when(s > 0, x).otherwise(-x)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
