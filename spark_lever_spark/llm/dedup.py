@@ -498,3 +498,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH base AS (
+  SELECT source, string_split(text, ' ') AS l FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(unnest(list_transform(
+             range(1, greatest(len(l) - 6, 1)),
+             i -> list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + 7],
+                                 'string_agg', ' ')))), 1, 12))::BIGINT AS gh
+  FROM base
+),
+sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY source_a, source_b
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       CAST(s.shared_grams AS DOUBLE)
+         / (sa.n + sb.n - s.shared_grams) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.source_a = sa.source
+JOIN sizes sb ON s.source_b = sb.source
+ORDER BY source_a, source_b
+""",
+    category="llm_dedup",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct 8-token-gram overlap
+    (count + Jaccard) for every source pair — the leakage audit a
+    training pipeline runs before mixing corpora, at the same gram
+    grain as benchmark decontamination (text_decontaminate).
+
+    Scale shape: text reduces to distinct (source, 48-bit gram hash)
+    rows before any join; the pair join is equi-hash on the gram hash
+    with fan-out bounded by sources-per-gram; the per-source totals
+    are a tiny broadcast. Never a cartesian, never text in a shuffle."""
+    from spark_lever_spark.llm.curation import _md5_long, _token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source", F.split(F.col("text"), " ").alias("toks")
+        )
+        .select(
+            "source",
+            F.explode(_token_ngrams(F.col("toks"), 8)).alias("gram"),
+        )
+        .select("source", _md5_long(F.col("gram"), 12).alias("gh"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            (
+                F.col("shared_grams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_grams"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -123,3 +123,68 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("purchased_after_click")))
     )
+
+
+@register(
+    "anomaly_hourly_event_rate",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, hour
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.cnt,
+       round(((CAST(h.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_hours)
+         / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_hours)
+                / (s.n_hours - 1))) * 1000000) / 1000000 AS z_score,
+       abs((CAST(h.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_hours)
+         / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_hours)
+                / (s.n_hours - 1))) > 2.0 AS is_anomaly
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+ORDER BY h.event_type, h.hour
+""",
+    category="events",
+)
+def anomaly_hourly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: z-score of each (event_type, hour)
+    count against that type's mean/std across hours, flag |z| > 2 —
+    the alerting primitive over any metric stream.
+
+    Cross-engine exactness: variance is NOT stddev_samp (both engines
+    use different streaming accumulations — last-ulp divergence would
+    flip rounded digits and threshold flags). Instead the per-type
+    moments are exact BIGINT sums (S1, S2) and the z-score is one
+    textual IEEE formula evaluated identically in both engines; the
+    final rounding is the round_to form (functions/exact.py doctrine).
+    Scale shape: hourly agg shuffles once on (type, hour); the 5-row
+    stats table broadcasts back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "hour",
+        "cnt",
+        (F.round(z * 1000000) / 1000000).alias("z_score"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.functions.exact import cents, round_to
@@ -938,4 +939,43 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 found, F.array(F.lit("A"), F.lit("N"), F.lit("R"))
             )) == 3
         ).alias("all_flags_present"),
+    )
+
+
+@register(
+    "reservoir_per_key",
+    oracle="""
+SELECT event_type, event_id, CAST(rk AS INT) AS rk FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+WHERE rk <= 3
+ORDER BY event_type, rk
+""",
+    category="relational",
+)
+def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir-style k-per-group sampling: rank rows
+    within each key by a keyed hash (md5 of the row id — uniform and
+    identical in both engines) and keep the top k. Unlike
+    sampleByKey's Bernoulli draw this yields EXACTLY k rows per group,
+    reproducibly, with no RNG state — the form a training pipeline
+    uses for per-source spot-check samples.
+
+    Scale shape: one shuffle on the group key; the rank filter is a
+    running top-k, and Spark 3.5+ inserts WindowGroupLimit so each
+    map task pre-prunes to k rows before the exchange — the shuffle
+    carries O(k x groups), not the full table."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("event_type", "rk")
     )

@@ -135,3 +135,64 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return piv.fillna(0)
+
+
+@register(
+    "rollup_hourly_to_daily_mergeable",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_cents
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+    category="rollups",
+)
+def rollup_hourly_to_daily_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable) rollup: daily stats derived
+    ONLY from hourly partial aggregates, never re-reading raw events —
+    the pattern that lets a 100 TB pipeline maintain hour partials
+    incrementally and serve day/week/month by merging 24/168/720 tiny
+    rows instead of rescanning. Every partial is mergeable: counts and
+    integer-cents sums add, min/max fold; avg is re-derived at the end
+    from the merged sums (never averaged-of-averages).
+
+    The oracle computes the daily stats straight from raw events —
+    equality IS the proof that the hourly layer loses nothing. Exact
+    by construction: all merged quantities are 64-bit integers
+    (functions/exact.py doctrine), so partial-aggregation order cannot
+    perturb a single bit."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn(
+            "avg_cents",
+            F.col("value_cents").cast("double") / F.col("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )

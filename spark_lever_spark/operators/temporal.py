@@ -321,3 +321,129 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_event_ts"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id", "grid_ts")
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) IS NULL
+         AS is_current
+FROM changes
+ORDER BY user_id, valid_from, event_id
+""",
+    category="temporal",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension construction from an event log: collapse
+    each user's event stream into contiguous (event_type, valid_from,
+    valid_to, is_current) validity intervals — the
+    slowly-changing-dimension snapshot a warehouse derives from CDC.
+
+    One shuffle: both windows partition by user_id, so the second
+    window reuses the first's hash partitioning (no extra exchange).
+    At 100 TB the change-row filter runs before the second window, so
+    state per user shrinks from all events to distinct runs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE user_id < 50
+),
+seg AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         datediff('microsecond', ts, next_ts) AS dur_us
+  FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us) AS twap_cents
+FROM seg GROUP BY user_id
+ORDER BY user_id
+""",
+    category="temporal",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is
+    weighted by how long it was the latest one (duration to the next
+    event) — the TWAP/TWA primitive for telemetry and pricing streams
+    where sampling is irregular and a plain AVG over-weights bursts.
+
+    Exactness: durations are integer microseconds, values integer
+    cents, so the weighted sum is pure 64-bit arithmetic; only the
+    final ratio is a double (one identical IEEE division per group in
+    both engines). One shuffle on user_id; the window and the
+    aggregation share its partitioning."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "value", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (
+                F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+            ).alias("dur_us"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("weighted_cents_us"),
+            F.sum("dur_us").alias("total_us"),
+        )
+        .withColumn(
+            "twap_cents",
+            F.col("weighted_cents_us").cast("double") / F.col("total_us"),
+        )
+        .orderBy("user_id")
+    )

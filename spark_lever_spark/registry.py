@@ -182,6 +182,7 @@ def _ensure_loaded() -> None:
         tpch3,
         relational,
         joins,
+        bloom,
         setops,
         rollups,
         windows,

@@ -261,3 +261,52 @@ def test_variant_json_parses_once_and_prunes(spark, sf_dir):
     assert opt.count("variant_get") == 1
     (cols,) = scan_read_schema(df)
     assert set(cols) == {"event_type", "props"}
+
+
+def test_bloom_prune_is_map_side(spark, sf_dir):
+    """The Bloom runtime filter must cost the fact table ZERO
+    exchanges: bitmap arrives by broadcast, probe is a scan-side
+    filter, and the exact verify join is broadcast too. The only
+    exchanges in the whole plan belong to the bitmap build (tiny key
+    side) and the final group-by/sort."""
+    df = ALL["bloom_semi_join_prune"].fn(spark, sf_dir)
+    # bitmap broadcast (1-row NLJ) + exact semi-join broadcast
+    assert broadcast_join_count(df) + nested_loop_join_count(df) >= 2
+    assert shuffle_join_count(df) == 0
+    # exchanges: bitmap two-level agg (2) + final groupBy (1) + sort (1)
+    assert exchange_count(df) <= 4
+
+
+def test_reservoir_per_key_prunes_before_shuffle(spark, sf_dir):
+    """rank<=k must be pushed into a WindowGroupLimit below the
+    exchange so each map task ships only k rows per group — the
+    difference between shuffling O(k x groups) and the whole table."""
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["reservoir_per_key"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert exchange_count(df) <= 2  # group-key shuffle + final sort
+
+
+def test_scd2_single_data_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition by user_id — the second window must
+    reuse the first's hash partitioning (one data exchange + the
+    presentation sort, nothing more)."""
+    df = ALL["scd2_event_type_history"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 2
+
+
+def test_mergeable_rollup_reuses_partials(spark, sf_dir):
+    """Daily stats must derive from the hourly layer: two aggregation
+    exchanges (hour grain, day grain) + presentation sort; the raw
+    events scan happens exactly once."""
+    from spark_lever_spark.plans import formatted_plan
+
+    import re
+
+    df = ALL["rollup_hourly_to_daily_mergeable"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 3
+    # formatted plans print each node twice (tree + detail) — count
+    # detail entries only
+    assert len(re.findall(r"^\(\d+\) Scan parquet", formatted_plan(df), re.M)) == 1
