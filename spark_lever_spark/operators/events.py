@@ -188,3 +188,57 @@ def anomaly_hourly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z * 1000000) / 1000000).alias("z_score"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "retention_cohorts_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+    category="events",
+)
+def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each subsequent active day-offset — the product-analytics table
+    behind every retention curve.
+
+    Scale shape: the firsts table is one agg on user_id; the
+    activity join co-partitions on the same user_id key (no broadcast
+    needed or wanted — firsts is proportional to the user base); the
+    distinct collapses (user, day) activity before the final small agg.
+    Three shuffles total, all on keys that AQE can coalesce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

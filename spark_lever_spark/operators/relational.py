@@ -979,3 +979,64 @@ def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("event_type", "rk")
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+SELECT p_partkey, p_retailprice, p_size
+FROM part y
+WHERE NOT EXISTS (
+  SELECT 1 FROM part x
+  WHERE (x.p_retailprice < y.p_retailprice AND x.p_size >= y.p_size)
+     OR (x.p_retailprice = y.p_retailprice AND x.p_size > y.p_size)
+)
+ORDER BY p_retailprice, p_size, p_partkey
+""",
+    category="relational",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on
+    (minimize price, maximize size). The oracle states the spec as the
+    O(n^2) NOT EXISTS; this implementation is the O(n log n) scalable
+    form — collapse to per-price maxima, one running max over the
+    price-sorted per-price table (tiny relative to the fact table),
+    broadcast the qualifying (price, size) pairs back. Ties on both
+    axes are mutually non-dominating and all kept, exactly as the
+    NOT-EXISTS spec implies.
+
+    Scale note: the single-partition running max runs over DISTINCT
+    prices only (bounded domain), not rows; for an unbounded domain
+    the same prefix-max is computed with a range-partitioned two-pass
+    (per-partition max + prefix over partition summaries)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("max_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_prices = (
+        per_price.withColumn("m_cheaper", F.max("max_size").over(w))
+        .filter(
+            F.col("m_cheaper").isNull()
+            | (F.col("max_size") > F.col("m_cheaper"))
+        )
+        # renamed so the join back to `part` (its own ancestor) is
+        # unambiguous
+        .select(
+            F.col("p_retailprice").alias("fp_price"),
+            F.col("max_size").alias("fp_size"),
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_prices),
+            (F.col("p_retailprice") == F.col("fp_price"))
+            & (F.col("p_size") == F.col("fp_size")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
