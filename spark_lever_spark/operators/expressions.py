@@ -524,3 +524,180 @@ def na_fill_drop_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "unpivot_melt_orders",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS total_price,
+         round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*)) / 100 AS avg_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, val
+FROM wide
+UNPIVOT (val FOR metric IN (n_orders, total_price, avg_price))
+ORDER BY o_orderpriority, metric
+""",
+    category="expressions",
+)
+def unpivot_melt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of pivot (reference has neither;
+    pivot_event_type_daily covers the forward direction). Wide
+    per-priority stats become long (priority, metric, value) rows —
+    the Expand-based plan Spark generates is the same family as CUBE.
+    Map-only after the aggregation; value columns are pre-cast to one
+    type (unpivot requires it, exactly like the SQL standard)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents_sum = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        (cents_sum.cast("double") / 100).alias("total_price"),
+        (F.round(cents_sum.cast("double") / F.count("*")) / 100).alias(
+            "avg_price"
+        ),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "val",
+    ).orderBy("o_orderpriority", "metric")
+
+
+@register(
+    "lateral_topk_per_customer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, round(o_totalprice * 100) / 100 AS o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey < 300
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+    category="expressions",
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group LIMIT — top-2 orders
+    per customer written the declarative way. Spark decorrelates this
+    into a ranked window join (DecorrelateInnerQuery), i.e. the same
+    physical plan as window_topk_per_group — the test is that the SQL
+    surface exists and plans without a per-customer re-execution.
+    The reference's 1.3 parser had no LATERAL at all."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lat_v"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat_v c, LATERAL (
+          SELECT o_orderkey, round(o_totalprice * 100) / 100 AS o_totalprice
+          FROM orders_lat_v
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 300
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@register(
+    "recursive_cte_dup_chains",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(list_transform(
+      range(1, greatest(len(l) - 6, 1)),
+      i -> list_aggregate(l[CAST(i AS INT):CAST(i AS INT) + 7],
+                          'string_agg', ' ')))), 1, 12))::BIGINT AS gh
+  FROM base
+),
+fp AS (SELECT doc_id, min(gh) AS fp FROM grams GROUP BY doc_id),
+chain AS (
+  SELECT doc_id, fp,
+         lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev_id
+  FROM fp
+),
+edges AS (
+  SELECT prev_id AS src, doc_id AS dst FROM chain WHERE prev_id IS NOT NULL
+),
+roots AS (
+  SELECT doc_id FROM chain c
+  WHERE prev_id IS NULL
+    AND EXISTS (SELECT 1 FROM edges e WHERE e.src = c.doc_id)
+),
+closure(root_id, member_id) AS (
+  SELECT doc_id, doc_id FROM roots
+  UNION ALL
+  SELECT c.root_id, e.dst FROM closure c JOIN edges e ON e.src = c.member_id
+)
+SELECT root_id, member_id FROM closure
+ORDER BY root_id, member_id
+""",
+    category="expressions",
+)
+def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 superset — the 1.3 parser had no CTEs
+    at all): walk near-dup candidate chains to their roots. Documents
+    are bucketed by a 1-permutation MinHash fingerprint (minimum
+    48-bit 8-gram hash — the same gram/hash family as
+    text_decontaminate, so the bucketing is a real LSH blocking key),
+    linked into id-ordered chains per bucket by a window, and the
+    recursion re-derives every (root, member) reachability pair — the
+    declarative twin of the iterative large-star/small-star closure in
+    llm/graph.py. Depth is bounded by the largest bucket (single-digit
+    here; the recursion budget mirrors graph.py's iteration budget);
+    each step is an equi-join on the tiny edge set."""
+    from spark_lever_spark.llm.curation import _md5_long, _token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id", F.explode(_token_ngrams(F.col("toks"), 8)).alias("g")
+        )
+        .groupBy("doc_id")
+        .agg(F.min(_md5_long(F.col("g"), 12)).alias("fp"))
+    )
+    fp.createOrReplaceTempView("docs_fp_rec_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT doc_id, fp,
+                 lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev_id
+          FROM docs_fp_rec_v
+        ),
+        edges AS (
+          SELECT prev_id AS src, doc_id AS dst FROM chain
+          WHERE prev_id IS NOT NULL
+        ),
+        roots AS (
+          SELECT doc_id FROM chain c
+          WHERE prev_id IS NULL
+            AND EXISTS (SELECT 1 FROM edges e WHERE e.src = c.doc_id)
+        ),
+        closure(root_id, member_id) AS (
+          SELECT doc_id, doc_id FROM roots
+          UNION ALL
+          SELECT c.root_id, e.dst FROM closure c JOIN edges e
+            ON e.src = c.member_id
+        )
+        SELECT root_id, member_id FROM closure
+        ORDER BY root_id, member_id
+        """
+    )
