@@ -701,3 +701,59 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY root_id, member_id
         """
     )
+
+
+@register(
+    "expr_map_hof",
+    oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS net_cents
+  FROM lineitem WHERE l_orderkey < 200
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey, l_linenumber, net_cents / 2 AS adj_cents
+FROM per_line
+WHERE net_cents > 2000000
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="expressions",
+)
+def expr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type higher-order functions: build a per-order
+    linenumber -> net-cents map (map_from_entries over collect_list;
+    keys made unique by a per-(order, linenumber) pre-aggregation),
+    map_filter to big lines, transform_values to apply an adjustment,
+    explode back to rows. The oracle states the same semantics as plain
+    row arithmetic — the point here is the map surface (absent in 1.3:
+    complexTypes.scala had only GetItem), with row-comparable output.
+    Integer-cents arithmetic end to end; map ops are JVM higher-order
+    functions operating after the per-order collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(net_cents).alias("net_cents")
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "net_cents"))
+            )
+        ).alias("m")
+    )
+    adjusted = per_order.select(
+        "l_orderkey",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, v: v > 2000000),
+            lambda k, v: v / 2,
+        ).alias("m"),
+    )
+    return (
+        adjusted.select(
+            "l_orderkey", F.explode("m").alias("l_linenumber", "adj_cents")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -207,3 +207,36 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+SELECT s_suppkey,
+       round(s_acctbal * 100) / 100 AS s_acctbal,
+       round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+       round(cume_dist() OVER w * 1000000) / 1000000 AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_acctbal, s_suppkey
+""",
+    category="windows",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / decile ntile in one window — the
+    relative-standing trio (completes the ranking family next to
+    rank/dense_rank/row_number). Exact cross-engine: both ranks are
+    integer-derived ratios ((rank-1)/(n-1), rank/n) computed with one
+    IEEE division, rounded with the round_to form."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        (F.round(F.col("s_acctbal") * 100) / 100).alias("s_acctbal"),
+        (F.round(F.percent_rank().over(w) * 1000000) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.round(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    ).orderBy("s_acctbal", "s_suppkey")

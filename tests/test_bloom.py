@@ -46,3 +46,29 @@ def test_bloom_empty_keys_prunes_everything(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     pruned = bloom_prune(li, "l_orderkey", bloom_bitmap(empty, "o_orderkey"))
     assert pruned.count() == 0
+
+
+def test_bloom_never_false_negative_property(spark):
+    """Property: for ANY key set and probe set, every probe key that is
+    in the key set survives the prune (Bloom filters may false-positive
+    but must never false-negative — the one-sided error the exact
+    verify join relies on)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+        probes=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+    )
+    def check(keys, probes):
+        kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+        pdf = spark.createDataFrame([(p,) for p in probes], "k long")
+        survivors = {
+            r.k
+            for r in bloom_prune(
+                pdf, "k", bloom_bitmap(kdf, "k", nbits=1 << 12), nbits=1 << 12
+            ).collect()
+        }
+        assert (set(probes) & set(keys)) <= survivors
+
+    check()
