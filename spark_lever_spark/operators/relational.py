@@ -1040,3 +1040,83 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
+
+
+@register(
+    "dq_audit_orders",
+    oracle="""
+WITH checks AS (
+  SELECT 'status_domain' AS check_name,
+         count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS n_violations,
+         count(*) AS n_checked
+  FROM orders
+  UNION ALL
+  SELECT 'negative_totalprice',
+         count(*) FILTER (o_totalprice <= 0), count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'orphan_custkey',
+         count(*) FILTER (c_custkey IS NULL), count(*)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         count(*) FILTER (o.o_orderkey IS NULL), count(*)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT check_name, n_violations, n_checked,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+""",
+    category="relational",
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: null-rate, value-range, and referential-
+    integrity checks as one declarative union — the expectation-suite
+    primitive run before any table is trusted downstream. Each check
+    is a count-filter aggregate; the referential checks are left-join
+    + null-count (the broadcast-or-shuffle choice is Catalyst's by
+    dim size). One pass per check; at scale the single-table checks
+    share one scan via the union."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(violation).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+
+    checks = (
+        check(
+            "status_domain",
+            orders,
+            ~F.col("o_orderstatus").isin("F", "O", "P"),
+        )
+        .unionAll(
+            check(
+                "negative_totalprice", orders, F.col("o_totalprice") <= 0
+            )
+        )
+        .unionAll(
+            check(
+                "orphan_custkey",
+                orders.join(
+                    cust, orders.o_custkey == cust.c_custkey, "left"
+                ),
+                F.col("c_custkey").isNull(),
+            )
+        )
+        .unionAll(
+            check(
+                "lineitem_orphan_orderkey",
+                li.join(orders, li.l_orderkey == orders.o_orderkey, "left"),
+                F.col("o_orderkey").isNull(),
+            )
+        )
+    )
+    return checks.withColumn(
+        "passed", F.col("n_violations") == 0
+    ).orderBy("check_name")

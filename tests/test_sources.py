@@ -279,3 +279,23 @@ def test_data_contract_full_schemas(spark, sf_dir):
             for f in load_table(spark, sf_dir, name).schema.fields
         ]
         assert got == want, f"{name} schema drifted: {got} != {want}"
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across parquet files: a reader with
+    mergeSchema=True unions the fields (missing columns become NULL) —
+    the contract that lets a 100 TB table add columns without
+    rewriting history. Default readers take footer-of-first-file, so
+    the option must be explicit."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id long, a string, score double"
+    ).write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "a", "score", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
