@@ -661,8 +661,17 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion re-derives every (root, member) reachability pair — the
     declarative twin of the iterative large-star/small-star closure in
     llm/graph.py. Depth is bounded by the largest bucket (single-digit
-    here; the recursion budget mirrors graph.py's iteration budget);
-    each step is an equi-join on the tiny edge set."""
+    here; the recursion budget mirrors graph.py's iteration budget).
+
+    The edge and root sets are MATERIALIZED (persist + count) before
+    the recursion: Spark re-executes the recursive step's inputs every
+    iteration, so an unmaterialized edge view would re-run the full
+    gram-hashing scan per level (measured 5s -> ~1s at sf0.01; at
+    corpus scale it is the difference between one pass and depth
+    passes over the corpus). Same discipline as llm/graph.py's
+    per-round persist."""
+    from pyspark.sql.window import Window
+
     from spark_lever_spark.llm.curation import _md5_long, _token_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
@@ -674,86 +683,32 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(_md5_long(F.col("g"), 12)).alias("fp"))
     )
-    fp.createOrReplaceTempView("docs_fp_rec_v")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    chain = fp.withColumn("prev_id", F.lag("doc_id").over(w))
+    edges = (
+        chain.filter(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("src"), F.col("doc_id").alias("dst"))
+        .persist()
+    )
+    edges.count()  # materialize before the iterative consumer
+    roots = (
+        chain.filter(F.col("prev_id").isNull())
+        .join(edges, chain.doc_id == edges.src, "left_semi")
+        .select("doc_id")
+        .persist()
+    )
+    roots.count()
+    edges.createOrReplaceTempView("dup_edges_v")
+    roots.createOrReplaceTempView("dup_roots_v")
     return spark.sql(
         """
-        WITH RECURSIVE chain AS (
-          SELECT doc_id, fp,
-                 lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev_id
-          FROM docs_fp_rec_v
-        ),
-        edges AS (
-          SELECT prev_id AS src, doc_id AS dst FROM chain
-          WHERE prev_id IS NOT NULL
-        ),
-        roots AS (
-          SELECT doc_id FROM chain c
-          WHERE prev_id IS NULL
-            AND EXISTS (SELECT 1 FROM edges e WHERE e.src = c.doc_id)
-        ),
-        closure(root_id, member_id) AS (
-          SELECT doc_id, doc_id FROM roots
+        WITH RECURSIVE closure(root_id, member_id) AS (
+          SELECT doc_id, doc_id FROM dup_roots_v
           UNION ALL
-          SELECT c.root_id, e.dst FROM closure c JOIN edges e
+          SELECT c.root_id, e.dst FROM closure c JOIN dup_edges_v e
             ON e.src = c.member_id
         )
         SELECT root_id, member_id FROM closure
         ORDER BY root_id, member_id
         """
-    )
-
-
-@register(
-    "expr_map_hof",
-    oracle="""
-WITH per_line AS (
-  SELECT l_orderkey, l_linenumber,
-         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT)) AS BIGINT) AS net_cents
-  FROM lineitem WHERE l_orderkey < 200
-  GROUP BY l_orderkey, l_linenumber
-)
-SELECT l_orderkey, l_linenumber, net_cents / 2 AS adj_cents
-FROM per_line
-WHERE net_cents > 2000000
-ORDER BY l_orderkey, l_linenumber
-""",
-    category="expressions",
-)
-def expr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-type higher-order functions: build a per-order
-    linenumber -> net-cents map (map_from_entries over collect_list;
-    keys made unique by a per-(order, linenumber) pre-aggregation),
-    map_filter to big lines, transform_values to apply an adjustment,
-    explode back to rows. The oracle states the same semantics as plain
-    row arithmetic — the point here is the map surface (absent in 1.3:
-    complexTypes.scala had only GetItem), with row-comparable output.
-    Integer-cents arithmetic end to end; map ops are JVM higher-order
-    functions operating after the per-order collect."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
-    net_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.sum(net_cents).alias("net_cents")
-    )
-    per_order = per_line.groupBy("l_orderkey").agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(F.struct("l_linenumber", "net_cents"))
-            )
-        ).alias("m")
-    )
-    adjusted = per_order.select(
-        "l_orderkey",
-        F.transform_values(
-            F.map_filter(F.col("m"), lambda k, v: v > 2000000),
-            lambda k, v: v / 2,
-        ).alias("m"),
-    )
-    return (
-        adjusted.select(
-            "l_orderkey", F.explode("m").alias("l_linenumber", "adj_cents")
-        )
-        .orderBy("l_orderkey", "l_linenumber")
     )
