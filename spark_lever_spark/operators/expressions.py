@@ -712,3 +712,103 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY root_id, member_id
         """
     )
+
+
+@register(
+    "expr_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0) AS safe_div,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 3) * 100) / 100 END
+         AS safe_div_rounded,
+       [o_orderstatus, o_orderpriority][CAST(o_orderkey % 4 + 1 AS INT)]
+         AS maybe_elem
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    category="expressions",
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* expression family (superset — 1.3 had no ANSI
+    mode at all): try_divide yields NULL on division by zero instead
+    of erroring, try_element_at yields NULL out of range instead of
+    INVALID_ARRAY_INDEX. The oracle states the same semantics with
+    explicit NULL guards (nullif / bounds CASE) — the point is that
+    the TRY forms keep an ANSI-mode pipeline total without wrapping
+    every expression in CASE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    idx = ((F.col("o_orderkey") % 4) + 1).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("safe_div"),
+        (
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)
+                * 100
+            )
+            / 100
+        ).alias("safe_div_rounded"),
+        F.try_element_at(
+            F.array("o_orderstatus", "o_orderpriority"), idx
+        ).alias("maybe_elem"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "expr_map_hof",
+    oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS net_cents
+  FROM lineitem WHERE l_orderkey < 200
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey, l_linenumber, net_cents / 2 AS adj_cents
+FROM per_line
+WHERE net_cents > 2000000
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="expressions",
+)
+def expr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type higher-order functions: build a per-order
+    linenumber -> net-cents map (map_from_entries over collect_list;
+    keys made unique by a per-(order, linenumber) pre-aggregation),
+    map_filter to big lines, transform_values to apply an adjustment,
+    explode back to rows. The oracle states the same semantics as plain
+    row arithmetic — the point here is the map surface (absent in 1.3:
+    complexTypes.scala had only GetItem), with row-comparable output.
+    Integer-cents arithmetic end to end; map ops are JVM higher-order
+    functions operating after the per-order collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(net_cents).alias("net_cents")
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "net_cents"))
+            )
+        ).alias("m")
+    )
+    adjusted = per_order.select(
+        "l_orderkey",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, v: v > 2000000),
+            lambda k, v: v / 2,
+        ).alias("m"),
+    )
+    return (
+        adjusted.select(
+            "l_orderkey", F.explode("m").alias("l_linenumber", "adj_cents")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

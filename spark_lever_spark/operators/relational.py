@@ -1120,3 +1120,54 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.withColumn(
         "passed", F.col("n_violations") == 0
     ).orderBy("check_name")
+
+
+@register(
+    "stat_mad_by_flag",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, median(l_extendedprice) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(m.med * 100) / 100 AS median_price,
+       round(median(abs(l.l_extendedprice - m.med)) * 100) / 100
+         AS mad_price,
+       count(*) AS n
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag, m.med
+ORDER BY l.l_returnflag
+""",
+    category="relational",
+)
+def stat_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    companion to the exact-moment stddev in agg_stats_full (outliers
+    move stddev, not MAD). Two grouped exact medians: per-group median,
+    broadcast back, median of absolute deviations. Both engines
+    interpolate even-count medians as the midpoint of identical
+    doubles, so the values agree bit-for-bit before the presentation
+    rounding (probed; the round_to form absorbs interpolation ulps)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag", "med")
+        .agg(
+            F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias(
+                "mad"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            (F.round(F.col("med") * 100) / 100).alias("median_price"),
+            (F.round(F.col("mad") * 100) / 100).alias("mad_price"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -98,3 +98,25 @@ def test_never_checked_oracle_queries_lead_green_requeue():
     groups = [registry._driver_group(q)[0] for q in qs.values()]
     # group ids must be non-decreasing in the exposed order
     assert groups == sorted(groups)
+
+
+def test_no_silent_deregistration():
+    """Every query name ever committed must stay registered — a
+    refactor that slices a module (this exact accident deleted
+    expr_map_hof in round 6 and nothing failed, because parametrized
+    oracle tests collect FROM the registry) must fail loudly here.
+    When adding queries, regenerate tests/registry_names.txt:
+    python -c "from spark_lever_spark import registry; print('\\n'.join(sorted(registry.all_queries())))" > tests/registry_names.txt
+    """
+    from pathlib import Path
+
+    committed = set(
+        Path(__file__).with_name("registry_names.txt").read_text().split()
+    )
+    live = set(registry.all_queries())
+    missing = committed - live
+    assert not missing, f"queries disappeared from the registry: {sorted(missing)}"
+    new = live - committed
+    assert not new, (
+        f"new queries not yet in registry_names.txt (regenerate it): {sorted(new)}"
+    )
