@@ -584,3 +584,58 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "fuzzy_join_customer_names",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM c a JOIN c b
+  ON length(a.c_name) = length(b.c_name)
+ AND substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+""",
+    category="llm_dedup",
+)
+def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: name pairs within Levenshtein distance 1,
+    candidate-blocked on (length, 12-char prefix) so the expensive
+    edit-distance only runs on an equi-joined candidate set — the
+    blocking-then-verify shape every entity-resolution pipeline uses
+    (and the same subquadratic discipline as the MinHash/SimHash
+    dedups: the blocking key is an equality join, never an all-pairs
+    theta). Levenshtein agrees exactly across engines (classic DP,
+    probed)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.length("c_name").alias("blk_len"),
+            F.substring("c_name", 1, 12).alias("blk_pre"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_len") == F.col("b.blk_len"))
+            & (F.col("a.blk_pre") == F.col("b.blk_pre"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
