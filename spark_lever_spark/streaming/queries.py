@@ -276,3 +276,50 @@ def stream_static_orders_by_nation(
         F.sum("o_totalprice").alias("total"),
     )
     return _drain_complete(agg, "orders_by_nation").orderBy("nation")
+
+
+@register(
+    "stream_sliding_events_30m",
+    oracle="""
+WITH contrib AS (
+  SELECT e.event_type, e.ts,
+         date_trunc('minute', e.ts)
+           - ((EXTRACT(minute FROM e.ts)::INT % 15) * INTERVAL 1 MINUTE)
+           - (k.k * INTERVAL 15 MINUTE) AS win_start
+  FROM events e, (SELECT unnest(range(2)) AS k) k
+)
+SELECT CAST(win_start AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS events
+FROM contrib
+WHERE ts >= win_start AND ts < win_start + INTERVAL 30 MINUTE
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    category="streaming",
+)
+def stream_sliding_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (30 min window, 15 min slide) over
+    the drained events stream — reduceByKeyAndWindow with overlap
+    (PairDStreamFunctions.scala:198-347; the reference maintained the
+    overlap incrementally with invReduceFunc, Structured Streaming's
+    stateful window agg does natively). Each event lands in exactly 2
+    windows; the oracle enumerates the same 2 candidate windows per
+    event (bucket minus k*slide) and filters to containment — exact
+    integer counts."""
+    from spark_lever_spark.streaming.core import sliding_window_agg
+
+    sdf = _stream_table(spark, sf_dir, "events")
+    win = sliding_window_agg(
+        sdf,
+        "ts",
+        "30 minutes",
+        "15 minutes",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("events")],
+    )
+    final = _drain_complete(win, "events_sliding30")
+    return final.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "events",
+    ).orderBy("window_start", "event_type")

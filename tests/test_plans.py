@@ -310,3 +310,13 @@ def test_mergeable_rollup_reuses_partials(spark, sf_dir):
     # formatted plans print each node twice (tree + detail) — count
     # detail entries only
     assert len(re.findall(r"^\(\d+\) Scan parquet", formatted_plan(df), re.M)) == 1
+
+
+def test_fuzzy_and_overlap_joins_stay_equi(spark, sf_dir):
+    """The record-linkage and contamination-matrix joins must plan as
+    equi-hash joins on their blocking keys — an accidental BNL here is
+    quadratic at corpus scale."""
+    for name in ("fuzzy_join_customer_names", "source_overlap_matrix"):
+        df = ALL[name].fn(spark, sf_dir)
+        assert nested_loop_join_count(df) == 0, name
+        assert broadcast_join_count(df) + shuffle_join_count(df) >= 1, name
