@@ -600,3 +600,117 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curate_top_half_by_source",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+           AS avg_tok_len
+  FROM documents
+),
+med AS (
+  SELECT source, median(avg_tok_len) AS med_score FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source,
+       round(s.avg_tok_len * 10000) / 10000 AS avg_tok_len,
+       round(m.med_score * 10000) / 10000 AS source_median
+FROM scored s JOIN med m ON s.source = m.source
+WHERE s.avg_tok_len <= m.med_score
+ORDER BY s.doc_id
+""",
+    category="llm_curation",
+)
+def curate_top_half_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median-gated curation: keep each source's better
+    half by a quality signal (here: mean token length, lower = less
+    noisy on this corpus) — relative-to-domain gating instead of one
+    global threshold, the standard guard against a single domain's
+    distribution dominating the cut. Per-source medians are a tiny
+    aggregate broadcast back; the gate is a map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    from spark_lever_spark.llm.textstats import token_count
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text").cast("double") / token_count(F.col("text"))
+        ).alias("avg_tok_len"),
+    )
+    med = scored.groupBy("source").agg(
+        F.median("avg_tok_len").alias("med_score")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("avg_tok_len") <= F.col("med_score"))
+        .select(
+            "doc_id",
+            "source",
+            (F.round(F.col("avg_tok_len") * 10000) / 10000).alias(
+                "avg_tok_len"
+            ),
+            (F.round(F.col("med_score") * 10000) / 10000).alias(
+                "source_median"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens <= 2000
+ORDER BY source, cum_tokens
+""",
+    category="llm_curation",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus sampling: take documents per source
+    in deterministic hash order until a 2000-token budget fills — how
+    a mixture spec ('at most N tokens from source X') becomes an
+    actual row set, reproducibly, with no RNG state. One window
+    (running token sum per source) + a map-side cut; the hash order
+    makes the selection independent of physical row order, so the
+    result is identical across partitionings and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from spark_lever_spark.llm.textstats import token_count
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )

@@ -447,3 +447,91 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "interval_union_active_time",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE user_id < 50
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+merged AS (
+  SELECT user_id, g, min(s) AS ms, max(e) AS me
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(SUM(datediff('microsecond', ms, me)) AS BIGINT) AS active_us
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    category="temporal",
+)
+def interval_union_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 5-minute activity
+    interval; overlapping intervals merge, and the user's total active
+    time is the union's length — the classic sweep-line problem
+    (utilization metering, billing) solved with windows, not joins:
+    flag interval starts that clear the running max end (gaps), prefix-
+    sum the flags into island ids, aggregate per island, sum exact
+    integer microseconds. One shuffle on user_id shared by both
+    windows and the final rollup."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_grp",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            1,
+        ).otherwise(0),
+    )
+    grp = marked.withColumn("g", F.sum("new_grp").over(w_cum))
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(
+                F.unix_micros(F.col("me")) - F.unix_micros(F.col("ms"))
+            ).alias("active_us"),
+        )
+        .orderBy("user_id")
+    )
