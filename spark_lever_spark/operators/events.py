@@ -242,3 +242,113 @@ def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "debounce_events_10m",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM ordered
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+ORDER BY user_id, event_type, ts, event_id
+""",
+    category="events",
+)
+def debounce_events_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / burst suppression: keep only the FIRST event of each
+    (user, type) burst — an event survives iff no same-key event
+    occurred within the previous 10 minutes. The telemetry dedup that
+    turns retry storms and double-clicks into single signals. Same
+    interval-comparison discipline as sessionize (survives either
+    physical timestamp encoding); one shuffle on the (user, type)
+    window key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    )
+
+
+@register(
+    "session_path_trigrams",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+steps AS (
+  SELECT user_id, session_no, event_type, ts, event_id,
+         LEAD(event_type, 1) OVER w2 AS e2,
+         LEAD(event_type, 2) OVER w2 AS e3
+  FROM sessions
+  WINDOW w2 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM steps
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 25
+""",
+    category="events",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: the 25 most common 3-step event-type
+    sequences WITHIN sessions (sequences never cross a 30-min session
+    boundary — that is what distinguishes a path from an n-gram over
+    the raw stream). Sessionize, lead twice inside the session, count
+    paths. All three window passes and the sessionize share the
+    user_id-rooted partitioning; the path count is a tiny agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    steps = sessions.select(
+        "event_type",
+        F.lead("event_type", 1).over(w2).alias("e2"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    )
+    return (
+        steps.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )
