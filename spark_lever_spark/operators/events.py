@@ -352,3 +352,109 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(25)
     )
+
+
+@register(
+    "funnel_windowed_1h",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS viewed,
+       (SELECT COUNT(*) FROM c) AS clicked_within_1h,
+       (SELECT COUNT(*) FROM p) AS purchased_within_1h
+""",
+    category="events",
+)
+def funnel_windowed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with per-step time windows: each step counts
+    only within 1 hour of the previous step's completion — the form
+    product analytics actually reports (an unbounded funnel credits
+    conversions weeks later). Same chain shape as the unbounded
+    funnel: per-user first-view agg, conditional min per following
+    step, scalar counts broadcast together."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("viewed"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("clicked_within_1h"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count("*").alias("purchased_within_1h")))
+        )
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, n AS mode_count
+FROM ranked WHERE rk = 1
+ORDER BY user_id
+""",
+    category="events",
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent event type per user
+    with an explicit (count desc, type asc) tie-break — the built-in
+    mode() aggregate returns an ARBITRARY value on ties in both
+    engines, which can never hash-match, so the argmax is spelled as
+    count + ranked window. Shuffles: one for the count, one window on
+    user_id (AQE-coalesced); WindowGroupLimit prunes to rk=1 map-side."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("user_id")
+    )
