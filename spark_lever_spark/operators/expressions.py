@@ -812,3 +812,41 @@ def expr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "expr_regexp_extract_all",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS n_numbers,
+       CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+         AS sum_first_number
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="expressions",
+)
+def expr_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + regexp_extract over the semi-structured
+    props column (log-parsing surface; 1.3 had only LIKE/RLIKE
+    predicates, no extraction). Counts every number run and sums the
+    first per row — both purely JVM-side regex, aggregated to exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0))
+            ).alias("n_numbers"),
+            F.sum(
+                F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+            ).alias("sum_first_number"),
+        )
+        .orderBy("event_type")
+    )

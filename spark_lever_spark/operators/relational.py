@@ -1171,3 +1171,86 @@ def stat_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN round(o_totalprice * 1.1 * 100) / 100
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+diff AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE
+           WHEN v1.o_orderkey IS NULL THEN 'inserted'
+           WHEN v2.o_orderkey IS NULL THEN 'deleted'
+           WHEN v1.o_orderstatus <> v2.o_orderstatus
+             OR v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, count(*) AS n,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+FROM diff
+GROUP BY change_type
+ORDER BY change_type
+""",
+    category="relational",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: classify every key across two
+    table versions as inserted / deleted / changed / unchanged with
+    one full outer join on the key — how a warehouse derives a change
+    feed when the source can't emit one. The second version is derived
+    deterministically here (drop keys % 97, bump price on % 13) so
+    both engines diff identical snapshots. At scale the join shuffles
+    both sides once on the key; bucketed snapshots make it
+    zero-exchange (test_bucketing.py's co-location contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.round(F.col("o_totalprice") * 1.1 * 100) / 100,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "inserted")
+        .when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
