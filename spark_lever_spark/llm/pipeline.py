@@ -78,14 +78,40 @@ ORDER BY lang, source
 )
 def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality gate -> dedup-keep-first -> per-(lang, source) corpus
-    stats. The end-to-end composition every stage was built for."""
+    stats. The end-to-end composition every stage was built for.
+
+    Shuffle-payload discipline: the fingerprint and token count are
+    computed ONCE in the map stage and `text` is projected away BEFORE
+    the dedup window — the fp-partitioned shuffle then carries ~50
+    bytes/row (ids + fp + small dims) instead of the document body.
+    (The earlier form kept `text` through the window: the shuffle key
+    was the digest but the payload was the corpus — exactly the
+    mistake the dedup modules' "shuffle digests, not text" rule
+    exists to prevent. At 100 TB that is the whole job's bytes.)"""
     docs = load_table(spark, sf_dir, "documents")
-    kept = dedup_keep_first(quality_gate(docs))
+    n_tok = token_count(F.col("text"))
+    n_ch = F.length("text")
+    slim = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        (n_tok.between(10, 100000) & (n_ch.cast("double") / n_tok < 12)).alias(
+            "passes"
+        ),
+        content_fingerprint(normalized_text(F.col("text"))).alias("fp"),
+    ).filter(F.col("passes"))
+    kept = (
+        slim.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
     return (
         kept.groupBy("lang", "source")
         .agg(
             F.count("*").alias("docs"),
-            F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("lang", "source")
