@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import StringType
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.registry import register

@@ -14,7 +14,6 @@ batch) for the common "state is a row of numeric/str fields" case.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterable
-from typing import Any
 
 import pandas as pd
 
