@@ -1254,3 +1254,72 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "equidepth_histogram_broadcast_bounds",
+    oracle="""
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+b AS (
+  SELECT list_value(
+    CAST(round(quantile_cont(c, 0.1)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.2)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.3)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.4)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.5)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.6)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.7)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.8)) AS BIGINT),
+    CAST(round(quantile_cont(c, 0.9)) AS BIGINT)) AS bounds
+  FROM l
+)
+SELECT CAST(len(list_filter(b.bounds, x -> l.c > x)) AS INT) AS bin,
+       count(*) AS n,
+       CAST(min(l.c) AS BIGINT) AS lo_cents,
+       CAST(max(l.c) AS BIGINT) AS hi_cents
+FROM l, b
+GROUP BY bin
+ORDER BY bin
+""",
+    category="relational",
+)
+def equidepth_histogram_broadcast_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (decile) histogram WITHOUT a global sort: compute the
+    9 exact decile boundaries in one aggregation, broadcast them as a
+    single array, and bin every row map-side by counting boundaries
+    below it. ntile needs a full sort + single ordered pass; this
+    two-phase form is the 100 TB shape — one agg + one scan, no
+    ordering anywhere. Boundaries are exact integer cents (interpolated
+    on integers, rounded back to integers) so bin edges are identical
+    across engines; ties go to the lower bin (strict >)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    base = li.select(c.alias("c"))
+    bounds = base.agg(
+        F.array(
+            *[
+                F.round(F.percentile("c", i / 10.0)).cast("long")
+                for i in range(1, 10)
+            ]
+        ).alias("bounds")
+    )
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter(F.col("bounds"), lambda b: F.col("c") > b)
+            ).alias("bin"),
+            "c",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )
