@@ -339,3 +339,41 @@ def cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("custkey")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT nullif(c_nationkey % 7, 3) AS k, count(*) AS n_cust
+  FROM customer GROUP BY 1
+),
+b AS (
+  SELECT nullif(s_nationkey % 7, 3) AS k, count(*) AS n_supp
+  FROM supplier GROUP BY 1
+)
+SELECT a.k, a.n_cust, b.n_supp
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k NULLS FIRST
+""",
+    category="joins",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dimension join needs when the key is legitimately absent on both
+    sides. Plans as a hash join (the null-safe operator is still an
+    equi-key for Catalyst), not a nested loop."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.groupBy(
+        F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("k")
+    ).agg(F.count("*").alias("n_cust"))
+    b = supp.groupBy(
+        F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("ks")
+    ).agg(F.count("*").alias("n_supp"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["ks"]))
+        .select("k", "n_cust", "n_supp")
+        .orderBy(F.col("k").asc_nulls_first())
+    )

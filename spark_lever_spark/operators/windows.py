@@ -240,3 +240,52 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     ).orderBy("s_acctbal", "s_suppkey")
+
+
+@register(
+    "window_range_interval_trailing",
+    oracle="""
+SELECT user_id, ts, event_id,
+       CAST(round(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) * 100) AS BIGINT) AS trailing_1h_cents,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_1h_events
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, ts, event_id
+""",
+    category="windows",
+)
+def window_range_interval_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame bounded by a TIME interval (trailing 1-hour sum and
+    count per user) — the value-based frame ROWS frames cannot express
+    when events are irregular: the window widens and narrows with event
+    density. The rolling-feature primitive for fraud/rate features.
+
+    Rounding note: the trailing sum accumulates doubles in ORDER BY
+    order inside both engines' window frames (same sequential order by
+    construction), and the per-window sums here are small enough that
+    cents-rounding the RESULT is exact — pinned by the oracle hash."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    # RANGE-with-interval frames are SQL-only surface in Spark (the
+    # PySpark Window API takes long offsets); express the frame in SQL.
+    ev.createOrReplaceTempView("events_rangewin_v")
+    return spark.sql(
+        """
+        SELECT user_id, ts, event_id,
+               CAST(round(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) * 100) AS BIGINT) AS trailing_1h_cents,
+               COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS trailing_1h_events
+        FROM events_rangewin_v
+        ORDER BY user_id, ts, event_id
+        """
+    )
