@@ -315,3 +315,82 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term, n
+  WHERE tf.doc_id < 20
+),
+ranked AS (
+  SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df,
+         round(score * 10000) / 10000 AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, score
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    category="llm_text",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms by TF-IDF-style weighting,
+    kept EXACT across engines by ranking on tf x (N/df) instead of
+    tf x ln(N/df): log is not correctly-rounded-guaranteed across
+    libms (last-ulp divergence would flip rankings), while integer
+    multiply + one IEEE division is bit-identical — and the ranking it
+    induces is the same monotone order for fixed tf. Corpus-level df
+    aggregates once (shuffle on term, carries counts not text); the
+    per-doc rank is a WindowGroupLimit top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    n_docs = docs.agg(F.count("*").alias("n_docs"))  # broadcast scalar
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "rk",
+            "term",
+            "tf",
+            "df",
+            (F.round(F.col("score") * 10000) / 10000).alias("score"),
+        )
+        .orderBy("doc_id", "rk")
+    )
