@@ -458,3 +458,109 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "running_distinct_users_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+  GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day, count(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+ORDER BY first_day
+""",
+    category="events",
+)
+def running_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. Computing
+    a running COUNT(DISTINCT) directly re-deduplicates the whole
+    history per day; the scalable identity is: a user is new exactly
+    once, so cumulative-distinct == running sum of first-seen counts.
+    One agg on user_id, one tiny per-day rollup, one prefix sum over
+    days (the single-partition window runs over #days rows, not
+    events)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = firsts.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.withColumn(
+            "cumulative_users", F.sum("new_users").over(w)
+        )
+        .select(
+            F.col("first_day").cast("string").alias("day"),
+            "new_users",
+            "cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "peak_concurrency_by_type",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+running AS (
+  SELECT event_type, t, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas
+)
+SELECT event_type,
+       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM running
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="events",
+)
+def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/-1 sweep: each event opens a
+    5-minute interval; emit +1 at start and -1 at end, prefix-sum in
+    time order, take the max — the capacity-planning primitive
+    (simultaneous sessions/connections) computed without any
+    interval-vs-interval join. Tie order pinned (end before start at
+    the same instant via d ascending: -1 sorts first), so concurrency
+    at a shared boundary never double-counts. One shuffle on the
+    window key."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = starts.unionAll(ends)
+    w = Window.partitionBy("event_type").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = deltas.withColumn("concurrent", F.sum("d").over(w))
+    return (
+        running.groupBy("event_type")
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
