@@ -564,3 +564,63 @@ def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "longest_daily_streak_per_user",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id < 100
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+  FROM grp GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, streak_len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rk
+  FROM streaks
+)
+SELECT user_id, streak_len, CAST(streak_start AS VARCHAR) AS streak_start
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+    category="events",
+)
+def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — gaps-and-
+    islands on the calendar: for consecutive days, (day - row_number)
+    is constant, so grouping by that anchor yields the streaks without
+    any self-join. The engagement metric every product dashboard
+    carries. Ties broken by earliest streak. Two windows + two aggs,
+    all partitioned on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_len",
+            F.col("streak_start").cast("string").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )

@@ -377,3 +377,47 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n_cust", "n_supp")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@register(
+    "basket_part_pairs_top",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+    category="joins",
+)
+def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    bought in the same order. The pair join is an equi-join on the
+    order key with fan-out bounded by items-per-order (single digits),
+    so the candidate count is sum(k choose 2) per order — linear-ish in
+    orders, never all-pairs across the catalog. The association-rule
+    candidate generator (a priori's first pass)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

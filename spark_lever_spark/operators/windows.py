@@ -289,3 +289,118 @@ def window_range_interval_trailing(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY user_id, ts, event_id
         """
     )
+
+
+@register(
+    "share_of_total_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, rev_cents,
+       round(CAST(rev_cents AS DOUBLE)
+             / SUM(rev_cents) OVER () * 1000000) / 1000000 AS share,
+       CAST(row_number() OVER (ORDER BY rev_cents DESC, n_name) AS INT)
+         AS rev_rank
+FROM rev
+ORDER BY rev_rank
+""",
+    category="windows",
+)
+def share_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's share of total revenue via
+    an unpartitioned window sum over the AGGREGATED rows (25 nations),
+    not the fact table — percent-of-total costs one tiny window after
+    the rollup. Exact integer-cents revenue; the share is one IEEE
+    division rounded with the round_to form. Dims arrive broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from spark_lever_spark.functions.exact import cents
+
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    w_tot = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev_cents"), "n_name")
+    return (
+        rev.withColumn(
+            "share",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.sum("rev_cents").over(w_tot)
+                * 1000000
+            )
+            / 1000000,
+        )
+        .withColumn("rev_rank", F.row_number().over(w_rank))
+        .select("n_name", "rev_cents", "share", "rev_rank")
+        .orderBy("rev_rank")
+    )
+
+
+@register(
+    "revenue_mom_delta",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY month
+)
+SELECT CAST(month AS VARCHAR) AS month, rev_cents,
+       CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS BIGINT)
+         AS mom_delta_cents,
+       CASE WHEN lag(rev_cents) OVER (ORDER BY month) IS NULL THEN NULL
+            ELSE round(CAST(rev_cents AS DOUBLE)
+                       / lag(rev_cents) OVER (ORDER BY month) * 10000)
+                 / 10000 END AS mom_ratio
+FROM monthly
+ORDER BY month
+""",
+    category="windows",
+)
+def revenue_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta and ratio — the period-over-
+    period comparison every finance dashboard opens with. The lag
+    window runs over the monthly AGGREGATE (tens of rows), so the
+    single-partition window is free; revenue is exact integer cents,
+    the ratio one rounded IEEE division."""
+    orders = load_table(spark, sf_dir, "orders")
+    from spark_lever_spark.functions.exact import cents
+
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return (
+        monthly.withColumn(
+            "mom_delta_cents", F.col("rev_cents") - prev
+        )
+        .withColumn(
+            "mom_ratio",
+            F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+                F.round(F.col("rev_cents").cast("double") / prev * 10000)
+                / 10000
+            ),
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "rev_cents",
+            "mom_delta_cents",
+            "mom_ratio",
+        )
+        .orderBy("month")
+    )
