@@ -714,3 +714,81 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens")
     )
+
+
+@register(
+    "sample_apply_mix_weights",
+    oracle="""
+WITH per AS (
+  SELECT source, lang,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM per),
+rates AS (
+  SELECT source, lang,
+         least(1.0,
+               (CAST(1 AS DOUBLE) / CAST(n_groups AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+           AS rate
+  FROM per, tot
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r
+  ON d.source = r.source AND d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      < r.rate * 10000
+ORDER BY d.doc_id
+""",
+    category="llm_curation",
+)
+def sample_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of domain rebalancing: turn mix_source_weights'
+    per-(source, lang) down-sampling rates into an actual membership
+    decision per document via a deterministic hash bucket — the same
+    row-property membership rule as sample_hash_bucket, but with a
+    per-group threshold. Rates are exact-integer-division doubles
+    (bit-identical across engines), buckets are md5-derived integers,
+    so the kept SET is reproducible anywhere — no RNG state, no
+    resampling drift between engines or reruns. Rates broadcast; the
+    gate is map-side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tok"),
+    )
+    per = docs.groupBy("source", "lang").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_groups"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(1.0) / F.col("n_groups"))
+            / (
+                F.col("n_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), ["source", "lang"])
+        .filter(bucket < F.col("rate") * 10000)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )

@@ -624,3 +624,58 @@ def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) * 1000000) / 1000000
+         AS p
+FROM counts
+ORDER BY from_type, to_type
+""",
+    category="events",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    count (from, to) adjacent pairs, row-normalize per from-state —
+    the Markov-chain summary behind next-event prediction features and
+    behavioral fingerprinting. The lead window shuffles once on
+    user_id; the matrix itself is |types|^2 rows, and the
+    row-normalizing window runs over that tiny aggregate. Probabilities
+    are one rounded IEEE division of exact counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_row = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w_row) * 1000000
+            )
+            / 1000000,
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -1323,3 +1323,106 @@ def equidepth_histogram_broadcast_bounds(
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "topk_orders_with_ties",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         o_totalprice,
+         dense_rank() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+         ) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk, o_orderkey
+""",
+    category="relational",
+)
+def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties per group (dense_rank cut): every order whose
+    price reaches the top-3 distinct price levels survives — the
+    'WITH TIES' semantics row_number silently breaks (topk_orders is
+    the without-ties twin). Ranking runs on exact integer cents so tie
+    groups are identical across engines; WindowGroupLimit still
+    pre-prunes map-side for dense_rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_c = cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc(price_c))
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            price_c.alias("price_cents"),
+            F.dense_rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+WITH s AS (SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders),
+counts AS (
+  SELECT col, v, count(*) AS n FROM s GROUP BY col, v
+),
+ranked AS (
+  SELECT col, v, n,
+         SUM(n) OVER (PARTITION BY col) AS total,
+         COUNT(*) OVER (PARTITION BY col) AS n_distinct,
+         row_number() OVER (PARTITION BY col ORDER BY n DESC, v) AS rk
+  FROM counts
+)
+SELECT col, CAST(n_distinct AS BIGINT) AS n_distinct,
+       v AS top_value,
+       round(CAST(n AS DOUBLE) / total * 1000000) / 1000000 AS top_share
+FROM ranked WHERE rk = 1
+ORDER BY col
+""",
+    category="relational",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-catalog statistics): distinct count, most
+    frequent value, and its share for each profiled column — computed
+    over ONE pass by unpivoting the columns into (col, value) rows and
+    sharing a single count aggregate. The profile every warehouse
+    catalog shows next to a table. Exact counts; share is one rounded
+    division."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.lit("o_orderstatus").alias("col"),
+        F.col("o_orderstatus").alias("v"),
+    ).unionAll(
+        orders.select(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("o_orderpriority").alias("v"),
+        )
+    )
+    counts = s.groupBy("col", "v").agg(F.count("*").alias("n"))
+    w_col = Window.partitionBy("col")
+    w_rk = Window.partitionBy("col").orderBy(F.desc("n"), "v")
+    return (
+        counts.withColumn("total", F.sum("n").over(w_col))
+        .withColumn("n_distinct", F.count("*").over(w_col))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "col",
+            "n_distinct",
+            F.col("v").alias("top_value"),
+            (F.round(F.col("n").cast("double") / F.col("total") * 1000000) / 1000000).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("col")
+    )
