@@ -1426,3 +1426,71 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "sketch_rolling_distinct_3d",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_rolling_users,
+       TRUE AS within_5pct
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - 2 AND d.day
+GROUP BY d.day
+ORDER BY day
+""",
+    category="relational",
+)
+def sketch_rolling_distinct_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-day distinct users via MERGEABLE daily HLL sketches —
+    the scale answer to COUNT(DISTINCT) OVER a sliding window, which
+    engines cannot compute incrementally (distinct does not subtract).
+    One sketch per day (a few KB), each rolling window unions 3
+    sketches off the tiny daily table instead of re-deduplicating the
+    window's raw events; the same daily sketches serve 7-day or
+    30-day windows for free. Hash-checked output is the exact count
+    (computed independently) plus the sketch-accuracy invariant, the
+    sketch_hll_mergeable doctrine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily_sk = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = daily_sk.select(F.col("day").alias("d"))
+    rolled = (
+        days.join(
+            daily_sk,
+            (F.col("day") >= F.date_sub(F.col("d"), 2))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        days.join(
+            ev.distinct(),
+            (F.col("day") >= F.date_sub(F.col("d"), 2))
+            & (F.col("day") <= F.col("d")),
+        )
+        .select("d", "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("exact_rolling_users"))
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("exact_rolling_users")).cast("double")
+        / F.col("exact_rolling_users")
+        <= 0.05
+    )
+    return (
+        rolled.join(exact, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "exact_rolling_users",
+            ok.alias("within_5pct"),
+        )
+        .orderBy("day")
+    )
