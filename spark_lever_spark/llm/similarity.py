@@ -269,3 +269,55 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .orderBy(F.desc("n_vectors"), "bucket")
     )
+
+
+@register(
+    "embedding_dominant_dims",
+    oracle="""
+WITH comps AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings WHERE vec_id < 50
+),
+ranked AS (
+  SELECT vec_id, label, CAST(dim AS INT) AS dim,
+         round(x * 1000000) / 1000000 AS x,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(x) DESC, dim) AS rk
+  FROM comps
+)
+SELECT vec_id, label, CAST(rk AS INT) AS rk, dim, x
+FROM ranked WHERE rk <= 3
+ORDER BY vec_id, rk
+""",
+    category="llm_similarity",
+)
+def embedding_dominant_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant dimensions per embedding: the 3 largest-|x| components
+    of each vector — the interpretability probe for which axes carry a
+    vector's signal (and the primitive behind sparse top-k projection
+    compression). posexplode keeps the dim index; the per-vector rank
+    is a WindowGroupLimit top-k, so the shuffle carries 3 rows per
+    vector, not 64."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    comps = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc(F.abs("x")), "dim")
+    return (
+        comps.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "label",
+            "rk",
+            "dim",
+            (F.round(F.col("x") * 1000000) / 1000000).alias("x"),
+        )
+        .orderBy("vec_id", "rk")
+    )

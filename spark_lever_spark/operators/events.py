@@ -679,3 +679,135 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "ab_split_lift",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT bucket,
+       count(*) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       round(CAST(SUM(cents) AS DOUBLE) / count(*) * 10000) / 10000
+         AS avg_cents
+FROM assigned
+GROUP BY bucket
+ORDER BY bucket
+""",
+    category="events",
+)
+def ab_split_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B assignment + per-arm metrics: users hash into
+    arms by md5 parity (stable across sessions, engines, and reruns —
+    the property that makes an experiment analyzable at all), then
+    exact per-arm purchase metrics. The experimentation primitive;
+    significance testing composes from these exact moments (see
+    anomaly_hourly_event_rate for the exact-variance pattern).
+    Map-side assignment, one aggregation shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bucket = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.select(
+        "user_id",
+        bucket.alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    n = F.count("*")
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("total_cents"),
+            (F.round(F.sum("cents").cast("double") / n * 10000) / 10000).alias(
+                "avg_cents"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "time_in_state_by_type",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+),
+intervals AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(SUM(datediff('microsecond', valid_from, valid_to)) AS BIGINT)
+         AS total_us,
+       CAST(floor(CAST(SUM(datediff('microsecond', valid_from, valid_to))
+                       AS DOUBLE) / count(*)) AS BIGINT) AS avg_us
+FROM intervals
+WHERE valid_to IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="events",
+)
+def time_in_state_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup over the SCD2 validity intervals
+    (scd2_event_type_history's closed intervals aggregated per state):
+    how long users dwell in each event-type run — the state-machine
+    duration metric behind support/ops SLAs. Exact integer
+    microseconds; closed intervals only (open tails have no duration
+    yet). Shares the scd2 single-shuffle shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    iv = changes.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).filter(F.col("valid_to").isNotNull())
+    dur = F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+    n = F.count("*")
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(dur).alias("total_us"),
+            F.floor(F.sum(dur).cast("double") / n).cast("long").alias(
+                "avg_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
