@@ -381,6 +381,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "basket_part_pairs_top",
+    bench=True,
     oracle="""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

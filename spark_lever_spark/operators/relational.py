@@ -1430,6 +1430,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_rolling_distinct_3d",
+    bench=True,
     oracle="""
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

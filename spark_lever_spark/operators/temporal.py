@@ -325,6 +325,7 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_event_type_history",
+    bench=True,
     oracle="""
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
