@@ -1,0 +1,234 @@
+"""CDC apply / MERGE-upsert operators.
+
+The reference's surface stops at insertInto/saveAsTable (Spark 1.3 had
+no MERGE; sql/core DataFrame.scala:1289 `insertInto`); applying a
+change feed required a hand-written RDD join. These operators provide
+the modern lakehouse counterpart re-expressed as single-pass DataFrame
+plans: MERGE INTO semantics (update/delete/insert in one keyed full
+outer join) and multi-batch CDC compaction (a day of ordered change
+batches collapsed to latest-op-per-key before ONE merge join — the
+shape that keeps a 100 TB nightly apply at exactly two shuffles: the
+compaction window and the merge join, both on the table key).
+
+The change batches are derived deterministically from the base table
+(hash/mod selections), so both engines merge identical feeds and the
+DuckDB oracles replay the semantics exactly. Money stays exact: sums
+are in integer cents (round(x*100) -> BIGINT) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.registry import register
+
+_INSERT_OFFSET = 10_000_000
+
+
+def merge_apply(
+    base: DataFrame, batch: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """MERGE INTO semantics via one keyed full outer join.
+
+    ``batch`` rows carry ``op`` in {'U','D'}: U upserts the batch row's
+    payload columns (update when matched, insert when not), D removes
+    the key. Base rows without a batch row pass through. Exactly one
+    shuffle on the key (or zero with co-bucketed inputs —
+    tests/test_bucketing.py's contract).
+    """
+    payload = [c for c in batch.columns if c not in (key, op_col)]
+    b = base.alias("t")
+    c = batch.alias("s")
+    j = b.join(c, F.col(f"t.{key}") == F.col(f"s.{key}"), "full")
+    take_batch = F.col(f"s.{key}").isNotNull()
+    cols = [
+        F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key),
+        *[
+            F.when(take_batch, F.col(f"s.{p}")).otherwise(F.col(f"t.{p}")).alias(p)
+            for p in payload
+        ],
+    ]
+    return j.filter(
+        F.col(f"s.{op_col}").isNull() | (F.col(f"s.{op_col}") != F.lit("D"))
+    ).select(*cols)
+
+
+def compact_cdc(batches: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
+    """Collapse an ordered change feed to the latest op per key
+    (row_number over seq desc — one window shuffle on the key)."""
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    return (
+        batches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _summary(merged: DataFrame) -> DataFrame:
+    """Hashable compact answer: per-status row count, exact cents sum,
+    key span — pins both membership and payload values."""
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SUMMARY_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "merge_apply_cdc_orders",
+    oracle=f"""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+batch AS (
+  SELECT o_orderkey, 'D' AS op,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_orderstatus,
+         round(o_totalprice * 1.1 * 100) / 100
+  FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_INSERT_OFFSET}, 'U', 'N',
+         100.0 + o_orderkey % 500
+  FROM base WHERE o_orderkey % 101 = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM base t FULL JOIN batch s ON t.o_orderkey = s.o_orderkey
+  WHERE s.op IS NULL OR s.op <> 'D'
+)
+{_SUMMARY_SQL}
+""",
+    category="cdc",
+)
+def merge_apply_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders semantics: one change batch with deletes
+    (key%97), in-place updates (price bump on key%13), and inserts
+    (fresh keys for key%101) applied in a single full-outer-join pass.
+    At 100 TB the batch is typically <<1% of the table and arrives
+    sorted by key; with a bucketed base the merge is exchange-free on
+    the table side."""
+    base = _orders_base(spark, sf_dir)
+    deletes = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    updates = base.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 1.1 * 100) / 100).alias("o_totalprice"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + _INSERT_OFFSET).alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.lit(100.0) + (F.col("o_orderkey") % 500).cast("double")).alias(
+            "o_totalprice"
+        ),
+    )
+    batch = deletes.unionByName(updates).unionByName(inserts)
+    return _summary(merge_apply(base, batch, "o_orderkey"))
+
+
+@register(
+    "merge_cdc_sequence_orders",
+    oracle=f"""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+feed AS (
+  SELECT 1 AS seq, o_orderkey, 'U' AS op, o_orderstatus,
+         round(o_totalprice * 1.1 * 100) / 100 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 2, o_orderkey, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM base WHERE o_orderkey % 14 = 0
+  UNION ALL
+  SELECT 3, o_orderkey, 'U', 'R', 555.55
+  FROM base WHERE o_orderkey % 21 = 0
+),
+latest AS (
+  SELECT o_orderkey, op, o_orderstatus, o_totalprice
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM feed)
+  WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM base t FULL JOIN latest s ON t.o_orderkey = s.o_orderkey
+  WHERE s.op IS NULL OR s.op <> 'D'
+)
+{_SUMMARY_SQL}
+""",
+    category="cdc",
+)
+def merge_cdc_sequence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-batch CDC apply: three overlapping change batches
+    (price bump on key%7; delete on key%14, superseding batch 1 on
+    overlap; re-upsert on key%21, superseding both) compacted to
+    latest-op-per-key (one window shuffle) then applied with ONE merge
+    join — never three sequential merges. Keys %42==0 exercise the full
+    U->D->U chain: the final upsert must resurrect the deleted key."""
+    base = _orders_base(spark, sf_dir)
+    k = F.col("o_orderkey")
+    b1 = base.filter(k % 7 == 0).select(
+        F.lit(1).alias("seq"),
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 1.1 * 100) / 100).alias("o_totalprice"),
+    )
+    b2 = base.filter(k % 14 == 0).select(
+        F.lit(2).alias("seq"),
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    b3 = base.filter(k % 21 == 0).select(
+        F.lit(3).alias("seq"),
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(555.55).alias("o_totalprice"),
+    )
+    feed = b1.unionByName(b2).unionByName(b3)
+    latest = compact_cdc(feed, "o_orderkey")
+    return _summary(merge_apply(base, latest, "o_orderkey"))

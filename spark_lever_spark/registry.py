@@ -183,6 +183,7 @@ def _ensure_loaded() -> None:
         relational,
         joins,
         bloom,
+        cdc,
         setops,
         rollups,
         windows,
