@@ -98,6 +98,51 @@ def minhash_signature(tokens_hashed: Column, k: int) -> Column:
     return F.array(*sigs)
 
 
+def minhash_bands(
+    docs: DataFrame, k: int = 32, bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, band table) for LSH over a ``doc_id, text`` frame.
+
+    Returns ``sig`` = (doc_id, sig array<long>) and ``banded`` =
+    (doc_id, band_idx, band_digest) — the long-format band table every
+    LSH consumer joins on. Shared by full-corpus pair generation
+    (dedup_minhash_lsh) and incremental delta dedup
+    (dedup_incremental_minhash); the digests are md5-affine so DuckDB
+    replays them exactly (_MINHASH_BAND_CTES)."""
+    rows_per_band = k // bands
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(
+            F.transform(tokens_distinct(F.col("text")), lambda t: token_hash(t)),
+            k,
+        ).alias("sig"),
+    )
+    band_digests = F.array(
+        *[
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col("sig")[j].cast("string")
+                            for j in range(
+                                i * rows_per_band, (i + 1) * rows_per_band
+                            )
+                        ],
+                    ),
+                    "UTF-8",
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_digests).alias("band_idx", "band_digest"),
+    )
+    return sig, banded
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id representative per content digest."""
     return (
@@ -261,7 +306,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly: 40-bit token hashes from hex md5 prefixes, k=32 affine
 # permutations (a=2i+1, b=7919(i+1), mod 2^61-1), 8x4 band digests.
 # Shared by the LSH-pairs and cluster oracles below.
-_MINHASH_SQL_CTES = """
+_MINHASH_BAND_CTES = """
 tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
@@ -282,7 +327,10 @@ banded AS MATERIALIZED (
   SELECT doc_id, i // 4 AS band_idx,
          md5(string_agg(CAST(s AS VARCHAR), '-' ORDER BY i)) AS band_digest
   FROM sig GROUP BY doc_id, i // 4
-),
+)
+"""
+
+_MINHASH_SQL_CTES = _MINHASH_BAND_CTES + """,
 cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a
@@ -323,31 +371,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters and its keys are uniformly-distributed digests.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k, bands = 32, 8
-    rows_per_band = k // bands
-    sig = docs.select(
-        "doc_id",
-        minhash_signature(
-            F.transform(tokens_distinct(F.col("text")), lambda t: token_hash(t)), k
-        ).alias("sig"),
-    )
-    band_digests = F.array(
-        *[
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col("sig")[j].cast("string")
-                            for j in range(i * rows_per_band, (i + 1) * rows_per_band)
-                        ],
-                    ),
-                    "UTF-8",
-                )
-            )
-            for i in range(bands)
-        ]
-    )
+    k = 32
     # The band self-join carries ONLY (doc_id, band digest): duplicate
     # docs share all 8 bands, so routing the 32-long signatures through
     # the exploded join would replicate each signature once per
@@ -355,10 +379,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 and a shuffle explosion at scale. Pairs are deduplicated
     # down to bare id pairs first; signatures re-attach afterwards,
     # once per distinct pair.
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(band_digests).alias("band_idx", "band_digest"),
-    )
+    sig, banded = minhash_bands(docs, k=k)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -638,4 +659,181 @@ def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH {_MINHASH_BAND_CTES},
+dupc AS (
+  SELECT DISTINCT b.doc_id
+  FROM banded b JOIN banded c
+    ON c.band_idx = b.band_idx AND c.band_digest = b.band_digest
+  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+),
+dupb AS (
+  SELECT DISTINCT b.doc_id
+  FROM banded b JOIN banded c
+    ON c.band_idx = b.band_idx AND c.band_digest = b.band_digest
+  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 = 0 AND c.doc_id < b.doc_id
+)
+SELECT t.doc_id,
+       dupc.doc_id IS NOT NULL AS dup_vs_corpus,
+       dupb.doc_id IS NOT NULL AS dup_in_batch
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) t
+LEFT JOIN dupc ON dupc.doc_id = t.doc_id
+LEFT JOIN dupb ON dupb.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    category="llm_dedup",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) near-dedup: tonight's crawl batch (doc_id %
+    10 == 0 here) is checked against the already-ingested corpus WITHOUT
+    re-pairing the corpus against itself — the shape that makes
+    continuous ingestion affordable: corpus band tables are persisted
+    once (they are exactly the `banded` output of minhash_bands), and
+    each nightly batch only (a) semi-joins its bands against them
+    (dup_vs_corpus) and (b) self-joins within the batch against earlier
+    batch ids (dup_in_batch). Work is O(batch x band-collisions), never
+    O(corpus^2); the join keys are uniform md5 digests and the batch
+    side is small enough to broadcast at real scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, banded = minhash_bands(docs)
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus_bands = banded.filter(~is_batch)
+    batch_bands = banded.filter(is_batch)
+    b = batch_bands.alias("b")
+    dup_corpus = (
+        b.join(
+            corpus_bands.alias("c"),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_digest") == F.col("b.band_digest")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_vs_corpus", F.lit(True))
+    )
+    dup_batch = (
+        b.join(
+            batch_bands.alias("c"),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_digest") == F.col("b.band_digest"))
+            & (F.col("c.doc_id") < F.col("b.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    batch_ids = docs.filter(is_batch).select("doc_id").distinct()
+    return (
+        batch_ids.join(dup_corpus, "doc_id", "left")
+        .join(dup_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_vs_corpus", F.lit(False)).alias("dup_vs_corpus"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PARA_N = 16  # tokens per "paragraph" chunk
+
+
+@register(
+    "dedup_paragraph_rebuild",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+paras AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         list_aggregate(
+           toks[CAST(t.p AS INT) * {_PARA_N} + 1
+                : CAST(t.p AS INT) * {_PARA_N} + {_PARA_N}],
+           'string_agg', ' ') AS para
+  FROM base,
+       LATERAL unnest(range(CAST(ceil(len(toks) / {_PARA_N}.0) AS BIGINT)))
+         AS t(p)
+),
+win AS (
+  SELECT doc_id, p, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, p) AS rn
+  FROM paras
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         CAST(length(string_agg(para, ' ' ORDER BY p)) AS BIGINT)
+           AS kept_chars
+  FROM win WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_chars, 0) AS kept_chars
+FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    category="llm_dedup",
+)
+def dedup_paragraph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction (the
+    C4/RefinedWeb sub-document pass): chunk each document into
+    16-token paragraphs, keep only the GLOBAL first occurrence of each
+    paragraph (first = min (doc_id, position)), then reassemble every
+    document from its surviving paragraphs in order. Two shuffles at
+    any scale: the paragraph-hash group (carries md5 + (doc_id, pos) —
+    the paragraph TEXT rides only as far as the rebuild needs it) and
+    the per-document regroup. Output pins chunk counts and the exact
+    rebuilt length per document, including documents fully consumed by
+    earlier duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n_paras = F.ceil(F.size("toks") / float(_PARA_N)).cast("long")
+    paras = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda p: F.array_join(
+                    F.slice("toks", p * _PARA_N + 1, _PARA_N), " "
+                ),
+            )
+        ).alias("p", "para"),
+    ).withColumn("p", F.col("p").cast("long"))
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "p")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "para"))),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("doc_id")
     )

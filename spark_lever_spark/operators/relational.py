@@ -1495,3 +1495,92 @@ def sketch_rolling_distinct_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+WITH rows_ AS (SELECT CAST(unnest(range(4)) AS VARCHAR) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 12))
+           ::BIGINT % 256 AS c,
+         count(*) AS cnt
+  FROM events CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+top10 AS (SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 10),
+est AS (
+  SELECT t.user_id, t.exact_cnt, min(cl.cnt) AS cms_est
+  FROM top10 t
+  CROSS JOIN rows_ rr
+  JOIN cells cl
+    ON cl.r = rr.r
+   AND cl.c = ('0x' || substr(md5(rr.r || ':' || CAST(t.user_id AS VARCHAR)),
+                              1, 12))::BIGINT % 256
+  GROUP BY t.user_id, t.exact_cnt
+)
+SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM est ORDER BY exact_cnt DESC, user_id
+""",
+    category="relational",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05): d=4 rows x w=256
+    counters built in ONE map-side-combinable pass (groupBy (row, col)
+    -> at most 1024 cells regardless of input size), then point
+    estimates for the top-10 keys = min over rows of the hashed cell.
+    The md5-affine cell hash is engine-portable, so DuckDB rebuilds the
+    identical sketch and the estimates hash-match exactly — including
+    the overcount column (CMS guarantees est >= exact; equality breaks
+    only by collision, which w=256 forces at this key cardinality so
+    the one-sided-error property is actually exercised). At 100 TB the
+    sketch is the mergeable 4x256 grid — partial-aggregated on every
+    executor, merged by cell sum, never reshuffling raw keys; real
+    deployments size w ~ e/eps for the wanted error, the doctrine of
+    sketch_hll_mergeable."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    d, w = 4, 256
+    rows_ = F.array(*[F.lit(str(i)) for i in range(d)])
+
+    def cell(r_col, user_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(r_col, F.lit(":"), user_col.cast("string")),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    cells = (
+        ev.select("user_id", F.explode(rows_).alias("r"))
+        .groupBy("r", cell(F.col("r"), F.col("user_id")).alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    top10 = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(10)
+    probes = top10.select(
+        "user_id", "exact_cnt", F.explode(rows_).alias("r")
+    ).withColumn("c", cell(F.col("r"), F.col("user_id")))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "user_id")

@@ -536,3 +536,90 @@ def interval_union_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ewma_daily_event_value",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+           / count(*) AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+r AS (
+  SELECT event_type, day, rn, x, x AS e FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rn, d.x, 0.3 * d.x + 0.7 * r.e
+  FROM daily d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       round(x * 1000000) / 1000000 AS daily_mean,
+       round(e * 1000000) / 1000000 AS ewma
+FROM r ORDER BY event_type, day
+""",
+    category="temporal",
+)
+def ewma_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.3) of the daily mean event value per type — the
+    standard time-decayed smoother pandas/Flink users reach for and a
+    window/HOF gap in the reference's 1.3 surface (no window functions
+    at all there; SURVEY §2.F).
+
+    The recursion e_t = a*x_t + (1-a)*e_{t-1} is inherently sequential,
+    so it runs AFTER the daily pre-aggregation collapses the raw table
+    to (type, day) rows — at 100 TB that's the one big shuffle-agg
+    (map-side combinable, exact integer cents), and the scan state per
+    group is bounded by the calendar, not the data. Spark side: one
+    sort_array + F.aggregate prefix scan per group (pure JVM HOFs);
+    DuckDB side: the same recursion as a recursive CTE. Both engines
+    feed the scan bit-identical doubles (exact cents / counts
+    divisions) and apply IEEE ops in the same order, so the outputs
+    hash-match at the 1e-6 grid without tolerance games."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+                / F.count("*")
+            ).alias("x")
+        )
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    # prefix scan: acc is the growing array of (day, x, e) structs;
+    # e_1 = x_1, e_t = 0.3*x_t + 0.7*e_{t-1} (same op order as oracle)
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS array<struct<day date, x double, e double>>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["day"].alias("day"),
+                    s["x"].alias("x"),
+                    F.when(F.size(acc) == 0, s["x"])
+                    .otherwise(
+                        F.lit(0.3) * s["x"]
+                        + F.lit(0.7) * F.element_at(acc, -1)["e"]
+                    )
+                    .alias("e"),
+                )
+            ),
+        ),
+    )
+    return (
+        per_type.select("event_type", F.explode(scan).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").cast("string").alias("day"),
+            (F.round(F.col("r.x") * 1000000) / 1000000).alias("daily_mean"),
+            (F.round(F.col("r.e") * 1000000) / 1000000).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
