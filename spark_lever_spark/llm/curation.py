@@ -792,3 +792,95 @@ def sample_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, source,
+         'u' || CAST(doc_id AS VARCHAR) || '@ex'
+           || CAST(doc_id % 10 AS VARCHAR) || '.com call +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS emails,
+         CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS phones,
+         length(t) - length(
+           regexp_replace(regexp_replace(regexp_replace(
+             t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                '{_PII_PHONE}', '[PHONE]', 'g'),
+                '{_PII_IP}', '[IP]', 'g')) AS chars_removed
+  FROM raw
+)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(emails) AS BIGINT) AS emails,
+       CAST(SUM(phones) AS BIGINT) AS phones,
+       CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+FROM red GROUP BY source ORDER BY source
+""",
+    category="llm_curation",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / phone numbers / IPv4 masked to
+    typed placeholder tokens) — the scrub stage every production corpus
+    runs before training. The synthetic corpus carries no organic PII,
+    so each document is prefixed with a deterministic doc_id-derived
+    contact line first; the redaction chain then runs over the full
+    text. Pure regexp_replace/regexp_count built-ins — map-only over
+    the corpus (zero pre-shuffle work at 100 TB; the tiny per-source
+    rollup is the only exchange), patterns chosen to parse identically
+    under Java regex and DuckDB's RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    red = raw.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("phones"),
+        (F.length("t") - F.length(redacted)).alias("chars_removed"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("emails").alias("emails"),
+            F.sum("phones").alias("phones"),
+            F.sum("chars_removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )

@@ -323,3 +323,132 @@ def stream_sliding_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "events",
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_session_window_events",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM d
+)
+SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, s
+ORDER BY user_id, session_start
+""",
+    category="streaming",
+)
+def stream_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows over the drained events stream
+    (F.session_window, 30 min gap) — the stateful merging-window
+    operator the reference had no counterpart for (its window surface
+    was fixed tumbling/sliding only, WindowedDStream.scala); sessions
+    here MERGE as late events bridge gaps, which a DStream user had to
+    hand-roll with updateStateByKey. Final complete-mode state must
+    equal the batch gaps-and-islands sessionization (Spark closes a
+    session when the next event is >= gap after the last, and reports
+    session end = last event + gap — the oracle mirrors both). State
+    per key is bounded by open sessions; production adds a watermark to
+    age them out."""
+    sdf = _stream_table(spark, sf_dir, "events")
+    agg = sdf.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    final = _drain_complete(agg, "session_windows")
+    return final.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_foreachbatch_upsert_users",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       max(struct_pack(ts := ts, event_id := event_id,
+                       event_type := event_type)).event_type
+         AS last_event_type
+FROM events
+GROUP BY user_id ORDER BY user_id
+""",
+    category="streaming",
+)
+def stream_foreachbatch_upsert_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch incremental-upsert sink — the standard 'MERGE INTO
+    a lakehouse table from a stream' pattern (foreachBatch + keyed
+    merge, the Structured Streaming replacement for the reference's
+    foreachRDD + hand-rolled saveAsHadoopFiles, DStream.scala
+    foreachRDD/saveAs*). The events stream is drained in FOUR
+    micro-batches (the source table re-written as 4 files, one per
+    trigger); every batch is pre-aggregated per user then merged into
+    the versioned parquet target: counts ADD, the last-event payload
+    takes the max (ts, event_id) — both operations associative and
+    commutative, so the final table is independent of batch boundaries
+    and equals the batch GROUP BY the oracle computes. At scale this is
+    the idempotent-writer shape: per-batch merge keyed on the table
+    key, target partitioned/bucketed by that key."""
+    ev_src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="upsert_src_")
+    src_dir = os.path.join(work, "in")
+    spark.read.parquet(ev_src).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    target_holder = {"path": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+        if target_holder["path"] is not None:
+            t = batch_df.sparkSession.read.parquet(target_holder["path"])
+            tt, bb = t.alias("t"), b.alias("b")
+            merged = tt.join(bb, F.col("t.user_id") == F.col("b.user_id"), "full").select(
+                F.coalesce(F.col("b.user_id"), F.col("t.user_id")).alias("user_id"),
+                (
+                    F.coalesce(F.col("t.n_events"), F.lit(0))
+                    + F.coalesce(F.col("b.n_events"), F.lit(0))
+                ).alias("n_events"),
+                F.greatest(F.col("t.last"), F.col("b.last")).alias("last"),
+            )
+        else:
+            merged = b
+        out = os.path.join(work, f"target_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        target_holder["path"] = out
+
+    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ck, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(target_holder["path"])
+    return final.select(
+        "user_id", "n_events", F.col("last.event_type").alias("last_event_type")
+    ).orderBy("user_id")
