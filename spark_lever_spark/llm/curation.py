@@ -801,6 +801,7 @@ _PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
 @register(
     "text_pii_redact",
+    bench=True,
     oracle=f"""
 WITH raw AS (
   SELECT doc_id, source,

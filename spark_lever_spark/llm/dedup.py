@@ -746,6 +746,7 @@ _PARA_N = 16  # tokens per "paragraph" chunk
 
 @register(
     "dedup_paragraph_rebuild",
+    bench=True,
     oracle=f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

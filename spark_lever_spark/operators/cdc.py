@@ -101,6 +101,7 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 @register(
     "merge_apply_cdc_orders",
+    bench=True,
     oracle=f"""
 WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
 batch AS (

@@ -540,6 +540,7 @@ def interval_union_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_daily_event_value",
+    bench=True,
     oracle="""
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,

@@ -320,3 +320,50 @@ def test_fuzzy_and_overlap_joins_stay_equi(spark, sf_dir):
         df = ALL[name].fn(spark, sf_dir)
         assert nested_loop_join_count(df) == 0, name
         assert broadcast_join_count(df) + shuffle_join_count(df) >= 1, name
+
+
+def test_merge_apply_single_merge_join(spark, sf_dir):
+    """CDC merge: the batch derivation + one full-outer merge join —
+    no nested loops, and the sequence variant pays exactly one extra
+    window shuffle for latest-op compaction (never one join per
+    batch)."""
+    df = ALL["merge_apply_cdc_orders"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    df2 = ALL["merge_cdc_sequence_orders"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df2) == 0
+    # compaction window + merge join + agg + sort bound the exchanges
+    assert exchange_count(df2) <= exchange_count(df) + 2
+
+
+def test_cms_sketch_single_pass_and_broadcast_probe(spark, sf_dir):
+    """The 4x256 cell grid must arrive at the probe side via broadcast
+    (it is at most 1024 rows at ANY input scale), and no join in the
+    plan may be a nested loop."""
+    df = ALL["sketch_cms_heavy_hitters"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert nested_loop_join_count(df) == 0
+
+
+def test_incremental_dedup_band_joins_stay_equi(spark, sf_dir):
+    """Delta dedup must candidate-generate through equi hash joins on
+    (band_idx, digest) — an accidental cartesian here is O(corpus x
+    batch) at 100 TB."""
+    df = ALL["dedup_incremental_minhash"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+
+
+def test_paragraph_dedup_two_data_shuffles(spark, sf_dir):
+    """Paragraph dedup pays the hash-window shuffle and the per-doc
+    regroup (plus final sort) — anything more means paragraph text is
+    taking an extra round trip."""
+    df = ALL["dedup_paragraph_rebuild"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 4
+    assert nested_loop_join_count(df) == 0
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Redaction is a map-only scan; the per-source rollup is the only
+    exchange (plus the final sort)."""
+    df = ALL["text_pii_redact"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 2
+    assert shuffle_join_count(df) == 0
