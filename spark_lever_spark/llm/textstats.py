@@ -405,3 +405,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "token_drift_tv_distance",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM sc GROUP BY source),
+cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY w),
+tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM cc),
+grid AS (
+  SELECT st.source, st.n_tokens, cc.w, cc.cw, COALESCE(sc.c, 0) AS c
+  FROM st CROSS JOIN cc
+  LEFT JOIN sc ON sc.source = st.source AND sc.w = cc.w
+)
+SELECT g.source, max(g.n_tokens) AS n_tokens,
+       round(CAST(SUM(abs(g.c * tt.t - g.cw * g.n_tokens)) AS DOUBLE)
+             / CAST(2 * max(g.n_tokens) * max(tt.t) AS DOUBLE)
+             * 1000000) / 1000000 AS tv_distance
+FROM grid g CROSS JOIN tt
+GROUP BY g.source ORDER BY g.source
+""",
+    category="llm_text",
+)
+def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: total-variation distance between
+    each source's token distribution and the whole-corpus distribution
+    — the log-free divergence (TV = 0.5 Σ|p_i − q_i|) chosen over
+    KL/entropy because ln is not correctly-rounded across libms (the
+    tfidf_top_terms doctrine) while TV stays in exact rational
+    arithmetic: |c_i·T − C_i·T_s| is exact int64, so both engines
+    divide identical integers. Pipeline: one (source, token) count
+    shuffle; corpus counts RE-AGGREGATE from those partials (mergeable
+    — never a second raw scan); the vocabulary-sized count tables then
+    broadcast into a grid that includes tokens ABSENT from a source
+    (their |0 − q| mass is exactly what drift detection must see). The
+    100 TB use: per-shard/per-crawl drift monitoring from persisted
+    count partials alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    cc = sc.groupBy("w").agg(F.sum("c").alias("cw"))
+    tt = cc.agg(F.sum("cw").alias("t"))
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .join(sc, ["source", "w"], "left")
+        .select(
+            "source",
+            "n_tokens",
+            "w",
+            "cw",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(tt))
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(
+                        F.abs(
+                            F.col("c") * F.col("t")
+                            - F.col("cw") * F.col("n_tokens")
+                        )
+                    ).cast("double")
+                    / (
+                        F.lit(2) * F.max("n_tokens") * F.max("t")
+                    ).cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )

@@ -624,3 +624,176 @@ def ewma_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "interpolate_linear_hourly",
+    oracle="""
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+  FROM bounds
+),
+pv AS (
+  SELECT g.user_id, g.g, max(e.ts) AS pt, arg_max(e.value, e.ts) AS pval
+  FROM grid g JOIN ev e ON e.user_id = g.user_id AND e.ts <= g.g
+  GROUP BY g.user_id, g.g
+),
+nv AS (
+  SELECT g.user_id, g.g, min(e.ts) AS nt, arg_min(e.value, e.ts) AS nval
+  FROM grid g JOIN ev e ON e.user_id = g.user_id AND e.ts > g.g
+  GROUP BY g.user_id, g.g
+)
+SELECT g.user_id, CAST(g.g AS TIMESTAMP) AS grid_ts,
+       round((pv.pval + (nv.nval - pv.pval)
+              * (CAST(epoch_us(g.g) - epoch_us(pv.pt) AS DOUBLE)
+                 / CAST(epoch_us(nv.nt) - epoch_us(pv.pt) AS DOUBLE)))
+             * 1000000) / 1000000 AS value_interp
+FROM grid g
+LEFT JOIN pv ON pv.user_id = g.user_id AND pv.g = g.g
+LEFT JOIN nv ON nv.user_id = g.user_id AND nv.g = g.g
+ORDER BY g.user_id, grid_ts
+""",
+    category="temporal",
+)
+def interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly LINEAR interpolation of each user's event value — the
+    gap-fill companion to resample_hourly_ffill for signals where
+    step-hold is wrong (sensor readings, prices). Spark side: the grid
+    and the events union into ONE per-user sorted window pass; the
+    bracketing events come from two frames over the same sort (last
+    event <= t, first event > t), so the whole operator costs one
+    data shuffle regardless of grid resolution. The interpolated value
+    mixes exact integer microsecond offsets into one double expression
+    evaluated in the same op order as the oracle — bit-identical before
+    the 1e-6 presentation rounding. Boundary semantics: grid points at
+    or after an event take the event side (fraction 0); points before
+    the first / after the last event are null."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("g"),
+    )
+    evs = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.struct("ts", "value").alias("e"),
+    )
+    grids = grid.select(
+        "user_id",
+        F.col("g").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("struct<ts:timestamp,value:double>").alias("e"),
+    )
+    u = evs.unionByName(grids)
+    # events sort before an equal-ts grid point: prev is inclusive (<=),
+    # next frame starts after the current row so it stays strict (>)
+    order = [F.col("t").asc(), F.col("side").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = u.select(
+        "user_id",
+        "t",
+        "side",
+        F.last("e", ignorenulls=True).over(w_prev).alias("p"),
+        F.first("e", ignorenulls=True).over(w_next).alias("nx"),
+    ).filter(F.col("side") == 1)
+    frac = (
+        F.unix_micros(F.col("t")) - F.unix_micros(F.col("p.ts"))
+    ).cast("double") / (
+        F.unix_micros(F.col("nx.ts")) - F.unix_micros(F.col("p.ts"))
+    ).cast("double")
+    interp = F.col("p.value") + (F.col("nx.value") - F.col("p.value")) * frac
+    return marked.select(
+        "user_id",
+        F.col("t").alias("grid_ts"),
+        (F.round(interp * 1000000) / 1000000).alias("value_interp"),
+    ).orderBy("user_id", "grid_ts")
+
+
+@register(
+    "trend_slope_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(x * yc) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000
+         AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000) / 1000000 AS intercept_cents
+FROM m ORDER BY event_type
+""",
+    category="temporal",
+)
+def trend_slope_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope + intercept of daily value vs time)
+    computed from EXACT integer moment sums — the cross-engine-safe
+    replacement for regr_slope/regr_intercept, whose float partial
+    sums are accumulation-order-dependent and therefore can't be
+    hash-gated. x = epoch-day index, y = exact daily cents, so n, Σx,
+    Σy, Σxy, Σx² are all exact int64 (partial-aggregable map-side —
+    the sufficient-statistics pattern that makes regression one
+    shuffle at any scale); the closed-form slope/intercept are then
+    single double divisions of exact integers, bit-identical in both
+    engines before presentation rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    x = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long")
+    m = daily.select("event_type", x.alias("x"), "yc").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (F.round(slope * 1000000) / 1000000).alias("slope_cents_per_day"),
+        (F.round(intercept * 1000000) / 1000000).alias("intercept_cents"),
+    ).orderBy("event_type")
