@@ -203,3 +203,87 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+verts AS (
+  SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_vertices
+  FROM (SELECT pa AS v FROM e UNION SELECT pb FROM e)
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT verts.n_vertices, (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       tri.n_triangles
+FROM verts CROSS JOIN tri
+""",
+    category="llm_dedup",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts bought
+    together in >= 2 orders) — the graph-analytics step beyond the
+    connected components above (clustering coefficient, community
+    density). Edges are canonically oriented (pa < pb), so each
+    triangle is produced exactly once by the two equi-joins
+    E(a,b) |x| E(b,c) |x| E(a,c): this is the standard distributed
+    triangle enumeration whose cost is sum of deg^2 over vertices (the
+    compact-forward algorithm's bound), NOT |V|^3 — all joins stay hash
+    equi-joins on vertex keys. The support threshold keeps the edge set
+    sparse at every SF (the a-priori pruning a real co-purchase graph
+    applies anyway)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    verts = (
+        e.select(F.col("pa").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("v")))
+        .distinct()
+        .agg(F.count("*").alias("n_vertices"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        verts.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

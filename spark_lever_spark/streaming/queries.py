@@ -452,3 +452,56 @@ def stream_foreachbatch_upsert_users(
     return final.select(
         "user_id", "n_events", F.col("last.event_type").alias("last_event_type")
     ).orderBy("user_id")
+
+
+@register(
+    "stream_stream_join_click_purchase",
+    oracle="""
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+""",
+    category="streaming",
+)
+def stream_stream_join_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STREAM inner join (clicks x purchases per user within the
+    following hour) — the operator class the reference could only
+    approximate by aligning two DStreams' micro-batches (join worked
+    per-batch only; cross-batch matches were silently lost,
+    PairDStreamFunctions.scala join). Structured Streaming buffers both
+    sides in keyed state, so matches span micro-batch boundaries; the
+    drained append output must equal the batch interval join. The
+    time-bound predicate is what lets a production run add symmetric
+    watermarks and evict state; at test SF the drain is exhaustive so
+    no watermark is needed. The per-user rollup happens batch-side on
+    the drained pairs (chaining a second stateful agg behind a
+    stream-stream join needs watermarks by construction)."""
+    clicks = _stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = _drain_append(joined, "ss_join")
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -367,3 +367,13 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     df = ALL["text_pii_redact"].fn(spark, sf_dir)
     assert exchange_count(df) <= 2
     assert shuffle_join_count(df) == 0
+
+
+def test_triangle_joins_stay_equi(spark, sf_dir):
+    """Triangle enumeration must be hash equi-joins on vertex keys —
+    a BNL there is |E|^2 at scale. The only nested loops allowed are
+    the two final 1-row scalar-aggregate crossJoins (the
+    relational.py broadcast-scalar pattern)."""
+    df = ALL["triangle_count_copurchase"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) <= 2
+    assert broadcast_join_count(df) + shuffle_join_count(df) >= 3
