@@ -650,10 +650,12 @@ nv AS (
   GROUP BY g.user_id, g.g
 )
 SELECT g.user_id, CAST(g.g AS TIMESTAMP) AS grid_ts,
-       round((pv.pval + (nv.nval - pv.pval)
-              * (CAST(epoch_us(g.g) - epoch_us(pv.pt) AS DOUBLE)
-                 / CAST(epoch_us(nv.nt) - epoch_us(pv.pt) AS DOUBLE)))
-             * 1000000) / 1000000 AS value_interp
+       CASE WHEN pv.pt = g.g THEN round(pv.pval * 1000000) / 1000000
+            ELSE round((pv.pval + (nv.nval - pv.pval)
+                   * (CAST(epoch_us(g.g) - epoch_us(pv.pt) AS DOUBLE)
+                      / CAST(epoch_us(nv.nt) - epoch_us(pv.pt) AS DOUBLE)))
+                  * 1000000) / 1000000
+       END AS value_interp
 FROM grid g
 LEFT JOIN pv ON pv.user_id = g.user_id AND pv.g = g.g
 LEFT JOIN nv ON nv.user_id = g.user_id AND nv.g = g.g
@@ -726,10 +728,15 @@ def interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("nx.ts")) - F.unix_micros(F.col("p.ts"))
     ).cast("double")
     interp = F.col("p.value") + (F.col("nx.value") - F.col("p.value")) * frac
+    # a grid point landing exactly on an event needs no right bracket —
+    # without this, the grid point at the LAST event would null out
+    value = F.when(
+        F.col("p.ts") == F.col("t"), F.round(F.col("p.value") * 1000000) / 1000000
+    ).otherwise(F.round(interp * 1000000) / 1000000)
     return marked.select(
         "user_id",
         F.col("t").alias("grid_ts"),
-        (F.round(interp * 1000000) / 1000000).alias("value_interp"),
+        value.alias("value_interp"),
     ).orderBy("user_id", "grid_ts")
 
 
