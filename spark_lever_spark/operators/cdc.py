@@ -233,3 +233,107 @@ def merge_cdc_sequence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = b1.unionByName(b2).unionByName(b3)
     latest = compact_cdc(feed, "o_orderkey")
     return _summary(merge_apply(base, latest, "o_orderkey"))
+
+
+@register(
+    "matview_incremental_orders_by_status",
+    oracle=f"""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+batch AS (
+  SELECT o_orderkey, 'D' AS op,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_orderstatus,
+         round(o_totalprice * 1.1 * 100) / 100
+  FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_INSERT_OFFSET}, 'U', 'N',
+         100.0 + o_orderkey % 500
+  FROM base WHERE o_orderkey % 101 = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM base t FULL JOIN batch s ON t.o_orderkey = s.o_orderkey
+  WHERE s.op IS NULL OR s.op <> 'D'
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    category="cdc",
+)
+def matview_incremental_orders_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-status
+    (count, sum) aggregate is UPDATED from the CDC batch alone — the
+    base table is scanned once to seed the view and NEVER rescanned to
+    apply the change feed. Each change contributes signed deltas using
+    its before/after images (delete: (-1, -old); update: (-1, -old) at
+    the old group and (+1, +new) at the new — general across
+    group-changing updates; insert: (+1, +new)); the view merge is one
+    tiny outer join of aggregates, with emptied groups dropped. At
+    100 TB this is THE pattern that turns a nightly full recompute
+    into seconds of delta math. The oracle recomputes the aggregate
+    from the fully-merged snapshot, so the hash check IS the proof
+    that incremental == recompute."""
+    base = _orders_base(spark, sf_dir)
+    cents_of = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    view = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents_of(F.col("o_totalprice"))).alias("sum_cents"),
+    )
+    k = F.col("o_orderkey")
+    # before-images (rows leaving a group)
+    minus_del = base.filter(k % 97 == 0)
+    minus_upd = base.filter((k % 13 == 0) & (k % 97 != 0))
+    minus = minus_del.unionByName(minus_upd).select(
+        "o_orderstatus",
+        F.lit(-1).cast("long").alias("dn"),
+        (-cents_of(F.col("o_totalprice"))).alias("dc"),
+    )
+    # after-images (rows entering a group)
+    plus_upd = base.filter((k % 13 == 0) & (k % 97 != 0)).select(
+        "o_orderstatus",
+        F.lit(1).cast("long").alias("dn"),
+        cents_of(F.round(F.col("o_totalprice") * 1.1 * 100) / 100).alias("dc"),
+    )
+    plus_ins = base.filter(k % 101 == 0).select(
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("dn"),
+        cents_of(
+            F.lit(100.0) + (F.col("o_orderkey") % 500).cast("double")
+        ).alias("dc"),
+    )
+    delta = (
+        minus.unionByName(plus_upd)
+        .unionByName(plus_ins)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    v, d = view.alias("v"), delta.alias("d")
+    return (
+        v.join(d, F.col("v.o_orderstatus") == F.col("d.o_orderstatus"), "full")
+        .select(
+            F.coalesce(F.col("v.o_orderstatus"), F.col("d.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            (
+                F.coalesce(F.col("v.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("v.sum_cents"), F.lit(0))
+                + F.coalesce(F.col("d.dc"), F.lit(0))
+            ).alias("sum_cents"),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("o_orderstatus")
+    )

@@ -1584,3 +1584,125 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     ).orderBy(F.col("exact_cnt").desc(), "user_id")
+
+
+@register(
+    "skew_key_diagnostics_lineitem",
+    oracle="""
+WITH kc AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_rows_per_key,
+       round(CAST(quantile_cont(c, 0.5) AS DOUBLE) * 100) / 100 AS p50,
+       round(CAST(quantile_cont(c, 0.9) AS DOUBLE) * 100) / 100 AS p90,
+       round(CAST(quantile_cont(c, 0.99) AS DOUBLE) * 100) / 100 AS p99,
+       round(CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000)
+         / 1000000 AS top_key_share
+FROM kc
+""",
+    category="relational",
+)
+def skew_key_diagnostics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics — the pre-flight a 100 TB
+    pipeline runs BEFORE choosing salted-vs-plain aggregation (the
+    skew_salted_* operators above are the remedies; this is the
+    detector). One count-by-key pass, then scalar stats over the
+    (much smaller) key-count table: key cardinality, exact interpolated
+    p50/p90/p99 of rows-per-key, and the hottest key's share of all
+    rows — the number that says whether one task will own the shuffle
+    tail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    return kc.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows_per_key"),
+        (F.round(F.percentile("c", 0.5) * 100) / 100).alias("p50"),
+        (F.round(F.percentile("c", 0.9) * 100) / 100).alias("p90"),
+        (F.round(F.percentile("c", 0.99) * 100) / 100).alias("p99"),
+        (
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double") * 1000000
+            )
+            / 1000000
+        ).alias("top_key_share"),
+    )
+
+
+@register(
+    "sketch_hll_intersection_pairs",
+    oracle="""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM u) a
+  JOIN (SELECT DISTINCT event_type FROM u) b ON a.event_type < b.event_type
+),
+ex AS (
+  SELECT p.type_a, p.type_b,
+         CAST((SELECT count(*) FROM u x JOIN u y
+               ON x.user_id = y.user_id
+              AND x.event_type = p.type_a AND y.event_type = p.type_b)
+           AS BIGINT) AS exact_common
+  FROM pairs p
+)
+SELECT type_a, type_b, exact_common, TRUE AS within_bound
+FROM ex ORDER BY type_a, type_b
+""",
+    category="relational",
+)
+def sketch_hll_intersection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: intersection cardinality of user sets per
+    event-type pair via inclusion-exclusion over mergeable sketches
+    (|A∩B| = est(A) + est(B) − est(A∪B)) — the query you can answer
+    from STORED per-type sketches alone, no second pass over raw data.
+    Inclusion–exclusion amplifies HLL error relative to small
+    intersections, so the hash-checked invariant bounds the absolute
+    error against the union size (3x the ~1.6 % rsd of lgConfigK=12),
+    alongside the exact intersection both engines compute
+    independently."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sk = u.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        )
+    )
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_common"))
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("exact_common")
+    ok = F.abs(est - F.col("exact_common")) <= 0.05 * union_sz
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select("type_a", "type_b", "exact_common", ok.alias("within_bound"))
+        .orderBy("type_a", "type_b")
+    )
