@@ -52,6 +52,8 @@ def main() -> None:
     for name, rows in (
         ("stream_agg_orders_status", n_orders),
         ("stream_windowed_events_hourly", n_events),
+        ("stream_session_window_events", n_events),
+        ("stream_foreachbatch_upsert_users", n_events),
     ):
         t0 = time.perf_counter()
         qs[name].fn(spark, sf_dir).collect()
