@@ -809,7 +809,7 @@ WITH raw AS (
            || CAST(doc_id % 10 AS VARCHAR) || '.com call +1-555-'
            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
            || CAST(doc_id % 256 AS VARCHAR) || '.0.'
-           || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text AS t
+           || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || COALESCE(text, '') AS t
   FROM documents
 ),
 red AS (
@@ -857,7 +857,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".0."),
             ((F.col("doc_id") * 7) % 256).cast("string"),
             F.lit(" "),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
         ).alias("t"),
     )
     redacted = F.regexp_replace(

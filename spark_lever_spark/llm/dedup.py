@@ -750,6 +750,7 @@ _PARA_N = 16  # tokens per "paragraph" chunk
     oracle=f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ),
 paras AS (
   SELECT doc_id, CAST(t.p AS BIGINT) AS p,
@@ -794,7 +795,11 @@ def dedup_paragraph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt length per document, including documents fully consumed by
     earlier duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # NULL text would make sequence(0, -1) DESCEND (the curation.py
+    # guard): drop such docs identically in both engines
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     n_paras = F.ceil(F.size("toks") / float(_PARA_N)).cast("long")
     paras = base.select(
         "doc_id",

@@ -1706,3 +1706,100 @@ def sketch_hll_intersection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("type_a", "type_b", "exact_common", ok.alias("within_bound"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "secondary_sort_first_last_delta",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT user_id, CAST(max(cnt) AS BIGINT) AS n,
+       max(CASE WHEN rn = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn = cnt THEN value END) AS last_value,
+       round((max(CASE WHEN rn = cnt THEN value END)
+              - max(CASE WHEN rn = 1 THEN value END)) * 1000000) / 1000000
+         AS delta
+FROM e GROUP BY user_id ORDER BY user_id
+""",
+    category="relational",
+)
+def secondary_sort_first_last_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """repartitionAndSortWithinPartitions parity (reference
+    OrderedRDDFunctions.scala — THE RDD idiom for secondary sort):
+    repartition by user, sort each partition by (user, ts, event_id),
+    then a single O(n) streaming pass per partition (mapInPandas with
+    run carry-over across Arrow batches) computes first/last/count per
+    user without any window function — the merge-run shape used for
+    sorted-log processing where per-key state must stay O(1). One
+    shuffle (the repartition); sortWithinPartitions is a partition-
+    local sort, not an exchange. The oracle computes the same result
+    relationally (arg_min/arg_max over the (ts, event_id) order)."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+
+    def scan(batches):
+        cur = None  # [user_id, n, first_value, last_value]
+        out_rows: list[list] = []
+        for pdf in batches:
+            for uid, n, first_v, last_v in zip(
+                pdf["user_id"], pdf["n"], pdf["first"], pdf["last"]
+            ):
+                if cur is not None and cur[0] == uid:
+                    cur[1] += n
+                    cur[3] = last_v  # sorted: later batch extends the run
+                else:
+                    if cur is not None:
+                        out_rows.append(cur)
+                    cur = [uid, n, first_v, last_v]
+        if cur is not None:
+            out_rows.append(cur)
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "n", "first_value", "last_value"]
+        )
+
+    def pre_agg(batches):
+        # collapse each Arrow batch to one run-summary row per user
+        # (rows within a batch are already sorted): tiny pandas frames
+        # flow into `scan`, so the Python-side loop touches runs, not rows
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            grp = pdf.groupby("user_id", sort=False)
+            yield pd.DataFrame(
+                {
+                    "user_id": grp["user_id"].first(),
+                    "n": grp["value"].size(),
+                    "first": grp["value"].first(),
+                    "last": grp["value"].last(),
+                }
+            )
+
+    runs = ev.mapInPandas(
+        pre_agg, "user_id long, n long, first double, last double"
+    )
+    final = runs.mapInPandas(
+        scan, "user_id long, n long, first_value double, last_value double"
+    )
+    return final.select(
+        "user_id",
+        "n",
+        "first_value",
+        "last_value",
+        (
+            F.round((F.col("last_value") - F.col("first_value")) * 1000000)
+            / 1000000
+        ).alias("delta"),
+    ).orderBy("user_id")
