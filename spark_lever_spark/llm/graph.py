@@ -287,3 +287,111 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+_LPA_ROUNDS = 5
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled sync-LPA oracle: DuckDB can't express the per-round
+    mode-with-tie-break inside a recursive CTE (aggregates are barred
+    from the recursive term), so the fixed round count is unrolled
+    mechanically — same structure the Spark loop builds."""
+    ctes = [
+        """base AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT pa AS v, pb AS u FROM und UNION ALL SELECT pb, pa FROM und
+),
+l0 AS (SELECT DISTINCT v, v AS lbl FROM edges)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""v{k} AS (
+  SELECT e.v, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{k - 1} l ON l.v = e.u
+  GROUP BY e.v, l.lbl
+),
+l{k} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+FROM l{rounds}
+GROUP BY lbl ORDER BY size DESC, community
+"""
+    )
+
+
+@register(
+    "lpa_communities_copurchase",
+    oracle=_lpa_oracle(),
+    category="llm_dedup",
+)
+def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities (Raghavan et al. '07, synchronized
+    variant) over the co-purchase graph — the iterative graph algorithm
+    family alongside connected components and triangle counting. Each
+    round every vertex adopts its neighbors' MODE label (ties broken to
+    the smallest label — the determinism async LPA lacks); 5 fixed
+    rounds. Per round: one edge-label equi-join + one (v, lbl) count
+    + one per-v argmax — all hash shuffles on vertex keys, O(|E|) per
+    round, the same budget-bounded iteration doctrine as
+    llm/graph.py's CC. The oracle unrolls the identical 5 rounds."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("v"), F.col("pb").alias("u")
+    ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
+    edges = edges.persist()
+    labels = edges.select("v").distinct().withColumn("lbl", F.col("v"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("v").alias("u"), "lbl"), "u"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # mode with smallest-label tie-break: max over (c, -lbl)
+        labels = (
+            votes.groupBy("v")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("v", (-F.col("m.nl")).alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), "community")
+    )
