@@ -274,8 +274,10 @@ def matview_incremental_orders_by_status(
 ) -> DataFrame:
     """Incremental materialized-view maintenance: the per-status
     (count, sum) aggregate is UPDATED from the CDC batch alone — the
-    base table is scanned once to seed the view and NEVER rescanned to
-    apply the change feed. Each change contributes signed deltas using
+    maintenance path never rescans the base table (the extra base
+    scans in THIS plan only derive the synthetic change feed, which a
+    real deployment receives externally with before/after images, e.g.
+    Debezium). Each change contributes signed deltas using
     its before/after images (delete: (-1, -old); update: (-1, -old) at
     the old group and (+1, +new) at the new — general across
     group-changing updates; insert: (+1, +new)); the view merge is one

@@ -811,3 +811,95 @@ def time_in_state_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sessionize_capped_events",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, rn, 0 AS sid, ts AS sstart FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.rn,
+         CASE WHEN e.ts - r.ts > INTERVAL 30 MINUTE
+                OR e.ts - r.sstart > INTERVAL 4 HOUR
+              THEN r.sid + 1 ELSE r.sid END,
+         CASE WHEN e.ts - r.ts > INTERVAL 30 MINUTE
+                OR e.ts - r.sstart > INTERVAL 4 HOUR
+              THEN e.ts ELSE r.sstart END
+  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM r GROUP BY user_id, sid
+ORDER BY user_id, sid
+""",
+    category="events",
+)
+def sessionize_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap (30 min) and a
+    max-duration cap (4 h since session start) — the variant plain
+    gaps-and-islands cannot express, because the cap references the
+    running session's own start (a sequential dependency). Runs as a
+    per-user HOF prefix scan over the sorted event array: one shuffle
+    to group, O(events-per-user) state — the same bounded-scan doctrine
+    as the EWMA operator (at 100 TB, pre-partition by (user, coarse
+    time) if single users exceed memory). The oracle replays the exact
+    recursion as a recursive CTE; timestamps ride as exact integer
+    microseconds through the scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        "event_id",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("tus", "event_id"))).alias("s")
+    )
+    gap_us = 30 * 60 * 1_000_000
+    cap_us = 4 * 3600 * 1_000_000
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        is_new = (s["tus"] - last["tus"] > gap_us) | (
+            s["tus"] - last["sstart"] > cap_us
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["tus"].alias("tus"),
+                    F.when(F.size(acc) == 0, F.lit(0).cast("long"))
+                    .otherwise(
+                        F.when(is_new, last["sid"] + 1).otherwise(last["sid"])
+                    )
+                    .alias("sid"),
+                    F.when(F.size(acc) == 0, s["tus"])
+                    .otherwise(F.when(is_new, s["tus"]).otherwise(last["sstart"]))
+                    .alias("sstart"),
+                )
+            ),
+        )
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<tus bigint, sid bigint, sstart bigint>>)"
+        ),
+        step,
+    )
+    return (
+        per_user.select("user_id", F.explode(scan).alias("r"))
+        .groupBy("user_id", F.col("r.sid").alias("sid"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.timestamp_micros(F.min("r.tus")).alias("session_start"),
+            F.timestamp_micros(F.max("r.tus")).alias("session_end"),
+        )
+        .orderBy("user_id", "sid")
+    )
