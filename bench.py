@@ -5,9 +5,12 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology: one warm-up execution of a trivial query to absorb JVM/
-codegen startup, then each bench query is executed once, timed
-end-to-end (plan + execute + collect-to-driver of the small result).
-`value` is the total across queries.
+codegen startup, then each bench query is executed TWICE, timed
+end-to-end (plan + execute + collect-to-driver of the small result);
+the reported number is the min of the two runs. Min-of-2 matches the
+v1 freeze's steady-state-warm intent and keeps a single noisy-neighbor
+spike (observed inflating arbitrary queries ~2x on this host) from
+reading as a plan regression. `value` is the total across queries.
 """
 
 from __future__ import annotations
@@ -77,10 +80,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     errs: dict[str, str] = {}
     for name, q in sorted(registry.bench_queries().items()):
-        t0 = time.perf_counter()
+        best = None
         try:
-            q.fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             msg = str(exc).split("\n", 1)[0][:300]
             errs[name] = f"{type(exc).__name__}: {msg}"

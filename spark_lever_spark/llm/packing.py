@@ -215,3 +215,110 @@ def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_CONCAT_SEQ = 2048  # tokens per training sequence (incl. 1 EOD/doc)
+
+
+@register(
+    "pack_concat_2048",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS toks
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, toks,
+         CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks AS BIGINT)
+           AS off
+  FROM d
+),
+spans AS (
+  SELECT source, doc_id,
+         off // {_CONCAT_SEQ} AS first_chunk,
+         (off + toks - 1) // {_CONCAT_SEQ} AS last_chunk,
+         off, toks
+  FROM o
+),
+hit AS (
+  SELECT s.source, s.doc_id,
+         CAST(s.first_chunk + t.k AS BIGINT) AS chunk_idx,
+         least(s.off + s.toks, (s.first_chunk + t.k + 1) * {_CONCAT_SEQ})
+           - greatest(s.off, (s.first_chunk + t.k) * {_CONCAT_SEQ})
+           AS toks_in_chunk
+  FROM spans s,
+       LATERAL unnest(range(s.last_chunk - s.first_chunk + 1)) AS t(k)
+)
+SELECT source, chunk_idx,
+       CAST(SUM(toks_in_chunk) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM hit GROUP BY source, chunk_idx
+ORDER BY source, chunk_idx
+""",
+    category="llm_text",
+)
+def pack_concat_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style CONCAT packing (the complement of the first-fit
+    `pack_documents_2048` above): per source, documents concatenate in
+    doc_id order (one EOD token each) into one long token stream cut
+    into fixed 2048-token training sequences — documents STRADDLE
+    sequence boundaries instead of being bin-packed whole. Entirely
+    window arithmetic: a per-source cumulative token offset assigns
+    every document its [first_chunk, last_chunk] span, a bounded
+    explode emits per-(doc, chunk) overlap lengths, and the rollup
+    yields exact per-sequence token/doc counts — every chunk but each
+    source's last must hold exactly 2048 tokens (pinned in
+    tests/test_packing.py). One window shuffle per source + one
+    group-by; no Python in the loop. At 100 TB the 'order by doc_id
+    within source' is the deterministic shard order a real pipeline
+    fixes at ingest."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.size(F.split("text", " ")) + 1).cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = d.withColumn("off", F.sum("toks").over(w) - F.col("toks"))
+    spans = o.select(
+        "source",
+        "doc_id",
+        "off",
+        "toks",
+        (F.col("off") / _CONCAT_SEQ).cast("long").alias("first_chunk"),
+        ((F.col("off") + F.col("toks") - 1) / _CONCAT_SEQ)
+        .cast("long")
+        .alias("last_chunk"),
+    )
+    hit = spans.select(
+        "source",
+        "doc_id",
+        "off",
+        "toks",
+        F.explode(
+            F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+        ).alias("chunk_idx"),
+    ).select(
+        "source",
+        "chunk_idx",
+        (
+            F.least(
+                F.col("off") + F.col("toks"),
+                (F.col("chunk_idx") + 1) * _CONCAT_SEQ,
+            )
+            - F.greatest(F.col("off"), F.col("chunk_idx") * _CONCAT_SEQ)
+        ).alias("toks_in_chunk"),
+    )
+    return (
+        hit.groupBy("source", "chunk_idx")
+        .agg(
+            F.sum("toks_in_chunk").alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source", "chunk_idx")
+    )
