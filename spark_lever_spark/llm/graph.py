@@ -207,6 +207,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "triangle_count_copurchase",
+    bench=True,
     oracle="""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -338,6 +339,7 @@ GROUP BY lbl ORDER BY size DESC, community
 
 @register(
     "lpa_communities_copurchase",
+    bench=True,
     oracle=_lpa_oracle(),
     category="llm_dedup",
 )

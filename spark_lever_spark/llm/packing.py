@@ -222,6 +222,7 @@ _CONCAT_SEQ = 2048  # tokens per training sequence (incl. 1 EOD/doc)
 
 @register(
     "pack_concat_2048",
+    bench=True,
     oracle=f"""
 WITH d AS (
   SELECT source, doc_id,

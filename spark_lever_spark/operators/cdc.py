@@ -237,6 +237,7 @@ def merge_cdc_sequence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "matview_incremental_orders_by_status",
+    bench=True,
     oracle=f"""
 WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
 batch AS (
@@ -343,6 +344,7 @@ def matview_incremental_orders_by_status(
 
 @register(
     "backfill_dirty_partitions",
+    bench=True,
     oracle="""
 SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        count(*) AS n,

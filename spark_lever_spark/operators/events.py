@@ -815,6 +815,7 @@ def time_in_state_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_capped_events",
+    bench=True,
     oracle="""
 WITH RECURSIVE e AS (
   SELECT user_id, ts,

@@ -1499,6 +1499,7 @@ def sketch_rolling_distinct_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_cms_heavy_hitters",
+    bench=True,
     oracle="""
 WITH rows_ AS (SELECT CAST(unnest(range(4)) AS VARCHAR) AS r),
 cells AS (
@@ -1710,6 +1711,7 @@ def sketch_hll_intersection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "secondary_sort_first_last_delta",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT user_id, value,

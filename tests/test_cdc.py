@@ -64,3 +64,52 @@ def test_merge_single_shuffle(spark):
     # merge itself must not add exchanges beyond the join's own (AQE may
     # broadcast the tiny side: then zero shuffle-exchanges on the probe)
     assert plan.count("Exchange") <= 2
+
+
+def test_compact_merge_equals_sequential_merges(spark):
+    """The compaction theorem the module claims: applying N ordered
+    batches one merge at a time == compacting to latest-op-per-key and
+    applying ONE merge. Property-checked over randomized feeds
+    (hypothesis), driven through the real Spark operators on small
+    frames."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.tuples(
+        st.integers(min_value=1, max_value=4),     # seq / batch id
+        st.integers(min_value=0, max_value=5),     # key
+        st.sampled_from(["U", "D"]),
+        st.text(alphabet="abc", min_size=0, max_size=2),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(ops, min_size=0, max_size=12))
+    def run(feed):
+        base = spark.createDataFrame(
+            [(0, "base0"), (2, "base2"), (4, "base4")], ["k", "v"]
+        )
+        # within one batch, keep at most one op per key (CDC feeds are
+        # keyed per commit) — latest row in list order wins
+        dedup = {}
+        for seq, k, op, v in feed:
+            dedup[(seq, k)] = (seq, k, op, v)
+        feed = sorted(dedup.values())
+        feed_df = spark.createDataFrame(
+            feed, "seq int, k long, op string, v string"
+        )
+        # sequential: one merge per batch in seq order
+        seq_state = base
+        for s in sorted({f[0] for f in feed}):
+            batch = feed_df.filter(F.col("seq") == s).drop("seq")
+            seq_state = merge_apply(seq_state, batch, "k")
+        sequential = {(r["k"], r["v"]) for r in seq_state.collect()}
+        # compacted: one merge total
+        compacted_state = merge_apply(base, compact_cdc(feed_df, "k"), "k")
+        compacted = {(r["k"], r["v"]) for r in compacted_state.collect()}
+        assert sequential == compacted, (feed, sequential, compacted)
+
+    run()
