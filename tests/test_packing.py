@@ -73,3 +73,37 @@ def test_packing_oversized_doc_gets_own_bin(spark):
     others = [r for r in rows if r.doc_id != 1]
     assert all(r.bin_id != big.bin_id for r in others)
     assert {r.doc_id for r in rows} == {1, 2, 3}
+
+
+def test_concat_chunks_exactly_full_except_last(spark, sf_dir):
+    """Concat packing invariants: within each source, every chunk but
+    the last holds exactly 2048 tokens; chunk indexes are contiguous
+    from 0; total tokens equal the per-source token+EOD sum."""
+    from pyspark.sql import functions as F
+
+    from spark_lever_spark import registry
+    from spark_lever_spark.catalog import load_table
+
+    out = (
+        registry.all_queries()["pack_concat_2048"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")) + 1).alias("t"))
+        .collect()
+    }
+    assert by_source
+    for src, rows in by_source.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_tokens"] == 2048 for r in rows[:-1])
+        assert 0 < rows[-1]["n_tokens"] <= 2048
+        assert sum(r["n_tokens"] for r in rows) == totals[src]
+        assert all(r["n_docs"] >= 1 for r in rows)
