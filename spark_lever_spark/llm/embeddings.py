@@ -233,3 +233,131 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     ).orderBy("vec_id")
+
+
+_JL_K = 16   # projected dimensions
+_JL_D = 64   # source embedding dimensions
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 parity — the same
+    engine-portable hash family as the LSH hyperplanes, precomputed
+    driver-side (the plane-precompute optimization) while the oracle
+    derives identical signs from the md5 formula inline."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{r}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(_JL_D)
+        ]
+        for r in range(_JL_K)
+    ]
+
+
+@register(
+    "embedding_jl_projection",
+    oracle=f"""
+WITH xi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS xi
+  FROM embeddings WHERE vec_id < 500
+),
+dims AS (
+  SELECT r.r, j.j,
+         CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                       || CAST(j.j AS VARCHAR)), 1, 1))::INT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({_JL_K})) AS r) r
+  CROSS JOIN (SELECT unnest(range({_JL_D})) AS j) j
+),
+yr AS (
+  SELECT x.vec_id, d.r,
+         CAST(SUM(d.s * x.xi[CAST(d.j + 1 AS INT)]) AS BIGINT) AS y
+  FROM xi x CROSS JOIN dims d
+  GROUP BY x.vec_id, d.r
+),
+p AS (
+  SELECT vec_id, CAST(SUM(y * y) AS BIGINT) AS p,
+         CAST(MAX(CASE WHEN r = 0 THEN y END) AS BIGINT) AS y0
+  FROM yr GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_transform(xi, v -> v * v),
+                          (a, b) -> a + b) AS BIGINT) AS q
+  FROM xi
+)
+SELECT p.vec_id,
+       round(CAST(p.p AS DOUBLE) / CAST({_JL_K} * q.q AS DOUBLE) * 1000000)
+         / 1000000 AS norm_ratio,
+       round(CAST(p.y0 AS DOUBLE) / 1000000 / 4 * 1000000) / 1000000 AS y0
+FROM p JOIN q ON q.vec_id = p.vec_id
+ORDER BY p.vec_id
+""",
+    category="llm_embeddings",
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64d -> 16d with a
+    deterministic ±1 sign matrix (Achlioptas '01's database-friendly
+    JL) — the dimensionality-reduction sketch that makes downstream
+    ANN/clustering 4x cheaper while preserving norms in expectation.
+    The whole operator is MAP-ONLY higher-order-function arithmetic,
+    and parity is made order-independent by quantizing to exact
+    integer micro-units first: every projected coordinate is an exact
+    int64 sum, so engines may sum in any order and still agree
+    bit-for-bit — the integer-domain trick that sidesteps float
+    accumulation-order entirely (functions/exact.py doctrine applied
+    to linear algebra). Output: per vector, the norm-preservation
+    ratio ||y||^2/||x||^2 (JL says ~1) and the first projected
+    coordinate."""
+    signs = _jl_signs()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("xi"),
+        )
+    )
+    def int_sum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    ys = [
+        int_sum(
+            F.zip_with(
+                "xi",
+                F.array(*[F.lit(s).cast("long") for s in signs[r]]),
+                lambda a, b: a * b,
+            )
+        ).alias(f"y{r}")
+        for r in range(_JL_K)
+    ]
+    proj = emb.select(
+        "vec_id",
+        int_sum(F.transform("xi", lambda v: v * v)).alias("q"),
+        *ys,
+    )
+    p = sum(F.col(f"y{r}") * F.col(f"y{r}") for r in range(_JL_K))
+    return proj.select(
+        "vec_id",
+        (
+            F.round(
+                p.cast("double") / (F.lit(_JL_K) * F.col("q")).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("norm_ratio"),
+        (
+            F.round(F.col("y0").cast("double") / 1000000 / 4 * 1000000)
+            / 1000000
+        ).alias("y0"),
+    ).orderBy("vec_id")
