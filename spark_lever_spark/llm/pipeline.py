@@ -116,3 +116,169 @@ def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "pipeline_pii_paragraph_pack",
+    oracle="""
+WITH red AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(
+           'u' || CAST(doc_id AS VARCHAR) || '@ex'
+             || CAST(doc_id % 10 AS VARCHAR) || '.com +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+             || COALESCE(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS rt
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, source, CAST(t.p AS BIGINT) AS p,
+         list_aggregate(
+           string_split(rt, ' ')[CAST(t.p AS INT) * 16 + 1
+                                 : CAST(t.p AS INT) * 16 + 16],
+           'string_agg', ' ') AS para
+  FROM red,
+       LATERAL unnest(range(CAST(ceil(len(string_split(rt, ' ')) / 16.0)
+                                 AS BIGINT))) AS t(p)
+),
+kept AS (
+  SELECT doc_id, source, p, para FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(para)
+                                 ORDER BY doc_id, p) AS rn
+    FROM paras
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(string_agg(para, ' ' ORDER BY p), ' ')) + 1
+              AS BIGINT) AS toks
+  FROM kept GROUP BY doc_id, source
+),
+o AS (
+  SELECT source, doc_id, toks,
+         CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks AS BIGINT)
+           AS off
+  FROM rebuilt
+),
+hit AS (
+  SELECT o.source,
+         CAST(o.off // 2048 + t.k AS BIGINT) AS chunk_idx,
+         least(o.off + o.toks, (o.off // 2048 + t.k + 1) * 2048)
+           - greatest(o.off, (o.off // 2048 + t.k) * 2048) AS toks_in_chunk
+  FROM o,
+       LATERAL unnest(range((o.off + o.toks - 1) // 2048 - o.off // 2048 + 1))
+         AS t(k)
+)
+SELECT source, chunk_idx,
+       CAST(SUM(toks_in_chunk) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM hit GROUP BY source, chunk_idx
+ORDER BY source, chunk_idx
+""",
+    category="llm_pipeline",
+)
+def pipeline_pii_paragraph_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation stages COMPOSED end-to-end: PII redaction
+    (map-only regexp chain over a doc_id-derived contact line + text)
+    -> corpus-wide paragraph dedup with document reconstruction (the
+    C4-style sub-document pass; docs fully consumed by earlier
+    duplicates drop out) -> GPT-style concat packing of the surviving
+    rebuilt documents into 2048-token sequences. Three stages, three
+    shuffles (paragraph-hash window, per-doc regroup, per-source
+    offset window) — the composition cost is the SUM of the stage
+    costs, no multiplicative blowup, which is the property that lets a
+    100 TB pipeline run as one job. The oracle recomputes the full
+    three-stage chain in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.concat(
+                    F.lit("u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@ex"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".com +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" "),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+                "[EMAIL]",
+            ),
+            "\\+1-555-[0-9]{4}",
+            "[PHONE]",
+        ).alias("rt"),
+    )
+    toks = F.split("rt", " ")
+    n_paras = F.ceil(F.size(toks) / 16.0).cast("long")
+    paras = red.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda p: F.array_join(F.slice(toks, p * 16 + 1, 16), " "),
+            )
+        ).alias("p", "para"),
+    ).withColumn("p", F.col("p").cast("long"))
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "p")
+    rebuilt = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.size(
+                    F.split(
+                        F.array_join(
+                            F.transform(
+                                F.sort_array(
+                                    F.collect_list(F.struct("p", "para"))
+                                ),
+                                lambda s: s["para"],
+                            ),
+                            " ",
+                        ),
+                        " ",
+                    )
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("toks"),
+        )
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = rebuilt.withColumn("off", F.sum("toks").over(wo) - F.col("toks"))
+    first_chunk = (F.col("off") / 2048).cast("long")
+    last_chunk = ((F.col("off") + F.col("toks") - 1) / 2048).cast("long")
+    hit = o.select(
+        "source",
+        "off",
+        "toks",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_idx"),
+    ).select(
+        "source",
+        "chunk_idx",
+        (
+            F.least(F.col("off") + F.col("toks"), (F.col("chunk_idx") + 1) * 2048)
+            - F.greatest(F.col("off"), F.col("chunk_idx") * 2048)
+        ).alias("toks_in_chunk"),
+    )
+    return (
+        hit.groupBy("source", "chunk_idx")
+        .agg(
+            F.sum("toks_in_chunk").alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source", "chunk_idx")
+    )
