@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.registry import register
@@ -884,4 +885,103 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_removed").alias("chars_removed"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split, count(*) AS n_docs
+FROM s GROUP BY source, split ORDER BY source, split
+""",
+    category="llm_curation",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (80/10/10 by
+    hash bucket, per source) — the assignment every training pipeline
+    needs to be a ROW PROPERTY, not a sampling event: any engine, any
+    cluster layout, any rerun puts the same document in the same split
+    (the sample_hash_bucket doctrine extended to the standard 3-way
+    protocol). Map-only; the per-source counts are the only shuffle,
+    and leakage checks reduce to bucket arithmetic instead of set
+    comparisons."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 8
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle="""
+WITH ranked AS (
+  SELECT e.epoch, d.doc_id,
+         row_number() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS pos
+  FROM documents d CROSS JOIN (SELECT unnest(range(1, 3)) AS epoch) e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos, doc_id
+FROM ranked WHERE pos <= 20
+ORDER BY epoch, pos
+""",
+    category="llm_curation",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle: epoch k's training order
+    is a total order by md5('epoch{k}:' || doc_id) — different every
+    epoch, identical on every rerun/engine/cluster layout, resumable
+    from any position (the property RNG-seeded shuffles lose the
+    moment partitioning changes). At 100 TB this is a sort by a
+    uniform key — one range-partitioned exchange per epoch, and a
+    reader can stream any slice [a, b) of the epoch order without
+    materializing the rest. Checked on the first 20 positions of two
+    epochs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(1, 3).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.lit("epoch"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 20)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
     )
