@@ -377,3 +377,44 @@ def test_triangle_joins_stay_equi(spark, sf_dir):
     df = ALL["triangle_count_copurchase"].fn(spark, sf_dir)
     assert nested_loop_join_count(df) <= 2
     assert broadcast_join_count(df) + shuffle_join_count(df) >= 3
+
+
+def test_interpolation_single_data_shuffle(spark, sf_dir):
+    """Grid + events merge in ONE per-user window pass: exchanges are
+    the union's partitioning plus the final sort — never one shuffle
+    per bracket direction."""
+    df = ALL["interpolate_linear_hourly"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 3
+
+
+def test_backfill_dirty_set_broadcasts(spark, sf_dir):
+    """The dirty-partition set must reach the semi/anti joins via
+    broadcast (it is late-batch-sized, tiny at any scale) and nothing
+    may nested-loop."""
+    df = ALL["backfill_dirty_partitions"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    assert nested_loop_join_count(df) == 0
+
+
+def test_lpa_rounds_stay_equi(spark, sf_dir):
+    """Every LPA round is (edge-label equi-join + two aggs) — a BNL
+    anywhere makes a round O(|V|·|E|)."""
+    df = ALL["lpa_communities_copurchase"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+
+
+def test_concat_pack_two_shuffles(spark, sf_dir):
+    """Concat packing = one per-source offset window + one chunk
+    group-by (+ the final sort). The bounded explode must not add an
+    exchange."""
+    df = ALL["pack_concat_2048"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 3
+    assert nested_loop_join_count(df) == 0
+
+
+def test_jl_projection_is_map_only(spark, sf_dir):
+    """JL projection is pure per-row HOF arithmetic — only the
+    presentation sort may exchange; no joins at all."""
+    df = ALL["embedding_jl_projection"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 1
+    assert shuffle_join_count(df) + nested_loop_join_count(df) == 0
