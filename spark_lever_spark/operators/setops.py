@@ -125,3 +125,66 @@ def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", (F.row_number().over(w) - 1).cast("long").alias("idx")
         ).orderBy("idx")
     )
+
+
+@register(
+    "tree_aggregate_two_level",
+    oracle="""
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(*) AS n_rows
+FROM lineitem
+""",
+    category="setops",
+)
+def tree_aggregate_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """treeAggregate parity (reference RDD.scala `treeAggregate` /
+    `treeReduce`): a global aggregate folded through an explicit
+    INTERMEDIATE level — partials combine within 16 hash buckets
+    before the final single-row reduce — so the last stage merges 16
+    rows instead of every map partition's partial. On a 1000-executor
+    cluster this is what keeps the driver/final-task fan-in constant
+    as parallelism grows (Spark's own 2-level partial aggregation has
+    a single final reducer; the tree inserts log-depth between them).
+    Exact integer cents end-to-end, so the hash check proves the
+    multi-level fold loses nothing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    level1 = (
+        li.groupBy((F.crc32(F.col("c").cast("string")) % 16).alias("bucket"))
+        .agg(F.sum("c").alias("part_sum"), F.count("*").alias("part_n"))
+    )
+    return level1.agg(
+        F.sum("part_sum").alias("total_cents"),
+        F.sum("part_n").alias("n_rows"),
+    )
+
+
+@register(
+    "zip_with_unique_id",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(*) AS n_distinct_ids,
+       TRUE AS ids_unique
+FROM events
+""",
+    category="setops",
+)
+def zip_with_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipWithUniqueId parity (reference RDD.scala `zipWithUniqueId`):
+    unlike zipWithIndex (covered by zip_with_index, which pays a
+    count-per-partition pass), unique ids come from
+    monotonically_increasing_id — ZERO extra passes, ids unique but
+    NOT contiguous and partition-layout-dependent. Exactly because the
+    id values are layout-dependent, the oracle checks the CONTRACT
+    (uniqueness and cardinality), not the values — the same invariant
+    the reference API documents."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("uid").alias("n_distinct_ids"),
+        (F.count("*") == F.countDistinct("uid")).alias("ids_unique"),
+    )
