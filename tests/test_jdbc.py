@@ -73,3 +73,21 @@ def test_jdbc_explicit_predicates(spark, jdbc_url):
 def test_jdbc_partition_args_validated(spark):
     with pytest.raises(ValueError, match="partition_column requires"):
         read_jdbc(spark, "jdbc:derby:memory:x", "T", partition_column="id")
+
+
+def test_jdbc_append_mode(spark, jdbc_url):
+    """insertIntoJDBC parity (reference DataFrame.scala
+    `insertIntoJDBC` — append rows into an existing JDBC table, vs the
+    fixture's overwrite write = `createJDBCTable`): appended batch
+    lands alongside the original 1000 rows, and a subsequent pushdown
+    read sees both generations."""
+    extra = spark.range(10_000, 10_050).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS DOUBLE) * 1.5 AS val"
+    )
+    extra.write.jdbc(jdbc_url, "METRICS_APPEND", mode="overwrite",
+                     properties=DERBY_PROPS)
+    extra.write.jdbc(jdbc_url, "METRICS_APPEND", mode="append",
+                     properties=DERBY_PROPS)
+    got = read_jdbc(spark, jdbc_url, "METRICS_APPEND", properties=DERBY_PROPS)
+    assert got.count() == 100
+    assert got.filter("id >= 10000").count() == 100
