@@ -956,32 +956,35 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a total order by md5('epoch{k}:' || doc_id) — different every
     epoch, identical on every rerun/engine/cluster layout, resumable
     from any position (the property RNG-seeded shuffles lose the
-    moment partitioning changes). At 100 TB this is a sort by a
-    uniform key — one range-partitioned exchange per epoch, and a
-    reader can stream any slice [a, b) of the epoch order without
-    materializing the rest. Checked on the first 20 positions of two
-    epochs."""
+    moment partitioning changes). The head of each epoch's order is
+    taken with orderBy().limit() — Spark's TakeOrdered computes
+    per-partition top-k then merges k-sized heads, so the prefix costs
+    O(k) per partition at any corpus size (a row_number window
+    partitioned by epoch would funnel the WHOLE corpus through one
+    task per epoch); a full-epoch materialization would instead be one
+    range-partitioned sort by the same key. Checked on the first 20
+    positions of two epochs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    epochs = spark.range(1, 3).select(F.col("id").alias("epoch"))
-    keyed = docs.crossJoin(F.broadcast(epochs)).select(
-        "epoch",
-        "doc_id",
-        F.md5(
+    heads = []
+    for epoch in (1, 2):
+        k = F.md5(
             F.encode(
                 F.concat(
-                    F.lit("epoch"),
-                    F.col("epoch").cast("string"),
-                    F.lit(":"),
-                    F.col("doc_id").cast("string"),
+                    F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")
                 ),
                 "UTF-8",
             )
-        ).alias("k"),
-    )
+        )
+        heads.append(
+            docs.select(F.lit(epoch).cast("long").alias("epoch"), "doc_id", k.alias("k"))
+            .orderBy("k", "doc_id")
+            .limit(20)
+        )
+    head = heads[0].unionByName(heads[1])
+    # pos assignment runs on the tiny 2x20-row head, not the corpus
     w = Window.partitionBy("epoch").orderBy("k", "doc_id")
     return (
-        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
-        .filter(F.col("pos") <= 20)
+        head.withColumn("pos", F.row_number().over(w).cast("long"))
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )

@@ -1614,7 +1614,9 @@ def skew_key_diagnostics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     (much smaller) key-count table: key cardinality, exact interpolated
     p50/p90/p99 of rows-per-key, and the hottest key's share of all
     rows — the number that says whether one task will own the shuffle
-    tail."""
+    tail. The exact percentile gathers the key-count table into one
+    reducer — fine up to ~1e8 keys; beyond that swap F.percentile for
+    approx_percentile (GK, mergeable) and keep the rest unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     kc = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
     return kc.agg(
