@@ -442,9 +442,12 @@ def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic: |c_i·T − C_i·T_s| is exact int64, so both engines
     divide identical integers. Pipeline: one (source, token) count
     shuffle; corpus counts RE-AGGREGATE from those partials (mergeable
-    — never a second raw scan); the vocabulary-sized count tables then
-    broadcast into a grid that includes tokens ABSENT from a source
-    (their |0 − q| mass is exactly what drift detection must see). The
+    — never a second raw scan); tokens ABSENT from a source contribute
+    their |0 − q| mass ALGEBRAICALLY ((T − Σ_present C_i)/T), so the
+    implementation joins present tokens only — no sources × vocabulary
+    grid, no vocab broadcast, web-scale-vocabulary safe — while the
+    oracle computes the naive full-grid spec and the hash match proves
+    the algebra. The
     100 TB use: per-shard/per-crawl drift monitoring from persisted
     count partials alone."""
     docs = load_table(spark, sf_dir, "documents")
@@ -456,37 +459,36 @@ def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = sc.groupBy("source").agg(F.sum("c").alias("n_tokens"))
     cc = sc.groupBy("w").agg(F.sum("c").alias("cw"))
     tt = cc.agg(F.sum("cw").alias("t"))
-    grid = (
-        st.crossJoin(F.broadcast(cc))
-        .join(sc, ["source", "w"], "left")
-        .select(
-            "source",
-            "n_tokens",
-            "w",
-            "cw",
-            F.coalesce("c", F.lit(0)).alias("c"),
-        )
-    )
-    return (
-        grid.crossJoin(F.broadcast(tt))
+    # algebraic absent-mass form: TV needs only the PRESENT tokens —
+    # sum_absent q_i = (T - sum_present cw) / T — so the join is a
+    # plain equi-join on the token, never a sources x vocabulary grid
+    # (which would need the vocab broadcast: fatal on a web corpus).
+    # The oracle computes the naive full-grid spec; the hash match IS
+    # the proof of the algebra.
+    present = (
+        sc.join(cc, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
         .groupBy("source")
         .agg(
             F.max("n_tokens").alias("n_tokens"),
-            (
-                F.round(
-                    F.sum(
-                        F.abs(
-                            F.col("c") * F.col("t")
-                            - F.col("cw") * F.col("n_tokens")
-                        )
-                    ).cast("double")
-                    / (
-                        F.lit(2) * F.max("n_tokens") * F.max("t")
-                    ).cast("double")
-                    * 1000000
-                )
-                / 1000000
-            ).alias("tv_distance"),
+            F.max("t").alias("t"),
+            F.sum(
+                F.abs(F.col("c") * F.col("t") - F.col("cw") * F.col("n_tokens"))
+            ).alias("s1"),
+            F.sum("cw").alias("s2"),
         )
-        .orderBy("source")
     )
+    num = F.col("s1") + (F.col("t") - F.col("s2")) * F.col("n_tokens")
+    return present.select(
+        "source",
+        "n_tokens",
+        (
+            F.round(
+                num.cast("double")
+                / (F.lit(2) * F.col("n_tokens") * F.col("t")).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("tv_distance"),
+    ).orderBy("source")
