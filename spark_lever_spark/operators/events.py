@@ -904,3 +904,65 @@ def sessionize_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sid")
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT epoch_us(first_buy) - epoch_us(first_view) AS dus
+  FROM f WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(CAST(quantile_cont(dus, 0.5) AS DOUBLE) / 1000000 * 100) / 100
+         AS p50_sec,
+       round(CAST(quantile_cont(dus, 0.9) AS DOUBLE) / 1000000 * 100) / 100
+         AS p90_sec,
+       round(CAST(quantile_cont(dus, 0.99) AS DOUBLE) / 1000000 * 100) / 100
+         AS p99_sec
+FROM d
+""",
+    category="events",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per user, time from FIRST view to
+    FIRST purchase (converters only), summarized as exact interpolated
+    p50/p90/p99 — the 'how long does conversion take' readout product
+    teams pair with the funnel counts above. One groupBy(user) with
+    conditional-min partials (map-side combinable), then percentiles
+    over exact integer microsecond deltas — interpolation arithmetic
+    on int64 inputs is identical across engines (the percentiles_exact
+    doctrine on time instead of money)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    d = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("first_buy")) - F.unix_micros(F.col("first_view"))
+        ).alias("dus")
+    )
+    def psec(q: float):
+        return F.round(F.percentile("dus", q) / 1000000 * 100) / 100
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        psec(0.5).alias("p50_sec"),
+        psec(0.9).alias("p90_sec"),
+        psec(0.99).alias("p99_sec"),
+    )
