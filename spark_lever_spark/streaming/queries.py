@@ -505,3 +505,85 @@ def stream_stream_join_click_purchase(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_watermark_append_close",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS cnt
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    category="streaming",
+)
+def stream_watermark_append_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark FINALIZATION semantics, driver-checked:
+    an hourly windowed count with a 1-hour watermark emits each window
+    EXACTLY ONCE — when the watermark passes its end — so after an
+    availableNow drain (which runs a final flush batch to advance the
+    watermark to max(ts) − 1 h) the appended output is precisely the
+    set of CLOSED windows, each with its complete count. This is the
+    guaranteed half of watermarking (late-data *dropping* is
+    documented best-effort and empirically version-dependent, so it is
+    deliberately not hash-gated); closed-window finalization is what
+    downstream exactly-once consumers key on, and what bounds state at
+    100 TB. Two deterministic micro-batches (even event_ids then odd)
+    prove emissions survive cross-batch state."""
+    from spark_lever_spark.streaming.harness import BatchCollector
+
+    work = tempfile.mkdtemp(prefix="wm_close_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    ev = _stream_table_schema_src(spark, sf_dir)
+    base_t = 1_700_000_000
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = os.path.join(work, f"part{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        src = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch_{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    schema = spark.read.parquet(os.path.join(in_dir, "batch_0.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = sdf.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    collector = BatchCollector()
+    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.foreachBatch(collector)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ck, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+    rows = [
+        (w[0], etype, int(cnt))
+        for _, batch_rows in sorted(collector.batches)
+        for w, etype, cnt in batch_rows
+    ]
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, cnt long"
+    ).orderBy("window_start", "event_type")
+
+
+def _stream_table_schema_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized batch view of events for harness-driven re-writes."""
+    from spark_lever_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
