@@ -966,3 +966,100 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         psec(0.9).alias("p90_sec"),
         psec(0.99).alias("p99_sec"),
     )
+
+
+@register(
+    "ab_chi_square",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+           AS arm_a,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm_a AND converted THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm_a AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN NOT arm_a AND converted THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN NOT arm_a AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+       CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN 0.0
+            ELSE round(CAST(a + b + c + d AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                 * 1000000) / 1000000
+       END AS chi2
+FROM c
+""",
+    category="events",
+)
+def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the A/B split
+    (companion to ab_split_lift, same md5-parity arms): the 2x2
+    contingency counts are exact int64 aggregates, and the closed-form
+    chi2 = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is evaluated with the
+    SAME cast-and-multiply order in both engines — bit-identical
+    before 1e-6 rounding (the denominator exceeds int64 range, so each
+    factor is cast to double FIRST; the numerator difference ad−bc
+    stays exact in int64). One user-grain aggregation, one scalar
+    reduce — the experiment readout costs two shuffles at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    u = ev.groupBy("user_id").agg(
+        F.first(arm_a).alias("arm_a"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        ).alias("converted"),
+    )
+    cnt = u.agg(
+        F.sum(F.when(F.col("arm_a") & F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("arm_a") & ~F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("arm_a") & F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("arm_a") & ~F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = (
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+        * det.cast("double")
+        * det.cast("double")
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    degenerate = (
+        (F.col("a") + F.col("b") == 0)
+        | (F.col("c") + F.col("d") == 0)
+        | (F.col("a") + F.col("c") == 0)
+        | (F.col("b") + F.col("d") == 0)
+    )
+    return cnt.select(
+        "a", "b", "c", "d",
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round(chi2 * 1000000) / 1000000)
+        .alias("chi2"),
+    )
