@@ -1807,3 +1807,98 @@ def secondary_sort_first_last_delta(
             / 1000000
         ).alias("delta"),
     ).orderBy("user_id")
+
+
+@register(
+    "ks_statistic_sources",
+    oracle="""
+WITH s1 AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
+s2 AS (SELECT n_chars AS v FROM documents WHERE source = 'src1'),
+n AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2
+),
+pts AS (
+  SELECT v, CAST(count(*) FILTER (WHERE src = 1) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE src = 2) AS BIGINT) AS c2
+  FROM (SELECT v, 1 AS src FROM s1 UNION ALL SELECT v, 2 FROM s2)
+  GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+  FROM pts
+),
+d AS (
+  SELECT v, abs(CAST(f1 AS BIGINT) * n.n2 - CAST(f2 AS BIGINT) * n.n1)
+           AS num
+  FROM cum CROSS JOIN n
+),
+best AS (
+  SELECT num AS mnum, v AS at_v FROM (
+    SELECT num, v, row_number() OVER (ORDER BY num DESC, v ASC) AS rn FROM d
+  ) WHERE rn = 1
+)
+SELECT n.n1, n.n2,
+       round(CAST(best.mnum AS DOUBLE) / CAST(n.n1 * n.n2 AS DOUBLE)
+             * 1000000) / 1000000 AS ks,
+       best.at_v AS at_value
+FROM best CROSS JOIN n
+""",
+    category="relational",
+)
+def ks_statistic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between src0's and
+    src1's document-length distributions — the continuous-variable
+    drift test beside token_drift_tv_distance's categorical one.
+    KS = max_x |F1(x) − F2(x)| evaluated over observed points via ONE
+    merged cumulative window: the supremum's numerator |F1·n2 − F2·n1|
+    stays exact int64 (counts only; the division by n1·n2 happens once
+    at the end), so both engines agree bit-for-bit including the argmax
+    location (ties broken to the smallest value). Scale shape: a
+    value-grain pre-aggregation collapses the corpus before the sort —
+    the window runs over DISTINCT lengths, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    totals = pts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("num"),
+    )
+    best = d.groupBy("n1", "n2").agg(
+        F.max("num").alias("mnum"),
+        F.min(F.struct((-F.col("num")).alias("nn"), F.col("v").alias("v")))[
+            "v"
+        ].alias("at_value"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        (
+            F.round(
+                F.col("mnum").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("ks"),
+        "at_value",
+    )
