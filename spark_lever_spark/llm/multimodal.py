@@ -15,7 +15,7 @@ Design (the part that must be right at 100 TB):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -219,3 +219,117 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(224.0 * F.col("width") / longest).cast("int").alias("out_w"),
         F.floor(224.0 * F.col("height") / longest).cast("int").alias("out_h"),
     ).orderBy("doc_id")
+
+
+def encode_pgm(doc_id: int) -> bytes:
+    """Deterministic REAL PGM (NetPBM P5) image for a doc id: binary
+    header + raw 8-bit raster. w/h/pixels are fixed functions of the
+    id so an analytic oracle can predict what a correct decoder must
+    extract."""
+    w = doc_id % 16 + 4
+    h = doc_id % 12 + 4
+    import numpy as np
+
+    i = np.arange(w * h, dtype=np.int64)
+    raster = ((doc_id * 31 + i * 7) % 256).astype(np.uint8)
+    return b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def decode_pgm_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL binary-image decoder (no stub): validates the P5 magic,
+    parses dimensions from the NetPBM header, reads the raster with
+    numpy and computes pixel statistics — the exact work a PIL-backed
+    decoder does for codec formats, runnable in this container because
+    NetPBM needs no codec library. Anything that is not a valid P5
+    stream raises (fail-loud, not fake-succeed)."""
+    import numpy as np
+
+    widths, heights, sums, npx = [], [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if not b.startswith(b"P5\n"):
+            raise ValueError("not a binary PGM (P5) stream")
+        hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+        dims_line = b[3 : b.index(b"\n", 3)].split()
+        w, h = int(dims_line[0]), int(dims_line[1])
+        maxval = int(b[b.index(b"\n", 3) + 1 : hdr_end])
+        if maxval != 255:
+            raise ValueError("unsupported maxval")
+        raster = np.frombuffer(b, dtype=np.uint8, offset=hdr_end + 1)
+        if raster.size != w * h:
+            raise ValueError("raster size mismatch")
+        widths.append(w)
+        heights.append(h)
+        sums.append(int(raster.astype(np.int64).sum()))
+        npx.append(w * h)
+    return pd.DataFrame(
+        {
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "pixel_sum": pd.Series(sums, dtype="int64"),
+            "n_pixels": pd.Series(npx, dtype="int32"),
+        }
+    )
+
+
+@register(
+    "multimodal_pgm_real_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h FROM d
+),
+px AS (
+  SELECT doc_id, w, h,
+         CAST(SUM((doc_id * 31 + t.i * 7) % 256) AS BIGINT) AS pixel_sum
+  FROM dims, LATERAL unnest(range(w * h)) AS t(i)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       pixel_sum, CAST(w * h AS INT) AS n_pixels
+FROM px ORDER BY doc_id
+""",
+    category="llm_multimodal",
+)
+def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (upgrade over the injectable stub
+    above): deterministic NetPBM P5 binaries are materialized as the
+    payload column, then a genuine parser — magic-byte validation,
+    header parse, numpy raster read, pixel statistics — runs in the
+    same Arrow-batched mapInPandas slot a PIL/av codec would occupy.
+    NetPBM is chosen precisely because it needs no codec library, so
+    the decode path stops being a stub in this container; JPEG/audio
+    stay injectable via decode_media's decoder argument. The oracle
+    predicts header dims and exact pixel sums analytically from the
+    generator formula, so a parser that misreads the header or raster
+    CANNOT hash-match."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_pgm(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    with_media = docs.mapInPandas(
+        encode_run, "doc_id long, payload binary"
+    )
+
+    def decode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_pgm_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    decoded = with_media.mapInPandas(
+        decode_run,
+        "doc_id long, width int, height int, pixel_sum long, n_pixels int",
+    )
+    return decoded.orderBy("doc_id")

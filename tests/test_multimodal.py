@@ -61,3 +61,26 @@ def test_default_stub_matches_payload_arithmetic(spark):
         assert (r.byte_len, r.width, r.height, r.n_frames) == (
             n, n % 640 + 1, n % 480 + 1, n % 16 + 1
         )
+
+
+def test_pgm_decoder_is_real_and_fail_loud():
+    """The NetPBM decoder must actually parse the byte stream: valid
+    P5 payloads round-trip exact header dims + pixel sums; corrupt
+    magic/raster must RAISE (a stub that derives stats from length
+    would pass garbage silently)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from spark_lever_spark.llm.multimodal import decode_pgm_batch, encode_pgm
+
+    buf = encode_pgm(37)
+    out = decode_pgm_batch(pd.Series([buf]))
+    w, h = 37 % 16 + 4, 37 % 12 + 4
+    assert (out["width"][0], out["height"][0]) == (w, h)
+    i = np.arange(w * h, dtype=np.int64)
+    assert out["pixel_sum"][0] == int(((37 * 31 + i * 7) % 256).sum())
+    with _pytest.raises(ValueError):
+        decode_pgm_batch(pd.Series([b"JFIF" + buf[4:]]))
+    with _pytest.raises(ValueError):
+        decode_pgm_batch(pd.Series([buf[:-5]]))  # truncated raster
