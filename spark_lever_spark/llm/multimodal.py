@@ -7,10 +7,14 @@ Design (the part that must be right at 100 TB):
 - decode / feature-extraction runs in `mapInPandas` so each Arrow
   batch of payloads is processed vectorized in one Python call, with
   per-batch memory bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`;
-- real codecs (PIL/librosa/av) are NOT available in this container, so
-  `decode_image_batch` is a clearly-marked deterministic stub behind
-  the same signature — the Spark-side schema/partitioning/batching is
-  real and tested (tests/test_multimodal.py).
+- codec-library formats (JPEG/MP3/H.264 via PIL/librosa/av) are NOT
+  decodable in this container, so `decode_image_batch` is a
+  clearly-marked deterministic stub behind the injectable signature —
+  BUT the codec-free formats ARE decoded for real: NetPBM P5 images
+  (`decode_pgm_batch`) and RIFF/WAVE PCM audio (`decode_wav_batch`)
+  get genuine magic/header/raster parsing with fail-loud validation,
+  so both media modalities exercise a real decode path end-to-end
+  (tests/test_multimodal.py pins the fail-loud contract).
 """
 
 from __future__ import annotations
@@ -333,3 +337,124 @@ def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, pixel_sum long, n_pixels int",
     )
     return decoded.orderBy("doc_id")
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic REAL RIFF/WAVE PCM file: canonical 44-byte header
+    + 16-bit mono samples from a fixed formula of the doc id."""
+    import struct
+
+    import numpy as np
+
+    n = doc_id % 200 + 50
+    rate = 8000
+    i = np.arange(n, dtype=np.int64)
+    samples = (((doc_id * 131 + i * 17) % 2048) - 1024).astype("<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL WAV decoder: validates RIFF/WAVE magic, parses the fmt
+    chunk (PCM only), reads the int16 sample block with numpy and
+    computes duration + amplitude statistics. Corrupt streams raise."""
+    import struct
+
+    import numpy as np
+
+    rates, nsamps, ssum, smax = [], [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        if b[12:16] != b"fmt ":
+            raise ValueError("missing fmt chunk")
+        fmt_len, audio_fmt, channels, rate = struct.unpack("<IHHI", b[16:28])
+        bits = struct.unpack("<H", b[34:36])[0]
+        if audio_fmt != 1 or channels != 1 or bits != 16 or fmt_len != 16:
+            raise ValueError("unsupported WAV encoding")
+        if b[36:40] != b"data":
+            raise ValueError("missing data chunk")
+        (data_len,) = struct.unpack("<I", b[40:44])
+        samples = np.frombuffer(b, dtype="<i2", offset=44, count=data_len // 2)
+        if samples.size * 2 != data_len:
+            raise ValueError("sample block size mismatch")
+        rates.append(rate)
+        nsamps.append(samples.size)
+        ssum.append(int(samples.astype(np.int64).sum()))
+        smax.append(int(np.abs(samples.astype(np.int64)).max()))
+    return pd.DataFrame(
+        {
+            "sample_rate": pd.Series(rates, dtype="int32"),
+            "n_samples": pd.Series(nsamps, dtype="int32"),
+            "sample_sum": pd.Series(ssum, dtype="int64"),
+            "peak_amplitude": pd.Series(smax, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "multimodal_wav_real_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+n AS (SELECT doc_id, doc_id % 200 + 50 AS ns FROM d),
+sm AS (
+  SELECT doc_id, ns,
+         CAST(SUM((doc_id * 131 + t.i * 17) % 2048 - 1024) AS BIGINT)
+           AS sample_sum,
+         CAST(MAX(abs((doc_id * 131 + t.i * 17) % 2048 - 1024)) AS BIGINT)
+           AS peak_amplitude
+  FROM n, LATERAL unnest(range(ns)) AS t(i)
+  GROUP BY doc_id, ns
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+       sample_sum, peak_amplitude
+FROM sm ORDER BY doc_id
+""",
+    category="llm_multimodal",
+)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the audio sibling of
+    multimodal_pgm_real_decode): deterministic RIFF/WAVE PCM binaries
+    materialize as the payload column, then a genuine parser — RIFF
+    magic, fmt-chunk validation, numpy int16 sample read, amplitude
+    statistics — runs in the Arrow-batched mapInPandas codec slot.
+    WAV/PCM needs no codec library, so both claimed media modalities
+    (image, audio) now have a real, fail-loud decode path in this
+    container; compressed formats remain injectable. The analytic
+    oracle predicts sample counts and exact amplitude sums, so a
+    parser that misreads the header or byte order cannot hash-match."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def decode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_wav_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return with_media.mapInPandas(
+        decode_run,
+        "doc_id long, sample_rate int, n_samples int, "
+        "sample_sum long, peak_amplitude long",
+    ).orderBy("doc_id")

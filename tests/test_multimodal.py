@@ -84,3 +84,25 @@ def test_pgm_decoder_is_real_and_fail_loud():
         decode_pgm_batch(pd.Series([b"JFIF" + buf[4:]]))
     with _pytest.raises(ValueError):
         decode_pgm_batch(pd.Series([buf[:-5]]))  # truncated raster
+
+
+def test_wav_decoder_is_real_and_fail_loud():
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from spark_lever_spark.llm.multimodal import decode_wav_batch, encode_wav
+
+    buf = encode_wav(91)
+    out = decode_wav_batch(pd.Series([buf]))
+    n = 91 % 200 + 50
+    assert out["sample_rate"][0] == 8000
+    assert out["n_samples"][0] == n
+    i = np.arange(n, dtype=np.int64)
+    s = ((91 * 131 + i * 17) % 2048) - 1024
+    assert out["sample_sum"][0] == int(s.sum())
+    assert out["peak_amplitude"][0] == int(np.abs(s).max())
+    with _pytest.raises(ValueError):
+        decode_wav_batch(pd.Series([b"OggS" + buf[4:]]))
+    with _pytest.raises(ValueError):
+        decode_wav_batch(pd.Series([buf[:-3]]))  # truncated samples
