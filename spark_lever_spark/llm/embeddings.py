@@ -257,6 +257,42 @@ def _jl_signs() -> list[list[int]]:
     ]
 
 
+def jl_project_ints(emb: DataFrame) -> DataFrame:
+    """Exact-integer JL projection of an (vec_id, embedding) frame:
+    quantize each coordinate to micro-units, then apply the ±1 sign
+    matrix — returns (vec_id, q = Σxi², y0..y15 = the 16 projected
+    coordinates), ALL exact int64, so every downstream consumer
+    (norm-ratio check, projected-space search) inherits
+    order-independent cross-engine parity. Map-only HOF arithmetic."""
+    signs = _jl_signs()
+    xi = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xi"),
+    )
+
+    def int_sum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    ys = [
+        int_sum(
+            F.zip_with(
+                "xi",
+                F.array(*[F.lit(s).cast("long") for s in signs[r]]),
+                lambda a, b: a * b,
+            )
+        ).alias(f"y{r}")
+        for r in range(_JL_K)
+    ]
+    return xi.select(
+        "vec_id",
+        int_sum(F.transform("xi", lambda v: v * v)).alias("q"),
+        *ys,
+    )
+
+
 @register(
     "embedding_jl_projection",
     oracle=f"""
@@ -316,35 +352,8 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     to linear algebra). Output: per vector, the norm-preservation
     ratio ||y||^2/||x||^2 (JL says ~1) and the first projected
     coordinate."""
-    signs = _jl_signs()
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 500)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-            ).alias("xi"),
-        )
-    )
-    def int_sum(arr):
-        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b)
-
-    ys = [
-        int_sum(
-            F.zip_with(
-                "xi",
-                F.array(*[F.lit(s).cast("long") for s in signs[r]]),
-                lambda a, b: a * b,
-            )
-        ).alias(f"y{r}")
-        for r in range(_JL_K)
-    ]
-    proj = emb.select(
-        "vec_id",
-        int_sum(F.transform("xi", lambda v: v * v)).alias("q"),
-        *ys,
+    proj = jl_project_ints(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     )
     p = sum(F.col(f"y{r}") * F.col(f"y{r}") for r in range(_JL_K))
     return proj.select(
@@ -361,3 +370,114 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("y0"),
     ).orderBy("vec_id")
+
+
+@register(
+    "ann_jl_projected_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS xi
+  FROM embeddings WHERE vec_id < 500
+),
+dims AS (
+  SELECT r.r, j.j,
+         CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                       || CAST(j.j AS VARCHAR)), 1, 1))::INT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({_JL_K})) AS r) r
+  CROSS JOIN (SELECT unnest(range({_JL_D})) AS j) j
+),
+yr AS (
+  SELECT b.vec_id, d.r,
+         CAST(SUM(d.s * b.xi[CAST(d.j + 1 AS INT)]) AS BIGINT) AS y
+  FROM base b CROSS JOIN dims d
+  GROUP BY b.vec_id, d.r
+),
+p AS (SELECT vec_id, CAST(SUM(y * y) AS BIGINT) AS pp FROM yr GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT pr.ia, pr.ib, CAST(SUM(ya.y * yb.y) AS BIGINT) AS dot
+  FROM pairs pr
+  JOIN yr ya ON ya.vec_id = pr.ia
+  JOIN yr yb ON yb.vec_id = pr.ib AND yb.r = ya.r
+  GROUP BY pr.ia, pr.ib
+),
+scored AS (
+  SELECT d.ia, d.ib,
+         round(CASE WHEN d.dot >= 0 THEN 1 ELSE -1 END
+               * CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+               / (CAST(pa.pp AS DOUBLE) * CAST(pb.pp AS DOUBLE))
+               * 1000000) / 1000000 AS score
+  FROM dots d
+  JOIN p pa ON pa.vec_id = d.ia
+  JOIN p pb ON pb.vec_id = d.ib
+)
+SELECT ia AS vec_a, ib AS vec_b, score
+FROM scored ORDER BY score DESC, vec_a, vec_b LIMIT 20
+""",
+    category="llm_similarity",
+)
+def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search IN THE JL-PROJECTED SPACE — the composition
+    that makes the projection operator useful: candidate pairs are
+    generated per label block (the blocked-join discipline), but the
+    similarity itself is computed on the 16-d integer projections, a
+    4x cheaper dot product per pair than raw 64-d floats — at 100 TB
+    the projected vectors are ALSO what you persist and shuffle.
+    Ranking uses the sqrt-free signed cosine-square (sign(dot)·dot² /
+    (‖a‖²‖b‖²)) — monotone in cosine, avoids libm sqrt; dot and the
+    squared norms stay exact int64 (dot² would overflow, so the square
+    happens after an explicit double cast, same op order both
+    engines). Top-20 via TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    proj = jl_project_ints(emb)
+    pexpr = sum(F.col(f"y{r}") * F.col(f"y{r}") for r in range(_JL_K))
+    proj = (
+        proj.withColumn("pp", pexpr)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        # truncate lineage before the self-join: without this, Catalyst
+        # re-derives the 16 aggregate-HOF projection expressions on BOTH
+        # join sides and optimization time explodes (observed: analysis
+        # hung for minutes at sf0.01). The projected table is tiny
+        # relative to its source — at scale you'd persist it anyway
+        # (that is the point of projecting).
+        .localCheckpoint(eager=True)
+    )
+    a = proj.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("pp").alias("pa"),
+        *[F.col(f"y{r}").alias(f"a{r}") for r in range(_JL_K)],
+    )
+    b = proj.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("pp").alias("pb"),
+        *[F.col(f"y{r}").alias(f"b{r}") for r in range(_JL_K)],
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    dot = sum(F.col(f"a{r}") * F.col(f"b{r}") for r in range(_JL_K))
+    score = (
+        F.when(dot >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * dot.cast("double")
+        * dot.cast("double")
+        / (F.col("pa").cast("double") * F.col("pb").cast("double"))
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            (F.round(score * 1000000) / 1000000).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_a", "vec_b")
+        .limit(20)
+    )
