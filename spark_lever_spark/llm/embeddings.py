@@ -437,45 +437,59 @@ def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens after an explicit double cast, same op order both
     engines). Top-20 via TakeOrdered."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    proj = jl_project_ints(emb)
-    pexpr = sum(F.col(f"y{r}") * F.col(f"y{r}") for r in range(_JL_K))
-    proj = (
-        proj.withColumn("pp", pexpr)
-        .join(emb.select("vec_id", "label"), "vec_id")
-        # truncate lineage before the self-join: without this, Catalyst
-        # re-derives the 16 aggregate-HOF projection expressions on BOTH
-        # join sides and optimization time explodes (observed: analysis
-        # hung for minutes at sf0.01). The projected table is tiny
-        # relative to its source — at scale you'd persist it anyway
-        # (that is the point of projecting).
-        .localCheckpoint(eager=True)
+    # long-format projection (explode + signs-table join + re-agg)
+    # instead of 16 wide HOF expressions: the relational form is what
+    # scales (projections shuffle as (vec, r, y) rows) AND what a
+    # 1 GB-heap vanilla driver session can plan — the wide-expression
+    # form OOMed codegen under the harness's default session.
+    signs = spark.createDataFrame(
+        [
+            (r, j, s)
+            for r, row in enumerate(_jl_signs())
+            for j, s in enumerate(row)
+        ],
+        "r int, j int, s long",
     )
-    a = proj.select(
-        F.col("label").alias("la"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("pp").alias("pa"),
-        *[F.col(f"y{r}").alias(f"a{r}") for r in range(_JL_K)],
+    xi_long = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            )
+        ).alias("j", "x"),
     )
-    b = proj.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("pp").alias("pb"),
-        *[F.col(f"y{r}").alias(f"b{r}") for r in range(_JL_K)],
+    yr = (
+        xi_long.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "r")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
     )
-    pairs = a.join(
-        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+    pp = yr.groupBy("vec_id").agg(F.sum(F.col("y") * F.col("y")).alias("pp"))
+    lbl = emb.select("vec_id", "label")
+    la = lbl.select(F.col("label").alias("l"), F.col("vec_id").alias("ia"))
+    lb = lbl.select(F.col("label").alias("l"), F.col("vec_id").alias("ib"))
+    pairs = la.join(lb, "l").filter(F.col("ia") < F.col("ib")).select("ia", "ib")
+    ya = yr.select(F.col("vec_id").alias("ia"), "r", F.col("y").alias("ya"))
+    yb = yr.select(F.col("vec_id").alias("ib"), "r", F.col("y").alias("yb"))
+    dots = (
+        pairs.join(ya, "ia")
+        .join(yb, ["ib", "r"])
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("ya") * F.col("yb")).alias("dot"))
     )
-    dot = sum(F.col(f"a{r}") * F.col(f"b{r}") for r in range(_JL_K))
+    pa = pp.select(F.col("vec_id").alias("ia"), F.col("pp").alias("pa"))
+    pb = pp.select(F.col("vec_id").alias("ib"), F.col("pp").alias("pb"))
+    scored = dots.join(pa, "ia").join(pb, "ib")
     score = (
-        F.when(dot >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-        * dot.cast("double")
-        * dot.cast("double")
+        F.when(F.col("dot") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.col("dot").cast("double")
+        * F.col("dot").cast("double")
         / (F.col("pa").cast("double") * F.col("pb").cast("double"))
     )
     return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
+        scored.select(
+            F.col("ia").alias("vec_a"),
+            F.col("ib").alias("vec_b"),
             (F.round(score * 1000000) / 1000000).alias("score"),
         )
         .orderBy(F.desc("score"), "vec_a", "vec_b")
