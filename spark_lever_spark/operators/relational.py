@@ -1902,3 +1902,88 @@ def ks_statistic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks"),
         "at_value",
     )
+
+
+@register(
+    "mann_whitney_u_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c1, c2,
+         CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              - (c1 + c2) AS BIGINT) AS before_all
+  FROM pts
+),
+agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * before_all + (c1 + c2) + 1)) AS BIGINT) AS r1x2
+  FROM cum
+)
+SELECT n1, n2,
+       r1x2 - n1 * (n1 + 1) AS u1_doubled,
+       round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE) * 1000000) / 1000000 AS auc
+FROM agg
+""",
+    category="relational",
+)
+def mann_whitney_u_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test statistic between src0's and
+    src1's document-length distributions — the nonparametric
+    location-shift companion to ks_statistic_sources' shape test, and
+    (as AUC = U/(n1·n2)) the probability a random src0 doc is longer
+    than a random src1 doc. Tie-corrected midranks make rank sums
+    half-integers, so the DOUBLED rank sum stays exact int64
+    end-to-end: 2·R1 = Σ_v c1(v)·(2·before(v) + ties(v) + 1) over the
+    value-grain count table (one cumulative window over DISTINCT
+    lengths — the bounded domain, not documents), and U appears as
+    u1_doubled with the single closing division producing the AUC.
+    Zero floating point until the final presentation ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    pts = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2")))
+        .alias("before_all"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("before_all") + (F.col("c1") + F.col("c2")) + 1)
+        ).alias("r1x2"),
+    )
+    u1_doubled = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n1",
+        "n2",
+        u1_doubled.alias("u1_doubled"),
+        (
+            F.round(
+                u1_doubled.cast("double")
+                / (F.lit(2) * F.col("n1") * F.col("n2")).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("auc"),
+    )
