@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.registry import register
@@ -196,3 +197,90 @@ def rollup_hourly_to_daily_mergeable(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "share_of_parent_hierarchy",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+tot AS (
+  SELECT region, nation, cents,
+         CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+         CAST(SUM(cents) OVER () AS BIGINT) AS all_cents
+  FROM rev
+)
+SELECT region, nation, cents,
+       round(CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             * 1000000) / 1000000 AS share_of_region,
+       round(CAST(region_cents AS DOUBLE) / CAST(all_cents AS DOUBLE)
+             * 1000000) / 1000000 AS region_share_of_total
+FROM tot ORDER BY region, nation
+""",
+    category="rollups",
+)
+def share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent along the geography hierarchy (nation within
+    region, region within total) — the drill-down contribution readout
+    every BI rollup needs, computed from ONE exact-cents leaf aggregate
+    with two window sums layered on top (no second scan, no re-join;
+    the leaf table is nations-sized, so both windows run over a
+    bounded domain at any SF). Ratios divide exact int64 sums —
+    bit-identical doubles before the 1e-6 presentation rounding.
+    Dims arrive broadcast (catalog.BROADCAST_DIMS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").select(
+            "r_regionkey", F.col("r_name").alias("region")
+        )
+    )
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("region", "nation")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        (
+            F.round(
+                F.col("cents").cast("double")
+                / F.sum("cents").over(w_region).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("share_of_region"),
+        (
+            F.round(
+                F.sum("cents").over(w_region).cast("double")
+                / F.sum("cents").over(w_all).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
