@@ -400,3 +400,82 @@ def backfill_dirty_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "cdc_change_feed_detail",
+    oracle=f"""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN round(o_totalprice * 1.1 * 100) / 100
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 97 <> 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       CAST(round(a.o_totalprice * 100) AS BIGINT) AS old_cents,
+       CAST(round(b.o_totalprice * 100) AS BIGINT) AS new_cents
+FROM base a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_orderstatus <> b.o_orderstatus
+   OR a.o_totalprice <> b.o_totalprice
+ORDER BY o_orderkey
+""",
+    category="cdc",
+)
+def cdc_change_feed_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION at row detail (the Delta CDF /
+    Debezium envelope shape): diff two snapshot versions and emit one
+    row per changed key carrying op + BEFORE and AFTER images — the
+    feed that downstream incremental consumers (the matview/backfill
+    operators above) ingest. Unchanged keys are filtered INSIDE the
+    single full-outer join, so the output is change-sized, not
+    table-sized; with co-bucketed snapshots the join is
+    exchange-free."""
+    base = _orders_base(spark, sf_dir)
+    v2 = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.round(F.col("o_totalprice") * 1.1 * 100) / 100,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    a, b = base.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    op = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        j.filter(changed)
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            op.alias("op"),
+            F.round(F.col("a.o_totalprice") * 100)
+            .cast("long")
+            .alias("old_cents"),
+            F.round(F.col("b.o_totalprice") * 100)
+            .cast("long")
+            .alias("new_cents"),
+        )
+        .orderBy("o_orderkey")
+    )

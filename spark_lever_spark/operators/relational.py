@@ -1987,3 +1987,59 @@ def mann_whitney_u_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("auc"),
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1000000)
+         / 1000000 AS observed_freq
+FROM c CROSS JOIN t ORDER BY c.digit
+""",
+    category="relational",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit distribution of order amounts —
+    the classic fabricated-data / fraud screen (natural multiplicative
+    amounts follow log10(1+1/d); uniform synthetic prices do NOT, and
+    the audit shows exactly that). Digit extraction runs on the exact
+    integer-cents string (leading digit of cents == leading significant
+    digit of the amount for positive 2-decimal money), so grouping is
+    pure integer work and the only float is the final frequency ratio
+    of exact counts. One map-side-combinable digit aggregation —
+    9-row result at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            (
+                F.round(
+                    F.col("n").cast("double") / F.col("total").cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("observed_freq"),
+        )
+        .orderBy("digit")
+    )

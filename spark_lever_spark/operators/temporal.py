@@ -804,3 +804,90 @@ def trend_slope_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(slope * 1000000) / 1000000).alias("slope_cents_per_day"),
         (F.round(intercept * 1000000) / 1000000).alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+@register(
+    "rolling_corr_click_purchase",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+w AS (
+  SELECT day, x, y,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(x) OVER win AS BIGINT) AS sx,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE round(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000) / 1000000
+       END AS r2_signed
+FROM w ORDER BY day
+""",
+    category="temporal",
+)
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING Pearson correlation between daily click and
+    purchase value — the co-movement monitor a metrics platform runs,
+    hash-gateable where F.corr cannot be (float partial sums are
+    accumulation-order-dependent): every windowed moment (n, Σx, Σy,
+    Σxy, Σx², Σy²) is an exact int64 sum of exact daily cents, and the
+    reported statistic is the sqrt-free SIGNED r² (monotone in r),
+    assembled from those integers with one double cast per factor —
+    identical op order in both engines. The rolling frame runs over
+    the bounded calendar domain. Int64 headroom covers daily sums to
+    ~1e9 cents; beyond that promote the moment sums to DECIMAL with
+    the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", cents_v).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents_v).otherwise(0)
+        ).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2s = (
+        F.when(num >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * num.cast("double")
+        * num.cast("double")
+        / (denx.cast("double") * deny.cast("double"))
+    )
+    return w.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.when((denx == 0) | (deny == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(r2s * 1000000) / 1000000)
+        .alias("r2_signed"),
+    ).orderBy("day")
