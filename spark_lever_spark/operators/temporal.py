@@ -891,3 +891,99 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(r2s * 1000000) / 1000000)
         .alias("r2_signed"),
     ).orderBy("day")
+
+
+@register(
+    "holt_linear_daily_value",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+           / count(*) AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn,
+         CAST(ts AS DATE) AS day
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+r AS (
+  SELECT event_type, day, rn, x, x AS lvl, CAST(0.0 AS DOUBLE) AS trend
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rn, d.x,
+         0.3 * d.x + 0.7 * (r.lvl + r.trend),
+         0.1 * (0.3 * d.x + 0.7 * (r.lvl + r.trend) - r.lvl) + 0.9 * r.trend
+  FROM daily d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       round(lvl * 1000000) / 1000000 AS level,
+       round(trend * 1000000) / 1000000 AS trend,
+       round((lvl + trend) * 1000000) / 1000000 AS forecast_next
+FROM r ORDER BY event_type, day
+""",
+    category="temporal",
+)
+def holt_linear_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.3 β=0.1)
+    of the daily mean event value per type — the trend-aware successor
+    to the EWMA operator, carrying TWO recursively-coupled states:
+    l_t = αx_t + (1−α)(l_{t−1}+b_t−1), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}.
+    Same execution doctrine as ewma_daily_event_value: daily pre-agg
+    collapses the raw table, then a per-group HOF prefix scan carries
+    (level, trend) through the calendar in ONE pass; DuckDB replays
+    the identical recursion as a recursive CTE on bit-identical exact
+    cents inputs, same IEEE op order — hash-exact at the 1e-6 grid.
+    forecast_next = l_t + b_t is the one-step-ahead prediction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+            / F.count("*")
+        ).alias("x")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        new_lvl = F.lit(0.3) * s["x"] + F.lit(0.7) * (
+            last["lvl"] + last["trend"]
+        )
+        new_trend = (
+            F.lit(0.1) * (new_lvl - last["lvl"]) + F.lit(0.9) * last["trend"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["day"].alias("day"),
+                    s["x"].alias("x"),
+                    F.when(F.size(acc) == 0, s["x"]).otherwise(new_lvl).alias(
+                        "lvl"
+                    ),
+                    F.when(F.size(acc) == 0, F.lit(0.0))
+                    .otherwise(new_trend)
+                    .alias("trend"),
+                )
+            ),
+        )
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<day date, x double, "
+            "lvl double, trend double>>)"
+        ),
+        step,
+    )
+    r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
+    return (
+        per_type.select("event_type", F.explode(scan).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").cast("string").alias("day"),
+            r6(F.col("r.lvl")).alias("level"),
+            r6(F.col("r.trend")).alias("trend"),
+            r6(F.col("r.lvl") + F.col("r.trend")).alias("forecast_next"),
+        )
+        .orderBy("event_type", "day")
+    )
