@@ -397,3 +397,110 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("size"))
         .orderBy(F.desc("size"), "community")
     )
+
+
+_KCORE_ROUNDS = 5
+_KCORE_K = 2
+
+
+def _kcore_oracle(rounds: int = _KCORE_ROUNDS, k: int = _KCORE_K) -> str:
+    """Unrolled k-core peel oracle (aggregates are barred from
+    recursive CTE terms — same mechanical unroll as the LPA oracle)."""
+    ctes = [
+        """base AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS v FROM e{i - 1} UNION ALL SELECT pb FROM e{i - 1}
+  ) GROUP BY v
+),
+keep{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{i - 1} e
+  JOIN keep{i} ka ON ka.v = e.pa
+  JOIN keep{i} kb ON kb.v = e.pb
+)""")
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT v FROM (SELECT pa AS v FROM e{i}
+                                  UNION ALL SELECT pb FROM e{i})))
+         AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges"""
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + stats + "\nORDER BY round"
+
+
+@register(
+    "kcore_peel_copurchase",
+    oracle=_kcore_oracle(),
+    category="llm_dedup",
+)
+def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition of the co-purchase graph by iterative
+    peeling (Matula/Beck's degeneracy algorithm, synchronized): each
+    round drops every vertex with degree < 2 and the edges touching
+    it; the survivors after convergence form the 2-core — the dense
+    backbone community detection and cycle analysis run on (tree-like
+    fringes peel away). Fourth member of the graph family (CC,
+    triangles, LPA, k-core). Five fixed rounds, each one degree
+    aggregation + two semi-join restrictions on vertex keys — O(|E|)
+    hash work per round, lineage truncated per round. Output is the
+    peeling TRAJECTORY (vertices/edges after each round), which pins
+    both the algorithm and its convergence behavior."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    spark_rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("pa").alias("v"))
+            .unionByName(e.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v")
+        e = (
+            e.join(keep.select(F.col("v").alias("pa")), "pa", "left_semi")
+            .join(keep.select(F.col("v").alias("pb")), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        verts = (
+            e.select(F.col("pa").alias("v"))
+            .unionByName(e.select(F.col("pb").alias("v")))
+            .distinct()
+            .count()
+        )
+        spark_rounds.append((i, verts, e.count()))
+    return spark.createDataFrame(
+        spark_rounds, "round int, n_vertices long, n_edges long"
+    ).orderBy("round")
