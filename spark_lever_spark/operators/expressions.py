@@ -850,3 +850,36 @@ def expr_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "expr_timezone_convert",
+    oracle="""
+SELECT event_id,
+       CAST(ts AS VARCHAR) AS utc_ts,
+       CAST(timezone('America/New_York', timezone('UTC', ts)) AS VARCHAR)
+         AS ny_local,
+       CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS VARCHAR)
+         AS tokyo_local
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    category="expressions",
+)
+def expr_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface (convert_timezone, Spark 3.4+ —
+    1.3's expression library had no tz functions at all): wall-clock
+    rendering of UTC event times in two IANA zones, one of which
+    (America/New_York) crosses a DST transition inside the data's
+    range — so the check pins that BOTH engines consult the same
+    IANA rules, not just a fixed offset. Map-only."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    def local(zone: str):
+        return F.convert_timezone(
+            F.lit("UTC"), F.lit(zone), F.col("ts").cast("timestamp_ntz")
+        ).cast("string")
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("string").alias("utc_ts"),
+        local("America/New_York").alias("ny_local"),
+        local("Asia/Tokyo").alias("tokyo_local"),
+    ).orderBy("event_id")

@@ -987,3 +987,46 @@ def holt_linear_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "rolling_median_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       round(CAST(quantile_cont(cents, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE))
+         / 100 AS rolling_median
+FROM daily ORDER BY event_type, day
+""",
+    category="temporal",
+)
+def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING MEDIAN of daily value per event type — the robust
+    smoother that shrugs off the spikes EWMA/Holt chase (the standard
+    pre-filter before anomaly thresholds). percentile runs as a true
+    WINDOW aggregate over exact integer cents, so the midpoint
+    interpolation arithmetic is identical across engines
+    (percentiles_exact doctrine in a rolling frame); the frame covers
+    the bounded per-type calendar, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.round(F.percentile("cents", 0.5).over(w)) / 100).alias(
+            "rolling_median"
+        ),
+    ).orderBy("event_type", "day")
