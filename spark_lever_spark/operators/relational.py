@@ -2043,3 +2043,75 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "pareto_concentration_customers",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM rev
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(max(CASE WHEN rk * 5 <= n THEN cum END) AS BIGINT)
+         AS top20pct_cents,
+       CAST(max(total) AS BIGINT) AS total_cents,
+       round(CAST(max(CASE WHEN rk * 5 <= n THEN cum END) AS DOUBLE)
+             / CAST(max(total) AS DOUBLE) * 1000000) / 1000000
+         AS top20pct_share
+FROM ranked GROUP BY n
+""",
+    category="relational",
+)
+def pareto_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration: the share of total order
+    value contributed by the top 20% of customers — the concentration
+    readout behind account prioritization and the skew intuition the
+    skew_* operators quantify mechanically. Customers rank by exact
+    cents (deterministic custkey tie-break); the top-20% cut is the
+    largest rank with rk*5 <= n (pure integer predicate — no float
+    percent threshold to disagree on), and the share divides exact
+    int64 sums. The ranking window runs over the customer-grain
+    aggregate, not orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w_rank = Window.orderBy(F.desc("cents"), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.sum("cents")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    top = F.max(F.when(F.col("rk") * 5 <= F.col("n"), F.col("cum")))
+    return ranked.groupBy("n").agg(
+        top.alias("top20pct_cents"),
+        F.max("total").alias("total_cents"),
+        (
+            F.round(
+                top.cast("double") / F.max("total").cast("double") * 1000000
+            )
+            / 1000000
+        ).alias("top20pct_share"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        "top20pct_cents",
+        "total_cents",
+        "top20pct_share",
+    )

@@ -1030,3 +1030,181 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "seasonal_dow_index",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+dow AS (
+  SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+         CAST(SUM(cents) AS BIGINT) AS dow_cents,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type, isodow(day)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(dow_cents) AS BIGINT) AS all_cents,
+         CAST(SUM(n_days) AS BIGINT) AS all_days
+  FROM dow GROUP BY event_type
+)
+SELECT d.event_type, d.dow, d.n_days,
+       round(CAST(d.dow_cents AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+             / (CAST(t.all_cents AS DOUBLE) / CAST(t.all_days AS DOUBLE))
+             * 1000000) / 1000000 AS seasonal_index
+FROM dow d JOIN tot t ON t.event_type = d.event_type
+ORDER BY d.event_type, d.dow
+""",
+    category="temporal",
+)
+def seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type (mean daily value on
+    each ISO weekday relative to the overall daily mean — the
+    multiplicative seasonality factor a forecaster divides out before
+    trend fitting with the Holt operator above). All ratios divide
+    exact int64 sums in the same op order both engines; the per-type
+    rollup runs over the bounded (type, dow) domain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow_sun1")
+    ).agg(
+        F.sum("cents").alias("dow_cents"), F.count("*").alias("n_days")
+    ).select(
+        "event_type",
+        # Spark dayofweek is 1=Sunday; convert to ISO 1=Monday..7=Sunday
+        F.when(F.col("dow_sun1") == 1, 7)
+        .otherwise(F.col("dow_sun1") - 1)
+        .cast("int")
+        .alias("dow"),
+        "dow_cents",
+        "n_days",
+    )
+    tot = dow.groupBy("event_type").agg(
+        F.sum("dow_cents").alias("all_cents"),
+        F.sum("n_days").alias("all_days"),
+    )
+    idx = (
+        F.col("dow_cents").cast("double") / F.col("n_days").cast("double")
+    ) / (F.col("all_cents").cast("double") / F.col("all_days").cast("double"))
+    return (
+        dow.join(tot, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            (F.round(idx * 1000000) / 1000000).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
+    "running_balance_clamped",
+    oracle="""
+WITH RECURSIVE led AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(round(value * 100) AS BIGINT)
+              ELSE CAST(round(value * 100) AS BIGINT) END AS delta,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 20
+),
+r AS (
+  SELECT user_id, rn, delta,
+         greatest(CAST(0 AS BIGINT), delta) AS bal
+  FROM led WHERE rn = 1
+  UNION ALL
+  SELECT l.user_id, l.rn, l.delta,
+         greatest(CAST(0 AS BIGINT), r.bal + l.delta)
+  FROM led l JOIN r ON l.user_id = r.user_id AND l.rn = r.rn + 1
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(bal) AS BIGINT) AS peak_balance_cents,
+       CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_floor_hits,
+       CAST(max(CASE WHEN rn = (SELECT max(rn) FROM led l2
+                                WHERE l2.user_id = r.user_id)
+                     THEN bal END) AS BIGINT) AS final_balance_cents
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+    category="temporal",
+)
+def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance (a ledger with a zero floor: credits
+    add, purchases debit, balance can never go negative) — the
+    prototypical NON-LINEAR sequential recursion: b_t =
+    max(0, b_{t−1} + δ_t) has no windowed closed form because every
+    clamp erases history, so it joins the EWMA/Holt/capped-session
+    family of per-key HOF prefix scans (exact integer cents through
+    the whole scan — zero float anywhere). Inventory stockouts and
+    prepaid-account metering are this exact operator. Output per user:
+    event count, peak, floor-hit count, final balance."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        -F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.round(F.col("value") * 100).cast("long"))
+    led = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        "event_id",
+        delta.alias("delta"),
+    )
+    per_user = led.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("tus", "event_id", "delta"))).alias(
+            "s"
+        )
+    )
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        prev = F.when(F.size(acc) == 0, F.lit(0).cast("long")).otherwise(
+            last["bal"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    F.greatest(
+                        F.lit(0).cast("long"), prev + s["delta"]
+                    ).alias("bal")
+                )
+            ),
+        )
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS array<struct<bal bigint>>)"),
+        step,
+    )
+    exploded = per_user.select(
+        "user_id", F.posexplode(scan).alias("pos", "r")
+    )
+    n_per_user = per_user.select(
+        "user_id", F.size("s").cast("long").alias("n_events")
+    )
+    agg = exploded.groupBy("user_id").agg(
+        F.max("r.bal").alias("peak_balance_cents"),
+        F.sum(F.when(F.col("r.bal") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_floor_hits"),
+        F.max(F.struct(F.col("pos"), F.col("r.bal").alias("bal")))["bal"].alias(
+            "final_balance_cents"
+        ),
+    )
+    return (
+        n_per_user.join(agg, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "peak_balance_cents",
+            "n_floor_hits",
+            "final_balance_cents",
+        )
+        .orderBy("user_id")
+    )
