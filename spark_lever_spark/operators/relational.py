@@ -2083,7 +2083,10 @@ def pareto_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFram
     largest rank with rk*5 <= n (pure integer predicate — no float
     percent threshold to disagree on), and the share divides exact
     int64 sums. The ranking window runs over the customer-grain
-    aggregate, not orders."""
+    aggregate, not orders — but it is GLOBAL, so at billion-customer
+    scale replace it with the 2-pass form: range-partition by cents
+    desc, per-partition cumsums, then add broadcast per-partition
+    offsets (same numbers, no single-task sort)."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
