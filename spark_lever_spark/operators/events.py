@@ -1063,3 +1063,98 @@ def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(chi2 * 1000000) / 1000000)
         .alias("chi2"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS cohort
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+monthly AS (
+  SELECT f.cohort, e.user_id,
+         CAST((EXTRACT(year FROM e.ts) - EXTRACT(year FROM f.cohort)) * 12
+              + (EXTRACT(month FROM e.ts) - EXTRACT(month FROM f.cohort))
+              AS BIGINT) AS age_months,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+agg AS (
+  SELECT cohort, age_months,
+         CAST(SUM(cents) AS BIGINT) AS month_cents
+  FROM monthly GROUP BY cohort, age_months
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts
+       GROUP BY cohort)
+SELECT CAST(a.cohort AS VARCHAR) AS cohort, a.age_months, s.cohort_users,
+       CAST(SUM(a.month_cents) OVER (PARTITION BY a.cohort ORDER BY a.age_months
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents,
+       round(CAST(SUM(a.month_cents) OVER (PARTITION BY a.cohort
+                                           ORDER BY a.age_months
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100 / CAST(s.cohort_users AS DOUBLE) * 1000000) / 1000000
+         AS ltv_per_user
+FROM agg a JOIN sz s ON s.cohort = a.cohort
+ORDER BY cohort, age_months
+""",
+    category="events",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohort by first-purchase month, and
+    each cohort's CUMULATIVE purchase value per user unfolds by
+    account age — the growth-accounting readout that pairs with
+    retention_cohorts_daily (which counts activity; this follows the
+    money). Exact cents through the monthly rollup; the cumulative
+    window runs over the bounded (cohort, age) lattice; the per-user
+    LTV ratio divides exact integers. Cohort assignment is one
+    min-aggregation join — the same first-touch shuffle retention
+    already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    firsts = purchases.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+    )
+    monthly = (
+        purchases.join(firsts, "user_id")
+        .select(
+            "cohort",
+            (
+                (F.year("ts") - F.year("cohort")) * 12
+                + (F.month("ts") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("age_months"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("cohort", "age_months")
+        .agg(F.sum("cents").alias("month_cents"))
+    )
+    sz = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("month_cents").over(w)
+    return (
+        monthly.join(sz, "cohort")
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "age_months",
+            "cohort_users",
+            cum.alias("cum_cents"),
+            (
+                F.round(
+                    cum.cast("double")
+                    / 100
+                    / F.col("cohort_users").cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_months")
+    )

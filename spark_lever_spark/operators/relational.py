@@ -2118,3 +2118,62 @@ def pareto_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFram
         "total_cents",
         "top20pct_share",
     )
+
+
+@register(
+    "gini_customer_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM rev
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round((2.0 * CAST(SUM(rk * cents) AS DOUBLE)
+              / (CAST(max(n) AS DOUBLE) * CAST(max(total) AS DOUBLE))
+              - (CAST(max(n) AS DOUBLE) + 1) / CAST(max(n) AS DOUBLE))
+             * 1000000) / 1000000 AS gini
+FROM ranked
+""",
+    category="relational",
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the scalar inequality
+    measure completing the concentration pair with the Pareto 80/20
+    share: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over ascending exact-cents
+    ranks (custkey tie-break). Σ(rank·x) stays exact int64 (rank ≤ n,
+    x in cents — headroom to ~1e5 customers × 1e9 cents; promote to
+    DECIMAL beyond), and the closing expression is assembled from
+    exact integers in identical op order. Same global-rank caveat and
+    2-pass range-partition remedy as the Pareto operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w_rank = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    n_d = F.max("n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("rk") * F.col("cents")).cast("double")
+        / (n_d * F.max("total").cast("double"))
+        - (n_d + 1) / n_d
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        (F.round(gini * 1000000) / 1000000).alias("gini"),
+    )
