@@ -2177,3 +2177,142 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_customers"),
         (F.round(gini * 1000000) / 1000000).alias("gini"),
     )
+
+
+@register(
+    "ship_latency_by_priority",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(quantile_cont(days, 0.5) AS DOUBLE) * 100) / 100 AS p50_days,
+       round(CAST(quantile_cont(days, 0.9) AS DOUBLE) * 100) / 100 AS p90_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    category="relational",
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    supply-chain SLA readout (does '1-URGENT' actually ship faster?).
+    Day deltas are exact integers (datediff on the date grain), so the
+    interpolated percentiles follow the percentiles_exact doctrine;
+    one fact-fact equi-join on the order key (bucketable to
+    zero-exchange) and a 5-group rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("ord_d")
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("ship_d", "ord_d").cast("long").alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.round(F.percentile("days", 0.5) * 100) / 100).alias("p50_days"),
+            (F.round(F.percentile("days", 0.9) * 100) / 100).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "arpu_decomposition_by_nation",
+    oracle="""
+WITH c AS (
+  SELECT n.n_name AS nation, c.c_custkey
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+o AS (
+  SELECT c.nation, c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+              AS BIGINT) AS cents
+  FROM c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.nation, c.c_custkey
+),
+agg AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS customers,
+         CAST(SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS buyers,
+         CAST(SUM(n_orders) AS BIGINT) AS orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY nation
+)
+SELECT nation, customers, buyers, orders,
+       round(CAST(buyers AS DOUBLE) / CAST(customers AS DOUBLE) * 1000000)
+         / 1000000 AS conversion,
+       CASE WHEN orders = 0 THEN NULL
+            ELSE round(CAST(cents AS DOUBLE) / CAST(orders AS DOUBLE) / 100
+                 * 1000000) / 1000000 END AS aov,
+       round(CAST(cents AS DOUBLE) / CAST(customers AS DOUBLE) / 100
+             * 1000000) / 1000000 AS arpu
+FROM agg ORDER BY nation
+""",
+    category="relational",
+)
+def arpu_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARPU decomposition per nation: ARPU = conversion x orders-per-
+    buyer x AOV, reported as (customers, buyers, orders, conversion,
+    AOV, ARPU) — the growth-accounting identity product teams track,
+    with zero-order customers retained through the LEFT join so
+    conversion has the true denominator. Every ratio divides exact
+    int64 counts/cents in identical op order; the customer-grain
+    pre-agg keeps the nation rollup bounded."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("nation", "c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    agg = per_cust.groupBy("nation").agg(
+        F.count("*").alias("customers"),
+        F.sum(F.when(F.col("n_orders") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("buyers"),
+        F.sum("n_orders").alias("orders"),
+        F.sum("cents").alias("cents"),
+    )
+    r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
+    return agg.select(
+        "nation",
+        "customers",
+        "buyers",
+        "orders",
+        r6(F.col("buyers").cast("double") / F.col("customers").cast("double")).alias(
+            "conversion"
+        ),
+        F.when(F.col("orders") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            r6(F.col("cents").cast("double") / F.col("orders").cast("double") / 100)
+        )
+        .alias("aov"),
+        r6(
+            F.col("cents").cast("double") / F.col("customers").cast("double") / 100
+        ).alias("arpu"),
+    ).orderBy("nation")
