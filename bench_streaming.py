@@ -63,6 +63,46 @@ def main() -> None:
             "source_rows_per_sec": round(rows / dt),
         }
 
+    # 1b) trigger-overhead decomposition: identical rows and identical
+    # final state, batch count swept 1 -> 8 -> 32 by pre-splitting the
+    # source into N files (maxFilesPerTrigger=1 => ~N micro-batches).
+    # The slope is the per-batch scheduling constant the L13 adaptive
+    # batch sizer needs (its fixed-point model assumes t(batch) =
+    # c0 + rate*rows; this measures c0 directly), and the intercept is
+    # the data-volume cost. Recorded in BASELINE.md.
+    import shutil
+    import tempfile
+
+    from spark_lever_spark.streaming.queries import _drain_complete
+
+    split_times: dict[int, float] = {}
+    for nfiles in (1, 8, 32):
+        d = tempfile.mkdtemp(prefix=f"trigsplit_{nfiles}_")
+        try:
+            orders.repartition(nfiles).write.mode("overwrite").parquet(d)
+            sdf = (
+                spark.readStream.schema(orders.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+            agg = sdf.groupBy("o_orderstatus").agg(
+                F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total")
+            )
+            t0 = time.perf_counter()
+            _drain_complete(agg, f"trig_overhead_{nfiles}").collect()
+            split_times[nfiles] = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    per_batch = (split_times[32] - split_times[1]) / 31
+    scenarios["trigger_overhead"] = {
+        "sec": round(sum(split_times.values()), 3),
+        "batches_1_sec": round(split_times[1], 3),
+        "batches_8_sec": round(split_times[8], 3),
+        "batches_32_sec": round(split_times[32], 3),
+        "per_batch_overhead_sec": round(per_batch, 4),
+        "rows": n_orders,
+    }
+
     # 2a) skew scenario: zipf-skewed agg, naive vs salted.
     # ~90% of rows share one key — the straggler-partition shape the
     # lever exists for. Both sides compute identical results (the

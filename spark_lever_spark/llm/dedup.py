@@ -24,13 +24,15 @@ array functions) — zero Python UDFs in any hot path.
 
 Density note: the synthetic corpus draws from a ~31-word vocabulary, so
 pairwise Jaccard between ordinary documents is high (~0.5-0.8) and the
-8x4 banding (s50 ~ 0.6) correctly emits a DENSE candidate graph —
-7.7M pairs from 5k docs at sf0.1. That is the corpus, not a bug; it is
-also why the band join must carry bare doc-id pairs (signatures
-re-attached per distinct pair) — anything wider through that join
-multiplies by the collision count. A real web corpus at the same
-banding yields a sparse graph; tune (bands, rows) to the corpus via
-the s50 = (1/b)^(1/r) curve.
+8x4 banding (s50 ~ 0.6) correctly emits a DENSE candidate graph. That
+is the corpus, not a bug; it is also why the band join must carry bare
+doc-id pairs (signatures re-attached per distinct pair) — anything
+wider through that join multiplies by the collision count. A real web
+corpus at the same banding yields a sparse graph; `tune_lsh_banding`
+picks (bands, rows) from a sampled similarity histogram — minimizing
+expected candidates over the 1-(1-s^r)^b S-curve subject to a recall
+floor at the dup threshold — with the fixed 8x4 form kept as the
+registry/oracle parity path.
 """
 
 from __future__ import annotations
@@ -77,22 +79,46 @@ def token_hash(col: Column, bits: int = 40) -> Column:
     )
 
 
-_MERSENNE_P = (1 << 61) - 1
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2147483647
+
+
+def _mh_coeff(tag: str, i: int, lo: int) -> int:
+    """Deterministic md5-derived coefficient in [lo, p-1] — large
+    enough that a_i*x actually wraps mod p (see minhash_signature)."""
+    import hashlib
+
+    v = int(hashlib.md5(f"minhash-{tag}-{i}".encode()).hexdigest()[:15], 16)
+    return lo + v % (_MINHASH_P - lo)
+
+
+_MH_A = tuple(_mh_coeff("a", i, 1) for i in range(64))
+_MH_B = tuple(_mh_coeff("b", i, 0) for i in range(64))
 
 
 def minhash_signature(tokens_hashed: Column, k: int) -> Column:
     """k-permutation MinHash signature over an array<long> of token
-    hashes: h_i(x) = (a_i*x + b_i) mod p, deterministic a_i/b_i.
+    hashes: h_i(x) = (a_i*(x mod p) + b_i) mod p over p = 2^31-1 with
+    md5-derived a_i in [1, p) and b_i in [0, p) — the classic
+    pairwise-independent affine family.
+
+    The coefficients MUST be large enough to wrap mod p: with small
+    multipliers (the original a=2i+1 over p=2^61-1 and 40-bit token
+    hashes) a*x+b never exceeds p, every map is order-PRESERVING, all
+    k positions select the same min token, and MinHash silently
+    degenerates to "same min-token?" (k=1 — est_jaccard collapses to
+    {0,1} and banding selectivity becomes a no-op). p = 2^31-1 keeps
+    the product (p-1)*(p-1) < 2^62 — exact int64 in both Spark and
+    DuckDB, no overflow wrap to diverge on.
 
     Returns array<long> of length k. Pure JVM higher-order functions.
     """
     def perm(a: int, b: int):
         # closure factory: PySpark infers lambda arity from the Python
         # signature, so default-arg tricks break higher-order functions
-        return lambda x: (x * a + b) % F.lit(_MERSENNE_P)
+        return lambda x: ((x % _MINHASH_P) * a + b) % F.lit(_MINHASH_P)
 
     sigs = [
-        F.array_min(F.transform(tokens_hashed, perm(2 * i + 1, 7919 * (i + 1))))
+        F.array_min(F.transform(tokens_hashed, perm(_MH_A[i], _MH_B[i])))
         for i in range(k)
     ]
     return F.array(*sigs)
@@ -141,6 +167,82 @@ def minhash_bands(
         F.posexplode(band_digests).alias("band_idx", "band_digest"),
     )
     return sig, banded
+
+
+def sample_pair_jaccards(
+    docs: DataFrame, max_docs: int = 150, modulus: int | None = None
+) -> list[float]:
+    """Deterministic sample of pairwise token-set Jaccard similarities.
+
+    Docs are sampled by md5 hash-bucket on doc_id (row-property
+    membership — no RNG, stable across runs/partitionings, the
+    curation.py sampling doctrine), capped at ``max_docs``; exact
+    Jaccard is computed for all sampled pairs in one bounded self-join
+    (≤ max_docs²/2 pairs — a few thousand rows, the one place a
+    driver collect is legitimate, same as the LSH plane literals).
+    """
+    if modulus is None:
+        n = docs.count()
+        modulus = max(1, n // max_docs)
+    sample = (
+        docs.select(F.col("doc_id"), tokens_distinct(F.col("text")).alias("ts"))
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % modulus
+            == 0
+        )
+        .limit(max_docs)
+    )
+    a = sample.select(F.col("doc_id").alias("ia"), F.col("ts").alias("ta"))
+    b = sample.select(F.col("doc_id").alias("ib"), F.col("ts").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        (
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / F.size(F.array_union("ta", "tb")).cast("double")
+        ).alias("j")
+    )
+    return [r.j for r in pairs.collect()]
+
+
+def tune_lsh_banding(
+    docs: DataFrame,
+    k: int = 32,
+    dup_threshold: float = 0.95,
+    min_recall: float = 0.9,
+    max_docs: int = 150,
+) -> tuple[int, int]:
+    """Choose LSH ``(bands, rows)`` from the corpus's sampled
+    similarity histogram instead of a fixed (8, 4).
+
+    The fixed 8x4 banding (s50 = (1/8)^(1/4) ≈ 0.59) is correct for a
+    sparse web corpus but floods a high-background-similarity corpus
+    with candidates (the documented density caveat: the synthetic
+    31-word vocabulary gives ordinary pairs J ≈ 0.5-0.8). This helper
+    picks, among all (b, r) with b·r = k, the banding that MINIMIZES
+    the expected candidate-pair count over the sampled background
+    histogram — Σ_pairs P(candidate | J) with P = 1 − (1 − J^r)^b —
+    subject to P(candidate | dup_threshold) ≥ min_recall. Pure
+    driver-side arithmetic over a bounded sample; the fixed form
+    remains the registry/oracle parity path.
+    """
+    sims = sample_pair_jaccards(docs, max_docs=max_docs)
+    # descending r: on an all-zero background (sparse corpus) every
+    # option ties at expected 0 — prefer the most selective banding
+    options = [(k // r, r) for r in range(k, 0, -1) if k % r == 0]
+    best: tuple[float, int, int] | None = None
+    for b, r in options:
+        recall = 1.0 - (1.0 - dup_threshold**r) ** b
+        if recall < min_recall:
+            continue
+        expected = sum(1.0 - (1.0 - s**r) ** b for s in sims)
+        if best is None or expected < best[0]:
+            best = (expected, b, r)
+    if best is None:  # no option meets recall: fall back to max recall
+        b, r = max(options, key=lambda br: 1 - (1 - dup_threshold ** br[1]) ** br[0])
+        return b, r
+    return best[1], best[2]
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -304,9 +406,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The minhash hash family is md5-affine, so DuckDB can replay it
 # exactly: 40-bit token hashes from hex md5 prefixes, k=32 affine
-# permutations (a=2i+1, b=7919(i+1), mod 2^61-1), 8x4 band digests.
-# Shared by the LSH-pairs and cluster oracles below.
-_MINHASH_BAND_CTES = """
+# permutations h_i(x) = (a_i*(x mod p) + b_i) mod p over p = 2^31-1
+# with the same md5-derived (a_i, b_i) literals the Spark side uses
+# (generated from _MH_A/_MH_B below — single source of truth), 8x4
+# band digests. Products stay < 2^62: exact int64 in both engines.
+_MH_VALUES = ",\n         ".join(
+    f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(32)
+)
+
+_MINHASH_BAND_CTES = f"""
 tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
@@ -318,9 +426,9 @@ th AS MATERIALIZED (
 ),
 sig AS MATERIALIZED (
   SELECT doc_id, p.i,
-         MIN((h * (2 * p.i + 1) + 7919 * (p.i + 1)) % 2305843009213693951)
-           AS s
-  FROM th, (SELECT unnest(range(32)) AS i) p
+         MIN(((h % 2147483647) * p.a + p.b) % 2147483647) AS s
+  FROM th,
+       (VALUES {_MH_VALUES}) p(i, a, b)
   GROUP BY doc_id, p.i
 ),
 banded AS MATERIALIZED (

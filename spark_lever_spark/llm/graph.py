@@ -29,6 +29,21 @@ from spark_lever_spark.catalog import load_table
 from spark_lever_spark.registry import register
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``-ed DataFrame's cached blocks NOW.
+
+    ``df.unpersist()`` is a no-op for checkpoints (the blocks belong to
+    the internal RDD behind the LogicalRDD plan node, not the
+    cache-manager), and GC-driven cleanup can lag a whole registry
+    sweep — in a long one-session run the per-query blocks accumulate.
+    Reaches the internal RDD handle; degrades to the GC path if the
+    internals move."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internals moved; GC handles it
+        pass
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, link every strictly-larger neighbor to the
     minimum of its neighborhood (including itself)."""
@@ -89,6 +104,7 @@ def connected_components(
         # except is skipped entirely when the counts already differ.
         n_next = e_next.count()
         changed = n_next != n_edges or not e_next.exceptAll(e).isEmpty()
+        release_local_checkpoint(e)  # predecessor blocks free NOW
         e, n_edges = e_next, n_next
         if not changed:
             break
@@ -392,11 +408,18 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("v", (-F.col("m.nl")).alias("lbl"))
         )
-    return (
+    out = (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("size"))
         .orderBy(F.desc("size"), "community")
     )
+    # Materialize the community-grain result (small) so the edge cache
+    # can be released NOW rather than at executor GC time — in a long
+    # one-session sweep over the whole registry the per-query edge
+    # blocks would otherwise accumulate.
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 _KCORE_ROUNDS = 5
@@ -479,6 +502,15 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .localCheckpoint(eager=True)
     )
+    # localCheckpoint (not bare persist) is load-bearing here: each
+    # round references its parent ~5x (degree union + two semi-joins),
+    # so without lineage truncation the plan tree grows 5^rounds and
+    # AQE's plan-string rendering alone OOMs the driver. The checkpoint
+    # blocks are released EXPLICITLY as soon as each round's successor
+    # is materialized (and all of them before return — the trajectory
+    # is already collected), so nothing lingers until executor GC in a
+    # long one-session sweep.
+    handles = [e]
     spark_rounds = []
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -494,6 +526,7 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pa", "pb")
             .localCheckpoint(eager=True)
         )
+        handles.append(e)
         verts = (
             e.select(F.col("pa").alias("v"))
             .unionByName(e.select(F.col("pb").alias("v")))
@@ -501,6 +534,9 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         spark_rounds.append((i, verts, e.count()))
+        release_local_checkpoint(handles.pop(0))
+    for h in handles:
+        release_local_checkpoint(h)
     return spark.createDataFrame(
         spark_rounds, "round int, n_vertices long, n_edges long"
     ).orderBy("round")

@@ -447,7 +447,13 @@ def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation joins present tokens only — no sources × vocabulary
     grid, no vocab broadcast, web-scale-vocabulary safe — while the
     oracle computes the naive full-grid spec and the hash match proves
-    the algebra. The
+    the algebra. Headroom bound (same convention as
+    gini_customer_revenue / rolling_corr_click_purchase): the cross
+    term c_i·T must stay under 2^63 — safe while max per-source token
+    count × corpus total T < 9.2e18 (e.g. T ≈ 1e10 tokens with any
+    single source-token count ≤ ~9e8); beyond that, promote both
+    factors to DECIMAL(38,0) before the product (Spark non-ANSI would
+    otherwise wrap silently). The
     100 TB use: per-shard/per-crawl drift monitoring from persisted
     count partials alone."""
     docs = load_table(spark, sf_dir, "documents")

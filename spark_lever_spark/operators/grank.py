@@ -1,0 +1,141 @@
+"""Distributed global ranking — the scale-safe substitute for an
+unpartitioned ``Window.orderBy`` over a full table.
+
+An unpartitioned ordered window (reference analog: a global sort feeding
+a sequential scan, e.g. Spark's own ``RangePartitioner`` + zipWithIndex
+idiom) routes every row through ONE task — the classic
+single-partition-sort scale-killer flagged in SURVEY.md §4. This module
+implements the textbook 2-pass alternative used by every distributed
+ranking engine:
+
+1. **Bin** each row by broadcast quantile bounds of the sort key
+   (map-side, same pattern as ``equidepth_histogram_broadcast_bounds``).
+   Binning is a pure monotone function of the key, so
+   ``(bin, key, tiebreaks)`` sorts identically to ``(key, tiebreaks)``.
+2. **Offsets**: aggregate per-bin row counts (and value sums) — a frame
+   of ``num_bins`` rows — and prefix-sum it with a window *over that
+   tiny aggregate* (its SinglePartition exchange carries ≤ num_bins
+   rows, never table data).
+3. **Local rank**: ``row_number`` (and running sum) inside a window
+   partitioned by ``_bin`` — parallel across bins — plus the broadcast
+   bin offset equals the exact global rank (and global running sum).
+
+The result is bit-identical to the single-task form: ranks are exact
+integers and running sums add the same longs in the same order. Only the
+physical plan changes — no task ever sees more than ~1/num_bins of the
+data, so the shape survives a 100×/1000× scale-up (raise ``num_bins``
+toward the cluster's core count). Degenerate input (all keys equal)
+collapses to one bin and degrades gracefully to the single-task form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_rank", "ntile_from_rank"]
+
+
+def with_global_rank(
+    df: DataFrame,
+    key: Column,
+    tiebreaks: list[str],
+    value: str | None = None,
+    num_bins: int = 64,
+) -> DataFrame:
+    """Attach exact global-order columns to ``df`` without a global sort.
+
+    Rows are ordered by ``(key ASC, *tiebreaks ASC)`` — pass a negated
+    key for descending order. Adds:
+
+    - ``_rk``   (long): 1-based global row_number,
+    - ``_cum``  (long, when ``value`` given): running sum of ``value``
+      up to and including the current row,
+    - ``_n_tot`` (long): total row count,
+    - ``_s_tot`` (long, when ``value`` given): total sum of ``value``.
+
+    ``key`` must be non-null numeric; ``(key, *tiebreaks)`` must be
+    unique for ``_rk`` to be deterministic (same contract as any
+    ordered-window tiebreaker in this repo).
+    """
+    d = df.withColumn("_key", key)
+    bounds = d.agg(
+        F.array(
+            *[
+                F.percentile_approx("_key", i / num_bins, 100)
+                for i in range(1, num_bins)
+            ]
+        ).alias("_bounds")
+    )
+    binned = (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bin",
+            F.size(F.filter(F.col("_bounds"), lambda b: F.col("_key") > b)),
+        )
+        .drop("_bounds")
+    )
+
+    aggs = [F.count("*").cast("long").alias("_bn")]
+    if value is not None:
+        aggs.append(F.sum(value).cast("long").alias("_bs"))
+    per_bin = binned.groupBy("_bin").agg(*aggs)
+    # prefix offsets over <= num_bins aggregated rows — the ONLY
+    # unpartitioned window in the plan, and it never touches table data
+    w_off = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    sel = [
+        F.col("_bin"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_rk_off"),
+        F.sum("_bn").over(
+            Window.orderBy("_bin").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n_tot"),
+    ]
+    drop = ["_key", "_bin", "_rk_off"]
+    if value is not None:
+        sel.append(F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_cum_off"))
+        sel.append(
+            F.sum("_bs")
+            .over(
+                Window.orderBy("_bin").rangeBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_s_tot")
+        )
+        drop.append("_cum_off")
+    offsets = per_bin.select(*sel)
+
+    w_loc = Window.partitionBy("_bin").orderBy("_key", *tiebreaks)
+    out = binned.join(F.broadcast(offsets), "_bin").withColumn(
+        "_rk", F.row_number().over(w_loc).cast("long") + F.col("_rk_off")
+    )
+    if value is not None:
+        out = out.withColumn(
+            "_cum",
+            F.sum(value)
+            .over(w_loc.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            + F.col("_cum_off"),
+        )
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` bucket as a pure function of (global rank, n).
+
+    ntile gives the first ``n mod k`` buckets ``ceil(n/k)`` rows and the
+    rest ``floor(n/k)`` — exactly: with base = n div k, rem = n mod k,
+    rank r (1-based) lands in bucket ``ceil(r/(base+1))`` while
+    r <= rem*(base+1), else ``rem + ceil((r-rem*(base+1))/base)``.
+    Ceil-division runs through floor(double) — exact for n < 2^53
+    (documented headroom; promote to DECIMAL beyond).
+    """
+    base = F.floor(n / F.lit(k)).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (base + 1)
+    # ceil(a/b) over positive longs via floor((a + b - 1) / b)
+    bucket_big = F.floor((rk + base) / (base + 1)).cast("long")
+    bucket_small = rem + F.floor((rk - big + base - 1) / base).cast("long")
+    return F.when((base == 0) | (rk <= big), bucket_big).otherwise(bucket_small)

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.functions.exact import cents, round_to
+from spark_lever_spark.operators.grank import with_global_rank
 from spark_lever_spark.registry import register
 
 
@@ -2082,25 +2083,24 @@ def pareto_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFram
     cents (deterministic custkey tie-break); the top-20% cut is the
     largest rank with rk*5 <= n (pure integer predicate — no float
     percent threshold to disagree on), and the share divides exact
-    int64 sums. The ranking window runs over the customer-grain
-    aggregate, not orders — but it is GLOBAL, so at billion-customer
-    scale replace it with the 2-pass form: range-partition by cents
-    desc, per-partition cumsums, then add broadcast per-partition
-    offsets (same numbers, no single-task sort)."""
+    int64 sums. The ranking runs over the customer-grain aggregate via
+    the 2-pass broadcast-bounds global rank (grank.py) — descending
+    order expressed as the negated key — so no single task ever sorts
+    the whole customer grain; the running sum adds the same longs in
+    the same order as the global-window form (bit-identical), and the
+    plan is pinned in test_plans.py."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w_rank = Window.orderBy(F.desc("cents"), "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    ranked = with_global_rank(
+        rev, -F.col("cents"), ["o_custkey"], value="cents"
+    ).select(
         "cents",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
-        F.sum("cents")
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
+        F.col("_rk").alias("rk"),
+        F.col("_n_tot").alias("n"),
+        F.col("_s_tot").alias("total"),
+        F.col("_cum").alias("cum"),
     )
     top = F.max(F.when(F.col("rk") * 5 <= F.col("n"), F.col("cum")))
     return ranked.groupBy("n").agg(
@@ -2152,19 +2152,20 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks (custkey tie-break). Σ(rank·x) stays exact int64 (rank ≤ n,
     x in cents — headroom to ~1e5 customers × 1e9 cents; promote to
     DECIMAL beyond), and the closing expression is assembled from
-    exact integers in identical op order. Same global-rank caveat and
-    2-pass range-partition remedy as the Pareto operator."""
+    exact integers in identical op order. Ranks come from the 2-pass
+    broadcast-bounds global rank (grank.py) — no unpartitioned window
+    over the customer grain; pinned in test_plans.py."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w_rank = Window.orderBy("cents", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    ranked = with_global_rank(
+        rev, F.col("cents"), ["o_custkey"], value="cents"
+    ).select(
         "cents",
-        F.row_number().over(w_rank).cast("long").alias("rk"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
+        F.col("_rk").alias("rk"),
+        F.col("_n_tot").alias("n"),
+        F.col("_s_tot").alias("total"),
     )
     n_d = F.max("n").cast("double")
     gini = (

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_lever_spark.catalog import load_table
+from spark_lever_spark.operators.grank import ntile_from_rank, with_global_rank
 from spark_lever_spark.registry import register
 
 
@@ -194,11 +195,27 @@ FROM (
     category="windows",
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing → quartile summary (DoubleRDD-stats analog)."""
+    """ntile bucketing → quartile summary (DoubleRDD-stats analog).
+
+    Scale-safe form: instead of an unpartitioned ``ntile(4) OVER
+    (ORDER BY ...)`` over the full table (single-task sort), global
+    ranks come from the 2-pass broadcast-bounds rank (grank.py) and the
+    ntile bucket is recovered as a pure function of (rank, n) — exact
+    ntile semantics, identical buckets, no task sees more than ~1/64 of
+    the rows (pinned in test_plans.py)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = with_global_rank(
+        cust.select("c_acctbal", "c_custkey"),
+        F.col("c_acctbal"),
+        ["c_custkey"],
+    )
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.select(
+            "c_acctbal",
+            ntile_from_rank(F.col("_rk"), F.col("_n_tot"), 4)
+            .cast("int")
+            .alias("quartile"),
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("cnt"),
@@ -228,17 +245,35 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative-standing trio (completes the ranking family next to
     rank/dense_rank/row_number). Exact cross-engine: both ranks are
     integer-derived ratios ((rank-1)/(n-1), rank/n) computed with one
-    IEEE division, rounded with the round_to form."""
+    IEEE division, rounded with the round_to form.
+
+    Scale-safe form: the ORDER BY key set is unique (suppkey tiebreak),
+    so rank == row_number, percent_rank == (rk-1)/(n-1) and cume_dist
+    == rk/n exactly — all three plus ntile(10) derive from the 2-pass
+    broadcast-bounds global rank (grank.py) with no unpartitioned
+    window over the base table (pinned in test_plans.py)."""
     sup = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return sup.select(
+    ranked = with_global_rank(
+        sup.select("s_suppkey", "s_acctbal"),
+        F.col("s_acctbal"),
+        ["s_suppkey"],
+    )
+    rk = F.col("_rk").cast("double")
+    n = F.col("_n_tot").cast("double")
+    return ranked.select(
         "s_suppkey",
         (F.round(F.col("s_acctbal") * 100) / 100).alias("s_acctbal"),
-        (F.round(F.percent_rank().over(w) * 1000000) / 1000000).alias(
-            "pct_rank"
-        ),
-        (F.round(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+        (
+            F.round(
+                F.when(n > 1, (rk - 1) / (n - 1)).otherwise(F.lit(0.0))
+                * 1000000
+            )
+            / 1000000
+        ).alias("pct_rank"),
+        (F.round(rk / n * 1000000) / 1000000).alias("cume"),
+        ntile_from_rank(F.col("_rk"), F.col("_n_tot"), 10)
+        .cast("int")
+        .alias("decile"),
     ).orderBy("s_acctbal", "s_suppkey")
 
 

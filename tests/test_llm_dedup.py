@@ -120,3 +120,121 @@ def test_minhash_clusters_transitive_closure(spark, corpus_dir):
     assert clusters[6].cluster_size == 3 and clusters[6].canonical_doc == 6
     # disjoint docs never cluster
     assert {r.component for r in rows} == {0, 2, 6}
+
+def _window_corpus_rows() -> list[dict]:
+    """Deterministic dense-background corpus: 150 docs, each a 40-token
+    sliding window (stride 3) over a 60-token vocabulary — pairwise
+    Jaccard spans ~0.33-0.86 (overlap 40-3d tokens at window distance
+    d), i.e. a heavy intermediate-similarity background with NO
+    full-set collisions — plus 10 exact copies (J = 1.0), the only
+    pairs at J >= 0.95."""
+    big_vocab = [f"w{i:03d}" for i in range(60)]
+    rows = []
+    for i in range(150):
+        toks = [big_vocab[(3 * i + j) % 60] for j in range(40)]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(sorted(set(toks))),
+                "lang": "en",
+                "source": "windows",
+                "n_chars": 0,
+            }
+        )
+    for j in range(10):  # exact copies of docs 0..9
+        rows.append({**rows[j], "doc_id": 1000 + j})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dense_corpus_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("dense_corpus")
+    pd.DataFrame(_window_corpus_rows()).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    return str(d)
+
+
+def _cand_pairs(spark, docs, bands: int) -> set[tuple[int, int]]:
+    from pyspark.sql import functions as F
+
+    from spark_lever_spark.llm.dedup import minhash_bands
+
+    _, banded = minhash_bands(docs, k=32, bands=bands)
+    a, bb = banded.alias("a"), banded.alias("b")
+    return {
+        (x.ia, x.ib)
+        for x in a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_tuned_banding_cuts_candidates_at_equal_recall(spark, dense_corpus_dir):
+    """Adaptive banding (tune_lsh_banding) on a dense
+    intermediate-similarity background: the sampled-histogram choice
+    must raise the S-curve threshold above the background bulk,
+    cutting candidate pairs hard while keeping every true near-dup
+    (J >= 0.95 — here exact copies, whose signatures collide in all
+    bands under ANY banding). The fixed 8x4 form stays the
+    registry/oracle parity path."""
+    from spark_lever_spark.catalog import load_table
+    from spark_lever_spark.llm.dedup import tune_lsh_banding
+
+    docs = load_table(spark, dense_corpus_dir, "documents")
+    b, r = tune_lsh_banding(
+        docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=160
+    )
+    assert b * r == 32
+    assert r > 4, (b, r)  # dense background -> more selective than 8x4
+
+    fixed = _cand_pairs(spark, docs, 8)
+    tuned = _cand_pairs(spark, docs, b)
+    true_pairs = {(j, 1000 + j) for j in range(10)}
+    assert len(tuned) < 0.5 * len(fixed), (len(tuned), len(fixed))
+    assert true_pairs <= tuned  # exact copies: recall 1.0 by construction
+    assert true_pairs <= fixed
+
+def test_tuned_banding_reduces_sf_corpus_candidates(spark, sf_dir):
+    """On the synthetic sf documents table (31-word vocabulary,
+    background J ~ 0.5-0.8 — the documented density caveat) the tuned
+    banding must cut the candidate count below the fixed 8x4 while
+    keeping every identical-token-set pair (J = 1.0: full 32-position
+    signature collision, caught by ANY banding)."""
+    from pyspark.sql import functions as F
+
+    from spark_lever_spark.catalog import load_table
+    from spark_lever_spark.llm.dedup import tokens_distinct, tune_lsh_banding
+
+    docs = load_table(spark, sf_dir, "documents")
+    b, r = tune_lsh_banding(docs, k=32, dup_threshold=0.95, min_recall=0.9)
+    assert b * r == 32 and r > 4, (b, r)
+
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(tokens_distinct(F.col("text"))))
+        ).alias("setkey"),
+    )
+    a, bb = (
+        keyed.select(F.col("doc_id").alias("ia"), F.col("setkey").alias("ka")),
+        keyed.select(F.col("doc_id").alias("ib"), F.col("setkey").alias("kb")),
+    )
+    identical = {
+        (x.ia, x.ib)
+        for x in a.join(
+            F.broadcast(bb),
+            (F.col("ka") == F.col("kb")) & (F.col("ia") < F.col("ib")),
+        ).collect()
+    }
+    fixed = _cand_pairs(spark, docs, 8)
+    tuned = _cand_pairs(spark, docs, b)
+    assert len(tuned) < len(fixed), (len(tuned), len(fixed))
+    assert identical <= tuned
+    assert identical <= fixed

@@ -418,3 +418,35 @@ def test_jl_projection_is_map_only(spark, sf_dir):
     df = ALL["embedding_jl_projection"].fn(spark, sf_dir)
     assert exchange_count(df) <= 1
     assert shuffle_join_count(df) + nested_loop_join_count(df) == 0
+
+
+def test_global_rank_windows_partitioned_by_bin(spark, sf_dir):
+    """The 2-pass global rank (grank.py) must never run an
+    unpartitioned window over table data: every window that orders by
+    the rank key (`_key`) must be partitioned by `_bin` (parallel
+    across bins); only the <=num_bins offsets aggregate may use an
+    order-only window. Bounds/offsets arrive via broadcast — zero
+    shuffle joins, and the only nested-loop is the 1-row bounds
+    attach."""
+    import re
+
+    from spark_lever_spark.plans import formatted_plan
+
+    for name in (
+        "window_ntile_quartiles",
+        "window_percent_rank_cume",
+        "pareto_concentration_customers",
+        "gini_customer_revenue",
+    ):
+        df = ALL[name].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        big = [s for s in specs if "_key" in s]
+        assert big, f"{name}: no ranked window found"
+        for s in big:
+            assert s.lstrip().startswith("_bin"), (name, s)
+        assert "Exchange SinglePartition" not in plan, name
+        assert shuffle_join_count(df) == 0, name
+        # the 1-row bounds attach appears once per pass (the binned
+        # lineage feeds both the offsets aggregate and the output side)
+        assert nested_loop_join_count(df) <= 2, name
