@@ -1,0 +1,315 @@
+"""Training-data selection operators: domain importance weighting,
+hard-negative mining, boilerplate removal.
+
+Round-7 additions to the LLM-pipeline family (SURVEY.md §7 P5 —
+beyond-reference superset; the reference engine has no corpus
+tooling). Three capabilities a real pretraining-data pipeline runs
+between raw crawl and tokenizer:
+
+- `dsir_importance_weights`: DSIR-style domain-matched data selection
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): score every document by how much its hashed-bigram
+  profile resembles a target domain vs the raw pool. DSIR's
+  log-likelihood-ratio sum is replaced by the integer-exact linear
+  surrogate Σ_f (c_t(f)·R − c_r(f)·T) (same sign structure, monotone
+  in each feature's ratio) because ln is not correctly-rounded across
+  libms — the tfidf_top_terms / tv_distance doctrine.
+- `hard_negative_mining`: for each anchor in a bounded probe batch,
+  the most-cosine-similar corpus vector with a DIFFERENT label — the
+  contrastive-training negative miner. The probe batch broadcasts and
+  the corpus streams past it map-side (the one nested-loop join shape
+  this repo sanctions: small-side broadcast, like the decontaminate
+  blocklist); per-anchor top-1 is a 50-partition window.
+- `text_boilerplate_strip`: C4-style frequency boilerplate removal —
+  any 16-token paragraph occurring in >= 2 DISTINCT documents is
+  dropped from EVERY document (unlike dedup_paragraph_rebuild, which
+  keeps the first occurrence), then documents are rebuilt. Shuffles
+  carry paragraph digests, not text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_lever_spark.catalog import load_table
+from spark_lever_spark.llm.dedup import _PARA_N
+from spark_lever_spark.llm.similarity import as_double, cosine
+from spark_lever_spark.registry import register
+
+_DSIR_BUCKETS = 256  # hashed bigram feature space (DSIR uses 10k; the
+# synthetic corpus's tiny vocabulary saturates anything larger)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(toks[CAST(i AS INT)] || ' ' ||
+                             toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT
+           % {_DSIR_BUCKETS} AS bucket
+  FROM base, LATERAL unnest(range(1, len(toks))) AS t(i)
+),
+stats AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM occ GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS t, CAST(SUM(cr) AS BIGINT) AS r
+  FROM stats
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s.ct * tot.r - s.cr * tot.t) AS BIGINT) AS score_num
+FROM occ o JOIN stats s USING (bucket), tot
+GROUP BY o.doc_id
+ORDER BY score_num DESC, o.doc_id
+""",
+    category="llm_curation",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score per document against a target
+    domain (lang='en' stands in for "looks like Wikipedia").
+
+    Features are hashed bigrams (md5 → 256 buckets — hashed n-gram
+    features exactly as in the paper); c_t/c_r are per-bucket
+    occurrence counts in the target/raw pools, T/R their totals, and
+    each document scores Σ over its bigram occurrences of
+    c_t(f)·R − c_r(f)·T — an exact int64 (headroom: max-count × total
+    < 2^63, safe to ~3e9 occurrences per pool; promote to DECIMAL
+    beyond — the tv_distance convention). Positive score ⇒
+    target-like; resample top-N by score to build the mixed corpus.
+
+    Scale shape: one bigram-occurrence shuffle to build the 256-row
+    feature table (re-aggregated from (bucket) partials — mergeable),
+    which BROADCASTS back onto the occurrence stream; per-doc scoring
+    is then a map-side sum — no joins wider than (occurrences ×
+    1-row totals). At a 10k-bucket production space the stats table is
+    still broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    occ = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bigram")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").cast("long").alias("t"), F.sum("cr").cast("long").alias("r")
+    )
+    return (
+        occ.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("ct") * F.col("r") - F.col("cr") * F.col("t"))
+            .cast("long")
+            .alias("score_num"),
+        )
+        .orderBy(F.desc("score_num"), "doc_id")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS negative_id, b.label AS negative_label,
+         round(list_cosine_similarity(a.v, b.v) * 1000000) / 1000000
+           AS cos_sim
+  FROM e a JOIN e b ON b.label <> a.label
+  WHERE a.vec_id < 50
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_sim DESC, negative_id) AS rn
+  FROM p
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim
+FROM rk WHERE rn = 1 ORDER BY anchor_id
+""",
+    category="llm_similarity",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector in a bounded probe batch (vec_id < 50), the single
+    most-cosine-similar corpus vector carrying a DIFFERENT label.
+
+    Scale shape: the probe batch is the small side (a training batch,
+    thousands at most) and BROADCASTS; the corpus makes ONE map-side
+    pass computing cosines against the resident batch (the only
+    sanctioned nested-loop-join shape: broadcast small side — the
+    label inequality makes it non-equi by nature), then a per-anchor
+    window (50 partitions here, batch-sized generally) takes top-1.
+    Ranking orders by the ROUNDED cosine (identical doubles in both
+    engines per the fold-order doctrine) with negative_id tiebreak.
+    Real miners take top-k with a floor; top-1 pins the semantics."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    pairs = emb.join(
+        F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        (F.round(cosine(F.col("av"), F.col("v")) * 1000000) / 1000000).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), "negative_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("anchor_id")
+    )
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+),
+paras AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         list_aggregate(
+           toks[CAST(t.p AS INT) * {_PARA_N} + 1
+                : CAST(t.p AS INT) * {_PARA_N} + {_PARA_N}],
+           'string_agg', ' ') AS para
+  FROM base,
+       LATERAL unnest(range(CAST(ceil(len(toks) / {_PARA_N}.0) AS BIGINT)))
+         AS t(p)
+),
+boiler AS (
+  SELECT md5(para) AS h FROM paras
+  GROUP BY md5(para) HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         CAST(length(string_agg(para, ' ' ORDER BY p)) AS BIGINT)
+           AS kept_chars
+  FROM paras WHERE md5(para) NOT IN (SELECT h FROM boiler)
+  GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_chars, 0) AS kept_chars
+FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    category="llm_dedup",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: any 16-token paragraph appearing
+    in >= 2 DISTINCT documents is dropped from EVERY document (headers,
+    footers, cookie banners — text whose frequency, not its first
+    occurrence, marks it as template). Complements
+    dedup_paragraph_rebuild, which keeps first occurrences.
+
+    Scale shape (the dedup_paragraph_rebuild doctrine): the frequency
+    pass groups by the 16-byte paragraph md5 carrying only
+    (digest, doc_id) — paragraph TEXT never shuffles for counting; the
+    strip is a digest equi-join (left_anti — at web scale the
+    boilerplate set outgrows broadcast and this stays a hash join);
+    the rebuild regroups per document. Output pins kept counts and the
+    exact rebuilt length per document, including fully-boilerplate
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_paras = F.ceil(F.size("toks") / float(_PARA_N)).cast("long")
+    paras = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda p: F.array_join(
+                    F.slice("toks", p * _PARA_N + 1, _PARA_N), " "
+                ),
+            )
+        ).alias("p", "para"),
+    ).withColumn("p", F.col("p").cast("long"))
+    hashed = paras.withColumn("h", F.md5("para"))
+    boiler = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    kept = (
+        hashed.join(boiler, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "para"))),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -207,4 +207,9 @@ def _ensure_loaded() -> None:
     from spark_lever_spark.functions import udfs  # noqa: F401
     from spark_lever_spark.streaming import queries as streaming_queries  # noqa: F401
 
+    # round-7 additions import LAST: never-driver-checked queries sort
+    # by registration order within their group, and the 47 round-6
+    # queries must keep the head of the 50-query driver window
+    from spark_lever_spark.llm import selection  # noqa: F401
+
     _LOADED = True

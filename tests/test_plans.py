@@ -450,3 +450,21 @@ def test_global_rank_windows_partitioned_by_bin(spark, sf_dir):
         # the 1-row bounds attach appears once per pass (the binned
         # lineage feeds both the offsets aggregate and the output side)
         assert nested_loop_join_count(df) <= 2, name
+
+
+def test_dsir_stats_broadcast_and_boilerplate_digest_shuffles(spark, sf_dir):
+    """Selection-family scale shapes: DSIR's 256-row feature table and
+    1-row totals must arrive via broadcast (the occurrence stream
+    never shuffle-joins); boilerplate strip must never nested-loop
+    (digest equi-joins only); hard-negative mining's ONE nested loop
+    is the sanctioned broadcast-batch shape."""
+    df = ALL["dsir_importance_weights"].fn(spark, sf_dir)
+    assert shuffle_join_count(df) == 0
+    assert broadcast_join_count(df) + nested_loop_join_count(df) >= 2
+
+    df = ALL["text_boilerplate_strip"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+
+    df = ALL["hard_negative_mining"].fn(spark, sf_dir)
+    assert shuffle_join_count(df) == 0
+    assert nested_loop_join_count(df) == 1  # broadcast probe batch
