@@ -136,6 +136,13 @@ def _driver_group(q: Query) -> tuple[int, int]:
         return (0, 0)
     last = _LAST_GREEN.get(q.name, 0)
     if last == 0:  # never driver-checked: oracle first (stronger check)
+        # "defer-window": still never-checked, but queued BEHIND the
+        # other never-checked queries (used when the next 50-query
+        # window is already exactly full of earlier-round additions —
+        # adding mid-round must not push any of them past the budget).
+        # Once any CORRECTNESS round stamps them the tag is inert.
+        if "defer-window" in q.tags:
+            return (1, 2)
         return (1, 0 if q.oracle else 1)
     return (2, last)  # oldest vintage first → window rotates
 
@@ -211,5 +218,6 @@ def _ensure_loaded() -> None:
     # by registration order within their group, and the 47 round-6
     # queries must keep the head of the 50-query driver window
     from spark_lever_spark.llm import selection  # noqa: F401
+    from spark_lever_spark.operators import bars  # noqa: F401
 
     _LOADED = True

@@ -587,3 +587,92 @@ def _stream_table_schema_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type"
     )
+
+
+@register(
+    "stream_stream_left_join_unmatched_clicks",
+    oracle="""
+WITH w AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS wm
+),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.user_id, c.event_id
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.user_id, c.event_id
+  FROM c, w
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR)
+    AND c.ts + INTERVAL 1 HOUR <= w.wm
+)
+SELECT user_id,
+       CAST((SELECT count(*) FROM matched m WHERE m.user_id = u.user_id)
+            AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM unmatched x WHERE x.user_id = u.user_id)
+            AS BIGINT) AS n_expired_unmatched
+FROM (SELECT DISTINCT user_id FROM matched
+      UNION SELECT DISTINCT user_id FROM unmatched) u
+ORDER BY user_id
+""",
+    category="streaming",
+    tags=("defer-window",),
+)
+def stream_stream_left_join_unmatched_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state expiry — the
+    half of the join surface stream_stream_join_click_purchase leaves
+    open: a click with NO purchase in its following hour must still be
+    emitted (with nulls), and Structured Streaming can only do that
+    once the join watermark proves no future match can arrive. This
+    pins the EXPIRY semantics: both sides carry a 1-hour watermark;
+    the join watermark is min(max clicked ts, max purchase ts) − 1 h
+    (the availableNow drain's final flush advances it); a click whose
+    match window [ts, ts+1h) closes at or before that watermark is
+    emitted as unmatched, and a click whose window is still open when
+    the drain ends stays in state and is NEVER emitted — the oracle
+    reproduces exactly that set algebraically. Matched pairs emit
+    regardless (inner semantics are watermark-independent). Output
+    rolls up per user: matched-pair count and expired-unmatched count."""
+    clicks = (
+        _stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+    )
+    purchases = (
+        _stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    pairs = _drain_append(joined, "ss_left_join")
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_user").alias("n_pairs"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired_unmatched"),
+        )
+        .orderBy("user_id")
+    )
