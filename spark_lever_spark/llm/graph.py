@@ -540,3 +540,134 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark_rounds, "round int, n_vertices long, n_edges long"
     ).orderBy("round")
+
+
+_PR_ROUNDS = 5
+_PR_R0 = 1_000_000_000  # initial rank per node, integer units
+_PR_TELEPORT = _PR_R0 * 3 // 20  # (1-d)·R0 with d = 0.85 = 17/20
+
+
+def _pagerank_oracle(rounds: int = _PR_ROUNDS) -> str:
+    """Unrolled integer-exact PageRank oracle (aggregates are barred
+    from recursive CTE terms — the LPA/k-core mechanical unroll)."""
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS MATERIALIZED (
+  SELECT pa AS v, pb AS u FROM und
+  UNION ALL
+  SELECT pb AS v, pa AS u FROM und
+),
+deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY v
+),
+r0 AS MATERIALIZED (
+  SELECT v, CAST({_PR_R0} AS BIGINT) AS r FROM deg
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT dg.v,
+         CAST({_PR_TELEPORT} + COALESCE(SUM((r.r * 17) // (20 * sd.d)), 0)
+              AS BIGINT) AS r
+  FROM deg dg
+  LEFT JOIN e ON e.v = dg.v
+  LEFT JOIN r{i - 1} r ON r.v = e.u
+  LEFT JOIN deg sd ON sd.v = e.u
+  GROUP BY dg.v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS part, r AS rank_units FROM r{rounds}"
+        + "\nORDER BY rank_units DESC, part"
+    )
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(),
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph — the fifth graph
+    family member (CC, triangles, LPA, k-core, PageRank), in
+    INTEGER-EXACT arithmetic so both engines agree bit-for-bit: ranks
+    live in units of 1e-9 of an initial per-node rank, damping
+    d = 0.85 = 17/20 is applied as `(r·17) div (20·deg)` (true integer
+    division — no IEEE double in the recursion, where 5 rounds of
+    nondeterministically-ordered float sums would drift), and the
+    teleport term is the exact constant R0·3 div 20. A node with no
+    in-links settles at 0.15·R0 (per-node-units formulation; divide by
+    n·R0 for the probability view).
+
+    Scale shape: degree table computed once; each round is one
+    equi-join of the static degree-annotated edge list against the
+    rank vector plus one dst-key aggregation — O(|E|) hash work per
+    round, the LPA doctrine. Fixed round budget; headroom: total mass
+    ≈ n·R0 must stay < 2^63/17 ⇒ fine to ~5e8 nodes at R0 = 1e9."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("v"), F.col("pb").alias("u")
+    ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
+    edges = edges.persist()
+    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    # static degree-annotated edge list: src degree rides the edge so
+    # each round joins ONLY the rank vector
+    e_src = (
+        edges.join(deg.select(F.col("v").alias("u"), "d"), "u")
+        .select("v", "u", "d")
+        .persist()
+    )
+    ranks = deg.select("v", F.lit(_PR_R0).cast("long").alias("r"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            e_src.join(ranks.select(F.col("v").alias("u"), "r"), "u")
+            .select("v", F.expr("(r * 17) div (20 * d)").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(_PR_TELEPORT).cast("long")
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    out = ranks.select(
+        F.col("v").alias("part"), F.col("r").alias("rank_units")
+    ).orderBy(F.desc("rank_units"), "part")
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    e_src.unpersist()
+    return out

@@ -1158,3 +1158,85 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+@register(
+    "attribution_last_touch_1h",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('view','click','signup')
+              THEN event_type END AS touch_ch,
+         CASE WHEN event_type IN ('view','click','signup')
+              THEN ts END AS touch_ts,
+         event_type
+  FROM events
+),
+w AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(touch_ch IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_ch,
+         last_value(touch_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_ts
+  FROM u
+)
+SELECT CASE WHEN last_ts IS NOT NULL AND last_ts > ts - INTERVAL 1 HOUR
+            THEN last_ch ELSE 'UNATTRIBUTED' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def attribution_last_touch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    LATEST view/click/signup touch in the preceding hour (else
+    UNATTRIBUTED), rolled up to purchases per channel. Expressed in
+    the union-window as-of doctrine (asof_purchase_last_view): touches
+    and purchases interleave in ONE per-user ordered stream and a
+    running last-non-null carries the candidate touch — a single
+    user_id shuffle, no join, no per-purchase probe. Determinism: the
+    (ts, event_id) order is unique; a touch sharing a purchase's exact
+    timestamp attributes only if its event_id sorts first — spec'd
+    identically in the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_type")).alias("touch_ch"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "event_type",
+        "ts",
+        F.last("touch_ch", ignorenulls=True).over(w).alias("last_ch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_ts").isNotNull()
+                & (F.col("last_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+                F.col("last_ch"),
+            )
+            .otherwise(F.lit("UNATTRIBUTED"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("channel")
+    )

@@ -284,3 +284,95 @@ def share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "topn_plus_other_brands",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, p.p_brand AS brand,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, brand, cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY cents DESC, brand) AS rn
+  FROM rev
+),
+bucketed AS (
+  SELECT nation,
+         CASE WHEN rn <= 3 THEN brand ELSE 'OTHER' END AS brand_bucket,
+         cents
+  FROM rk
+)
+SELECT nation, brand_bucket,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       round(CAST(SUM(cents) AS DOUBLE)
+             / CAST(SUM(SUM(cents)) OVER (PARTITION BY nation) AS DOUBLE)
+             * 1000000) / 1000000 AS share_of_nation
+FROM bucketed
+GROUP BY nation, brand_bucket
+ORDER BY nation, cents DESC, brand_bucket
+""",
+    category="rollups",
+    tags=("defer-window",),
+)
+def topn_plus_other_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-plus-OTHER rollup: per nation, the top-3 part brands by
+    revenue stay named and the tail COLLAPSES into one 'OTHER' row
+    with its aggregate — the standard BI presentation the plain top-k
+    family (topk_orders / topk_orders_with_ties) cannot express
+    because it drops the tail instead of re-aggregating it. Exact
+    cents; the per-nation rank (high-cardinality partition key) and
+    the re-aggregation share one shuffle key; shares divide exact
+    int64 sums."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("cents"), "brand")
+    bucketed = rev.select(
+        "nation",
+        F.when(F.row_number().over(w) <= 3, F.col("brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand_bucket"),
+        "cents",
+    )
+    w_nat = Window.partitionBy("nation")
+    return (
+        bucketed.groupBy("nation", "brand_bucket")
+        .agg(F.sum("cents").alias("cents"))
+        .select(
+            "nation",
+            "brand_bucket",
+            "cents",
+            (
+                F.round(
+                    F.col("cents").cast("double")
+                    / F.sum("cents").over(w_nat).cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("share_of_nation"),
+        )
+        .orderBy("nation", F.desc("cents"), "brand_bucket")
+    )

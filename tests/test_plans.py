@@ -468,3 +468,20 @@ def test_dsir_stats_broadcast_and_boilerplate_digest_shuffles(spark, sf_dir):
     df = ALL["hard_negative_mining"].fn(spark, sf_dir)
     assert shuffle_join_count(df) == 0
     assert nested_loop_join_count(df) == 1  # broadcast probe batch
+
+
+def test_pagerank_rounds_stay_equi(spark, sf_dir):
+    """PageRank rounds are equi-joins of the static degree-annotated
+    edge list against the rank vector + one dst aggregation — a
+    nested loop anywhere makes a round O(|V|·|E|)."""
+    df = ALL["pagerank_copurchase"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Last-touch attribution is the union-window as-of shape: one
+    user_id window shuffle + the channel rollup — never a
+    per-purchase probe join."""
+    df = ALL["attribution_last_touch_1h"].fn(spark, sf_dir)
+    assert shuffle_join_count(df) + nested_loop_join_count(df) == 0
+    assert exchange_count(df) <= 3
