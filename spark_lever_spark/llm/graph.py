@@ -593,6 +593,7 @@ r0 AS MATERIALIZED (
 
 @register(
     "pagerank_copurchase",
+    bench=True,
     oracle=_pagerank_oracle(),
     category="llm_dedup",
     tags=("defer-window",),

@@ -43,6 +43,7 @@ _DSIR_BUCKETS = 256  # hashed bigram feature space (DSIR uses 10k; the
 
 @register(
     "dsir_importance_weights",
+    bench=True,
     oracle=f"""
 WITH base AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks
@@ -211,6 +212,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_boilerplate_strip",
+    bench=True,
     oracle=f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

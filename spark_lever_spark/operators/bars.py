@@ -24,6 +24,7 @@ from spark_lever_spark.registry import register
 
 @register(
     "ohlc_hourly_bars",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
