@@ -458,3 +458,259 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, n_samples int, "
         "sample_sum long, peak_amplitude long",
     ).orderBy("doc_id")
+
+
+def encode_bmp(doc_id: int) -> bytes:
+    """Deterministic REAL 24-bit uncompressed BMP (BI_RGB) for a doc
+    id: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded
+    to 4-byte stride. Channel values are fixed functions of the doc id
+    and the LOGICAL (top-down) pixel index, so an analytic oracle can
+    predict exact channel sums — and a decoder that forgets the
+    bottom-up row order or the row padding cannot match (padding bytes
+    are 0xFF to poison naive flat reads; the top-row sum is
+    row-order-sensitive)."""
+    import struct
+
+    import numpy as np
+
+    w = doc_id % 13 + 4
+    h = doc_id % 9 + 3
+    idx = np.arange(w * h, dtype=np.int64)  # logical top-down index
+    b_ch = ((doc_id * 17 + idx * 5) % 256).astype(np.uint8).reshape(h, w)
+    g_ch = ((doc_id * 23 + idx * 3) % 256).astype(np.uint8).reshape(h, w)
+    r_ch = ((doc_id * 29 + idx * 11) % 256).astype(np.uint8).reshape(h, w)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # file stores bottom-up
+        row = np.empty(w * 3, dtype=np.uint8)
+        row[0::3], row[1::3], row[2::3] = b_ch[y], g_ch[y], r_ch[y]
+        rows.append(row.tobytes() + b"\xff" * (stride - w * 3))
+    raster = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return file_hdr + info + raster
+
+
+def decode_bmp_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL BMP decoder (no stub, no codec library): validates the BM
+    magic, parses the little-endian headers, rejects anything but
+    24-bit BI_RGB, then reads the raster honoring the 4-byte row
+    stride AND the bottom-up row order — the two details a naive flat
+    read gets wrong (pinned by the order-sensitive top_row_r_sum).
+    Fail-loud on anything malformed."""
+    import struct
+
+    import numpy as np
+
+    out = {
+        "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": [],
+        "top_row_r_sum": [],
+    }
+    for buf in payloads:
+        b = bytes(buf)
+        if len(b) < 54 or b[:2] != b"BM":
+            raise ValueError("not a BMP stream")
+        offset = struct.unpack_from("<I", b, 10)[0]
+        hdr_size, w, h, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", b, 14
+        )
+        if hdr_size != 40 or planes != 1 or bpp != 24 or comp != 0 or h <= 0:
+            raise ValueError("unsupported BMP variant")
+        stride = (w * 3 + 3) // 4 * 4
+        if len(b) < offset + stride * h:
+            raise ValueError("truncated raster")
+        raw = np.frombuffer(b, dtype=np.uint8, offset=offset,
+                            count=stride * h).reshape(h, stride)
+        rows = raw[::-1, : w * 3]  # undo bottom-up, drop padding
+        px = rows.reshape(h, w, 3).astype(np.int64)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["b_sum"].append(int(px[:, :, 0].sum()))
+        out["g_sum"].append(int(px[:, :, 1].sum()))
+        out["r_sum"].append(int(px[:, :, 2].sum()))
+        out["top_row_r_sum"].append(int(px[0, :, 2].sum()))
+    return pd.DataFrame(
+        {
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+            "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+            "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+            "top_row_r_sum": pd.Series(out["top_row_r_sum"], dtype="int64"),
+        }
+    )
+
+
+@register(
+    "multimodal_bmp_real_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h FROM d
+),
+px AS (
+  SELECT doc_id, w, h,
+         CAST(SUM((doc_id * 29 + t.i * 11) % 256) AS BIGINT) AS r_sum,
+         CAST(SUM((doc_id * 23 + t.i * 3) % 256) AS BIGINT) AS g_sum,
+         CAST(SUM((doc_id * 17 + t.i * 5) % 256) AS BIGINT) AS b_sum,
+         CAST(SUM(CASE WHEN t.i < w
+                       THEN (doc_id * 29 + t.i * 11) % 256 END) AS BIGINT)
+           AS top_row_r_sum
+  FROM dims, LATERAL unnest(range(w * h)) AS t(i)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       r_sum, g_sum, b_sum, top_row_r_sum
+FROM px ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window",),
+)
+def multimodal_bmp_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image format next to NetPBM: 24-bit uncompressed
+    BMP, whose bottom-up row order and 4-byte stride padding are
+    exactly the kind of wire-format detail a codec-backed decoder
+    handles — parsed here for real (struct headers + numpy raster)
+    in the same Arrow-batched mapInPandas slot. The analytic oracle
+    predicts per-channel sums AND the row-order-sensitive top-row sum,
+    so a decoder that flat-reads the raster or skips the flip cannot
+    hash-match."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def decode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_bmp_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    decoded = with_media.mapInPandas(
+        decode_run,
+        "doc_id long, width int, height int, r_sum long, g_sum long,"
+        " b_sum long, top_row_r_sum long",
+    )
+    return decoded.orderBy("doc_id")
+
+
+def encode_au(doc_id: int) -> bytes:
+    """Deterministic REAL Sun/NeXT .au audio stream: BIG-endian header
+    (magic '.snd', data offset, size, encoding 3 = 16-bit linear PCM,
+    rate, channels) + big-endian int16 samples — the endianness
+    mirror-image of the little-endian RIFF/WAVE path."""
+    import struct
+
+    import numpy as np
+
+    n = doc_id % 50 + 10
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 13 + i * 7) % 2003 - 1001).astype(">i2")
+    data = samples.tobytes()
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(data), 3, 8000, 1)
+    return hdr + data
+
+
+def decode_au_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL .au decoder: validates the magic, parses the BIG-endian
+    header, requires 16-bit linear PCM, reads big-endian samples and
+    computes sample statistics. A decoder that reads the samples (or
+    the header) little-endian produces garbage sums and cannot
+    hash-match. Fail-loud on malformed streams."""
+    import struct
+
+    import numpy as np
+
+    rates, counts, sums, peaks = [], [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if len(b) < 24 or b[:4] != b".snd":
+            raise ValueError("not a .au stream")
+        offset, size, enc, rate, ch = struct.unpack_from(">IIIII", b, 4)
+        if enc != 3 or ch != 1:
+            raise ValueError("unsupported .au encoding")
+        if len(b) < offset + size or size % 2:
+            raise ValueError("truncated .au data")
+        samples = np.frombuffer(b, dtype=">i2", offset=offset,
+                                count=size // 2).astype(np.int64)
+        rates.append(rate)
+        counts.append(samples.size)
+        sums.append(int(samples.sum()))
+        peaks.append(int(np.abs(samples).max()))
+    return pd.DataFrame(
+        {
+            "sample_rate": pd.Series(rates, dtype="int32"),
+            "n_samples": pd.Series(counts, dtype="int32"),
+            "sample_sum": pd.Series(sums, dtype="int64"),
+            "peak": pd.Series(peaks, dtype="int32"),
+        }
+    )
+
+
+@register(
+    "multimodal_au_real_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+n AS (SELECT doc_id, doc_id % 50 + 10 AS cnt FROM d),
+s AS (
+  SELECT doc_id, cnt,
+         CAST(SUM((doc_id * 13 + t.i * 7) % 2003 - 1001) AS BIGINT)
+           AS sample_sum,
+         CAST(MAX(abs((doc_id * 13 + t.i * 7) % 2003 - 1001)) AS INT)
+           AS peak
+  FROM n, LATERAL unnest(range(cnt)) AS t(i)
+  GROUP BY doc_id, cnt
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(cnt AS INT) AS n_samples,
+       sample_sum, peak
+FROM s ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window",),
+)
+def multimodal_au_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL audio format next to RIFF/WAVE: Sun/NeXT .au, whose
+    header AND samples are big-endian — the exact wire detail that
+    separates a real parser from a byte-blind stub (WAV is
+    little-endian; a decoder reusing its byte order produces garbage).
+    Same Arrow-batched mapInPandas slot; analytic oracle predicts
+    exact sample sums and peaks from the generator formula."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_au(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def decode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_au_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    decoded = with_media.mapInPandas(
+        decode_run,
+        "doc_id long, sample_rate int, n_samples int, sample_sum long,"
+        " peak int",
+    )
+    return decoded.orderBy("doc_id")

@@ -106,3 +106,50 @@ def test_wav_decoder_is_real_and_fail_loud():
         decode_wav_batch(pd.Series([b"OggS" + buf[4:]]))
     with _pytest.raises(ValueError):
         decode_wav_batch(pd.Series([buf[:-3]]))  # truncated samples
+
+
+def test_bmp_decoder_fails_loud_on_corrupt_stream():
+    import pandas as pd
+    import pytest
+
+    from spark_lever_spark.llm.multimodal import decode_bmp_batch, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp_batch(pd.Series([b"XX not a bmp"]))
+    good = encode_bmp(7)
+    with pytest.raises(ValueError):  # truncated raster
+        decode_bmp_batch(pd.Series([good[:-4]]))
+
+
+def test_bmp_decoder_honors_bottom_up_and_stride():
+    """A flat read of the raster (ignoring the bottom-up flip) yields
+    a different top-row sum — the decoder must report the LOGICAL top
+    row, which is the LAST stored row."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_lever_spark.llm.multimodal import decode_bmp_batch, encode_bmp
+
+    doc_id = 11  # w = 11 % 13 + 4 = 15 (odd stride -> padding), h = 5
+    out = decode_bmp_batch(pd.Series([encode_bmp(doc_id)]))
+    w = doc_id % 13 + 4
+    idx = np.arange(w, dtype=np.int64)  # logical top row: idx 0..w-1
+    expect = int(((doc_id * 29 + idx * 11) % 256).sum())
+    assert int(out["top_row_r_sum"][0]) == expect
+
+
+def test_au_decoder_fails_loud_and_big_endian():
+    import pandas as pd
+    import pytest
+
+    from spark_lever_spark.llm.multimodal import decode_au_batch, encode_au
+
+    with pytest.raises(ValueError):
+        decode_au_batch(pd.Series([b"RIFFnotau..."]))
+    good = encode_au(9)
+    with pytest.raises(ValueError):  # odd/truncated data
+        decode_au_batch(pd.Series([good[:-1]]))
+    # big-endian check: sample 0 of doc 9 is (9*13) % 2003 - 1001 = -884;
+    # a little-endian misread of 0xFC8C != -884
+    out = decode_au_batch(pd.Series([good]))
+    assert int(out["n_samples"][0]) == 9 % 50 + 10
