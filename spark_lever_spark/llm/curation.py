@@ -702,15 +702,20 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     )
-    from pyspark.sql.window import Window
+    # source is LOW-cardinality: 2-pass the per-source running sum
+    # over md5-prefix buckets (numeric prefix of the hex sort key is
+    # monotone in it) so no task scans a whole source — grank doctrine
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
 
-    w = (
-        Window.partitionBy("source")
-        .orderBy("rk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = with_grouped_cumsum(
+        toks,
+        ["source"],
+        F.conv(F.substring("rk", 1, 15), 16, 10).cast("long"),
+        ["rk", "doc_id"],
+        "n_tokens",
     )
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        cum.withColumnRenamed("_cum", "cum_tokens")
         .filter(F.col("cum_tokens") <= 2000)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens")

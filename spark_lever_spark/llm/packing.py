@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_lever_spark.catalog import load_table
+from spark_lever_spark.operators.grank import with_grouped_cumsum
 from spark_lever_spark.registry import register
 
 
@@ -271,21 +272,20 @@ def pack_concat_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode emits per-(doc, chunk) overlap lengths, and the rollup
     yields exact per-sequence token/doc counts — every chunk but each
     source's last must hold exactly 2048 tokens (pinned in
-    tests/test_packing.py). One window shuffle per source + one
-    group-by; no Python in the loop. At 100 TB the 'order by doc_id
-    within source' is the deterministic shard order a real pipeline
-    fixes at ingest."""
+    tests/test_packing.py). No Python in the loop. At 100 TB the
+    'order by doc_id within source' is the deterministic shard order a
+    real pipeline fixes at ingest — and because source is a
+    LOW-cardinality key, the per-source running offset is 2-passed
+    over doc_id buckets (grank.with_grouped_cumsum) so no task ever
+    sorts a whole source; bit-identical to the single-window form."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         (F.size(F.split("text", " ")) + 1).cast("long").alias("toks"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    o = d.withColumn("off", F.sum("toks").over(w) - F.col("toks"))
+    o = with_grouped_cumsum(
+        d, ["source"], F.col("doc_id"), ["doc_id"], "toks"
+    ).withColumn("off", F.col("_cum") - F.col("toks"))
     spans = o.select(
         "source",
         "doc_id",

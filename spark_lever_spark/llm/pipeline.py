@@ -253,12 +253,13 @@ def pipeline_pii_paragraph_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("toks"),
         )
     )
-    wo = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    o = rebuilt.withColumn("off", F.sum("toks").over(wo) - F.col("toks"))
+    # 2-pass per-source offset (grank doctrine): source is
+    # low-cardinality, so the running sum buckets over doc_id
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
+
+    o = with_grouped_cumsum(
+        rebuilt, ["source"], F.col("doc_id"), ["doc_id"], "toks"
+    ).withColumn("off", F.col("_cum") - F.col("toks"))
     first_chunk = (F.col("off") / 2048).cast("long")
     last_chunk = ((F.col("off") + F.col("toks") - 1) / 2048).cast("long")
     hit = o.select(

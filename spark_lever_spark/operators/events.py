@@ -540,8 +540,16 @@ def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simultaneous sessions/connections) computed without any
     interval-vs-interval join. Tie order pinned (end before start at
     the same instant via d ascending: -1 sorts first), so concurrency
-    at a shared boundary never double-counts. One shuffle on the
-    window key."""
+    at a shared boundary never double-counts.
+
+    Scale shape: event_type is a LOW-cardinality key, so a window
+    partitioned on it alone would route each type's entire sweep
+    through ONE task. The prefix sum is therefore 2-passed on
+    (type, day) — local running sums inside each day partition plus
+    broadcast per-day net offsets (the grank.py broadcast-offset
+    doctrine; day binning is monotone in t, so
+    local + offset == the single-task running sum, bit-identical).
+    Parallelism scales with types × days instead of types."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
@@ -551,11 +559,29 @@ def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
         F.lit(-1).alias("d"),
     )
-    deltas = starts.unionAll(ends)
-    w = Window.partitionBy("event_type").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    deltas = starts.unionAll(ends).withColumn(
+        "b", F.date_trunc("day", F.col("t"))
     )
-    running = deltas.withColumn("concurrent", F.sum("d").over(w))
+    w_loc = (
+        Window.partitionBy("event_type", "b")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("lr", F.sum("d").over(w_loc))
+    per_bin = local.groupBy("event_type", "b").agg(F.sum("d").alias("net"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bin.select(
+        "event_type",
+        "b",
+        F.coalesce(F.sum("net").over(w_off), F.lit(0)).alias("off"),
+    )
+    running = local.join(F.broadcast(offsets), ["event_type", "b"]).select(
+        "event_type", (F.col("lr") + F.col("off")).alias("concurrent")
+    )
     return (
         running.groupBy("event_type")
         .agg(

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "ntile_from_rank"]
+__all__ = ["with_global_rank", "ntile_from_rank", "with_grouped_cumsum"]
 
 
 def with_global_rank(
@@ -139,3 +139,69 @@ def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
     bucket_big = F.floor((rk + base) / (base + 1)).cast("long")
     bucket_small = rem + F.floor((rk - big + base - 1) / base).cast("long")
     return F.when((base == 0) | (rk <= big), bucket_big).otherwise(bucket_small)
+
+
+def with_grouped_cumsum(
+    df: DataFrame,
+    part_cols: list[str],
+    bin_key: Column,
+    order_cols: list[str],
+    value: str,
+    num_bins: int = 64,
+) -> DataFrame:
+    """Running sum of ``value`` within each ``part_cols`` group,
+    ordered by ``order_cols`` — 2-passed so a LOW-cardinality group key
+    (a handful of sources/types) never routes a whole group through one
+    task.
+
+    ``bin_key`` must be a numeric column expression monotone
+    non-decreasing in the group's sort order (e.g. the first order
+    column itself, or a numeric prefix of a hash sort key): rows are
+    bucketed by broadcast quantile bounds of ``bin_key``, the running
+    sum is computed inside each (group, bucket) window — parallel
+    across buckets — and broadcast per-bucket net offsets restore the
+    exact global-within-group prefix sum (``_cum``, inclusive of the
+    current row). Bit-identical to the single-task window: same longs
+    added in the same order.
+    """
+    d = df.withColumn("_ckey", bin_key)
+    bounds = d.agg(
+        F.array(
+            *[
+                F.percentile_approx("_ckey", i / num_bins, 100)
+                for i in range(1, num_bins)
+            ]
+        ).alias("_cbounds")
+    )
+    binned = (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_cbin",
+            F.size(F.filter(F.col("_cbounds"), lambda b: F.col("_ckey") > b)),
+        )
+        .drop("_cbounds", "_ckey")
+    )
+    w_loc = (
+        Window.partitionBy(*part_cols, "_cbin")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = binned.withColumn("_lcum", F.sum(value).over(w_loc))
+    per_bin = binned.groupBy(*part_cols, "_cbin").agg(
+        F.sum(value).alias("_net")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_cbin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bin.select(
+        *part_cols,
+        "_cbin",
+        F.coalesce(F.sum("_net").over(w_off), F.lit(0)).alias("_coff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "_cbin"])
+        .withColumn("_cum", F.col("_lcum") + F.col("_coff"))
+        .drop("_cbin", "_lcum", "_coff")
+    )

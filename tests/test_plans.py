@@ -403,13 +403,26 @@ def test_lpa_rounds_stay_equi(spark, sf_dir):
     assert nested_loop_join_count(df) == 0
 
 
-def test_concat_pack_two_shuffles(spark, sf_dir):
-    """Concat packing = one per-source offset window + one chunk
-    group-by (+ the final sort). The bounded explode must not add an
-    exchange."""
+def test_concat_pack_data_shuffles_bounded(spark, sf_dir):
+    """Concat packing (2-pass grouped cumsum): table data passes
+    through the (source, bucket) window shuffle, the chunk group-by,
+    and the final sort; the remaining exchanges carry only the
+    num_bins-sized bounds/offset frames. The bounded explode must not
+    add an exchange, the offsets arrive via broadcast (zero shuffle
+    joins), and the only nested loops are the 1-row bounds attaches
+    (one per pass)."""
     df = ALL["pack_concat_2048"].fn(spark, sf_dir)
-    assert exchange_count(df) <= 3
-    assert nested_loop_join_count(df) == 0
+    assert exchange_count(df) <= 8
+    assert shuffle_join_count(df) == 0
+    assert nested_loop_join_count(df) <= 2
+    # the per-source cumsum window must be bucketed, never source-only
+    import re
+
+    from spark_lever_spark.plans import formatted_plan
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", formatted_plan(df))
+    big = [s for s in specs if "doc_id" in s]
+    assert big and all("_cbin" in s for s in big), specs
 
 
 def test_jl_projection_is_map_only(spark, sf_dir):
@@ -485,3 +498,20 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     df = ALL["attribution_last_touch_1h"].fn(spark, sf_dir)
     assert shuffle_join_count(df) + nested_loop_join_count(df) == 0
     assert exchange_count(df) <= 3
+
+
+def test_peak_concurrency_window_is_day_bucketed(spark, sf_dir):
+    """The +1/-1 sweep's prefix sum must never window on the
+    low-cardinality event_type alone — the running-sum window over
+    delta rows must include the day bucket (types x days parallelism);
+    only the aggregated per-day offsets frame may window on
+    event_type."""
+    import re
+
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["peak_concurrency_by_type"].fn(spark, sf_dir)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", formatted_plan(df))
+    big = [s for s in specs if " d#" in s or ", d#" in s]
+    assert big and all(" b#" in s or ", b#" in s for s in big), specs
+    assert shuffle_join_count(df) == 0
