@@ -146,7 +146,7 @@ def with_grouped_cumsum(
     part_cols: list[str],
     bin_key: Column,
     order_cols: list[str],
-    value: str,
+    value: str | list[str],
     num_bins: int = 64,
 ) -> DataFrame:
     """Running sum of ``value`` within each ``part_cols`` group,
@@ -162,7 +162,9 @@ def with_grouped_cumsum(
     across buckets — and broadcast per-bucket net offsets restore the
     exact global-within-group prefix sum (``_cum``, inclusive of the
     current row). Bit-identical to the single-task window: same longs
-    added in the same order.
+    added in the same order. ``part_cols`` may be empty (a global
+    cumulative sum); ``value`` may be a list, yielding one
+    ``_cum_<name>`` column per entry instead of ``_cum``.
     """
     d = df.withColumn("_ckey", bin_key)
     bounds = d.agg(
@@ -181,14 +183,18 @@ def with_grouped_cumsum(
         )
         .drop("_cbounds", "_ckey")
     )
+    single = isinstance(value, str)
+    values = [value] if single else list(value)
     w_loc = (
         Window.partitionBy(*part_cols, "_cbin")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = binned.withColumn("_lcum", F.sum(value).over(w_loc))
+    local = binned.withColumns(
+        {f"_lcum_{v}": F.sum(v).over(w_loc) for v in values}
+    )
     per_bin = binned.groupBy(*part_cols, "_cbin").agg(
-        F.sum(value).alias("_net")
+        *[F.sum(v).alias(f"_net_{v}") for v in values]
     )
     w_off = (
         Window.partitionBy(*part_cols)
@@ -198,10 +204,22 @@ def with_grouped_cumsum(
     offsets = per_bin.select(
         *part_cols,
         "_cbin",
-        F.coalesce(F.sum("_net").over(w_off), F.lit(0)).alias("_coff"),
+        *[
+            F.coalesce(F.sum(f"_net_{v}").over(w_off), F.lit(0)).alias(
+                f"_coff_{v}"
+            )
+            for v in values
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), [*part_cols, "_cbin"])
-        .withColumn("_cum", F.col("_lcum") + F.col("_coff"))
-        .drop("_cbin", "_lcum", "_coff")
+    out = local.join(F.broadcast(offsets), [*part_cols, "_cbin"]).withColumns(
+        {
+            ("_cum" if single else f"_cum_{v}"): F.col(f"_lcum_{v}")
+            + F.col(f"_coff_{v}")
+            for v in values
+        }
+    )
+    return out.drop(
+        "_cbin",
+        *[f"_lcum_{v}" for v in values],
+        *[f"_coff_{v}" for v in values],
     )

@@ -21,7 +21,10 @@ from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.functions.exact import cents, round_to
-from spark_lever_spark.operators.grank import with_global_rank
+from spark_lever_spark.operators.grank import (
+    with_global_rank,
+    with_grouped_cumsum,
+)
 from spark_lever_spark.registry import register
 
 
@@ -1859,7 +1862,9 @@ def ks_statistic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end), so both engines agree bit-for-bit including the argmax
     location (ties broken to the smallest value). Scale shape: a
     value-grain pre-aggregation collapses the corpus before the sort —
-    the window runs over DISTINCT lengths, not documents."""
+    the cumulative sums run over DISTINCT lengths, 2-passed over value
+    buckets (grank.with_grouped_cumsum) so even a huge observed-value
+    domain never funnels through one task."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.filter(F.col("source").isin("src0", "src1")).select(
         F.col("n_chars").alias("v"),
@@ -1872,11 +1877,12 @@ def ks_statistic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = pts.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pts.select(
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
         "v",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
+        F.col("_cum_c1").alias("f1"),
+        F.col("_cum_c2").alias("f2"),
     )
     d = cum.crossJoin(F.broadcast(totals)).select(
         "v",
@@ -1945,7 +1951,10 @@ def mann_whitney_u_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-grain count table (one cumulative window over DISTINCT
     lengths — the bounded domain, not documents), and U appears as
     u1_doubled with the single closing division producing the AUC.
-    Zero floating point until the final presentation ratio."""
+    Zero floating point until the final presentation ratio. The
+    cumulative window is 2-passed over value buckets
+    (grank.with_grouped_cumsum) — no single-task sort at any domain
+    size."""
     docs = load_table(spark, sf_dir, "documents")
     pts = (
         docs.filter(F.col("source").isin("src0", "src1"))
@@ -1959,12 +1968,11 @@ def mann_whitney_u_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c2"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pts.select(
+    both = pts.withColumn("ct", F.col("c1") + F.col("c2"))
+    cum = with_grouped_cumsum(both, [], F.col("v"), ["v"], "ct").select(
         "c1",
         "c2",
-        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2")))
-        .alias("before_all"),
+        (F.col("_cum") - F.col("ct")).alias("before_all"),
     )
     agg = cum.agg(
         F.sum("c1").alias("n1"),
