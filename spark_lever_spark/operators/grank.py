@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "ntile_from_rank", "with_grouped_cumsum"]
+__all__ = [
+    "with_global_rank",
+    "ntile_from_rank",
+    "with_grouped_cumsum",
+    "with_grouped_prefix_max",
+]
 
 
 def with_global_rank(
@@ -166,23 +171,7 @@ def with_grouped_cumsum(
     cumulative sum); ``value`` may be a list, yielding one
     ``_cum_<name>`` column per entry instead of ``_cum``.
     """
-    d = df.withColumn("_ckey", bin_key)
-    bounds = d.agg(
-        F.array(
-            *[
-                F.percentile_approx("_ckey", i / num_bins, 100)
-                for i in range(1, num_bins)
-            ]
-        ).alias("_cbounds")
-    )
-    binned = (
-        d.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "_cbin",
-            F.size(F.filter(F.col("_cbounds"), lambda b: F.col("_ckey") > b)),
-        )
-        .drop("_cbounds", "_ckey")
-    )
+    binned = _quantile_binned(df, bin_key, num_bins)
     single = isinstance(value, str)
     values = [value] if single else list(value)
     w_loc = (
@@ -222,4 +211,72 @@ def with_grouped_cumsum(
         "_cbin",
         *[f"_lcum_{v}" for v in values],
         *[f"_coff_{v}" for v in values],
+    )
+
+
+def _quantile_binned(
+    df: DataFrame, bin_key: Column, num_bins: int
+) -> DataFrame:
+    """Attach ``_cbin``: a broadcast-quantile-bounds bucket of
+    ``bin_key`` — monotone in the key, balanced by construction."""
+    d = df.withColumn("_ckey", bin_key)
+    bounds = d.agg(
+        F.array(
+            *[
+                F.percentile_approx("_ckey", i / num_bins, 100)
+                for i in range(1, num_bins)
+            ]
+        ).alias("_cbounds")
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_cbin",
+            F.size(F.filter(F.col("_cbounds"), lambda b: F.col("_ckey") > b)),
+        )
+        .drop("_cbounds", "_ckey")
+    )
+
+
+def with_grouped_prefix_max(
+    df: DataFrame,
+    part_cols: list[str],
+    bin_key: Column,
+    order_cols: list[str],
+    value: str,
+    num_bins: int = 64,
+) -> DataFrame:
+    """EXCLUSIVE running max of ``value`` within each ``part_cols``
+    group ordered by ``order_cols`` — the prefix-max companion to
+    ``with_grouped_cumsum`` (max is associative, so the same 2-pass
+    applies): adds ``_pmax`` = max of ``value`` over all STRICTLY
+    earlier rows in the group (null when there are none — matching the
+    single-task ``rowsBetween(unboundedPreceding, -1)`` window
+    exactly). Same binning/broadcast-offset shape; parallel across
+    buckets."""
+    binned = _quantile_binned(df, bin_key, num_bins)
+    w_loc = (
+        Window.partitionBy(*part_cols, "_cbin")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = binned.withColumn("_lmax", F.max(value).over(w_loc))
+    per_bin = binned.groupBy(*part_cols, "_cbin").agg(
+        F.max(value).alias("_bmax")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_cbin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bin.select(
+        *part_cols,
+        "_cbin",
+        F.max("_bmax").over(w_off).alias("_moff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "_cbin"])
+        # greatest() skips nulls: first row of first bin -> null
+        .withColumn("_pmax", F.greatest(F.col("_lmax"), F.col("_moff")))
+        .drop("_cbin", "_lmax", "_moff")
     )

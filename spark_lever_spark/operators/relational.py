@@ -24,6 +24,7 @@ from spark_lever_spark.functions.exact import cents, round_to
 from spark_lever_spark.operators.grank import (
     with_global_rank,
     with_grouped_cumsum,
+    with_grouped_prefix_max,
 )
 from spark_lever_spark.registry import register
 
@@ -1009,21 +1010,24 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     axes are mutually non-dominating and all kept, exactly as the
     NOT-EXISTS spec implies.
 
-    Scale note: the single-partition running max runs over DISTINCT
-    prices only (bounded domain), not rows; for an unbounded domain
-    the same prefix-max is computed with a range-partitioned two-pass
-    (per-partition max + prefix over partition summaries)."""
+    Scale note: the running max runs over DISTINCT prices (collapsed
+    grain), 2-passed over price buckets (grank.with_grouped_prefix_max)
+    — no single-task sort even on an unbounded price domain."""
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
     per_price = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("max_size")
     )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     frontier_prices = (
-        per_price.withColumn("m_cheaper", F.max("max_size").over(w))
+        with_grouped_prefix_max(
+            per_price,
+            [],
+            F.col("p_retailprice"),
+            ["p_retailprice"],
+            "max_size",
+        )
+        .withColumnRenamed("_pmax", "m_cheaper")
         .filter(
             F.col("m_cheaper").isNull()
             | (F.col("max_size") > F.col("m_cheaper"))
