@@ -315,3 +315,128 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE-merge oracle (each round's top pair feeds the next
+    round's corpus rewrite — the LPA/k-core mechanical unroll)."""
+    ctes = [
+        """words AS MATERIALIZED (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE text IS NOT NULL)
+  WHERE tok <> '' GROUP BY tok
+),
+s0 AS MATERIALIZED (
+  SELECT list_aggregate(string_split(w, ''), 'string_agg', ' ') AS sym, n
+  FROM words
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT sy[CAST(t.i AS INT)] AS a, sy[CAST(t.i AS INT) + 1] AS b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, ' ') AS sy, n FROM s{r - 1}),
+       LATERAL unnest(range(1, len(sy))) AS t(i)
+  GROUP BY 1, 2
+),
+t{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT trim(replace(' ' || sym || ' ',
+                      (SELECT ' ' || a || ' ' || b || ' ' FROM t{r}),
+                      (SELECT ' ' || a || b || ' ' FROM t{r}))) AS sym, n
+  FROM s{r - 1}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, a AS left_sym, b AS right_sym,"
+        f" cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    category="llm_text",
+    tags=("defer-window",),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016) —
+    the tokenizer-training loop run ON the engine: 5 merge rounds,
+    each counting adjacent symbol pairs across the corpus (weighted by
+    word frequency), electing the most frequent pair (count desc, then
+    lexicographic (a, b) — identical string collation both engines)
+    and rewriting every word's symbol sequence with the merge applied
+    greedily left-to-right (space-delimited `replace`, whose
+    leftmost-first non-overlapping scan IS the BPE merge rule in both
+    engines; no end-of-word marker — documented simplification).
+
+    Scale shape: everything after the first shuffle runs at VOCABULARY
+    grain, not corpus grain — the word-count table is the working set,
+    pair counting is one (a, b) aggregation per round, the elected
+    pair is a 1-row scalar (driver-collected like the LSH plane
+    literals, keeping lineage linear), and the rewrite is map-side.
+    Per-round persist + deterministic release (the k-core doctrine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cur = words.select(
+        F.array_join(F.split("w", ""), " ").alias("sym"), "n"
+    ).persist()
+    handles = [cur]
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        with_s = cur.withColumn("s", F.split("sym", " "))
+        pairs = with_s.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, greatest(size(s) - 1, 0)),"
+                    " (x, i) -> struct(x AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted (all words single-symbol)
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((r, a, b, cnt))
+        cur = cur.select(
+            F.btrim(
+                F.expr(
+                    "replace(concat(' ', sym, ' '),"
+                    f" concat(' ', {_sql_str(a)}, ' ', {_sql_str(b)}, ' '),"
+                    f" concat(' ', {_sql_str(a)}, {_sql_str(b)}, ' '))"
+                )
+            ).alias("sym"),
+            "n",
+        ).persist()
+        handles.append(cur)
+    for h in handles:
+        h.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, cnt long"
+    ).orderBy("round")
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (single-quote escaped) for driver-collected
+    merge symbols embedded in the rewrite expression."""
+    return "'" + s.replace("'", "''") + "'"
