@@ -1,0 +1,131 @@
+"""Unit contracts for the 2-pass distributed rank/cumsum helpers
+(operators/grank.py): each must be BIT-IDENTICAL to the single-task
+global window it replaces, including the degenerate inputs the
+oracle-checked queries never hit (all-equal keys -> one bin; negative
+keys; empty groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_lever_spark.operators.grank import (
+    ntile_from_rank,
+    with_global_rank,
+    with_grouped_cumsum,
+    with_grouped_prefix_max,
+)
+
+
+def _frame(spark, n=500, groups=3):
+    # deterministic, collision-heavy keys: many ties, negative values
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101 - 50).cast("long").alias("k"),
+        F.col("id").alias("tid"),
+        ((F.col("id") * 13) % 29 - 7).cast("long").alias("val"),
+    )
+
+
+def test_global_rank_matches_window(spark):
+    df = _frame(spark)
+    got = with_global_rank(df, F.col("k"), ["tid"], value="val")
+    w = Window.orderBy("k", "tid")
+    ref = df.select(
+        "tid",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("val")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    joined = got.select("tid", "_rk", "_cum", "_n_tot", "_s_tot").join(
+        ref, "tid"
+    )
+    bad = joined.filter(
+        (F.col("_rk") != F.col("rk")) | (F.col("_cum") != F.col("cum"))
+    )
+    assert bad.count() == 0
+    row = joined.limit(1).collect()[0]
+    assert row["_n_tot"] == 500
+    assert row["_s_tot"] == df.agg(F.sum("val")).collect()[0][0]
+
+
+def test_global_rank_degenerate_single_bin(spark):
+    # all keys equal -> every row lands in one bin; ranks still exact
+    df = spark.range(100).select(
+        F.lit(5).cast("long").alias("k"), F.col("id").alias("tid")
+    )
+    got = with_global_rank(df, F.col("k"), ["tid"])
+    rows = {r["tid"]: r["_rk"] for r in got.collect()}
+    assert rows == {i: i + 1 for i in range(100)}
+
+
+def test_ntile_matches_builtin(spark):
+    df = _frame(spark, n=103)  # non-divisible n exercises remainders
+    got = with_global_rank(df, F.col("k"), ["tid"]).select(
+        "tid", ntile_from_rank(F.col("_rk"), F.col("_n_tot"), 7).alias("q")
+    )
+    w = Window.orderBy("k", "tid")
+    ref = df.select("tid", F.ntile(7).over(w).cast("long").alias("q"))
+    diff = (
+        got.withColumnRenamed("q", "q1")
+        .join(ref.withColumnRenamed("q", "q2"), "tid")
+        .filter(F.col("q1") != F.col("q2"))
+    )
+    assert diff.count() == 0
+
+
+def test_grouped_cumsum_matches_window(spark):
+    df = _frame(spark)
+    got = with_grouped_cumsum(df, ["g"], F.col("k"), ["k", "tid"], "val")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "tid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.select("tid", F.sum("val").over(w).alias("cum"))
+    diff = got.select("tid", "_cum").join(ref, "tid").filter(
+        F.col("_cum") != F.col("cum")
+    )
+    assert diff.count() == 0
+
+
+def test_grouped_cumsum_multi_value(spark):
+    df = _frame(spark).withColumn("v2", F.col("val") * 2 + 1)
+    got = with_grouped_cumsum(
+        df, ["g"], F.col("k"), ["k", "tid"], ["val", "v2"]
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "tid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.select(
+        "tid",
+        F.sum("val").over(w).alias("c1"),
+        F.sum("v2").over(w).alias("c2"),
+    )
+    diff = (
+        got.select("tid", "_cum_val", "_cum_v2")
+        .join(ref, "tid")
+        .filter(
+            (F.col("_cum_val") != F.col("c1"))
+            | (F.col("_cum_v2") != F.col("c2"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_grouped_prefix_max_matches_window(spark):
+    df = _frame(spark)
+    got = with_grouped_prefix_max(df, ["g"], F.col("k"), ["k", "tid"], "val")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = df.select("tid", F.max("val").over(w).alias("pm"))
+    joined = got.select("tid", "_pmax").join(ref, "tid")
+    # null-safe comparison: first row of each group has no predecessor
+    diff = joined.filter(~F.col("_pmax").eqNullSafe(F.col("pm")))
+    assert diff.count() == 0
