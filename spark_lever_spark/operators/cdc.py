@@ -479,3 +479,72 @@ def cdc_change_feed_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "orders_integrity_checksum",
+    oracle="""
+WITH d AS (
+  SELECT o_orderstatus,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                             CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR) || '|' ||
+                             o_orderstatus), 1, 10))::BIGINT AS dig
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(dig) AS BIGINT) AS xor_sig,
+       CAST(sum(dig) AS BIGINT) AS sum_sig
+FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    category="cdc",
+    tags=("defer-window",),
+)
+def orders_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table fingerprint — the
+    content-equality primitive CDC pipelines and migrations verify
+    with: after a MERGE/compaction/backfill, the target must reproduce
+    the source's (count, xor, sum) signature per group without sorting
+    or shipping rows. Each row digests to 40 md5 bits (engine-identical
+    serialization: '|'-joined exact-typed fields — keys, integer
+    cents, status; never raw floats) and the group signature is
+    (COUNT, BIT_XOR, SUM) of digests — all three commutative,
+    associative, mergeable across partitions, and collision-checking
+    each other (xor alone cancels duplicated row PAIRS; sum alone is
+    weaker per-bit; together with the count a mismatch in any field of
+    any row flips at least one signature with overwhelming
+    probability). SUM headroom: 2^40 x n_rows < 2^63 holds to ~8e6
+    rows per group at 40-bit digests — shrink the digest or promote to
+    DECIMAL beyond (documented bound, tv_distance convention).
+    Map-side digest, one group-by: the cheapest possible full-table
+    verification at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    dig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        orders.select("o_orderstatus", dig.alias("dig"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(dig)").alias("xor_sig"),
+            F.sum("dig").alias("sum_sig"),
+        )
+        .orderBy("o_orderstatus")
+    )
