@@ -29,11 +29,35 @@ from spark_lever_spark.registry import register
 def _stream_table(
     spark: SparkSession, sf_dir: str, name: str, files_per_trigger: int = 1
 ) -> DataFrame:
-    """Streaming scan of one driver table via a symlink directory."""
+    """Streaming scan of one driver table via a symlink directory.
+
+    Handles BOTH physical layouts the generator could ship: a single
+    parquet file (symlinked as-is) and a multi-file parquet DIRECTORY,
+    whose data files are symlinked FLAT into the staging dir in sorted
+    name order — the file stream source does not recurse into
+    subdirectories, so a directory symlink would silently yield an
+    EMPTY stream (verified; zero batches, no error). Flat + sorted
+    also makes each source file one deterministic micro-batch under
+    maxFilesPerTrigger=1, which the multi-batch determinism tests
+    exploit."""
     _ensure_parity_confs(spark)
     src = table_path(sf_dir, name)
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
-    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    if os.path.isdir(src):
+        files = sorted(
+            f
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not files:
+            raise ValueError(f"no parquet data files under {src}")
+        for i, f in enumerate(files):
+            os.symlink(
+                os.path.join(src, f),
+                os.path.join(d, f"{name}_{i:05d}.parquet"),
+            )
+    else:
+        os.symlink(src, os.path.join(d, f"{name}.parquet"))
     schema = spark.read.parquet(src).schema
     sdf = (
         spark.readStream.schema(schema)
