@@ -28,7 +28,13 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # directory-valued table (multi-file layout): glob the
+            # data files — read_parquet('dir') alone is an error
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
