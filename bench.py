@@ -21,6 +21,64 @@ import sys
 import time
 
 
+# Frozen gate denominators (BASELINE.md v2.1 full re-freeze + v2.2
+# additions, round 7, min-of-2 at sf0.1). Each run self-reports its
+# worst per-query ratio so a regression is visible in the artifact
+# itself, not only in the judge's comparison. Ratios are meaningful
+# only at sf0.1 (the freeze's operating point).
+GATES = {
+    "agg_stats_full": 1.38,
+    "ann_ivf": 0.93,
+    "ann_lsh_hyperplane": 1.84,
+    "asof_purchase_last_view": 0.98,
+    "backfill_dirty_partitions": 0.85,
+    "basket_part_pairs_top": 1.6,
+    "bloom_semi_join_prune": 1.09,
+    "dedup_exact_md5": 0.34,
+    "dedup_paragraph_rebuild": 0.88,
+    "dsir_importance_weights": 1.71,
+    "ewma_daily_event_value": 0.38,
+    "expr_explode_words": 0.21,
+    "join_broadcast_dim": 0.41,
+    "join_inner": 0.38,
+    "knn_cosine_topk": 0.34,
+    "lpa_communities_copurchase": 3.92,
+    "matview_incremental_orders_by_status": 0.58,
+    "merge_apply_cdc_orders": 0.6,
+    "ohlc_hourly_bars": 0.65,
+    "pack_concat_2048": 0.34,
+    "pack_documents_2048": 0.46,
+    "pagerank_copurchase": 5.99,
+    "pipeline_quality_dedup_stats": 0.54,
+    "q10_returned_items": 0.72,
+    "q13_customer_distribution": 0.42,
+    "q18_large_volume_customer": 0.85,
+    "q1_pricing_summary": 0.58,
+    "q2_min_cost_supplier": 1.23,
+    "q3_shipping_priority": 0.71,
+    "q4_order_priority": 0.64,
+    "q5_local_supplier_volume": 1.07,
+    "q6_forecast_revenue": 0.2,
+    "q7_volume_shipping": 0.91,
+    "q9_profit_by_nation_year": 1.02,
+    "range_join_views_before_purchase": 0.69,
+    "scan_project_filter": 0.41,
+    "scd2_event_type_history": 1.05,
+    "secondary_sort_first_last_delta": 0.58,
+    "sessionize_capped_events": 1.77,
+    "sessionize_events": 1.26,
+    "sketch_cms_heavy_hitters": 1.11,
+    "sketch_rolling_distinct_3d": 0.57,
+    "text_boilerplate_strip": 0.77,
+    "text_decontaminate": 0.99,
+    "text_pii_redact": 0.52,
+    "text_repetition_signals": 1.26,
+    "text_token_counts": 0.45,
+    "triangle_count_copurchase": 2.11,
+    "window_topk_per_group": 0.6,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +161,20 @@ def main() -> None:
     }
     if errs:
         result["errs"] = errs
+    if isinstance(result["sf"], float) and abs(result["sf"] - 0.1) < 1e-9:
+        ratios = {
+            k: round(v / GATES[k], 2)
+            for k, v in timings.items()
+            if k in GATES and GATES[k] > 0
+        }
+        if ratios:
+            worst = max(ratios, key=ratios.get)
+            result["gates"] = {
+                "baseline": "v2.1+v2.2",
+                "worst_ratio": ratios[worst],
+                "worst_query": worst,
+                "over_2x": sorted(k for k, r in ratios.items() if r > 2),
+            }
     print(json.dumps(result))
     spark.stop()
 
