@@ -182,8 +182,19 @@ def with_grouped_cumsum(
     local = binned.withColumns(
         {f"_lcum_{v}": F.sum(v).over(w_loc) for v in values}
     )
-    per_bin = binned.groupBy(*part_cols, "_cbin").agg(
-        *[F.sum(v).alias(f"_net_{v}") for v in values]
+    # Per-bin nets come from the WINDOWED frame, not the raw input: the
+    # bin net equals the LAST row's inclusive cumsum (max_by on the
+    # order key — correct for negative values too), the group-by's
+    # clustering is already satisfied by the window's partitioning (no
+    # new exchange), and both consumers of `local` share one
+    # ReusedExchange — the expensive input projection (e.g. a text
+    # split) is scanned ONCE, not once per pass.
+    key_struct = F.struct(*[F.col(c) for c in order_cols])
+    per_bin = local.groupBy(*part_cols, "_cbin").agg(
+        *[
+            F.max_by(f"_lcum_{v}", key_struct).alias(f"_net_{v}")
+            for v in values
+        ]
     )
     w_off = (
         Window.partitionBy(*part_cols)
