@@ -162,6 +162,16 @@ def admission_limits(
     }
 
 
+# Measured on this stack (BASELINE.md, round-7 trigger-overhead
+# decomposition): one Structured Streaming micro-batch costs ~1.58 s of
+# scheduling/commit/checkpoint regardless of data volume (150k rows
+# drained in 0.95 s as ONE batch vs 50 s as 32). Batch intervals below
+# this floor are pure overhead on this stack — callers sizing real
+# drains should pass ``min_ms=MEASURED_BATCH_OVERHEAD_MS``; the 50 ms
+# constructor default preserves reference-formula parity in unit tests.
+MEASURED_BATCH_OVERHEAD_MS = 1580.0
+
+
 class DynamicBatchSizer:
     """SoCC'14 fixed-point batch-interval iteration
     (RecurringTimer.scala:64-86,141-167): target processing time <=

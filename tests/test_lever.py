@@ -357,3 +357,22 @@ def test_plan_fold_reduces_straggler_share():
     assert w["slow"] == pytest.approx(0.1)
     assert w["h1"] == pytest.approx(0.5)
     assert w["h2"] == pytest.approx(0.4)
+
+
+def test_batch_sizer_honors_measured_overhead_floor():
+    """The round-7 trigger-overhead decomposition gives the sizer a
+    real per-batch constant: with min_ms at the measured floor, the
+    fixed-point iteration must never propose an interval below it
+    (which would be pure scheduling overhead on this stack)."""
+    from spark_lever_spark.lever.actuator import (
+        MEASURED_BATCH_OVERHEAD_MS,
+        DynamicBatchSizer,
+    )
+
+    s = DynamicBatchSizer(
+        initial_ms=5000, warmup=1, min_ms=MEASURED_BATCH_OVERHEAD_MS
+    )
+    out = 5000.0
+    for _ in range(12):  # tiny processing times drive the interval down
+        out = s.on_batch(10.0)
+    assert out >= MEASURED_BATCH_OVERHEAD_MS
