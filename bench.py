@@ -46,7 +46,7 @@ GATES = {
     "matview_incremental_orders_by_status": 0.58,
     "merge_apply_cdc_orders": 0.6,
     "ohlc_hourly_bars": 0.65,
-    "pack_concat_2048": 0.34,
+    "pack_concat_2048": 0.93,  # v2.3 re-freeze (2-pass cumsum)
     "pack_documents_2048": 0.46,
     "pagerank_copurchase": 5.99,
     "pipeline_quality_dedup_stats": 0.54,
