@@ -495,3 +495,85 @@ def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+@register(
+    "ann_int8_exact_topk",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS l
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, l,
+         list_max(list_transform(l, v -> abs(v))) / 127.0 AS scale
+  FROM b
+),
+q AS (
+  SELECT vec_id, label,
+         CASE WHEN scale = 0 THEN list_transform(l, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(l, v -> CAST(floor(v / scale + 0.5)
+                                               AS BIGINT))
+         END AS qv
+  FROM s
+),
+qq AS (SELECT qv AS query_qv FROM q WHERE vec_id = 0),
+dots AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[CAST(i AS INT)] * query_qv[CAST(i AS INT)]))
+              AS BIGINT) AS dot_q
+  FROM q, qq WHERE vec_id <> 0
+)
+SELECT vec_id, label, dot_q FROM dots
+ORDER BY dot_q DESC, vec_id LIMIT 10
+""",
+    category="llm_similarity",
+    tags=("defer-window",),
+)
+def ann_int8_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over INT8-quantized embeddings — the layout a
+    production vector store actually serves from (4x smaller, SIMD
+    int8 dot products). Quantization is the absmax/127 floor(x/s+0.5)
+    formula shared with embedding_quantize_int8; the ranking key is
+    the RAW integer dot product of quantized vectors — exact int64
+    (|q| <= 127, 64 dims -> |dot| <= ~1e6), so unlike the float
+    cosine baseline there is NOTHING to round: both engines rank
+    identical integers. Completes the retrieval family: float brute
+    force (knn_cosine_topk), LSH, IVF, JL-projected, and now the
+    quantized serving path. Scale shape: query vector broadcasts,
+    corpus pass is map-side, TakeOrdered merges per-partition top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("l"))
+    s = b.withColumn(
+        "scale",
+        F.array_max(F.transform("l", lambda v: F.abs(v))) / F.lit(127.0),
+    )
+    qv = F.when(
+        F.col("scale") == 0,
+        F.transform("l", lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "l",
+            lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast("long"),
+        )
+    )
+    q = s.select("vec_id", "label", qv.alias("qv"))
+    query = q.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("query_qv")
+    )
+    dots = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with("qv", "query_qv", lambda a, bb: a * bb),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    return dots.orderBy(F.desc("dot_q"), "vec_id").limit(10)

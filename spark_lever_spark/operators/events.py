@@ -1266,3 +1266,101 @@ def attribution_last_touch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+@register(
+    "funnel_pattern_match",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+pats AS (
+  SELECT * FROM (VALUES
+    ('view_click_purchase',
+     '\\bview\\b.*\\bclick\\b.*\\bpurchase\\b'),
+    ('signup_then_purchase', '\\bsignup\\b.*\\bpurchase\\b'),
+    ('error_then_purchase', '\\berror\\b.*\\bpurchase\\b')
+  ) p(pattern, rx)
+)
+SELECT p.pattern,
+       CAST(SUM(CASE WHEN regexp_matches(s.seq, p.rx)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(CASE WHEN regexp_matches(s.seq, p.rx)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS match_share
+FROM seqs s CROSS JOIN pats p
+GROUP BY p.pattern ORDER BY p.pattern
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern funnels: each user's
+    chronological event-type sequence becomes one string and funnel
+    definitions become ordered regex patterns (word-bounded, so token
+    names never substring-match) — the declarative alternative to
+    hand-built k-step funnels when the pattern is ad hoc. Three
+    patterns evaluate in one pass. Determinism: the sequence string
+    is built under the unique (ts, event_id) order; the regex subset
+    used (\\b, literals, .*) behaves identically in Java regex and
+    RE2. Scale shape: one user_id aggregation builds the sequences
+    (bounded by events-per-user), patterns are a 3-row broadcast, the
+    match is map-side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("seq")
+    )
+    pats = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern"), F.lit(rx).alias("rx"))
+            for n, rx in (
+                (
+                    "view_click_purchase",
+                    r"\bview\b.*\bclick\b.*\bpurchase\b",
+                ),
+                ("signup_then_purchase", r"\bsignup\b.*\bpurchase\b"),
+                ("error_then_purchase", r"\berror\b.*\bpurchase\b"),
+            )
+        ]
+    )
+    exploded = seqs.select("seq", F.explode(pats).alias("p")).select(
+        "seq", F.col("p.pattern").alias("pattern"), F.col("p.rx").alias("rx")
+    )
+    return (
+        exploded.groupBy("pattern")
+        .agg(
+            F.sum(
+                F.when(F.expr("regexp_like(seq, rx)"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+            F.count("*").alias("n_users"),
+        )
+        .select(
+            "pattern",
+            "n_matched",
+            "n_users",
+            (
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_users").cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("match_share"),
+        )
+        .orderBy("pattern")
+    )
