@@ -193,6 +193,9 @@ def sample_pair_jaccards(
             % modulus
             == 0
         )
+        # ordered limit: a bare limit() picks partition-order-dependent
+        # rows — the tuned (bands, rows) must not vary across runs
+        .orderBy("doc_id")
         .limit(max_docs)
     )
     a = sample.select(F.col("doc_id").alias("ia"), F.col("ts").alias("ta"))
