@@ -70,8 +70,10 @@ def token_hash(col: Column, bits: int = 40) -> Column:
     """Deterministic integer hash of a token via md5 (endianness- and
     engine-independent, unlike Spark's murmur `hash`).
 
-    Default 40 bits so affine MinHash permutations (x*a+b with a<64)
-    stay well inside signed-64 range under ANSI overflow checking.
+    40 bits is plenty of collision headroom for token vocabularies
+    (2^-40 per pair); minhash_signature reduces mod its own prime
+    before multiplying, so the width is independent of the affine
+    family's overflow budget.
     """
     nhex = bits // 4
     return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, nhex), 16, 10).cast(
