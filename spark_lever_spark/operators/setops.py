@@ -113,18 +113,24 @@ FROM nation ORDER BY idx
 )
 def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zipWithIndex (reference rdd/RDD.scala:1133) in its deterministic
-    order-defined form — a window row_number over a total order.
+    order-defined form. The reference implementation IS per-partition
+    counts + broadcast prefix offsets — exactly the 2-pass distributed
+    rank (operators/grank.py), which this now uses: no single-task
+    window even when the input outgrows the 25-row dim used here.
     (`monotonically_increasing_id` is the partition-local analog and is
     exercised in tests, where only uniqueness is asserted.)"""
-    from pyspark.sql import Window
+    from spark_lever_spark.operators.grank import with_global_rank
 
     nation = load_table(spark, sf_dir, "nation")
-    w = Window.orderBy("n_nationkey")
-    return (
-        nation.select(
-            "n_name", (F.row_number().over(w) - 1).cast("long").alias("idx")
-        ).orderBy("idx")
+    ranked = with_global_rank(
+        nation.select("n_name", "n_nationkey"),
+        F.col("n_nationkey"),
+        [],
+        num_bins=8,
     )
+    return ranked.select(
+        "n_name", (F.col("_rk") - 1).alias("idx")
+    ).orderBy("idx")
 
 
 @register(

@@ -93,3 +93,81 @@ def wholestage_codegen_count(df: DataFrame) -> int:
         # final adaptive plan marks codegen stages as `[codegen id : N]`
         n = len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
     return n
+
+
+def _simple(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _scan_without_aggregate(node) -> bool:
+    """True if some path below reaches a file scan without crossing an
+    aggregation — i.e. the subtree ships RAW table rows."""
+    name = _simple(node)
+    if "Aggregate" in name:  # Hash/Sort/ObjectHashAggregateExec
+        return False
+    if "FileSourceScan" in name or "RowDataSourceScan" in name:
+        return True
+    ch = node.children()
+    return any(
+        _scan_without_aggregate(ch.apply(i)) for i in range(ch.size())
+    )
+
+
+_PASSTHROUGH = {
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+    "CoalesceExec",
+}
+
+
+def single_partition_scale_hazards(df: DataFrame) -> list[str]:
+    """Scale-killer detector (the doctrine behind operators/grank.py,
+    applied mechanically): find every Sort/Window operator fed —
+    through unary pass-through nodes — by an ``Exchange
+    SinglePartition`` whose subtree ships RAW (un-aggregated) table
+    rows. Such a plan funnels the whole table through ONE task and
+    dies at the executor memory wall at scale. Global single-row
+    aggregates (exchange feeds an Aggregate), presentation sorts
+    (range partitioning), and windows over pre-aggregated domains are
+    all legitimate and not flagged."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if _simple(plan) == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    hazards: list[str] = []
+
+    def feeding_exchange(node):
+        cur = node
+        while True:
+            ch = cur.children()
+            if ch.size() != 1:
+                return None
+            c = ch.apply(0)
+            cn = _simple(c)
+            if cn == "ShuffleExchangeExec":
+                return c
+            if cn in _PASSTHROUGH:
+                cur = c
+                continue
+            return None
+
+    def walk(node):
+        name = _simple(node)
+        if name in ("SortExec", "WindowExec", "WindowGroupLimitExec"):
+            ex = feeding_exchange(node)
+            if (
+                ex is not None
+                and "SinglePartition" in ex.outputPartitioning().toString()
+                and _scan_without_aggregate(ex)
+            ):
+                hazards.append(
+                    f"{name} fed by SinglePartition exchange over raw scan"
+                )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return hazards

@@ -515,3 +515,27 @@ def test_peak_concurrency_window_is_day_bucketed(spark, sf_dir):
     big = [s for s in specs if " d#" in s or ", d#" in s]
     assert big and all(" b#" in s or ", b#" in s for s in big), specs
     assert shuffle_join_count(df) == 0
+
+
+def test_no_single_partition_scale_hazards_registry_wide(spark, sf_dir):
+    """Mechanical sweep of the grank doctrine over EVERY batch query:
+    no plan may feed a Sort/Window from an Exchange SinglePartition
+    whose subtree ships raw (un-aggregated) table rows — the
+    one-task-funnel that dies at the executor memory wall. Windows
+    over pre-aggregated domains, global single-row aggregates, and
+    range-partitioned presentation sorts are legitimate and pass.
+    Streaming queries are excluded (building their frame runs a
+    drain); their plans are covered by the streaming suites."""
+    from spark_lever_spark.plans.inspect import (
+        single_partition_scale_hazards,
+    )
+
+    flagged = {}
+    for name, q in ALL.items():
+        if q.category == "streaming":
+            continue
+        df = q.fn(spark, sf_dir)
+        h = single_partition_scale_hazards(df)
+        if h:
+            flagged[name] = h
+    assert not flagged, flagged
