@@ -171,3 +171,40 @@ def single_partition_scale_hazards(df: DataFrame) -> list[str]:
 
     walk(plan)
     return hazards
+
+
+def nested_loop_hazards(df: DataFrame) -> list[str]:
+    """Registry-sweep companion to single_partition_scale_hazards:
+    report every BroadcastNestedLoopJoin / CartesianProduct whose
+    broadcast (or either, for cartesian) side is NOT derived from an
+    aggregation — i.e. a quadratic join over raw rows. The sanctioned
+    shapes pass automatically (scalar attach: 1-row aggregate
+    broadcast; bounds/offset frames: aggregate-derived); deliberately
+    bounded raw-side broadcasts (a filtered probe batch) must be
+    whitelisted BY NAME in the sweep test so any new accidental
+    nested loop fails loudly."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if _simple(plan) == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    out: list[str] = []
+
+    def agg_derived(node) -> bool:
+        return not _scan_without_aggregate(node)
+
+    def walk(node):
+        name = _simple(node)
+        if name == "BroadcastNestedLoopJoinExec":
+            ch = node.children()
+            sides = [ch.apply(i) for i in range(ch.size())]
+            # pass if ANY side is aggregate-derived (scalar/bounds
+            # attach); raw x raw is the hazard
+            if not any(agg_derived(s) for s in sides):
+                out.append("BroadcastNestedLoopJoin over raw sides")
+        elif name == "CartesianProductExec":
+            out.append("CartesianProduct")
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return out

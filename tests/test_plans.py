@@ -539,3 +539,36 @@ def test_no_single_partition_scale_hazards_registry_wide(spark, sf_dir):
         if h:
             flagged[name] = h
     assert not flagged, flagged
+
+
+# The ONLY queries allowed to carry a nested-loop join over raw
+# (non-aggregate-derived) inputs, each with a bounded side by
+# construction; anything new that degrades to a nested loop fails the
+# sweep below.
+NESTED_LOOP_WHITELIST = {
+    "join_cartesian": "deliberate cartesian parity query (25 x 5 dims)",
+    "join_theta_nonequi": "deliberate theta-join parity over bounded dims",
+    "knn_cosine_topk": "broadcast 1-row query vector (vec_id = 0 probe)",
+    "ann_ivf": "broadcast probe vector + centroid cells",
+    "ann_int8_exact_topk": "broadcast 1-row quantized query vector",
+    "hard_negative_mining": "broadcast bounded probe batch (vec_id < 50)",
+}
+
+
+def test_no_unsanctioned_nested_loops_registry_wide(spark, sf_dir):
+    """Every BroadcastNestedLoopJoin/CartesianProduct over raw rows
+    must be on the explicit whitelist above — scalar attaches and
+    bounds/offset frames (aggregate-derived broadcast sides) pass
+    automatically. A refactor that silently turns an equi-join into a
+    nested loop anywhere else fails here, not at 100 TB."""
+    from spark_lever_spark.plans.inspect import nested_loop_hazards
+
+    flagged = {}
+    for name, q in ALL.items():
+        if q.category == "streaming" or name in NESTED_LOOP_WHITELIST:
+            continue
+        df = q.fn(spark, sf_dir)
+        h = nested_loop_hazards(df)
+        if h:
+            flagged[name] = h
+    assert not flagged, flagged
