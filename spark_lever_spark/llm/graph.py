@@ -672,3 +672,90 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     e_src.unpersist()
     return out
+
+
+@register(
+    "dedup_cluster_quality_election",
+    # same md5-affine LSH + recursive-CC replay as
+    # dedup_minhash_clusters, extended with the production election
+    # rule: keep the LONGEST member (token count, tie -> min doc_id)
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_SQL_CTES},
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.node, t.n_tok,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY t.n_tok DESC, c.node) AS rn
+  FROM comp c JOIN toks t ON t.doc_id = c.node
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(max(CASE WHEN rn = 1 THEN node END) AS BIGINT)
+         AS canonical_doc,
+       CAST(max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT)
+         AS canonical_tokens
+FROM ranked GROUP BY component ORDER BY component
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def dedup_cluster_quality_election(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware canonical election over duplicate clusters: where
+    dedup_minhash_clusters keeps the MIN-ID member, production
+    pipelines keep the BEST member — here the longest (token count,
+    exact integer — no float quality score to tie-break across
+    engines), with min doc_id breaking exact-length ties. Pipeline:
+    LSH candidate pairs (est >= 0.5) → large-star/small-star connected
+    components → one equi-join to the token counts → per-cluster
+    top-1 window (cluster-keyed: parallel across clusters). The
+    reference rule every dedup paper glosses as 'keep one
+    representative', made explicit and verifiable."""
+    from spark_lever_spark.llm.dedup import dedup_minhash_lsh
+    from spark_lever_spark.llm.textstats import token_count
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    labeled = comp.join(toks, comp["node"] == toks["doc_id"]).select(
+        "component", "node", "n_tok"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tok"), "node"
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+                "canonical_doc"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tok"))).alias(
+                "canonical_tokens"
+            ),
+        )
+        .orderBy("component")
+    )

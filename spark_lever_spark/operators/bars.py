@@ -91,3 +91,91 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@register(
+    "ship_latency_business_days",
+    oracle="""
+WITH p AS (SELECT CAST(0 AS INT) AS r, 0 AS c UNION ALL SELECT 1, 1
+           UNION ALL SELECT 2, 2 UNION ALL SELECT 3, 2
+           UNION ALL SELECT 4, 2 UNION ALL SELECT 5, 3
+           UNION ALL SELECT 6, 4),
+lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS e1,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+           AS e2
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+bd AS (
+  SELECT o_orderpriority,
+         (5 * ((e2 + 1) // 7) + p2.c) - (5 * ((e1 + 1) // 7) + p1.c)
+           AS bdays
+  FROM lat
+  JOIN p p1 ON p1.r = CAST((e1 + 1) % 7 AS INT)
+  JOIN p p2 ON p2.r = CAST((e2 + 1) % 7 AS INT)
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+       round(CAST(SUM(bdays) AS DOUBLE) / count(*) * 10000) / 10000
+         AS avg_bdays,
+       CAST(max(bdays) AS BIGINT) AS max_bdays
+FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def ship_latency_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days (weekends excluded) per
+    priority — the SLA the calendar-day percentiles
+    (ship_latency_by_priority) overstate across weekends. Weekday
+    arithmetic is closed-form over exact epoch-day integers: with
+    W(e) = 5*(e div 7) + P[e mod 7] counting weekdays strictly before
+    epoch day e (P is the 7-entry prefix table for a week anchored on
+    Thursday = epoch day 0), business days in (order, ship] =
+    W(ship+1) − W(order+1). No engine dayofweek() is consulted —
+    Spark's is 1=Sunday, DuckDB's 0=Sunday; the epoch formula cannot
+    disagree. One fact-fact equi-join + map-side arithmetic."""
+    _P = [0, 1, 2, 2, 2, 3, 4]  # weekdays in the first r days (Thu-anchored)
+
+    def wd(e):  # weekdays strictly before epoch day e
+        return F.lit(5) * F.floor(e / 7).cast("long") + F.element_at(
+            F.array(*[F.lit(c) for c in _P]), (e % 7).cast("int") + 1
+        ).cast("long")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("e2"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("e1"),
+    )
+    bd = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (wd(F.col("e2") + 1) - wd(F.col("e1") + 1)).alias("bdays"),
+    )
+    return (
+        bd.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("bdays").alias("total_bdays"),
+            (
+                F.round(
+                    F.sum("bdays").cast("double")
+                    / F.count("*").cast("double")
+                    * 10000
+                )
+                / 10000
+            ).alias("avg_bdays"),
+            F.max("bdays").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
