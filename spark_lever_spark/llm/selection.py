@@ -440,3 +440,60 @@ def _sql_str(s: str) -> str:
     """SQL string literal (single-quote escaped) for driver-collected
     merge symbols embedded in the rewrite expression."""
     return "'" + s.replace("'", "''") + "'"
+
+
+_BOOL_TERMS = ("batch", "query", "vector")
+
+
+@register(
+    "text_boolean_and_search",
+    oracle=f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+  WHERE tok IN ('{_BOOL_TERMS[0]}', '{_BOOL_TERMS[1]}', '{_BOOL_TERMS[2]}')
+),
+hits AS (
+  SELECT doc_id FROM post GROUP BY doc_id
+  HAVING count(DISTINCT tok) = {len(_BOOL_TERMS)}
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def text_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval over an inverted index: documents
+    containing ALL query terms, answered from token POSTINGS (one
+    distinct (doc, term) row per hit) with a per-doc distinct-term
+    count — the boolean-search primitive under every keyword filter.
+    Scale shape: the postings build is the only corpus scan (and is
+    the artifact a serving system would persist term-partitioned);
+    the query touches just the query terms' postings — an equi-join
+    on the term, never a per-query corpus scan — and the AND is a
+    count filter, extending to k-of-n and OR for free."""
+    from spark_lever_spark.llm.dedup import tokens_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.explode(tokens_distinct(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok").isin(*_BOOL_TERMS))
+    )
+    hits = (
+        post.groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("nt"))
+        .filter(F.col("nt") == len(_BOOL_TERMS))
+        .select("doc_id")
+    )
+    return (
+        docs.join(hits, "doc_id")
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
+        .orderBy("doc_id")
+    )
