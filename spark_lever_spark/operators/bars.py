@@ -179,3 +179,68 @@ def ship_latency_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "mom_revenue_growth_by_nation",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', CAST(o.o_orderdate AS DATE))
+           AS month,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, CAST(CAST(month AS DATE) AS VARCHAR) AS month, cents,
+       lag(cents) OVER (PARTITION BY nation ORDER BY month) AS prev_cents,
+       round(CASE WHEN lag(cents) OVER (PARTITION BY nation ORDER BY month)
+                       IS NULL THEN NULL
+                  ELSE (CAST(cents AS DOUBLE)
+                        / lag(cents) OVER (PARTITION BY nation ORDER BY month)
+                        - 1.0) END * 1000000) / 1000000 AS mom_growth
+FROM monthly
+ORDER BY nation, month
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def mom_revenue_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the
+    period-over-period lag metric every BI layer computes. Revenue
+    aggregates to exact cents at (nation, month) grain BEFORE the lag
+    window (the window runs over the bounded aggregated calendar,
+    never orders), and growth divides exact int64 cents in one IEEE
+    division with the round_to form. First month per nation reports
+    NULL growth — spec'd identically in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias(
+            "month"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "month")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("cents").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.col("cents").cast("double") / prev - 1.0)
+    return monthly.select(
+        "nation",
+        F.col("month").cast("string").alias("month"),
+        "cents",
+        prev.alias("prev_cents"),
+        (F.round(growth * 1000000) / 1000000).alias("mom_growth"),
+    ).orderBy("nation", "month")

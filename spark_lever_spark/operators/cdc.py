@@ -548,3 +548,75 @@ def orders_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST((SELECT count(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM supplier) AS BIGINT)
+ORDER BY relationship
+""",
+    category="cdc",
+    tags=("defer-window",),
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK graph: for
+    each declared relationship, the count of child rows whose key has
+    NO parent (left-anti join — at scale each is one hash semi-join,
+    and dimension parents broadcast). The after-every-load DQ gate
+    that catches partial loads and botched CDC applies; pairs with
+    orders_integrity_checksum (content equality) as the other half of
+    pipeline verification."""
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        total = c.agg(F.count("*").alias("n_rows"))
+        parts.append(
+            orphans.crossJoin(total).select(
+                F.lit(name).alias("relationship"), "n_orphans", "n_rows"
+            )
+        )
+    out = parts[0]
+    for pday in parts[1:]:
+        out = out.unionByName(pday)
+    return out.orderBy("relationship")
