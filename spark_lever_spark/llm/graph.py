@@ -21,6 +21,8 @@ reliable ``checkpoint`` with an HDFS dir instead).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -37,11 +39,26 @@ def release_local_checkpoint(df: DataFrame) -> None:
     cache-manager), and GC-driven cleanup can lag a whole registry
     sweep — in a long one-session run the per-query blocks accumulate.
     Reaches the internal RDD handle; degrades to the GC path if the
-    internals move."""
+    internals move.
+
+    CONTRACT (ADVICE r7): the released DataFrame must NEVER be
+    referenced again. A localCheckpoint truncates lineage, so the
+    released blocks are the ONLY copy of the data — any later action on
+    ``df`` (or a frame derived from it) fails with missing-block
+    errors. Callers release a frame only after every downstream
+    consumer has materialized (the per-round iteration pattern in this
+    module: checkpoint round N+1, then release round N)."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # pragma: no cover - internals moved; GC handles it
-        pass
+    except Exception as exc:  # pragma: no cover - internals moved
+        # Degrade to the GC path, but LOUDLY at debug level so a real
+        # py4j/JVM failure is visible instead of silently swallowed
+        # (ADVICE r7). AttributeError / Py4JError both mean "the
+        # internal handle moved"; anything else still only costs
+        # delayed block cleanup, never correctness.
+        logging.getLogger(__name__).debug(
+            "release_local_checkpoint: falling back to GC cleanup: %r", exc
+        )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

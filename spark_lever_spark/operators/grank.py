@@ -8,9 +8,9 @@ single-partition-sort scale-killer flagged in SURVEY.md §4. This module
 implements the textbook 2-pass alternative used by every distributed
 ranking engine:
 
-1. **Bin** each row by broadcast quantile bounds of the sort key
-   (map-side, same pattern as ``equidepth_histogram_broadcast_bounds``).
-   Binning is a pure monotone function of the key, so
+1. **Bin** each row by driver-collected LITERAL quantile bounds of the
+   sort key (map-side; see ``_bin_expr`` for why literals, not a lazy
+   broadcast subtree). Binning is a pure monotone function of the key, so
    ``(bin, key, tiebreaks)`` sorts identically to ``(key, tiebreaks)``.
 2. **Offsets**: aggregate per-bin row counts (and value sums) — a frame
    of ``num_bins`` rows — and prefix-sum it with a window *over that
@@ -64,23 +64,7 @@ def with_global_rank(
     ordered-window tiebreaker in this repo).
     """
     d = df.withColumn("_key", key)
-    # ONE sketch answering all cut points: an array-percentile builds a
-    # single QuantileSummaries pass — num_bins separate
-    # percentile_approx calls each re-sketch the full input (measured
-    # 15x slower at 4.5M rows)
-    bounds = d.agg(
-        F.percentile_approx(
-            "_key", [i / num_bins for i in range(1, num_bins)], 100
-        ).alias("_bounds")
-    )
-    binned = (
-        d.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "_bin",
-            F.size(F.filter(F.col("_bounds"), lambda b: F.col("_key") > b)),
-        )
-        .drop("_bounds")
-    )
+    binned = d.withColumn("_bin", _bin_expr(d, "_key", num_bins))
 
     # Local ranks/cumsums FIRST; per-bin totals then derive from the
     # WINDOWED frame (max of the local rank = bin count; max_by on the
@@ -236,26 +220,40 @@ def with_grouped_cumsum(
     )
 
 
+def _bin_expr(d: DataFrame, keycol: str, num_bins: int) -> Column:
+    """Bucket expression over DRIVER-COLLECTED quantile bounds.
+
+    The bounds are collected once and embedded as an array LITERAL (the
+    repo's 'LSH plane literals' pattern — a sanctioned bounded collect)
+    rather than broadcast-joined as a lazy aggregate subtree: the binned
+    lineage feeds BOTH the local-rank/cumsum side and the per-bin
+    offsets side of every 2-pass helper, and ``percentile_approx`` is
+    not merge-order deterministic — with exchange reuse disabled (or a
+    refactor that breaks it) the two branches could otherwise bin under
+    DIFFERENT bounds and join on ``_bin`` silently wrong. A literal is
+    provably evaluated once. One sketch answers all cut points: the
+    array-percentile form builds a single QuantileSummaries pass
+    (num_bins separate percentile_approx calls each re-sketch the full
+    input — measured 15x slower at 4.5M rows).
+    """
+    bounds = d.agg(
+        F.percentile_approx(
+            keycol, [i / num_bins for i in range(1, num_bins)], 100
+        )
+    ).first()[0]
+    if not bounds:  # empty input: type-stable zero bucket
+        return F.lit(0)
+    lit_bounds = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(lit_bounds, lambda b: F.col(keycol) > b))
+
+
 def _quantile_binned(
     df: DataFrame, bin_key: Column, num_bins: int
 ) -> DataFrame:
-    """Attach ``_cbin``: a broadcast-quantile-bounds bucket of
+    """Attach ``_cbin``: a literal-quantile-bounds bucket of
     ``bin_key`` — monotone in the key, balanced by construction."""
     d = df.withColumn("_ckey", bin_key)
-    # single array-percentile sketch — see the with_global_rank note
-    bounds = d.agg(
-        F.percentile_approx(
-            "_ckey", [i / num_bins for i in range(1, num_bins)], 100
-        ).alias("_cbounds")
-    )
-    return (
-        d.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "_cbin",
-            F.size(F.filter(F.col("_cbounds"), lambda b: F.col("_ckey") > b)),
-        )
-        .drop("_cbounds", "_ckey")
-    )
+    return d.withColumn("_cbin", _bin_expr(d, "_ckey", num_bins)).drop("_ckey")
 
 
 def with_grouped_prefix_max(

@@ -659,7 +659,11 @@ def stream_stream_left_join_unmatched_clicks(
     the join watermark is min(max clicked ts, max purchase ts) − 1 h
     (the availableNow drain's final flush advances it); a click whose
     match window [ts, ts+1h) closes at or before that watermark is
-    emitted as unmatched, and a click whose window is still open when
+    emitted as unmatched (<= at the EXACT boundary — empirically pinned
+    by tests/test_streaming.py::
+    test_stream_stream_left_join_exact_watermark_boundary, so the
+    oracle's `c.ts + 1h <= wm` mirrors Spark's real eviction
+    inequality), and a click whose window is still open when
     the drain ends stays in state and is NEVER emitted — the oracle
     reproduces exactly that set algebraically. Matched pairs emit
     regardless (inner semantics are watermark-independent). Output

@@ -116,6 +116,34 @@ def test_grouped_cumsum_multi_value(spark):
     assert diff.count() == 0
 
 
+def test_global_rank_exact_with_exchange_reuse_disabled(spark):
+    """ADVICE r7 (medium): correctness must NOT depend on exchange
+    reuse making both consumers of the binned lineage share one
+    percentile_approx evaluation. With literal driver-collected bounds
+    (grank.py::_bin_expr) the bins are provably identical in both
+    branches even when spark.sql.exchangeReuseEnabled is off."""
+    prev = spark.conf.get("spark.sql.exchangeReuseEnabled", "true")
+    spark.conf.set("spark.sql.exchangeReuseEnabled", "false")
+    try:
+        df = _frame(spark)
+        got = with_global_rank(df, F.col("k"), ["tid"], value="val")
+        w = Window.orderBy("k", "tid")
+        ref = df.select(
+            "tid",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("val")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        joined = got.select("tid", "_rk", "_cum").join(ref, "tid")
+        bad = joined.filter(
+            (F.col("_rk") != F.col("rk")) | (F.col("_cum") != F.col("cum"))
+        )
+        assert bad.count() == 0
+    finally:
+        spark.conf.set("spark.sql.exchangeReuseEnabled", prev)
+
+
 def test_grouped_prefix_max_matches_window(spark):
     df = _frame(spark)
     got = with_grouped_prefix_max(df, ["g"], F.col("k"), ["k", "tid"], "val")

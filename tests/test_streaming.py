@@ -638,6 +638,42 @@ def test_sessionize_stream_late_event_forms_earlier_session(spark):
     assert all(not (r[0] == 1 and r[3] == 2) for r in flat)
 
 
+def test_stream_stream_left_join_exact_watermark_boundary(spark, tmp_path):
+    """ADVICE r7 (low): pin the outer-join expiry INEQUALITY at an
+    exact boundary hit. A click whose match window [ts, ts+1h) closes
+    EXACTLY at the final join watermark (wm = min(max click ts, max
+    purchase ts) - 1h) IS emitted as unmatched — Spark's state eviction
+    uses <=, which is exactly what the registered DuckDB oracle's
+    `c.ts + 1h <= wm` mirrors. Empirically verified (this test is the
+    probe, frozen): user 1's window closes at wm to the second and the
+    row appears; user 2's window is still open and never emits."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from spark_lever_spark.registry import all_queries
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("e1", base + 1 * h, "click", 3),
+        ("e2", base + dt.timedelta(hours=1, minutes=30), "purchase", 3),
+        ("e3", base + 2 * h, "click", 1),  # window closes base+3h == wm
+        ("e4", base + 5 * h, "click", 2),  # max click ts; window open
+        ("e5", base + 4 * h, "purchase", 99),  # max purchase ts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, event_type string, user_id long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "w"))
+    part = glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / "events.parquet"))
+
+    q = all_queries()["stream_stream_left_join_unmatched_clicks"]
+    got = [tuple(r) for r in q.fn(spark, str(tmp_path)).collect()]
+    assert got == [(1, 0, 1), (3, 1, 0)]
+
+
 def test_update_state_timeout_args_validated(spark):
     import pytest as _pytest
     from spark_lever_spark.streaming.stateful import (
