@@ -419,7 +419,7 @@ _MH_VALUES = ",\n         ".join(
     f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(32)
 )
 
-_MINHASH_BAND_CTES = f"""
+_MINHASH_SIG_CTES = f"""
 tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
@@ -435,7 +435,10 @@ sig AS MATERIALIZED (
   FROM th,
        (VALUES {_MH_VALUES}) p(i, a, b)
   GROUP BY doc_id, p.i
-),
+)
+"""
+
+_MINHASH_BAND_CTES = _MINHASH_SIG_CTES.rstrip() + """,
 banded AS MATERIALIZED (
   SELECT doc_id, i // 4 AS band_idx,
          md5(string_agg(CAST(s AS VARCHAR), '-' ORDER BY i)) AS band_digest
@@ -484,15 +487,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters and its keys are uniformly-distributed digests.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k = 32
-    # The band self-join carries ONLY (doc_id, band digest): duplicate
-    # docs share all 8 bands, so routing the 32-long signatures through
-    # the exploded join would replicate each signature once per
-    # (band, matching neighbor) — measured as a driver-heap OOM at
-    # sf0.1 and a shuffle explosion at scale. Pairs are deduplicated
-    # down to bare id pairs first; signatures re-attach afterwards,
-    # once per distinct pair.
-    sig, banded = minhash_bands(docs, k=k)
+    return lsh_candidate_pairs(docs, k=32, bands=8).orderBy("id_a", "id_b")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """Distinct LSH candidate pairs ``(id_a, id_b, est_jaccard)`` for
+    any ``(bands, k // bands)`` banding — the shared core of the fixed
+    and tuned registry queries.
+
+    The band self-join carries ONLY (doc_id, band digest): duplicate
+    docs share all bands, so routing the k-long signatures through the
+    exploded join would replicate each signature once per
+    (band, matching neighbor) — measured as a driver-heap OOM at sf0.1
+    and a shuffle explosion at scale. Pairs are deduplicated down to
+    bare id pairs first; signatures re-attach afterwards, once per
+    distinct pair."""
+    sig, banded = minhash_bands(docs, k=k, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -516,8 +528,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     ).cast("double") / F.lit(float(k))
+    return cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+# DuckDB replay of tune_lsh_banding: the tuner is deterministic given
+# the corpus (md5-bucket sample, ordered limit, closed-form S-curve
+# arithmetic over divisor-of-k options), so the ORACLE re-runs the
+# whole tuning decision in SQL — sample pairs, score every (b, r)
+# option, pick argmin expected-candidates subject to the recall floor
+# (ties broken to larger r, mirroring the Python loop's descending-r
+# strict-< scan) — then runs the banding it chose. Zero-Jaccard sample
+# pairs never appear in the token join, which is safe: they contribute
+# exactly 0 to every option's expected count.
+_TUNED_LSH_SQL = f"""
+WITH {_MINHASH_SIG_CTES.rstrip()},
+smod AS (SELECT greatest(1, count(*) // 150) AS m FROM documents),
+samp AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d, smod
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % smod.m = 0
+  ORDER BY d.doc_id LIMIT 150
+),
+stok AS MATERIALIZED (
+  SELECT t.doc_id, t.tok FROM tok t JOIN samp s ON s.doc_id = t.doc_id
+),
+scnt AS (SELECT doc_id, count(*) AS c FROM stok GROUP BY doc_id),
+spair AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE)
+         / CAST(ca.c + cb.c - count(*) AS DOUBLE) AS j
+  FROM stok a
+  JOIN stok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  JOIN scnt ca ON ca.doc_id = a.doc_id
+  JOIN scnt cb ON cb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, ca.c, cb.c
+),
+opts AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4),
+                               (16, 2), (32, 1)) o(b, r)),
+scored AS (
+  SELECT o.b, o.r,
+         coalesce(sum(1 - power(1 - power(p.j, o.r), o.b)), 0) AS expected
+  FROM opts o LEFT JOIN spair p ON true
+  WHERE 1 - power(1 - power(0.95, o.r), o.b) >= 0.9
+  GROUP BY o.b, o.r
+),
+choice AS (SELECT b, r FROM scored ORDER BY expected ASC, r DESC LIMIT 1),
+tbanded AS MATERIALIZED (
+  SELECT doc_id, i // c.r AS band_idx,
+         md5(string_agg(CAST(s AS VARCHAR), '-' ORDER BY i)) AS band_digest
+  FROM sig, choice c
+  GROUP BY doc_id, i // c.r
+),
+tcand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tbanded a
+  JOIN tbanded b ON a.band_idx = b.band_idx
+   AND a.band_digest = b.band_digest AND a.doc_id < b.doc_id
+),
+tune_est AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE)
+               / 32.0, 4) AS est_jaccard
+  FROM tcand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(ch.b AS INT) AS bands, CAST(ch.r AS INT) AS rows_per_band,
+       e.id_a, e.id_b, e.est_jaccard
+FROM tune_est e, choice ch
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh_tuned",
+    oracle=_TUNED_LSH_SQL,
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs under the ADAPTIVE banding chosen by
+    ``tune_lsh_banding`` — the round-7 tuner made actionable end-to-end
+    (VERDICT r7 task #3). The tuner samples the corpus's pairwise-
+    Jaccard background histogram (deterministic md5-bucket sample, no
+    RNG) and picks, among all (b, r) with b*r = 32, the banding that
+    minimizes the expected candidate count subject to recall >= 0.9 at
+    J = 0.95; on this synthetic high-background-similarity corpus that
+    lands on a MORE selective banding than the fixed 8x4 (pinned by
+    tests/test_llm_dedup.py::test_tuned_banding_reduces_sf_corpus_
+    candidates: tuned candidates < fixed candidates at equal recall on
+    exact duplicates). The oracle replays the ENTIRE decision in
+    DuckDB — sample, score, argmin, band — so a hash match certifies
+    both the tuning choice (fronted as literal bands/rows_per_band
+    columns) and the resulting pair set. The fixed 8x4 form
+    (dedup_minhash_lsh) remains the parity path."""
+    docs = load_table(spark, sf_dir, "documents")
+    b, r = tune_lsh_banding(
+        docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
+    )
     return (
-        cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        lsh_candidate_pairs(docs, k=32, bands=b)
+        .select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "id_a",
+            "id_b",
+            "est_jaccard",
+        )
         .orderBy("id_a", "id_b")
     )
 
