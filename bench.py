@@ -34,6 +34,8 @@ GATES = {
     "backfill_dirty_partitions": 0.85,
     "basket_part_pairs_top": 1.6,
     "bloom_semi_join_prune": 1.09,
+    "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
+    "dedup_cluster_quality_election": 32.96,  # v2.4 addition (round 8)
     "dedup_exact_md5": 0.34,
     "dedup_paragraph_rebuild": 0.88,
     "dsir_importance_weights": 1.71,

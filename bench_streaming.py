@@ -103,6 +103,62 @@ def main() -> None:
         "rows": n_orders,
     }
 
+    # 1c) L13 adaptive drain (VERDICT r7 task #4): DynamicBatchSizer
+    # gating batch size across a 32-file backlog vs the fixed
+    # 1-file-per-trigger drain — same files, same keyed agg, same sink.
+    # Predicted margin = (32 - n_segments) * c0 with c0 the per-batch
+    # constant measured in 1b above; measured margin = fixed_sec -
+    # adaptive_sec. Recorded in BASELINE.md (predicted vs measured).
+    from spark_lever_spark.lever.actuator import adaptive_file_drain
+
+    d = tempfile.mkdtemp(prefix="adaptive_backlog_")
+    try:
+        orders.repartition(32).write.mode("overwrite").parquet(d)
+        backlog = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        transform = lambda sdf: sdf.groupBy("o_orderstatus").agg(  # noqa: E731
+            F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total")
+        )
+        # fixed 1-file-per-trigger drain: one availableNow run, 32 batches
+        ck = tempfile.mkdtemp(prefix="fixed_drain_ck_")
+        sdf = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        t0 = time.perf_counter()
+        q = (
+            transform(sdf)
+            .writeStream.foreachBatch(lambda df, _eid: df.count())
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+        fixed_sec = time.perf_counter() - t0
+        shutil.rmtree(ck, ignore_errors=True)
+
+        adaptive = adaptive_file_drain(
+            spark, backlog, orders.schema, transform
+        )
+        n_seg = len(adaptive["segments"])
+        predicted_margin = (len(backlog) - n_seg) * per_batch
+        scenarios["adaptive_drain"] = {
+            "sec": round(adaptive["sec"], 3),
+            "fixed_1fpt_sec": round(fixed_sec, 3),
+            "n_segments": n_seg,
+            "segment_sizes": [s for s, _ in adaptive["segments"]],
+            "c0_sec": round(per_batch, 3),
+            "predicted_margin_sec": round(predicted_margin, 3),
+            "measured_margin_sec": round(fixed_sec - adaptive["sec"], 3),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     # 2a) skew scenario: zipf-skewed agg, naive vs salted.
     # ~90% of rows share one key — the straggler-partition shape the
     # lever exists for. Both sides compute identical results (the

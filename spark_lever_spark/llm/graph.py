@@ -731,6 +731,7 @@ SELECT component,
 FROM ranked GROUP BY component ORDER BY component
 """,
     category="llm_dedup",
+    bench=True,  # v2.4 gate (round 8) — heaviest unbenched dedup path
     tags=("defer-window",),
 )
 def dedup_cluster_quality_election(

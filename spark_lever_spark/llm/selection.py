@@ -364,6 +364,7 @@ s{r} AS MATERIALIZED (
     "bpe_learn_merges",
     oracle=_bpe_oracle(),
     category="llm_text",
+    bench=True,  # v2.4 gate (round 8) — heaviest unbenched text path
     tags=("defer-window",),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

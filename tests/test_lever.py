@@ -376,3 +376,70 @@ def test_batch_sizer_honors_measured_overhead_floor():
     for _ in range(12):  # tiny processing times drive the interval down
         out = s.on_batch(10.0)
     assert out >= MEASURED_BATCH_OVERHEAD_MS
+
+
+def test_adaptive_drain_policy_trajectory():
+    """VERDICT r7 task #4: the L13 sizer gating a 32-file backlog
+    drain with the measured c0 = 1.58 s constant. Simulated with the
+    linear cost model t(batch) = c0 + w*files (w = 300 ms/file): the
+    policy must double while the sizer's trend is healthy, HOLD at the
+    first SoCC'14 backoff (over-occupancy + worsening trend), resume
+    when the trend recovers, and drain 32 files in 6 segments — a
+    predicted (32 - 6) * c0 = 41 s win over fixed 1-file-per-trigger.
+    Pure arithmetic, deterministic; the live measurement lives in
+    bench_streaming.py (scenario "adaptive_drain") and BASELINE.md."""
+    from spark_lever_spark.lever.actuator import (
+        MEASURED_BATCH_OVERHEAD_MS,
+        DynamicBatchSizer,
+        next_drain_batch_size,
+    )
+
+    c0, w = MEASURED_BATCH_OVERHEAD_MS, 300.0
+    sizer = DynamicBatchSizer(3000.0, warmup=1)
+    remaining, fpt = 32, 1
+    sizes: list[int] = []
+    holds = 0
+    while remaining:
+        take = min(fpt, remaining)
+        sizes.append(take)
+        remaining -= take
+        sizer.on_batch(c0 + w * take)
+        if sizer.backed_off:
+            holds += 1
+        fpt = next_drain_batch_size(sizer, take, remaining, max_files=16)
+    assert sizes == [1, 2, 4, 8, 8, 9], sizes
+    assert holds == 1  # exactly one backoff-gated hold (after the 8-jump)
+    predicted_saving_sec = (32 - len(sizes)) * c0 / 1000.0
+    assert predicted_saving_sec > 30.0
+
+
+def test_adaptive_drain_live_small_backlog(spark, sf_dir, tmp_path):
+    """End-to-end adaptive_file_drain over a real 6-file backlog:
+    checkpoint reuse across restart segments must process every file
+    exactly once (segment sizes sum to the backlog) in fewer segments
+    than files, with the doubling trajectory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_lever_spark.lever.actuator import adaptive_file_drain
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "backlog")
+    ev.limit(6000).repartition(6).write.parquet(src)
+    files = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    assert len(files) == 6
+    out = adaptive_file_drain(
+        spark,
+        files,
+        ev.schema,
+        lambda sdf: sdf.groupBy("event_type").count(),
+    )
+    sizes = [s for s, _ in out["segments"]]
+    assert sum(sizes) == 6
+    assert len(sizes) < 6
+    assert sizes[0] == 1
