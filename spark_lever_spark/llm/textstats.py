@@ -498,3 +498,304 @@ def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("tv_distance"),
     ).orderBy("source")
+
+
+@register(
+    "gopher_quality_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ts) AS n_tok,
+         list_sum(list_transform(ts, w -> length(w))) AS sum_len,
+         len(list_filter(ts, w -> w IN
+             ('the','a','of','and','to','in','is','it','that','for')))
+             AS stop_hits,
+         len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
+             AS n_alpha
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       round(CAST(sum_len AS DOUBLE) / n_tok * 10000) / 10000
+           AS mean_word_len,
+       round(CAST(n_alpha AS DOUBLE) / n_tok * 10000) / 10000
+           AS frac_alpha_words,
+       CAST(stop_hits AS INT) AS stop_hits,
+       CAST(n_tok BETWEEN 50 AND 100000 AS BOOLEAN) AS r_wordcount,
+       CAST(sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok AS BOOLEAN)
+           AS r_mean_word_len,
+       CAST(stop_hits >= 2 AS BOOLEAN) AS r_stopwords,
+       CAST(5 * n_alpha >= 4 * n_tok AS BOOLEAN) AS r_alpha_words,
+       CAST(n_tok BETWEEN 50 AND 100000
+            AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+            AND stop_hits >= 2
+            AND 5 * n_alpha >= 4 * n_tok AS BOOLEAN) AS passes_gopher
+FROM m ORDER BY doc_id
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. '21 §A1.1, the
+    rules that are well-defined on a whitespace corpus): word-count
+    bounds [50, 100k], mean word length in [3, 10], >= 2 stopword
+    hits, >= 80 % alphabetic words — per-document booleans plus the
+    conjunction gate, each threshold evaluated in EXACT integer
+    arithmetic (``sum_len >= 3*n_tok`` instead of a float mean
+    comparison, ``5*n_alpha >= 4*n_tok`` instead of >= 0.8) so the
+    rule outcomes can never straddle a float rounding boundary between
+    engines. Map-only over the corpus: zero shuffles before the
+    ordered output — the plan a 100 TB quality-filter pass needs (the
+    float columns are display-rounded diagnostics, never inputs to the
+    rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        stopword_hits(F.col("text"), "en").alias("stop_hits"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias(
+            "n_alpha"
+        ),
+    )
+    r_wc = F.col("n_tok").between(50, 100000)
+    r_len = (F.col("sum_len") >= 3 * F.col("n_tok")) & (
+        F.col("sum_len") <= 10 * F.col("n_tok")
+    )
+    r_stop = F.col("stop_hits") >= 2
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
+    return d.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        (
+            F.round(F.col("sum_len").cast("double") / F.col("n_tok") * 10000)
+            / 10000
+        ).alias("mean_word_len"),
+        (
+            F.round(F.col("n_alpha").cast("double") / F.col("n_tok") * 10000)
+            / 10000
+        ).alias("frac_alpha_words"),
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        r_wc.alias("r_wordcount"),
+        r_len.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha_words"),
+        (r_wc & r_len & r_stop & r_alpha).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "collocation_pmi_bigrams",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+),
+bi AS MATERIALIZED (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM toks, unnest(range(1, len(ts))) t(i)
+  GROUP BY ts[i], ts[i + 1]
+),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi)
+SELECT b.w1, b.w2, b.c_xy,
+       u1.c AS c_x, u2.c AS c_y,
+       CAST(t.n_bi * b.c_xy AS DOUBLE) / (u1.c * u2.c) AS pmi_ratio
+FROM bi b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2, tot t
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by PMI over
+    the corpus. PMI = log(N * c_xy / (c_x * c_y)); log is monotone, so
+    ranking by the EXACT-INTEGER ratio (N*c_xy as one int64 product,
+    c_x*c_y as another, ONE double division at the end — identical
+    IEEE in both engines) sidesteps cross-engine transcendental drift
+    entirely; the emitted ``pmi_ratio`` is that raw quotient. Scale
+    shape: two token shuffles (unigram + bigram counts, both
+    vocabulary-sized), a vocabulary-keyed join, and a TakeOrdered
+    top-k — never a global sort of the corpus. Int64 headroom:
+    products stay < 2^53 up to ~10^11 total tokens with a ~10^5-count
+    bigram; promote to DECIMAL beyond (documented, same policy as
+    token_drift_tv_distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    uni = (
+        base.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    tot = bi.agg(F.sum("c_xy").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("n_bi") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "vocab_growth_by_source",
+    oracle="""
+WITH wc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_count,
+       round(CAST(count(*) AS DOUBLE) / sum(c) * 1000000) / 1000000
+           AS type_token_ratio,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS hapax_ratio
+FROM wc GROUP BY source ORDER BY source
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: total tokens, distinct types,
+    hapax legomena (frequency-1 types), type-token ratio, hapax ratio
+    — the Heaps'-law corpus diagnostics a mixture designer reads
+    before setting source weights (a source with an abnormally low TTR
+    is boilerplate-heavy; an abnormally high hapax ratio is noisy
+    OCR). One (source, token) count shuffle then a per-source rollup —
+    both keyed well above source cardinality, so no low-cardinality
+    funnel; ratios are single divisions of exact int64 counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias(
+                "hapax_count"
+            ),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            (
+                F.round(
+                    F.col("vocab_size").cast("double")
+                    / F.col("total_tokens")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("type_token_ratio"),
+            (
+                F.round(
+                    F.col("hapax_count").cast("double")
+                    / F.col("vocab_size")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_phrase_search_postings",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM toks, unnest(range(1, len(ts))) t(i)
+WHERE ts[i] = 'merge' AND ts[i + 1] = 'sort'
+GROUP BY doc_id ORDER BY doc_id
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("merge sort") via a POSITIONAL postings
+    index — the IR companion to text_boolean_and_search's boolean
+    postings: posexplode builds (doc, term, position) postings, the
+    phrase match is an equi-join of the two terms' postings on
+    (doc_id, adjacent positions). At 100 TB the join touches only the
+    two terms' postings lists (df(term) rows each, shuffled on
+    doc_id), never the corpus — the reason search engines store
+    positions instead of re-scanning text with regexps. Output:
+    matching doc -> occurrence count."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    p1 = post.filter(F.col("w") == "merge").select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = post.filter(F.col("w") == "sort").select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2.withColumnRenamed("doc_id", "doc_id2"),
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
