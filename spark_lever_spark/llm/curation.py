@@ -993,3 +993,142 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+@register(
+    "temperature_sampling_rates",
+    oracle="""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+ext AS (SELECT CAST(max(n_tokens) AS BIGINT) AS n_max,
+               CAST(min(n_tokens) AS BIGINT) AS n_min FROM per)
+SELECT source, n_tokens,
+       sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(n_max AS DOUBLE))
+           AS alpha_share_rel,
+       sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_tokens AS DOUBLE))
+           AS keep_rate,
+       CAST(floor(CAST(n_tokens AS DOUBLE)
+                  * (sqrt(CAST(n_min AS DOUBLE))
+                     / sqrt(CAST(n_tokens AS DOUBLE)))) AS BIGINT)
+           AS kept_tokens_est
+FROM per, ext ORDER BY source
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def temperature_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling at alpha = 0.5 (the
+    multilingual-LM standard: target share proportional to n^alpha, so
+    small sources are boosted relative to their raw share — mBERT /
+    XLM-R exponent-smoothed sampling; mix_source_weights' uniform
+    target is the alpha -> 0 limit). Downsample-only formulation: the
+    SMALLEST source anchors (keep_rate = sqrt(n_min/n_i) <= 1), every
+    rate is a single division of two IEEE-exact sqrt values of exact
+    integer token counts — sqrt is correctly rounded by the standard,
+    so both engines hold bit-identical doubles with NO cross-engine
+    transcendental drift (the reason alpha = 0.5 specifically is the
+    oracle-checkable temperature). One count shuffle + a 2-row scalar
+    broadcast; no text is re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tok"),
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    ext = per.agg(
+        F.max("n_tokens").alias("n_max"), F.min("n_tokens").alias("n_min")
+    )
+    keep = F.sqrt(F.col("n_min").cast("double")) / F.sqrt(
+        F.col("n_tokens").cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(ext))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.sqrt(F.col("n_max").cast("double"))
+            ).alias("alpha_share_rel"),
+            keep.alias("keep_rate"),
+            F.floor(F.col("n_tokens").cast("double") * keep)
+            .cast("long")
+            .alias("kept_tokens_est"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE round(CAST(rn - 1 AS DOUBLE) / (n - 1) * 1000000) / 1000000
+       END AS qnorm
+FROM ranked ORDER BY doc_id
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score normalization: each document's score
+    (n_chars as the stand-in quality signal) mapped to its
+    within-source normalized rank in [0, 1] — the preprocessing step
+    that makes per-source quality cuts comparable when sources have
+    wildly different score distributions (a 0.9 from a clean source
+    and a 0.9 from a noisy one mean different things; quantile
+    normalization makes 0.9 mean "top decile of ITS source" for both).
+
+    Scale shape: source cardinality is LOW (~20), so a bare
+    partitionBy(source) ranked window would funnel whole sources
+    through single tasks — instead the row number comes from the
+    2-pass grouped cumsum (operators/grank.py, value = 1 ordered by
+    (score, doc_id)), parallel across quantile bins within each
+    source; per-source totals ride a broadcast count join. Exact
+    integer ranks; one division at the end."""
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    d = docs.withColumn("one", F.lit(1).cast("long"))
+    cum = with_grouped_cumsum(
+        d,
+        ["source"],
+        F.col("n_chars"),
+        ["n_chars", "doc_id"],
+        "one",
+    )
+    n_per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        cum.join(F.broadcast(n_per), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("_cum") - 1).cast("double")
+                    / (F.col("n") - 1)
+                    * 1000000
+                )
+                / 1000000
+            )
+            .alias("qnorm"),
+        )
+        .orderBy("doc_id")
+    )
