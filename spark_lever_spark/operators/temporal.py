@@ -1208,3 +1208,90 @@ def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "asof_nearest_event_join",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts,
+         abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS abs_us,
+         epoch_us(c.c_ts) - epoch_us(p.p_ts) AS delta_us,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)),
+                                     c.c_ts, c.click_id) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE
+                  AND p.p_ts + INTERVAL 30 MINUTE
+)
+SELECT purchase_id, user_id, p_ts, click_id, c_ts,
+       CAST(trunc(CAST(delta_us AS DOUBLE) / 1000000) AS BIGINT)
+           AS delta_seconds
+FROM cand WHERE rn = 1 ORDER BY purchase_id
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def asof_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join: each purchase matched to the closest
+    click by the same user within +/- 30 minutes, in EITHER direction
+    (ties -> the earlier click, then the lower event id) — the
+    bidirectional sibling of asof_purchase_last_view's backward-only
+    semantics, i.e. pandas ``merge_asof(direction='nearest')``
+    distributed. Shape: one user-keyed band join (each purchase meets
+    only the clicks inside its 1-hour band — never the user's full
+    history), then a per-purchase argmin via min-of-struct
+    (lexicographic (|delta|, ts, id) — no second window over the
+    candidates). delta_seconds is signed (negative = click before
+    purchase), floor-divided from exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    delta_us = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("p_ts"))
+    cand = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE")
+        )
+        & (
+            F.col("c_ts")
+            <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTE")
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.struct(
+            F.abs(delta_us).alias("abs_us"),
+            F.col("c_ts").alias("c_ts"),
+            F.col("click_id").alias("click_id"),
+            delta_us.alias("delta_us"),
+        ).alias("k"),
+    )
+    best = cand.groupBy("purchase_id", "user_id", "p_ts").agg(
+        F.min("k").alias("k")
+    )
+    return best.select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.col("k.click_id").alias("click_id"),
+        F.col("k.c_ts").alias("c_ts"),
+        # truncate toward zero (both engines: double division of exact
+        # ints < 2^53, then int cast) — floor would skew negative deltas
+        (F.col("k.delta_us") / 1000000).cast("long").alias("delta_seconds"),
+    ).orderBy("purchase_id")

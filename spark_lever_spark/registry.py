@@ -220,4 +220,8 @@ def _ensure_loaded() -> None:
     from spark_lever_spark.llm import selection  # noqa: F401
     from spark_lever_spark.operators import bars  # noqa: F401
 
+    # round-8 additions (all defer-window tagged, so they queue behind
+    # the fronted round-7 stamps; total never-checked stays < 50)
+    from spark_lever_spark.operators import alloc  # noqa: F401
+
     _LOADED = True
