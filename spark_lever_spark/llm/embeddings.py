@@ -577,3 +577,151 @@ def ann_int8_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dots.orderBy(F.desc("dot_q"), "vec_id").limit(10)
+
+
+@register(
+    "embedding_decontaminate_int8",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS l
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, l,
+         list_max(list_transform(l, v -> abs(v))) / 127.0 AS scale
+  FROM b
+),
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(l, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(l, v -> CAST(floor(v / scale + 0.5)
+                                               AS BIGINT))
+         END AS qv
+  FROM s
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+  FROM q
+),
+bench AS (SELECT vec_id AS bench_id, qv AS bqv, n2 AS bn2 FROM n
+          WHERE vec_id % 50 = 0 AND vec_id <= 2000),
+pairs AS (
+  SELECT c.vec_id, b.bench_id,
+         CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+              i -> c.qv[CAST(i AS INT)] * b.bqv[CAST(i AS INT)]))
+              AS BIGINT) AS dot_q,
+         c.n2, b.bn2
+  FROM n c, bench b
+  WHERE NOT (c.vec_id % 50 = 0 AND c.vec_id <= 2000)
+),
+scored AS (
+  SELECT vec_id, bench_id, dot_q,
+         CAST(25 * dot_q * abs(dot_q) AS DOUBLE) / (16 * n2 * bn2)
+             AS score,
+         CAST(dot_q > 0 AND 25 * dot_q * dot_q >= 16 * n2 * bn2
+              AS BOOLEAN) AS contaminated,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(25 * dot_q * abs(dot_q) AS DOUBLE)
+                                     / (16 * n2 * bn2) DESC,
+                                     bench_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, bench_id, dot_q, score, contaminated
+FROM scored WHERE rn = 1 ORDER BY vec_id
+""",
+    category="llm_similarity",
+    tags=("defer-window",),
+)
+def embedding_decontaminate_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space: every corpus
+    vector scored against a bounded benchmark suite (here the fixed
+    id-grid vec_id % 50 == 0, <= 2000 — decontamination benchmarks
+    are small by nature, which is what makes the broadcast pass
+    legal at 100 TB) on int8-quantized vectors, flagged contaminated
+    when cosine >= 0.8 against ANY benchmark item — the semantic
+    sibling of text_decontaminate's 8-gram blocklist for paraphrased/
+    translated leakage a token match misses.
+
+    Exactness: quantization is the shared absmax floor(x/s+0.5)
+    formula; the contamination PREDICATE is pure int64
+    (``25*dot^2 >= 16*|a|^2*|b|^2 AND dot > 0`` <=> cos >= 0.8 — no
+    float boundary can flip a flag); the REPORTED score is one double
+    division of exact ints (sign-preserving cos^2*25/16), bit-identical
+    cross-engine, used only to pick the nearest benchmark item
+    (argmax via min/max-struct, ties to the lower bench id). One
+    map-side broadcast pass over the corpus; TakeOrdered presentation
+    sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    s = b.withColumn(
+        "scale",
+        F.array_max(F.transform("l", lambda v: F.abs(v))) / F.lit(127.0),
+    )
+    qv = F.when(
+        F.col("scale") == 0,
+        F.transform("l", lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "l",
+            lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast("long"),
+        )
+    )
+    n = s.select(
+        "vec_id",
+        qv.alias("qv"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("qv", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    is_bench = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") <= 2000)
+    bench = n.filter(is_bench).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("qv").alias("bqv"),
+        F.col("n2").alias("bn2"),
+    )
+    corpus = n.filter(~is_bench)
+    dot = F.aggregate(
+        F.zip_with("qv", "bqv", lambda a, bb: a * bb),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        dot.alias("dot_q"),
+        "n2",
+        "bn2",
+    )
+    score = (25 * F.col("dot_q") * F.abs(F.col("dot_q"))).cast("double") / (
+        16 * F.col("n2") * F.col("bn2")
+    )
+    contaminated = (F.col("dot_q") > 0) & (
+        25 * F.col("dot_q") * F.col("dot_q")
+        >= 16 * F.col("n2") * F.col("bn2")
+    )
+    best = (
+        pairs.select(
+            "vec_id",
+            F.struct(
+                score.alias("score"),
+                (-F.col("bench_id")).alias("neg_bid"),
+                F.col("bench_id").alias("bench_id"),
+                F.col("dot_q").alias("dot_q"),
+                contaminated.alias("contaminated"),
+            ).alias("k"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("k").alias("k"))
+    )
+    return best.select(
+        "vec_id",
+        F.col("k.bench_id").alias("bench_id"),
+        F.col("k.dot_q").alias("dot_q"),
+        F.col("k.score").alias("score"),
+        F.col("k.contaminated").alias("contaminated"),
+    ).orderBy("vec_id")

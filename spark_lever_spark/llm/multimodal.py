@@ -714,3 +714,336 @@ def multimodal_au_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         " peak int",
     )
     return decoded.orderBy("doc_id")
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Deterministic REAL PPM (NetPBM P6) COLOR image: binary header +
+    interleaved RGB raster, every byte a fixed formula of the id so
+    the oracle can predict per-channel statistics analytically."""
+    import numpy as np
+
+    w = doc_id % 12 + 4
+    h = doc_id % 8 + 4
+    j = np.arange(w * h * 3, dtype=np.int64)
+    raster = ((doc_id * 37 + (j // 3) * 11 + (j % 3) * 71) % 256).astype(
+        np.uint8
+    )
+    return b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def decode_ppm_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL color-image decoder: P6 magic validation, header parse,
+    numpy interleaved-RGB read, per-channel statistics. The 3-channel
+    sibling of decode_pgm_batch — the shape a real JPEG decoder hands
+    downstream (H x W x 3 uint8). Corrupt streams raise."""
+    import numpy as np
+
+    widths, heights, rs, gs, bs, npx = [], [], [], [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if not b.startswith(b"P6\n"):
+            raise ValueError("not a binary PPM (P6) stream")
+        hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+        dims_line = b[3 : b.index(b"\n", 3)].split()
+        w, h = int(dims_line[0]), int(dims_line[1])
+        maxval = int(b[b.index(b"\n", 3) + 1 : hdr_end])
+        if maxval != 255:
+            raise ValueError("unsupported maxval")
+        raster = np.frombuffer(b, dtype=np.uint8, offset=hdr_end + 1)
+        if raster.size != w * h * 3:
+            raise ValueError("raster size mismatch")
+        rgb = raster.reshape(-1, 3).astype(np.int64)
+        widths.append(w)
+        heights.append(h)
+        rs.append(int(rgb[:, 0].sum()))
+        gs.append(int(rgb[:, 1].sum()))
+        bs.append(int(rgb[:, 2].sum()))
+        npx.append(w * h)
+    return pd.DataFrame(
+        {
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "r_sum": pd.Series(rs, dtype="int64"),
+            "g_sum": pd.Series(gs, dtype="int64"),
+            "b_sum": pd.Series(bs, dtype="int64"),
+            "n_pixels": pd.Series(npx, dtype="int32"),
+        }
+    )
+
+
+@register(
+    "multimodal_ppm_rgb_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h FROM d
+),
+px AS (
+  SELECT doc_id, w, h,
+         CAST(SUM((doc_id * 37 + t.i * 11) % 256) AS BIGINT) AS r_sum,
+         CAST(SUM((doc_id * 37 + t.i * 11 + 71) % 256) AS BIGINT) AS g_sum,
+         CAST(SUM((doc_id * 37 + t.i * 11 + 142) % 256) AS BIGINT) AS b_sum
+  FROM dims, LATERAL unnest(range(w * h)) AS t(i)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       r_sum, g_sum, b_sum, CAST(w * h AS INT) AS n_pixels
+FROM px ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window",),
+)
+def multimodal_ppm_rgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR image decode (the 3-channel upgrade over
+    multimodal_pgm_real_decode's grayscale): deterministic NetPBM P6
+    binaries with interleaved RGB rasters, parsed by a genuine
+    decoder — magic validation, header parse, numpy (N, 3) channel
+    split, per-channel sums — in the Arrow-batched mapInPandas codec
+    slot a JPEG decoder would occupy. Channel INTERLEAVING is exactly
+    what this pins: a decoder that transposes channels or misreads
+    stride produces wrong r/g/b sums and cannot hash-match the
+    analytic oracle (channel c at pixel i is (id*37 + 11 i + 71 c)
+    mod 256)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_ppm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def decode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_ppm_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return with_media.mapInPandas(
+        decode_run,
+        "doc_id long, width int, height int, r_sum long, g_sum long, "
+        "b_sum long, n_pixels int",
+    ).orderBy("doc_id")
+
+
+def silence_runs_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Silence/VAD analysis over decoded PCM: |sample| < 256 marks a
+    silent sample; reports the silent total, longest consecutive run,
+    and run count — pure integer run-length logic on the numpy sample
+    block (the audio-curation signal that decides whether a clip is
+    dead air before any ASR spend)."""
+    import numpy as np
+
+    nsil, longest, nruns, nsamp = [], [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        import struct
+
+        (data_len,) = struct.unpack("<I", b[40:44])
+        samples = np.frombuffer(b, dtype="<i2", offset=44, count=data_len // 2)
+        silent = np.abs(samples.astype(np.int64)) < 256
+        # run-length encode the boolean mask
+        edges = np.flatnonzero(np.diff(silent.astype(np.int8)))
+        bounds = np.concatenate(([0], edges + 1, [silent.size]))
+        lengths = np.diff(bounds)
+        vals = silent[bounds[:-1]]
+        sil_lengths = lengths[vals]
+        nsamp.append(samples.size)
+        nsil.append(int(sil_lengths.sum()))
+        longest.append(int(sil_lengths.max()) if sil_lengths.size else 0)
+        nruns.append(int(sil_lengths.size))
+    return pd.DataFrame(
+        {
+            "n_samples": pd.Series(nsamp, dtype="int32"),
+            "n_silent": pd.Series(nsil, dtype="int64"),
+            "longest_silence_run": pd.Series(longest, dtype="int64"),
+            "n_silence_runs": pd.Series(nruns, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "audio_silence_runs",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+n AS (SELECT doc_id, doc_id % 200 + 50 AS ns FROM d),
+sm AS (
+  SELECT doc_id, ns, t.i,
+         (doc_id * 131 + t.i * 17) % 2048 - 1024 AS s
+  FROM n, LATERAL unnest(range(ns)) AS t(i)
+),
+sil AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM sm WHERE abs(s) < 256
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+  FROM sil GROUP BY doc_id, grp
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(rl) AS BIGINT) AS n_silent,
+         CAST(max(rl) AS BIGINT) AS longest_silence_run,
+         CAST(count(*) AS BIGINT) AS n_silence_runs
+  FROM runs GROUP BY doc_id
+)
+SELECT n.doc_id, CAST(n.ns AS INT) AS n_samples,
+       coalesce(a.n_silent, 0) AS n_silent,
+       coalesce(a.longest_silence_run, 0) AS longest_silence_run,
+       coalesce(a.n_silence_runs, 0) AS n_silence_runs
+FROM n LEFT JOIN agg a ON a.doc_id = n.doc_id
+ORDER BY n.doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window",),
+)
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over REAL decoded PCM (the curation
+    signal layered on multimodal_wav_real_decode's decoder): per clip,
+    how much of it is dead air (|sample| < 256), the longest
+    consecutive silent stretch, and how many silent stretches — the
+    VAD-lite gate an audio-corpus pipeline runs before transcription
+    spend. Run-length logic is exact integer numpy inside the same
+    Arrow-batched decode pass (one traversal, no per-row Python); the
+    oracle reproduces the runs with SQL gaps-and-islands over the
+    generator formula, so a decoder that drops or duplicates a sample
+    shifts every run boundary and cannot hash-match."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def analyze_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = silence_runs_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return with_media.mapInPandas(
+        analyze_run,
+        "doc_id long, n_samples int, n_silent long, "
+        "longest_silence_run long, n_silence_runs long",
+    ).orderBy("doc_id")
+
+
+def mean_pool_2x_batch(payloads: pd.Series) -> pd.DataFrame:
+    """2x2 mean-pool downsample of decoded PGM rasters (floor
+    division — exact integers): the resize kernel of an image
+    preprocessing pipeline, with odd edges cropped (standard
+    floor-dims pooling). Returns pooled dims + pooled pixel sum."""
+    import numpy as np
+
+    pws, phs, sums = [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if not b.startswith(b"P5\n"):
+            raise ValueError("not a binary PGM (P5) stream")
+        hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+        dims_line = b[3 : b.index(b"\n", 3)].split()
+        w, h = int(dims_line[0]), int(dims_line[1])
+        raster = np.frombuffer(b, dtype=np.uint8, offset=hdr_end + 1)
+        img = raster.reshape(h, w).astype(np.int64)
+        pw, ph = w // 2, h // 2
+        pooled = (
+            img[: ph * 2, : pw * 2].reshape(ph, 2, pw, 2).sum(axis=(1, 3))
+            // 4
+        )
+        pws.append(pw)
+        phs.append(ph)
+        sums.append(int(pooled.sum()))
+    return pd.DataFrame(
+        {
+            "pool_w": pd.Series(pws, dtype="int32"),
+            "pool_h": pd.Series(phs, dtype="int32"),
+            "pooled_sum": pd.Series(sums, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "image_mean_pool_2x",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+         (doc_id % 16 + 4) // 2 AS pw, (doc_id % 12 + 4) // 2 AS ph
+  FROM d
+),
+pooled AS (
+  SELECT doc_id, w, pw, ph,
+         ((doc_id * 31 + ((t.j // pw) * 2 * w + (t.j % pw) * 2) * 7) % 256
+          + (doc_id * 31 + ((t.j // pw) * 2 * w + (t.j % pw) * 2 + 1) * 7)
+            % 256
+          + (doc_id * 31 + (((t.j // pw) * 2 + 1) * w + (t.j % pw) * 2) * 7)
+            % 256
+          + (doc_id * 31 + (((t.j // pw) * 2 + 1) * w + (t.j % pw) * 2 + 1)
+             * 7) % 256) // 4 AS pv
+  FROM dims, LATERAL unnest(range(pw * ph)) AS t(j)
+)
+SELECT doc_id, CAST(pw AS INT) AS pool_w, CAST(ph AS INT) AS pool_h,
+       CAST(SUM(pv) AS BIGINT) AS pooled_sum
+FROM pooled GROUP BY doc_id, pw, ph ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window",),
+)
+def image_mean_pool_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE (2x2 mean pooling, odd edges cropped) over
+    decoded PGM rasters — the downsample kernel multimodal_resize_plan
+    only planned, now executed with exact integer arithmetic in the
+    Arrow-batched decode pass (numpy reshape-pool, floor-of-4 means).
+    The oracle recomputes every pooled pixel analytically from the
+    raster formula, so a pooler with wrong stride, wrong crop, or
+    float rounding cannot hash-match. The preprocessing shape a vision
+    pipeline runs corpus-wide: map-only, one decode+pool traversal per
+    image, no shuffle but the presentation sort."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_pgm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def pool_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = mean_pool_2x_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return with_media.mapInPandas(
+        pool_run,
+        "doc_id long, pool_w int, pool_h int, pooled_sum long",
+    ).orderBy("doc_id")

@@ -552,6 +552,10 @@ NESTED_LOOP_WHITELIST = {
     "ann_ivf": "broadcast probe vector + centroid cells",
     "ann_int8_exact_topk": "broadcast 1-row quantized query vector",
     "hard_negative_mining": "broadcast bounded probe batch (vec_id < 50)",
+    "embedding_decontaminate_int8": (
+        "broadcast bounded benchmark suite (vec_id % 50 == 0, <= 2000 — "
+        "fixed-size by construction at every SF)"
+    ),
 }
 
 
