@@ -704,3 +704,117 @@ def stream_stream_left_join_unmatched_clicks(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_stream_full_outer_join_expiry",
+    oracle="""
+WITH w AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS wm
+),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.user_id
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+),
+uc AS (
+  SELECT c.user_id
+  FROM c, w
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR)
+    AND c.ts + INTERVAL 1 HOUR <= w.wm
+),
+up AS (
+  SELECT p.user_id
+  FROM p, w
+  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR)
+    AND p.ts < w.wm
+)
+SELECT user_id,
+       CAST((SELECT count(*) FROM matched m WHERE m.user_id = u.user_id)
+            AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM uc WHERE uc.user_id = u.user_id)
+            AS BIGINT) AS n_expired_clicks,
+       CAST((SELECT count(*) FROM up WHERE up.user_id = u.user_id)
+            AS BIGINT) AS n_expired_purchases
+FROM (SELECT DISTINCT user_id FROM matched
+      UNION SELECT DISTINCT user_id FROM uc
+      UNION SELECT DISTINCT user_id FROM up) u
+ORDER BY user_id
+""",
+    category="streaming",
+    tags=("defer-window",),
+)
+def stream_stream_full_outer_join_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last open cell of the join
+    surface (inner: stream_stream_join_click_purchase, left outer:
+    stream_stream_left_join_unmatched_clicks): BOTH sides emit
+    unmatched rows once the join watermark proves no future match can
+    arrive, and the two sides expire under DIFFERENT inequalities,
+    both empirically pinned (tests/test_streaming.py::
+    test_stream_stream_full_outer_exact_boundaries): a click whose
+    match window [ts, ts+1h) closes AT the watermark IS emitted
+    (c.ts + 1h <= wm), while a purchase sitting EXACTLY at the
+    watermark is NOT (p.ts < wm, strict) — the asymmetry falls out of
+    Spark deriving each side's state-value watermark from a different
+    join predicate (p.ts < c.ts + 1h vs c.ts <= p.ts). The oracle
+    reproduces both sets algebraically with exactly those
+    inequalities. Output rolls up per user: matched pairs,
+    expired-unmatched clicks, expired-unmatched purchases."""
+    clicks = (
+        _stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        _stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    rows = _drain_append(joined, "ss_full_outer")
+    return (
+        rows.groupBy(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_user").isNotNull()
+                    & F.col("p_user").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired_clicks"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired_purchases"),
+        )
+        .orderBy("user_id")
+    )

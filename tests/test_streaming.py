@@ -674,6 +674,46 @@ def test_stream_stream_left_join_exact_watermark_boundary(spark, tmp_path):
     assert got == [(1, 0, 1), (3, 1, 0)]
 
 
+def test_stream_stream_full_outer_exact_boundaries(spark, tmp_path):
+    """Both expiry inequalities of the FULL outer stream-stream join,
+    pinned at exact watermark hits (the probe, frozen): with
+    wm = min(max click ts, max purchase ts) - 1h = base+2h,
+    - a purchase AT the watermark (p.ts == wm) is NOT emitted
+      (strict p.ts < wm on the purchase side),
+    - a purchase strictly before it IS,
+    - a click whose window closes at/below wm IS (c.ts + 1h <= wm),
+    - open-window rows on either side never emit."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from spark_lever_spark.registry import all_queries
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("c2", base, "click", 2),  # window closes 1h <= wm -> expired
+        ("c3", base + 30 * m, "click", 3),
+        ("p3", base + 45 * m, "purchase", 3),  # matched pair
+        ("p4", base + 1 * h, "purchase", 4),  # p.ts < wm -> expired
+        ("p1", base + 2 * h, "purchase", 1),  # p.ts == wm -> NOT emitted
+        ("c90", base + 3 * h, "click", 90),  # max click; window open
+        ("p99", base + 4 * h, "purchase", 99),  # max purchase; > wm
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, event_type string, user_id long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "w"))
+    part = glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / "events.parquet"))
+
+    q = all_queries()["stream_stream_full_outer_join_expiry"]
+    got = [tuple(r) for r in q.fn(spark, str(tmp_path)).collect()]
+    # (user_id, n_pairs, n_expired_clicks, n_expired_purchases)
+    assert got == [(2, 0, 1, 0), (3, 1, 0, 0), (4, 0, 0, 1)]
+
+
 def test_update_state_timeout_args_validated(spark):
     import pytest as _pytest
     from spark_lever_spark.streaming.stateful import (
