@@ -498,3 +498,169 @@ def text_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
         .orderBy("doc_id")
     )
+
+
+def _bpe_apply_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled oracle for bpe_apply_encode: the SAME per-round pair
+    election as _bpe_oracle, but the word string ``w`` rides through
+    every rewrite so the final symbol counts can join back onto the
+    document token stream."""
+    ctes = [
+        """words AS MATERIALIZED (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE text IS NOT NULL)
+  WHERE tok <> '' GROUP BY tok
+),
+a0 AS MATERIALIZED (
+  SELECT w, list_aggregate(string_split(w, ''), 'string_agg', ' ') AS sym, n
+  FROM words
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT sy[CAST(t.i AS INT)] AS a, sy[CAST(t.i AS INT) + 1] AS b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, ' ') AS sy, n FROM a{r - 1}),
+       LATERAL unnest(range(1, len(sy))) AS t(i)
+  GROUP BY 1, 2
+),
+t{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+a{r} AS MATERIALIZED (
+  SELECT w,
+         trim(replace(' ' || sym || ' ',
+                      (SELECT ' ' || a || ' ' || b || ' ' FROM t{r}),
+                      (SELECT ' ' || a || b || ' ' FROM t{r}))) AS sym, n
+  FROM a{r - 1}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+wmap AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+  FROM a{rounds}
+),
+doc_tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    WHERE text IS NOT NULL)
+  WHERE tok <> ''
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(m.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(d.tok)) AS BIGINT) AS n_chars,
+       round(CAST(SUM(length(d.tok)) AS DOUBLE) / SUM(m.n_sym) * 10000)
+           / 10000 AS chars_per_bpe_token
+FROM doc_tok d JOIN wmap m ON m.w = d.tok
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+    )
+
+
+@register(
+    "bpe_apply_encode",
+    oracle=_bpe_apply_oracle(),
+    category="llm_text",
+    tags=("defer-window",),
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION — the companion to bpe_learn_merges'
+    training loop: learn the 5 merges on the corpus vocabulary, then
+    ENCODE every document with them and report per-document token
+    economics (whitespace tokens vs BPE symbols vs chars; chars per
+    BPE token is the compression a tokenizer buys). The apply step is
+    where the scale design pays off: merges rewrite the VOCABULARY
+    table (bounded), and documents join their tokens against the
+    word -> symbol-count map — the corpus-grain pass is one
+    vocabulary-keyed equi-join, never a per-document merge loop. The
+    oracle unrolls the identical 5 elections + rewrites with the word
+    key carried through, so a drifted election or a wrong greedy
+    rewrite changes some word's symbol count and cannot hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cur = words.select(
+        "w", F.array_join(F.split("w", ""), " ").alias("sym"), "n"
+    ).persist()
+    handles = [cur]
+    for _ in range(_BPE_ROUNDS):
+        with_s = cur.withColumn("s", F.split("sym", " "))
+        pairs = with_s.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, greatest(size(s) - 1, 0)),"
+                    " (x, i) -> struct(x AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        cur = cur.select(
+            "w",
+            F.btrim(
+                F.expr(
+                    "replace(concat(' ', sym, ' '),"
+                    f" concat(' ', {_sql_str(a)}, ' ', {_sql_str(b)}, ' '),"
+                    f" concat(' ', {_sql_str(a)}, {_sql_str(b)}, ' '))"
+                )
+            ).alias("sym"),
+            "n",
+        ).persist()
+        handles.append(cur)
+    wmap = cur.select(
+        "w", F.size(F.split("sym", " ")).cast("long").alias("n_sym")
+    )
+    doc_tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    out = (
+        doc_tok.join(wmap, doc_tok.tok == wmap.w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("tok")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "n_chars",
+            (
+                F.round(
+                    F.col("n_chars").cast("double")
+                    / F.col("n_bpe_tokens")
+                    * 10000
+                )
+                / 10000
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("doc_id")
+    )
+    # the per-round persists only served the iterative election
+    # collects; the elected merges are baked into the plan as string
+    # LITERALS, so releasing the handles leaves a fully deterministic
+    # vocabulary-grain lineage the final action simply recomputes
+    for h in handles:
+        h.unpersist()
+    return out

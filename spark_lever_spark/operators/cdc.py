@@ -620,3 +620,115 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pday in parts[1:]:
         out = out.unionByName(pday)
     return out.orderBy("relationship")
+
+
+@register(
+    "cdc_state_asof_versions",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey, 1 AS seq, 'insert' AS op, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'update', o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+         + CAST(round(o_totalprice * 5) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'delete', o_orderstatus,
+         CAST(0 AS BIGINT)
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+ao AS (
+  SELECT t.asof_seq, l.o_orderkey, l.op, l.o_orderstatus, l.price_cents,
+         row_number() OVER (PARTITION BY t.asof_seq, l.o_orderkey
+                            ORDER BY l.seq DESC) AS rn
+  FROM log l, (VALUES (1), (2), (3)) t(asof_seq)
+  WHERE l.seq <= t.asof_seq
+),
+state AS (
+  SELECT asof_seq, o_orderkey, o_orderstatus, price_cents
+  FROM ao WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST(asof_seq AS INT) AS asof_seq, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM state GROUP BY asof_seq, o_orderstatus
+ORDER BY asof_seq, o_orderstatus
+""",
+    category="cdc",
+    tags=("defer-window",),
+)
+def cdc_state_asof_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over a change log: reconstruct the table state AS OF
+    every sequence point (the Delta/Iceberg `VERSION AS OF` read,
+    implemented directly on the CDC envelope): a deterministic 3-epoch
+    log (insert-all, update every 7th key +5%, delete every 11th key),
+    and for each as-of point the state is last-writer-wins per key
+    over entries with seq <= T, minus deletions. One shuffle keyed on
+    (asof_seq, key) — the 3-row version spine broadcasts onto the log,
+    so reconstructing V versions costs V x |log| map work and ONE
+    aggregation, not V table scans (the matview/backfill family's
+    incremental doctrine applied to reads). Last-writer-wins is a
+    max_by on seq — no per-key window. Summaries are exact integer
+    cents per (version, status) so every reconstructed state is
+    hash-pinned."""
+    base = _orders_base(spark, sf_dir)
+    cents_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    log = (
+        base.select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("insert").alias("op"),
+            "o_orderstatus",
+            cents_c.alias("price_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("update").alias("op"),
+                "o_orderstatus",
+                (
+                    cents_c + F.round(F.col("o_totalprice") * 5).cast("long")
+                ).alias("price_cents"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                "o_orderkey",
+                F.lit(3).alias("seq"),
+                F.lit("delete").alias("op"),
+                "o_orderstatus",
+                F.lit(0).cast("long").alias("price_cents"),
+            )
+        )
+    )
+    spine = spark.range(1, 4).select(F.col("id").cast("int").alias("asof_seq"))
+    latest = (
+        log.crossJoin(F.broadcast(spine))
+        .filter(F.col("seq") <= F.col("asof_seq"))
+        .groupBy("asof_seq", "o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("op", "o_orderstatus", "price_cents"), F.col("seq")
+            ).alias("v")
+        )
+    )
+    state = latest.filter(F.col("v.op") != "delete").select(
+        "asof_seq",
+        "o_orderkey",
+        F.col("v.o_orderstatus").alias("o_orderstatus"),
+        F.col("v.price_cents").alias("price_cents"),
+    )
+    return (
+        state.groupBy("asof_seq", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("asof_seq", "o_orderstatus")
+    )

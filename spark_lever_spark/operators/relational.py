@@ -2329,3 +2329,146 @@ def arpu_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.col("customers").cast("double") / 100
         ).alias("arpu"),
     ).orderBy("nation")
+
+
+@register(
+    "sketch_theta_fixed_distinct",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT AS hv
+  FROM events
+),
+ret AS (  -- fixed threshold theta = 2^38 / 2^40 = 1/4 of hash space
+  SELECT event_type, hv FROM h WHERE hv < 274877906944
+),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_retained
+  FROM ret GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM per) a
+  JOIN (SELECT DISTINCT event_type FROM per) b
+    ON a.event_type < b.event_type
+),
+inter AS (
+  SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN ret ra ON ra.event_type = p.type_a
+  JOIN ret rb ON rb.event_type = p.type_b AND rb.hv = ra.hv
+  GROUP BY p.type_a, p.type_b
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d
+  FROM events GROUP BY event_type
+)
+SELECT p.type_a AS type_a, p.type_b AS type_b,
+       pa.n_retained AS retained_a, pb.n_retained AS retained_b,
+       coalesce(i.n_inter, 0) AS retained_inter,
+       CAST(pa.n_retained * 4 AS BIGINT) AS est_distinct_a,
+       CAST(pb.n_retained * 4 AS BIGINT) AS est_distinct_b,
+       CAST(coalesce(i.n_inter, 0) * 4 AS BIGINT) AS est_intersection,
+       ea.exact_d AS exact_a, eb.exact_d AS exact_b
+FROM pairs p
+JOIN per pa ON pa.event_type = p.type_a
+JOIN per pb ON pb.event_type = p.type_b
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+JOIN ex ea ON ea.event_type = p.type_a
+JOIN ex eb ON eb.event_type = p.type_b
+ORDER BY 1, 2
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def sketch_theta_fixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct counting with a FIXED sampling threshold
+    (the theta = const special case of the KMV/theta family —
+    Dasgupta et al., "Theta Sketch Framework"): retain a user hash iff
+    it falls in the first 1/4 of the 40-bit hash space, estimate
+    |set| = 4 x |retained|. What HLL cannot do and theta can:
+    INTERSECTION estimates by literally intersecting retained sets
+    (HLL only unions; sketch_hll_intersection_pairs had to route
+    through inclusion-exclusion) — and because the threshold is a
+    deterministic row property, the whole sketch is exactly
+    reproducible in SQL, estimates included (integer x4, no floats
+    anywhere). Scale shape: the retained sets are 4x-compressed
+    before any shuffle, the pairwise intersection joins on (hash)
+    within retained data only, and sketches merge by union — the
+    mergeability contract rollup_hourly_to_daily_mergeable pins for
+    counters, here for distinct sets. Exact per-type distincts ride
+    along to exhibit the estimation error in-row."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "hv",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 10),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    theta = 1 << 38  # 1/4 of the 2^40 hash space
+    ret = h.filter(F.col("hv") < theta).select("event_type", "hv")
+    per = ret.groupBy("event_type").agg(F.count("*").alias("n_retained"))
+    types = per.select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("type_a"))
+    b = types.select(F.col("event_type").alias("type_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ra = ret.select(F.col("event_type").alias("type_a"), "hv")
+    rb = ret.select(
+        F.col("event_type").alias("rb_type"), F.col("hv").alias("hvb")
+    )
+    inter = (
+        pairs.join(ra, "type_a")
+        .join(
+            rb,
+            (F.col("type_b") == F.col("rb_type"))
+            & (F.col("hv") == F.col("hvb")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_d"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_retained").alias("retained_a"),
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_retained").alias("retained_b"),
+    )
+    ea = ex.select(
+        F.col("event_type").alias("type_a"), F.col("exact_d").alias("exact_a")
+    )
+    eb = ex.select(
+        F.col("event_type").alias("type_b"), F.col("exact_d").alias("exact_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "retained_a",
+            "retained_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("retained_inter"),
+            (F.col("retained_a") * 4).cast("long").alias("est_distinct_a"),
+            (F.col("retained_b") * 4).cast("long").alias("est_distinct_b"),
+            (F.coalesce(F.col("n_inter"), F.lit(0)) * 4)
+            .cast("long")
+            .alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1295,3 +1295,102 @@ def asof_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ints < 2^53, then int cast) — floor would skew negative deltas
         (F.col("k.delta_us") / 1000000).cast("long").alias("delta_seconds"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "fifo_lot_matching",
+    oracle="""
+WITH buys AS (
+  SELECT user_id, event_id AS buy_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS qty
+  FROM events WHERE event_type = 'click' AND user_id < 100
+),
+sells AS (
+  SELECT user_id, event_id AS sell_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS qty
+  FROM events WHERE event_type = 'purchase' AND user_id < 100
+),
+b AS (
+  SELECT user_id, buy_id,
+         SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, buy_id) - qty
+             AS b_lo,
+         SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, buy_id) AS b_hi
+  FROM buys
+),
+s AS (
+  SELECT user_id, sell_id,
+         SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, sell_id) - qty
+             AS s_lo,
+         SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, sell_id) AS s_hi
+  FROM sells
+)
+SELECT b.user_id AS user_id, b.buy_id AS buy_id, s.sell_id AS sell_id,
+       CAST(least(b.b_hi, s.s_hi) - greatest(b.b_lo, s.s_lo) AS BIGINT)
+           AS matched_qty
+FROM b JOIN s ON s.user_id = b.user_id
+ AND s.s_lo < b.b_hi AND b.b_lo < s.s_hi
+ORDER BY user_id, buy_id, sell_id
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory/cost-basis allocator: each
+    user's purchases (sells) consume their clicks (buy lots) strictly
+    in time order, and the output says which sell drew how much from
+    which lot. The classic elegant distributed formulation: cumulative
+    quantities turn every lot and every sell into a half-open INTERVAL
+    on the user's consumption axis ([cum_before, cum_after)), and
+    "sell s consumed min(hi)-max(lo) units of lot b" is exactly
+    interval intersection — so the whole matcher is two user-keyed
+    running sums plus ONE user-keyed band join, no iteration, no
+    per-user loop, exact int64 cents throughout. Windows partition on
+    user_id (high-cardinality); each sell meets only the lots its
+    interval overlaps, so join fan-out is output-sized. The unmatched
+    tail (sells beyond total bought, lots never consumed) simply
+    produces no intervals to intersect. Scoped to user_id < 100 to
+    keep the checked output bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    from spark_lever_spark.functions.exact import cents
+
+    def legs(event_type: str, id_alias: str):
+        w = Window.partitionBy("user_id").orderBy("ts", id_alias)
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                "ts",
+                cents(F.col("value")).alias("qty"),
+            )
+            .select(
+                "user_id",
+                id_alias,
+                (F.sum("qty").over(w) - F.col("qty")).alias("lo"),
+                F.sum("qty").over(w).alias("hi"),
+            )
+        )
+
+    b = legs("click", "buy_id").withColumnsRenamed(
+        {"lo": "b_lo", "hi": "b_hi"}
+    )
+    s = legs("purchase", "sell_id").withColumnsRenamed(
+        {"lo": "s_lo", "hi": "s_hi"}
+    ).withColumnRenamed("user_id", "s_user")
+    return (
+        b.join(
+            s,
+            (F.col("s_user") == F.col("user_id"))
+            & (F.col("s_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("s_hi")),
+        )
+        .select(
+            "user_id",
+            "buy_id",
+            "sell_id",
+            (
+                F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")
+            ).alias("matched_qty"),
+        )
+        .orderBy("user_id", "buy_id", "sell_id")
+    )
