@@ -1364,3 +1364,103 @@ def funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id < 100
+),
+t AS (
+  SELECT user_id, event_id AS touch_id, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+    AND user_id < 100
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, t.touch_id, t.t_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts, t.touch_id) AS pos,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR AND t.t_ts < p.p_ts
+),
+credit AS (
+  SELECT purchase_id, user_id, touch_id, pos, n,
+         CASE
+           WHEN n = 1 THEN 1000
+           WHEN n = 2 THEN 500
+           WHEN pos = 1 OR pos = n THEN 400
+           ELSE 200 // (n - 2)
+                + CASE WHEN pos - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END
+         END AS credit_milli
+  FROM cand
+)
+SELECT purchase_id, user_id, touch_id, CAST(pos AS BIGINT) AS pos,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(credit_milli AS BIGINT) AS credit_milli
+FROM credit ORDER BY purchase_id, pos
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the
+    industry-standard sibling of attribution_last_touch_1h: each
+    purchase's credit (1000 milli-units, EXACT integers so credit
+    always sums to exactly 1000 per purchase) splits 40/20/40: first
+    touch 400, last touch 400, the middle 200 shared across interior
+    touches by LARGEST-REMAINDER (earlier positions absorb the
+    leftover milli-units — the prorate_fee_largest_remainder doctrine
+    applied to marketing spend); 1 touch takes all, 2 touches split
+    500/500. Touch set = view/click/signup in the purchase's
+    preceding hour. Shape: one user-keyed band join (each purchase
+    meets only its 1-hour candidate window), per-purchase position
+    window keyed on purchase_id (high-cardinality). Scoped to
+    user_id < 100 to bound the checked output."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("t_ts"),
+    )
+    cand = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    pos = cand.withColumns(
+        {
+            "pos": F.row_number().over(wp.orderBy("t_ts", "touch_id")),
+            "n": F.count("*").over(wp),
+        }
+    )
+    mid_base = F.floor(F.lit(200) / (F.col("n") - 2)).cast("long")
+    mid_rem = (200 % (F.col("n") - 2)).cast("long")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400))
+        .otherwise(
+            mid_base
+            + F.when(F.col("pos") - 1 <= mid_rem, 1).otherwise(0)
+        )
+    )
+    return pos.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_milli"),
+    ).orderBy("purchase_id", "pos")

@@ -422,3 +422,98 @@ def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "frequent_triples_apriori",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+l2 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS n_orders
+  FROM items a
+  JOIN items b ON b.l_orderkey = a.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  JOIN items c ON c.l_orderkey = a.l_orderkey
+              AND b.l_partkey < c.l_partkey
+  JOIN l2 ab ON ab.pa = a.l_partkey AND ab.pb = b.l_partkey
+  JOIN l2 ac ON ac.pa = a.l_partkey AND ac.pb = c.l_partkey
+  JOIN l2 bc ON bc.pa = b.l_partkey AND bc.pb = c.l_partkey
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+)
+SELECT part_a, part_b, part_c, n_orders
+FROM tri ORDER BY n_orders DESC, part_a, part_b, part_c
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with A-PRIORI pruning (Agrawal & Srikant
+    '94) — the second association-rule pass over
+    basket_part_pairs_top's first: a triple can only be frequent if
+    ALL THREE of its sub-pairs are, so the order-local triple
+    enumeration is gated on membership of each sub-pair in the
+    frequent-pair table L2 (support >= 2) BEFORE counting. That gate
+    is the scale story: the raw 3-way self-join fans out as
+    basket-size CHOOSE 3 per order, but the three L2 semi-conditions
+    cut candidates to the (tiny) downward-closed set — at 100 TB, L2
+    is the pruned working set that broadcasts, and the triple count
+    shuffles only gated candidates. Exact integer supports; ordered
+    deterministic output."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    l2 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    tri = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+    )
+    ab = l2.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+    ac = l2.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_c"))
+    bc = l2.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
+    return (
+        tri.join(F.broadcast(ab), ["part_a", "part_b"], "left_semi")
+        .join(F.broadcast(ac), ["part_a", "part_c"], "left_semi")
+        .join(F.broadcast(bc), ["part_b", "part_c"], "left_semi")
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b", "part_c")
+    )

@@ -80,3 +80,68 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.expr(_Z_EVENTS).alias("zval")
     ).orderBy("event_id")
+
+
+@register(
+    "partition_stats_prune_report",
+    oracle="""
+WITH part AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+         CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents,
+         CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matching
+  FROM orders GROUP BY 1
+)
+SELECT month, n_rows, min_cents, max_cents,
+       CAST(max_cents <= 40000000 AS BOOLEAN) AS can_prune,
+       n_matching
+FROM part ORDER BY month
+""",
+    category="sources",
+    tags=("defer-window",),
+)
+def partition_stats_prune_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA-SKIPPING EFFECTIVENESS report — the min/max zone-map
+    arithmetic behind parquet row-group pruning and Iceberg/Delta
+    file skipping, surfaced as an operator: per monthly partition of
+    orders, the column stats a manifest would store (row count,
+    min/max in exact cents) and the pruning verdict for the predicate
+    ``o_totalprice > 400000`` (skip iff partition max <= threshold).
+    ``n_matching`` rides along as the SOUNDNESS witness: every
+    partition the stats prune must show 0 matching rows — the
+    invariant that makes stats-based skipping safe (asserted in
+    tests/test_layout.py). This is the same decision Spark's own
+    parquet PushedFilters row-group skipping makes (pinned by
+    test_scan_project_filter_pushdown); here the math is explicit and
+    auditable at the table's partition grain. One aggregation; stats
+    are 84 rows regardless of table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    threshold_cents = 40000000
+    part = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias(
+            "min_cents"
+        ),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias(
+            "max_cents"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matching"),
+    )
+    return part.select(
+        "month",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        (F.col("max_cents") <= threshold_cents).alias("can_prune"),
+        "n_matching",
+    ).orderBy("month")

@@ -2472,3 +2472,179 @@ def sketch_theta_fixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+WITH co AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+),
+cc AS (
+  SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY c_custkey
+),
+exact AS (
+  SELECT CAST(sum(co.c * cc.c) AS BIGINT) AS exact_rows
+  FROM co JOIN cc ON cc.k = co.k
+),
+ho AS (
+  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 256
+             AS b,
+         CAST(sum(c) AS BIGINT) AS c
+  FROM co GROUP BY 1
+),
+hc AS (
+  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 256
+             AS b,
+         CAST(sum(c) AS BIGINT) AS c
+  FROM cc GROUP BY 1
+),
+est AS (
+  SELECT CAST(sum(ho.c * hc.c) AS BIGINT) AS est_rows
+  FROM ho JOIN hc ON hc.b = ho.b
+)
+SELECT exact_rows, est_rows,
+       CAST(est_rows AS DOUBLE) / exact_rows AS overestimate_ratio
+FROM exact, est
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from mergeable key histograms — the
+    statistic a cost-based optimizer consults before picking a join
+    strategy, computed as its own operator: the exact join cardinality
+    |orders JOIN customer ON custkey| = sum over keys of c1(k)*c2(k),
+    versus the 256-bucket hashed-histogram estimate sum over buckets
+    of C1(b)*C2(b) (an upper bound — cross terms inside a bucket
+    collide). Both are pure int64 sums; the overestimate ratio is one
+    double division. At 100 TB the histograms are 256-row mergeable
+    summaries a planner keeps per table/column — the whole estimate
+    costs two tiny aggregations and a 256-row join, no fact data
+    moves; the exact side here exists only to exhibit the error."""
+    co = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("c"))
+    )
+    cc = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        co.join(cc.withColumnsRenamed({"k": "k2", "c": "c2"}), F.col("k") == F.col("k2"))
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("exact_rows"))
+    )
+
+    def hist(df):
+        return df.groupBy(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 256
+            ).alias("b")
+        ).agg(F.sum("c").alias("c"))
+
+    ho, hc = hist(co), hist(cc)
+    est = (
+        ho.join(hc.withColumnsRenamed({"b": "b2", "c": "c2"}), F.col("b") == F.col("b2"))
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("est_rows"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_rows",
+        "est_rows",
+        (
+            F.col("est_rows").cast("double") / F.col("exact_rows")
+        ).alias("overestimate_ratio"),
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(x) AS BIGINT) AS tx
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.d,
+         SUM(d.x * t.nd - t.tx) OVER (PARTITION BY d.event_type
+                                      ORDER BY d.d) AS cum
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+s AS (
+  SELECT event_type, d, cum,
+         cum - min(cum) OVER (PARTITION BY event_type ORDER BY d)
+             AS cusum
+  FROM dev
+),
+best AS (
+  SELECT event_type, d, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cusum DESC, d) AS rn
+  FROM s
+)
+SELECT b.event_type, b.d AS changepoint_day,
+       CAST(b.cusum AS BIGINT) AS max_cusum_scaled,
+       t.nd AS n_days
+FROM best b JOIN tot t ON t.event_type = b.event_type
+WHERE b.rn = 1 ORDER BY b.event_type
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volumes: per type,
+    the day maximizing the one-sided CUSUM statistic
+    S_t = max(0, S_{t-1} + (x_t - mean)) — the classic recursive form,
+    re-expressed WINDOW-ALGEBRAICALLY as
+    S_t = cum_t - min_{j<=t}(cum_j) of mean-centered deviations (the
+    prefix-min identity), because the recursion itself is not
+    expressible in one window pass. EXACT integers throughout: the
+    mean is kept rational by scaling deviations to x_t*N - total (no
+    float mean), so the argmax day can never flip on a rounding
+    boundary. All windows run over the per-(type, day) AGGREGATE
+    (days x types rows), never raw events — at 100 TB the raw pass is
+    one count shuffle and the CUSUM machinery is a few thousand
+    aggregate rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"), F.sum("x").alias("tx")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    dev = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "cum",
+        F.sum(F.col("x") * F.col("nd") - F.col("tx")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = dev.withColumn(
+        "cusum",
+        F.col("cum")
+        - F.min("cum").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    best = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("cusum"), "d")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").alias("changepoint_day"),
+        F.col("cusum").cast("long").alias("max_cusum_scaled"),
+        F.col("nd").alias("n_days"),
+    ).orderBy("event_type")

@@ -47,3 +47,20 @@ def test_zorder_write_tightens_stats_on_both_dims(spark, sf_dir, tmp_path):
     )
     # and no rows were lost
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_prune_report_is_sound(spark, sf_dir):
+    """Stats-based skipping soundness: every partition the min/max
+    zone map prunes (can_prune) must contain ZERO rows matching the
+    predicate — the invariant that makes data skipping safe."""
+    from spark_lever_spark import registry
+
+    df = registry.all_queries()["partition_stats_prune_report"].fn(
+        spark, sf_dir
+    )
+    rows = df.collect()
+    assert rows, "no partitions"
+    for r in rows:
+        if r["can_prune"]:
+            assert r["n_matching"] == 0, r
+        assert r["min_cents"] <= r["max_cents"]
