@@ -1132,3 +1132,121 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+phrase AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM toks, unnest(range(1, len(ts))) t(i)
+  WHERE ts[i] = 'merge' AND ts[i + 1] = 'sort'
+  GROUP BY doc_id
+),
+ra AS (
+  SELECT doc_id, rank_a FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rank_a
+    FROM phrase) WHERE rank_a <= 50
+),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w = 'merge' GROUP BY doc_id
+),
+rb AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_b
+    FROM tf) WHERE rank_b <= 50
+),
+fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.rank_a, rb.rank_b,
+         coalesce(1.0 / (60 + ra.rank_a), 0)
+         + coalesce(1.0 / (60 + rb.rank_b), 0) AS rrf_score
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+)
+SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+       CAST(rank_b AS BIGINT) AS rank_b, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. '09, k = 60) of two
+    retrieval rankings — the standard way hybrid search merges a
+    lexical and a second signal without score calibration: ranker A =
+    exact-phrase frequency ("merge sort", the positional-postings
+    path of text_phrase_search_postings), ranker B = term frequency
+    of "merge". Each ranker contributes its TOP-50 list (RRF is
+    defined over bounded top-k lists — which is also what keeps the
+    rank windows bounded: both ride aggregate-derived frames cut by
+    TakeOrdered, never raw corpus rows); fused score =
+    sum of 1/(60 + rank) over the lists containing the doc. Each term
+    is ONE double division and the sum has exactly two addends, so
+    the score is bit-identical cross-engine (no fold-order exposure).
+    Absent-from-list contributes 0; final order (score desc, doc_id)
+    is fully deterministic."""
+    from spark_lever_spark.llm.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    p1 = post.filter(F.col("w") == "merge").select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = post.filter(F.col("w") == "sort").select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("pos2")
+    )
+    phrase = (
+        p1.join(
+            p2,
+            (F.col("doc2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ra = (
+        phrase.orderBy(F.desc("n_hits"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank_a",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_hits"), "doc_id")
+            ),
+        )
+        .select("doc_id", "rank_a")
+    )
+    tf = (
+        post.filter(F.col("w") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    rb = (
+        tf.orderBy(F.desc("tf"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank_b",
+            F.row_number().over(Window.orderBy(F.desc("tf"), "doc_id")),
+        )
+        .select(F.col("doc_id").alias("doc_b"), "rank_b")
+    )
+    fused = ra.join(rb, F.col("doc_b") == F.col("doc_id"), "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("doc_b")).alias("doc_id"),
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        (
+            F.coalesce(1.0 / (60 + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)

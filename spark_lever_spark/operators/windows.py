@@ -439,3 +439,67 @@ def revenue_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "exact_global_deciles",
+    oracle="""
+WITH d AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT v,
+         row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rk,
+         count(*) OVER () AS n
+  FROM d
+)
+SELECT CAST(t.q AS INT) AS decile,
+       CAST((t.q * n + 99) // 100 AS BIGINT) AS target_rank,
+       v AS value_cents
+FROM r, (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) t(q)
+WHERE rk = (t.q * n + 99) // 100
+ORDER BY decile
+""",
+    category="windows",
+    tags=("defer-window",),
+)
+def exact_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global deciles of l_extendedprice — what
+    approx_percentile_prices estimates, computed precisely, and the
+    showcase for why the 2-pass rank exists: the naive form (a global
+    sort + row_number) funnels the whole fact table through one task;
+    here ``with_global_rank`` (operators/grank.py) attaches exact
+    ranks with per-task memory FLAT in table size, and decile
+    selection is a pure map-side filter — each row checks its own rank
+    against the 9 target ranks ceil(q*N/100) computed from the total
+    (no join, no second pass). Exact integer cents, discrete-quantile
+    semantics (the value AT rank ceil(qN/100), ties broken by
+    (orderkey, linenumber) — spec'd identically in the oracle's
+    row_number)."""
+    from spark_lever_spark.functions.exact import cents
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_global_rank(li, F.col("v"), ["l_orderkey", "l_linenumber"])
+    targets = F.array(
+        *[
+            ((F.lit(q) * F.col("_n_tot") + 99) / 100).cast("long")
+            for q in range(10, 100, 10)
+        ]
+    )
+    sel = ranked.withColumn("_tg", targets).filter(
+        F.array_position(F.col("_tg"), F.col("_rk")) > 0
+    )
+    return sel.select(
+        (F.array_position(F.col("_tg"), F.col("_rk")) * 10)
+        .cast("int")
+        .alias("decile"),
+        F.col("_rk").alias("target_rank"),
+        F.col("v").alias("value_cents"),
+    ).orderBy("decile")
