@@ -714,6 +714,74 @@ def test_stream_stream_full_outer_exact_boundaries(spark, tmp_path):
     assert got == [(2, 0, 1, 0), (3, 1, 0, 0), (4, 0, 0, 1)]
 
 
+def test_drop_duplicates_within_watermark_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+) semantics pinned
+    across micro-batches (empirically probed, frozen):
+    - first arrival per key emits; duplicates within the live state
+      window are dropped EVEN IF their own event time is far ahead
+      (the dedup check precedes any state refresh — e4 at t0+3h is
+      dropped because X's state is still live),
+    - state eviction runs at batch END against the advanced watermark,
+      so a duplicate arriving in the same batch its state would expire
+      is STILL dropped (e6),
+    - a later batch re-emits the key once the state was evicted
+      (e7/e8) — the bounded-state guarantee that distinguishes this
+      operator from unbounded dropDuplicates (stream_dedup_events)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    batches = [
+        [("e1", base, "X"), ("e2", base + 30 * m, "X"),
+         ("e3", base + 10 * m, "Y")],
+        [("e4", base + 3 * h, "X"), ("e5", base + 40 * m, "Y")],
+        [("e6", base + 5 * h, "Y")],
+        [("e7", base + 6 * h, "Y"), ("e8", base + 6 * h, "X")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, k string"
+        )
+        tmp = str(tmp_path / f"t{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:02d}.parquet"))
+
+    sdf = (
+        spark.readStream.schema("event_id string, ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dedup = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    emitted: list[tuple[str, str]] = []
+    q = (
+        dedup.writeStream.foreachBatch(
+            lambda df, _eid: emitted.extend(
+                (r.event_id, r.k) for r in df.collect()
+            )
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(emitted) == [
+        ("e1", "X"),
+        ("e3", "Y"),
+        ("e7", "Y"),
+        ("e8", "X"),
+    ]
+
+
 def test_update_state_timeout_args_validated(spark):
     import pytest as _pytest
     from spark_lever_spark.streaming.stateful import (
