@@ -2418,16 +2418,18 @@ def sketch_theta_fixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = types.select(F.col("event_type").alias("type_a"))
     b = types.select(F.col("event_type").alias("type_b"))
     pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # pairwise intersections come from ONE hv-keyed self-join of the
+    # retained sets (all pairs fall out of the same shuffle), not a
+    # per-pair re-scan of the retained table
     ra = ret.select(F.col("event_type").alias("type_a"), "hv")
     rb = ret.select(
-        F.col("event_type").alias("rb_type"), F.col("hv").alias("hvb")
+        F.col("event_type").alias("type_b"), F.col("hv").alias("hvb")
     )
     inter = (
-        pairs.join(ra, "type_a")
-        .join(
+        ra.join(
             rb,
-            (F.col("type_b") == F.col("rb_type"))
-            & (F.col("hv") == F.col("hvb")),
+            (F.col("hv") == F.col("hvb"))
+            & (F.col("type_a") < F.col("type_b")),
         )
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_inter"))
