@@ -1464,3 +1464,98 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_touches"),
         credit.cast("long").alias("credit_milli"),
     ).orderBy("purchase_id", "pos")
+
+
+@register(
+    "wilson_ci_conversion_daily",
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+agg AS (
+  SELECT c.day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM c LEFT JOIN p ON p.day = c.day AND p.user_id = c.user_id
+  GROUP BY c.day
+)
+SELECT day, n, x,
+       CAST(x AS DOUBLE) / n AS phat,
+       ((CAST(x AS DOUBLE) / n + (1.96 * 1.96) / (2 * n))
+        - 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                      * (1 - CAST(x AS DOUBLE) / n) / n
+                      + (1.96 * 1.96) / (4 * n * n)))
+       / (1 + (1.96 * 1.96) / n) AS wilson_lo,
+       ((CAST(x AS DOUBLE) / n + (1.96 * 1.96) / (2 * n))
+        + 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                      * (1 - CAST(x AS DOUBLE) / n) / n
+                      + (1.96 * 1.96) / (4 * n * n)))
+       / (1 + (1.96 * 1.96) / n) AS wilson_hi
+FROM agg ORDER BY day
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def wilson_ci_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click->purchase conversion rate with the WILSON 95 %
+    score interval — the interval that behaves at small n and extreme
+    p where the naive Wald CI collapses (the A/B-readout statistic
+    alongside ab_chi_square). n = distinct clicking users per day,
+    x = those who also purchased that day (exact integer counts, one
+    keyed left join of two per-(day, user) distinct sets). Float
+    parity: the CI is a fixed arithmetic EXPRESSION TREE over (x, n)
+    written structurally identically in both engines — every op
+    (divide, multiply, sqrt) is IEEE-correctly-rounded, so identical
+    trees on identical integers give bit-identical doubles; z enters
+    as the literal product 1.96*1.96, never a precomputed rounded
+    constant."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").alias("p_day"),
+            F.col("user_id").alias("p_user"),
+        )
+        .distinct()
+    )
+    agg = (
+        c.join(
+            p,
+            (F.col("p_day") == F.col("day"))
+            & (F.col("p_user") == F.col("user_id")),
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("p_user").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    phat = F.col("x").cast("double") / F.col("n")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = phat + z2 / (2 * F.col("n"))
+    margin = F.lit(1.96) * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + z2 / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return agg.select(
+        "day",
+        "n",
+        "x",
+        phat.alias("phat"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    ).orderBy("day")

@@ -517,3 +517,155 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b", "part_c")
     )
+
+
+@register(
+    "hybrid_skew_join_orders",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def hybrid_skew_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID (differential) skew join — the production answer when a
+    handful of hot keys would overwhelm their shuffle partitions and
+    salting is unavailable (e.g. the build side can't be replicated
+    per salt): split the fact by key temperature. The top-100 hottest
+    join keys (a bounded aggregate, driver-safe at any scale) route
+    through a BROADCAST join of just their dimension rows — hot-key
+    rows never shuffle at all — while the cold remainder takes the
+    normal shuffle join; the union is EXACTLY the plain join because
+    hot/cold partition the key space (the oracle IS the plain join,
+    so the hash match proves the rewrite's identity). Same family as
+    skew_salted_join but the opposite trade: salting spreads a hot key
+    across reducers, the hybrid removes it from the shuffle entirely —
+    pick per key-cardinality of the dim side. AQE's skew handling
+    (test_aqe_skew.py) does this adaptively; here the rewrite is
+    explicit and plan-pinned."""
+    from spark_lever_spark.functions.exact import cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents(F.col("l_extendedprice")).alias("cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "l_orderkey")
+        .limit(100)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    li_hot = li.join(
+        F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_semi"
+    )
+    li_cold = li.join(
+        F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti"
+    )
+    o_hot = orders.join(
+        F.broadcast(hot), orders.o_orderkey == hot.hot_key, "left_semi"
+    )
+    hot_joined = li_hot.join(
+        F.broadcast(o_hot), li_hot.l_orderkey == o_hot.o_orderkey
+    )
+    cold_joined = li_cold.join(
+        orders, li_cold.l_orderkey == orders.o_orderkey
+    )
+    both = hot_joined.select("o_orderstatus", "cents").unionByName(
+        cold_joined.select("o_orderstatus", "cents")
+    )
+    return (
+        both.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").alias("price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "grid_join_value_time_neighbors",
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(a.event_id) AS BIGINT) AS min_id_a,
+       CAST(max(b.event_id) AS BIGINT) AS max_id_b
+FROM e a JOIN e b
+  ON a.event_id < b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+ AND abs(b.value - a.value) <= 1.0
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def grid_join_value_time_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-DIMENSIONAL similarity self-join (near in TIME and in VALUE
+    simultaneously) via GRID-CELL bucketing — the spatial-join pattern
+    generalizing range_join_bucketed's 1-D axis: every row lands in
+    one (5-minute, 1.0-value) grid cell, the LEFT side explodes onto
+    its 3x3 neighborhood, and candidates meet through a pure EQUI-join
+    on the cell key (each qualifying pair meets EXACTLY once — the
+    right row's cell is unique, so no post-join dedup). Catalyst alone
+    can only nested-loop a two-sided inequality like this; the grid
+    turns it into one hash shuffle whose fan-out is 9x, independent of
+    data size. Exact predicates re-verify candidates, so the result
+    equals the direct theta join the oracle runs. Output: pair count +
+    id span over co-anomalous error events."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "ts", "value")
+    )
+    tcell = (F.unix_micros(F.col("ts")) / 300000000).cast("long")
+    vcell = F.floor(F.col("value") / 1.0).cast("long")
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("value").alias("v_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (tcell + dt).alias("tc"), (vcell + dv).alias("vc")
+                    )
+                    for dt in (-1, 0, 1)
+                    for dv in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("value").alias("v_b"),
+        F.struct(tcell.alias("tc"), vcell.alias("vc")).alias("cell"),
+    )
+    pairs = a.join(b, "cell").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.col("ts_b")
+            >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTE")
+        )
+        & (
+            F.col("ts_b")
+            <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")
+        )
+        & (F.abs(F.col("v_b") - F.col("v_a")) <= 1.0)
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("id_a").alias("min_id_a"),
+        F.max("id_b").alias("max_id_b"),
+    )
