@@ -19,6 +19,49 @@ from spark_lever_spark.functions.exact import cents
 from spark_lever_spark.registry import register
 
 
+def prorate_largest_remainder(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    amount_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Allocation core: split each key's ``amount_col`` (identical on
+    every row of the key) across its rows proportionally to
+    ``weight_col``, largest-remainder rounded so the int64 ``alloc``
+    column sums to the amount EXACTLY per key (floor shares
+    ``amount*w // total_w``; leftover units go to the rows with the
+    largest remainders ``amount*w % total_w``, ties to the lowest
+    ``order_col``). Windows partition on ``key`` only. Property
+    contracts (exact sum, weight monotonicity, python-reference
+    equality) pinned by hypothesis in tests/test_temporal.py."""
+    w = Window.partitionBy(key)
+    num = F.col(amount_col) * F.col(weight_col)
+    base = df.withColumn("_tot_w", F.sum(weight_col).over(w)).withColumns(
+        {
+            "_floor": F.floor(num / F.col("_tot_w")).cast("long"),
+            "_rem": (num % F.col("_tot_w")),
+        }
+    )
+    ranked = base.withColumns(
+        {
+            "_fsum": F.sum("_floor").over(w),
+            "_rrank": F.row_number().over(
+                w.orderBy(F.desc("_rem"), order_col)
+            ),
+        }
+    )
+    return ranked.withColumn(
+        "alloc",
+        (
+            F.col("_floor")
+            + F.when(
+                F.col("_rrank") <= F.col(amount_col) - F.col("_fsum"), 1
+            ).otherwise(0)
+        ).cast("long"),
+    ).drop("_tot_w", "_floor", "_rem", "_fsum", "_rrank")
+
+
 @register(
     "prorate_fee_largest_remainder",
     oracle="""
@@ -100,40 +143,19 @@ def prorate_fee_largest_remainder(
         )
         .join(fee, "l_orderkey")
     )
-    w = Window.partitionBy("l_orderkey")
-    num = F.col("fee_cents") * F.col("line_cents")
-    base = li.withColumn("tot_cents", F.sum("line_cents").over(w)).select(
-        "l_orderkey",
-        "l_linenumber",
-        "line_cents",
-        "fee_cents",
-        F.floor(num / F.col("tot_cents")).cast("long").alias("floor_share"),
-        (num % F.col("tot_cents")).alias("frac_rem"),
-    )
-    ranked = base.withColumns(
-        {
-            "floor_sum": F.sum("floor_share").over(w),
-            "frac_rank": F.row_number().over(
-                w.orderBy(F.desc("frac_rem"), "l_linenumber")
-            ),
-        }
-    )
-    return ranked.select(
-        "l_orderkey",
-        "l_linenumber",
-        "line_cents",
-        "fee_cents",
-        (
-            F.col("floor_share")
-            + F.when(
-                F.col("frac_rank")
-                <= F.col("fee_cents") - F.col("floor_sum"),
-                1,
-            ).otherwise(0)
+    return (
+        prorate_largest_remainder(
+            li, "l_orderkey", "line_cents", "fee_cents", "l_linenumber"
         )
-        .cast("long")
-        .alias("alloc_cents"),
-    ).orderBy("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "line_cents",
+            "fee_cents",
+            F.col("alloc").alias("alloc_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(

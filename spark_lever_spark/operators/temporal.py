@@ -1297,6 +1297,62 @@ def asof_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+def fifo_match(
+    buys: DataFrame, sells: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Distributed FIFO matching core: ``buys``/``sells`` carry
+    (key, id, ts, qty) with qty > 0; returns one row per
+    (buy_id, sell_id) consumption with its exact matched quantity.
+
+    Cumulative quantities turn every lot and sell into a half-open
+    interval on the key's consumption axis; "sell s drew
+    min(hi)-max(lo) units of lot b" is interval intersection — two
+    keyed running sums + ONE keyed band join, no iteration. Property
+    contracts (conservation per lot/sell, total = min(supply, demand),
+    exact equality with a sequential FIFO simulator) are pinned by
+    hypothesis tests in tests/test_temporal.py."""
+
+    def legs(df: DataFrame, id_alias: str):
+        return df.select(
+            key,
+            F.col("id").alias(id_alias),
+            "ts",
+            "qty",
+        ).select(
+            key,
+            id_alias,
+            (F.sum("qty").over(
+                Window.partitionBy(key).orderBy("ts", id_alias)
+            ) - F.col("qty")).alias("lo"),
+            F.sum("qty").over(
+                Window.partitionBy(key).orderBy("ts", id_alias)
+            ).alias("hi"),
+        )
+
+    b = legs(buys, "buy_id").withColumnsRenamed({"lo": "b_lo", "hi": "b_hi"})
+    s2 = (
+        legs(sells, "sell_id")
+        .withColumnsRenamed({"lo": "s_lo", "hi": "s_hi"})
+        .withColumnRenamed(key, "_s_key")
+    )
+    return (
+        b.join(
+            s2,
+            (F.col("_s_key") == F.col(key))
+            & (F.col("s_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("s_hi")),
+        )
+        .select(
+            key,
+            "buy_id",
+            "sell_id",
+            (F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")).alias(
+                "matched_qty"
+            ),
+        )
+    )
+
+
 @register(
     "fifo_lot_matching",
     oracle="""
@@ -1353,44 +1409,14 @@ def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     from spark_lever_spark.functions.exact import cents
 
-    def legs(event_type: str, id_alias: str):
-        w = Window.partitionBy("user_id").orderBy("ts", id_alias)
-        return (
-            ev.filter(F.col("event_type") == event_type)
-            .select(
-                "user_id",
-                F.col("event_id").alias(id_alias),
-                "ts",
-                cents(F.col("value")).alias("qty"),
-            )
-            .select(
-                "user_id",
-                id_alias,
-                (F.sum("qty").over(w) - F.col("qty")).alias("lo"),
-                F.sum("qty").over(w).alias("hi"),
-            )
+    def leg(event_type: str):
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias("id"),
+            "ts",
+            cents(F.col("value")).alias("qty"),
         )
 
-    b = legs("click", "buy_id").withColumnsRenamed(
-        {"lo": "b_lo", "hi": "b_hi"}
-    )
-    s = legs("purchase", "sell_id").withColumnsRenamed(
-        {"lo": "s_lo", "hi": "s_hi"}
-    ).withColumnRenamed("user_id", "s_user")
-    return (
-        b.join(
-            s,
-            (F.col("s_user") == F.col("user_id"))
-            & (F.col("s_lo") < F.col("b_hi"))
-            & (F.col("b_lo") < F.col("s_hi")),
-        )
-        .select(
-            "user_id",
-            "buy_id",
-            "sell_id",
-            (
-                F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")
-            ).alias("matched_qty"),
-        )
-        .orderBy("user_id", "buy_id", "sell_id")
+    return fifo_match(leg("click"), leg("purchase")).orderBy(
+        "user_id", "buy_id", "sell_id"
     )

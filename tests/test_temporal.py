@@ -120,3 +120,152 @@ def test_range_join_bucketed_empty_right(spark):
     assert range_join_bucketed(
         ldf, rdf, by=["k"], lo="lo", hi="hi", right_on="rt", bucket_width=5
     ).count() == 0
+
+
+def _fifo_simulate(buys, sells):
+    """Sequential reference FIFO matcher: buys/sells are
+    time-ordered (id, qty) lists; returns {(buy_id, sell_id): qty}."""
+    out = {}
+    bi, avail = 0, None
+    lots = [[bid, q] for bid, q in buys]
+    for sid, want in sells:
+        while want > 0 and bi < len(lots):
+            take = min(want, lots[bi][1])
+            if take > 0:
+                out[(lots[bi][0], sid)] = take
+                lots[bi][1] -= take
+                want -= take
+            if lots[bi][1] == 0:
+                bi += 1
+        # unmet demand simply goes unmatched
+    return out
+
+
+def test_fifo_match_equals_sequential_simulator(spark):
+    """Property contract of fifo_match (hypothesis over random
+    multi-user buy/sell sequences): the distributed cumulative-interval
+    band join must EQUAL a sequential per-user FIFO simulator exactly,
+    which implies the conservation laws (per-lot and per-sell matched
+    totals never exceed their quantities; per-user total matched =
+    min(supply, demand))."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_lever_spark.operators.temporal import fifo_match
+
+    qty = st.integers(min_value=1, max_value=50)
+    seq = st.lists(qty, min_size=0, max_size=6)
+
+    @given(st.lists(st.tuples(seq, seq), min_size=1, max_size=3))
+    @settings(max_examples=8, deadline=None)
+    def run(users):
+        base = dt.datetime(2026, 1, 1)
+        brows, srows, expected = [], [], {}
+        next_id = 0
+        for u, (bq, sq) in enumerate(users):
+            buys = []
+            for i, q in enumerate(bq):
+                buys.append((next_id, q))
+                brows.append((u, next_id, base + dt.timedelta(minutes=i), q))
+                next_id += 1
+            sells = []
+            for i, q in enumerate(sq):
+                sells.append((next_id, q))
+                srows.append((u, next_id, base + dt.timedelta(minutes=i), q))
+                next_id += 1
+            expected.update(_fifo_simulate(buys, sells))
+        schema = "user_id long, id long, ts timestamp, qty long"
+        bdf = spark.createDataFrame(
+            brows or [(0, 0, base, 1)], schema
+        )
+        sdf = spark.createDataFrame(srows or [], schema)
+        if not brows:
+            bdf = bdf.limit(0)
+        got = {
+            (r.buy_id, r.sell_id): r.matched_qty
+            for r in fifo_match(bdf, sdf).collect()
+        }
+        assert got == expected, (got, expected)
+        # conservation re-stated explicitly (redundant with equality,
+        # kept as the named law)
+        per_user_supply = {
+            u: sum(bq) for u, (bq, _s) in enumerate(users)
+        }
+        per_user_demand = {
+            u: sum(sq) for u, (_b, sq) in enumerate(users)
+        }
+        matched_by_user: dict[int, int] = {}
+        id_owner = {r[1]: r[0] for r in brows}
+        for (bid, _sid), q in got.items():
+            matched_by_user[id_owner[bid]] = (
+                matched_by_user.get(id_owner[bid], 0) + q
+            )
+        for u in per_user_supply:
+            assert matched_by_user.get(u, 0) == min(
+                per_user_supply[u], per_user_demand[u]
+            )
+
+    run()
+
+
+def test_prorate_largest_remainder_properties(spark):
+    """Hypothesis contract of the allocation core: per-key alloc sums
+    to the amount EXACTLY; every alloc is within 1 unit of the ideal
+    fractional share (the largest-remainder guarantee); equal weights
+    get allocations differing by at most 1; matches a pure-python
+    reference allocator bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_lever_spark.operators.alloc import prorate_largest_remainder
+
+    def py_allocate(amount, weights):
+        tot = sum(weights)
+        floors = [amount * w // tot for w in weights]
+        rems = [amount * w % tot for w in weights]
+        left = amount - sum(floors)
+        order = sorted(range(len(weights)), key=lambda i: (-rems[i], i))
+        out = list(floors)
+        for i in order[:left]:
+            out[i] += 1
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),  # amount
+                st.lists(
+                    st.integers(min_value=1, max_value=1000),
+                    min_size=1,
+                    max_size=7,
+                ),
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(groups):
+        rows, expected = [], {}
+        for k, (amount, weights) in enumerate(groups):
+            ref = py_allocate(amount, weights)
+            for i, w in enumerate(weights):
+                rows.append((k, i, w, amount))
+                expected[(k, i)] = ref[i]
+        df = spark.createDataFrame(
+            rows, "k long, ord long, w long, amount long"
+        )
+        out = prorate_largest_remainder(df, "k", "w", "amount", "ord")
+        got = {(r.k, r.ord): r.alloc for r in out.collect()}
+        assert got == expected, (got, expected)
+        for k, (amount, weights) in enumerate(groups):
+            allocs = [got[(k, i)] for i in range(len(weights))]
+            assert sum(allocs) == amount
+            tot = sum(weights)
+            for a, w in zip(allocs, weights):
+                ideal = amount * w / tot
+                assert ideal - 1 < a < ideal + 1
+
+    run()
