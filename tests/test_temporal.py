@@ -269,3 +269,69 @@ def test_prorate_largest_remainder_properties(spark):
                 assert ideal - 1 < a < ideal + 1
 
     run()
+
+
+def test_grid_join_equals_brute_force(spark):
+    """Hypothesis contract of the 2D grid-cell join pattern
+    (grid_join_value_time_neighbors): for random point sets —
+    including exact cell-boundary values, the place grid joins break —
+    the 3x3-neighborhood equi-join must find EXACTLY the brute-force
+    pair set for |dt| <= 300 s and |dv| <= 1.0."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    secs = st.integers(min_value=0, max_value=1800)
+    # values snapped to quarters so exact cell-edge hits (x.0) occur
+    vals = st.integers(min_value=-8, max_value=8).map(lambda q: q / 4.0)
+
+    @given(st.lists(st.tuples(secs, vals), min_size=2, max_size=12))
+    @settings(max_examples=10, deadline=None)
+    def run(points):
+        rows = [(i, s, v) for i, (s, v) in enumerate(points)]
+        df = spark.createDataFrame(rows, "id long, s long, v double")
+        tc = (F.col("s") / 300).cast("long")
+        vc = F.floor(F.col("v") / 1.0).cast("long")
+        a = df.select(
+            F.col("id").alias("ia"),
+            F.col("s").alias("sa"),
+            F.col("v").alias("va"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct((tc + dt).alias("tc"), (vc + dv).alias("vc"))
+                        for dt in (-1, 0, 1)
+                        for dv in (-1, 0, 1)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        b = df.select(
+            F.col("id").alias("ib"),
+            F.col("s").alias("sb"),
+            F.col("v").alias("vb"),
+            F.struct(tc.alias("tc"), vc.alias("vc")).alias("cell"),
+        )
+        got = {
+            (r.ia, r.ib)
+            for r in a.join(b, "cell")
+            .filter(
+                (F.col("ia") < F.col("ib"))
+                & (F.abs(F.col("sb") - F.col("sa")) <= 300)
+                & (F.abs(F.col("vb") - F.col("va")) <= 1.0)
+            )
+            .collect()
+        }
+        brute = {
+            (i, j)
+            for (i, (si, vi)), (j, (sj, vj)) in itertools.combinations(
+                enumerate(points), 2
+            )
+            if abs(sj - si) <= 300 and abs(vj - vi) <= 1.0
+        }
+        assert got == brute, (got ^ brute)
+
+    run()
