@@ -37,6 +37,8 @@ registry/oracle parity path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -238,10 +240,21 @@ def tune_lsh_banding(
     options = [(k // r, r) for r in range(k, 0, -1) if k % r == 0]
     best: tuple[float, int, int] | None = None
     for b, r in options:
-        recall = 1.0 - (1.0 - dup_threshold**r) ** b
+        # quantize every compared quantity to 6 decimals — pow is not
+        # correctly-rounded, so a sub-ulp libm difference between
+        # Python ** and DuckDB power() must not be able to flip the
+        # recall gate or the expected-candidates argmin. The oracle
+        # quantizes with the IDENTICAL floor(x*1e6 + 0.5)/1e6 formula
+        # (Python's round() is half-even, DuckDB's is half-away — the
+        # explicit form sidesteps both; ADVICE round 8 +
+        # functions/exact.py doctrine).
+        recall = math.floor((1.0 - (1.0 - dup_threshold**r) ** b) * 1e6 + 0.5) / 1e6
         if recall < min_recall:
             continue
-        expected = sum(1.0 - (1.0 - s**r) ** b for s in sims)
+        expected = (
+            math.floor(sum(1.0 - (1.0 - s**r) ** b for s in sims) * 1e6 + 0.5)
+            / 1e6
+        )
         if best is None or expected < best[0]:
             best = (expected, b, r)
     if best is None:  # no option meets recall: fall back to max recall
@@ -565,10 +578,17 @@ spair AS MATERIALIZED (
 opts AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4),
                                (16, 2), (32, 1)) o(b, r)),
 scored AS (
+  -- floor(x*1e6 + 0.5)/1e6 on both the recall gate and the expected
+  -- count mirrors the Python tuner's quantization bit-for-bit: a
+  -- sub-ulp power() vs ** difference cannot flip the gate or the
+  -- argmin (round(x, n) is half-away in DuckDB but half-even in
+  -- Python, so the explicit form is used on BOTH sides)
   SELECT o.b, o.r,
-         coalesce(sum(1 - power(1 - power(p.j, o.r), o.b)), 0) AS expected
+         floor(coalesce(sum(1 - power(1 - power(p.j, o.r), o.b)), 0)
+               * 1e6 + 0.5) / 1e6 AS expected
   FROM opts o LEFT JOIN spair p ON true
-  WHERE 1 - power(1 - power(0.95, o.r), o.b) >= 0.9
+  WHERE floor((1 - power(1 - power(0.95, o.r), o.b)) * 1e6 + 0.5) / 1e6
+        >= 0.9
   GROUP BY o.b, o.r
 ),
 choice AS (SELECT b, r FROM scored ORDER BY expected ASC, r DESC LIMIT 1),

@@ -505,14 +505,16 @@ def token_drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')
+             AS ts_lower
   FROM documents
 ),
 m AS (
   SELECT doc_id,
          len(ts) AS n_tok,
          list_sum(list_transform(ts, w -> length(w))) AS sum_len,
-         len(list_filter(ts, w -> w IN
+         len(list_filter(ts_lower, w -> w IN
              ('the','a','of','and','to','in','is','it','that','for')))
              AS stop_hits,
          len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))

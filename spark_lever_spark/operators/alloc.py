@@ -36,12 +36,20 @@ def prorate_largest_remainder(
     contracts (exact sum, weight monotonicity, python-reference
     equality) pinned by hypothesis in tests/test_temporal.py."""
     w = Window.partitionBy(key)
-    num = F.col(amount_col) * F.col(weight_col)
-    base = df.withColumn("_tot_w", F.sum(weight_col).over(w)).withColumns(
-        {
-            "_floor": F.floor(num / F.col("_tot_w")).cast("long"),
-            "_rem": (num % F.col("_tot_w")),
-        }
+    base = (
+        df.withColumn("_tot_w", F.sum(weight_col).over(w))
+        .withColumn(
+            "_num", (F.col(amount_col) * F.col(weight_col)).cast("long")
+        )
+        .withColumns(
+            {
+                # long `div` long: exact integer division for the full
+                # int64 range (F.floor(num / tot) goes through a double
+                # quotient, exact only below 2^53 — ADVICE round 8)
+                "_floor": F.expr("_num div _tot_w").cast("long"),
+                "_rem": (F.col("_num") % F.col("_tot_w")),
+            }
+        )
     )
     ranked = base.withColumns(
         {
@@ -59,7 +67,7 @@ def prorate_largest_remainder(
                 F.col("_rrank") <= F.col(amount_col) - F.col("_fsum"), 1
             ).otherwise(0)
         ).cast("long"),
-    ).drop("_tot_w", "_floor", "_rem", "_fsum", "_rrank")
+    ).drop("_tot_w", "_num", "_floor", "_rem", "_fsum", "_rrank")
 
 
 @register(

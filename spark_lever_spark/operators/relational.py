@@ -2586,7 +2586,7 @@ dev AS (
 ),
 s AS (
   SELECT event_type, d, cum,
-         cum - min(cum) OVER (PARTITION BY event_type ORDER BY d)
+         cum - least(min(cum) OVER (PARTITION BY event_type ORDER BY d), 0)
              AS cusum
   FROM dev
 ),
@@ -2610,9 +2610,11 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day maximizing the one-sided CUSUM statistic
     S_t = max(0, S_{t-1} + (x_t - mean)) — the classic recursive form,
     re-expressed WINDOW-ALGEBRAICALLY as
-    S_t = cum_t - min_{j<=t}(cum_j) of mean-centered deviations (the
-    prefix-min identity), because the recursion itself is not
-    expressible in one window pass. EXACT integers throughout: the
+    S_t = cum_t - min_{0<=j<=t}(cum_j) of mean-centered deviations —
+    the prefix-min identity INCLUDING the empty prefix cum_0 = 0
+    (via least(min, 0)), which the recursion's max(0, .) floor
+    requires — because the recursion itself is not expressible in one
+    window pass. EXACT integers throughout: the
     mean is kept rational by scaling deviations to x_t*N - total (no
     float mean), so the argmax day can never flip on a rounding
     boundary. All windows run over the per-(type, day) AGGREGATE
@@ -2633,10 +2635,18 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # least(…, 0) folds the EMPTY prefix cum_0 = 0 into the prefix min:
+    # without it, a series whose every prefix sum is positive would
+    # undershoot the true one-sided CUSUM max(0, S_{t-1} + dev) and
+    # could flip the argmax day (ADVICE round 8 — fixed identically in
+    # the oracle, parity preserved).
     s = dev.withColumn(
         "cusum",
         F.col("cum")
-        - F.min("cum").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        - F.least(
+            F.min("cum").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.lit(0).cast("long"),
+        ),
     )
     best = s.withColumn(
         "rn",

@@ -493,13 +493,25 @@ def exact_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in range(10, 100, 10)
         ]
     )
-    sel = ranked.withColumn("_tg", targets).filter(
-        F.array_position(F.col("_tg"), F.col("_rk")) > 0
+    # posexplode the 9 (decile, target_rank) pairs and equi-filter on
+    # the row's own rank: when n < 10 several deciles share one target
+    # rank, and array_position (first match only) would emit a single
+    # row where the oracle's VALUES join emits one per decile (ADVICE
+    # round 8). The explode is on hit rows only (<= 9 after the
+    # array_contains pre-filter), so the map-side-selection scale story
+    # is unchanged.
+    sel = (
+        ranked.withColumn("_tg", targets)
+        .filter(F.array_contains(F.col("_tg"), F.col("_rk")))
+        .select(
+            "v",
+            "_rk",
+            F.posexplode(F.col("_tg")).alias("_pos", "_target"),
+        )
+        .filter(F.col("_rk") == F.col("_target"))
     )
     return sel.select(
-        (F.array_position(F.col("_tg"), F.col("_rk")) * 10)
-        .cast("int")
-        .alias("decile"),
+        ((F.col("_pos") + 1) * 10).cast("int").alias("decile"),
         F.col("_rk").alias("target_rank"),
         F.col("v").alias("value_cents"),
     ).orderBy("decile")
