@@ -35,7 +35,9 @@ GATES = {
     "basket_part_pairs_top": 1.6,
     "bloom_semi_join_prune": 1.09,
     "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
-    "dedup_cluster_quality_election": 32.96,  # v2.4 addition (round 8)
+    "dedup_cluster_quality_election": 20.53,  # v2.5 re-freeze (round 9:
+    # candidacy routed through tune_lsh_banding — (4,8) on this corpus,
+    # 7.4M -> 3.7M candidate pairs; was 32.96 under fixed 8x4)
     "dedup_exact_md5": 0.34,
     "dedup_paragraph_rebuild": 0.88,
     "dsir_importance_weights": 1.71,
@@ -79,6 +81,12 @@ GATES = {
     "triangle_count_copurchase": 2.11,
     "window_topk_per_group": 0.6,
 }
+
+# v2.4 heavy queries: benched in a trailing phase behind a cache-drop
+# + GC barrier so their residency never perturbs the common set's
+# round-over-round comparability (BENCH_r08 showed 11 common queries
+# drifting >= 1.3x from suite interference alone).
+HEAVY_PHASE = {"dedup_cluster_quality_election", "bpe_learn_merges"}
 
 
 def main() -> None:
@@ -137,21 +145,40 @@ def main() -> None:
     # Per-query isolation: one broken query must never cost the whole
     # suite its perf signal (BENCH_r03/r04 were both lost to a single
     # analysis-time crash aborting the loop before the JSON printed).
+    #
+    # Two-phase ordering (round 9, VERDICT r8 task #3): the v2.4 heavy
+    # queries run in a TRAILING phase, after the common set and behind
+    # an explicit cache-drop + GC barrier. In BENCH_r08 the 27.7 s
+    # resident-heavy election query ran mid-alphabet and lifted 11
+    # common queries >= 1.3x purely through GC/cache pressure — the
+    # common-set numbers must stay comparable round-over-round, so the
+    # heavy phase may interfere only with itself.
     timings: dict[str, float] = {}
     errs: dict[str, str] = {}
-    for name, q in sorted(registry.bench_queries().items()):
-        best = None
-        try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                q.fn(spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — report, keep benching
-            msg = str(exc).split("\n", 1)[0][:300]
-            errs[name] = f"{type(exc).__name__}: {msg}"
-            print(f"[bench] {name} FAILED: {errs[name]}", file=sys.stderr)
+
+    def run_phase(names_qs) -> None:
+        for name, q in names_qs:
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    q.fn(spark, sf_dir).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — report, keep benching
+                msg = str(exc).split("\n", 1)[0][:300]
+                errs[name] = f"{type(exc).__name__}: {msg}"
+                print(f"[bench] {name} FAILED: {errs[name]}", file=sys.stderr)
+
+    all_qs = sorted(registry.bench_queries().items())
+    run_phase([(n, q) for n, q in all_qs if n not in HEAVY_PHASE])
+    # barrier: drop cached relations and hint a full GC so the heavy
+    # phase starts from the same heap state the common phase ended in
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()  # noqa: SLF001 — single-JVM bench harness
+    time.sleep(1.0)
+    run_phase([(n, q) for n, q in all_qs if n in HEAVY_PHASE])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

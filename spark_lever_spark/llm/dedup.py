@@ -553,8 +553,10 @@ def lsh_candidate_pairs(
 # strict-< scan) — then runs the banding it chose. Zero-Jaccard sample
 # pairs never appear in the token join, which is safe: they contribute
 # exactly 0 to every option's expected count.
-_TUNED_LSH_SQL = f"""
-WITH {_MINHASH_SIG_CTES.rstrip()},
+# The CTE chain up to `tune_est`/`choice` is shared with the tuned
+# election oracle in llm/graph.py (round-9: the cluster-election path
+# consumes the tuner's banding too), so it is factored as a constant.
+_TUNED_EST_CTES = f"""{_MINHASH_SIG_CTES.rstrip()},
 smod AS (SELECT greatest(1, count(*) // 150) AS m FROM documents),
 samp AS MATERIALIZED (
   SELECT d.doc_id FROM documents d, smod
@@ -612,7 +614,10 @@ tune_est AS (
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
   GROUP BY c.id_a, c.id_b
-)
+)"""
+
+_TUNED_LSH_SQL = f"""
+WITH {_TUNED_EST_CTES}
 SELECT CAST(ch.b AS INT) AS bands, CAST(ch.r AS INT) AS rows_per_band,
        e.id_a, e.id_b, e.est_jaccard
 FROM tune_est e, choice ch

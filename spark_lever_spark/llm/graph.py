@@ -190,7 +190,7 @@ def dedup_cc_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from spark_lever_spark.llm.dedup import _MINHASH_SQL_CTES
+from spark_lever_spark.llm.dedup import _MINHASH_SQL_CTES, _TUNED_EST_CTES
 
 
 @register(
@@ -693,12 +693,13 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_quality_election",
-    # same md5-affine LSH + recursive-CC replay as
+    # md5-affine LSH under the TUNED banding (full tuner-decision
+    # replay, dedup._TUNED_EST_CTES) + recursive-CC replay as
     # dedup_minhash_clusters, extended with the production election
     # rule: keep the LONGEST member (token count, tie -> min doc_id)
     oracle=f"""
-WITH RECURSIVE {_MINHASH_SQL_CTES},
-pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+WITH RECURSIVE {_TUNED_EST_CTES},
+pairs AS (SELECT id_a, id_b FROM tune_est WHERE est_jaccard >= 0.5),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -742,15 +743,34 @@ def dedup_cluster_quality_election(
     pipelines keep the BEST member — here the longest (token count,
     exact integer — no float quality score to tie-break across
     engines), with min doc_id breaking exact-length ties. Pipeline:
-    LSH candidate pairs (est >= 0.5) → large-star/small-star connected
-    components → one equi-join to the token counts → per-cluster
-    top-1 window (cluster-keyed: parallel across clusters). The
-    reference rule every dedup paper glosses as 'keep one
-    representative', made explicit and verifiable."""
-    from spark_lever_spark.llm.dedup import dedup_minhash_lsh
+    LSH candidate pairs under the TUNED banding (est >= 0.5) →
+    large-star/small-star connected components → one equi-join to the
+    token counts → per-cluster top-1 window (cluster-keyed: parallel
+    across clusters). The reference rule every dedup paper glosses as
+    'keep one representative', made explicit and verifiable.
+
+    Round 9 (VERDICT r8 task #4): candidacy now runs under the
+    ``tune_lsh_banding`` choice instead of the fixed 8x4 — on this
+    high-background-similarity corpus the fixed banding generated ~3M
+    candidate pairs at sf0.1 (the 27.7 s BENCH_r08 bill), nearly all
+    background J≈0.5-0.8 noise the est>=0.5 filter then discarded
+    pair-by-pair. The tuner keeps recall >= 0.9 at the J=0.95 dup
+    threshold while minimizing expected candidates; candidacy for
+    mid-band pairs is LSH-governed by design (the whole point of
+    banding selectivity). The oracle replays the ENTIRE tuning
+    decision + banding + CC + election in SQL, so the hash certifies
+    the tuned pipeline end-to-end."""
+    from spark_lever_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        tune_lsh_banding,
+    )
     from spark_lever_spark.llm.textstats import token_count
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+    docs = load_table(spark, sf_dir, "documents")
+    b, _r = tune_lsh_banding(
+        docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
+    )
+    pairs = lsh_candidate_pairs(docs, k=32, bands=b).filter(
         F.col("est_jaccard") >= 0.5
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
