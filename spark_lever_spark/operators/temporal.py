@@ -1306,11 +1306,25 @@ def fifo_match(
 
     Cumulative quantities turn every lot and sell into a half-open
     interval on the key's consumption axis; "sell s drew
-    min(hi)-max(lo) units of lot b" is interval intersection — two
-    keyed running sums + ONE keyed band join, no iteration. Property
-    contracts (conservation per lot/sell, total = min(supply, demand),
-    exact equality with a sequential FIFO simulator) are pinned by
-    hypothesis tests in tests/test_temporal.py."""
+    min(hi)-max(lo) units of lot b" is interval intersection. Round 9
+    (VERDICT r8 task #5 / watch-item #2): the interval predicate no
+    longer rides as a post-join filter on the bare key equi-join —
+    that enumerated O(n_buys x n_sells) candidates per key, per-key
+    QUADRATIC on a whale key. Both sides now explode onto a per-key
+    1-D GRID of the consumption axis (the grid_join_value_time_
+    neighbors doctrine, operators/joins.py): cell width = the key's
+    average interval length, so each FIFO interval — the per-side
+    intervals are consecutive, non-overlapping partitions of the axis
+    — lands in O(1) cells on average and the (key, cell) equi-join
+    enumerates only O(n + output) candidates. Pairs co-resident in
+    several cells are kept exactly once, in the FIRST overlapping
+    cell (greatest(lo)/C — no distinct shuffle); intervals past the
+    matched region [0, min(total supply, total demand)) are pruned
+    before exploding, so an unmatched whale tail costs nothing.
+    Property contracts (conservation per lot/sell, total =
+    min(supply, demand), exact equality with a sequential FIFO
+    simulator, whale-key candidate bound) are pinned by hypothesis
+    tests in tests/test_temporal.py."""
 
     def legs(df: DataFrame, id_alias: str):
         return df.select(
@@ -1335,12 +1349,62 @@ def fifo_match(
         .withColumnsRenamed({"lo": "s_lo", "hi": "s_hi"})
         .withColumnRenamed(key, "_s_key")
     )
+    # per-key grid stats: matched region _m = min(total bought, total
+    # sold); cell width _c = average interval length over both sides
+    # (>= 1). All long arithmetic, `div` not float floor (exact for
+    # the full int64 range).
+    stats = (
+        b.groupBy(key)
+        .agg(F.max("b_hi").alias("_tb"), F.count("*").alias("_nb"))
+        .join(
+            s2.groupBy("_s_key").agg(
+                F.max("s_hi").alias("_ts"), F.count("*").alias("_ns")
+            ),
+            F.col("_s_key") == F.col(key),
+        )
+        .select(
+            key,
+            F.least("_tb", "_ts").alias("_m"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("least(_tb, _ts) div (_nb + _ns)"),
+            ).alias("_c"),
+        )
+    )
+
+    def gridded(df: DataFrame, join_key: str, lo: str, hi: str) -> DataFrame:
+        st = stats if join_key == key else stats.withColumnRenamed(
+            key, join_key
+        )
+        return (
+            df.join(st, join_key)
+            # interval starts past the matched region -> can never
+            # intersect the other side; prune BEFORE the explode
+            .filter(F.col(lo) < F.col("_m"))
+            .withColumn("_hic", F.least(F.col(hi), F.col("_m")))
+            .withColumn(
+                "_cell",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{lo} div _c"), F.expr(f"(_hic - 1) div _c")
+                    )
+                ),
+            )
+            .drop("_hic", "_m")
+        )
+
+    bg = gridded(b, key, "b_lo", "b_hi")
+    sg = gridded(s2, "_s_key", "s_lo", "s_hi").drop("_c")
     return (
-        b.join(
-            s2,
+        bg.join(
+            sg,
             (F.col("_s_key") == F.col(key))
+            & (sg["_cell"] == bg["_cell"])
             & (F.col("s_lo") < F.col("b_hi"))
-            & (F.col("b_lo") < F.col("s_hi")),
+            & (F.col("b_lo") < F.col("s_hi"))
+            # emit each pair exactly once: in the first cell the
+            # overlap touches
+            & (bg["_cell"] == F.expr("greatest(b_lo, s_lo) div _c")),
         )
         .select(
             key,

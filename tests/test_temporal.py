@@ -210,6 +210,47 @@ def test_fifo_match_equals_sequential_simulator(spark):
     run()
 
 
+def test_fifo_match_whale_key_not_quadratic(spark):
+    """Whale-key contract (VERDICT r8 task #5): ONE user with 10^4
+    lots and 10^4 sells. The pre-round-9 form (bare key equi-join,
+    interval predicate as a post-join filter) enumerated n_buys x
+    n_sells = 10^8 candidates for this input; the per-key grid join
+    enumerates O(n + output). The test pins exact equality with the
+    sequential simulator at whale scale and a wall-clock ceiling far
+    below what the quadratic form needs."""
+    import datetime as dt
+    import time
+
+    from spark_lever_spark.operators.temporal import fifo_match
+
+    n = 10_000
+    base = dt.datetime(2026, 1, 1)
+    # varied quantities so intervals straddle grid-cell boundaries
+    # (the multi-cell + first-overlap-cell dedup paths both execute)
+    buys = [(i, 1 + (i % 3)) for i in range(n)]
+    sells = [(n + i, 1 + ((i * 7) % 4)) for i in range(n)]
+    brows = [
+        (0, bid, base + dt.timedelta(seconds=i), q)
+        for i, (bid, q) in enumerate(buys)
+    ]
+    srows = [
+        (0, sid, base + dt.timedelta(seconds=i), q)
+        for i, (sid, q) in enumerate(sells)
+    ]
+    schema = "user_id long, id long, ts timestamp, qty long"
+    bdf = spark.createDataFrame(brows, schema)
+    sdf = spark.createDataFrame(srows, schema)
+    t0 = time.perf_counter()
+    got = {
+        (r.buy_id, r.sell_id): r.matched_qty
+        for r in fifo_match(bdf, sdf).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    expected = _fifo_simulate(buys, sells)
+    assert got == expected
+    assert elapsed < 90, f"whale key took {elapsed:.1f}s — quadratic?"
+
+
 def test_prorate_largest_remainder_properties(spark):
     """Hypothesis contract of the allocation core: per-key alloc sums
     to the amount EXACTLY; every alloc is within 1 unit of the ideal
