@@ -1559,3 +1559,168 @@ def wilson_ci_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: transition matrices and conversion-delay quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total FROM pairs
+  GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n, t.from_total,
+       CAST(p.n AS DOUBLE) / t.from_total AS prob
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the path-analysis primitive behind 'what do users do
+    after X'. One user-keyed window attaches each event's successor
+    (ties broken by event_id, spec'd identically in the oracle), then
+    two aggregate-domain group-bys: pair counts and per-source totals
+    (|event types|^2 rows — tiny at any corpus size). The transition
+    probability is ONE double division of two exact int64 counts —
+    bit-identical cross-engine per the exact.py doctrine; ranking/
+    joining decisions never depend on it. At 100 TB: one keyed
+    shuffle over raw events, everything after is on the 25-row
+    matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("from_total"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "from_total",
+            (F.col("n").cast("double") / F.col("from_total")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "time_to_convert_quantiles",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         min(e.ts) AS first_purchase,
+         f.first_view
+  FROM firsts f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = 'purchase' AND e.ts >= f.first_view
+  WHERE f.first_view IS NOT NULL
+  GROUP BY f.user_id, f.first_view
+),
+delays AS (
+  SELECT user_id,
+         date_diff('microsecond', first_view, first_purchase) AS d_us
+  FROM conv
+),
+r AS (
+  SELECT user_id, d_us,
+         row_number() OVER (ORDER BY d_us, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM delays
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN d_us // 1000000 END)
+            AS BIGINT) AS p50_seconds,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN d_us // 1000000 END)
+            AS BIGINT) AS p90_seconds
+FROM r
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conversion-delay quantiles: per user, the gap between
+    FIRST view and the first purchase at-or-after it; p50/p90 of
+    those gaps under discrete-quantile semantics (value AT rank
+    (n+1) div 2 resp. ceil(0.9n), ties by user_id). The delay domain
+    is per-user (one row per converted user), so the quantile pass
+    rides the 2-pass grank — no global sort even when 'users' means
+    billions. The view->purchase pairing is one user-keyed equi-join
+    with the at-or-after predicate as a residual filter and a min
+    aggregate, never a per-user subquery loop. Delays are exact int64
+    microseconds; the seconds conversion is integer division at
+    output time (floor — delays are non-negative, so floor == trunc
+    and both engines' // agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view")
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(p, F.col("_u") == F.col("user_id"))
+        .filter(F.col("p_ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    delays = conv.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        ).alias("d_us"),
+    )
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    r = with_global_rank(delays, F.col("d_us"), ["user_id"])
+    return r.agg(
+        F.max("_n_tot").alias("n_converted"),
+        F.max(
+            F.when(
+                F.expr("_rk = (_n_tot + 1) div 2"),
+                F.expr("d_us div 1000000"),
+            )
+        ).alias("p50_seconds"),
+        F.max(
+            F.when(
+                F.expr("_rk = (9 * _n_tot + 9) div 10"),
+                F.expr("d_us div 1000000"),
+            )
+        ).alias("p90_seconds"),
+    )

@@ -669,3 +669,215 @@ def grid_join_value_time_neighbors(
         F.min("id_a").alias("min_id_a"),
         F.max("id_b").alias("max_id_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: dominance, fuzzy-match, and audit joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_parts_price_size",
+    # independent spec: quadratic NOT-EXISTS dominance — the Spark side
+    # must reproduce it from per-size aggregates without ever forming
+    # the pair grid
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p_partkey, p_name, CAST(p_size AS INT) AS p_size, price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+ORDER BY p_partkey
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (maximize size, minimize price) — the multi-criteria shortlist
+    operator. The oracle states the O(n^2) NOT-EXISTS dominance spec;
+    the Spark plan never forms the pair grid: per-size min prices
+    (<= |distinct sizes| aggregate rows) get a strictly-larger-size
+    prefix min via one ordered window OVER THE AGGREGATE, and each
+    part then checks two integer predicates against its size row via
+    a broadcast equi-join — keep iff price == per-size min AND
+    price < best price among strictly larger sizes. Exact cents, so
+    dominance can never flip on a float edge. At 100 TB: one
+    aggregate-domain shuffle + a broadcast join; skyline membership is
+    embarrassingly parallel."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    from pyspark.sql.window import Window
+
+    per_size = p.groupBy("p_size").agg(F.min("price_cents").alias("m"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sized = per_size.withColumn("best_gt", F.min("m").over(w)).select(
+        F.col("p_size").alias("_sz"), "m", "best_gt"
+    )
+    return (
+        p.join(F.broadcast(sized), p["p_size"] == F.col("_sz"))
+        .filter(
+            (F.col("price_cents") == F.col("m"))
+            & (
+                F.col("best_gt").isNull()
+                | (F.col("price_cents") < F.col("best_gt"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle="""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a
+JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    primitive: find name variants that differ by <= 3 edits. The
+    naive form is all-pairs levenshtein (quadratic in the corpus);
+    the production shape deduplicates to DISTINCT names first (the
+    aggregate domain — 64 names here regardless of row count), blocks
+    on the head noun (an equi-key), and runs the edit distance only
+    inside blocks. levenshtein is exact integer in both engines, so
+    the pair set is bit-identical. At 100 TB the distinct-names
+    aggregate is the only corpus-sized shuffle; the blocked pair
+    enumeration is O(sum of block^2) over a bounded name vocabulary,
+    never O(rows^2)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("noun").alias("_na"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("noun").alias("_nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_na") == F.col("_nb"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias(
+                "edit_distance"
+            ),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "duplicate_payment_audit",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey_1,
+       b.o_orderkey AS orderkey_2, a.c AS amount_cents,
+       CAST(a.o_orderdate AS TIMESTAMP) AS date_1,
+       CAST(b.o_orderdate AS TIMESTAMP) AS date_2
+FROM o a
+JOIN o b ON a.o_custkey = b.o_custkey AND a.c = b.c
+        AND a.o_orderkey < b.o_orderkey
+WHERE b.o_orderdate >= a.o_orderdate - INTERVAL 7 DAY
+  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+ORDER BY custkey, orderkey_1, orderkey_2
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the classic finance audit: same
+    customer, same exact amount, order dates within +/- 7 days. The
+    join key is (custkey, amount_cents) — a pure EQUI key, so Spark
+    hash-joins it and the +/- 7 day band is a cheap residual filter on
+    the (tiny) per-key candidate set, not a band-join enumeration.
+    Amounts compare as exact int64 cents (a double equality would
+    silently drop legitimate duplicate pairs). Scale: candidates are
+    bounded by per-(customer, amount) multiplicity — near 1 on real
+    ledgers — so output and shuffle are both ~input-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_1"),
+        F.col("c").alias("amount_cents"),
+        F.col("o_orderdate").alias("date_1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("_ck"),
+        F.col("o_orderkey").alias("orderkey_2"),
+        F.col("c").alias("_c2"),
+        F.col("o_orderdate").alias("date_2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ck") == F.col("custkey"))
+            & (F.col("_c2") == F.col("amount_cents"))
+            & (F.col("orderkey_1") < F.col("orderkey_2")),
+        )
+        .filter(
+            (F.col("date_2") >= F.col("date_1") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("date_2") <= F.col("date_1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select(
+            "custkey",
+            "orderkey_1",
+            "orderkey_2",
+            "amount_cents",
+            "date_1",
+            "date_2",
+        )
+        .orderBy("custkey", "orderkey_1", "orderkey_2")
+    )

@@ -2660,3 +2660,245 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum").cast("long").alias("max_cusum_scaled"),
         F.col("nd").alias("n_days"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: exact distribution profiling (histograms, buckets,
+# robust outliers, systematic sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_equi_width_prices",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+mm AS (
+  SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM v
+)
+SELECT CAST(((c - mn) * 20) // (mx - mn + 1) AS INT) AS bucket,
+       CAST(mn + ((mx - mn + 1) * (((c - mn) * 20) // (mx - mn + 1))) // 20
+            AS BIGINT) AS lo_edge_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(c) AS BIGINT) AS min_cents,
+       CAST(max(c) AS BIGINT) AS max_cents
+FROM v, mm
+GROUP BY 1, 2 ORDER BY bucket
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def histogram_equi_width_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-bucket equal-WIDTH histogram of order value: bucket =
+    ((v - min) * 20) div (max - min + 1), every boundary computed in
+    int64 cents so no value can straddle a float bucket edge between
+    engines. Shape: one min/max aggregate broadcast back (1 row), then
+    a map-side bucket expression and one hash aggregate — two shuffles
+    of aggregate-domain size at any scale, the plan a 100 TB profiling
+    pass needs (contrast width_bucket on doubles: edge rows flip
+    buckets on libm rounding)."""
+    v = load_table(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("c")
+    )
+    mm = v.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    b = v.crossJoin(F.broadcast(mm)).withColumn(
+        "bucket", F.expr("((c - mn) * 20) div (mx - mn + 1)")
+    )
+    return (
+        b.withColumn(
+            "lo_edge_cents",
+            F.col("mn") + F.expr("((mx - mn + 1) * bucket) div 20"),
+        )
+        .groupBy(
+            F.col("bucket").cast("int").alias("bucket"),
+            "lo_edge_cents",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "equal_frequency_buckets_orders",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+r AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(((rk - 1) * 10) // n AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(c) AS BIGINT) AS lo_cents,
+       CAST(max(c) AS BIGINT) AS hi_cents,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1 ORDER BY bucket
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def equal_frequency_buckets_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact equal-FREQUENCY (decile) bucketing of order value —
+    bucket = ((rank-1)*10) div n over the exact global order, the
+    sibling of histogram_equi_width_prices on the rank axis. The
+    global rank comes from the 2-pass grank machinery
+    (operators/grank.py): per-task memory flat in table size, never a
+    single-partition sort — the difference between this and a naive
+    ntile() at 100 TB is the one-task funnel the registry-wide plan
+    sweep exists to forbid. Tie rows (equal cents) split across
+    buckets deterministically by the o_orderkey tiebreak, identical to
+    the oracle's row_number ordering."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    ranked = with_global_rank(v, F.col("c"), ["o_orderkey"])
+    return (
+        ranked.withColumn("bucket", F.expr("((_rk - 1) * 10) div _n_tot"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+            F.sum("c").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "mad_outlier_order_values",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+med AS (
+  SELECT c AS m FROM (
+    SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk,
+           count(*) OVER () AS n
+    FROM v
+  ) WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT v.o_orderkey, v.c, abs(v.c - med.m) AS ad, med.m FROM v, med
+),
+mad AS (
+  SELECT ad AS md FROM (
+    SELECT ad, row_number() OVER (ORDER BY ad, o_orderkey) AS rk,
+           count(*) OVER () AS n
+    FROM dev
+  ) WHERE rk = (n + 1) // 2
+)
+SELECT CAST(max(d.m) AS BIGINT) AS median_cents,
+       CAST(max(mad.md) AS BIGINT) AS mad_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN d.ad > 5 * mad.md THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       CAST(max(CASE WHEN d.ad > 5 * mad.md THEN d.ad END) AS BIGINT)
+           AS worst_deviation_cents
+FROM dev d, mad
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def mad_outlier_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    estimator that survives the contamination that wrecks mean/stddev
+    fences. Discrete-median semantics (value AT rank (n+1) div 2, ties
+    by o_orderkey) on EXACT cents, twice: median of values, then
+    median of absolute deviations; a row is an outlier when
+    |x - med| > 5*MAD — a pure integer comparison, so the outlier SET
+    is bit-identical cross-engine (the float '1.4826 sigma-consistent'
+    scaling is display math, deliberately absent). Both medians ride
+    the 2-pass grank machinery: no global sort, per-task memory flat;
+    the MAD pass re-ranks the deviation column the same way. Three
+    aggregate-domain shuffles total at any scale."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    r1 = with_global_rank(v, F.col("c"), ["o_orderkey"])
+    # the .agg() wrapper marks the 1-row broadcast side as
+    # aggregate-derived for the registry-wide nested-loop sweep (the
+    # rank filter alone already yields exactly one row)
+    med = r1.filter(F.expr("_rk = (_n_tot + 1) div 2")).agg(
+        F.max("c").alias("m")
+    )
+    dev = v.crossJoin(F.broadcast(med)).select(
+        "o_orderkey", "c", "m", F.abs(F.col("c") - F.col("m")).alias("ad")
+    )
+    r2 = with_global_rank(dev, F.col("ad"), ["o_orderkey"])
+    mad = r2.filter(F.expr("_rk = (_n_tot + 1) div 2")).agg(
+        F.max("ad").alias("md")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.max("m").alias("median_cents"),
+            F.max("md").alias("mad_cents"),
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("ad") > 5 * F.col("md"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max(
+                F.when(F.col("ad") > 5 * F.col("md"), F.col("ad"))
+            ).alias("worst_deviation_cents"),
+        )
+    )
+
+
+@register(
+    "systematic_sample_orders",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       c AS totalprice_cents, rk AS global_rank
+FROM r WHERE (rk - 1) % 500 = 0 ORDER BY rk
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling on the exact global
+    (o_orderdate, o_orderkey) order — the reproducible audit sample:
+    unlike TABLESAMPLE/rand(), membership is a pure function of the
+    row's position, stable across partitionings, runs, and engines,
+    and evenly spread over the time axis by construction. Rank is the
+    2-pass grank (no global sort); selection is a map-side modulus.
+    k = 500 here; at 100 TB the same plan emits n/k rows with the only
+    shuffles being grank's two aggregate-domain passes."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("c"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_ts_us"),
+    )
+    ranked = with_global_rank(v, F.col("_ts_us"), ["o_orderkey"])
+    return (
+        ranked.filter(F.expr("(_rk - 1) % 500 = 0"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("c").alias("totalprice_cents"),
+            F.col("_rk").alias("global_rank"),
+        )
+        .orderBy("global_rank")
+    )

@@ -1484,3 +1484,203 @@ def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fifo_match(leg("click"), leg("purchase")).orderBy(
         "user_id", "buy_id", "sell_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: gap interpolation and interval concurrency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linear_interpolate_hourly_gaps",
+    oracle="""
+WITH obs AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(max(round(value * 100)) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND value >= 180
+  GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM obs),
+                                (SELECT max(h) FROM obs),
+                                INTERVAL 1 HOUR)) AS h
+),
+j AS (
+  SELECT cal.h, obs.v,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01', cal.h) AS BIGINT)
+             AS hi
+  FROM cal LEFT JOIN obs ON obs.h = cal.h
+),
+spans AS (
+  SELECT h, hi, v,
+         max(CASE WHEN v IS NOT NULL THEN hi END)
+             OVER (ORDER BY hi ROWS UNBOUNDED PRECEDING) AS h1,
+         last_value(v IGNORE NULLS)
+             OVER (ORDER BY hi ROWS UNBOUNDED PRECEDING) AS v1,
+         min(CASE WHEN v IS NOT NULL THEN hi END)
+             OVER (ORDER BY hi ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS h2,
+         first_value(v IGNORE NULLS)
+             OVER (ORDER BY hi ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS v2
+  FROM j
+)
+SELECT CAST(h AS TIMESTAMP) AS hour,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE v1 + CAST(trunc(CAST((v2 - v1) * (hi - h1) AS DOUBLE)
+                                 / (h2 - h1)) AS BIGINT) END
+            AS BIGINT) AS value_cents,
+       CAST(v IS NULL AS BOOLEAN) AS is_interpolated
+FROM spans ORDER BY hour
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def linear_interpolate_hourly_gaps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation over time-series gaps — the resampling
+    sibling of the LOCF/ffill operator: the hourly max of large
+    purchases (a sparse series: most hours have no observation) is
+    densified onto the full hour calendar, and every missing hour gets
+    v1 + (v2-v1)*(h-h1)/(h2-h1) from its bracketing observations.
+    EXACT arithmetic: values are int64 cents, hours are int64 epoch
+    indexes, and the one division is a truncating division of exact
+    int64 products (< 2^53; Spark (x/y).cast('long') paired with
+    DuckDB trunc(), the documented cross-engine pair — floor would
+    differ on negative slopes). Shape: the series is an AGGREGATE
+    domain (<= span hours regardless of raw volume), the calendar is
+    one sequence() explode of a 1-row min/max aggregate, and the
+    bracketing scan is two ordered windows over that bounded domain —
+    the raw 100 TB table is touched by exactly one groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 180))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.max(F.round(F.col("value") * 100)).cast("long").alias("v"))
+    )
+    mm = obs.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    cal = mm.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    j = cal.join(obs, "h", "left").withColumn(
+        "hi",
+        (
+            F.unix_micros(F.col("h").cast("timestamp"))
+            - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / F.lit(3600000000)
+    ).withColumn("hi", F.col("hi").cast("long"))
+    wp = Window.orderBy("hi").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("hi").rowsBetween(0, Window.unboundedFollowing)
+    spans = j.select(
+        "h",
+        "hi",
+        "v",
+        F.max(F.when(F.col("v").isNotNull(), F.col("hi"))).over(wp).alias("h1"),
+        F.last("v", ignorenulls=True).over(wp).alias("v1"),
+        F.min(F.when(F.col("v").isNotNull(), F.col("hi"))).over(wn).alias("h2"),
+        F.first("v", ignorenulls=True).over(wn).alias("v2"),
+    )
+    interp = F.col("v1") + (
+        ((F.col("v2") - F.col("v1")) * (F.col("hi") - F.col("h1")))
+        / (F.col("h2") - F.col("h1"))
+    ).cast("long")
+    return spans.select(
+        F.col("h").alias("hour"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_cents"),
+        F.col("v").isNull().alias("is_interpolated"),
+    ).orderBy("hour")
+
+
+@register(
+    "interval_max_concurrency_daily",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT d, lo AS t, 1 AS delta FROM iv WHERE lo < hi
+  UNION ALL
+  SELECT d, hi AS t, -1 AS delta FROM iv WHERE lo < hi
+),
+grouped AS (
+  SELECT d, t, delta, CAST(sum(delta) AS BIGINT) AS net
+  FROM bounds GROUP BY d, t, delta
+),
+run AS (
+  SELECT d, t, delta,
+         CAST(sum(net) OVER (PARTITION BY d ORDER BY t, delta
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS conc
+  FROM grouped
+),
+best AS (
+  SELECT d, t, conc,
+         row_number() OVER (PARTITION BY d
+                            ORDER BY conc DESC, t, delta) AS rn
+  FROM run
+)
+SELECT CAST(d AS TIMESTAMP) AS day, CAST(conc AS BIGINT) AS max_concurrent,
+       CAST(t AS TIMESTAMP) AS at_ts
+FROM best WHERE rn = 1 ORDER BY day
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def interval_max_concurrency_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum interval overlap (peak concurrency) per day — the
+    sweep-line classic: each user's daily activity span [first event,
+    last event) becomes a +1/-1 boundary pair, and peak concurrency is
+    the max prefix sum of boundaries ordered by (ts, delta) — the -1
+    first at equal timestamps encodes half-open intervals (a span
+    ending exactly when another starts never overlaps it).
+    Determinism subtlety the oracle mirrors exactly: boundaries are
+    pre-aggregated to (day, ts, delta) NET rows before the running
+    sum, because a prefix sum over DUPLICATE (ts, delta) keys has
+    order-dependent intermediate values — the aggregated domain makes
+    every prefix value well-defined in both engines. Zero-width spans
+    (single-event users) are dropped up front: they can never overlap
+    anything. Day-partitioned windows over the boundary aggregate;
+    the raw table is touched by one (user, day) groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).filter(
+        F.col("lo") < F.col("hi")
+    )
+    bounds = iv.select(
+        "d", F.col("lo").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("d", F.col("hi").alias("t"), F.lit(-1).alias("delta"))
+    )
+    grouped = bounds.groupBy("d", "t", "delta").agg(
+        F.sum("delta").alias("net")
+    )
+    w = Window.partitionBy("d").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = grouped.withColumn("conc", F.sum("net").over(w))
+    best = run.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("d").orderBy(
+                F.desc("conc"), "t", "delta"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("d").alias("day"),
+        F.col("conc").cast("long").alias("max_concurrent"),
+        F.col("t").alias("at_ts"),
+    ).orderBy("day")
