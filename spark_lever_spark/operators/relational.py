@@ -2704,7 +2704,6 @@ def histogram_equi_width_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = v.agg(
         F.min("c").alias("mn"), F.max("c").alias("mx")
     )
-    span = F.col("mx") - F.col("mn") + 1
     b = v.crossJoin(F.broadcast(mm)).withColumn(
         "bucket", F.expr("((c - mn) * 20) div (mx - mn + 1)")
     )
