@@ -100,6 +100,48 @@ def test_never_checked_oracle_queries_lead_green_requeue():
     assert groups == sorted(groups)
 
 
+def test_changed_since_stamp_refronts(monkeypatch):
+    """A green-stamped query whose implementation/oracle content hash no
+    longer matches the committed STAMP_HASHES.json record must sort into
+    group (1, -1): ahead of never-checked, behind latest-check-RED —
+    its stamp certifies code that no longer ships (VERDICT r9 task #1,
+    where seven round-9-modified queries would otherwise have waited ~4
+    rounds for the vintage rotation)."""
+    qs = registry.all_queries()
+    q = qs["q1_pricing_summary"]
+    assert registry._LAST_GREEN.get(q.name, 0) > 0, "needs a stamped query"
+
+    # Hash matches the record -> ordinary green-vintage group.
+    monkeypatch.setitem(registry._STAMP_HASHES, q.name, registry.content_hash(q))
+    assert registry._driver_group(q)[0] == 2
+
+    # Hash mismatch (query edited after its stamp) -> re-fronts.
+    monkeypatch.setitem(registry._STAMP_HASHES, q.name, "0" * 16)
+    assert registry._driver_group(q) == (1, -1)
+
+    # No sidecar record at all counts as changed — the safe direction.
+    monkeypatch.delitem(registry._STAMP_HASHES, q.name)
+    assert registry._driver_group(q) == (1, -1)
+
+    # A latest-check-RED query still outranks changed-since-stamp.
+    monkeypatch.setattr(registry, "_REFRONT", frozenset({q.name}))
+    assert registry._driver_group(q) == (0, 0)
+
+
+def test_stamp_hashes_sidecar_covers_all_stamped_queries():
+    """Every green-stamped query must either have a sidecar hash that
+    matches its current content (stamp still valid) or sort into the
+    re-front group — i.e. the sidecar can never silently go stale."""
+    for q in registry.all_queries().values():
+        if registry._LAST_GREEN.get(q.name, 0) == 0:
+            continue
+        recorded = registry._STAMP_HASHES.get(q.name)
+        if recorded == registry.content_hash(q):
+            assert registry._driver_group(q)[0] == 2 or q.name in registry._REFRONT
+        else:
+            assert registry._driver_group(q)[0] <= 1
+
+
 def test_no_silent_deregistration():
     """Every query name ever committed must stay registered — a
     refactor that slices a module (this exact accident deleted
