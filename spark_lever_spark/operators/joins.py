@@ -743,6 +743,54 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_candidate_pairs(
+    names: DataFrame, max_edit: int = 3, cell: int = 4
+) -> DataFrame:
+    """Equi-only candidate enumeration for a blocked edit-distance
+    self-join over DISTINCT names (columns: p_name, n_parts, noun).
+
+    Two blocking keys, both implied by ``levenshtein <= max_edit``:
+    the head noun, AND a length band — edit distance d means
+    ``|len(a) - len(b)| <= d``, so bucketing length into cells of
+    ``cell`` chars and probing only cells c-1..c+1 (each side-B name
+    lives in exactly ONE cell, so the 3-cell explode on side A can
+    never duplicate a pair) keeps every true pair while capping a
+    skewed block: a high-frequency noun ("inc", "llc" on a real
+    entity corpus) no longer forms one O(block^2) monolith — per-cell
+    work is O(names-per-(noun,cell) ^ 2), quadratic only in names that
+    genuinely collide on BOTH keys (same doctrine as the 2D grid
+    join). Requires ``cell > max_edit`` so +/-1 cells cover the band."""
+    if cell <= max_edit:
+        raise ValueError(f"cell ({cell}) must exceed max_edit ({max_edit})")
+    base = names.withColumn("_len", F.length("p_name")).withColumn(
+        "_cell", F.expr(f"length(p_name) div {cell}")
+    )
+    a = base.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("noun").alias("_na"),
+        F.col("_len").alias("_la"),
+        F.explode(
+            F.array(F.col("_cell") - 1, F.col("_cell"), F.col("_cell") + 1)
+        ).alias("_probe"),
+    )
+    b = base.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("noun").alias("_nb"),
+        F.col("_len").alias("_lb"),
+        F.col("_cell").alias("_cb"),
+    )
+    return a.join(
+        b,
+        (F.col("_na") == F.col("_nb"))
+        & (F.col("_probe") == F.col("_cb"))
+        & (F.col("name_a") < F.col("name_b")),
+    ).filter(F.abs(F.col("_la") - F.col("_lb")) <= max_edit)
+
+
+
+
 @register(
     "fuzzy_join_part_names",
     oracle="""
@@ -768,34 +816,23 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive form is all-pairs levenshtein (quadratic in the corpus);
     the production shape deduplicates to DISTINCT names first (the
     aggregate domain — 64 names here regardless of row count), blocks
-    on the head noun (an equi-key), and runs the edit distance only
+    on (head noun, length-band cell) — both equi-keys, the length
+    band implied by edit <= 3 (see fuzzy_candidate_pairs for the skew
+    cap a noun-only block lacks) — and runs the edit distance only
     inside blocks. levenshtein is exact integer in both engines, so
-    the pair set is bit-identical. At 100 TB the distinct-names
-    aggregate is the only corpus-sized shuffle; the blocked pair
-    enumeration is O(sum of block^2) over a bounded name vocabulary,
-    never O(rows^2)."""
+    the pair set is bit-identical to the oracle's noun-only blocking
+    (the extra key drops only pairs the edit threshold drops anyway).
+    At 100 TB the distinct-names aggregate is the only corpus-sized
+    shuffle; pair enumeration is O(sum of per-(noun,cell) block^2),
+    never O(rows^2) and never one giant per-noun block."""
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").alias("n_parts"))
         .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
     )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("n_parts").alias("n_parts_a"),
-        F.col("noun").alias("_na"),
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("n_parts").alias("n_parts_b"),
-        F.col("noun").alias("_nb"),
-    )
     return (
-        a.join(
-            b,
-            (F.col("_na") == F.col("_nb"))
-            & (F.col("name_a") < F.col("name_b")),
-        )
+        fuzzy_candidate_pairs(names, max_edit=3)
         .filter(F.levenshtein("name_a", "name_b") <= 3)
         .select(
             "name_a",
