@@ -1570,61 +1570,67 @@ def wilson_ci_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "markov_transition_matrix",
     oracle="""
 WITH seq AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
+  SELECT user_id, event_type AS from_1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
   FROM events
 ),
-pairs AS (
-  SELECT event_type AS from_type, next_type AS to_type,
-         CAST(count(*) AS BIGINT) AS n
-  FROM seq WHERE next_type IS NOT NULL
-  GROUP BY 1, 2
-),
-tot AS (
-  SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total FROM pairs
-  GROUP BY 1
+trigrams AS (
+  SELECT from_1, from_2, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_2 IS NOT NULL AND to_type IS NOT NULL
+  GROUP BY 1, 2, 3
 )
-SELECT p.from_type, p.to_type, p.n, t.from_total,
-       CAST(p.n AS DOUBLE) / t.from_total AS prob
-FROM pairs p JOIN tot t USING (from_type)
-ORDER BY from_type, to_type
+SELECT from_1, from_2, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_1, from_2) AS BIGINT)
+         AS from_total,
+       CAST(n AS DOUBLE)
+         / sum(n) OVER (PARTITION BY from_1, from_2) AS prob
+FROM trigrams
+ORDER BY from_1, from_2, to_type
 """,
     category="events",
     tags=("defer-window",),
 )
 def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    streams — the path-analysis primitive behind 'what do users do
-    after X'. One user-keyed window attaches each event's successor
-    (ties broken by event_id, spec'd identically in the oracle), then
-    two aggregate-domain group-bys: pair counts and per-source totals
-    (|event types|^2 rows — tiny at any corpus size). The transition
+    """SECOND-order Markov transition matrix: the state is the last
+    TWO events, the output the conditional distribution of the third —
+    P(next | prev_pair). This is the capability the first-order
+    `event_transition_matrix` (events.py:656) cannot express: paths
+    like view->cart->purchase vs search->cart->purchase get distinct
+    rows here but collapse to the same cart->purchase cell there
+    (higher-order context is what makes next-event prediction features
+    non-trivial). Two stacked leads on ONE user-keyed window (a single
+    shuffle — Spark plans both leads in the same Window node), one
+    trigram-count group-by, and the per-(s1,s2) total as a window over
+    that <= |types|^3-row aggregate — NOT a self-join, which Catalyst
+    does not subplan-dedupe and would scan raw events twice. The
     probability is ONE double division of two exact int64 counts —
-    bit-identical cross-engine per the exact.py doctrine; ranking/
-    joining decisions never depend on it. At 100 TB: one keyed
-    shuffle over raw events, everything after is on the 25-row
-    matrix."""
+    bit-identical cross-engine per the exact.py doctrine; no decision
+    depends on it."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    pairs = seq.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count("*").alias("n"))
-    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("from_total"))
+        F.col("event_type").alias("from_1"),
+        F.lead("event_type", 1).over(w).alias("from_2"),
+        F.lead("event_type", 2).over(w).alias("to_type"),
+    ).filter(F.col("from_2").isNotNull() & F.col("to_type").isNotNull())
+    trigrams = seq.groupBy("from_1", "from_2", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_tot = Window.partitionBy("from_1", "from_2")
     return (
-        pairs.join(tot, "from_type")
+        trigrams.withColumn("from_total", F.sum("n").over(w_tot))
         .select(
-            "from_type",
+            "from_1",
+            "from_2",
             "to_type",
             "n",
             "from_total",
             (F.col("n").cast("double") / F.col("from_total")).alias("prob"),
         )
-        .orderBy("from_type", "to_type")
+        .orderBy("from_1", "from_2", "to_type")
     )
 
 
