@@ -801,3 +801,100 @@ def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 addition: bigram next-token prediction table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_next_token_topk",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+),
+heads AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 20),
+bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM toks, unnest(range(1, len(ts))) t(i)
+  GROUP BY ts[i], ts[i + 1]
+),
+r AS (
+  SELECT b.w1 AS head, h.c AS n_head, b.w2 AS next_tok, b.c_xy AS n_bigram,
+         row_number() OVER (PARTITION BY b.w1
+                            ORDER BY b.c_xy DESC, b.w2) AS rk
+  FROM bi b JOIN heads h ON h.w = b.w1
+)
+SELECT head, n_head, next_tok, n_bigram, CAST(rk AS INT) AS rk,
+       CAST(n_bigram AS DOUBLE) / n_head AS p_next
+FROM r WHERE rk <= 3
+ORDER BY head, rk
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def bigram_next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token prediction table from a bigram language model: for
+    the 20 most frequent tokens, the top-3 successors by exact bigram
+    count — the n-gram-LM building block (autocomplete features,
+    greedy-decode baselines, corpus path analysis; the token-level
+    sibling of the Markov matrices in operators/events.py). Counts
+    are exact int64 and ALL ranking (head selection, successor top-k)
+    orders by (count DESC, token), so membership never touches a
+    float; the conditional probability is one double division of two
+    exact counts, emitted for the user but decision-free. Scale: two
+    vocabulary-domain shuffles (unigram + bigram counts), a TakeOrdered
+    for the 20-row head table that then BROADCASTS into the bigram
+    domain, and a per-head top-k window over <=20 partitions of
+    successor counts — the corpus itself is scanned once and never
+    globally sorted."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    uni = (
+        base.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    heads = uni.orderBy(F.desc("c"), "w").limit(20)
+    prs = F.zip_with(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        base.select(F.explode(prs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    joined = bi.join(
+        F.broadcast(
+            heads.select(F.col("w").alias("w1"), F.col("c").alias("n_head"))
+        ),
+        "w1",
+    )
+    w_rk = W.partitionBy("w1").orderBy(F.desc("c_xy"), "w2")
+    return (
+        joined.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("w1").alias("head"),
+            "n_head",
+            F.col("w2").alias("next_tok"),
+            F.col("c_xy").alias("n_bigram"),
+            "rk",
+            (F.col("c_xy").cast("double") / F.col("n_head")).alias("p_next"),
+        )
+        .orderBy("head", "rk")
+    )

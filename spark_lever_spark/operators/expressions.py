@@ -883,3 +883,165 @@ def expr_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         local("America/New_York").alias("ny_local"),
         local("Asia/Tokyo").alias("tokyo_local"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: array/map aggregation HOF parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hof_reduce_order_lines",
+    oracle="""
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         (CAST(round(l_extendedprice * 100) AS BIGINT)
+          + CAST(l_quantity AS BIGINT) * 31 + l_linenumber) % 1000 AS x
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+r AS (
+  SELECT l_orderkey, x,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, x) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM x
+)
+SELECT a.l_orderkey,
+       CAST(max(a.n) AS BIGINT) AS n_lines,
+       CAST(sum(a.x * CAST(power(7, a.n - a.rn) AS BIGINT)) AS BIGINT)
+           AS horner,
+       CAST(sum(a.x * b.x) AS BIGINT) AS sym_dot
+FROM r a
+JOIN r b ON a.l_orderkey = b.l_orderkey AND b.rn = a.n + 1 - a.rn
+GROUP BY a.l_orderkey ORDER BY a.l_orderkey
+""",
+    category="expressions",
+    tags=("defer-window",),
+)
+def hof_reduce_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation HOF chain — ``aggregate`` (SQL ``reduce``),
+    ``transform``, ``zip_with``, ``reverse`` composed over a
+    per-order collected array: an order-DEPENDENT Horner fold
+    (acc*31 + x, closed form sum x_i * 31^(n-i)) and a symmetric dot
+    product (zip_with the array against its reverse). The fold order
+    comes from array_sort on (linenumber, x) structs — linenumber alone
+    is NOT unique in this corpus, so x joins the sort key in both
+    engines (the one rule that makes collect_list + HOF
+    oracle-checkable: a total, engine-independent element order). The
+    oracle has no list HOFs: it replays both folds via their
+    window-rank closed forms, so a hash match proves the Spark HOF
+    semantics, not just a shared implementation. All arithmetic int64
+    with x < 1000 and n <= 13 here -> max |term| x*7^12 ~ 1.4e13, no
+    overflow (base 7, not 31: 31^12 would pass 2^63); at
+    100 TB this is one keyed shuffle of pre-projected 3-column rows,
+    HOFs evaluate map-side in codegen."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                (
+                    cents(F.col("l_extendedprice"))
+                    + F.col("l_quantity").cast("long") * 31
+                    + F.col("l_linenumber")
+                )
+                % 1000
+            ).alias("x"),
+        )
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber").alias("ln"), "x"))
+        ).alias("a")
+    )
+    xs = F.transform(F.col("a"), lambda e: e["x"])
+    return arr.select(
+        "l_orderkey",
+        F.size("a").cast("long").alias("n_lines"),
+        F.aggregate(
+            xs,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 7 + v,
+        ).alias("horner"),
+        F.aggregate(
+            F.zip_with(xs, F.reverse(xs), lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sym_dot"),
+    ).orderBy("l_orderkey")
+
+
+@register(
+    "map_hof_weekend_shift",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(sum(CASE WHEN EXTRACT(dow FROM ts) IN (0, 6)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS weekday_n,
+         CAST(sum(CASE WHEN EXTRACT(dow FROM ts) IN (0, 6)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS weekend_n
+  FROM events WHERE user_id < 200
+  GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, weekday_n, weekend_n,
+       weekday_n - weekend_n AS shift
+FROM g ORDER BY user_id, event_type
+""",
+    category="expressions",
+    tags=("defer-window",),
+)
+def map_hof_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation HOF chain — ``map_from_entries`` ->
+    ``map_filter`` -> ``map_zip_with`` -> ``explode``: per user, a
+    weekday-count map and a weekend-count map (each filtered to
+    nonzero entries, so the two maps genuinely have DIFFERENT key
+    sets), zipped by key union with null-coalescing into
+    (weekday, weekend, shift) structs, then exploded back to rows.
+    The oracle is plain conditional aggregation — a hash match proves
+    map_zip_with's key-union and missing-key-null semantics, which is
+    the part a wrong mental model silently corrupts (inner-join-like
+    zipping would drop every type a user did only on weekends). Maps
+    stay per-row (bounded by |event types|), so the whole chain is
+    map-side; one user-keyed shuffle total."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    wk_end = F.dayofweek("ts").isin(1, 7)
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.when(wk_end, 0).otherwise(1)).alias("wk"),
+        F.sum(F.when(wk_end, 1).otherwise(0)).alias("we"),
+    )
+    maps = g.groupBy("user_id").agg(
+        F.map_filter(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "wk"))
+            ),
+            lambda _, v: v > 0,
+        ).alias("m_wk"),
+        F.map_filter(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "we"))
+            ),
+            lambda _, v: v > 0,
+        ).alias("m_we"),
+    )
+    zipped = maps.select(
+        "user_id",
+        F.explode(
+            F.map_zip_with(
+                "m_wk",
+                "m_we",
+                lambda _, a, b: F.struct(
+                    F.coalesce(a, F.lit(0)).alias("weekday_n"),
+                    F.coalesce(b, F.lit(0)).alias("weekend_n"),
+                ),
+            )
+        ).alias("event_type", "v"),
+    )
+    return zipped.select(
+        "user_id",
+        "event_type",
+        F.col("v.weekday_n").alias("weekday_n"),
+        F.col("v.weekend_n").alias("weekend_n"),
+        (F.col("v.weekday_n") - F.col("v.weekend_n")).alias("shift"),
+    ).orderBy("user_id", "event_type")

@@ -918,3 +918,128 @@ def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "orderkey_1", "orderkey_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: directional association rules
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "association_rules_parts",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+),
+baskets AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       na.n AS n_ante, nc.n AS n_cons,
+       CAST(r.n_ab AS DOUBLE) / na.n AS confidence,
+       CAST(r.n_ab * t.n_baskets AS DOUBLE) / (na.n * nc.n) AS lift
+FROM rules r
+JOIN n_item na ON na.l_partkey = r.antecedent
+JOIN n_item nc ON nc.l_partkey = r.consequent, baskets t
+ORDER BY r.n_ab DESC, r.antecedent, r.consequent
+LIMIT 20
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL association rules over market baskets — the step
+    after basket_part_pairs_top's candidate pairs: each frequent pair
+    (support >= 2) yields two rules a=>b and b=>a with
+    confidence = n_ab / n_antecedent and
+    lift = n_ab * N / (n_a * n_b). Both metrics are ONE double
+    division of exact int64 products (n_ab*N and n_a*n_b each fit
+    int64 up to ~3e9 baskets — promote to DECIMAL beyond,
+    documented), and the top-20 ranking orders by the raw integer
+    support with key tiebreaks, so no float ever decides membership
+    or order. Scale: pair generation is the order-keyed equi-join
+    bounded by basket size; the marginals join is part-keyed equi;
+    the 1-row basket count broadcasts; final ranking is TakeOrdered
+    over the frequent-pair domain."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_item = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    baskets = items.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    # Both rule directions via ONE explode — a union of two projections
+    # of `pairs` would make Catalyst recompute the pair join twice.
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "n_ab",
+    ).select("r.antecedent", "r.consequent", "n_ab")
+    na = n_item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n").alias("n_ante")
+    )
+    nc = n_item.select(
+        F.col("l_partkey").alias("consequent"), F.col("n").alias("n_cons")
+    )
+    return (
+        rules.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            (F.col("n_ab").cast("double") / F.col("n_ante")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "antecedent", "consequent")
+        .limit(20)
+    )

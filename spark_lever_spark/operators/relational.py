@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.functions.exact import cents, round_to
 from spark_lever_spark.operators.grank import (
+    ntile_from_rank,
     with_global_rank,
     with_grouped_cumsum,
     with_grouped_prefix_max,
@@ -2900,4 +2901,275 @@ def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rk").alias("global_rank"),
         )
         .orderBy("global_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: ordered-set aggregates, sketch re-aggregation, RFM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_disc_order_priority",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY c, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM v
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN rk = (n + 3) // 4 THEN c END) AS BIGINT)
+           AS p25_cents,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN c END) AS BIGINT)
+           AS p50_cents,
+       CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN c END) AS BIGINT)
+           AS p75_cents
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def percentile_disc_order_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered-set aggregate ``percentile_disc(p) WITHIN GROUP`` per
+    order priority, p in {.25, .5, .75}: the smallest value whose
+    cumulative share reaches p — i.e. the value AT within-group rank
+    ceil(p*n), computed as an exact integer ((n+3) div 4 etc.), never
+    a float cume_dist comparison that can flip on rounding. The
+    within-group rank rides with_grouped_cumsum (operators/grank.py):
+    5 priority groups would otherwise each funnel through ONE task in
+    a naive partitioned window — the 2-pass form stays parallel at
+    any rows-per-group. One broadcast of the 5-row group counts turns
+    the three target ranks into map-side predicates; the final pivot
+    aggregates 15 surviving rows. percentile_disc differs from
+    percentile_cont exactly at these even/odd boundaries, so the
+    int64 ranks are the whole correctness story."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("c"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = with_grouped_cumsum(
+        v,
+        ["o_orderpriority"],
+        F.col("c"),
+        ["c", "o_orderkey"],
+        "_one",
+    ).withColumnRenamed("_cum", "rk")
+    counts = v.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    targets = counts.select(
+        "o_orderpriority",
+        "n",
+        ((F.col("n") + 3) / 4).cast("long").alias("r25"),
+        ((F.col("n") + 1) / 2).cast("long").alias("r50"),
+        ((3 * F.col("n") + 3) / 4).cast("long").alias("r75"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "o_orderpriority")
+        .filter(
+            (F.col("rk") == F.col("r25"))
+            | (F.col("rk") == F.col("r50"))
+            | (F.col("rk") == F.col("r75"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(F.when(F.col("rk") == F.col("r25"), F.col("c"))).alias(
+                "p25_cents"
+            ),
+            F.max(F.when(F.col("rk") == F.col("r50"), F.col("c"))).alias(
+                "p50_cents"
+            ),
+            F.max(F.when(F.col("rk") == F.col("r75"), F.col("c"))).alias(
+                "p75_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "bitmap_rollup_daily_to_monthly",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1
+UNION ALL
+SELECT CAST('1970-01-01' AS TIMESTAMP) AS month,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+ORDER BY month
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def bitmap_rollup_daily_to_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct-count RE-AGGREGATION across time partitions:
+    per-day user bitmaps OR-merge into months, and the monthly partials
+    OR-merge again into a grand total (keyed '1970-01-01') — THREE
+    grain levels from ONE raw scan, the mergeable-partials contract a
+    100 TB warehouse runs on (store daily sketches; month/total
+    rollups read sketches, never raw events). The oracle computes
+    count(DISTINCT) directly at both output grains, so a hash match
+    PROVES re-aggregation exactness — the property HLL only
+    approximates, bitmaps guarantee. The daily (day, bucket) bitmap
+    frame is persisted: it is aggregate-domain-sized (days x 32k-id
+    buckets) and feeds both rollup consumers, which Catalyst would
+    otherwise recompute from raw (no common-subplan dedup)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy(
+        "month", "day", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    monthly_bkt = daily.groupBy("month", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    ).persist()
+    per_month = monthly_bkt.groupBy("month").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_users")
+    )
+    total = (
+        monthly_bkt.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .select(
+            F.lit("1970-01-01").cast("timestamp").alias("month"),
+            "distinct_users",
+        )
+    )
+    return per_month.unionByName(total).orderBy("month")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+             AS r_days,
+         CAST(count(*) AS BIGINT) AS f_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT ntile(5) OVER (ORDER BY r_days, o_custkey)  AS r_score,
+         ntile(5) OVER (ORDER BY f_orders, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY m_cents, o_custkey)  AS m_score,
+         m_cents
+  FROM cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(m_cents) AS BIGINT) AS sum_monetary_cents
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: every
+    customer scored 1-5 on Recency (days since last order, 1 = most
+    recent), Frequency (order count), Monetary (lifetime cents), each
+    an exact global quintile. The customer aggregate is corpus-scale
+    (hundreds of millions of customers at 100 TB), so each quintile
+    is the 2-pass grank + the closed-form ntile identity
+    (ntile_from_rank == SQL ntile, proven by exact_global_deciles) —
+    three rank passes, zero single-task sorts. Output collapses to
+    the <=125-cell segment grid with customer counts and monetary
+    mass; ties everywhere break on custkey so scores are unique and
+    cross-engine stable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", cents(F.col("o_totalprice")).alias("c")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("f_orders"),
+            F.sum("c").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_d").cast("long").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    scored = cust
+    for dim, col in (("r", "r_days"), ("f", "f_orders"), ("m", "m_cents")):
+        scored = (
+            with_global_rank(scored, F.col(col), ["o_custkey"])
+            .withColumn(
+                f"{dim}_score",
+                ntile_from_rank(F.col("_rk"), F.col("_n_tot"), 5),
+            )
+            .drop("_rk", "_n_tot")
+        )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("m_cents").alias("sum_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "listagg_nations_per_region",
+    oracle="""
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG / string_agg — the report-formatting aggregate
+    (SQL:2016 ordered-set family, DuckDB string_agg ... ORDER BY):
+    nations per region as one comma-joined, deterministically ORDERED
+    string. Spark-first form: collect_list -> array_sort -> array_join
+    (collect_list order is nondeterministic under parallel merge — the
+    explicit sort is what makes the output an oracle-checkable value
+    rather than a race). Group cardinality bounds memory: the
+    collected list is per-group, fine for dimension-sized groups;
+    corpus-sized lists would use the packing operators instead."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+        .orderBy("r_name")
     )

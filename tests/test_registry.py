@@ -70,14 +70,19 @@ def test_live_window_rotates_to_oldest_vintage():
     """The real repo artifacts: window 50 must hold the least-recently
     driver-checked queries (plus any refronts/never-checked), never a
     re-run of the newest round's set."""
-    names = list(registry.all_queries())
+    qs = registry.all_queries()
+    names = list(qs)
     assert len(names) == len(set(names))
     window = set(names[:50])
     newest = max(registry._LAST_GREEN.values(), default=0)
+    # Changed-since-stamp queries legitimately re-enter the window even
+    # with a newest-round stamp: the stamp no longer covers their code.
     newest_only = {
         n
         for n, rnd in registry._LAST_GREEN.items()
-        if rnd == newest and n not in registry._REFRONT
+        if rnd == newest
+        and n not in registry._REFRONT
+        and not (n in qs and registry._changed_since_stamp(qs[n]))
     }
     # Queries whose latest green check is the newest round sort last;
     # they only enter the window if everything older already fits.
