@@ -43,10 +43,12 @@ GATES = {
     "dsir_importance_weights": 1.71,
     "ewma_daily_event_value": 0.38,
     "expr_explode_words": 0.21,
+    "interval_max_concurrency_daily": 0.71,  # v2.6 addition (round 10)
     "join_broadcast_dim": 0.41,
     "join_inner": 0.38,
     "knn_cosine_topk": 0.34,
     "lpa_communities_copurchase": 3.92,
+    "mad_outlier_order_values": 3.61,  # v2.6 addition (round 10)
     "matview_incremental_orders_by_status": 0.58,
     "merge_apply_cdc_orders": 0.6,
     "ohlc_hourly_bars": 0.65,

@@ -2781,6 +2781,7 @@ def equal_frequency_buckets_orders(
 
 @register(
     "mad_outlier_order_values",
+    bench=True,  # v2.6 gate (round 10): two grank passes + broadcast
     oracle="""
 WITH v AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c

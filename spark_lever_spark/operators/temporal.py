@@ -1601,6 +1601,7 @@ def linear_interpolate_hourly_gaps(
 
 @register(
     "interval_max_concurrency_daily",
+    bench=True,  # v2.6 gate (round 10): day-partitioned sweep line
     oracle="""
 WITH iv AS (
   SELECT user_id, date_trunc('day', ts) AS d,
