@@ -898,3 +898,79 @@ def bigram_next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("head", "rk")
     )
+
+
+@register(
+    "doc_mean_token_rank",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(ts) AS w FROM toks
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY w
+),
+rnk AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY c, w) AS BIGINT) AS r
+  FROM uni
+),
+per_doc AS (
+  SELECT o.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(r.r) AS BIGINT) AS sum_rank
+  FROM occ o JOIN rnk r ON r.w = o.w
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_toks, sum_rank,
+       CAST(sum_rank AS DOUBLE) / n_toks AS mean_rank
+FROM per_doc
+ORDER BY mean_rank, doc_id
+LIMIT 25
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def doc_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-based document quality scoring WITHOUT a language model:
+    rank the vocabulary by global frequency (rank 1 = rarest, exact
+    grank over the aggregate-domain vocab — corpus vocabularies reach
+    10^8 types at 100 TB, so no single-task sort), join each token
+    occurrence to its rank, and score each document by its mean token
+    rank. Low mean = built from rare/misspelled/junk tokens — the
+    transcendental-free stand-in for unigram-LM perplexity (log-prob
+    sums are N-ary float adds, banned by the exact.py doctrine; the
+    rank sum is exact int64 and the mean is ONE division). Output:
+    the 25 lowest-scoring (junkiest) docs. Scale: one vocab shuffle,
+    one vocab-keyed occurrence join, one doc-keyed aggregate,
+    TakeOrdered top-k."""
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    uni = occ.groupBy("w").agg(F.count("*").alias("c"))
+    rnk = with_global_rank(uni, F.col("c"), ["w"]).select(
+        "w", F.col("_rk").alias("r")
+    )
+    per_doc = (
+        occ.join(rnk, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("r").alias("sum_rank"))
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_toks",
+            "sum_rank",
+            (F.col("sum_rank").cast("double") / F.col("n_toks")).alias(
+                "mean_rank"
+            ),
+        )
+        .orderBy("mean_rank", "doc_id")
+        .limit(25)
+    )

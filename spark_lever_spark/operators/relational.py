@@ -3174,3 +3174,145 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+WITH probe AS (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+  UNION ALL SELECT NULL
+),
+ni AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_not_in FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM probe)
+),
+ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_not_exists FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers FROM customer
+)
+SELECT base.n_customers, ni.n_not_in, ne.n_not_exists FROM base, ni, ne
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity: ``NOT IN`` against a set CONTAINING
+    NULL is never true for any row (x <> NULL is UNKNOWN, so the
+    conjunction can't reach TRUE), while the NOT EXISTS form ignores
+    the NULL member and returns the real complement — the classic
+    silent-empty-result trap. Emitting both counts side by side from
+    the same probe set pins that the engine implements ANSI 3VL, not
+    the set-difference users expect (Spark plans NOT IN as a
+    null-aware anti join — one extra null-check branch, same equi
+    shuffle). The probe set deliberately injects one NULL; at 100 TB
+    both forms are the same anti-join shape."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_niv_o")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_niv_c")
+    return spark.sql(
+        """
+WITH probe AS (
+  SELECT o_custkey AS k FROM _niv_o WHERE o_totalprice > 400000
+  UNION ALL SELECT NULL
+),
+ni AS (
+  SELECT count(*) AS n_not_in FROM _niv_c
+  WHERE c_custkey NOT IN (SELECT k FROM probe)
+),
+ne AS (
+  SELECT count(*) AS n_not_exists FROM _niv_c c
+  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+),
+base AS (SELECT count(*) AS n_customers FROM _niv_c)
+SELECT base.n_customers, ni.n_not_in, ne.n_not_exists FROM base, ni, ne
+"""
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM v
+)
+SELECT v.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above,
+       CAST(sum(v.c) AS BIGINT) AS sum_above_cents
+FROM v, t
+WHERE v.c * t.n > t.s
+GROUP BY v.o_orderpriority
+ORDER BY v.o_orderpriority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter — rows above the GLOBAL average — with
+    the average never materialized as a float: avg = s/n, so
+    ``c > s/n`` becomes the integer cross-multiplication
+    ``c * n > s`` (exact at any scale where c*n < 2^63 — ~6e7 cents x
+    1.5e9 orders holds at the 100 TB point; promote to DECIMAL
+    beyond). An avg-as-double predicate can flip rows whose price
+    sits within one ulp of the mean, and the flip differs per engine
+    because an N-ary float SUM is association-ordered. Plan: one
+    1-row aggregate broadcast back over the scan — the scalar
+    subquery shape — then a map-side integer filter and the group
+    rollup."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("c")
+    )
+    t = v.agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("c") * F.col("n") > F.col("s"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum("c").alias("sum_above_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "multi_distinct_one_pass",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS n_days,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def multi_distinct_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE count(DISTINCT ...) over different columns in ONE
+    aggregation — the shape Catalyst plans with an Expand node (each
+    input row fans out once per distinct group, null-padded), giving
+    a single scan + one shuffle per distinct-column family instead of
+    N self-joined single-distinct aggregates. The reference's 1.3-era
+    planner refused multi-distinct outright (SPARK-9241 landed later)
+    so this pins the modern superset. The day distinct casts through
+    DATE on both engines; counts are exact int64."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.to_date("o_orderdate")).alias("n_days"),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )

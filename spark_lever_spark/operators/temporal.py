@@ -1685,3 +1685,65 @@ def interval_max_concurrency_daily(
         F.col("conc").cast("long").alias("max_concurrent"),
         F.col("t").alias("at_ts"),
     ).orderBy("day")
+
+
+@register(
+    "missing_days_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS mn,
+         CAST(max(o_orderdate) AS DATE) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+             AS day
+  FROM bounds
+),
+active AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+)
+SELECT CAST(date_trunc('month', s.day) AS TIMESTAMP) AS month,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN a.day IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_active,
+       CAST(sum(CASE WHEN a.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing
+FROM spine s LEFT JOIN active a ON a.day = s.day
+GROUP BY 1 ORDER BY month
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def missing_days_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification — the gap AUDIT every pipeline
+    needs before time-series features: generate the full day spine
+    between the data's min and max date (F.sequence + explode over a
+    broadcast 1-row bounds aggregate), left-join the observed distinct
+    days, and report active/missing days per month. The spine is
+    calendar-domain (days between bounds — thousands of rows at any
+    data size), so it BROADCASTS against the aggregate-domain distinct
+    days; raw orders are scanned twice only in the two 1-pass
+    aggregates (bounds, distinct days), never joined row-level. The
+    inverse of resample_hourly_ffill: this one tells you WHERE the
+    holes are instead of filling them."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    bounds = o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    active = o.distinct().withColumn("active", F.lit(1))
+    return (
+        spine.join(active, "day", "left")
+        .groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.coalesce("active", F.lit(0))).alias("n_active"),
+            F.sum(
+                F.when(F.col("active").isNull(), 1).otherwise(0)
+            ).alias("n_missing"),
+        )
+        .orderBy("month")
+    )

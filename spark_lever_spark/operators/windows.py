@@ -515,3 +515,57 @@ def exact_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rk").alias("target_rank"),
         F.col("v").alias("value_cents"),
     ).orderBy("decile")
+
+
+@register(
+    "window_last_ignore_nulls",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END AS pv
+  FROM events WHERE user_id < 50
+)
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_purchase_cents
+FROM v ORDER BY user_id, ts, event_id
+""",
+    category="windows",
+    tags=("defer-window",),
+)
+def window_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``last_value(... IGNORE NULLS)`` — the gap-carry window
+    expression (SQL:2011 null treatment clause): every event carries
+    the most recent PURCHASE amount for its user, NULL until the
+    first purchase happens. This is forward-fill as a single window
+    expression (contrast resample_hourly_ffill, which densifies onto
+    a grid first) — the form feature pipelines use to attach
+    'last-known X' to every fact row. One user-keyed window, exact
+    cents, deterministic (ts, event_id) order; rows before any
+    purchase stay NULL in both engines, pinning the
+    no-default-fill semantics."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", cents(F.col("value"))
+        ).alias("pv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return v.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.last("pv", ignorenulls=True).over(w).alias("last_purchase_cents"),
+    ).orderBy("user_id", "ts", "event_id")
