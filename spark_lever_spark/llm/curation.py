@@ -1250,3 +1250,136 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+@register(
+    "grouped_split_no_leakage",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 10 < 8 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky_users FROM (
+    SELECT user_id FROM assigned GROUP BY user_id
+    HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT a.split,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       l.n_leaky_users
+FROM assigned a, leak l
+GROUP BY a.split, l.n_leaky_users
+ORDER BY split
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def grouped_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-consistent train/val/test split + leakage audit — the
+    eval-hygiene primitive for user-generated training data: the split
+    is a pure function of the GROUP key (md5(user_id) mod 10 ->
+    8/1/1), never of the row, so every event of a user lands in one
+    split and the held-out sets stay statistically independent of
+    training users. The audit half RE-DERIVES leakage from the
+    assigned rows (users spanning >1 split) rather than trusting the
+    rule — exactly the check that catches the classic bug of splitting
+    on a row-level hash (event_id) where a user's history straddles
+    the boundary. md5-derived bucketing is the repo's sanctioned
+    determinism (replayed exactly in SQL); counts are exact; the
+    audit is one user-keyed aggregate — everything row-property or
+    aggregate-domain at 100 TB. Both output halves (split sizes,
+    leakage) derive from ONE persisted (user, split) aggregate so the
+    raw event scan happens once, not once per consumer (Catalyst does
+    not dedupe common subplans)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    b = _md5_long(F.col("user_id").cast("string"), 8) % 10
+    assigned = ev.withColumn(
+        "split",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test"),
+    )
+    ua = (
+        assigned.groupBy("user_id", "split")
+        .agg(F.count("*").alias("n_events"))
+        .persist()
+    )
+    leak = (
+        ua.groupBy("user_id")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky_users"))
+    )
+    return (
+        ua.groupBy("split")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "n_leaky_users")
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_balance_report",
+    oracle="""
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+         CAST(sum(n_chars) AS BIGINT) AS nc
+  FROM g
+)
+SELECT g.source, g.lang, g.n_docs, g.n_chars,
+       CAST((g.n_docs * 1000000) // t.nd AS BIGINT) AS doc_share_ppm,
+       CAST((g.n_chars * 1000000) // t.nc AS BIGINT) AS char_share_ppm
+FROM g, tot t
+ORDER BY source, lang
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def stratified_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification balance telemetry — the mix report every corpus
+    curation loop reads before adjusting sampling weights: per
+    (source, lang) cell, document and character counts plus each
+    cell's share of the corpus in EXACT parts-per-million (integer
+    (n*10^6) div N — a float share can round differently per engine
+    and ppm is what mix dashboards store anyway). One aggregate-domain
+    group-by + a 1-row total broadcast; at 100 TB the report is
+    |sources|x|langs| rows from a single scan. Feeds
+    mix_source_weights / sample_apply_mix_weights (the knobs this
+    report exists to tune)."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_chars").alias("nc")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.expr("(n_docs * 1000000) div nd").alias("doc_share_ppm"),
+            F.expr("(n_chars * 1000000) div nc").alias("char_share_ppm"),
+        )
+        .orderBy("source", "lang")
+    )

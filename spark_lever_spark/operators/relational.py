@@ -3316,3 +3316,82 @@ def multi_distinct_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "winsorize_order_values",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM v
+),
+cuts AS (
+  SELECT max(CASE WHEN rk = (n + 99) // 100 THEN c END) AS lo,
+         max(CASE WHEN rk = (99 * n + 99) // 100 THEN c END) AS hi
+  FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(cuts.lo) AS BIGINT) AS p01_cents,
+       CAST(max(cuts.hi) AS BIGINT) AS p99_cents,
+       CAST(sum(CASE WHEN v.c < cuts.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_lo,
+       CAST(sum(CASE WHEN v.c > cuts.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_hi,
+       CAST(sum(v.c) AS BIGINT) AS sum_cents_before,
+       CAST(sum(CASE WHEN v.c < cuts.lo THEN cuts.lo
+                     WHEN v.c > cuts.hi THEN cuts.hi
+                     ELSE v.c END) AS BIGINT) AS sum_cents_after
+FROM v, cuts
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def winsorize_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the ML-feature-prep clamp: values below the
+    exact 1st percentile (discrete semantics, rank ceil(n/100)) are
+    raised to it, values above the exact 99th lowered to it, and the
+    audit row reports both cut values, how many rows each side
+    clamped, and the sum before/after (all int64 cents — the clamp
+    boundary is an integer comparison, so the clamped SET is
+    bit-identical cross-engine; a float quantile boundary silently
+    moves edge rows between runs). The cuts ride ONE grank pass (both
+    ranks filtered from the same ranked frame, aggregated to a 1-row
+    broadcast), then a map-side clamp + global aggregate: two
+    aggregate-domain shuffles at any scale — this is how you clip a
+    100 TB feature column without sorting it."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    r = with_global_rank(v, F.col("c"), ["o_orderkey"])
+    cuts = r.filter(
+        F.expr("_rk = (_n_tot + 99) div 100")
+        | F.expr("_rk = (99 * _n_tot + 99) div 100")
+    ).agg(
+        F.max(
+            F.when(F.expr("_rk = (_n_tot + 99) div 100"), F.col("c"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.expr("_rk = (99 * _n_tot + 99) div 100"), F.col("c"))
+        ).alias("hi"),
+    )
+    clamped = F.when(F.col("c") < F.col("lo"), F.col("lo")).when(
+        F.col("c") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("c"))
+    return v.crossJoin(F.broadcast(cuts)).agg(
+        F.count("*").alias("n_orders"),
+        F.max("lo").alias("p01_cents"),
+        F.max("hi").alias("p99_cents"),
+        F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_clamped_lo"
+        ),
+        F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_clamped_hi"
+        ),
+        F.sum("c").alias("sum_cents_before"),
+        F.sum(clamped).alias("sum_cents_after"),
+    )
