@@ -3395,3 +3395,90 @@ def winsorize_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("sum_cents_before"),
         F.sum(clamped).alias("sum_cents_after"),
     )
+
+
+@register(
+    "percentile_cont_lineitem",
+    oracle="""
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+r AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c, l_orderkey, l_linenumber) AS rk,
+         count(*) OVER () AS n
+  FROM v
+),
+picked AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rk = (n - 1) // 4 + 1 THEN c END) AS lo25,
+         max(CASE WHEN rk = (n - 1) // 4 + 2 THEN c END) AS hi25,
+         max(CASE WHEN rk = (n - 1) // 2 + 1 THEN c END) AS lo50,
+         max(CASE WHEN rk = (n - 1) // 2 + 2 THEN c END) AS hi50,
+         max(CASE WHEN rk = (3 * (n - 1)) // 4 + 1 THEN c END) AS lo75,
+         max(CASE WHEN rk = (3 * (n - 1)) // 4 + 2 THEN c END) AS hi75
+  FROM r
+)
+SELECT n AS n_values,
+       lo25 + (hi25 - lo25) * (CAST((n - 1) % 4 AS DOUBLE) / 4)
+           AS p25_cents,
+       lo50 + (hi50 - lo50) * (CAST((n - 1) % 2 AS DOUBLE) / 2)
+           AS p50_cents,
+       lo75 + (hi75 - lo75) * (CAST((3 * (n - 1)) % 4 AS DOUBLE) / 4)
+           AS p75_cents
+FROM picked
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def percentile_cont_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_cont`` — the INTERPOLATING ordered-set aggregate
+    (SQL:2003; pos = (n-1)p, value = v[k] + (v[k+1]-v[k])*frac) at
+    p in {.25, .5, .75}, closing the pair with percentile_disc: these
+    p make every possible frac a SMALL BINARY RATIONAL (quarters or
+    halves), so the interpolation is one exact double product plus one
+    two-term sum — bit-identical cross-engine per the exact.py
+    doctrine (arbitrary p, e.g. 0.37, would NOT be: its frac already
+    rounds). Both bracket ranks come from ONE grank pass over int64
+    cents; the pick is a 1-row aggregate. A pytest proves the rank
+    formula equals DuckDB's built-in quantile_cont. At 100 TB: two
+    aggregate-domain shuffles, no global sort."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("c")
+    )
+    r = with_global_rank(v, F.col("c"), ["l_orderkey", "l_linenumber"])
+    picked = r.filter(
+        F.expr(
+            "_rk IN ((_n_tot - 1) div 4 + 1, (_n_tot - 1) div 4 + 2,"
+            " (_n_tot - 1) div 2 + 1, (_n_tot - 1) div 2 + 2,"
+            " (3 * (_n_tot - 1)) div 4 + 1, (3 * (_n_tot - 1)) div 4 + 2)"
+        )
+    ).agg(
+        F.max("_n_tot").alias("n"),
+        F.max(F.expr("CASE WHEN _rk = (_n_tot-1) div 4 + 1 THEN c END")).alias("lo25"),
+        F.max(F.expr("CASE WHEN _rk = (_n_tot-1) div 4 + 2 THEN c END")).alias("hi25"),
+        F.max(F.expr("CASE WHEN _rk = (_n_tot-1) div 2 + 1 THEN c END")).alias("lo50"),
+        F.max(F.expr("CASE WHEN _rk = (_n_tot-1) div 2 + 2 THEN c END")).alias("hi50"),
+        F.max(F.expr("CASE WHEN _rk = (3*(_n_tot-1)) div 4 + 1 THEN c END")).alias("lo75"),
+        F.max(F.expr("CASE WHEN _rk = (3*(_n_tot-1)) div 4 + 2 THEN c END")).alias("hi75"),
+    )
+    return picked.select(
+        F.col("n").alias("n_values"),
+        (
+            F.col("lo25")
+            + (F.col("hi25") - F.col("lo25"))
+            * (F.expr("CAST((n - 1) % 4 AS DOUBLE)") / 4)
+        ).alias("p25_cents"),
+        (
+            F.col("lo50")
+            + (F.col("hi50") - F.col("lo50"))
+            * (F.expr("CAST((n - 1) % 2 AS DOUBLE)") / 2)
+        ).alias("p50_cents"),
+        (
+            F.col("lo75")
+            + (F.col("hi75") - F.col("lo75"))
+            * (F.expr("CAST((3 * (n - 1)) % 4 AS DOUBLE)") / 4)
+        ).alias("p75_cents"),
+    )

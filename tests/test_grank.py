@@ -157,3 +157,56 @@ def test_grouped_prefix_max_matches_window(spark):
     # null-safe comparison: first row of each group has no predecessor
     diff = joined.filter(~F.col("_pmax").eqNullSafe(F.col("pm")))
     assert diff.count() == 0
+
+
+def test_percentile_cont_formula_matches_duckdb_builtin():
+    """The bracket-rank interpolation percentile_cont_lineitem uses
+    (lo = value at (n-1)p div 1 + 1, frac = the binary-rational
+    remainder) must equal DuckDB's built-in quantile_cont at
+    p in {.25, .5, .75} on odd/even/duplicate-heavy inputs — the same
+    engine-identity proof style as the ntile closed form."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        list(range(1, 8)),                      # odd n
+        list(range(1, 9)),                      # even n
+        [5] * 9,                                # all-equal
+        [1, 1, 2, 2, 3, 100],                   # duplicates + outlier
+        [3],                                    # n = 1
+        [10, 20],                               # n = 2
+        [7, 1, 9, 4, 4, 4, 2, 8, 8, 6, 5, 0],   # unsorted, dups
+    ]
+    for vals in cases:
+        rows = ", ".join(f"({v})" for v in vals)
+        ours = con.execute(
+            f"""
+WITH v(c) AS (VALUES {rows}),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk,
+             count(*) OVER () AS n FROM v),
+picked AS (
+  SELECT max(n) AS n,
+         max(CASE WHEN rk = (n-1)//4 + 1 THEN c END) AS lo25,
+         max(CASE WHEN rk = (n-1)//4 + 2 THEN c END) AS hi25,
+         max(CASE WHEN rk = (n-1)//2 + 1 THEN c END) AS lo50,
+         max(CASE WHEN rk = (n-1)//2 + 2 THEN c END) AS hi50,
+         max(CASE WHEN rk = (3*(n-1))//4 + 1 THEN c END) AS lo75,
+         max(CASE WHEN rk = (3*(n-1))//4 + 2 THEN c END) AS hi75
+  FROM r)
+SELECT lo25 + (coalesce(hi25, lo25) - lo25)
+           * (CAST((n-1) % 4 AS DOUBLE) / 4) AS p25,
+       lo50 + (coalesce(hi50, lo50) - lo50)
+           * (CAST((n-1) % 2 AS DOUBLE) / 2) AS p50,
+       lo75 + (coalesce(hi75, lo75) - lo75)
+           * (CAST((3*(n-1)) % 4 AS DOUBLE) / 4) AS p75
+FROM picked
+"""
+        ).fetchone()
+        theirs = con.execute(
+            f"""
+SELECT quantile_cont(c, 0.25), quantile_cont(c, 0.5),
+       quantile_cont(c, 0.75)
+FROM (VALUES {rows}) t(c)
+"""
+        ).fetchone()
+        assert ours == tuple(theirs), (vals, ours, theirs)

@@ -66,6 +66,9 @@ def split_sf_dir(spark, sf_dir) -> str:
         "stream_watermark_append_close",
         "stream_stream_join_click_purchase",
         "stream_stream_left_join_unmatched_clicks",
+        # chained stateful operators (dedup state -> windowed agg state)
+        # must also be batch-count independent
+        "stream_windowed_distinct_users",
     ],
 )
 def test_batch_count_independence(spark, sf_dir, split_sf_dir, name):
