@@ -1043,3 +1043,74 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "antecedent", "consequent")
         .limit(20)
     )
+
+
+@register(
+    "tiered_rate_lookup_join",
+    oracle="""
+WITH tiers(tier, lo_cents, hi_cents, rate_bp) AS (VALUES
+  ('T1', 0,        5000000,   50),
+  ('T2', 5000000,  15000000,  75),
+  ('T3', 15000000, 30000000, 100),
+  ('T4', 30000000, 9223372036854775807, 150)
+),
+o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT t.tier, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.c) AS BIGINT) AS sum_cents,
+       CAST(sum((o.c * t.rate_bp) // 10000) AS BIGINT)
+           AS commission_cents
+FROM o JOIN tiers t ON o.c >= t.lo_cents AND o.c < t.hi_cents
+GROUP BY t.tier, o.o_orderpriority
+ORDER BY tier, o_orderpriority
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def tiered_rate_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-rate RANGE-LOOKUP join — the tax-bracket/commission
+    pattern: each fact row matches the ONE tier whose [lo, hi) band
+    contains its amount, then per-(tier, priority) rollups. The tier
+    table is a literal dimension (4 rows), so Spark plans a
+    BroadcastNestedLoopJoin with a 4-row build side — the sanctioned
+    bounded-BNL shape (whitelisted by name in test_plans.py): each
+    fact row probes at most 4 bands map-side, no shuffle of the fact
+    table, and bands are half-open integer cents so membership can
+    never double-count or gap on a float edge. The commission is
+    integer basis-point math ((c * bp) div 10^4 — truncation spec'd
+    identically via DuckDB's // floor on non-negative values). At
+    100 TB this is the canonical broadcast-dim pattern for any
+    banded-rate schedule."""
+    tiers = spark.createDataFrame(
+        [
+            ("T1", 0, 5_000_000, 50),
+            ("T2", 5_000_000, 15_000_000, 75),
+            ("T3", 15_000_000, 30_000_000, 100),
+            ("T4", 30_000_000, 9_223_372_036_854_775_807, 150),
+        ],
+        "tier string, lo_cents long, hi_cents long, rate_bp long",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (F.col("c") >= F.col("lo_cents")) & (F.col("c") < F.col("hi_cents")),
+        )
+        .groupBy("tier", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.expr("(c * rate_bp) div 10000")).alias(
+                "commission_cents"
+            ),
+        )
+        .orderBy("tier", "o_orderpriority")
+    )

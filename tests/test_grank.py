@@ -210,3 +210,43 @@ FROM (VALUES {rows}) t(c)
 """
         ).fetchone()
         assert ours == tuple(theirs), (vals, ours, theirs)
+
+
+def test_percentile_disc_rank_matches_duckdb_builtin():
+    """percentile_disc_order_priority's integer target ranks
+    (ceil(p*n) = (n + k-1) div k family) must equal DuckDB's built-in
+    quantile_disc at p in {.25, .5, .75} on odd/even/duplicate-heavy
+    inputs."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        list(range(1, 8)),
+        list(range(1, 9)),
+        [5] * 9,
+        [1, 1, 2, 2, 3, 100],
+        [3],
+        [10, 20],
+        [7, 1, 9, 4, 4, 4, 2, 8, 8, 6, 5, 0],
+    ]
+    for vals in cases:
+        rows = ", ".join(f"({v})" for v in vals)
+        ours = con.execute(
+            f"""
+WITH v(c) AS (VALUES {rows}),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk,
+             count(*) OVER () AS n FROM v)
+SELECT max(CASE WHEN rk = (n + 3) // 4 THEN c END),
+       max(CASE WHEN rk = (n + 1) // 2 THEN c END),
+       max(CASE WHEN rk = (3 * n + 3) // 4 THEN c END)
+FROM r
+"""
+        ).fetchone()
+        theirs = con.execute(
+            f"""
+SELECT quantile_disc(c, 0.25), quantile_disc(c, 0.5),
+       quantile_disc(c, 0.75)
+FROM (VALUES {rows}) t(c)
+"""
+        ).fetchone()
+        assert ours == tuple(theirs), (vals, ours, theirs)

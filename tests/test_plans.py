@@ -606,6 +606,10 @@ NESTED_LOOP_WHITELIST = {
         "broadcast bounded benchmark suite (vec_id % 50 == 0, <= 2000 — "
         "fixed-size by construction at every SF)"
     ),
+    "tiered_rate_lookup_join": (
+        "broadcast 4-row literal tier table — the banded-rate lookup "
+        "dim; each fact row probes <= 4 bands map-side"
+    ),
 }
 
 
