@@ -3482,3 +3482,158 @@ def percentile_cont_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.expr("CAST((3 * (n - 1)) % 4 AS DOUBLE)") / 4)
         ).alias("p75_cents"),
     )
+
+
+@register(
+    "customer_order_gap_distribution",
+    oracle="""
+WITH d AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey),
+                   day) AS gap_days
+  FROM d
+)
+SELECT CAST(gap_days // 30 AS BIGINT) AS gap_bucket_months,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_days,
+       CAST(max(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY gap_bucket_months
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def customer_order_gap_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase interval distribution — the repeat-behavior
+    signal behind churn models and replenishment reminders: per
+    customer, the day gaps between consecutive orders (lag over a
+    customer-keyed window, ties by orderkey), rolled into 30-day
+    buckets with integer division (a float month conversion would
+    straddle bucket edges differently per engine). One customer-keyed
+    shuffle for the lag, then an aggregate-domain histogram — the
+    same two-shuffle shape at 100 TB. Distinct from
+    time_to_convert_quantiles (first view->purchase, one gap per
+    user): this is EVERY consecutive pair, a distribution not a
+    funnel."""
+    d = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("day")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = d.select(
+        F.datediff("day", F.lag("day").over(w)).cast("long").alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.expr("gap_days div 30").alias("gap_bucket_months")
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("gap_bucket_months")
+    )
+
+
+@register(
+    "repeat_purchase_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per_cust)
+SELECT p.n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST((count(*) * 1000000) // max(t.n_cust) AS BIGINT)
+           AS share_ppm
+FROM per_cust p, tot t
+GROUP BY p.n_orders ORDER BY n_orders
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def repeat_purchase_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase frequency curve — how many customers placed
+    exactly k orders, with each cell's share of the customer base in
+    exact ppm: the one-table summary behind 'what fraction ever came
+    back'. Two stacked aggregate-domain group-bys (orders -> per-
+    customer counts -> count-of-counts) plus a broadcast 1-row total;
+    the k domain is tiny at any scale. The frequency-of-frequencies
+    shape is the same one vocabulary hapax analysis uses
+    (vocab_growth_by_source) — on transactions instead of tokens."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = per_cust.agg(F.count("*").alias("n_cust"))
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_orders",
+            "n_customers",
+            F.expr("(n_customers * 1000000) div n_cust").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "id_contiguity_audit_events",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(max(event_id) - min(event_id) + 1 AS BIGINT) AS span,
+       CAST(max(event_id) - min(event_id) + 1
+            - count(DISTINCT event_id) AS BIGINT) AS n_holes,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dups
+FROM events
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def id_contiguity_audit_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Surrogate-key contiguity audit — the ingestion health check for
+    any ID-sequenced feed: holes (span minus distinct — dropped or
+    not-yet-arrived records) and duplicates (rows minus distinct —
+    replayed records) derived purely from count/distinct/min/max, so
+    the audit is ONE aggregation pass with a distinct sub-aggregate —
+    no self-join against a generated sequence, which is the naive
+    O(span) formulation that breaks when the span is 10^12 at 100 TB.
+    All outputs exact int64."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("span"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.count_distinct("event_id")
+        ).alias("n_holes"),
+        (F.count("*") - F.count_distinct("event_id")).alias("n_dups"),
+    )
