@@ -1383,3 +1383,86 @@ def stratified_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "weighted_sample_units",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey,
+         1 + least(25, CAST(round(o_totalprice * 100) AS BIGINT)
+                       // 2000000) AS wt
+  FROM orders
+),
+tickets AS (
+  SELECT o_orderkey, wt,
+         min(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                 || CAST(u.unit AS VARCHAR))) AS ticket
+  FROM w, LATERAL (SELECT unnest(range(1, wt + 1)) AS unit) u
+  GROUP BY o_orderkey, wt
+)
+SELECT o_orderkey, CAST(wt AS BIGINT) AS weight, ticket
+FROM tickets
+ORDER BY ticket, o_orderkey
+LIMIT 100
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def weighted_sample_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement by unit-hash
+    races — the exactly-replayable cousin of A-ES exponential-jump
+    sampling (Efraimidis & Spirtakis 2006): give each row
+    ``w`` integer lottery units, hash every unit with md5, and let
+    the row's ticket be its MINIMUM unit hash; the global bottom-k
+    tickets are the sample. A row with twice the units has twice the
+    chances at the record-low hash, so inclusion probability rises
+    with weight (the min-of-w-uniforms race), yet selection is a pure
+    row property — no RNG state, re-runs and backfills reproduce the
+    identical sample, and DuckDB replays it hash-for-hash (md5 is the
+    house's only sanctioned randomness; the A-ES ``u^(1/w)`` key
+    needs pow/ln, which the exactness doctrine bans from ranked
+    outputs). Shapes: explode fan-out is capped at 26 units (a
+    constant, not a data size), min-ticket is a map-side-combinable
+    agg, and the bottom-100 is a TakeOrdered — no global sort ever
+    materializes at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        (
+            1
+            + F.least(
+                F.lit(25),
+                F.expr(
+                    "CAST(round(o_totalprice * 100) AS BIGINT) div 2000000"
+                ),
+            )
+        ).alias("wt"),
+    )
+    units = w.select(
+        "o_orderkey",
+        "wt",
+        F.explode(F.sequence(F.lit(1), F.col("wt"))).alias("unit"),
+    )
+    tickets = (
+        units.select(
+            "o_orderkey",
+            "wt",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("unit").cast("string"),
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .groupBy("o_orderkey", "wt")
+        .agg(F.min("h").alias("ticket"))
+    )
+    return (
+        tickets.select(
+            "o_orderkey", F.col("wt").cast("long").alias("weight"), "ticket"
+        )
+        .orderBy("ticket", "o_orderkey")
+        .limit(100)
+    )

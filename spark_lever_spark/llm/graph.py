@@ -797,3 +797,117 @@ def dedup_cluster_quality_election(
         )
         .orderBy("component")
     )
+
+
+@register(
+    "bfs_hops_copurchase",
+    oracle="""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+verts AS (SELECT DISTINCT pa AS v FROM sym),
+walk(v, hop) AS (
+  SELECT (SELECT min(v) FROM verts), 0
+  UNION
+  SELECT s.pb, w.hop + 1
+  FROM walk w JOIN sym s ON s.pa = w.v
+  WHERE w.hop < 4
+),
+dist AS (SELECT v, min(hop) AS hop FROM walk GROUP BY v)
+SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_vertices
+FROM dist GROUP BY hop
+UNION ALL
+SELECT -1, (SELECT CAST(count(*) AS BIGINT) FROM verts)
+           - (SELECT CAST(count(*) AS BIGINT) FROM dist)
+ORDER BY hop
+""",
+    category="llm_dedup",
+)
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the co-purchase graph
+    (support >= 2 edges, same construction as
+    `triangle_count_copurchase`), seeded at the minimum vertex id:
+    the reachability primitive under "how many hops from product X is
+    the rest of the catalog" — the per-hop frontier census is the
+    graph's expansion profile (hop -1 counts vertices unreachable
+    within the 4-hop budget). Distributed shape: synchronous
+    frontier-relaxation — each round is ONE frontier-to-adjacency
+    equi-join plus an anti-join against the visited set, the same
+    bounded-rounds doctrine as `connected_components`' large-star
+    rounds (Pregel BFS without a vertex-program framework); the
+    number of rounds is the hop budget, a query constant, never a
+    data size. The DuckDB oracle replays it as a recursive CTE whose
+    UNION-dedup bounds states at |V| x hops, then takes min(hop) per
+    vertex."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    # localCheckpoint per round: BFS is iterative, and without eager
+    # lineage truncation round N re-executes rounds 1..N-1 (measured
+    # 35s -> ~8s at sf0.001); same doctrine as connected_components.
+    sym = e.unionByName(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).localCheckpoint()
+    verts = sym.select(F.col("pa").alias("v")).distinct().localCheckpoint()
+    seed = (
+        verts.agg(F.min("v").alias("v"))
+        .select("v", F.lit(0).alias("hop"))
+        .localCheckpoint()
+    )
+    layers = [seed]
+    visited_v = seed.select("v")
+    frontier = seed.select("v")
+    for h in range(1, 5):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["pa"])
+            .select(F.col("pb").alias("v"))
+            .distinct()
+            .join(visited_v, "v", "left_anti")
+            .select("v", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        layers.append(nxt)
+        visited_v = visited_v.unionByName(nxt.select("v"))
+        frontier = nxt.select("v")
+    visited = layers[0]
+    for lay in layers[1:]:
+        visited = visited.unionByName(lay)
+    reached = visited.groupBy("hop").agg(F.count("*").alias("n_vertices"))
+    n_verts = verts.agg(F.count("*").alias("nv"))
+    n_reach = visited.agg(F.count("*").alias("nr"))
+    unreachable = (
+        n_verts.crossJoin(n_reach)
+        .select(
+            F.lit(-1).alias("hop"),
+            (F.col("nv") - F.col("nr")).alias("n_vertices"),
+        )
+    )
+    return (
+        reached.select(F.col("hop").cast("int"), "n_vertices")
+        .unionByName(unreachable.select(F.col("hop").cast("int"), "n_vertices"))
+        .orderBy("hop")
+    )

@@ -3637,3 +3637,77 @@ def id_contiguity_audit_events(
         ).alias("n_holes"),
         (F.count("*") - F.count_distinct("event_id")).alias("n_dups"),
     )
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+WITH fd AS (
+  SELECT 'event_id->user_id' AS fd, CAST(event_id AS VARCHAR) AS det,
+         count(DISTINCT user_id) AS n_dep
+  FROM events GROUP BY event_id
+  UNION ALL
+  SELECT 'p_name->p_brand', p_name, count(DISTINCT p_brand)
+  FROM part GROUP BY p_name
+  UNION ALL
+  SELECT 'p_brand->p_size', p_brand, count(DISTINCT p_size)
+  FROM part GROUP BY p_brand
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_det_values,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(max(n_dep) AS BIGINT) AS max_dependents,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+           AS holds
+FROM fd GROUP BY fd ORDER BY fd
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit — the schema-profiling primitive
+    behind FD discovery (TANE, Huhtala et al. 1999): for each
+    candidate rule X -> Y, count determinant values whose dependent
+    is NOT unique. On this corpus it proves `event_id -> user_id`
+    holds (replayed event IDs at least agree on their owner — the
+    check an ingestion pipeline runs before keying state by event_id)
+    while both part-catalog decoy rules fail — exactly the
+    hold/violate split a profiler must separate before declaring a
+    derivable column. Each rule is ONE determinant-keyed aggregation
+    with a distinct sub-aggregate and collapses to a per-rule summary
+    before the union, so the audited relation is scanned once per
+    rule and nothing wider than (rule, 4 counters) ever moves."""
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(df: DataFrame, fd_name: str, det, dep: str) -> DataFrame:
+        return (
+            df.groupBy(det.alias("det"))
+            .agg(F.count_distinct(F.col(dep)).alias("n_dep"))
+            .select(F.lit(fd_name).alias("fd"), "det", "n_dep")
+        )
+
+    fd = (
+        audit(
+            ev,
+            "event_id->user_id",
+            F.col("event_id").cast("string"),
+            "user_id",
+        )
+        .unionByName(audit(part, "p_name->p_brand", F.col("p_name"), "p_brand"))
+        .unionByName(audit(part, "p_brand->p_size", F.col("p_brand"), "p_size"))
+    )
+    viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+    return (
+        fd.groupBy("fd")
+        .agg(
+            F.count("*").alias("n_det_values"),
+            viol.alias("n_violating"),
+            F.max("n_dep").alias("max_dependents"),
+            (viol == 0).alias("holds"),
+        )
+        .orderBy("fd")
+    )

@@ -1747,3 +1747,188 @@ def missing_days_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT d1.event_type,
+         CAST(d2.yc - d1.yc AS DOUBLE) / CAST(d2.x - d1.x AS DOUBLE)
+             AS slope
+  FROM daily d1 JOIN daily d2
+    ON d2.event_type = d1.event_type AND d2.x > d1.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope)
+             AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_pairs,
+       round(SUM(slope) / count(*) * 1000000) / 1000000
+           AS ts_slope_cents_per_day
+FROM ranked
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY event_type ORDER BY event_type
+""",
+    category="temporal",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    daily value vs time, per event type — the estimator that survives
+    up to ~29% outlier days, where `trend_slope_daily_value`'s OLS
+    slope (same daily domain) is dragged arbitrarily far by one bad
+    day. The O(days^2) pair grid is formed strictly on the AGGREGATE
+    domain: days are bounded by calendar time, not data volume, so at
+    100 TB the grid is the same size as at sf0.001 — the raw shuffle
+    is one (event_type, day) aggregation with map-side partials.
+    Each pairwise slope is ONE double division of exact int64s
+    (bit-identical cross-engine); the median picks the middle one or
+    two of those doubles by rank (avg of 2 known-order doubles is
+    exact-safe), then presentation-rounds to 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    daily = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "yc",
+    )
+    d1, d2 = daily.alias("d1"), daily.alias("d2")
+    slopes = d1.join(
+        d2,
+        (F.col("d2.event_type") == F.col("d1.event_type"))
+        & (F.col("d2.x") > F.col("d1.x")),
+    ).select(
+        F.col("d1.event_type").alias("event_type"),
+        (
+            (F.col("d2.yc") - F.col("d1.yc")).cast("double")
+            / (F.col("d2.x") - F.col("d1.x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            (
+                F.round(F.sum("slope") / F.count("*") * 1000000) / 1000000
+            ).alias("ts_slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "seasonal_naive_error_ratio",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+e7 AS (
+  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n7,
+         CAST(SUM(abs(d.yc - p.yc)) AS BIGINT) AS sae7_cents
+  FROM daily d JOIN daily p
+    ON p.event_type = d.event_type AND p.x = d.x - 7
+  GROUP BY d.event_type
+),
+e1 AS (
+  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n1,
+         CAST(SUM(abs(d.yc - p.yc)) AS BIGINT) AS sae1_cents
+  FROM daily d JOIN daily p
+    ON p.event_type = d.event_type AND p.x = d.x - 1
+  GROUP BY d.event_type
+)
+SELECT e7.event_type AS event_type, n7, sae7_cents, n1, sae1_cents,
+       round(CAST(sae7_cents * n1 AS DOUBLE)
+             / CAST(sae1_cents * n7 AS DOUBLE) * 1000000) / 1000000
+           AS seasonal_vs_naive_ratio
+FROM e7 JOIN e1 ON e1.event_type = e7.event_type
+ORDER BY e7.event_type
+""",
+    category="temporal",
+)
+def seasonal_naive_error_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecastability diagnostic: mean absolute error of the
+    SEASONAL-naive predictor (value 7 days ago) versus the plain
+    naive predictor (value yesterday), per event type — ratio < 1
+    means the series has real weekly structure worth modeling, the
+    denominator role MASE gives the naive forecast (Hyndman &
+    Koehler 2006). Both error sums live on the (event_type, day)
+    aggregate domain and are EXACT int64 cents; the lags are calendar
+    equi-joins on x-7 / x-1 (not row-offset lags, so date gaps never
+    silently shift the season). The published ratio cross-multiplies
+    the two exact (sum, count) pairs into one int64-vs-int64 double
+    division — bit-identical cross-engine before 1e-6 rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "yc",
+        )
+    )
+
+    def lag_err(k: int, n_name: str, s_name: str) -> DataFrame:
+        d, p = daily.alias("d"), daily.alias("p")
+        return (
+            d.join(
+                p,
+                (F.col("p.event_type") == F.col("d.event_type"))
+                & (F.col("p.x") == F.col("d.x") - k),
+            )
+            .groupBy(F.col("d.event_type").alias("event_type"))
+            .agg(
+                F.count("*").alias(n_name),
+                F.sum(F.abs(F.col("d.yc") - F.col("p.yc"))).alias(s_name),
+            )
+        )
+
+    e7 = lag_err(7, "n7", "sae7_cents")
+    e1 = lag_err(1, "n1", "sae1_cents")
+    ratio = (F.col("sae7_cents") * F.col("n1")).cast("double") / (
+        F.col("sae1_cents") * F.col("n7")
+    ).cast("double")
+    return (
+        e7.join(e1, "event_type")
+        .select(
+            "event_type",
+            "n7",
+            "sae7_cents",
+            "n1",
+            "sae1_cents",
+            (F.round(ratio * 1000000) / 1000000).alias(
+                "seasonal_vs_naive_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
