@@ -911,3 +911,100 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unreachable.select(F.col("hop").cast("int"), "n_vertices"))
         .orderBy("hop")
     )
+
+
+@register(
+    "dedup_decision_ledger",
+    # exact-fp stage + survivor-restricted LSH stage; band digests are
+    # pure per-doc functions, so post-filtering pairs to exact
+    # survivors equals re-running LSH on the survivor set
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_SQL_CTES},
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
+  FROM documents
+),
+surv AS (SELECT doc_id FROM exact WHERE doc_id = ex_keep),
+pairs AS (
+  SELECT id_a, id_b FROM est
+  WHERE est_jaccard >= 0.5
+    AND id_a IN (SELECT doc_id FROM surv)
+    AND id_b IN (SELECT doc_id FROM surv)
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT e.doc_id,
+       CASE WHEN e.doc_id <> e.ex_keep THEN 'drop_exact'
+            WHEN c.component IS NOT NULL AND c.component <> e.doc_id
+                 THEN 'drop_near'
+            ELSE 'keep' END AS decision,
+       CAST(CASE WHEN e.doc_id <> e.ex_keep THEN e.ex_keep
+            WHEN c.component IS NOT NULL THEN c.component
+            ELSE e.doc_id END AS BIGINT) AS keeper_id
+FROM exact e LEFT JOIN comp c ON c.node = e.doc_id
+ORDER BY e.doc_id
+""",
+    category="llm_dedup",
+)
+def dedup_decision_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document dedup DECISION LEDGER a production corpus
+    pipeline must emit for auditability: every doc_id with its final
+    keep/drop verdict, the reason tier, and WHICH keeper displaced it
+    — the provenance record that lets a later run answer "why is this
+    document missing from the training set". Two-tier precedence:
+    exact md5 duplicates drop first (cheap, digest-only shuffle);
+    MinHash+LSH near-dup clustering (est Jaccard >= 0.5 -> connected
+    components, min-id canonical) then runs on the EXACT SURVIVORS
+    only — band digests are pure per-doc functions, so restricting
+    the pair set to survivors is provably identical to re-running LSH
+    on the survivor corpus while letting the two stages share one
+    scan. Composition cost is the SUM of the stage costs (the
+    composed-pipeline doctrine): one fp aggregation, the banded LSH
+    equi-joins, O(log n) CC rounds, and a final broadcast-size
+    left join of verdicts back to the ledger spine."""
+    from spark_lever_spark.llm.dedup import content_fingerprint, dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp")
+    )
+    ex = docs.join(
+        docs.groupBy("fp").agg(F.min("doc_id").alias("ex_keep")), "fp"
+    ).select("doc_id", "ex_keep")
+    surv = ex.where(F.col("doc_id") == F.col("ex_keep")).select("doc_id")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .join(surv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ledger = ex.join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    )
+    is_exact_drop = F.col("doc_id") != F.col("ex_keep")
+    is_near_drop = F.col("component").isNotNull() & (
+        F.col("component") != F.col("doc_id")
+    )
+    return ledger.select(
+        "doc_id",
+        F.when(is_exact_drop, F.lit("drop_exact"))
+        .when(is_near_drop, F.lit("drop_near"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+        F.when(is_exact_drop, F.col("ex_keep"))
+        .when(F.col("component").isNotNull(), F.col("component"))
+        .otherwise(F.col("doc_id"))
+        .cast("long")
+        .alias("keeper_id"),
+    ).orderBy("doc_id")

@@ -974,3 +974,103 @@ def doc_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mean_rank", "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "trigram_rank_fluency",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         generate_subscripts(string_split(text, ' '), 1) AS idx,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tri AS (
+  SELECT a.doc_id, a.lang,
+         a.word || ' ' || b.word AS ctx, c.word AS nxt
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+),
+model AS (
+  SELECT lang, ctx, nxt, count(*) AS cnt
+  FROM tri GROUP BY lang, ctx, nxt
+),
+ranked AS (
+  SELECT lang, ctx, nxt,
+         CAST(row_number() OVER (PARTITION BY lang, ctx
+                                 ORDER BY cnt DESC, nxt) AS BIGINT)
+             AS rnk
+  FROM model
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(r.rnk) AS BIGINT) AS sum_rank,
+       round(CAST(SUM(r.rnk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000) / 1000000 AS mean_rank
+FROM tri t
+JOIN ranked r
+  ON r.lang = t.lang AND r.ctx = t.ctx AND r.nxt = t.nxt
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    category="llm_text",
+)
+def trigram_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model fluency scoring WITHOUT transcendentals: train a
+    per-language trigram model on the corpus, then score each
+    document by the MEAN RANK of its actual continuations among all
+    continuations of the same 2-token context (rank 1 = the corpus's
+    most likely next word). This is the integer-exact stand-in for
+    the CCNet/KenLM perplexity filter real LLM pipelines run —
+    perplexity's log-probs are banned from ranked outputs by the
+    exactness doctrine, but rank-against-the-model preserves the
+    ordering signal (gibberish scores high mean rank, formulaic text
+    scores near 1) with nothing but int64 counts and one final
+    division. Complements `bigram_next_token_topk`, which EXPORTS a
+    model table; this one APPLIES a model to score the corpus.
+    Shapes: the model lives on the (lang, ctx, nxt) aggregate domain
+    (vocabulary-bounded, not corpus-bounded); scoring is one
+    equi-join of trigram instances against the ranked model, then a
+    per-doc aggregation — map-side-combinable end to end."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("l")
+    )
+    tri_arr = F.when(
+        F.size("l") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 2),
+            lambda i: F.struct(
+                F.array_join(F.slice(F.col("l"), i, 2), " ").alias("ctx"),
+                F.element_at(F.col("l"), i + 2).alias("nxt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+    tri = docs.select(
+        "doc_id", "lang", F.explode(tri_arr).alias("t")
+    ).select("doc_id", "lang", F.col("t.ctx").alias("ctx"), F.col("t.nxt").alias("nxt"))
+    model = tri.groupBy("lang", "ctx", "nxt").agg(F.count("*").alias("cnt"))
+    rank_w = Window.partitionBy("lang", "ctx").orderBy(
+        F.col("cnt").desc(), "nxt"
+    )
+    ranked = model.withColumn(
+        "rnk", F.row_number().over(rank_w).cast("long")
+    ).select("lang", "ctx", "nxt", "rnk")
+    return (
+        tri.join(ranked, ["lang", "ctx", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("rnk").alias("sum_rank"),
+            (
+                F.round(
+                    F.sum("rnk").cast("double")
+                    / F.count("*").cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("mean_rank"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1730,3 +1730,116 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_seconds"),
     )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id < 100
+),
+t AS (
+  SELECT user_id, event_id AS touch_id, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+    AND user_id < 100
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, t.touch_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts, t.touch_id) AS pos,
+         CAST(date_diff('second', t.t_ts, p.p_ts) AS BIGINT) // 600
+             AS decay_k
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR AND t.t_ts < p.p_ts
+),
+wtd AS (
+  SELECT purchase_id, user_id, touch_id, pos, decay_k,
+         CAST(32 // power(2, decay_k) AS BIGINT) AS wt
+  FROM cand
+),
+base AS (
+  SELECT *, SUM(wt) OVER (PARTITION BY purchase_id) AS tot_w,
+         1000 * wt AS num
+  FROM wtd
+),
+shares AS (
+  SELECT *, num // tot_w AS floor_share, num % tot_w AS rem,
+         SUM(num // tot_w) OVER (PARTITION BY purchase_id) AS floor_sum
+  FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY rem DESC, pos) AS rrank
+  FROM shares
+)
+SELECT purchase_id, user_id, touch_id, CAST(pos AS BIGINT) AS pos,
+       CAST(decay_k AS BIGINT) AS decay_k, CAST(wt AS BIGINT) AS wt,
+       CAST(floor_share + CASE WHEN rrank <= 1000 - floor_sum
+                               THEN 1 ELSE 0 END AS BIGINT)
+           AS credit_milli
+FROM ranked ORDER BY purchase_id, pos
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the third classic credit
+    model beside last-touch and U-shaped: a touch's weight HALVES
+    every 10 minutes of distance from the conversion
+    (w = 2^(5 - floor(dt/600s)), so the 1-hour window spans exact
+    integer weights 32 down to 1 — no pow() ever reaches the
+    engines' float paths as a ranked value). Each purchase's 1000
+    milli-units are then split by `prorate_largest_remainder`
+    (operators/alloc.py), so per-purchase credit sums to EXACTLY
+    1000 like its attribution siblings — the invariant a spend
+    report must keep when it re-aggregates by channel. Same scale
+    shape as the siblings: one user-keyed band join bounded by the
+    hour window, purchase_id-keyed windows afterwards."""
+    from spark_lever_spark.operators.alloc import prorate_largest_remainder
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("t_ts"),
+    )
+    cand = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wtd = cand.withColumns(
+        {
+            "pos": F.row_number().over(wp.orderBy("t_ts", "touch_id")),
+            "decay_k": F.expr(
+                "CAST(unix_timestamp(p_ts) - unix_timestamp(t_ts)"
+                " AS BIGINT) div 600"
+            ),
+        }
+    ).withColumn(
+        "wt", F.expr("CAST(32 div shiftleft(1, CAST(decay_k AS INT))"
+                     " AS BIGINT)")
+    ).withColumn("amount", F.lit(1000).cast("long"))
+    out = prorate_largest_remainder(
+        wtd, key="purchase_id", weight_col="wt", amount_col="amount",
+        order_col="pos",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("decay_k").cast("long").alias("decay_k"),
+        F.col("wt").cast("long").alias("wt"),
+        F.col("alloc").alias("credit_milli"),
+    ).orderBy("purchase_id", "pos")

@@ -1932,3 +1932,96 @@ def seasonal_naive_error_ratio(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "max_drawdown_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+curve AS (
+  SELECT event_type, x,
+         SUM(yc) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT event_type, x, cum,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM curve
+),
+ranked AS (
+  SELECT event_type, x, cum, peak, peak - cum AS drawdown,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY peak - cum DESC, x) AS rn
+  FROM dd
+)
+SELECT event_type,
+       CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+       CAST(x AS BIGINT) AS trough_x,
+       CAST(peak AS BIGINT) AS peak_cents,
+       round(CAST(drawdown AS DOUBLE) / CAST(peak AS DOUBLE)
+             * 1000000) / 1000000 AS drawdown_frac
+FROM ranked WHERE rn = 1 ORDER BY event_type
+""",
+    category="temporal",
+)
+def max_drawdown_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-value curve per event
+    type — the peak-to-trough risk metric (with trough day, peak
+    level, and drawdown fraction) that EWMA/Holt smoothing cannot
+    see because it is an extremum of a PATH, not a moment. Three
+    stacked prefix scans on the bounded (event_type, day) aggregate
+    domain: cumulative sum -> running max -> rank by gap, all exact
+    int64 cents inside one per-type window partitioning (a single
+    shuffle whose width is calendar days, invariant in corpus size);
+    the only double is the final fraction — one division of two
+    exact int64s, then 1e-6 presentation rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    daily = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "yc",
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.withColumn("cum", F.sum("yc").over(wcum)).withColumn(
+        "peak", F.max(F.sum("yc").over(wcum)).over(wcum)
+    )
+    ranked = curve.withColumn(
+        "drawdown", F.col("peak") - F.col("cum")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("drawdown").desc(), "x"
+            )
+        ),
+    )
+    frac = F.col("drawdown").cast("double") / F.col("peak").cast("double")
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("drawdown").alias("max_drawdown_cents"),
+            F.col("x").alias("trough_x"),
+            F.col("peak").alias("peak_cents"),
+            (F.round(frac * 1000000) / 1000000).alias("drawdown_frac"),
+        )
+        .orderBy("event_type")
+    )
