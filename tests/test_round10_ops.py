@@ -1,0 +1,288 @@
+"""Independent-reference checks for the round-10 operator batches —
+the house "simulator equality" pattern: each operator's DuckDB oracle
+is the driver's gate; these tests re-derive the same answers from
+plain-Python references (hashlib, dict-BFS, brute-force pair scans),
+so a shared SQL-side misconception cannot hide in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from spark_lever_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return registry.all_queries()[name].fn(spark, SF).toPandas()
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_weighted_sample_units_python_identity(spark):
+    """The md5 unit-race ticket is a pure row property: a from-scratch
+    hashlib replication of (weights, tickets, bottom-100) must equal
+    the Spark output byte-for-byte."""
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    sim = []
+    for k, price in rows:
+        cents = int(price * 100 + (0.5 if price >= 0 else -0.5))
+        wt = 1 + min(25, cents // 2000000)
+        ticket = min(
+            hashlib.md5(f"{k}:{u}".encode()).hexdigest()
+            for u in range(1, wt + 1)
+        )
+        sim.append((ticket, k, wt))
+    sim.sort()
+    expect = [(k, wt, t) for t, k, wt in sim[:100]]
+    got = [
+        (r.o_orderkey, r.weight, r.ticket)
+        for r in _run(spark, "weighted_sample_units").itertuples()
+    ]
+    assert got == expect
+
+
+def test_weighted_sample_units_weight_monotone():
+    """More lottery units can only IMPROVE (never worsen) a row's
+    ticket — min over a superset of hashes."""
+    for key in (3, 77, 1234):
+        tickets = [
+            min(
+                hashlib.md5(f"{key}:{u}".encode()).hexdigest()
+                for u in range(1, w + 1)
+            )
+            for w in range(1, 27)
+        ]
+        assert all(
+            tickets[i + 1] <= tickets[i] for i in range(len(tickets) - 1)
+        )
+
+
+def _shingle_sets():
+    sets: dict[int, set[str]] = {}
+    lang: dict[int, str] = {}
+    for doc_id, lg, text in _docs():
+        ws = text.split(" ")
+        sets[doc_id] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+        lang[doc_id] = lg
+    return sets, lang
+
+
+def test_containment_prefix_filter_lossless(spark):
+    """Brute-force all-pairs shingle containment (no prefix filter, no
+    blocking) must produce exactly the pair set the prefix-filtered
+    Spark plan emits — the filter is lossless by construction."""
+    sets, lang = _shingle_sets()
+    expect = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or lang[a] != lang[b]:
+                continue
+            if 5 * len(sa & sb) >= 4 * len(sa):
+                expect.add((a, b))
+    got = {
+        (r.id_contained, r.id_container)
+        for r in _run(spark, "dedup_shingle_containment").itertuples()
+    }
+    assert got == expect
+
+
+def test_bfs_hops_python_identity(spark):
+    """Dict-based BFS over the same support>=2 co-purchase edges must
+    reproduce the hop histogram (including the -1 unreachable row)."""
+    edges = duckdb.sql(
+        f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM read_parquet('{SF}/lineitem.parquet'))
+SELECT a.l_partkey, b.l_partkey FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    ).fetchall()
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    seed = min(adj)
+    dist = {seed: 0}
+    frontier = [seed]
+    for h in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    hist = defaultdict(int)
+    for h in dist.values():
+        hist[h] += 1
+    hist[-1] = len(adj) - len(dist)
+    got = {
+        int(r.hop): int(r.n_vertices)
+        for r in _run(spark, "bfs_hops_copurchase").itertuples()
+    }
+    assert got == dict(hist)
+
+
+def test_theil_sen_numpy_identity(spark):
+    """Median-of-pairwise-slopes recomputed in plain Python (exact
+    same one-division doubles) matches to the published 1e-6
+    rounding."""
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet')
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, x, yc in daily:
+        series[et].append((x, yc))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        n = len(slopes)
+        med = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+        expect[et] = (n, round(med * 1000000) / 1000000)
+    got = {
+        r.event_type: (r.n_pairs, r.ts_slope_cents_per_day)
+        for r in _run(spark, "theil_sen_daily_trend").itertuples()
+    }
+    assert set(got) == set(expect)
+    for et in expect:
+        assert got[et][0] == expect[et][0]
+        assert got[et][1] == pytest.approx(expect[et][1], abs=2e-6)
+
+
+def test_time_decay_credit_exact_invariants(spark):
+    """Per purchase: credit sums to exactly 1000 milli-units; weights
+    are powers of two halving per 10-minute step; later touches never
+    carry smaller weight than earlier ones with larger decay."""
+    pdf = _run(spark, "attribution_time_decay")
+    by_p = pdf.groupby("purchase_id")
+    assert (by_p["credit_milli"].sum() == 1000).all()
+    assert set(pdf["wt"]) <= {1, 2, 4, 8, 16, 32}
+    assert ((32 // (2 ** pdf["decay_k"])) == pdf["wt"]).all()
+
+
+def test_max_drawdown_python_identity(spark):
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, x, yc in daily:
+        series[et].append((x, yc))
+    expect = {}
+    for et, pts in series.items():
+        cum = peak = 0
+        best = (-1, None, None)  # (dd, x, peak)
+        for x, yc in pts:
+            cum += yc
+            peak = max(peak, cum)
+            dd = peak - cum
+            if dd > best[0]:
+                best = (dd, x, peak)
+        expect[et] = best
+    got = {
+        r.event_type: (
+            r.max_drawdown_cents,
+            r.trough_x,
+            r.peak_cents,
+        )
+        for r in _run(spark, "max_drawdown_daily_value").itertuples()
+    }
+    assert got == expect
+
+
+def test_fluency_rank_one_is_modal_continuation(spark):
+    """A document made only of the corpus's modal continuations would
+    score mean rank 1; verify rank bookkeeping: sum_rank >= n_trigrams
+    and equality holds iff every continuation is modal. Also check one
+    exact doc score against a pure-python model."""
+    pdf = _run(spark, "trigram_rank_fluency")
+    assert (pdf["sum_rank"] >= pdf["n_trigrams"]).all()
+    model = defaultdict(lambda: defaultdict(int))
+    per_doc = defaultdict(list)
+    for doc_id, lg, text in _docs():
+        ws = text.split(" ")
+        for i in range(len(ws) - 2):
+            ctx, nxt = (lg, ws[i] + " " + ws[i + 1]), ws[i + 2]
+            model[ctx][nxt] += 1
+            per_doc[doc_id].append((ctx, nxt))
+    ranks = {}
+    for ctx, conts in model.items():
+        ordered = sorted(conts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranks[ctx] = {w: i + 1 for i, (w, _) in enumerate(ordered)}
+    doc_id = min(per_doc)
+    tris = per_doc[doc_id]
+    sum_rank = sum(ranks[c][n] for c, n in tris)
+    row = pdf[pdf.doc_id == doc_id].iloc[0]
+    assert row.n_trigrams == len(tris)
+    assert row.sum_rank == sum_rank
+
+
+def test_ledger_partitions_and_keepers(spark):
+    """Ledger invariants: keepers keep themselves; exact-drop totals
+    agree with dedup_exact_md5's n_copies; near-drops only among
+    exact survivors."""
+    pdf = _run(spark, "dedup_decision_ledger")
+    keep = pdf[pdf.decision == "keep"]
+    assert (keep.keeper_id == keep.doc_id).all()
+    kept_ids = set(pdf[pdf.decision != "drop_exact"].doc_id)
+    # every keeper of a drop is itself kept (never a dropped doc)
+    for r in pdf[pdf.decision == "drop_near"].itertuples():
+        assert r.keeper_id in set(keep.doc_id)
+    exact = _run(spark, "dedup_exact_md5")
+    assert (exact.n_copies.sum() - len(exact)) == (
+        pdf.decision == "drop_exact"
+    ).sum()
+    assert set(exact.keep_id) == kept_ids
+
+
+def test_fd_audit_verdicts(spark):
+    pdf = _run(spark, "functional_dependency_audit").set_index("fd")
+    assert bool(pdf.loc["event_id->user_id", "holds"])
+    assert pdf.loc["event_id->user_id", "n_violating"] == 0
+    for rule in ("p_name->p_brand", "p_brand->p_size"):
+        assert not bool(pdf.loc[rule, "holds"])
+        assert pdf.loc[rule, "n_violating"] > 0
+
+
+def test_seasonal_ratio_cross_multiplication(spark):
+    """The published ratio must equal the cross-multiplied exact
+    integer formulation (not a double-over-double quotient)."""
+    pdf = _run(spark, "seasonal_naive_error_ratio")
+    for r in pdf.itertuples():
+        exact = (r.sae7_cents * r.n1) / (r.sae1_cents * r.n7)
+        assert r.seasonal_vs_naive_ratio == round(exact * 1000000) / 1000000
