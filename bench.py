@@ -34,11 +34,13 @@ GATES = {
     "backfill_dirty_partitions": 0.85,
     "basket_part_pairs_top": 1.6,
     "bloom_semi_join_prune": 1.09,
+    "bfs_hops_copurchase": 3.23,  # v2.7 addition (round 10)
     "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
     "dedup_cluster_quality_election": 20.53,  # v2.5 re-freeze (round 9:
     # candidacy routed through tune_lsh_banding — (4,8) on this corpus,
     # 7.4M -> 3.7M candidate pairs; was 32.96 under fixed 8x4)
     "dedup_exact_md5": 0.34,
+    "dedup_shingle_containment": 8.16,  # v2.7 addition (round 10)
     "dedup_paragraph_rebuild": 0.88,
     "dsir_importance_weights": 1.71,
     "ewma_daily_event_value": 0.38,

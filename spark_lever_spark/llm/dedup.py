@@ -1102,6 +1102,7 @@ def dedup_paragraph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_shingle_containment",
+    bench=True,
     oracle="""
 WITH tok AS (
   SELECT doc_id, lang,

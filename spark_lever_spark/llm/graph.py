@@ -801,6 +801,7 @@ def dedup_cluster_quality_election(
 
 @register(
     "bfs_hops_copurchase",
+    bench=True,
     oracle="""
 WITH RECURSIVE items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
