@@ -725,3 +725,85 @@ def embedding_decontaminate_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k.score").alias("score"),
         F.col("k.contaminated").alias("contaminated"),
     ).orderBy("vec_id")
+
+
+@register(
+    "kmeans_assign_embeddings",
+    oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+p AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 8
+),
+s AS (
+  SELECT p.vec_id, c.cid,
+         list_inner_product(c.cv, c.cv)
+         - 2 * list_inner_product(p.v, c.cv) AS score
+  FROM p, c
+),
+a AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score, cid) AS rn
+  FROM s
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(max(vec_id) AS BIGINT) AS max_vec_id
+FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
+""",
+    category="llm_similarity",
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd ASSIGNMENT step of k-means over the embedding table
+    (k = 8, centroids fixed to the first eight vectors so the step is
+    deterministic): every remaining vector goes to its nearest
+    centroid by squared L2, ties to the lower centroid id — the
+    clustering primitive under IVF index builds (`ann_ivf`'s cell
+    lists are exactly this assignment's output) and corpus
+    diversity audits. Distance ranking uses the expansion
+    ``|c|^2 - 2<x,c>`` (the |x|^2 term is constant per vector and
+    cannot change the argmin) with both inner products summed in
+    index order — the same ordered-HOF float discipline every
+    similarity query here relies on, so DuckDB's list_inner_product
+    replays the scores bit-for-bit. The reported per-centroid output
+    is integer-only (counts + id range). Shapes: the k-row centroid
+    table is broadcast; assignment is a map-side cross product with
+    k = 8 (a constant), then one vec-keyed window and one
+    centroid-keyed aggregation — no all-pairs anything."""
+    from pyspark.sql.window import Window
+    from spark_lever_spark.llm.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    pts = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (
+            dot(F.col("cv"), F.col("cv"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "cid")
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        assigned.groupBy(F.col("cid").cast("long").alias("centroid_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("centroid_id")
+    )

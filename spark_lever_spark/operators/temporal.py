@@ -2025,3 +2025,93 @@ def max_drawdown_daily_value(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "interval_overlap_join_bursts",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id, user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) - 600 AS s_a,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) + 600 AS e_a
+  FROM events WHERE event_type = 'click' AND user_id < 50
+),
+b AS (
+  SELECT event_id AS b_id, user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) - 600 AS s_b,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) + 600 AS e_b
+  FROM events WHERE event_type = 'purchase' AND user_id < 50
+)
+SELECT a.a_id, b.b_id, a.user_id,
+       CAST(least(a.e_a, b.e_b) - greatest(a.s_a, b.s_b) AS BIGINT)
+           AS overlap_seconds
+FROM a JOIN b ON b.user_id = a.user_id
+WHERE least(a.e_a, b.e_b) > greatest(a.s_a, b.s_b)
+ORDER BY a_id, b_id
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def interval_overlap_join_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN with overlap duration: pair every click
+    burst (click ± 10 min) with every purchase burst (purchase ±
+    10 min) of the same user that it overlaps, reporting the overlap
+    in exact integer seconds — the temporal-join primitive behind
+    "was the user mid-session when the purchase happened"
+    (PostgreSQL's `&&` range join / IEJoin's overlap case). Catalyst
+    can only nested-loop a raw (start < end AND end > start)
+    condition, so both interval sets are exploded onto fixed 1200-s
+    grid cells and the join runs as a HASH join on (user, cell); a
+    pair whose overlap spans several cells is emitted exactly once by
+    the first-overlap-cell rule (cell = greatest(s_a, s_b) div W —
+    the same dedup the FIFO grid join uses, fifo_lot_matching). The
+    fan-out per interval is span/W + 1 = 2 cells, a query constant:
+    the plan is scale-invariant and the oracle's quadratic per-user
+    formulation is exactly what the grid is NOT doing."""
+    width = 1200
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+
+    def bursts(etype: str, id_alias: str, s: str, e: str) -> DataFrame:
+        sec = F.unix_timestamp("ts").cast("long")
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            (sec - 600).alias(s),
+            (sec + 600).alias(e),
+        )
+
+    a = bursts("click", "a_id", "s_a", "e_a")
+    b = bursts("purchase", "b_id", "s_b", "e_b")
+    a_cells = a.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_a div {width}"), F.expr(f"e_a div {width}")
+            )
+        ),
+    )
+    b_cells = b.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_b div {width}"), F.expr(f"e_b div {width}")
+            )
+        ),
+    )
+    joined = a_cells.join(b_cells, ["user_id", "cell"]).where(
+        (F.least("e_a", "e_b") > F.greatest("s_a", "s_b"))
+        & (
+            F.col("cell")
+            == F.expr(f"greatest(s_a, s_b) div {width}")
+        )
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        "user_id",
+        (F.least("e_a", "e_b") - F.greatest("s_a", "s_b"))
+        .cast("long")
+        .alias("overlap_seconds"),
+    ).orderBy("a_id", "b_id")

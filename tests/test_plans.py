@@ -599,6 +599,10 @@ NESTED_LOOP_WHITELIST = {
     "join_cartesian": "deliberate cartesian parity query (25 x 5 dims)",
     "join_theta_nonequi": "deliberate theta-join parity over bounded dims",
     "knn_cosine_topk": "broadcast 1-row query vector (vec_id = 0 probe)",
+    "kmeans_assign_embeddings": (
+        "broadcast k=8 fixed centroid table — every vector probes "
+        "exactly 8 rows map-side, a query constant at any SF"
+    ),
     "ann_ivf": "broadcast probe vector + centroid cells",
     "ann_int8_exact_topk": "broadcast 1-row quantized query vector",
     "hard_negative_mining": "broadcast bounded probe batch (vec_id < 50)",

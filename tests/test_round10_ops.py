@@ -286,3 +286,66 @@ def test_seasonal_ratio_cross_multiplication(spark):
     for r in pdf.itertuples():
         exact = (r.sae7_cents * r.n1) / (r.sae1_cents * r.n7)
         assert r.seasonal_vs_naive_ratio == round(exact * 1000000) / 1000000
+
+
+def test_kmeans_assign_python_identity(spark):
+    """NumPy-free python argmin over the same |c|^2 - 2<x,c> scores
+    (ordered summation) must reproduce every per-centroid count."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    cents = {vid: v for vid, v in vecs.items() if vid < 8}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    counts = defaultdict(int)
+    mins: dict[int, int] = {}
+    maxs: dict[int, int] = {}
+    for vid, v in vecs.items():
+        if vid < 8:
+            continue
+        best = min(
+            (dot(c, c) - 2 * dot(v, c), cid) for cid, c in cents.items()
+        )[1]
+        counts[best] += 1
+        mins[best] = min(mins.get(best, vid), vid)
+        maxs[best] = max(maxs.get(best, vid), vid)
+    got = {
+        r.centroid_id: (r.n_points, r.min_vec_id, r.max_vec_id)
+        for r in _run(spark, "kmeans_assign_embeddings").itertuples()
+    }
+    assert got == {
+        cid: (counts[cid], mins[cid], maxs[cid]) for cid in counts
+    }
+
+
+def test_interval_overlap_grid_equals_bruteforce(spark):
+    """The grid-bucketed overlap join must emit each overlapping
+    (click, purchase) burst pair exactly once with the brute-force
+    overlap duration."""
+    rows = duckdb.sql(
+        f"""
+SELECT event_id, user_id, event_type,
+       date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+FROM read_parquet('{SF}/events.parquet')
+WHERE user_id < 50 AND event_type IN ('click', 'purchase')
+"""
+    ).fetchall()
+    clicks = [(e, u, s - 600, s + 600) for e, u, t, s in rows if t == "click"]
+    purch = [(e, u, s - 600, s + 600) for e, u, t, s in rows if t == "purchase"]
+    expect = {}
+    for a_id, ua, sa, ea in clicks:
+        for b_id, ub, sb, eb in purch:
+            if ua == ub and min(ea, eb) > max(sa, sb):
+                expect[(a_id, b_id)] = (ua, min(ea, eb) - max(sa, sb))
+    got = {
+        (r.a_id, r.b_id): (r.user_id, r.overlap_seconds)
+        for r in _run(spark, "interval_overlap_join_bursts").itertuples()
+    }
+    assert got == expect
