@@ -1843,3 +1843,60 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wt").cast("long").alias("wt"),
         F.col("alloc").alias("credit_milli"),
     ).orderBy("purchase_id", "pos")
+
+
+@register(
+    "event_type_diversity_impurity",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM per_type GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST((n_events * n_events - sum_sq) * 1000000
+            // (n_events * n_events) AS BIGINT) AS impurity_ppm
+FROM per_user ORDER BY user_id
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def event_type_diversity_impurity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral-diversity score per user as EXACT Gini impurity of
+    the event-type mix: 1 - Σp_i² = (n² - Σc_i²)/n², published in
+    integer ppm — the diversity metric entropy usually serves, chosen
+    because impurity is a RATIONAL in the counts (entropy's logs are
+    banned from hash-gated outputs; impurity ranks mixes the same
+    way for the segmentation use case: 0 = single-behavior user,
+    -> 1 = uniform across types). Distinct from gini_customer_revenue
+    (a Lorenz concentration over a continuous amount); this is
+    multinomial impurity over categorical counts. Two stacked
+    aggregations on (user, type) then (user) — both map-side
+    combinable; the integer products stay < 2^63 for any user under
+    3 billion events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "(n_events * n_events - sum_sq) * 1000000"
+            " div (n_events * n_events)"
+        ).alias("impurity_ppm"),
+    ).orderBy("user_id")

@@ -2115,3 +2115,184 @@ def interval_overlap_join_bursts(
         .cast("long")
         .alias("overlap_seconds"),
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "rolling_ols_trend_14d",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT priority, x,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(yc) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * yc) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY x
+               RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT priority, CAST(x AS BIGINT) AS x, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000
+           AS slope_cents_per_day
+FROM m WHERE n >= 10
+ORDER BY priority, x
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def rolling_ols_trend_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 14-calendar-day OLS trend per order priority — the
+    local-trend feature a forecasting pipeline computes at every day
+    (where `trend_slope_daily_value` fits ONE global line, this
+    emits the slope as of each day over its trailing two weeks). The
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as exact
+    int64 window sums over a RANGE frame keyed on the epoch-day
+    integer — RANGE, not ROWS, so date gaps shrink the sample instead
+    of silently stretching the window (the row-frame bug every naive
+    rolling regression ships with); the closed-form slope is then one
+    double division of exact int64 cross terms per row. Frames under
+    10 observations are suppressed. One shuffle on the (priority)
+    partitioning; the frame arithmetic is map-side within the sorted
+    partition at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yc")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("x")
+        .rangeBetween(-13, Window.currentRow)
+    )
+    m = daily.select(
+        "priority",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("yc").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return (
+        m.where(F.col("n") >= 10)
+        .select(
+            "priority",
+            "x",
+            "n",
+            (F.round(slope * 1000000) / 1000000).alias(
+                "slope_cents_per_day"
+            ),
+        )
+        .orderBy("priority", "x")
+    )
+
+
+@register(
+    "business_seconds_click_bursts",
+    oracle="""
+WITH b AS (
+  SELECT event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) - 600 AS s,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) + 600 AS e
+  FROM events
+),
+per_day AS (
+  SELECT b.event_id, b.event_type,
+         greatest(0, least(b.e, d.d * 86400 + 61200)
+                     - greatest(b.s, d.d * 86400 + 32400))
+         * CASE WHEN (d.d + 4) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END
+             AS ov
+  FROM b, LATERAL (
+    SELECT unnest(range(b.s // 86400, b.e // 86400 + 1)) AS d
+  ) d
+),
+per_event AS (
+  SELECT event_id, event_type, SUM(ov) AS biz
+  FROM per_day GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN biz > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_business,
+       CAST(SUM(biz) AS BIGINT) AS total_biz_seconds
+FROM per_event GROUP BY event_type ORDER BY event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def business_seconds_click_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Business-hours interval clipping: how much of each event's
+    ±10-minute activity burst falls inside Mon–Fri 09:00–17:00 UTC —
+    the calendar-intersection primitive under SLA accounting and
+    staffing analytics (`ship_latency_business_days` counts whole
+    business DAYS; this clips arbitrary intervals to business SECONDS,
+    which needs interval×calendar intersection, not date arithmetic).
+    Pure integer epoch math: a burst explodes onto its covered epoch
+    days (fan-out span/86400 + 1 = at most 2 — a query constant),
+    each day contributes max(0, min(e, 17:00) - max(s, 09:00))
+    gated by the weekday test (epoch day + 4) mod 7 in 1..5 — no
+    timestamp/timezone functions anywhere near the arithmetic, so
+    both engines compute identical int64s. Map-only until the final
+    event_type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        (sec - 600).alias("s"),
+        (sec + 600).alias("e"),
+    )
+    per_day = b.withColumn(
+        "d", F.explode(F.sequence(F.expr("s div 86400"), F.expr("e div 86400")))
+    ).select(
+        "event_id",
+        "event_type",
+        (
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("e"), F.col("d") * 86400 + 61200)
+                - F.greatest(F.col("s"), F.col("d") * 86400 + 32400),
+            )
+            * F.when(
+                ((F.col("d") + 4) % 7).between(1, 5), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("ov"),
+    )
+    per_event = per_day.groupBy("event_id", "event_type").agg(
+        F.sum("ov").alias("biz")
+    )
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("biz") > 0, 1).otherwise(0)).alias(
+                "n_in_business"
+            ),
+            F.sum("biz").alias("total_biz_seconds"),
+        )
+        .orderBy("event_type")
+    )

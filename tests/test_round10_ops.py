@@ -349,3 +349,88 @@ WHERE user_id < 50 AND event_type IN ('click', 'purchase')
         for r in _run(spark, "interval_overlap_join_bursts").itertuples()
     }
     assert got == expect
+
+
+def test_rolling_ols_python_identity(spark):
+    """Trailing-14-calendar-day OLS slopes recomputed in pure python
+    (same exact-int sufficient statistics) match every emitted row."""
+    daily = duckdb.sql(
+        f"""
+SELECT o_orderpriority,
+       date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/orders.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for pr, x, yc in daily:
+        series[pr].append((x, yc))
+    expect = {}
+    for pr, pts in series.items():
+        for i, (x, _) in enumerate(pts):
+            frame = [(u, v) for u, v in pts if x - 13 <= u <= x]
+            n = len(frame)
+            if n < 10:
+                continue
+            sx = sum(u for u, _ in frame)
+            sy = sum(v for _, v in frame)
+            sxy = sum(u * v for u, v in frame)
+            sxx = sum(u * u for u, _ in frame)
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            expect[(pr, x)] = (n, round(slope * 1000000) / 1000000)
+    got = {
+        (r.priority, r.x): (r.n, r.slope_cents_per_day)
+        for r in _run(spark, "rolling_ols_trend_14d").itertuples()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1], abs=2e-6)
+
+
+def test_business_seconds_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT event_type,"
+        f" date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for et, sec in rows:
+        s, e = sec - 600, sec + 600
+        biz = 0
+        for d in range(s // 86400, e // 86400 + 1):
+            if 1 <= (d + 4) % 7 <= 5:
+                biz += max(
+                    0, min(e, d * 86400 + 61200) - max(s, d * 86400 + 32400)
+                )
+        a = agg[et]
+        a[0] += 1
+        a[1] += 1 if biz > 0 else 0
+        a[2] += biz
+    got = {
+        r.event_type: [r.n_events, r.n_in_business, r.total_biz_seconds]
+        for r in _run(spark, "business_seconds_click_bursts").itertuples()
+    }
+    assert got == dict(agg)
+
+
+def test_impurity_bounds_and_exactness(spark):
+    """Impurity in [0, 1e6); single-type users score exactly 0; the
+    ppm value is the exact floor of the rational."""
+    pdf = _run(spark, "event_type_diversity_impurity")
+    assert (pdf.impurity_ppm >= 0).all()
+    assert (pdf.impurity_ppm < 1000000).all()
+    assert (pdf.loc[pdf.n_types == 1, "impurity_ppm"] == 0).all()
+    counts = duckdb.sql(
+        f"SELECT user_id, count(*) FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY user_id, event_type"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for u, c in counts:
+        per_user[u].append(c)
+    for r in pdf.sample(min(50, len(pdf)), random_state=7).itertuples():
+        cs = per_user[r.user_id]
+        n = sum(cs)
+        assert r.impurity_ppm == (n * n - sum(c * c for c in cs)) * 1000000 // (
+            n * n
+        )
