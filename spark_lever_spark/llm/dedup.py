@@ -1239,3 +1239,82 @@ def dedup_shingle_containment(
         )
         .orderBy("id_contained", "id_container")
     )
+
+
+@register(
+    "golden_record_survivorship",
+    oracle="""
+WITH clusters AS (
+  SELECT p_name, count(*) AS n_listings,
+         min(p_partkey) AS golden_id,
+         max(p_size) AS max_size,
+         max(CAST(round(p_retailprice * 100) AS BIGINT)) AS max_price_cents
+  FROM part GROUP BY p_name HAVING count(*) >= 2
+),
+votes AS (
+  SELECT p_name, p_brand, count(*) AS c FROM part GROUP BY p_name, p_brand
+),
+pick AS (
+  SELECT p_name, p_brand AS modal_brand
+  FROM (SELECT p_name, p_brand, row_number() OVER (PARTITION BY p_name
+                ORDER BY c DESC, p_brand) AS rn FROM votes)
+  WHERE rn = 1
+)
+SELECT c.golden_id, c.p_name, CAST(c.n_listings AS BIGINT) AS n_listings,
+       k.modal_brand, CAST(c.max_size AS BIGINT) AS max_size,
+       c.max_price_cents
+FROM clusters c JOIN pick k ON k.p_name = c.p_name
+ORDER BY c.golden_id
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def golden_record_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOLDEN-RECORD assembly (master-data survivorship): collapse
+    every duplicate part-name cluster into ONE surviving catalog
+    record by per-field rules — earliest key wins identity (min),
+    brand by majority VOTE with a deterministic tiebreak, size and
+    price by max — the match/merge step an MDM pipeline runs that no
+    keep-list dedup here emits: the keep-list picks one ROW, the
+    golden record composes best FIELDS that may come from different
+    rows of the cluster. The part catalog's 64-name vocabulary makes
+    every cluster a real multi-brand vote at every SF (a
+    normalized-text version of this query is degenerate: the
+    document corpus has zero exact-duplicate clusters below sf0.1).
+    Shapes: one name-keyed aggregation for the scalar rules plus one
+    (name, brand) count -> cluster-keyed top-1 window for the vote —
+    the dedup_cluster_quality_election shape applied to fields."""
+    part = load_table(spark, sf_dir, "part")
+    clusters = (
+        part.groupBy("p_name")
+        .agg(
+            F.count("*").alias("n_listings"),
+            F.min("p_partkey").alias("golden_id"),
+            F.max("p_size").alias("max_size"),
+            F.max(
+                F.round(F.col("p_retailprice") * 100).cast("long")
+            ).alias("max_price_cents"),
+        )
+        .filter(F.col("n_listings") >= 2)
+    )
+    votes = part.groupBy("p_name", "p_brand").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("p_name").orderBy(F.col("c").desc(), "p_brand")
+    pick = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_name", F.col("p_brand").alias("modal_brand"))
+    )
+    return (
+        clusters.join(pick, "p_name")
+        .select(
+            "golden_id",
+            "p_name",
+            "n_listings",
+            "modal_brand",
+            F.col("max_size").cast("long").alias("max_size"),
+            "max_price_cents",
+        )
+        .orderBy("golden_id")
+    )

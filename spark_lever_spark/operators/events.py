@@ -1900,3 +1900,132 @@ def event_type_diversity_impurity(
             " div (n_events * n_events)"
         ).alias("impurity_ppm"),
     ).orderBy("user_id")
+
+
+def _wilson_bound(x: str, n: str, sign: str) -> str:
+    """Wilson score bound as a SQL expression STRING over integer
+    columns ``x``/``n`` — one source of truth rendered into both the
+    DuckDB oracle and the Spark plan (`F.expr`), so the two engines
+    evaluate structurally identical IEEE expression trees (the
+    wilson_ci_conversion_daily float-parity doctrine)."""
+    p = f"(CAST({x} AS DOUBLE) / {n})"
+    return (
+        f"(({p} + (1.96 * 1.96) / (2 * {n})) {sign} 1.96 * "
+        f"sqrt({p} * (1 - {p}) / {n} + (1.96 * 1.96) / (4 * {n} * {n})))"
+        f" / (1 + (1.96 * 1.96) / {n})"
+    )
+
+
+_NEWCOMBE_EXPRS = {
+    "p1": "CAST(x1 AS DOUBLE) / n1",
+    "p2": "CAST(x2 AS DOUBLE) / n2",
+    "l1": _wilson_bound("x1", "n1", "-"),
+    "u1": _wilson_bound("x1", "n1", "+"),
+    "l2": _wilson_bound("x2", "n2", "-"),
+    "u2": _wilson_bound("x2", "n2", "+"),
+}
+
+_NEWCOMBE_DELTA = (
+    f"({_NEWCOMBE_EXPRS['p2']}) - ({_NEWCOMBE_EXPRS['p1']})"
+)
+_NEWCOMBE_LO = (
+    f"({_NEWCOMBE_DELTA}) - sqrt("
+    f"(({_NEWCOMBE_EXPRS['p2']}) - ({_NEWCOMBE_EXPRS['l2']})) * "
+    f"(({_NEWCOMBE_EXPRS['p2']}) - ({_NEWCOMBE_EXPRS['l2']})) + "
+    f"(({_NEWCOMBE_EXPRS['u1']}) - ({_NEWCOMBE_EXPRS['p1']})) * "
+    f"(({_NEWCOMBE_EXPRS['u1']}) - ({_NEWCOMBE_EXPRS['p1']})))"
+)
+_NEWCOMBE_HI = (
+    f"({_NEWCOMBE_DELTA}) + sqrt("
+    f"(({_NEWCOMBE_EXPRS['u2']}) - ({_NEWCOMBE_EXPRS['p2']})) * "
+    f"(({_NEWCOMBE_EXPRS['u2']}) - ({_NEWCOMBE_EXPRS['p2']})) + "
+    f"(({_NEWCOMBE_EXPRS['p1']}) - ({_NEWCOMBE_EXPRS['l1']})) * "
+    f"(({_NEWCOMBE_EXPRS['p1']}) - ({_NEWCOMBE_EXPRS['l1']})))"
+)
+
+
+@register(
+    "newcombe_diff_ci_ab",
+    oracle=f"""
+WITH clickers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+base AS (
+  SELECT c.user_id % 2 AS arm,
+         CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+  FROM clickers c LEFT JOIN buyers b ON b.user_id = c.user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+  FROM base
+)
+SELECT n1, x1, n2, x2,
+       {_NEWCOMBE_DELTA} AS delta,
+       {_NEWCOMBE_LO} AS ci_lo,
+       {_NEWCOMBE_HI} AS ci_hi,
+       CAST(({_NEWCOMBE_LO}) > 0 OR ({_NEWCOMBE_HI}) < 0 AS BOOLEAN)
+           AS significant
+FROM agg
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def newcombe_diff_ci_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B difference-of-proportions CI by NEWCOMBE's hybrid score
+    method (Newcombe 1998, method 10) — the interval real experiment
+    platforms report for rate LIFTS, combining each arm's Wilson
+    bounds: lo = d - sqrt((p2-l2)^2 + (u1-p1)^2), hi symmetric.
+    Completes the A/B readout family: ab_chi_square tests
+    independence, wilson_ci bounds one arm, this bounds the
+    DIFFERENCE (the decision quantity). Arms split by user_id parity
+    (a row property); conversion = clicking user who ever purchased,
+    from one distinct-users left join. Float parity: the whole CI is
+    rendered from ONE shared expression-string builder into both
+    engines' plans (`_wilson_bound`), so the IEEE trees are
+    structurally identical over the same four exact int64s — the
+    established wilson_ci doctrine extended to a composed statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"))
+        .distinct()
+    )
+    base = clickers.join(
+        buyers, clickers["user_id"] == buyers["b_user"], "left"
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("b_user").isNotNull(), 1).otherwise(0).alias("conv"),
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "x1"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "x2"
+        ),
+    )
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(_NEWCOMBE_DELTA).alias("delta"),
+        F.expr(_NEWCOMBE_LO).alias("ci_lo"),
+        F.expr(_NEWCOMBE_HI).alias("ci_hi"),
+        F.expr(
+            f"({_NEWCOMBE_LO}) > 0 OR ({_NEWCOMBE_HI}) < 0"
+        ).alias("significant"),
+    )

@@ -3711,3 +3711,106 @@ def functional_dependency_audit(
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "hypothetical_rank_order_value",
+    oracle="""
+WITH probes AS (
+  SELECT unnest([500000, 1500000, 5000000, 15000000, 30000000])
+      AS v_cents
+),
+fact AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT f.priority, p.v_cents,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN f.cents < p.v_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lt,
+         CAST(count(DISTINCT CASE WHEN f.cents < p.v_cents
+                                  THEN f.cents END) AS BIGINT)
+             AS nd_lt,
+         CAST(SUM(CASE WHEN f.cents <= p.v_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_le
+  FROM fact f CROSS JOIN probes p
+  GROUP BY f.priority, p.v_cents
+)
+SELECT priority, CAST(v_cents AS BIGINT) AS v_cents,
+       n_lt + 1 AS hyp_rank,
+       nd_lt + 1 AS hyp_dense_rank,
+       round(CAST(n_lt AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+           / 1000000 AS hyp_percent_rank,
+       round(CAST(n_le + 1 AS DOUBLE) / CAST(n + 1 AS DOUBLE) * 1000000)
+           / 1000000 AS hyp_cume_dist
+FROM agg ORDER BY priority, v_cents
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def hypothetical_rank_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL:2003 HYPOTHETICAL-SET aggregates — RANK(v) WITHIN GROUP
+    (ORDER BY x), plus the dense_rank / percent_rank / cume_dist
+    variants — for five probe order values against each priority
+    class's price distribution: "where would a $150k order rank among
+    1-URGENT orders". Spark has no WITHIN GROUP; the identity
+    rank(v) = count(x < v) + 1 (dense: count(DISTINCT x < v) + 1;
+    percent_rank: count(<)/n; cume_dist: (count(<=)+1)/(n+1))
+    reduces all four to ONE conditional aggregation over the fact
+    replicated onto the 5-probe literal array — map-side explode by a
+    query constant, one shuffle on (priority, probe), counts exact
+    int64 and each published fraction a single int64/int64 double
+    division. Completes the ordered-set family next to
+    percentile_cont/percentile_disc (the inverse direction: value ->
+    position instead of position -> value)."""
+    probes = F.array(
+        *[
+            F.lit(v).cast("long")
+            for v in (500000, 1500000, 5000000, 15000000, 30000000)
+        ]
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.explode(probes).alias("v_cents"),
+    )
+    agg = fact.groupBy("priority", "v_cents").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("cents") < F.col("v_cents"), 1).otherwise(0)
+        ).alias("n_lt"),
+        F.count_distinct(
+            F.when(F.col("cents") < F.col("v_cents"), F.col("cents"))
+        ).alias("nd_lt"),
+        F.sum(
+            F.when(F.col("cents") <= F.col("v_cents"), 1).otherwise(0)
+        ).alias("n_le"),
+    )
+    return agg.select(
+        "priority",
+        "v_cents",
+        (F.col("n_lt") + 1).alias("hyp_rank"),
+        (F.col("nd_lt") + 1).alias("hyp_dense_rank"),
+        (
+            F.round(
+                F.col("n_lt").cast("double")
+                / F.col("n").cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("hyp_percent_rank"),
+        (
+            F.round(
+                (F.col("n_le") + 1).cast("double")
+                / (F.col("n") + 1).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("hyp_cume_dist"),
+    ).orderBy("priority", "v_cents")

@@ -434,3 +434,108 @@ def test_impurity_bounds_and_exactness(spark):
         assert r.impurity_ppm == (n * n - sum(c * c for c in cs)) * 1000000 // (
             n * n
         )
+
+
+def test_newcombe_python_identity(spark):
+    """Python replication of the full Newcombe-hybrid expression tree
+    (same Wilson bounds, z = 1.96) over the same four integers."""
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, event_type FROM "
+        f"read_parquet('{SF}/events.parquet')"
+        f" WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    clickers = {u for u, t in rows if t == "click"}
+    buyers = {u for u, t in rows if t == "purchase"}
+    n1 = sum(1 for u in clickers if u % 2 == 0)
+    x1 = sum(1 for u in clickers if u % 2 == 0 and u in buyers)
+    n2 = sum(1 for u in clickers if u % 2 == 1)
+    x2 = sum(1 for u in clickers if u % 2 == 1 and u in buyers)
+
+    def wilson(x, n):
+        p = x / n
+        z2 = 1.96 * 1.96
+        half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        return (
+            (p + z2 / (2 * n) - half) / (1 + z2 / n),
+            (p + z2 / (2 * n) + half) / (1 + z2 / n),
+        )
+
+    l1, u1 = wilson(x1, n1)
+    l2, u2 = wilson(x2, n2)
+    p1, p2 = x1 / n1, x2 / n2
+    delta = p2 - p1
+    lo = delta - math.sqrt((p2 - l2) ** 2 + (u1 - p1) ** 2)
+    hi = delta + math.sqrt((u2 - p2) ** 2 + (p1 - l1) ** 2)
+    r = _run(spark, "newcombe_diff_ci_ab").iloc[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (n1, x1, n2, x2)
+    assert r.delta == pytest.approx(delta, abs=1e-12)
+    assert r.ci_lo == pytest.approx(lo, abs=1e-9)
+    assert r.ci_hi == pytest.approx(hi, abs=1e-9)
+    assert r.ci_lo <= r.delta <= r.ci_hi
+    assert bool(r.significant) == (lo > 0 or hi < 0)
+
+
+def test_hypothetical_rank_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT o_orderpriority,"
+        f" CAST(round(o_totalprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    groups = defaultdict(list)
+    for pr, c in rows:
+        groups[pr].append(c)
+    probes = [500000, 1500000, 5000000, 15000000, 30000000]
+    pdf = _run(spark, "hypothetical_rank_order_value")
+    assert len(pdf) == len(groups) * len(probes)
+    for r in pdf.itertuples():
+        xs = groups[r.priority]
+        n = len(xs)
+        n_lt = sum(1 for x in xs if x < r.v_cents)
+        nd_lt = len({x for x in xs if x < r.v_cents})
+        n_le = sum(1 for x in xs if x <= r.v_cents)
+        assert r.hyp_rank == n_lt + 1
+        assert r.hyp_dense_rank == nd_lt + 1
+        assert r.hyp_percent_rank == round(n_lt / n * 1000000) / 1000000
+        assert r.hyp_cume_dist == round(
+            (n_le + 1) / (n + 1) * 1000000
+        ) / 1000000
+
+
+def test_golden_record_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT p_partkey, p_name, p_brand, p_size,"
+        f" CAST(round(p_retailprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF}/part.parquet')"
+    ).fetchall()
+    clusters = defaultdict(list)
+    for pk, name, brand, size, cents in rows:
+        clusters[name].append((pk, brand, size, cents))
+    expect = {}
+    for name, members in clusters.items():
+        if len(members) < 2:
+            continue
+        votes = defaultdict(int)
+        for _, brand, _, _ in members:
+            votes[brand] += 1
+        modal = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        expect[min(m[0] for m in members)] = (
+            name,
+            len(members),
+            modal,
+            max(m[2] for m in members),
+            max(m[3] for m in members),
+        )
+    got = {
+        r.golden_id: (
+            r.p_name,
+            r.n_listings,
+            r.modal_brand,
+            r.max_size,
+            r.max_price_cents,
+        )
+        for r in _run(spark, "golden_record_survivorship").itertuples()
+    }
+    assert got == expect
+    assert got, "part catalog must produce real clusters at every SF"
