@@ -3814,3 +3814,61 @@ def hypothetical_rank_order_value(
             / 1000000
         ).alias("hyp_cume_dist"),
     ).orderBy("priority", "v_cents")
+
+
+@register(
+    "relational_division_priorities",
+    oracle="""
+SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) pr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_partkey = p.p_partkey
+      AND o.o_orderpriority = pr.o_orderpriority
+  )
+)
+ORDER BY p_partkey
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def relational_division_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELATIONAL DIVISION (Codd's ÷, the universal quantifier): parts
+    that have been ordered under EVERY order priority — the "FOR ALL"
+    query SQL can only express by double negation. The Spark plan
+    uses the set-cover reduction (distinct (part, priority) pairs ->
+    per-part distinct-count == the divisor's cardinality, divisor
+    size taken from the data by a 1-row broadcast, never hardcoded):
+    two hash aggregations and one broadcast — linear in the fact
+    table where the textbook nested NOT EXISTS is a correlated
+    re-probe per (part, priority). The ORACLE deliberately runs that
+    textbook double-NOT-EXISTS formulation, so the hash compare is a
+    cross-FORMULATION equivalence proof, not the same algebra run
+    twice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_partkey", "o_orderpriority")
+        .distinct()
+    )
+    divisor = o.select("o_orderpriority").distinct().agg(
+        F.count("*").alias("n_pri")
+    )
+    per_part = pairs.groupBy("l_partkey").agg(
+        F.count("*").alias("n_covered")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(divisor))
+        .where(F.col("n_covered") == F.col("n_pri"))
+        .select(F.col("l_partkey").cast("long").alias("p_partkey"))
+        .orderBy("p_partkey")
+    )

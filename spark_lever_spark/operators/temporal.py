@@ -2296,3 +2296,127 @@ def business_seconds_click_bursts(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "xmr_control_chart_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+mr AS (
+  SELECT event_type, x, yc,
+         abs(yc - lag(yc) OVER (PARTITION BY event_type ORDER BY x))
+             AS mrange
+  FROM daily
+),
+lim AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS BIGINT) AS sx,
+         CAST(SUM(mrange) AS BIGINT) AS smr,
+         CAST(SUM(yc) AS DOUBLE) / count(*)
+           + 2.66 * (CAST(SUM(mrange) AS DOUBLE) / (count(*) - 1))
+             AS ucl,
+         CAST(SUM(yc) AS DOUBLE) / count(*)
+           - 2.66 * (CAST(SUM(mrange) AS DOUBLE) / (count(*) - 1))
+             AS lcl
+  FROM mr GROUP BY event_type
+)
+SELECT l.event_type, l.n,
+       round(CAST(l.sx AS DOUBLE) / l.n * 1000000) / 1000000
+           AS xbar_cents,
+       round(CAST(l.smr AS DOUBLE) / (l.n - 1) * 1000000) / 1000000
+           AS mrbar_cents,
+       round(l.ucl * 1000000) / 1000000 AS ucl_cents,
+       round(l.lcl * 1000000) / 1000000 AS lcl_cents,
+       CAST(SUM(CASE WHEN CAST(d.yc AS DOUBLE) > l.ucl
+                       OR CAST(d.yc AS DOUBLE) < l.lcl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+FROM lim l JOIN daily d ON d.event_type = l.event_type
+GROUP BY l.event_type, l.n, l.sx, l.smr, l.ucl, l.lcl
+ORDER BY l.event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def xmr_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) CONTROL CHART per event type —
+    Shewhart statistical process control for daily value totals: the
+    limits x̄ ± 2.66·mR̄ (2.66 = 3/d2 for n=2 subgroups) plus the
+    out-of-control day count — the ops-monitoring primitive behind
+    "is today's revenue swing noise or signal", complementary to
+    cusum_changepoint_daily (CUSUM finds sustained LEVEL SHIFTS; the
+    XmR chart flags INDIVIDUAL excursions against short-term
+    variation). Exactness: x̄ and mR̄ are single divisions of exact
+    int64 sums; the limits are identical two-term IEEE trees; the
+    flag compare uses the UNROUNDED limits on both engines (rounding
+    is presentation-only). Shapes: one (type, day) aggregation, one
+    row-lag window on the bounded daily domain, and a broadcast-size
+    limits join back to the daily rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "yc",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    mr = daily.withColumn(
+        "mrange", F.abs(F.col("yc") - F.lag("yc").over(w))
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    mrbar = F.col("smr").cast("double") / (F.col("n") - 1)
+    lim = mr.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("yc").alias("sx"),
+        F.sum("mrange").alias("smr"),
+    ).select(
+        "event_type",
+        "n",
+        "sx",
+        "smr",
+        (xbar + 2.66 * mrbar).alias("ucl"),
+        (xbar - 2.66 * mrbar).alias("lcl"),
+    )
+    joined = lim.join(daily, "event_type")
+    return (
+        joined.groupBy(
+            "event_type", "n", "sx", "smr", "ucl", "lcl"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("yc").cast("double") > F.col("ucl"))
+                    | (F.col("yc").cast("double") < F.col("lcl")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_out_of_control")
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                F.round(F.col("sx").cast("double") / F.col("n") * 1000000)
+                / 1000000
+            ).alias("xbar_cents"),
+            (
+                F.round(
+                    F.col("smr").cast("double") / (F.col("n") - 1) * 1000000
+                )
+                / 1000000
+            ).alias("mrbar_cents"),
+            (F.round(F.col("ucl") * 1000000) / 1000000).alias("ucl_cents"),
+            (F.round(F.col("lcl") * 1000000) / 1000000).alias("lcl_cents"),
+            "n_out_of_control",
+        )
+        .orderBy("event_type")
+    )

@@ -853,3 +853,61 @@ def stream_windowed_distinct_users(
     return final.select(
         F.col("window.start").alias("hour_start"), "n_users"
     ).orderBy("hour_start")
+
+
+@register(
+    "stream_hourly_top2_event_types",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         event_type, CAST(count(*) AS BIGINT) AS events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hour_start, event_type, events,
+         CAST(row_number() OVER (PARTITION BY hour_start
+                ORDER BY events DESC, event_type) AS INT) AS rnk
+  FROM hourly
+)
+SELECT hour_start, event_type, events, rnk
+FROM ranked WHERE rnk <= 2 ORDER BY hour_start, rnk
+""",
+    category="streaming",
+    tags=("defer-window",),
+)
+def stream_hourly_top2_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming LEADERBOARD: top-2 event types per hourly window —
+    the per-window ranking Structured Streaming cannot express inside
+    the stream (window functions are unsupported over streaming
+    aggregates), recovered by the standard two-tier shape real
+    dashboards use: the STREAM maintains the windowed counts (the
+    unbounded, stateful part — exactly stream_windowed_events_hourly's
+    state), and the rank-truncate runs on the drained state table,
+    whose size is (windows × types) — already aggregate-domain, so
+    the batch tier is broadcast-scale at any corpus size. Counts are
+    exact int64; the rank tiebreak (events DESC, type ASC) is total,
+    so the leaderboard is deterministic."""
+    sdf = _stream_table(spark, sf_dir, "events")
+    win = (
+        sdf.select(F.window("ts", "1 hour").alias("window"), "event_type")
+        .groupBy("window", "event_type")
+        .agg(F.count("*").alias("events"))
+    )
+    final = _drain_complete(win, "hourly_top2_event_types")
+    from pyspark.sql.window import Window as W
+
+    ranked = final.select(
+        F.col("window.start").alias("hour_start"), "event_type", "events"
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            W.partitionBy("hour_start").orderBy(
+                F.col("events").desc(), "event_type"
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.where(F.col("rnk") <= 2).orderBy("hour_start", "rnk")

@@ -539,3 +539,63 @@ def test_golden_record_python_identity(spark):
     }
     assert got == expect
     assert got, "part catalog must produce real clusters at every SF"
+
+
+def test_relational_division_python_identity(spark):
+    """Set-cover reduction == python FOR-ALL over the raw pair sets."""
+    pairs = duckdb.sql(
+        f"""
+SELECT DISTINCT l.l_partkey, o.o_orderpriority
+FROM read_parquet('{SF}/lineitem.parquet') l
+JOIN read_parquet('{SF}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+"""
+    ).fetchall()
+    all_pri = {pr for _, pr in pairs}
+    cover = defaultdict(set)
+    for pk, pr in pairs:
+        cover[pk].add(pr)
+    expect = sorted(pk for pk, ps in cover.items() if ps == all_pri)
+    got = list(_run(spark, "relational_division_priorities").p_partkey)
+    assert got == expect
+    assert expect, "division result must be non-empty on this corpus"
+
+
+def test_xmr_python_identity(spark):
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, x, yc in daily:
+        series[et].append(yc)
+    pdf = _run(spark, "xmr_control_chart_daily").set_index("event_type")
+    for et, ys in series.items():
+        n = len(ys)
+        sx = sum(ys)
+        smr = sum(abs(b - a) for a, b in zip(ys, ys[1:]))
+        xbar = sx / n
+        mrbar = smr / (n - 1)
+        ucl, lcl = xbar + 2.66 * mrbar, xbar - 2.66 * mrbar
+        r = pdf.loc[et]
+        assert r.n == n
+        assert r.xbar_cents == pytest.approx(xbar, abs=1e-6)
+        assert r.ucl_cents == pytest.approx(ucl, abs=1e-6)
+        assert r.n_out_of_control == sum(
+            1 for y in ys if y > ucl or y < lcl
+        )
+
+
+def test_stream_top2_leaderboard_invariants(spark):
+    pdf = _run(spark, "stream_hourly_top2_event_types")
+    per_hour = pdf.groupby("hour_start")
+    assert (per_hour.size() <= 2).all()
+    assert set(pdf.rnk) <= {1, 2}
+    for _, g in per_hour:
+        g = g.sort_values("rnk")
+        if len(g) == 2:
+            a, b = g.iloc[0], g.iloc[1]
+            assert (a.events, b.event_type) >= (b.events, a.event_type)
