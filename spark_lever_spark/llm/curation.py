@@ -1466,3 +1466,62 @@ def weighted_sample_units(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ticket", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment AS stratum, c_custkey,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+         ) AS rn
+  FROM customer
+),
+assign AS (
+  SELECT stratum, c_custkey, (rn - 1) % 5 AS fold FROM ranked
+)
+SELECT stratum, CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM assign GROUP BY stratum, fold ORDER BY stratum, fold
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def stratified_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED k-fold cross-validation assignment (k = 5): within
+    every stratum, rows are ranked by their md5 row-hash (the
+    sanctioned determinism source — re-runs reproduce identical
+    folds) and dealt round-robin, so each stratum's folds are
+    EXACTLY balanced (sizes differ by at most 1 — the guarantee
+    percentage-hash splits like sample_hash_bucket cannot make,
+    since binomial noise skews small strata). Completes the ML-split
+    family: split_train_val_test is one partition, grouped_split adds
+    group consistency, this yields all k rotation folds at once.
+    Shape: one stratum-keyed rank window then a (stratum, fold)
+    rollup; the published audit (counts + key ranges) is
+    aggregate-domain. At 100 TB the stratum partition is the only
+    shuffle and the window is a streaming rank, not a sort-collect."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string").cast("binary")), "c_custkey"
+    )
+    assign = cust.select(
+        F.col("c_mktsegment").alias("stratum"),
+        "c_custkey",
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+    )
+    return (
+        assign.groupBy("stratum", F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("stratum", "fold")
+    )

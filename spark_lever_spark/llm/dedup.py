@@ -1318,3 +1318,137 @@ def golden_record_survivorship(
         )
         .orderBy("golden_id")
     )
+
+
+@register(
+    "lsh_eval_confusion",
+    # est CTEs replay the banded MinHash family; truth is UNBLOCKED
+    # exact token-set Jaccard >= 0.5 over all pairs
+    oracle=f"""
+WITH {_MINHASH_SQL_CTES},
+pred AS (
+  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+),
+dtok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+dtok2 AS (SELECT * FROM dtok WHERE word <> ''),
+card AS (SELECT doc_id, count(*) AS n_tok FROM dtok2 GROUP BY doc_id),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dtok2 a JOIN dtok2 b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING 2 * count(*) >= (SELECT n_tok FROM card WHERE doc_id = a.doc_id)
+                         + (SELECT n_tok FROM card WHERE doc_id = b.doc_id)
+                         - count(*)
+),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN p.id_a IS NOT NULL AND t.id_a IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN p.id_a IS NOT NULL AND t.id_a IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN p.id_a IS NULL AND t.id_a IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pred p FULL OUTER JOIN truth t
+    ON t.id_a = p.id_a AND t.id_b = p.id_b
+)
+SELECT tp, fp, fn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm
+FROM conf
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def lsh_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline OBSERVABILITY for approximate dedup: the confusion
+    matrix of the banded MinHash detector (est Jaccard >= 0.5, the
+    8x4 production banding) against ground truth — UNBLOCKED exact
+    token-set Jaccard >= 0.5 over every pair — with exact-ppm
+    precision and recall. This is the measurement a corpus team runs
+    before trusting an LSH config at 100 TB (the banding tuner
+    estimates recall from a sample; this evaluates the REALIZED
+    operating point end-to-end). Truth-side scale shape: the exact
+    pair set is generated with the lossless t=0.5 AllPairs prefix
+    filter (never the raw |docs|² grid), so even the ground-truth leg
+    is candidate-bounded; the confusion join is one full-outer
+    equi-join of two pair sets. tp/fp/fn are exact int64 and the
+    ratios integer-ppm floors."""
+    t_num, t_den = 1, 2  # truth threshold = 0.5 exact
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    base = docs.select(
+        "doc_id", tokens_distinct(F.col("text")).alias("toks")
+    )
+    tok = base.select(
+        "doc_id", F.size("toks").alias("n_tok"), F.explode("toks").alias("word")
+    )
+    dfreq = tok.groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "word")
+    pref = (
+        tok.join(F.broadcast(dfreq), "word")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(
+            F.col("rnk")
+            <= F.col("n_tok")
+            - F.ceil(F.col("n_tok") * t_num / F.lit(t_den))
+            + 1
+        )
+        .select("doc_id", "word")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - n_common
+    truth = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.lit(t_den) * n_common >= union)
+        .select("id_a", "id_b")
+    )
+    p = pred.withColumn("in_p", F.lit(1))
+    t = truth.withColumn("in_t", F.lit(1))
+    conf = p.join(t, ["id_a", "id_b"], "full_outer").agg(
+        F.sum(
+            F.when(
+                F.col("in_p").isNotNull() & F.col("in_t").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                F.col("in_p").isNotNull() & F.col("in_t").isNull(), 1
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                F.col("in_p").isNull() & F.col("in_t").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("fn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 div (tp + fp)").alias("precision_ppm"),
+        F.expr("tp * 1000000 div (tp + fn)").alias("recall_ppm"),
+    )

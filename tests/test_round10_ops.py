@@ -599,3 +599,46 @@ def test_stream_top2_leaderboard_invariants(spark):
         if len(g) == 2:
             a, b = g.iloc[0], g.iloc[1]
             assert (a.events, b.event_type) >= (b.events, a.event_type)
+
+
+def test_lsh_eval_truth_is_unblocked_bruteforce(spark):
+    """Ground-truth pair set must equal the unfiltered all-pairs exact
+    Jaccard >= 0.5 (python sets), and the confusion counts must
+    partition pred/truth accordingly."""
+    rows = _docs()
+    toks = {
+        d: set(t for t in text.split() if t) for d, _, text in rows
+    }
+    truth = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            if 2 * inter >= len(toks[a]) + len(toks[b]) - inter:
+                truth.add((a, b))
+    pred = {
+        (r.id_a, r.id_b)
+        for r in registry.all_queries()["dedup_minhash_lsh"]
+        .fn(spark, SF)
+        .toPandas()
+        .itertuples()
+        if r.est_jaccard >= 0.5
+    }
+    r = _run(spark, "lsh_eval_confusion").iloc[0]
+    assert r.tp == len(pred & truth)
+    assert r.fp == len(pred - truth)
+    assert r.fn == len(truth - pred)
+    assert r.precision_ppm == r.tp * 1000000 // (r.tp + r.fp)
+    assert r.recall_ppm == r.tp * 1000000 // (r.tp + r.fn)
+
+
+def test_kfold_balance_and_determinism(spark):
+    """Every stratum's five folds differ by at most one row; fold
+    sizes sum back to the stratum size; assignment is a pure row
+    property (two runs identical)."""
+    pdf = _run(spark, "stratified_kfold_assignment")
+    for _, g in pdf.groupby("stratum"):
+        assert len(g) == 5
+        assert g.n_rows.max() - g.n_rows.min() <= 1
+    pdf2 = _run(spark, "stratified_kfold_assignment")
+    assert pdf.equals(pdf2)
