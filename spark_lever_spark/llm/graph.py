@@ -1009,3 +1009,88 @@ def dedup_decision_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keeper_id"),
     ).orderBy("doc_id")
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY v
+),
+hist AS (
+  SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+  FROM deg GROUP BY degree
+),
+tot AS (SELECT CAST(SUM(n_vertices) AS BIGINT) AS nv FROM hist)
+SELECT h.degree, h.n_vertices,
+       CAST(SUM(h.n_vertices)
+            OVER (ORDER BY h.degree DESC) * 1000000 // t.nv AS BIGINT)
+           AS tail_share_ppm
+FROM hist h CROSS JOIN tot t
+ORDER BY h.degree
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the
+    complementary-CDF tail share in exact ppm — the profiling step
+    every graph algorithm here should be SIZED from: the tail share
+    at each degree says how much of the vertex mass a hub-cutoff
+    would exclude (skew diagnosis for the triangle/LPA/PageRank
+    joins, whose cost is Σ deg² — the same reading
+    skew_key_diagnostics_lineitem gives for relational keys, lifted
+    to graphs). Degree counting is one vertex-keyed aggregation over
+    the symmetric edge list; the histogram and its reverse-cumulative
+    window live on the degree domain (bounded by max degree, not
+    vertex count); total count rides a 1-row broadcast."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+    tot = hist.agg(F.sum("n_vertices").alias("nv"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "tail_share_ppm",
+            F.expr("sum(n_vertices) OVER (ORDER BY degree DESC"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                   " * 1000000 div nv"),
+        )
+        .select("degree", "n_vertices", "tail_share_ppm")
+        .orderBy("degree")
+    )

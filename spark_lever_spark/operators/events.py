@@ -2029,3 +2029,106 @@ def newcombe_diff_ci_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({_NEWCOMBE_LO}) > 0 OR ({_NEWCOMBE_HI}) < 0"
         ).alias("significant"),
     )
+
+
+@register(
+    "session_path_rle_patterns",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE),
+                            event_type ORDER BY ts, event_id) AS rnt
+  FROM events
+),
+runs AS (
+  SELECT user_id, day, event_type,
+         rn - rnt AS island,
+         CAST(count(*) AS BIGINT) AS run_len,
+         min(rn) AS start_rn
+  FROM ev GROUP BY user_id, day, event_type, rn - rnt
+),
+paths AS (
+  SELECT user_id, day,
+         string_agg(event_type || '*' || run_len, '>' ORDER BY start_rn)
+             AS pattern
+  FROM runs GROUP BY user_id, day
+)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY pattern
+HAVING count(*) >= 2
+ORDER BY n_sessions DESC, pattern
+LIMIT 50
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def session_path_rle_patterns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-path mining with RUN-LENGTH abstraction: each user-day
+    session becomes its compressed journey string
+    ("view*3>click*2>purchase*1"), and the corpus's recurring journey
+    shapes surface as the top-50 patterns — burst-invariant where
+    session_path_trigrams is burst-sensitive (five consecutive views
+    and two collapse to the same "view*k" step, which is what a UX
+    analyst means by "the browse-then-buy path"). Runs are found by
+    the classic gaps-and-islands identity (global rank minus
+    per-type rank is constant within a run — two windows, zero
+    self-joins); the per-session pattern string is an ORDERED
+    aggregation (array_sort on (start, text) structs here,
+    string_agg ORDER BY in the oracle — the listagg parity idiom);
+    patterns then roll up on the pattern-string aggregate domain.
+    The top-50 is a TakeOrdered, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "day", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w_all),
+            "rnt": F.row_number().over(w_typ),
+        }
+    )
+    runs = ranked.groupBy(
+        "user_id", "day", "event_type", (F.col("rn") - F.col("rnt")).alias("island")
+    ).agg(
+        F.count("*").alias("run_len"),
+        F.min("rn").alias("start_rn"),
+    )
+    paths = (
+        runs.select(
+            "user_id",
+            "day",
+            F.struct(
+                "start_rn",
+                F.concat_ws(
+                    "*", F.col("event_type"), F.col("run_len").cast("string")
+                ).alias("step"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["step"]
+                ),
+                ">",
+            ).alias("pattern")
+        )
+    )
+    return (
+        paths.groupBy("pattern")
+        .agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 2)
+        .orderBy(F.col("n_sessions").desc(), "pattern")
+        .limit(50)
+    )

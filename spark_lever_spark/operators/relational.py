@@ -3872,3 +3872,77 @@ def relational_division_priorities(
         .select(F.col("l_partkey").cast("long").alias("p_partkey"))
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "k_anonymity_audit_customers",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+groups AS (
+  SELECT c_nationkey, bal_band,
+         CAST(count(*) AS BIGINT) AS grp_size,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM qi GROUP BY c_nationkey, bal_band
+)
+SELECT CAST(SUM(grp_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(grp_size) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_below_k5,
+       CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+            AS BIGINT) AS n_rows_below_k5,
+       CAST(min(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_below_l3
+FROM groups
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def k_anonymity_audit_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRIVACY-GOVERNANCE audit: k-ANONYMITY and l-DIVERSITY of the
+    customer table under the quasi-identifier (nation, account-balance
+    $1000 band) with market segment as the sensitive attribute —
+    the re-identification risk measurement (Sweeney 2002; Machanavajjhala
+    et al. 2007) a data-release pipeline must run before publishing:
+    k = the smallest QI-group size (any group below 5 is
+    re-identifiable by linkage), l = the least sensitive-value
+    diversity within a group (below 3, membership alone leaks the
+    sensitive attribute even at high k). One QI-keyed aggregation
+    with a distinct sub-aggregate, collapsed to a single exact-int64
+    summary row — the QI group domain is what shuffles, never raw
+    rows twice."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+        "c_mktsegment",
+    )
+    groups = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").alias("grp_size"),
+        F.count_distinct("c_mktsegment").alias("l_div"),
+    )
+    return groups.agg(
+        F.sum("grp_size").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("grp_size").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0)).alias(
+            "n_groups_below_k5"
+        ),
+        F.sum(
+            F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+        ).alias("n_rows_below_k5"),
+        F.min("l_div").alias("l_diversity"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0)).alias(
+            "n_groups_below_l3"
+        ),
+    )

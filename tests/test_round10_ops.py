@@ -642,3 +642,86 @@ def test_kfold_balance_and_determinism(spark):
         assert g.n_rows.max() - g.n_rows.min() <= 1
     pdf2 = _run(spark, "stratified_kfold_assignment")
     assert pdf.equals(pdf2)
+
+
+def test_k_anonymity_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT c_nationkey,"
+        f" CAST(round(c_acctbal * 100) AS BIGINT) // 100000,"
+        f" c_mktsegment FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    groups = defaultdict(list)
+    for nk, band, seg in rows:
+        groups[(nk, band)].append(seg)
+    sizes = [len(v) for v in groups.values()]
+    ldivs = [len(set(v)) for v in groups.values()]
+    r = _run(spark, "k_anonymity_audit_customers").iloc[0]
+    assert r.n_rows == sum(sizes)
+    assert r.n_groups == len(groups)
+    assert r.k_anonymity == min(sizes)
+    assert r.n_groups_below_k5 == sum(1 for s in sizes if s < 5)
+    assert r.n_rows_below_k5 == sum(s for s in sizes if s < 5)
+    assert r.l_diversity == min(ldivs)
+    assert r.n_groups_below_l3 == sum(1 for d in ldivs if d < 3)
+
+
+def test_rle_patterns_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(ts AS DATE), ts, event_id, event_type"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" ORDER BY user_id, CAST(ts AS DATE), ts, event_id"
+    ).fetchall()
+    sessions = defaultdict(list)
+    for u, day, ts, eid, et in rows:
+        sessions[(u, day)].append(et)
+    counts = defaultdict(int)
+    for seq in sessions.values():
+        parts = []
+        run_type, run_len = seq[0], 1
+        for t in seq[1:]:
+            if t == run_type:
+                run_len += 1
+            else:
+                parts.append(f"{run_type}*{run_len}")
+                run_type, run_len = t, 1
+        parts.append(f"{run_type}*{run_len}")
+        counts[">".join(parts)] += 1
+    expect = sorted(
+        ((p, n) for p, n in counts.items() if n >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:50]
+    got = [
+        (r.pattern, r.n_sessions)
+        for r in _run(spark, "session_path_rle_patterns").itertuples()
+    ]
+    assert got == expect
+
+
+def test_degree_histogram_python_identity(spark):
+    edges = duckdb.sql(
+        f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM read_parquet('{SF}/lineitem.parquet'))
+SELECT a.l_partkey, b.l_partkey FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    ).fetchall()
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    hist = defaultdict(int)
+    for d in deg.values():
+        hist[d] += 1
+    nv = sum(hist.values())
+    expect = {}
+    cum = 0
+    for d in sorted(hist, reverse=True):
+        cum += hist[d]
+        expect[d] = (hist[d], cum * 1000000 // nv)
+    got = {
+        r.degree: (r.n_vertices, r.tail_share_ppm)
+        for r in _run(spark, "graph_degree_histogram").itertuples()
+    }
+    assert got == expect
