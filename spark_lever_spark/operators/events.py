@@ -2132,3 +2132,138 @@ def session_path_rle_patterns(
         .orderBy(F.col("n_sessions").desc(), "pattern")
         .limit(50)
     )
+
+
+@register(
+    "growth_accounting_monthly",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT o_custkey AS cust,
+         EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mi
+  FROM orders
+),
+firsts AS (SELECT cust, min(mi) AS first_mi FROM activity GROUP BY cust),
+flags AS (
+  SELECT a.cust, a.mi,
+         CASE WHEN a.mi = f.first_mi THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN p.cust IS NOT NULL THEN 1 ELSE 0 END AS is_retained
+  FROM activity a
+  JOIN firsts f ON f.cust = a.cust
+  LEFT JOIN activity p ON p.cust = a.cust AND p.mi = a.mi - 1
+),
+churn AS (
+  SELECT a.mi + 1 AS mi, CAST(count(*) AS BIGINT) AS n_churned
+  FROM activity a
+  LEFT JOIN activity nxt ON nxt.cust = a.cust AND nxt.mi = a.mi + 1
+  WHERE nxt.cust IS NULL
+    AND a.mi + 1 IN (SELECT DISTINCT mi FROM activity)
+  GROUP BY a.mi + 1
+),
+monthly AS (
+  SELECT mi,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(SUM(is_new) AS BIGINT) AS n_new,
+         CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN is_new = 0 AND is_retained = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM flags GROUP BY mi
+)
+SELECT CAST(m.mi // 12 AS BIGINT) * 100 + (m.mi % 12) + 1 AS yyyymm,
+       m.n_active, m.n_new, m.n_retained, m.n_resurrected,
+       CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM monthly m LEFT JOIN churn c ON c.mi = m.mi
+ORDER BY m.mi
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def growth_accounting_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAU GROWTH ACCOUNTING — the monthly active-customer
+    decomposition every growth team reports: active = new (first-ever
+    month) + retained (also active last month) + resurrected (active
+    before, skipped last month), with churned = last month's actives
+    who went silent — the identity actives(m) - actives(m-1) =
+    new + resurrected - churned. Where retention_cohorts_daily tracks
+    one cohort forward, this decomposes EVERY month's headline number
+    into its flow components. All flows are exact int64 counts from
+    calendar equi-joins on the distinct (customer, month-index)
+    activity set — the aggregate domain is customers x months; no
+    window ever sees raw order rows."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (
+        F.year(F.to_date("o_orderdate")) * 12
+        + F.month(F.to_date("o_orderdate"))
+        - 1
+    ).cast("long")
+    activity = o.select(
+        F.col("o_custkey").alias("cust"), mi.alias("mi")
+    ).distinct()
+    firsts = activity.groupBy("cust").agg(F.min("mi").alias("first_mi"))
+    prev = activity.select(
+        F.col("cust").alias("p_cust"), (F.col("mi") + 1).alias("p_mi")
+    )
+    flags = (
+        activity.join(firsts, "cust")
+        .join(
+            prev,
+            (F.col("p_cust") == F.col("cust"))
+            & (F.col("p_mi") == F.col("mi")),
+            "left",
+        )
+        .select(
+            "cust",
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.when(F.col("p_cust").isNotNull(), 1).otherwise(0).alias(
+                "is_retained"
+            ),
+        )
+    )
+    months = activity.select("mi").distinct()
+    nxt = activity.select(
+        F.col("cust").alias("n_cust"), (F.col("mi") - 1).alias("n_mi")
+    )
+    churn = (
+        activity.join(
+            nxt,
+            (F.col("n_cust") == F.col("cust"))
+            & (F.col("n_mi") == F.col("mi")),
+            "left",
+        )
+        .where(F.col("n_cust").isNull())
+        .select((F.col("mi") + 1).alias("mi"))
+        .join(months, "mi", "left_semi")
+        .groupBy("mi")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    monthly = flags.groupBy("mi").agg(
+        F.count("*").alias("n_active"),
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_retained").alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("is_new") == 0) & (F.col("is_retained") == 0), 1
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    return (
+        monthly.join(churn, "mi", "left")
+        .select(
+            (
+                F.expr("mi div 12") * 100 + (F.col("mi") % 12) + 1
+            ).alias("yyyymm"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("yyyymm")
+    )

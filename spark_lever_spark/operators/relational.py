@@ -3946,3 +3946,75 @@ def k_anonymity_audit_customers(
             "n_groups_below_l3"
         ),
     )
+
+
+@register(
+    "discount_response_curve",
+    oracle="""
+WITH bands AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1
+),
+base AS (
+  SELECT total_qty AS q0, n_lines AS n0 FROM bands WHERE disc_pct = 0
+)
+SELECT b.disc_pct, b.n_lines, b.total_qty, b.revenue_cents,
+       round(CAST(b.total_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE)
+             * 1000000) / 1000000 AS mean_qty,
+       CAST(b.total_qty * base.n0 * 1000000
+            // (base.q0 * b.n_lines) AS BIGINT) AS qty_index_ppm
+FROM bands b CROSS JOIN base
+ORDER BY b.disc_pct
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNT RESPONSE CURVE: per discount percentage band, the
+    mean line quantity INDEXED to the zero-discount baseline in exact
+    ppm — the demand-response readout behind 'does a deeper discount
+    actually move volume' (the empirical input to an elasticity
+    model; q19 prices a given promotion, this measures the response
+    surface). The index cross-multiplies the two (qty, lines) integer
+    pairs into one exact int64 ratio — never a double-over-double
+    quotient — and the baseline rides a 1-row broadcast. One
+    aggregation over lineitem on the ~11-value discount domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("revenue_cents"),
+    )
+    base = bands.where(F.col("disc_pct") == 0).select(
+        F.col("total_qty").alias("q0"), F.col("n_lines").alias("n0")
+    )
+    return (
+        bands.crossJoin(F.broadcast(base))
+        .select(
+            "disc_pct",
+            "n_lines",
+            "total_qty",
+            "revenue_cents",
+            (
+                F.round(
+                    F.col("total_qty").cast("double")
+                    / F.col("n_lines").cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("mean_qty"),
+            F.expr(
+                "total_qty * n0 * 1000000 div (q0 * n_lines)"
+            ).alias("qty_index_ppm"),
+        )
+        .orderBy("disc_pct")
+    )

@@ -725,3 +725,65 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         for r in _run(spark, "graph_degree_histogram").itertuples()
     }
     assert got == expect
+
+
+def test_growth_accounting_python_identity(spark):
+    """Python replay of the monthly flow decomposition plus the
+    accounting identity actives(m) - actives(m-1) = new + resurrected
+    - churned for every month after the first."""
+    rows = duckdb.sql(
+        f"SELECT DISTINCT o_custkey,"
+        f" EXTRACT(year FROM o_orderdate) * 12"
+        f" + EXTRACT(month FROM o_orderdate) - 1"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    by_month = defaultdict(set)
+    for cust, mi in rows:
+        by_month[mi].add(cust)
+    first = {}
+    for mi in sorted(by_month):
+        for c in by_month[mi]:
+            first.setdefault(c, mi)
+    expect = {}
+    for mi in sorted(by_month):
+        act, prev = by_month[mi], by_month.get(mi - 1, set())
+        n_new = sum(1 for c in act if first[c] == mi)
+        n_ret = len(act & prev)
+        n_res = len(act) - n_new - n_ret
+        n_churn = len(prev - act)
+        yyyymm = (mi // 12) * 100 + (mi % 12) + 1
+        expect[yyyymm] = (len(act), n_new, n_ret, n_res, n_churn)
+    got = {
+        r.yyyymm: (
+            r.n_active,
+            r.n_new,
+            r.n_retained,
+            r.n_resurrected,
+            r.n_churned,
+        )
+        for r in _run(spark, "growth_accounting_monthly").itertuples()
+    }
+    assert got == expect
+    months = sorted(expect)
+    for a, b in zip(months, months[1:]):
+        na, nb = expect[a][0], expect[b][0]
+        assert nb - na == expect[b][1] + expect[b][3] - expect[b][4]
+
+
+def test_discount_curve_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT CAST(round(l_discount * 100) AS BIGINT),"
+        f" CAST(round(l_quantity) AS BIGINT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    bands = defaultdict(lambda: [0, 0])
+    for pct, qty in rows:
+        bands[pct][0] += 1
+        bands[pct][1] += qty
+    n0, q0 = bands[0][0], bands[0][1]
+    pdf = _run(spark, "discount_response_curve").set_index("disc_pct")
+    for pct, (n, q) in bands.items():
+        r = pdf.loc[pct]
+        assert r.n_lines == n and r.total_qty == q
+        assert r.qty_index_ppm == q * n0 * 1000000 // (q0 * n)
+    assert pdf.loc[0, "qty_index_ppm"] == 1000000
