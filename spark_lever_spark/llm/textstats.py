@@ -1074,3 +1074,75 @@ def trigram_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "langid_eval_confusion",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS hits_en,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) AS hits_es,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             w -> w IN ('der','die','und','das','ist','von','mit','den','ein','zu'))) AS hits_de
+  FROM documents
+),
+pred AS (
+  SELECT lang AS lang_actual,
+         CASE WHEN hits_de > hits_en AND hits_de > hits_es THEN 'de'
+              WHEN hits_es > hits_en AND hits_es >= hits_de THEN 'es'
+              WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+              ELSE 'unknown' END AS lang_pred
+  FROM s
+),
+cells AS (
+  SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+per_actual AS (
+  SELECT lang_actual, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+  FROM cells GROUP BY lang_actual
+)
+SELECT c.lang_actual, c.lang_pred, c.n_docs,
+       CAST(c.n_docs * 1000000 // p.n_actual AS BIGINT) AS row_share_ppm,
+       CAST(c.lang_actual = c.lang_pred AS BOOLEAN) AS is_correct
+FROM cells c JOIN per_actual p ON p.lang_actual = c.lang_actual
+ORDER BY c.lang_actual, c.lang_pred
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-EVALUATION confusion matrix for the stopword language-ID
+    heuristic against the corpus's labeled `lang` column — per
+    (actual, predicted) cell counts with exact-ppm row shares (the
+    per-class recall readout: the diagonal cell's share IS that
+    language's recall). Same observability doctrine as
+    lsh_eval_confusion: `text_lang_id` SHIPS predictions, this
+    MEASURES them, which is the step a curation team runs before
+    trusting the cheap classifier to route 100 TB (languages the
+    heuristic has no stopword list for land in visible off-diagonal
+    mass, not silent loss). One aggregation over the per-doc
+    prediction frame; the matrix domain is (langs)^2."""
+    pred = text_lang_id(spark, sf_dir).select("lang_actual", "lang_pred")
+    cells = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    per_actual = cells.groupBy("lang_actual").agg(
+        F.sum("n_docs").alias("n_actual")
+    )
+    return (
+        cells.join(per_actual, "lang_actual")
+        .select(
+            "lang_actual",
+            "lang_pred",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_actual").alias("row_share_ppm"),
+            (F.col("lang_actual") == F.col("lang_pred")).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("lang_actual", "lang_pred")
+    )

@@ -4018,3 +4018,75 @@ def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_pct")
     )
+
+
+@register(
+    "bayesian_avg_part_quantity",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY l_partkey
+),
+gm AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(sq) AS BIGINT) AS sg
+  FROM per_part
+)
+SELECT l_partkey, n, sq,
+       round(CAST(sq AS DOUBLE) / n * 1000000) / 1000000 AS raw_mean,
+       round(CAST(10 * sg + sq * ng AS DOUBLE)
+             / CAST(ng * (10 + n) AS DOUBLE) * 1000000) / 1000000
+           AS shrunk_mean
+FROM per_part CROSS JOIN gm
+ORDER BY CAST(10 * sg + sq * ng AS DOUBLE) / CAST(ng * (10 + n) AS DOUBLE)
+         DESC, l_partkey
+LIMIT 20
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def bayesian_avg_part_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BAYESIAN AVERAGE ranking (the IMDb weighted-rating formula):
+    rank parts by mean order quantity SHRUNK toward the global mean
+    with prior strength C = 10 — ba = (C·m + Σx)/(C + n) — so a part
+    seen twice at quantity 50 cannot outrank a part seen 500 times at
+    45 (the small-sample leaderboard pathology every raw top-k by
+    mean ships with). Exactness: with m = Sg/Ng the formula clears
+    denominators to (C·Sg + Σx·Ng) / (Ng·(C + n)) — both sides exact
+    int64 products, ONE double division, and the top-20 ranks on that
+    same bit-identical double before presentation rounding. One
+    part-keyed aggregation plus a 1-row broadcast of the global
+    moments; the top-20 is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"),
+    )
+    glob = per_part.agg(
+        F.sum("n").alias("ng"), F.sum("sq").alias("sg")
+    )
+    shrunk = (10 * F.col("sg") + F.col("sq") * F.col("ng")).cast(
+        "double"
+    ) / (F.col("ng") * (10 + F.col("n"))).cast("double")
+    return (
+        per_part.crossJoin(F.broadcast(glob))
+        .select(
+            "l_partkey",
+            "n",
+            "sq",
+            (
+                F.round(
+                    F.col("sq").cast("double") / F.col("n") * 1000000
+                )
+                / 1000000
+            ).alias("raw_mean"),
+            (F.round(shrunk * 1000000) / 1000000).alias("shrunk_mean"),
+            shrunk.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), "l_partkey")
+        .limit(20)
+        .drop("_key")
+    )

@@ -787,3 +787,56 @@ def test_discount_curve_python_identity(spark):
         assert r.n_lines == n and r.total_qty == q
         assert r.qty_index_ppm == q * n0 * 1000000 // (q0 * n)
     assert pdf.loc[0, "qty_index_ppm"] == 1000000
+
+
+def test_langid_confusion_python_identity(spark):
+    """The confusion matrix must re-aggregate the per-doc predictions
+    exactly, and each actual-language row's shares must sum to ~1e6."""
+    pred = (
+        registry.all_queries()["text_lang_id"]
+        .fn(spark, SF)
+        .toPandas()[["lang_actual", "lang_pred"]]
+    )
+    cells = defaultdict(int)
+    totals = defaultdict(int)
+    for r in pred.itertuples():
+        cells[(r.lang_actual, r.lang_pred)] += 1
+        totals[r.lang_actual] += 1
+    got = _run(spark, "langid_eval_confusion")
+    assert {
+        (r.lang_actual, r.lang_pred): r.n_docs for r in got.itertuples()
+    } == dict(cells)
+    for r in got.itertuples():
+        assert (
+            r.row_share_ppm
+            == r.n_docs * 1000000 // totals[r.lang_actual]
+        )
+        assert bool(r.is_correct) == (r.lang_actual == r.lang_pred)
+
+
+def test_bayesian_avg_shrinks_small_samples(spark):
+    """Python replay of the cleared-denominator formula; plus the
+    shrinkage property: every published shrunk mean lies between the
+    part's raw mean and the global mean."""
+    rows = duckdb.sql(
+        f"SELECT l_partkey, count(*),"
+        f" SUM(CAST(round(l_quantity) AS BIGINT))"
+        f" FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+    ).fetchall()
+    ng = sum(r[1] for r in rows)
+    sg = sum(r[2] for r in rows)
+    scored = sorted(
+        (
+            (-(10 * sg + sq * ng) / (ng * (10 + n)), pk, n, sq)
+            for pk, n, sq in rows
+        )
+    )[:20]
+    pdf = _run(spark, "bayesian_avg_part_quantity")
+    assert [r.l_partkey for r in pdf.itertuples()] == [
+        pk for _, pk, _, _ in scored
+    ]
+    gmean = sg / ng
+    for r in pdf.itertuples():
+        raw = r.sq / r.n
+        lo, hi = sorted((raw, gmean))
+        assert lo - 1e-9 <= r.shrunk_mean <= hi + 1e-9
