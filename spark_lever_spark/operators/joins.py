@@ -1114,3 +1114,80 @@ def tiered_rate_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier", "o_orderpriority")
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+),
+ranked AS (
+  SELECT p_name, n_parts,
+         row_number() OVER (ORDER BY p_name) AS rn
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(b.rn - a.rn AS BIGINT) AS window_offset,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY name_a, name_b
+""",
+    category="joins",
+    tags=("defer-window",),
+)
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORTED-NEIGHBORHOOD entity-resolution blocking (Hernández &
+    Stolfo SIGMOD'95): sort the name domain once, then compare each
+    name only to its next w = 3 sort neighbors — the classic
+    alternative to key-based blocking (`fuzzy_join_part_names` blocks
+    on (head noun, length band)): a typo in the blocking key itself
+    moves a record to a different BLOCK and is lost there, but mostly
+    not to a different sort NEIGHBORHOOD. Candidate pairs are |domain|
+    x w, a linear bound no skewed key can break. Doctrine: the sort
+    and the rank-offset self-equi-join run on the DISTINCT-names
+    AGGREGATE domain (the fuzzy-join rule — never rank raw catalog
+    rows; per-name part counts ride along from the same aggregation),
+    so the only raw-table cost is one name-keyed count."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    w = Window.orderBy("p_name")
+    ranked = names.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + 3),
+        )
+        .where(dist <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias(
+                "window_offset"
+            ),
+            dist.cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -4090,3 +4090,77 @@ def bayesian_avg_part_quantity(
         .limit(20)
         .drop("_key")
     )
+
+
+@register(
+    "basket_dispersion_index",
+    oracle="""
+WITH baskets AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(n_items) AS BIGINT) AS sx,
+         CAST(SUM(n_items * n_items) AS BIGINT) AS sxx,
+         CAST(min(n_items) AS BIGINT) AS min_items,
+         CAST(max(n_items) AS BIGINT) AS max_items
+  FROM baskets
+)
+SELECT n, sx, min_items, max_items,
+       round(CAST(sx AS DOUBLE) / n * 1000000) / 1000000 AS mean_items,
+       round(CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) * 1000000) / 1000000
+           AS var_items,
+       CAST((n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS BIGINT)
+           AS dispersion_ppm
+FROM m
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def basket_dispersion_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size DISPERSION INDEX (variance-to-mean ratio): the
+    one-number equidispersion test — Poisson arrivals give ratio 1,
+    so ppm well above 10^6 says basket sizes are bursty/clumped and
+    any Poisson-based capacity or fraud model is miscalibrated. The
+    index reduces to exact integers end-to-end: Var/Mean =
+    (n·Σx² − (Σx)²) / ((n−1)·Σx) — one integer floor division in ppm,
+    no double ever accumulated (mean and variance are also published
+    via single divisions of the same exact moments). One orderkey
+    aggregation then a 1-row moment rollup; at any scale the second
+    stage sees exactly one row per basket-size... per basket, i.e.
+    the aggregate domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    m = baskets.agg(
+        F.count("*").alias("n"),
+        F.sum("n_items").alias("sx"),
+        F.sum(F.col("n_items") * F.col("n_items")).alias("sxx"),
+        F.min("n_items").alias("min_items"),
+        F.max("n_items").alias("max_items"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "min_items",
+        "max_items",
+        (
+            F.round(F.col("sx").cast("double") / F.col("n") * 1000000)
+            / 1000000
+        ).alias("mean_items"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("var_items"),
+        F.expr(
+            "(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)"
+        ).alias("dispersion_ppm"),
+    )

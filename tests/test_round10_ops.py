@@ -840,3 +840,73 @@ def test_bayesian_avg_shrinks_small_samples(spark):
         raw = r.sq / r.n
         lo, hi = sorted((raw, gmean))
         assert lo - 1e-9 <= r.shrunk_mean <= hi + 1e-9
+
+
+def test_sorted_neighborhood_python_identity(spark):
+    """Python SNM over the sorted distinct-name domain (w = 3,
+    edit <= 4) must equal the Spark pair set; and SNM must surface at
+    least one pair (the method is non-degenerate on this catalog)."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = duckdb.sql(
+        f"SELECT p_name, count(*) FROM read_parquet('{SF}/part.parquet')"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    expect = {}
+    for i, (na, ca) in enumerate(rows):
+        for off in (1, 2, 3):
+            if i + off >= len(rows):
+                continue
+            nb, cb = rows[i + off]
+            d = lev(na, nb)
+            if d <= 4:
+                expect[(na, nb)] = (off, d, ca, cb)
+    got = {
+        (r.name_a, r.name_b): (
+            r.window_offset,
+            r.edit_dist,
+            r.n_parts_a,
+            r.n_parts_b,
+        )
+        for r in _run(spark, "sorted_neighborhood_pairs").itertuples()
+    }
+    assert got == expect
+    assert expect, "SNM must find adjacent near-names on this catalog"
+
+
+def test_dispersion_index_python_identity(spark):
+    sizes = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')"
+            f" GROUP BY l_orderkey"
+        ).fetchall()
+    ]
+    n, sx = len(sizes), sum(sizes)
+    sxx = sum(x * x for x in sizes)
+    r = _run(spark, "basket_dispersion_index").iloc[0]
+    assert (r.n, r.sx, r.min_items, r.max_items) == (
+        n,
+        sx,
+        min(sizes),
+        max(sizes),
+    )
+    assert r.dispersion_ppm == (n * sxx - sx * sx) * 1000000 // (
+        (n - 1) * sx
+    )
