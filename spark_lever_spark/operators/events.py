@@ -2267,3 +2267,102 @@ def growth_accounting_monthly(
         )
         .orderBy("yyyymm")
     )
+
+
+@register(
+    "conversion_window_sensitivity",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+firsts AS (
+  SELECT c.click_id,
+         min(date_diff('second', c.c_ts, p.p_ts)) AS delta_s
+  FROM clicks c JOIN purch p
+    ON p.user_id = c.user_id
+   AND p.p_ts > c.c_ts
+   AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
+  GROUP BY c.click_id
+),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks FROM clicks)
+SELECT b.n_clicks,
+       CAST(SUM(CASE WHEN delta_s <= 900 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_15m,
+       CAST(SUM(CASE WHEN delta_s <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_1h,
+       CAST(count(*) AS BIGINT) AS conv_4h,
+       CAST(SUM(CASE WHEN delta_s <= 900 THEN 1 ELSE 0 END)
+            * 1000000 // b.n_clicks AS BIGINT) AS rate_15m_ppm,
+       CAST(SUM(CASE WHEN delta_s <= 3600 THEN 1 ELSE 0 END)
+            * 1000000 // b.n_clicks AS BIGINT) AS rate_1h_ppm,
+       CAST(count(*) * 1000000 // b.n_clicks AS BIGINT) AS rate_4h_ppm
+FROM firsts CROSS JOIN base b
+GROUP BY b.n_clicks
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window SENSITIVITY sweep: the click->purchase
+    conversion rate under 15-minute, 1-hour, and 4-hour windows in
+    ONE pass — the robustness check an experimenter runs before
+    committing to a window definition (funnel_time_to_convert
+    characterizes the delay DISTRIBUTION under one window; this shows
+    how the headline rate moves with the window choice — a rate that
+    doubles from 15m to 4h means the window IS the result). One
+    user-keyed band join bounded by the WIDEST window, min-delta per
+    click, then conditional aggregation classifies every narrower
+    window from the same pass — windows are thresholds on one delta
+    column, never extra joins. Rates are exact int64 ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    firsts = (
+        clicks.join(
+            purch,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 4 HOUR")),
+        )
+        .groupBy("click_id")
+        .agg(
+            F.min(
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).alias("delta_s")
+        )
+    )
+    base = clicks.agg(F.count("*").alias("n_clicks"))
+    return (
+        firsts.crossJoin(F.broadcast(base))
+        .groupBy("n_clicks")
+        .agg(
+            F.sum(F.when(F.col("delta_s") <= 900, 1).otherwise(0)).alias(
+                "conv_15m"
+            ),
+            F.sum(F.when(F.col("delta_s") <= 3600, 1).otherwise(0)).alias(
+                "conv_1h"
+            ),
+            F.count("*").alias("conv_4h"),
+        )
+        .select(
+            "n_clicks",
+            "conv_15m",
+            "conv_1h",
+            "conv_4h",
+            F.expr("conv_15m * 1000000 div n_clicks").alias("rate_15m_ppm"),
+            F.expr("conv_1h * 1000000 div n_clicks").alias("rate_1h_ppm"),
+            F.expr("conv_4h * 1000000 div n_clicks").alias("rate_4h_ppm"),
+        )
+    )

@@ -4164,3 +4164,178 @@ def basket_dispersion_index(
             "(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)"
         ).alias("dispersion_ppm"),
     )
+
+
+@register(
+    "referential_cascade_audit",
+    oracle="""
+WITH l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM lineitem li LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM orders od LEFT JOIN customer c ON c.c_custkey = od.o_custkey
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM nation na LEFT JOIN region r ON r.r_regionkey = na.n_regionkey
+)
+SELECT 'lineitem->orders' AS link, n_rows, n_orphans FROM l
+UNION ALL SELECT 'orders->customer', n_rows, n_orphans FROM o
+UNION ALL SELECT 'customer->nation', n_rows, n_orphans FROM c
+UNION ALL SELECT 'nation->region', n_rows, n_orphans FROM n
+ORDER BY link
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def referential_cascade_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity CASCADE audit: orphan counts for every
+    foreign-key link of the schema's join spine (lineitem->orders->
+    customer->nation->region) in one report — the whole-warehouse
+    generalization of fk_orphan_audit's single link, and the first
+    thing to run when a backfill or partial load is suspected (an
+    orphan at one hop silently deflates every downstream join's row
+    count). Each link is one LEFT equi-join collapsed to two exact
+    int64 counters before the union — the links audit in parallel
+    and nothing wider than (link, 2 counters) survives."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def link(name, child, ck, parent, pk):
+        return (
+            child.select(F.col(ck))
+            .join(
+                parent.select(F.col(pk).alias("_pk")),
+                F.col(ck) == F.col("_pk"),
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("link"), "n_rows", "n_orphans")
+        )
+
+    return (
+        link("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            link("orders->customer", orders, "o_custkey", customer, "c_custkey")
+        )
+        .unionByName(
+            link(
+                "customer->nation", customer, "c_nationkey", nation,
+                "n_nationkey",
+            )
+        )
+        .unionByName(
+            link("nation->region", nation, "n_regionkey", region, "r_regionkey")
+        )
+        .orderBy("link")
+    )
+
+
+@register(
+    "monthly_concentration_top_decile",
+    oracle="""
+WITH per_cust AS (
+  SELECT EXTRACT(year FROM o_orderdate) * 100
+           + EXTRACT(month FROM o_orderdate) AS yyyymm,
+         o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yyyymm, rev,
+         row_number() OVER (PARTITION BY yyyymm
+                            ORDER BY rev DESC, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY yyyymm) AS n_cust
+  FROM per_cust
+)
+SELECT CAST(yyyymm AS BIGINT) AS yyyymm,
+       CAST(max(n_cust) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+       CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev ELSE 0 END)
+            AS BIGINT) AS top_decile_rev_cents,
+       CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev ELSE 0 END)
+            * 1000000 // SUM(rev) AS BIGINT) AS top_decile_share_ppm
+FROM ranked GROUP BY yyyymm ORDER BY yyyymm
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def monthly_concentration_top_decile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-concentration DRIFT: the share of each month's revenue
+    captured by its top decile of customers (strict rank·10 <= n
+    membership, ties broken by custkey), in exact ppm — the time
+    series behind 'are we growing more whale-dependent', where
+    pareto_concentration_customers gives one static snapshot. Windows
+    partition on (month) over the per-(month, customer) AGGREGATE
+    domain — customers per month, not orders — and the share is an
+    exact int64 ratio per month."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 100
+            + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("yyyymm"),
+        "o_custkey",
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.partitionBy("yyyymm").orderBy(
+        F.col("rev").desc(), "o_custkey"
+    )
+    wn = Window.partitionBy("yyyymm")
+    ranked = per_cust.withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "n_cust": F.count("*").over(wn),
+        }
+    )
+    top = F.when(F.col("rn") * 10 <= F.col("n_cust"), F.col("rev")).otherwise(
+        0
+    )
+    return (
+        ranked.groupBy("yyyymm")
+        .agg(
+            F.max("n_cust").alias("n_customers"),
+            F.sum("rev").alias("total_rev_cents"),
+            F.sum(top).alias("top_decile_rev_cents"),
+        )
+        .select(
+            "yyyymm",
+            "n_customers",
+            "total_rev_cents",
+            "top_decile_rev_cents",
+            F.expr(
+                "top_decile_rev_cents * 1000000 div total_rev_cents"
+            ).alias("top_decile_share_ppm"),
+        )
+        .orderBy("yyyymm")
+    )

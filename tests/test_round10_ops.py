@@ -910,3 +910,109 @@ def test_dispersion_index_python_identity(spark):
     assert r.dispersion_ppm == (n * sxx - sx * sx) * 1000000 // (
         (n - 1) * sx
     )
+
+
+def test_cascade_audit_python_identity(spark):
+    import pandas as pd  # noqa: F401
+
+    keys = {
+        t: set(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {k} FROM read_parquet('{SF}/{t}.parquet')"
+            ).fetchall()
+        )
+        for t, k in [
+            ("orders", "o_orderkey"),
+            ("customer", "c_custkey"),
+            ("nation", "n_nationkey"),
+            ("region", "r_regionkey"),
+        ]
+    }
+    links = {
+        "lineitem->orders": ("lineitem", "l_orderkey", "orders"),
+        "orders->customer": ("orders", "o_custkey", "customer"),
+        "customer->nation": ("customer", "c_nationkey", "nation"),
+        "nation->region": ("nation", "n_regionkey", "region"),
+    }
+    got = {
+        r.link: (r.n_rows, r.n_orphans)
+        for r in _run(spark, "referential_cascade_audit").itertuples()
+    }
+    for link, (child, fk, parent) in links.items():
+        fks = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {fk} FROM read_parquet('{SF}/{child}.parquet')"
+            ).fetchall()
+        ]
+        orphans = sum(1 for v in fks if v not in keys[parent])
+        assert got[link] == (len(fks), orphans)
+
+
+def test_concentration_share_python_identity(spark):
+    rows = duckdb.sql(
+        f"""
+SELECT EXTRACT(year FROM o_orderdate) * 100
+         + EXTRACT(month FROM o_orderdate),
+       o_custkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM read_parquet('{SF}/orders.parquet') GROUP BY 1, 2
+"""
+    ).fetchall()
+    months = defaultdict(list)
+    for ym, ck, rev in rows:
+        months[ym].append((-rev, ck))
+    got = {
+        r.yyyymm: (
+            r.n_customers,
+            r.total_rev_cents,
+            r.top_decile_rev_cents,
+            r.top_decile_share_ppm,
+        )
+        for r in _run(
+            spark, "monthly_concentration_top_decile"
+        ).itertuples()
+    }
+    for ym, lst in months.items():
+        lst.sort()
+        n = len(lst)
+        total = sum(-r for r, _ in lst)
+        top = sum(
+            -lst[i][0] for i in range(n) if (i + 1) * 10 <= n
+        )
+        assert got[ym] == (n, total, top, top * 1000000 // total)
+
+
+def test_conversion_sensitivity_monotone_and_exact(spark):
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type,"
+        f" date_diff('second', TIMESTAMP '1970-01-01', ts)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    purch = defaultdict(list)
+    for eid, u, t, s in rows:
+        if t == "purchase":
+            purch[u].append(s)
+    n_clicks = 0
+    conv = {900: 0, 3600: 0, 14400: 0}
+    for eid, u, t, s in rows:
+        if t != "click":
+            continue
+        n_clicks += 1
+        deltas = [p - s for p in purch[u] if 0 < p - s <= 14400]
+        if not deltas:
+            continue
+        d = min(deltas)
+        for w in conv:
+            if d <= w:
+                conv[w] += 1
+    r = _run(spark, "conversion_window_sensitivity").iloc[0]
+    assert r.n_clicks == n_clicks
+    assert (r.conv_15m, r.conv_1h, r.conv_4h) == (
+        conv[900],
+        conv[3600],
+        conv[14400],
+    )
+    assert r.conv_15m <= r.conv_1h <= r.conv_4h
