@@ -4339,3 +4339,98 @@ def monthly_concentration_top_decile(
         )
         .orderBy("yyyymm")
     )
+
+
+@register(
+    "spearman_rank_revenue_orders",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+rx AS (
+  SELECT o_custkey, rev, n_orders,
+         CAST(2 * rank() OVER (ORDER BY rev)
+              + count(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS x2,
+         CAST(2 * rank() OVER (ORDER BY n_orders)
+              + count(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS y2
+  FROM per_cust
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x2) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+         CAST(SUM(x2 * y2) AS BIGINT) AS sxy,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sxx,
+         CAST(SUM(y2 * y2) AS BIGINT) AS syy
+  FROM rx
+)
+SELECT n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000) / 1000000 AS spearman_rho
+FROM m
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def spearman_rank_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPEARMAN rank correlation between customer revenue and order
+    count — the robust monotone-association measure (Pearson on
+    tie-averaged ranks) that survives the heavy-tailed revenue
+    distribution Pearson is dragged around by (stat_corr_covar_by_flag
+    is the Pearson sibling). Tie handling is exact: doubled average
+    rank = 2·rank_min + tie_count − 1 is an INTEGER, so every moment
+    (Σx, Σxy, Σx², …) is exact int64 and ρ is one fixed IEEE tree
+    (two sqrts, one division). Scale shape: ranks come from
+    `with_global_rank` (binned two-pass grank — never a
+    single-partition sort of the customer domain) with per-value
+    min/max ranks aggregated to tie averages; the oracle's plain
+    rank()/count() windows are the small-data semantic mirror."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+    def doubled_avg_rank(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = with_global_rank(df, F.col(col), ["o_custkey"])
+        per_val = ranked.groupBy(col).agg(
+            (F.min("_rk") + F.max("_rk")).alias(out)
+        )
+        return ranked.drop("_rk", "_n_tot").join(per_val, col)
+
+    rx = doubled_avg_rank(per_cust, "rev", "x2")
+    rxy = doubled_avg_rank(rx, "n_orders", "y2")
+    m = rxy.agg(
+        F.count("*").alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+    )
+    return m.select(
+        "n", (F.round(rho * 1000000) / 1000000).alias("spearman_rho")
+    )

@@ -1016,3 +1016,47 @@ def test_conversion_sensitivity_monotone_and_exact(spark):
         conv[14400],
     )
     assert r.conv_15m <= r.conv_1h <= r.conv_4h
+
+
+def test_spearman_python_identity(spark):
+    """Tie-averaged-rank Pearson recomputed with plain python ints
+    (doubled ranks stay integers) matches the published rho."""
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT o_custkey,"
+        f" CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),"
+        f" count(*) FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+
+    def doubled_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        d = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            two_avg = (i + 1) + j  # 2*rank_min + cnt - 1 with 1-based
+            for k in range(i, j):
+                d[order[k]] = two_avg
+            i = j
+        return d
+
+    revs = [r[1] for r in rows]
+    cnts = [r[2] for r in rows]
+    x2, y2 = doubled_ranks(revs), doubled_ranks(cnts)
+    n = len(rows)
+    sx, sy = sum(x2), sum(y2)
+    sxy = sum(a * b for a, b in zip(x2, y2))
+    sxx = sum(a * a for a in x2)
+    syy = sum(b * b for b in y2)
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    r = _run(spark, "spearman_rank_revenue_orders").iloc[0]
+    assert r.n == n
+    assert r.spearman_rho == pytest.approx(
+        round(rho * 1000000) / 1000000, abs=2e-6
+    )
+    assert -1 <= r.spearman_rho <= 1
