@@ -4434,3 +4434,184 @@ def spearman_rank_revenue_orders(
     return m.select(
         "n", (F.round(rho * 1000000) / 1000000).alias("spearman_rho")
     )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS line_sum_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         li.line_sum_cents
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN line_sum_cents IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_no_lines,
+       CAST(SUM(CASE WHEN line_sum_cents = header_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN line_sum_cents IS NOT NULL
+                 AND abs(line_sum_cents - header_cents) * 100
+                     <= header_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(CASE WHEN line_sum_cents IS NOT NULL
+                 AND abs(line_sum_cents - header_cents) * 10
+                     <= header_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       CAST(max(abs(line_sum_cents - header_cents)) AS BIGINT)
+           AS max_abs_delta_cents
+FROM j
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE RECONCILIATION audit: does the order header total agree
+    with the sum of its line amounts — the two-derivations check
+    every finance pipeline runs between systems of record (here it
+    reports total divergence: zero exact matches on this corpus, so
+    the header is NOT derivable from the lines — exactly the fact a
+    consumer must learn before joining them interchangeably).
+    Tolerance tiers are exact integer CROSS-MULTIPLICATIONS
+    (|Δ|·100 <= header for 1%), never float ratios; missing-lines
+    orders are counted, not silently dropped (LEFT join). One
+    orderkey aggregation plus one keyed join, collapsed to a 1-row
+    exact-int64 report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("line_sum_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("header_cents"),
+    ).join(
+        line_sums, o["o_orderkey"] == line_sums["l_orderkey"], "left"
+    )
+    delta = F.abs(F.col("line_sum_cents") - F.col("header_cents"))
+    has_lines = F.col("line_sum_cents").isNotNull()
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(~has_lines, 1).otherwise(0)).alias("n_no_lines"),
+        F.sum(
+            F.when(F.col("line_sum_cents") == F.col("header_cents"), 1)
+            .otherwise(0)
+        ).alias("n_exact"),
+        F.sum(
+            F.when(has_lines & (delta * 100 <= F.col("header_cents")), 1)
+            .otherwise(0)
+        ).alias("n_within_1pct"),
+        F.sum(
+            F.when(has_lines & (delta * 10 <= F.col("header_cents")), 1)
+            .otherwise(0)
+        ).alias("n_within_10pct"),
+        F.max(delta).alias("max_abs_delta_cents"),
+    )
+
+
+@register(
+    "autocorr_lag1_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT d.event_type, d.yc AS a, p.yc AS b
+  FROM daily d JOIN daily p
+    ON p.event_type = d.event_type AND p.x = d.x + 1
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             * 1000000) / 1000000 AS autocorr_lag1
+FROM m ORDER BY event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def autocorr_lag1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of daily value per event type — the
+    serial-dependence statistic that separates a random-walk series
+    from white noise (high r1 means yesterday predicts today, so the
+    XmR chart's independence assumption is violated and the naive
+    predictor in seasonal_naive_error_ratio is strong; near 0 means
+    the series is memoryless). Pairs come from a calendar equi-join
+    at x+1 (gaps produce NO pair rather than a silently shifted one);
+    Pearson over the pairs is exact int64 moment sums into one fixed
+    IEEE tree (two sqrts, one division), 1e-6 presentation rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "yc",
+        )
+    )
+    d, p = daily.alias("d"), daily.alias("p")
+    pairs = d.join(
+        p,
+        (F.col("p.event_type") == F.col("d.event_type"))
+        & (F.col("p.x") == F.col("d.x") + 1),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.yc").alias("a"),
+        F.col("p.yc").alias("b"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    r1 = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+                "double"
+            )
+        )
+    )
+    return (
+        m.select(
+            "event_type",
+            "n",
+            (F.round(r1 * 1000000) / 1000000).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )

@@ -1060,3 +1060,73 @@ def test_spearman_python_identity(spark):
         round(rho * 1000000) / 1000000, abs=2e-6
     )
     assert -1 <= r.spearman_rho <= 1
+
+
+def test_reconciliation_python_identity(spark):
+    lines = duckdb.sql(
+        f"SELECT l_orderkey,"
+        f" SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        f" FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+    ).fetchall()
+    sums = dict(lines)
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    n_no, n_exact, n_1, n_10, mx = 0, 0, 0, 0, 0
+    for ok, hdr in orders:
+        ls = sums.get(ok)
+        if ls is None:
+            n_no += 1
+            continue
+        d = abs(ls - hdr)
+        mx = max(mx, d)
+        n_exact += ls == hdr
+        n_1 += d * 100 <= hdr
+        n_10 += d * 10 <= hdr
+    r = _run(spark, "order_total_reconciliation").iloc[0]
+    assert (
+        r.n_orders,
+        r.n_no_lines,
+        r.n_exact,
+        r.n_within_1pct,
+        r.n_within_10pct,
+        r.max_abs_delta_cents,
+    ) == (len(orders), n_no, n_exact, n_1, n_10, mx)
+
+
+def test_autocorr_python_identity(spark):
+    import math
+
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(dict)
+    for et, x, yc in daily:
+        series[et][x] = yc
+    got = {
+        r.event_type: (r.n, r.autocorr_lag1)
+        for r in _run(spark, "autocorr_lag1_daily").itertuples()
+    }
+    for et, by_x in series.items():
+        pairs = [
+            (by_x[x], by_x[x + 1]) for x in by_x if x + 1 in by_x
+        ]
+        n = len(pairs)
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sbb = sum(b * b for _, b in pairs)
+        r1 = (n * sab - sa * sb) / (
+            math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+        )
+        assert got[et][0] == n
+        assert got[et][1] == pytest.approx(
+            round(r1 * 1000000) / 1000000, abs=2e-6
+        )
