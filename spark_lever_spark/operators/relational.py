@@ -4615,3 +4615,67 @@ def autocorr_lag1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "erasure_footprint_audit",
+    oracle="""
+WITH cohort AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+),
+o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+),
+li AS (
+  SELECT count(*) AS n FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+)
+SELECT 'customer' AS tbl,
+       (SELECT CAST(count(*) AS BIGINT) FROM cohort) AS n_rows_to_erase,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows_total
+UNION ALL
+SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM o),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+UNION ALL
+SELECT 'lineitem', (SELECT CAST(n AS BIGINT) FROM li),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+ORDER BY tbl
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def erasure_footprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE-FOOTPRINT audit (GDPR right-to-be-forgotten planning):
+    given a deletion cohort (here the deterministic negative-balance
+    customers), chase the FK spine and report how many rows each
+    table must erase BEFORE any delete runs — the impact assessment a
+    compliance pipeline files, and the row-count ground truth the
+    post-delete verification compares against. Completes the privacy
+    family: k_anonymity_audit_customers measures re-identification
+    risk of what you keep, this measures the blast radius of what you
+    remove. Each hop is one LEFT-SEMI equi-join (cohort -> orders ->
+    lineitems) collapsed to counters — the cohort key set flows
+    forward, full rows never move."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cohort = customer.where(F.col("c_acctbal") < 0).select("c_custkey")
+    o = orders.join(
+        cohort, orders["o_custkey"] == cohort["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    li = lineitem.join(
+        o, lineitem["l_orderkey"] == o["o_orderkey"], "left_semi"
+    )
+
+    def row(tbl: str, erase_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        return erase_df.agg(F.count("*").alias("n_rows_to_erase")).crossJoin(
+            total_df.agg(F.count("*").alias("n_rows_total"))
+        ).select(F.lit(tbl).alias("tbl"), "n_rows_to_erase", "n_rows_total")
+
+    return (
+        row("customer", cohort, customer)
+        .unionByName(row("orders", o, orders))
+        .unionByName(row("lineitem", li, lineitem))
+        .orderBy("tbl")
+    )

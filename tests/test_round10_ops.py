@@ -1130,3 +1130,28 @@ FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
         assert got[et][1] == pytest.approx(
             round(r1 * 1000000) / 1000000, abs=2e-6
         )
+
+
+def test_erasure_footprint_python_identity(spark):
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_acctbal FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    cohort = {c for c, b in cust if b < 0}
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    okeys = {ok for ok, ck in orders if ck in cohort}
+    li = duckdb.sql(
+        f"SELECT l_orderkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    n_li = sum(1 for (lk,) in li if lk in okeys)
+    got = {
+        r.tbl: (r.n_rows_to_erase, r.n_rows_total)
+        for r in _run(spark, "erasure_footprint_audit").itertuples()
+    }
+    assert got == {
+        "customer": (len(cohort), len(cust)),
+        "orders": (len(okeys), len(orders)),
+        "lineitem": (n_li, len(li)),
+    }
+    assert len(cohort) > 0, "cohort must be non-empty on this corpus"
