@@ -2420,3 +2420,259 @@ def xmr_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ffill_ttl_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(x) AS mn, max(x) AS mx FROM daily
+),
+spine AS (
+  SELECT p.priority, s.x
+  FROM (SELECT DISTINCT priority FROM daily) p
+  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS x FROM bounds) s
+),
+filled AS (
+  SELECT sp.priority, sp.x, d.yc,
+         last_value(d.yc IGNORE NULLS) OVER w AS carry,
+         last_value(CASE WHEN d.yc IS NOT NULL THEN sp.x END
+                    IGNORE NULLS) OVER w AS last_obs_x
+  FROM spine sp LEFT JOIN daily d
+    ON d.priority = sp.priority AND d.x = sp.x
+  WINDOW w AS (PARTITION BY sp.priority ORDER BY sp.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+status AS (
+  SELECT priority, x, yc, carry, last_obs_x,
+         CASE WHEN yc IS NOT NULL THEN 'observed'
+              WHEN carry IS NULL THEN 'leading_null'
+              WHEN x - last_obs_x <= 3 THEN 'filled'
+              ELSE 'expired' END AS st,
+         CASE WHEN yc IS NOT NULL THEN yc
+              WHEN carry IS NOT NULL AND x - last_obs_x <= 3 THEN carry
+              END AS value_out
+  FROM filled
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN st = 'observed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_observed,
+       CAST(SUM(CASE WHEN st = 'filled' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_filled,
+       CAST(SUM(CASE WHEN st = 'expired' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_expired,
+       CAST(SUM(CASE WHEN st = 'leading_null' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leading_null,
+       CAST(SUM(coalesce(value_out, 0)) AS BIGINT) AS sum_series_cents
+FROM status GROUP BY priority ORDER BY priority
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def ffill_ttl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill WITH A TTL: densify daily revenue onto the full
+    calendar spine and carry the last observation forward AT MOST 3
+    days — after that the series goes NULL ('expired') instead of
+    repeating stale data forever, which is the guard plain LOCF
+    (resample_hourly_ffill) lacks and every staleness-sensitive
+    consumer (pricing, risk) requires. Two carries in ONE window pass
+    (the value and the x it was observed at — the TTL test is pure
+    integer day arithmetic on the second carry); the spine is a
+    bounds-broadcast sequence explode, never a stored calendar. The
+    published per-priority audit (observed/filled/expired/leading
+    counts + the exact cents checksum of the emitted series) pins
+    every branch of the TTL state machine in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yc")
+    )
+    bounds = daily.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    spine = (
+        daily.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "priority",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("x"),
+        )
+    )
+    joined = spine.join(daily, ["priority", "x"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumns(
+        {
+            "carry": F.last("yc", ignorenulls=True).over(w),
+            "last_obs_x": F.last(
+                F.when(F.col("yc").isNotNull(), F.col("x")),
+                ignorenulls=True,
+            ).over(w),
+        }
+    )
+    st = (
+        F.when(F.col("yc").isNotNull(), F.lit("observed"))
+        .when(F.col("carry").isNull(), F.lit("leading_null"))
+        .when(F.col("x") - F.col("last_obs_x") <= 3, F.lit("filled"))
+        .otherwise(F.lit("expired"))
+    )
+    value_out = F.when(F.col("yc").isNotNull(), F.col("yc")).when(
+        F.col("carry").isNotNull()
+        & (F.col("x") - F.col("last_obs_x") <= 3),
+        F.col("carry"),
+    )
+    status = filled.select(
+        "priority", st.alias("st"), value_out.alias("value_out")
+    )
+    return (
+        status.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.when(F.col("st") == "observed", 1).otherwise(0)).alias(
+                "n_observed"
+            ),
+            F.sum(F.when(F.col("st") == "filled", 1).otherwise(0)).alias(
+                "n_filled"
+            ),
+            F.sum(F.when(F.col("st") == "expired", 1).otherwise(0)).alias(
+                "n_expired"
+            ),
+            F.sum(
+                F.when(F.col("st") == "leading_null", 1).otherwise(0)
+            ).alias("n_leading_null"),
+            F.sum(F.coalesce("value_out", F.lit(0))).alias(
+                "sum_series_cents"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "hysteresis_alerts_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS BIGINT) AS sx
+  FROM daily GROUP BY event_type
+),
+marked AS (
+  SELECT d.event_type, d.x,
+         CASE WHEN 10 * d.yc * m.n > 12 * m.sx THEN 'H'
+              WHEN 10 * d.yc * m.n < 8 * m.sx THEN 'L' END AS mark
+  FROM daily d JOIN m ON m.event_type = d.event_type
+),
+seq AS (
+  SELECT event_type, x, mark,
+         lag(mark) OVER (PARTITION BY event_type ORDER BY x) AS prev
+  FROM marked WHERE mark IS NOT NULL
+),
+alerts AS (
+  SELECT event_type, x
+  FROM seq WHERE mark = 'H' AND (prev IS NULL OR prev = 'L')
+)
+SELECT m.event_type, m.n AS n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM marked k
+         WHERE k.event_type = m.event_type AND k.mark = 'H')
+           AS n_above_high,
+       (SELECT CAST(count(*) AS BIGINT) FROM alerts a
+         WHERE a.event_type = m.event_type) AS n_alerts,
+       (SELECT CAST(min(x) AS BIGINT) FROM alerts a
+         WHERE a.event_type = m.event_type) AS first_alert_x
+FROM m ORDER BY m.event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def hysteresis_alerts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERTING WITH HYSTERESIS: fire when the daily value crosses
+    above 120% of its mean, then stay silent until it first drops
+    below 80% — the two-threshold debounce every paging system uses
+    so a value oscillating around one threshold cannot flap (compare
+    debounce_events_10m, which suppresses by TIME; hysteresis
+    suppresses by STATE). The re-arm state machine runs without any
+    sequential loop: restrict to crossing days (above-H or below-L),
+    and an alert is an H whose PREVIOUS crossing is an L or nothing —
+    one lag over the filtered subsequence. Threshold tests are exact
+    integer cross-multiplications (10·y·n vs 12·Σy), so no derived
+    mean ever becomes a float in a comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "yc",
+        )
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("yc").alias("sx")
+    )
+    marked = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "x",
+        F.when(
+            10 * F.col("yc") * F.col("n") > 12 * F.col("sx"), F.lit("H")
+        )
+        .when(
+            10 * F.col("yc") * F.col("n") < 8 * F.col("sx"), F.lit("L")
+        )
+        .alias("mark"),
+    )
+    seq = marked.where(F.col("mark").isNotNull()).withColumn(
+        "prev",
+        F.lag("mark").over(Window.partitionBy("event_type").orderBy("x")),
+    )
+    alerts = seq.where(
+        (F.col("mark") == "H")
+        & (F.col("prev").isNull() | (F.col("prev") == "L"))
+    )
+    agg_alerts = alerts.groupBy("event_type").agg(
+        F.count("*").alias("n_alerts"),
+        F.min("x").alias("first_alert_x"),
+    )
+    agg_high = (
+        marked.where(F.col("mark") == "H")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_above_high"))
+    )
+    return (
+        m.select("event_type", F.col("n").alias("n_days"))
+        .join(agg_high, "event_type", "left")
+        .join(agg_alerts, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("n_above_high", F.lit(0)).cast("long").alias(
+                "n_above_high"
+            ),
+            F.coalesce("n_alerts", F.lit(0)).cast("long").alias("n_alerts"),
+            F.col("first_alert_x").cast("long"),
+        )
+        .orderBy("event_type")
+    )

@@ -1155,3 +1155,95 @@ def test_erasure_footprint_python_identity(spark):
         "lineitem": (n_li, len(li)),
     }
     assert len(cohort) > 0, "cohort must be non-empty on this corpus"
+
+
+def test_ffill_ttl_python_identity(spark):
+    daily = duckdb.sql(
+        f"""
+SELECT o_orderpriority,
+       date_diff('day', DATE '1970-01-01', o_orderdate),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM read_parquet('{SF}/orders.parquet') GROUP BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(dict)
+    xs = []
+    for pr, x, yc in daily:
+        series[pr][x] = yc
+        xs.append(x)
+    mn, mx = min(xs), max(xs)
+    expect = {}
+    for pr, by_x in series.items():
+        n_obs = n_fill = n_exp = n_lead = 0
+        total = 0
+        last_x = None
+        for x in range(mn, mx + 1):
+            if x in by_x:
+                last_x = x
+                n_obs += 1
+                total += by_x[x]
+            elif last_x is None:
+                n_lead += 1
+            elif x - last_x <= 3:
+                n_fill += 1
+                total += by_x[last_x]
+            else:
+                n_exp += 1
+        expect[pr] = (mx - mn + 1, n_obs, n_fill, n_exp, n_lead, total)
+    got = {
+        r.priority: (
+            r.n_days,
+            r.n_observed,
+            r.n_filled,
+            r.n_expired,
+            r.n_leading_null,
+            r.sum_series_cents,
+        )
+        for r in _run(spark, "ffill_ttl_daily_revenue").itertuples()
+    }
+    assert got == expect
+
+
+def test_hysteresis_python_identity(spark):
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, x, yc in daily:
+        series[et].append((x, yc))
+    expect = {}
+    for et, pts in series.items():
+        n = len(pts)
+        sx = sum(y for _, y in pts)
+        armed = True
+        n_high = n_alerts = 0
+        first = None
+        for x, y in pts:
+            if 10 * y * n > 12 * sx:
+                n_high += 1
+                if armed:
+                    n_alerts += 1
+                    armed = False
+                    if first is None:
+                        first = x
+            elif 10 * y * n < 8 * sx:
+                armed = True
+        expect[et] = (n, n_high, n_alerts, first)
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.n_above_high,
+            r.n_alerts,
+            None if r.first_alert_x != r.first_alert_x else r.first_alert_x,
+        )
+        for r in _run(spark, "hysteresis_alerts_daily").itertuples()
+    }
+    assert got == expect
+    assert any(v[2] < v[1] for v in expect.values()) or all(
+        v[1] == 0 for v in expect.values()
+    )
