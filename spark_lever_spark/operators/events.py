@@ -2366,3 +2366,85 @@ def conversion_window_sensitivity(
             F.expr("conv_4h * 1000000 div n_clicks").alias("rate_4h_ppm"),
         )
     )
+
+
+@register(
+    "slo_burn_rate_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT x, n_events, n_errors,
+         CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+         CAST(SUM(n_errors) OVER w7 AS BIGINT) AS n_errors_7d
+  FROM daily
+  WINDOW w7 AS (ORDER BY x RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(x AS BIGINT) AS x, n_events, n_errors,
+       CAST(n_errors * 5 * 1000000 // n_events AS BIGINT)
+           AS burn_1d_ppm,
+       CAST(n_errors_7d * 5 * 1000000 // n_events_7d AS BIGINT)
+           AS burn_7d_ppm,
+       CAST(n_errors * 5 * 10 > n_events * 12
+            AND n_errors_7d * 5 > n_events_7d
+            AS BOOLEAN) AS page_alert
+FROM win ORDER BY x
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def slo_burn_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN RATE with multi-window paging (the SRE
+    workbook rule): against an 80% success SLO
+    (budget sized to this corpus's steady ~20% error mix, the way a
+    real SLO is sized to normal operations — percent-level budgets
+    with the canonical 14.4x/6x constants are degenerate here: every
+    day pages), burn rate = error_rate / (1 − SLO) = errors·5/total;
+    a page fires only when BOTH the fast 1-day window burns > 1.2x
+    AND the trailing 7-day window is at or above budget — the
+    two-window AND that kills one-bad-day false pages while still
+    catching sustained budget exhaustion. All rates are exact
+    integer ppm floors; the alert predicates are integer
+    cross-multiplications (errors·50 > n·12), so the paging
+    decision can never flip on a float ulp. The 7-day trailing sums
+    ride a calendar RANGE frame on the bounded daily domain —
+    hysteresis_alerts_daily suppresses by state, debounce by time,
+    this by BUDGET."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    w7 = Window.orderBy("x").rangeBetween(-6, Window.currentRow)
+    win = daily.withColumns(
+        {
+            "n_events_7d": F.sum("n_events").over(w7),
+            "n_errors_7d": F.sum("n_errors").over(w7),
+        }
+    )
+    return win.select(
+        "x",
+        "n_events",
+        "n_errors",
+        F.expr("n_errors * 5 * 1000000 div n_events").alias(
+            "burn_1d_ppm"
+        ),
+        F.expr("n_errors_7d * 5 * 1000000 div n_events_7d").alias(
+            "burn_7d_ppm"
+        ),
+        (
+            (F.col("n_errors") * 5 * 10 > F.col("n_events") * 12)
+            & (F.col("n_errors_7d") * 5 > F.col("n_events_7d"))
+        ).alias("page_alert"),
+    ).orderBy("x")

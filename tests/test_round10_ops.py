@@ -1247,3 +1247,38 @@ FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
     assert any(v[2] < v[1] for v in expect.values()) or all(
         v[1] == 0 for v in expect.values()
     )
+
+
+def test_slo_burn_rate_python_identity(spark):
+    daily = duckdb.sql(
+        f"""
+SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       count(*),
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1
+"""
+    ).fetchall()
+    by_x = {x: (n, e) for x, n, e in daily}
+    got = {
+        r.x: (
+            r.n_events,
+            r.n_errors,
+            r.burn_1d_ppm,
+            r.burn_7d_ppm,
+            bool(r.page_alert),
+        )
+        for r in _run(spark, "slo_burn_rate_daily").itertuples()
+    }
+    for x, (n, e) in by_x.items():
+        n7 = sum(by_x[d][0] for d in range(x - 6, x + 1) if d in by_x)
+        e7 = sum(by_x[d][1] for d in range(x - 6, x + 1) if d in by_x)
+        expect = (
+            n,
+            e,
+            e * 5 * 1000000 // n,
+            e7 * 5 * 1000000 // n7,
+            e * 50 > n * 12 and e7 * 5 > n7,
+        )
+        assert got[x] == expect
+    alerts = {v[4] for v in got.values()}
+    assert alerts == {True, False}, "page_alert must discriminate"
