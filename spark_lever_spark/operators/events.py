@@ -2448,3 +2448,174 @@ def slo_burn_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_errors_7d") * 5 > F.col("n_events_7d"))
         ).alias("page_alert"),
     ).orderBy("x")
+
+
+@register(
+    "cuped_adjusted_ab",
+    oracle="""
+WITH bounds AS (
+  SELECT min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) + 15
+      AS split_x
+  FROM events
+),
+per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                   AND date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) < b.split_x
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                   AND date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) >= b.split_x
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM per_user
+),
+theta AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+         CAST(sx AS DOUBLE) / n AS xbar_pool
+  FROM pooled
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY arm
+)
+SELECT CAST(a.arm AS BIGINT) AS arm, a.n,
+       round(CAST(a.sy AS DOUBLE) / a.n * 1000000) / 1000000
+           AS ybar,
+       round((CAST(a.sy AS DOUBLE) / a.n
+              - t.th * (CAST(a.sx AS DOUBLE) / a.n - t.xbar_pool))
+             * 1000000) / 1000000 AS ybar_cuped,
+       round(CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE)
+             / CAST(a.n * a.n AS DOUBLE) * 1000000) / 1000000
+           AS var_y,
+       round((CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE)
+                / CAST(a.n * a.n AS DOUBLE)
+              - 2 * t.th * CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+                / CAST(a.n * a.n AS DOUBLE)
+              + t.th * t.th
+                * CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                / CAST(a.n * a.n AS DOUBLE))
+             * 1000000) / 1000000 AS var_y_cuped
+FROM arms a CROSS JOIN theta t
+ORDER BY a.arm
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) — the
+    experimentation-platform standard: adjust each arm's metric by a
+    pre-period covariate, y_adj = y − θ(x − x̄_pool) with pooled
+    θ = cov(x,y)/var(x), so the same lift is measured with (often
+    far) less variance. Metric = post-period purchases per user
+    (day 16+ of the observed span — the split derives from the data,
+    so a regenerated corpus keeps both periods non-empty), covariate
+    = pre-period purchases, arms by user parity.
+    Exactness is the whole design: a row-wise y_adj would need a
+    float SUM over users (accumulation-order-dependent, unhashable),
+    so the adjusted mean and variance are expanded ALGEBRAICALLY —
+    var(y_adj) = var(y) − 2θ·cov(x,y) + θ²·var(x) — into fixed IEEE
+    trees over per-arm exact int64 moments and the one pooled θ
+    division. One user-keyed aggregation, one tiny arm rollup, a
+    1-row broadcast of θ."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    day_x = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    bounds = ev.agg((F.min(day_x) + 15).alias("split_x"))
+    per_user = (
+        ev.select("user_id", is_purchase.alias("isp"), day_x.alias("dx"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") < F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") >= F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar_pool"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nn = (F.col("n") * F.col("n")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / nn
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / nn
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    ) / nn
+    ybar = F.col("sy").cast("double") / F.col("n")
+    xbar = F.col("sx").cast("double") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n",
+            (F.round(ybar * 1000000) / 1000000).alias("ybar"),
+            (
+                F.round(
+                    (ybar - F.col("th") * (xbar - F.col("xbar_pool")))
+                    * 1000000
+                )
+                / 1000000
+            ).alias("ybar_cuped"),
+            (F.round(var_y * 1000000) / 1000000).alias("var_y"),
+            (
+                F.round(
+                    (
+                        var_y
+                        - 2 * F.col("th") * cov
+                        + F.col("th") * F.col("th") * var_x
+                    )
+                    * 1000000
+                )
+                / 1000000
+            ).alias("var_y_cuped"),
+        )
+        .orderBy("arm")
+    )

@@ -1282,3 +1282,63 @@ FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1
         assert got[x] == expect
     alerts = {v[4] for v in got.values()}
     assert alerts == {True, False}, "page_alert must discriminate"
+
+
+def test_cuped_python_identity_and_reduces_variance(spark):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type,"
+        f" date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    split = min(d for _, _, d in rows) + 15
+    xs = defaultdict(int)
+    ys = defaultdict(int)
+    users = set()
+    for u, t, d in rows:
+        users.add(u)
+        if t == "purchase":
+            if d < split:
+                xs[u] += 1
+            else:
+                ys[u] += 1
+    ulist = sorted(users)
+    n = len(ulist)
+    sx = sum(xs[u] for u in ulist)
+    sy = sum(ys[u] for u in ulist)
+    sxy = sum(xs[u] * ys[u] for u in ulist)
+    sxx = sum(xs[u] * xs[u] for u in ulist)
+    th = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar_pool = sx / n
+    pdf = _run(spark, "cuped_adjusted_ab").set_index("arm")
+    for arm in (0, 1):
+        au = [u for u in ulist if u % 2 == arm]
+        an = len(au)
+        asx = sum(xs[u] for u in au)
+        asy = sum(ys[u] for u in au)
+        asxy = sum(xs[u] * ys[u] for u in au)
+        asxx = sum(xs[u] * xs[u] for u in au)
+        asyy = sum(ys[u] * ys[u] for u in au)
+        ybar = asy / an
+        xbar = asx / an
+        var_y = (an * asyy - asy * asy) / (an * an)
+        cov = (an * asxy - asx * asy) / (an * an)
+        var_x = (an * asxx - asx * asx) / (an * an)
+        r = pdf.loc[arm]
+        assert r.n == an
+        assert r.ybar == pytest.approx(ybar, abs=2e-6)
+        assert r.ybar_cuped == pytest.approx(
+            ybar - th * (xbar - xbar_pool), abs=2e-6
+        )
+        assert r.var_y == pytest.approx(var_y, abs=2e-6)
+        assert r.var_y_cuped == pytest.approx(
+            var_y - 2 * th * cov + th * th * var_x, abs=2e-6
+        )
+    # the point of CUPED: theta = cov/var minimizes the POOLED
+    # adjusted variance, so pooled var(y_adj) <= pooled var(y)
+    # (per-ARM variance can legitimately rise on a tiny arm)
+    syy = sum(ys[u] * ys[u] for u in ulist)
+    var_y_pool = (n * syy - sy * sy) / (n * n)
+    cov_pool = (n * sxy - sx * sy) / (n * n)
+    var_x_pool = (n * sxx - sx * sx) / (n * n)
+    adj = var_y_pool - 2 * th * cov_pool + th * th * var_x_pool
+    assert adj <= var_y_pool + 1e-12
