@@ -1094,3 +1094,118 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("degree", "n_vertices", "tail_share_ppm")
         .orderBy("degree")
     )
+
+
+@register(
+    "degree_assortativity_copurchase",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v
+),
+ends AS (
+  -- each undirected edge contributes BOTH orientations, the standard
+  -- symmetrization for Newman's assortativity
+  SELECT da.d AS x, db.d AS y
+  FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+  UNION ALL
+  SELECT db.d, da.d
+  FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000) / 1000000 AS assortativity
+FROM m
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all symmetrized
+    edges — positive means hubs connect to hubs (social-network
+    shape), negative means hubs connect to leaves (catalog/star
+    shape), the single number that says WHICH skew mitigation the
+    graph joins need (hub-hub graphs concentrate deg² cost in a few
+    partitions; star graphs spread it). Consumes the same degree
+    table as graph_degree_histogram; the statistic is exact int64
+    moments over the edge-ends domain into one fixed IEEE tree (the
+    autocorr/spearman doctrine applied to graph structure)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("dy"))
+    oriented = e.join(da, "pa").join(db, "pb").select("dx", "dy")
+    ends = oriented.unionByName(
+        oriented.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    m = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+    )
+    return m.select(
+        "n", (F.round(r * 1000000) / 1000000).alias("assortativity")
+    )

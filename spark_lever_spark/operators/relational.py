@@ -4679,3 +4679,92 @@ def erasure_footprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem", li, lineitem))
         .orderBy("tbl")
     )
+
+
+@register(
+    "cents_ending_uniformity_audit",
+    oracle="""
+WITH endings AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM endings),
+chi AS (
+  SELECT CAST(SUM((100 * e.o - t.n) * (100 * e.o - t.n)) AS BIGINT)
+             AS chi_num,
+         CAST(max(t.n) AS BIGINT) AS n, CAST(max(t.k) AS BIGINT) AS k
+  FROM endings e CROSS JOIN tot t
+),
+top AS (
+  SELECT ending, o,
+         row_number() OVER (ORDER BY o DESC, ending) AS rn
+  FROM endings
+)
+SELECT c.n AS n_rows, c.k AS n_distinct_endings,
+       round(CAST(c.chi_num AS DOUBLE) / CAST(100 * c.n AS DOUBLE)
+             * 1000000) / 1000000 AS chi_square_uniform,
+       (SELECT CAST(ending AS BIGINT) FROM top WHERE rn = 1)
+           AS top_ending,
+       (SELECT o FROM top WHERE rn = 1) AS top_ending_count
+FROM chi c
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def cents_ending_uniformity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CENT-ENDING uniformity audit — the last-two-digits sibling of
+    benford_first_digit_audit: organic amounts spread their cent
+    endings ~uniformly, psychological pricing piles onto .99/.95, and
+    FABRICATED amounts are often too-round (.00) or too-uniform —
+    both tails of the χ² statistic are fraud-screening signal
+    (Nigrini's last-digits test). χ² against uniform is kept EXACT:
+    with expected = n/100 per cell, χ² = Σ(100·o − n)² / (100·n) —
+    integer numerator, ONE double division (never per-cell float
+    expected values). One aggregation on the 100-value ending domain
+    plus a deterministic top-ending pick."""
+    o = load_table(spark, sf_dir, "orders")
+    endings = o.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) % 100").alias(
+            "ending"
+        )
+    ).agg(F.count("*").alias("o"))
+    tot = endings.agg(
+        F.sum("o").alias("n"), F.count("*").alias("k")
+    )
+    joined = endings.crossJoin(F.broadcast(tot))
+    chi = joined.agg(
+        F.sum(
+            (100 * F.col("o") - F.col("n"))
+            * (100 * F.col("o") - F.col("n"))
+        ).alias("chi_num"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    w = Window.orderBy(F.col("o").desc(), "ending")
+    top = (
+        endings.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ending").cast("long").alias("top_ending"),
+            F.col("o").alias("top_ending_count"),
+        )
+    )
+    return chi.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_distinct_endings"),
+        (
+            F.round(
+                F.col("chi_num").cast("double")
+                / (100 * F.col("n")).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("chi_square_uniform"),
+        "top_ending",
+        "top_ending_count",
+    )

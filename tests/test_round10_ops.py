@@ -1342,3 +1342,65 @@ def test_cuped_python_identity_and_reduces_variance(spark):
     var_x_pool = (n * sxx - sx * sx) / (n * n)
     adj = var_y_pool - 2 * th * cov_pool + th * th * var_x_pool
     assert adj <= var_y_pool + 1e-12
+
+
+def test_assortativity_python_identity(spark):
+    import math
+
+    edges = duckdb.sql(
+        f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM read_parquet('{SF}/lineitem.parquet'))
+SELECT a.l_partkey, b.l_partkey FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    ).fetchall()
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    ends = []
+    for u, v in edges:
+        ends.append((deg[u], deg[v]))
+        ends.append((deg[v], deg[u]))
+    n = len(ends)
+    sx = sum(x for x, _ in ends)
+    sy = sum(y for _, y in ends)
+    sxy = sum(x * y for x, y in ends)
+    sxx = sum(x * x for x, _ in ends)
+    syy = sum(y * y for _, y in ends)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    row = _run(spark, "degree_assortativity_copurchase").iloc[0]
+    assert row.n == n
+    assert row.assortativity == pytest.approx(
+        round(r * 1000000) / 1000000, abs=2e-6
+    )
+    assert sx == sy and sxx == syy  # symmetrization invariant
+
+
+def test_cents_ending_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    counts = defaultdict(int)
+    for (e,) in rows:
+        counts[e] += 1
+    n = len(rows)
+    chi_num = sum((100 * o - n) ** 2 for o in counts.values())
+    # cells with zero observations contribute n^2 each
+    chi_num += (100 - len(counts)) * n * n if len(counts) < 100 else 0
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    r = _run(spark, "cents_ending_uniformity_audit").iloc[0]
+    assert r.n_rows == n
+    assert r.n_distinct_endings == len(counts)
+    assert (r.top_ending, r.top_ending_count) == top
+    # the operator's chi-square covers OBSERVED endings only (absent
+    # endings are visible via n_distinct_endings < 100)
+    chi_obs = sum((100 * o - n) ** 2 for o in counts.values())
+    assert r.chi_square_uniform == pytest.approx(
+        round(chi_obs / (100 * n) * 1000000) / 1000000, abs=2e-6
+    )
