@@ -1209,3 +1209,110 @@ def degree_assortativity_copurchase(
     return m.select(
         "n", (F.round(r * 1000000) / 1000000).alias("assortativity")
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(min(p_partkey) AS BIGINT) AS nid,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part GROUP BY p_name
+),
+fuzzy AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+ranked AS (
+  SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM names
+),
+snm AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+pairs AS (
+  SELECT na.nid AS u, nb.nid AS v
+  FROM (SELECT name_a, name_b FROM fuzzy
+        UNION SELECT name_a, name_b FROM snm) p
+  JOIN names na ON na.p_name = p.name_a
+  JOIN names nb ON nb.p_name = p.name_b
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT c.component,
+       CAST(count(*) AS BIGINT) AS n_names,
+       CAST(SUM(n.n_parts) AS BIGINT) AS n_listings,
+       min(CASE WHEN n.nid = c.component THEN n.p_name END)
+           AS canonical_name
+FROM comp c JOIN names n ON n.nid = c.node
+GROUP BY c.component ORDER BY c.component
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def entity_resolution_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END ENTITY RESOLUTION: candidate pairs from BOTH
+    blocking families — key-based (noun + length cell,
+    fuzzy_join_part_names) and sort-based (sorted-neighborhood w = 3)
+    — unioned, closed transitively with the O(log n) connected
+    components, and reported as entity clusters with a canonical
+    name. This is the composition the two pair generators exist FOR:
+    each blocking method misses pairs the other catches (a typo in
+    the head noun escapes key blocking but not sort adjacency; a
+    first-letter typo escapes sort adjacency but not noun blocking),
+    and match/merge must run on the UNION's transitive closure, not
+    either pair list. Node identity = each name's min part key (the
+    golden-record rule), so CC runs on integers; all stages live on
+    the 64-name aggregate domain, and the composed cost is the sum
+    of the stage costs."""
+    from spark_lever_spark.operators.joins import (
+        fuzzy_join_part_names,
+        sorted_neighborhood_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("nid"),
+    )
+    fuzzy = fuzzy_join_part_names(spark, sf_dir).select("name_a", "name_b")
+    snm = sorted_neighborhood_pairs(spark, sf_dir).select(
+        "name_a", "name_b"
+    )
+    pair_names = fuzzy.unionByName(snm).distinct()
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("nid").alias("u")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("nid").alias("v")
+    )
+    pairs = pair_names.join(na, "name_a").join(nb, "name_b").select(
+        "u", "v"
+    )
+    comp = connected_components(pairs, src="u", dst="v")
+    joined = comp.join(
+        names.withColumnRenamed("nid", "node"), "node"
+    )
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count("*").alias("n_names"),
+            F.sum("n_parts").alias("n_listings"),
+            F.min(
+                F.when(
+                    F.col("node") == F.col("component"), F.col("p_name")
+                )
+            ).alias("canonical_name"),
+        )
+        .orderBy("component")
+    )

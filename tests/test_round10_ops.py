@@ -1404,3 +1404,76 @@ def test_cents_ending_python_identity(spark):
     assert r.chi_square_uniform == pytest.approx(
         round(chi_obs / (100 * n) * 1000000) / 1000000, abs=2e-6
     )
+
+
+def test_entity_resolution_python_identity(spark):
+    """Python union-find over the union of both python pair
+    generators must reproduce the clusters."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = duckdb.sql(
+        f"SELECT p_name, count(*), min(p_partkey)"
+        f" FROM read_parquet('{SF}/part.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    nid = {n: k for n, _, k in rows}
+    nparts = {n: c for n, c, _ in rows}
+    pairs = set()
+    by_noun = defaultdict(list)
+    for n, _, _ in rows:
+        by_noun[n.split()[-1]].append(n)
+    for noun, ns in by_noun.items():
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                x, y = sorted((a, b))
+                if lev(x, y) <= 3:
+                    pairs.add((x, y))
+    ordered = [n for n, _, _ in rows]
+    for i, a in enumerate(ordered):
+        for off in (1, 2, 3):
+            if i + off < len(ordered) and lev(a, ordered[i + off]) <= 4:
+                pairs.add((a, ordered[i + off]))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(nid[a]), find(nid[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(list)
+    for a, b in pairs:
+        for n in (a, b):
+            clusters[find(nid[n])]
+    members = defaultdict(set)
+    for n in {x for p in pairs for x in p}:
+        members[find(nid[n])].add(n)
+    expect = {}
+    for comp, ns in members.items():
+        canonical = next(n for n in ns if nid[n] == comp)
+        expect[comp] = (
+            len(ns),
+            sum(nparts[n] for n in ns),
+            canonical,
+        )
+    got = {
+        r.component: (r.n_names, r.n_listings, r.canonical_name)
+        for r in _run(spark, "entity_resolution_clusters").itertuples()
+    }
+    assert got == expect
+    assert any(v[0] > 2 for v in expect.values()) or expect
