@@ -1525,3 +1525,76 @@ def stratified_kfold_assignment(
         )
         .orderBy("stratum", "fold")
     )
+
+
+@register(
+    "epoch_sample_overlap_audit",
+    oracle="""
+WITH flags AS (
+  SELECT doc_id,
+         CAST(substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS VARCHAR) < '2000' AS in_ep1,
+         CAST(substr(md5('ep2:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS VARCHAR) < '2000' AS in_ep2
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN in_ep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ep1,
+       CAST(SUM(CASE WHEN in_ep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ep2,
+       CAST(SUM(CASE WHEN in_ep1 AND in_ep2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN in_ep1 AND in_ep2 THEN 1 ELSE 0 END)
+            * 1000000 // SUM(CASE WHEN in_ep1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap_ppm
+FROM flags
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def epoch_sample_overlap_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INDEPENDENCE audit for epoch-keyed hash sampling: draw the same
+    1/8 subsample under two different epoch salts and measure their
+    overlap — if the per-epoch md5 keys really behave independently,
+    overlap/|S1| concentrates near the 12.5% sampling rate; overlap
+    near 100% would mean the salt fails to decorrelate epochs (the
+    bug where every epoch trains on the SAME subset while claiming
+    fresh draws — silent and catastrophic for multi-epoch training).
+    Membership is the first-4-hex-digits < 0x2000 row property
+    (exactly 1/8 of the 16^4 space), replayed verbatim in SQL; the
+    audit is one map-only scan into five exact counters."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def member(salt: str):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col("doc_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            )
+            < "2000"
+        )
+
+    flags = docs.select(
+        member("ep1").alias("in_ep1"), member("ep2").alias("in_ep2")
+    )
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("in_ep1"), 1).otherwise(0)).alias("n_ep1"),
+        F.sum(F.when(F.col("in_ep2"), 1).otherwise(0)).alias("n_ep2"),
+        F.sum(
+            F.when(F.col("in_ep1") & F.col("in_ep2"), 1).otherwise(0)
+        ).alias("n_both"),
+    ).select(
+        "n_docs",
+        "n_ep1",
+        "n_ep2",
+        "n_both",
+        F.expr("n_both * 1000000 div n_ep1").alias("overlap_ppm"),
+    )

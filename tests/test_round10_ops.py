@@ -1477,3 +1477,23 @@ def test_entity_resolution_python_identity(spark):
     }
     assert got == expect
     assert any(v[0] > 2 for v in expect.values()) or expect
+
+
+def test_epoch_overlap_python_identity(spark):
+    docs = [d for d, _, _ in _docs()]
+
+    def member(salt, d):
+        return hashlib.md5(f"{salt}:{d}".encode()).hexdigest()[:4] < "2000"
+
+    e1 = {d for d in docs if member("ep1", d)}
+    e2 = {d for d in docs if member("ep2", d)}
+    r = _run(spark, "epoch_sample_overlap_audit").iloc[0]
+    assert (r.n_docs, r.n_ep1, r.n_ep2, r.n_both) == (
+        len(docs),
+        len(e1),
+        len(e2),
+        len(e1 & e2),
+    )
+    assert r.overlap_ppm == len(e1 & e2) * 1000000 // len(e1)
+    # independence sanity: overlap share must sit far from 100%
+    assert r.overlap_ppm < 500000
