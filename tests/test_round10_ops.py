@@ -913,8 +913,6 @@ def test_dispersion_index_python_identity(spark):
 
 
 def test_cascade_audit_python_identity(spark):
-    import pandas as pd  # noqa: F401
-
     keys = {
         t: set(
             r[0]
