@@ -1452,3 +1452,93 @@ def lsh_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tp * 1000000 div (tp + fp)").alias("precision_ppm"),
         F.expr("tp * 1000000 div (tp + fn)").alias("recall_ppm"),
     )
+
+
+@register(
+    "lsh_calibration_curve",
+    oracle=f"""
+WITH {_MINHASH_SQL_CTES},
+dtok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+dtok2 AS (SELECT * FROM dtok WHERE word <> ''),
+card AS (SELECT doc_id, count(*) AS n_tok FROM dtok2 GROUP BY doc_id),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM dtok2 a JOIN dtok2 b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT e.id_a, e.id_b,
+         CAST(round(e.est_jaccard * 8) AS BIGINT) AS est_bucket,
+         x.n_common * 1000000
+           // (ca.n_tok + cb.n_tok - x.n_common) AS exact_ppm
+  FROM est e
+  JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+  JOIN card ca ON ca.doc_id = e.id_a
+  JOIN card cb ON cb.doc_id = e.id_b
+)
+SELECT est_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(exact_ppm) AS BIGINT) AS sum_exact_ppm,
+       CAST(SUM(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm
+FROM pairs GROUP BY est_bucket ORDER BY est_bucket
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def lsh_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) curve for the MinHash estimator: for
+    every LSH candidate pair, bucket the 32-position signature
+    estimate into eighths and publish the mean EXACT Jaccard per
+    bucket — the diagram that says whether est 0.75 really means 0.75
+    (lsh_eval_confusion scores one threshold; this audits the whole
+    estimator range, which is what you need before moving the
+    threshold). Candidates already carry their banded est; the exact
+    side joins token-set intersections for CANDIDATE pairs only
+    (never all pairs). Float discipline: per-pair exact Jaccard is
+    floored to integer ppm BEFORE summation — an N-ary double sum of
+    raw ratios would be accumulation-order-dependent; summing int64
+    ppm floors is exact, and the bucket mean is one integer
+    division. The candidate join is the only corpus-sized work."""
+    pred = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens_distinct(F.col("text")).alias("toks")
+    )
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union = (F.size("ta") + F.size("tb")).cast("long") - n_common
+    pairs = (
+        pred.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.round(F.col("est_jaccard") * 8)
+            .cast("long")
+            .alias("est_bucket"),
+            F.expr(
+                "CAST(size(array_intersect(ta, tb)) AS BIGINT) * 1000000"
+                " div (CAST(size(ta) + size(tb) AS BIGINT)"
+                "      - CAST(size(array_intersect(ta, tb)) AS BIGINT))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return (
+        pairs.groupBy("est_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("exact_ppm").alias("sum_exact_ppm"),
+        )
+        .select(
+            "est_bucket",
+            "n_pairs",
+            "sum_exact_ppm",
+            F.expr("sum_exact_ppm div n_pairs").alias("mean_exact_ppm"),
+        )
+        .orderBy("est_bucket")
+    )

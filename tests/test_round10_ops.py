@@ -1495,3 +1495,34 @@ def test_epoch_overlap_python_identity(spark):
     assert r.overlap_ppm == len(e1 & e2) * 1000000 // len(e1)
     # independence sanity: overlap share must sit far from 100%
     assert r.overlap_ppm < 500000
+
+
+def test_lsh_calibration_monotone_and_consistent(spark):
+    """The calibration curve must re-aggregate the candidate pairs'
+    exact-ppm floors, and mean exact similarity must be
+    non-decreasing in the estimate bucket (a sane estimator)."""
+    pred = (
+        registry.all_queries()["dedup_minhash_lsh"]
+        .fn(spark, SF)
+        .toPandas()
+    )
+    toks = {
+        d: set(t for t in text.split() if t) for d, _, text in _docs()
+    }
+    buckets = defaultdict(list)
+    for r in pred.itertuples():
+        inter = len(toks[r.id_a] & toks[r.id_b])
+        union = len(toks[r.id_a]) + len(toks[r.id_b]) - inter
+        ppm = inter * 1000000 // union
+        # SQL round is half-away-from-zero; python round is banker's
+        b = int(r.est_jaccard * 8 + 0.5)
+        buckets[b].append(ppm)
+    got = {
+        r.est_bucket: (r.n_pairs, r.sum_exact_ppm, r.mean_exact_ppm)
+        for r in _run(spark, "lsh_calibration_curve").itertuples()
+    }
+    assert got == {
+        b: (len(v), sum(v), sum(v) // len(v)) for b, v in buckets.items()
+    }
+    means = [got[b][2] for b in sorted(got)]
+    assert means == sorted(means), "estimator must be monotone here"
