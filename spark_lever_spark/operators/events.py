@@ -2619,3 +2619,118 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "diff_in_diff_purchases",
+    oracle="""
+WITH bounds AS (
+  SELECT min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) + 15
+      AS split_x
+  FROM events
+),
+per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                   AND date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) < b.split_x
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                   AND date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) >= b.split_x
+                  THEN 1 ELSE 0 END) AS BIGINT) AS post
+  FROM events CROSS JOIN bounds b GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)
+             AS s_pre0,
+         CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)
+             AS s_post0,
+         CAST(SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)
+             AS s_pre1,
+         CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)
+             AS s_post1
+  FROM per_user
+)
+SELECT n0, n1, s_pre0, s_post0, s_pre1, s_post1,
+       round((CAST(s_post1 AS DOUBLE) / n1
+              - CAST(s_pre1 AS DOUBLE) / n1
+              - (CAST(s_post0 AS DOUBLE) / n0
+                 - CAST(s_pre0 AS DOUBLE) / n0))
+             * 1000000) / 1000000 AS did_per_user
+FROM cells
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def diff_in_diff_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental workhorse
+    when only the treatment arm changes at the split: the treatment
+    effect is (treat_post − treat_pre) − (ctrl_post − ctrl_pre), so
+    any shared time trend cancels under the parallel-trends
+    assumption (CUPED reduces variance of a randomized readout; DiD
+    removes BIAS from a shared temporal shock — different tools,
+    same 2x2 skeleton). Cells are exact int64 purchase sums per
+    (arm, period) over per-user counts; the estimate is one fixed
+    IEEE tree of four single divisions. The data-derived day-16
+    split matches cuped_adjusted_ab so the two readouts describe the
+    same experiment."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    day_x = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    bounds = ev.agg((F.min(day_x) + 15).alias("split_x"))
+    per_user = (
+        ev.select("user_id", is_purchase.alias("isp"), day_x.alias("dx"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") < F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") >= F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("post"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "pre", "post")
+    )
+    cells = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre")).otherwise(0)).alias(
+            "s_pre0"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("post")).otherwise(0)
+        ).alias("s_post0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")).otherwise(0)).alias(
+            "s_pre1"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("post")).otherwise(0)
+        ).alias("s_post1"),
+    )
+    did = (
+        F.col("s_post1").cast("double") / F.col("n1")
+        - F.col("s_pre1").cast("double") / F.col("n1")
+        - (
+            F.col("s_post0").cast("double") / F.col("n0")
+            - F.col("s_pre0").cast("double") / F.col("n0")
+        )
+    )
+    return cells.select(
+        "n0",
+        "n1",
+        "s_pre0",
+        "s_post0",
+        "s_pre1",
+        "s_post1",
+        (F.round(did * 1000000) / 1000000).alias("did_per_user"),
+    )

@@ -2676,3 +2676,142 @@ def hysteresis_alerts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "runs_test_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+med AS (
+  -- exact lower median per type: value at global rank ceil(n/2)
+  SELECT event_type, yc AS m
+  FROM (SELECT event_type, yc,
+               row_number() OVER (PARTITION BY event_type ORDER BY yc)
+                   AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily)
+  WHERE rk = (n + 1) // 2
+),
+signs AS (
+  SELECT d.event_type, d.x,
+         CASE WHEN d.yc > m.m THEN 1 ELSE 0 END AS s
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+  WHERE d.yc <> m.m
+),
+runs AS (
+  SELECT event_type,
+         -- run key must be SIGN-QUALIFIED: a + run and a - run can
+         -- share the same rank offset (e.g. ++--++ has offsets
+         -- {0,2,2} -> 2, but 3 true runs)
+         CAST(count(DISTINCT s * 1000000 + (rn - rns)) AS BIGINT)
+             AS n_runs,
+         CAST(SUM(s) AS BIGINT) AS n_plus,
+         CAST(SUM(1 - s) AS BIGINT) AS n_minus
+  FROM (SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type ORDER BY x)
+                   AS rn,
+               row_number() OVER (PARTITION BY event_type, s
+                                  ORDER BY x) AS rns
+        FROM signs)
+  GROUP BY event_type
+)
+SELECT event_type, n_runs, n_plus, n_minus,
+       round((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_plus * n_minus
+                 / (n_plus + n_minus) + 1))
+             / sqrt(2.0 * n_plus * n_minus
+                    * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                    / ((n_plus + n_minus) * (n_plus + n_minus)
+                       * (n_plus + n_minus - 1)))
+             * 1000000) / 1000000 AS runs_z
+FROM runs ORDER BY event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST for serial randomness: split each
+    type's daily values at their exact lower median (grank-style rank
+    pick, median-equal days excluded so signs are unambiguous), count
+    sign RUNS via the gaps-and-islands identity, and publish the
+    z-score against the exact run-count null — too FEW runs means
+    positive serial dependence (trending), too many means
+    oscillation; the nonparametric cousin of autocorr_lag1_daily
+    that needs no moment assumptions at all. The z expression is one
+    fixed IEEE tree over three exact int64 counters; distinct-count
+    of the SIGN-QUALIFIED (global rank − per-sign rank) IS the run
+    count — each run is one constant difference, and the sign
+    qualifier is load-bearing (a + run and a − run can share an
+    offset: ++−−++ has offsets {0,2,2} but three true runs; both
+    engines would have agreed on the WRONG count, which is exactly
+    the shared-misconception class the python reference test
+    exists to catch)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "yc",
+        )
+    )
+    wv = Window.partitionBy("event_type").orderBy("yc")
+    wn = Window.partitionBy("event_type")
+    med = (
+        daily.withColumn("rk", F.row_number().over(wv))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("yc").alias("m"))
+    )
+    signs = (
+        daily.join(med, "event_type")
+        .where(F.col("yc") != F.col("m"))
+        .select(
+            "event_type",
+            "x",
+            F.when(F.col("yc") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_all = Window.partitionBy("event_type").orderBy("x")
+    w_sgn = Window.partitionBy("event_type", "s").orderBy("x")
+    runs = (
+        signs.withColumns(
+            {
+                "rn": F.row_number().over(w_all),
+                "rns": F.row_number().over(w_sgn),
+            }
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(
+                F.col("s") * 1000000 + (F.col("rn") - F.col("rns"))
+            ).alias("n_runs"),
+            F.sum("s").alias("n_plus"),
+            F.sum(1 - F.col("s")).alias("n_minus"),
+        )
+    )
+    np_, nm = F.col("n_plus"), F.col("n_minus")
+    mu = 2.0 * np_ * nm / (np_ + nm) + 1
+    var = (
+        2.0
+        * np_
+        * nm
+        * (2.0 * np_ * nm - np_ - nm)
+        / ((np_ + nm) * (np_ + nm) * (np_ + nm - 1))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return runs.select(
+        "event_type",
+        "n_runs",
+        "n_plus",
+        "n_minus",
+        (F.round(z * 1000000) / 1000000).alias("runs_z"),
+    ).orderBy("event_type")

@@ -1526,3 +1526,74 @@ def test_lsh_calibration_monotone_and_consistent(spark):
     }
     means = [got[b][2] for b in sorted(got)]
     assert means == sorted(means), "estimator must be monotone here"
+
+
+def test_diff_in_diff_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type,"
+        f" date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    split = min(d for _, _, d in rows) + 15
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    users = set()
+    for u, t, d in rows:
+        users.add(u)
+        if t == "purchase":
+            (pre if d < split else post)[u] += 1
+    cells = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, s_pre, s_post
+    for u in users:
+        c = cells[u % 2]
+        c[0] += 1
+        c[1] += pre[u]
+        c[2] += post[u]
+    did = (
+        cells[1][2] / cells[1][0]
+        - cells[1][1] / cells[1][0]
+        - (cells[0][2] / cells[0][0] - cells[0][1] / cells[0][0])
+    )
+    r = _run(spark, "diff_in_diff_purchases").iloc[0]
+    assert (r.n0, r.s_pre0, r.s_post0) == tuple(cells[0])
+    assert (r.n1, r.s_pre1, r.s_post1) == tuple(cells[1])
+    assert r.did_per_user == pytest.approx(
+        round(did * 1000000) / 1000000, abs=2e-6
+    )
+
+
+def test_runs_test_python_identity(spark):
+    import math
+
+    daily = duckdb.sql(
+        f"""
+SELECT event_type,
+       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, x, yc in daily:
+        series[et].append(yc)
+    got = {
+        r.event_type: (r.n_runs, r.n_plus, r.n_minus, r.runs_z)
+        for r in _run(spark, "runs_test_daily_value").itertuples()
+    }
+    for et, ys in series.items():
+        m = sorted(ys)[(len(ys) + 1) // 2 - 1]
+        signs = [1 if y > m else 0 for y in ys if y != m]
+        n_runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        np_, nm = sum(signs), len(signs) - sum(signs)
+        mu = 2.0 * np_ * nm / (np_ + nm) + 1
+        var = (
+            2.0 * np_ * nm * (2.0 * np_ * nm - np_ - nm)
+            / ((np_ + nm) ** 2 * (np_ + nm - 1))
+        )
+        z = (n_runs - mu) / math.sqrt(var)
+        assert got[et][0] == n_runs, (et, got[et], n_runs)
+        assert got[et][1] == np_ and got[et][2] == nm
+        assert got[et][3] == pytest.approx(
+            round(z * 1000000) / 1000000, abs=2e-6
+        )
