@@ -2734,3 +2734,106 @@ def diff_in_diff_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_post1",
         (F.round(did * 1000000) / 1000000).alias("did_per_user"),
     )
+
+
+@register(
+    "mcnemar_paired_conversion",
+    oracle="""
+WITH bounds AS (
+  SELECT min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) + 15
+      AS split_x
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+              AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  < b.split_x THEN 1 ELSE 0 END) AS pre,
+         SUM(CASE WHEN event_type = 'purchase'
+              AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  >= b.split_x THEN 1 ELSE 0 END) AS post
+  FROM events CROSS JOIN bounds b GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN post > pre THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up,
+         CAST(SUM(CASE WHEN post < pre THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+         CAST(SUM(CASE WHEN post = pre THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tie
+  FROM per_user
+)
+SELECT n_up, n_down, n_tie,
+       round(CAST((n_up - n_down) * (n_up - n_down) AS DOUBLE)
+             / CAST(n_up + n_down AS DOUBLE)
+             * 1000000) / 1000000 AS mcnemar_chi2,
+       CAST((n_up - n_down) * (n_up - n_down) > 4 * (n_up + n_down)
+            AS BOOLEAN) AS significant_05
+FROM cells
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def mcnemar_paired_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRED SIGN TEST via McNemar's statistic: did each user's
+    purchase COUNT rise or fall between the pre and post period —
+    the within-subject design ab_chi_square (independent groups)
+    cannot analyze: only DISCORDANT users (up vs down) carry signal,
+    χ² = (b−c)²/(b+c) over the two flip directions, ties drop out.
+    (A coarser ever-purchased pairing is degenerate on this corpus —
+    every active user purchases in both halves, so b = c = 0; the
+    count-direction pairing keeps the cells populated at any SF.)
+    Completes the experimentation shelf: chi-square (unpaired),
+    Wilson/Newcombe (rate CIs), CUPED (variance), DiD (shared-trend
+    bias), McNemar/sign (paired change). Cells are exact int64 from
+    one user-keyed aggregation; the α = 0.05 verdict is the integer
+    cross-multiplication (b−c)² > 4(b+c) — 3.84 rounded UP so
+    significance is never claimed on a float ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    day_x = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    bounds = ev.agg((F.min(day_x) + 15).alias("split_x"))
+    per_user = (
+        ev.select("user_id", is_purchase.alias("isp"), day_x.alias("dx"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") < F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("isp") & (F.col("dx") >= F.col("split_x")), 1
+                ).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when(F.col("post") > F.col("pre"), 1).otherwise(0)).alias(
+            "n_up"
+        ),
+        F.sum(F.when(F.col("post") < F.col("pre"), 1).otherwise(0)).alias(
+            "n_down"
+        ),
+        F.sum(F.when(F.col("post") == F.col("pre"), 1).otherwise(0)).alias(
+            "n_tie"
+        ),
+    )
+    d = F.col("n_up") - F.col("n_down")
+    tot = F.col("n_up") + F.col("n_down")
+    return cells.select(
+        "n_up",
+        "n_down",
+        "n_tie",
+        (
+            F.round((d * d).cast("double") / tot.cast("double") * 1000000)
+            / 1000000
+        ).alias("mcnemar_chi2"),
+        (d * d > 4 * tot).alias("significant_05"),
+    )

@@ -1597,3 +1597,32 @@ FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
         assert got[et][3] == pytest.approx(
             round(z * 1000000) / 1000000, abs=2e-6
         )
+
+
+def test_mcnemar_sign_python_identity(spark):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type,"
+        f" date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    split = min(d for _, _, d in rows) + 15
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    users = set()
+    for u, t, d in rows:
+        users.add(u)
+        if t == "purchase":
+            (pre if d < split else post)[u] += 1
+    up = sum(1 for u in users if post[u] > pre[u])
+    down = sum(1 for u in users if post[u] < pre[u])
+    tie = len(users) - up - down
+    r = _run(spark, "mcnemar_paired_conversion").iloc[0]
+    assert (r.n_up, r.n_down, r.n_tie) == (up, down, tie)
+    chi2 = (up - down) ** 2 / (up + down)
+    assert r.mcnemar_chi2 == pytest.approx(
+        round(chi2 * 1000000) / 1000000, abs=2e-6
+    )
+    assert bool(r.significant_05) == (
+        (up - down) ** 2 > 4 * (up + down)
+    )
+    assert up + down > 0, "discordant cells must be populated"
