@@ -4768,3 +4768,105 @@ def cents_ending_uniformity_audit(
         "top_ending",
         "top_ending_count",
     )
+
+
+@register(
+    "kendall_tau_monthly_rev_orders",
+    oracle="""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS yyyymm,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT (a.rev - b.rev) AS dx, (a.cnt - b.cnt) AS dy
+  FROM m a JOIN m b ON a.yyyymm > b.yyyymm
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_x,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_y
+  FROM p
+)
+SELECT n0, concordant, discordant, ties_x, ties_y,
+       round(CAST(concordant - discordant AS DOUBLE)
+             / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
+             * 1000000) / 1000000 AS kendall_tau_b
+FROM s
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def kendall_tau_monthly_rev_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KENDALL tau-b rank correlation between monthly revenue and
+    monthly order count — the pairwise-concordance association
+    measure completing the correlation family (Pearson:
+    stat_corr_covar_by_flag, Spearman: spearman_rank_revenue_orders).
+    Tau needs every PAIR of observations, which is quadratic — so it
+    runs on the MONTH aggregate domain (bounded by the calendar, not
+    by data volume: ~10^2 rows at any SF), where the pair grid is a
+    broadcast join of two aggregate-derived frames the nested-loop
+    sweep sanctions. Concordant/discordant/tied counts are exact
+    int64; tau-b's tie correction divides by one sqrt of an exact
+    integer product — a single IEEE tree, rounded at 1e-6. At 100 TB
+    the month domain is unchanged; only the first aggregation scans
+    the fact table."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("yyyymm")
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev"),
+        F.count("*").alias("cnt"),
+    )
+    b = m.select(
+        F.col("yyyymm").alias("yyyymm_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    p = (
+        m.join(F.broadcast(b), F.col("yyyymm") > F.col("yyyymm_b"))
+        .select(
+            (F.col("rev") - F.col("rev_b")).alias("dx"),
+            (F.col("cnt") - F.col("cnt_b")).alias("dy"),
+        )
+    )
+    s = p.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0)).alias(
+            "concordant"
+        ),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0)).alias(
+            "discordant"
+        ),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).alias("ties_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).alias("ties_y"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (
+            (F.col("n0") - F.col("ties_x"))
+            * (F.col("n0") - F.col("ties_y"))
+        ).cast("double")
+    )
+    return s.select(
+        "n0",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        (F.round(tau * 1000000) / 1000000).alias("kendall_tau_b"),
+    )

@@ -2815,3 +2815,258 @@ def runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_minus",
         (F.round(z * 1000000) / 1000000).alias("runs_z"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: market microstructure, FP&A bridge, conformal bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vwap_daily_lineitem",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT day,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(ext_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(ext_cents) * 1000 AS BIGINT)
+            // CAST(SUM(qty) AS BIGINT) AS BIGINT) AS vwap_millicents
+FROM d GROUP BY day ORDER BY day
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def vwap_daily_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-weighted average price per ship day — the execution-cost
+    benchmark of every trading/market-data stack (TWAP's sibling:
+    twap_user_value weights by TIME in state, VWAP weights each print
+    by its SIZE). One day-keyed aggregation of exact int64 (cents,
+    units) pairs; the published per-unit price is a single int64
+    floor-division to millicents (Spark `div` == DuckDB `//` on the
+    non-negative sums), so no float accumulation ever happens. Scale
+    shape: pure map-side cents/qty projection into one hash
+    aggregation on the day key — partial aggregation does the heavy
+    lifting; the day domain (~10^3-10^4 rows at any horizon) is the
+    only thing shuffled."""
+    from spark_lever_spark.functions.exact import cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day"),
+        cents(F.col("l_extendedprice")).alias("ext_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return (
+        li.groupBy("day")
+        .agg(
+            F.sum("qty").alias("total_qty"),
+            F.sum("ext_cents").alias("total_cents"),
+        )
+        .select(
+            "day",
+            "total_qty",
+            "total_cents",
+            F.expr("total_cents * 1000 div total_qty").alias(
+                "vwap_millicents"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "price_volume_mix_bridge",
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand,
+         CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+              AS BIGINT) AS yyyymm,
+         CAST(year(l.l_shipdate) * 12 + (month(l.l_shipdate) - 1)
+              AS BIGINT) AS mx,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+             AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT c.p_brand, c.yyyymm,
+       p.rev_cents AS rev_prev_cents,
+       c.rev_cents AS rev_cur_cents,
+       c.rev_cents - p.rev_cents AS delta_cents,
+       (c.qty - p.qty) * p.rev_cents // p.qty AS volume_effect_cents,
+       c.rev_cents - p.rev_cents
+         - ((c.qty - p.qty) * p.rev_cents // p.qty)
+           AS price_mix_effect_cents
+FROM m c JOIN m p ON p.p_brand = c.p_brand AND p.mx = c.mx - 1
+ORDER BY c.p_brand, c.yyyymm
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE/VOLUME bridge ("revenue waterfall") per brand and month —
+    the FP&A decomposition of a month-over-month revenue delta into
+    the part explained by unit VOLUME at last month's realized price
+    and the residual PRICE/MIX effect. Laspeyres-style volume effect
+    (q1-q0)*(rev0/q0) is kept exact by floor-dividing the int64 cross
+    product (Spark `div` == DuckDB `//`; rev0 >= 0 so truncation ==
+    floor), and the price/mix term is defined as the exact residual —
+    the two effects reconcile to the delta TO THE CENT, which is the
+    property an auditor checks first. Prior month meets current month
+    through a calendar EQUI-join on a month index (never a row-offset
+    lag, so a brand absent one month breaks the chain instead of
+    silently comparing across a gap). Scale: the (brand, month)
+    aggregate domain is all that shuffles."""
+    from spark_lever_spark.functions.exact import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("yyyymm"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("mx"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("rev_cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+    )
+    c = m.alias("c")
+    prev = m.select(
+        F.col("p_brand").alias("pb"),
+        (F.col("mx") + 1).alias("mx_next"),
+        F.col("rev_cents").alias("rev_prev_cents"),
+        F.col("qty").alias("qty_prev"),
+    )
+    j = c.join(
+        prev,
+        (F.col("c.p_brand") == F.col("pb"))
+        & (F.col("c.mx") == F.col("mx_next")),
+    )
+    vol = F.expr(
+        "(c.qty - qty_prev) * rev_prev_cents div qty_prev"
+    )
+    return j.select(
+        F.col("c.p_brand").alias("p_brand"),
+        F.col("c.yyyymm").alias("yyyymm"),
+        "rev_prev_cents",
+        F.col("c.rev_cents").alias("rev_cur_cents"),
+        (F.col("c.rev_cents") - F.col("rev_prev_cents")).alias(
+            "delta_cents"
+        ),
+        vol.alias("volume_effect_cents"),
+        (F.col("c.rev_cents") - F.col("rev_prev_cents") - vol).alias(
+            "price_mix_effect_cents"
+        ),
+    ).orderBy("p_brand", "yyyymm")
+
+
+@register(
+    "conformal_interval_seasonal_naive",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+  FROM orders GROUP BY 1, 2
+),
+f AS (
+  SELECT d.day, d.x, d.yc, p.yc AS fc
+  FROM daily d JOIN daily p ON p.x = d.x - 7
+),
+cal AS (
+  SELECT abs(yc - fc) AS r, x FROM f WHERE day < TIMESTAMP '2000-01-01'
+),
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, x) AS rn,
+         count(*) OVER () AS n
+  FROM cal
+),
+q AS (
+  SELECT CAST(r AS BIGINT) AS q_hat
+  FROM rk WHERE rn = ((n + 1) * 9 + 9) // 10
+)
+SELECT day, yc AS actual_cents, fc AS forecast_cents,
+       fc - q_hat AS lo_cents, fc + q_hat AS hi_cents,
+       CAST(CASE WHEN yc BETWEEN fc - q_hat AND fc + q_hat
+            THEN 1 ELSE 0 END AS BIGINT) AS covered
+FROM f, q WHERE day >= TIMESTAMP '2000-01-01'
+ORDER BY day
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def conformal_interval_seasonal_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals around the seasonal-naive
+    forecaster (Vovk et al.; the distribution-free uncertainty wrapper
+    modern forecasting pipelines ship instead of Gaussian bands):
+    calibrate on pre-2000 absolute residuals of the value-7-days-ago
+    predictor, take the ceil((n+1)*0.9)-quantile residual q_hat, and
+    band every post-2000 forecast as f +/- q_hat — finite-sample 90%
+    coverage with NO distributional assumption. Everything is exact
+    int64 cents: the quantile is the residual AT a computed rank
+    (grank 2-pass, ties broken by day index — mirrored by the
+    oracle's row_number), attached to the test rows as a 1-row
+    broadcast scalar. Scale: residuals live on the day aggregate
+    domain; the fact table is touched once."""
+    from spark_lever_spark.functions.exact import cents
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("yc"))
+    prev = daily.select(
+        (F.col("x") + 7).alias("x_next"), F.col("yc").alias("fc")
+    )
+    f = daily.join(prev, F.col("x") == F.col("x_next")).select(
+        "day", "x", "yc", "fc"
+    )
+    split = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    cal = f.filter(F.col("day") < split).select(
+        F.abs(F.col("yc") - F.col("fc")).alias("r"), "x"
+    )
+    ranked = with_global_rank(cal, F.col("r"), ["x"])
+    q_hat = ranked.filter(
+        F.col("_rk") == F.expr("((_n_tot + 1) * 9 + 9) div 10")
+    ).select(F.col("r").alias("q_hat"))
+    test = f.filter(F.col("day") >= split)
+    return (
+        test.join(F.broadcast(q_hat))
+        .select(
+            "day",
+            F.col("yc").alias("actual_cents"),
+            F.col("fc").alias("forecast_cents"),
+            (F.col("fc") - F.col("q_hat")).alias("lo_cents"),
+            (F.col("fc") + F.col("q_hat")).alias("hi_cents"),
+            F.when(
+                (F.col("yc") >= F.col("fc") - F.col("q_hat"))
+                & (F.col("yc") <= F.col("fc") + F.col("q_hat")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("covered"),
+        )
+        .orderBy("day")
+    )
