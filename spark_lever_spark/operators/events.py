@@ -2837,3 +2837,196 @@ def mcnemar_paired_conversion(
         ).alias("mcnemar_chi2"),
         (d * d > 4 * tot).alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: survival analysis and segment migration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "km_life_table_customer_tenure",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+lab AS (
+  SELECT date_diff('day', first_d, last_d) // 90 AS bucket,
+         CASE WHEN date_diff('day', last_d,
+                             (SELECT end_d FROM horizon)) >= 180
+              THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+per_bucket AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(churned) AS BIGINT) AS n_events,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM lab GROUP BY 1
+),
+risk AS (
+  SELECT bucket, n_events, n_censored,
+         CAST(SUM(n_events + n_censored)
+              OVER (ORDER BY bucket DESC) AS BIGINT) AS n_risk
+  FROM per_bucket
+)
+SELECT bucket, n_risk, n_events, n_censored,
+       CAST(n_events * 1000000 AS BIGINT) // n_risk AS hazard_ppm
+FROM risk ORDER BY bucket
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def km_life_table_customer_tenure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KAPLAN-MEIER life table over customer TENURE (days between a
+    customer's first and last order, bucketed per quarter) with
+    right-CENSORING done correctly — the survival-analysis primitive
+    (churn modeling's foundation) the repo's retention curves don't
+    cover: a customer whose last order is within 180 days of the
+    observation horizon has NOT churned, they are censored — counting
+    them as deaths is the classic churn-rate bias. Per 90-day bucket:
+    customers still at risk (suffix sum over the ~30-row bucket
+    aggregate domain), churn events, censored exits, and the discrete
+    hazard d/n as exact ppm (one int64 floor-division; Spark `div` ==
+    DuckDB `//`). The observation horizon is a 1-row broadcast
+    scalar. Scale: one customer-keyed aggregation of the fact table,
+    then bucket-domain arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("end_d"))
+    lab = per_cust.join(F.broadcast(horizon)).select(
+        (F.datediff("last_d", "first_d") / 90)
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.datediff("end_d", "last_d") >= 180, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum("churned").alias("n_events"),
+        F.sum(1 - F.col("churned")).alias("n_censored"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_bucket.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+    return risk.select(
+        "bucket",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.expr("n_events * 1000000 div n_risk").alias("hazard_ppm"),
+    ).orderBy("bucket")
+
+
+@register(
+    "segment_migration_matrix",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+              AS BIGINT) AS mx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1, 2
+),
+banded AS (
+  SELECT o_custkey, mx,
+         CASE WHEN rev < 10000000 THEN 'B0_LOW'
+              WHEN rev < 30000000 THEN 'B1_MID'
+              WHEN rev < 60000000 THEN 'B2_HIGH'
+              ELSE 'B3_TOP' END AS band
+  FROM cm
+),
+bounds AS (SELECT min(mx) AS mn, max(mx) AS mxx FROM cm),
+moves AS (
+  SELECT COALESCE(p.band, 'NONE') AS from_band,
+         COALESCE(c.band, 'NONE') AS to_band
+  FROM banded c
+  FULL OUTER JOIN banded p
+    ON p.o_custkey = c.o_custkey AND p.mx = c.mx - 1
+  WHERE (c.mx IS NULL OR c.mx > (SELECT mn FROM bounds))
+    AND (p.mx IS NULL OR p.mx < (SELECT mxx FROM bounds))
+)
+SELECT from_band, to_band, CAST(count(*) AS BIGINT) AS n_transitions
+FROM moves GROUP BY 1, 2 ORDER BY from_band, to_band
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer SEGMENT-MIGRATION matrix — month-over-month flows
+    between fixed monthly-revenue bands including entry ('NONE' ->
+    band: a customer inactive last month) and exit (band -> 'NONE') —
+    the transition table behind every growth-accounting sankey
+    (growth_accounting_monthly is the scalar rollup; this is the full
+    matrix it summarizes). Consecutive months meet through a FULL
+    OUTER calendar equi-join on (customer, month-1); boundary months
+    are clipped by 1-row broadcast min/max scalars so the first month
+    mints no fake entries and the last no fake exits. Bands are fixed
+    exact-cents thresholds (not per-month quantiles), so a row's
+    segment is a pure map-side property and the only shuffles are the
+    (customer, month) aggregation and the self equi-join. Matrix
+    domain: at most (bands+1)^2 rows."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mx"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    banded = cm.select(
+        "o_custkey",
+        "mx",
+        F.when(F.col("rev") < 10000000, "B0_LOW")
+        .when(F.col("rev") < 30000000, "B1_MID")
+        .when(F.col("rev") < 60000000, "B2_HIGH")
+        .otherwise("B3_TOP")
+        .alias("band"),
+    )
+    bounds = cm.agg(F.min("mx").alias("mn"), F.max("mx").alias("mxx"))
+    c = banded.alias("c")
+    p = banded.select(
+        F.col("o_custkey").alias("pk"),
+        (F.col("mx") + 1).alias("mx_next"),
+        F.col("band").alias("band_prev"),
+    )
+    moves = (
+        c.join(
+            p,
+            (F.col("c.o_custkey") == F.col("pk"))
+            & (F.col("c.mx") == F.col("mx_next")),
+            "full_outer",
+        )
+        .join(F.broadcast(bounds))
+        .filter(
+            (F.col("c.mx").isNull() | (F.col("c.mx") > F.col("mn")))
+            & (
+                F.col("mx_next").isNull()
+                | (F.col("mx_next") - 1 < F.col("mxx"))
+            )
+        )
+        .select(
+            F.coalesce(F.col("band_prev"), F.lit("NONE")).alias(
+                "from_band"
+            ),
+            F.coalesce(F.col("c.band"), F.lit("NONE")).alias("to_band"),
+        )
+    )
+    return (
+        moves.groupBy("from_band", "to_band")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("from_band", "to_band")
+    )

@@ -4870,3 +4870,109 @@ def kendall_tau_monthly_rev_orders(
         "ties_y",
         (F.round(tau * 1000000) / 1000000).alias("kendall_tau_b"),
     )
+
+
+@register(
+    "t_closeness_ordered_emd",
+    oracle="""
+WITH s AS (
+  SELECT c.c_nationkey,
+         CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS sens
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cell AS (
+  SELECT c_nationkey, sens, CAST(count(*) AS BIGINT) AS cnt
+  FROM s GROUP BY 1, 2
+),
+g_tot AS (
+  SELECT sens, CAST(SUM(cnt) AS BIGINT) AS tot FROM cell GROUP BY 1
+),
+n AS (SELECT CAST(SUM(tot) AS BIGINT) AS n_all FROM g_tot),
+grid AS (
+  SELECT nk.c_nationkey, g.sens, g.tot,
+         COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT c_nationkey FROM cell) nk
+  CROSS JOIN g_tot g
+  LEFT JOIN cell c
+    ON c.c_nationkey = nk.c_nationkey AND c.sens = g.sens
+),
+cums AS (
+  SELECT c_nationkey, sens,
+         CAST(SUM(cnt) OVER (PARTITION BY c_nationkey ORDER BY sens)
+              AS BIGINT) AS cum_g,
+         CAST(SUM(tot) OVER (PARTITION BY c_nationkey ORDER BY sens)
+              AS BIGINT) AS cum_t,
+         CAST(SUM(cnt) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_g
+  FROM grid
+)
+SELECT c_nationkey, max(n_g) AS n_orders,
+       CAST(CAST(SUM(CASE WHEN sens < 5
+                     THEN abs((SELECT n_all FROM n) * cum_g
+                              - n_g * cum_t)
+                     ELSE 0 END) * 1000000 AS HUGEINT)
+            // (n_g * (SELECT n_all FROM n) * 4) AS BIGINT) AS emd_ppm
+FROM cums
+GROUP BY c_nationkey, n_g
+ORDER BY c_nationkey
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def t_closeness_ordered_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder after k_anonymity_audit_customers
+    (k, then l-diversity): how far each QI group's SENSITIVE-attribute
+    distribution (order priority, an ORDERED 1..5 ordinal) drifts from
+    the table-wide distribution, measured by the ordered-domain Earth
+    Mover's Distance = mean absolute difference of the two cumulative
+    distributions. Kept exact by cross-multiplying the two rationals
+    onto a common integer numerator |N*cum_g - N_g*cum_t| (the scaled
+    sum fits HUGEINT/long headroom; published as ppm by one
+    floor-division — Spark `div` == DuckDB `//` on non-negative
+    values). Shape: one fact-table aggregation onto the (nation x 5
+    priorities) cell domain, a dense re-grid so EMPTY cells still
+    contribute their cumulative gap, prefix sums via per-nation
+    windows over that 125-row domain. Nothing quadratic, nothing
+    float-accumulated."""
+    from spark_lever_spark.catalog import load_table as _lt
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("sens"),
+    )
+    cell = s.groupBy("c_nationkey", "sens").agg(F.count("*").alias("cnt"))
+    glob = cell.groupBy("sens").agg(F.sum("cnt").alias("tot"))
+    n_all = glob.agg(F.sum("tot").alias("n_all"))
+    nk = cell.select("c_nationkey").distinct()
+    grid = (
+        nk.join(F.broadcast(glob))
+        .join(cell, ["c_nationkey", "sens"], "left")
+        .na.fill({"cnt": 0})
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("sens")
+    wg = Window.partitionBy("c_nationkey")
+    cums = grid.select(
+        "c_nationkey",
+        "sens",
+        F.sum("cnt").over(w).alias("cum_g"),
+        F.sum("tot").over(w).alias("cum_t"),
+        F.sum("cnt").over(wg).alias("n_g"),
+    ).join(F.broadcast(n_all))
+    term = F.when(
+        F.col("sens") < 5,
+        F.abs(
+            F.col("n_all") * F.col("cum_g") - F.col("n_g") * F.col("cum_t")
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        cums.groupBy("c_nationkey", "n_g", "n_all")
+        .agg(F.sum(term).alias("num"))
+        .select(
+            "c_nationkey",
+            F.col("n_g").alias("n_orders"),
+            F.expr("num * 1000000 div (n_g * n_all * 4)").alias("emd_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
