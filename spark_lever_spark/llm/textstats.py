@@ -1146,3 +1146,138 @@ def langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_actual", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: lexical-diversity statistics and the hashing trick
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yule_k_lexical_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS m
+  FROM tok WHERE w <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(m) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(m * m) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+  FROM freq GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       CAST((s2 - n_tokens) * 10000000000 AS BIGINT)
+           // (n_tokens * n_tokens) AS yule_k_e6
+FROM agg ORDER BY source
+""",
+    category="llm_textstats",
+    tags=("defer-window",),
+)
+def yule_k_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S characteristic K per corpus source — the classic
+    length-invariant lexical-diversity statistic (Yule 1944) corpus
+    curation uses where raw type/token ratio (vocab_growth_by_source)
+    is confounded by document length: K = 10^4 * (Σ m²V_m − N)/N²
+    depends only on the token-frequency SPECTRUM (V_m = number of
+    types occurring m times), so repetitive low-diversity sources
+    score high regardless of size. Every moment is an exact int64 of
+    the (source, type) frequency domain; the published K (scaled to
+    1e6 = one K-unit) is one floor-division of exact integers —
+    Spark `div` == DuckDB `//`. The hapax count V_1 rides along (the
+    other spectrum statistic curation thresholds use). Scale: one
+    token explode into a (source, type)-keyed aggregation with
+    map-side partials; N² headroom holds to ~3e9 tokens per source —
+    beyond that, publish per-billion-token shards or lift the
+    division to decimal(38,0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("source", "w").agg(F.count("*").alias("m"))
+    agg = freq.groupBy("source").agg(
+        F.sum("m").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "(s2 - n_tokens) * 10000000000 div (n_tokens * n_tokens)"
+        ).alias("yule_k_e6"),
+    ).orderBy("source")
+
+
+@register(
+    "feature_hash_bow_sparse",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE doc_id < 100
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+         CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok WHERE w <> ''
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS signed_count
+FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket
+""",
+    category="llm_textstats",
+    tags=("defer-window",),
+)
+def feature_hash_bow_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009) — fixed-width
+    bag-of-words featurization with NO vocabulary pass: each token
+    maps to one of 64 buckets by md5 (the repo's only sanctioned
+    hash family — engine-independent, replayable in SQL) and
+    contributes a ±1 signed count (the sign hash makes collisions
+    cancel in expectation, the property that lets hashed features
+    approximate the exact BOW inner product). Output is the SPARSE
+    (doc, bucket, signed_count) triple form — the layout a trainer's
+    sparse matrix loader ingests — for a bounded doc slice. Shape:
+    explode → map-side hash → (doc, bucket) aggregation; no
+    vocabulary table, no broadcast, memory O(buckets) per doc at any
+    corpus size — exactly why feature hashing exists at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.encode("w", "UTF-8")), 1, 8), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("bucket"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.encode("w", "UTF-8")), 9, 1), 16, 10
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("signed_count"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -1045,3 +1045,67 @@ def map_hof_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.weekend_n").alias("weekend_n"),
         (F.col("v.weekday_n") - F.col("v.weekend_n")).alias("shift"),
     ).orderBy("user_id", "event_type")
+
+
+@register(
+    "luhn_reference_numbers",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(CASE WHEN 2*((o_orderkey // 1) % 10) > 9 THEN 2*((o_orderkey // 1) % 10) - 9 ELSE 2*((o_orderkey // 1) % 10) END
+           + ((o_orderkey // 10) % 10)
+           + CASE WHEN 2*((o_orderkey // 100) % 10) > 9 THEN 2*((o_orderkey // 100) % 10) - 9 ELSE 2*((o_orderkey // 100) % 10) END
+           + ((o_orderkey // 1000) % 10)
+           + CASE WHEN 2*((o_orderkey // 10000) % 10) > 9 THEN 2*((o_orderkey // 10000) % 10) - 9 ELSE 2*((o_orderkey // 10000) % 10) END
+           + ((o_orderkey // 100000) % 10)
+           + CASE WHEN 2*((o_orderkey // 1000000) % 10) > 9 THEN 2*((o_orderkey // 1000000) % 10) - 9 ELSE 2*((o_orderkey // 1000000) % 10) END
+           + ((o_orderkey // 10000000) % 10)
+           + CASE WHEN 2*((o_orderkey // 100000000) % 10) > 9 THEN 2*((o_orderkey // 100000000) % 10) - 9 ELSE 2*((o_orderkey // 100000000) % 10) END
+           + ((o_orderkey // 1000000000) % 10)
+           + CASE WHEN 2*((o_orderkey // 10000000000) % 10) > 9 THEN 2*((o_orderkey // 10000000000) % 10) - 9 ELSE 2*((o_orderkey // 10000000000) % 10) END
+           + ((o_orderkey // 100000000000) % 10) AS BIGINT) AS luhn_sum
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT o_orderkey,
+       CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+         || CAST((10 - luhn_sum % 10) % 10 AS VARCHAR) AS ref_number,
+       CAST(CASE WHEN (luhn_sum + (10 - luhn_sum % 10) % 10) % 10 = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS luhn_valid
+FROM s ORDER BY o_orderkey
+""",
+    category="expressions",
+    tags=("defer-window",),
+)
+def luhn_reference_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN check-digit issuance (ISO/IEC 7812 mod-10 — the checksum
+    on every payment card and most invoice-reference schemes): mint a
+    13-digit payment reference per order whose last digit makes the
+    Luhn sum divisible by 10, then re-validate the minted number in
+    the same query (luhn_valid pins the generate/verify involution —
+    a regression in either direction breaks the constant-1 column).
+    The digit walk is UNROLLED integer arithmetic ((k div 10^j) mod
+    10, doubling even positions-from-right with the >9 fold), no
+    strings, no UDF, no array — pure whole-stage-codegen expressions
+    bit-identical across engines. Map-only: zero shuffles beyond the
+    presentation sort; at 100 TB this is a free rider on any scan."""
+    _LUHN_SUM = "(CASE WHEN 2*((o_orderkey div 1) % 10) > 9 THEN 2*((o_orderkey div 1) % 10) - 9 ELSE 2*((o_orderkey div 1) % 10) END) + ((o_orderkey div 10) % 10) + (CASE WHEN 2*((o_orderkey div 100) % 10) > 9 THEN 2*((o_orderkey div 100) % 10) - 9 ELSE 2*((o_orderkey div 100) % 10) END) + ((o_orderkey div 1000) % 10) + (CASE WHEN 2*((o_orderkey div 10000) % 10) > 9 THEN 2*((o_orderkey div 10000) % 10) - 9 ELSE 2*((o_orderkey div 10000) % 10) END) + ((o_orderkey div 100000) % 10) + (CASE WHEN 2*((o_orderkey div 1000000) % 10) > 9 THEN 2*((o_orderkey div 1000000) % 10) - 9 ELSE 2*((o_orderkey div 1000000) % 10) END) + ((o_orderkey div 10000000) % 10) + (CASE WHEN 2*((o_orderkey div 100000000) % 10) > 9 THEN 2*((o_orderkey div 100000000) % 10) - 9 ELSE 2*((o_orderkey div 100000000) % 10) END) + ((o_orderkey div 1000000000) % 10) + (CASE WHEN 2*((o_orderkey div 10000000000) % 10) > 9 THEN 2*((o_orderkey div 10000000000) % 10) - 9 ELSE 2*((o_orderkey div 10000000000) % 10) END) + ((o_orderkey div 100000000000) % 10)"
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    s = o.select(
+        "o_orderkey",
+        F.expr("CAST(" + _LUHN_SUM + " AS BIGINT)").alias("luhn_sum"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.expr("(10 - luhn_sum % 10) % 10").alias("check_digit"),
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.expr("CAST((10 - luhn_sum % 10) % 10 AS STRING)"),
+        ).alias("ref_number"),
+        F.expr(
+            "CAST(CASE WHEN (luhn_sum + (10 - luhn_sum % 10) % 10) % 10 = 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("luhn_valid"),
+    ).orderBy("o_orderkey")
