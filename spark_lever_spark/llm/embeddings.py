@@ -807,3 +807,277 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: model-selection elbow and reciprocal nearest neighbors
+# ---------------------------------------------------------------------------
+
+
+_GLOBAL_INT8_CTES = """
+sc AS (
+  SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     v -> abs(v)))) / 127.0 AS s
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v / sc.s + 0.5)
+                                  AS BIGINT)) AS qv
+  FROM embeddings, sc
+)
+"""
+
+
+@register(
+    "kmeans_inertia_elbow",
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 16),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                   * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+              AS BIGINT) AS dist
+  FROM q, c
+),
+per_vec AS (
+  SELECT vec_id,
+         min(CASE WHEN cid < 2 THEN dist END) AS m2,
+         min(CASE WHEN cid < 4 THEN dist END) AS m4,
+         min(CASE WHEN cid < 8 THEN dist END) AS m8,
+         min(dist) AS m16
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(SUM(m2) AS BIGINT) AS i2, CAST(SUM(m4) AS BIGINT) AS i4,
+         CAST(SUM(m8) AS BIGINT) AS i8, CAST(SUM(m16) AS BIGINT) AS i16
+  FROM per_vec
+)
+SELECT k, inertia, n_points FROM (
+  SELECT CAST(2 AS BIGINT) AS k, i2 AS inertia, n_points FROM tot
+  UNION ALL SELECT 4, i4, n_points FROM tot
+  UNION ALL SELECT 8, i8, n_points FROM tot
+  UNION ALL SELECT 16, i16, n_points FROM tot
+) ORDER BY k
+""",
+    category="llm_similarity",
+    tags=("defer-window",),
+)
+def kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS model-selection ELBOW curve — within-cluster inertia at
+    k = 2/4/8/16 in ONE pass (kmeans_assign_embeddings is a single
+    assignment step; this is the curve you look at to CHOOSE k).
+    Exactness comes from a shared-grid INT8 quantization: one GLOBAL
+    absmax/127 scale (a 1-row broadcast scalar — per-vector scales
+    would put points on different grids and make distances
+    meaningless), so every squared-L2 distance is an exact int64 and
+    each inertia an exact integer sum — nothing float-accumulated
+    across rows. The k=16 centroid set is prefix-nested (centroids =
+    lowest 16 vec_ids, k=2 uses the first 2, ...), so all four
+    inertias fall out of one broadcast cross product (16 = a query
+    constant) via conditional mins — the monotone non-increasing
+    inertia staircase is guaranteed by construction. Scale: map-side
+    distance evaluation against a broadcast constant-size centroid
+    table, one vec-keyed aggregation, one 4-row unpivot."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    c = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d = q.join(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    per_vec = d.groupBy("vec_id").agg(
+        F.min(F.when(F.col("cid") < 2, F.col("dist"))).alias("m2"),
+        F.min(F.when(F.col("cid") < 4, F.col("dist"))).alias("m4"),
+        F.min(F.when(F.col("cid") < 8, F.col("dist"))).alias("m8"),
+        F.min("dist").alias("m16"),
+    )
+    tot = per_vec.agg(
+        F.count("*").alias("n_points"),
+        F.sum("m2").alias("i2"),
+        F.sum("m4").alias("i4"),
+        F.sum("m8").alias("i8"),
+        F.sum("m16").alias("i16"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"i{k}").alias("inertia"),
+            )
+            for k in (2, 4, 8, 16)
+        ]
+    )
+    return (
+        tot.select(F.explode(pairs).alias("e"), "n_points")
+        .select(
+            F.col("e.k").alias("k"),
+            F.col("e.inertia").alias("inertia"),
+            "n_points",
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "mutual_nn_int8_ivf",
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 16),
+pd AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                   * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+              AS BIGINT) AS dist
+  FROM q, c
+),
+probes AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM pd
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM probes a JOIN probes b ON a.cid = b.cid
+  WHERE a.vec_id <> b.vec_id
+),
+cd AS (
+  SELECT cand.va, cand.vb,
+         CAST(list_sum(list_transform(range(1, len(qa.qv) + 1),
+              i -> (qa.qv[CAST(i AS INT)] - qb.qv[CAST(i AS INT)])
+                   * (qa.qv[CAST(i AS INT)] - qb.qv[CAST(i AS INT)])))
+              AS BIGINT) AS dist
+  FROM cand
+  JOIN q qa ON qa.vec_id = cand.va
+  JOIN q qb ON qb.vec_id = cand.vb
+),
+nn AS (
+  SELECT va, vb, dist FROM (
+    SELECT va, vb, dist,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY dist, vb) AS rn
+    FROM cd
+  ) WHERE rn = 1
+)
+SELECT m1.va AS vec_a, m1.vb AS vec_b, m1.dist AS dist_sq
+FROM nn m1 JOIN nn m2 ON m1.vb = m2.va AND m2.vb = m1.va
+WHERE m1.va < m1.vb
+ORDER BY vec_a
+""",
+    category="llm_similarity",
+    tags=("defer-window",),
+)
+def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL (reciprocal) nearest neighbors over int8 embeddings with
+    IVF candidate generation — the pairing primitive behind
+    bitext mining, MNN batch-effect alignment, and high-precision
+    near-dup seeding: a pair survives only if each vector is the
+    OTHER's top-1 neighbor, the strongest symmetric similarity
+    evidence cheap to compute at corpus scale. Search is never
+    all-pairs: vectors land in the cells of their 2 nearest of 16
+    fixed centroids (multi-probe IVF — same shared-grid int8 space as
+    kmeans_inertia_elbow, one global absmax scale), candidates meet
+    through a pure EQUI-join on cell id, and top-1 / mutuality are
+    keyed windows and an equi self-join. All distances are exact
+    int64 squared-L2 on the shared grid; ties break to the lower
+    vec_id in both engines. Cells are the scale unit: at 100 TB you
+    raise the centroid count so cell populations stay bounded — the
+    shuffle is Σ cell² pairs, never n²."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    c = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+    def sq_l2(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pd_ = q.join(F.broadcast(c)).select(
+        "vec_id", "cid", sq_l2("qv", "cv").alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probes = (
+        pd_.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "cid")
+    )
+    pa = probes.select(F.col("vec_id").alias("va"), "cid")
+    pb = probes.select(F.col("vec_id").alias("vb"), "cid")
+    cand = (
+        pa.join(pb, "cid")
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("va"), F.col("qv").alias("qva"))
+    qb = q.select(F.col("vec_id").alias("vb"), F.col("qv").alias("qvb"))
+    cd = (
+        cand.join(qa, "va")
+        .join(qb, "vb")
+        .select("va", "vb", sq_l2("qva", "qvb").alias("dist"))
+    )
+    wn = Window.partitionBy("va").orderBy("dist", "vb")
+    nn = (
+        cd.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("va", "vb", "dist")
+    )
+    m2 = nn.select(
+        F.col("va").alias("va2"), F.col("vb").alias("vb2")
+    )
+    return (
+        nn.join(
+            m2,
+            (F.col("vb") == F.col("va2")) & (F.col("vb2") == F.col("va")),
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.col("dist").alias("dist_sq"),
+        )
+        .orderBy("vec_a")
+    )
