@@ -1316,3 +1316,275 @@ def entity_resolution_clusters(
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: link prediction and density clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_prediction_common_neighbors",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (
+  SELECT pa AS u, pb AS v FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT x.u AS a, y.v AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+  GROUP BY 1, 2
+),
+open_w AS (
+  SELECT w.a, w.b, w.cn FROM wedge w
+  LEFT JOIN pairs p ON p.pa = w.a AND p.pb = w.b
+  WHERE p.pa IS NULL
+),
+scored AS (
+  SELECT o.a, o.b, o.cn, da.d AS deg_a, db.d AS deg_b,
+         CAST(o.cn * 1000000 AS BIGINT) // (da.d + db.d - o.cn)
+             AS jaccard_ppm
+  FROM open_w o
+  JOIN deg da ON da.u = o.a
+  JOIN deg db ON db.u = o.b
+)
+SELECT a AS part_a, b AS part_b, cn AS common_neighbors,
+       deg_a, deg_b, jaccard_ppm
+FROM scored
+ORDER BY cn DESC, jaccard_ppm DESC, a, b LIMIT 20
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRAPH LINK PREDICTION on the co-purchase graph: rank part pairs
+    that are NOT yet co-purchased by common-neighbor count with a
+    neighborhood-Jaccard tiebreak — the classic local link predictors
+    (Liben-Nowell & Kleinberg 2003) recommendation engines run as
+    'customers who buy these also buy'. Adjacency keeps only
+    support >= 2 co-purchase edges (noise floor); candidate pairs come
+    from the WEDGE equi-join (2-hop paths a-w-b, a < b — Σ deg(w)²
+    work, the same bound as triangle_count_copurchase), existing edges
+    are removed by an anti-join, and the Jaccard |Γa∩Γb| /
+    |Γa∪Γb| is exact: cn and degrees are int64 counts, published as
+    ppm by one floor-division. No transcendental scores (Adamic-Adar's
+    1/log d is deliberately NOT used — rank order here needs only
+    exact integers). Top-20 via TakeOrdered. Scale: hub-bounded wedge
+    work — cap degree (or sample neighborhoods) per the LSH-tuner
+    doctrine if a 100 TB catalog has whale parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("ok"))
+            & (F.col("a.l_partkey") < F.col("pk")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    adj = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("w2"), F.col("v").alias("b"))
+    wedge = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    open_w = wedge.join(
+        pairs,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))
+    scored = (
+        open_w.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            F.expr("cn * 1000000 div (deg_a + deg_b - cn)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"),
+        F.desc("jaccard_ppm"),
+        "part_a",
+        "part_b",
+    ).limit(20)
+
+
+@register(
+    "dbscan_box_clusters_errors",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT event_id, ts, value FROM events WHERE event_type = 'error'
+),
+nb AS (
+  SELECT a.event_id AS ia, b.event_id AS ib FROM e a JOIN e b
+    ON b.ts BETWEEN a.ts - INTERVAL 60 MINUTE
+                AND a.ts + INTERVAL 60 MINUTE
+   AND abs(b.value - a.value) <= 10.0
+),
+cnt AS (SELECT ia, CAST(count(*) AS BIGINT) AS n_in FROM nb GROUP BY 1),
+core AS (SELECT ia AS id FROM cnt WHERE n_in >= 4),
+ce AS (
+  SELECT n.ia AS u, n.ib AS v FROM nb n
+  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib
+  WHERE n.ia <> n.ib
+),
+reach(u, v) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.u, ce.v FROM reach r JOIN ce ON ce.u = r.v
+),
+comp AS (SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY 1),
+border AS (
+  SELECT n.ia AS id, min(c.cluster_id) AS cluster_id
+  FROM nb n JOIN comp c ON c.id = n.ib
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT cluster_id,
+       CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+       CAST(SUM(kind) AS BIGINT) AS n_border,
+       CAST(min(id) AS BIGINT) AS min_event_id,
+       CAST(max(id) AS BIGINT) AS max_event_id
+FROM (
+  SELECT id, cluster_id, 0 AS kind FROM comp
+  UNION ALL SELECT id, cluster_id, 1 FROM border
+)
+GROUP BY cluster_id ORDER BY cluster_id
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def dbscan_box_clusters_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) of error events in
+    (time, value) space — Chebyshev-box neighborhoods (60 min, 10.0),
+    minPts 4 — the anomaly-burst grouping that turns a pile of error
+    points into 'incidents': CORE points (>= minPts box-neighbors,
+    self included) connect into clusters, BORDER points attach to a
+    neighboring core's cluster (pinned to the MINIMUM cluster id —
+    textbook DBSCAN leaves border assignment order-dependent, which a
+    cross-engine oracle cannot tolerate), everything else is noise and
+    is excluded. Distributed shape: neighbor pairs come from the 3x3
+    GRID-CELL equi-join (grid_join_value_time_neighbors' pattern — no
+    theta join ever forms), density is one keyed count, and the
+    core-core components run the O(log n) large-star/small-star CC —
+    the same machinery as dedup clustering, here on a graph bounded by
+    box density. The oracle replays clustering as a transitive-closure
+    recursion over the same core graph. Cluster id = min core
+    event_id."""
+    from spark_lever_spark.llm.graph import connected_components
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "ts", "value")
+    )
+    tcell = (F.unix_micros(F.col("ts")) / 3600000000).cast("long")
+    vcell = F.floor(F.col("value") / 10.0).cast("long")
+    a = e.select(
+        F.col("event_id").alias("ia"),
+        F.col("ts").alias("ts_a"),
+        F.col("value").alias("v_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (tcell + dt).alias("tc"), (vcell + dv).alias("vc")
+                    )
+                    for dt in (-1, 0, 1)
+                    for dv in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    b = e.select(
+        F.col("event_id").alias("ib"),
+        F.col("ts").alias("ts_b"),
+        F.col("value").alias("v_b"),
+        F.struct(tcell.alias("tc"), vcell.alias("vc")).alias("cell"),
+    )
+    nb = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 60 MINUTE"))
+            & (
+                F.col("ts_b")
+                <= F.col("ts_a") + F.expr("INTERVAL 60 MINUTE")
+            )
+            & (F.abs(F.col("v_b") - F.col("v_a")) <= 10.0)
+        )
+        .select("ia", "ib")
+    )
+    cnt = nb.groupBy("ia").agg(F.count("*").alias("n_in"))
+    core = cnt.filter(F.col("n_in") >= 4).select(F.col("ia").alias("id"))
+    c1 = core.select(F.col("id").alias("u_ok"))
+    c2 = core.select(F.col("id").alias("v_ok"))
+    ce = (
+        nb.join(c1, nb.ia == c1.u_ok)
+        .join(c2, nb.ib == c2.v_ok)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    cc = connected_components(ce)
+    comp = (
+        core.join(cc, core.id == cc.node, "left")
+        .select(
+            "id", F.coalesce("component", "id").alias("cluster_id")
+        )
+    )
+    border = (
+        nb.join(core, nb.ia == core.id, "left_anti")
+        .join(comp.select(F.col("id").alias("cid"), "cluster_id"),
+              F.col("ib") == F.col("cid"))
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    members = comp.select(
+        "id", "cluster_id", F.lit(0).alias("kind")
+    ).union(border.select("id", "cluster_id", F.lit(1).alias("kind")))
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias(
+                "n_core"
+            ),
+            F.sum("kind").alias("n_border"),
+            F.min("id").alias("min_event_id"),
+            F.max("id").alias("max_event_id"),
+        )
+        .orderBy("cluster_id")
+    )
