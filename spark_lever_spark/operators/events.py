@@ -3030,3 +3030,242 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_transitions"))
         .orderBy("from_band", "to_band")
     )
+
+
+@register(
+    "wilcoxon_signed_rank_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+d AS (
+  SELECT day, a - b AS diff, abs(a - b) AS ad
+  FROM daily WHERE a <> b
+),
+r AS (
+  SELECT diff, ad,
+         CAST(2 * rank() OVER (ORDER BY ad)
+              + count(*) OVER (PARTITION BY ad) - 1 AS BIGINT) AS r2
+  FROM d
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS tc FROM d GROUP BY ad
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+             AS w2_plus,
+         (SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) FROM t)
+             AS tie_term
+  FROM r
+)
+SELECT n, w2_plus, tie_term,
+       round((CAST(w2_plus - n * (n + 1) / 2 AS DOUBLE))
+             / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie_term
+                         AS DOUBLE) / 12.0) * 1000000) / 1000000
+           AS wilcoxon_z
+FROM s
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON signed-rank test on PAIRED daily view-vs-click revenue
+    — the paired-sample rank test completing the nonparametric
+    family: Mann-Whitney U handles two independent samples,
+    McNemar's paired binary outcomes; this is the paired CONTINUOUS
+    case (does the view series systematically exceed the click
+    series, judged by ranked magnitudes of the daily differences?).
+    Zero differences drop per the classic procedure; |d| ranks are
+    tie-averaged via the exact DOUBLED-rank integers (2*rank_min +
+    tie_count - 1 — the Spearman idiom), so W+ (doubled), the
+    normal-approximation mean n(n+1)/2, and the tie-corrected
+    variance (2n(n+1)(2n+1) - Σ(t³-t))/12 are ALL exact int64; z is
+    one exact-int division + sqrt, rounded at 1e-6. The day domain is
+    aggregate-bounded, so windows over it are scale-free; the fact
+    table is touched once."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", cents(F.col("value")))
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(F.col("event_type") == "click", cents(F.col("value")))
+            .otherwise(0)
+        ).alias("b"),
+    )
+    d = daily.filter(F.col("a") != F.col("b")).select(
+        (F.col("a") - F.col("b")).alias("diff"),
+        F.abs(F.col("a") - F.col("b")).alias("ad"),
+    )
+    r = d.select(
+        "diff",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count("*").over(Window.partitionBy("ad"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    ties = (
+        d.groupBy("ad")
+        .agg(F.count("*").alias("tc"))
+        .agg(
+            F.sum(
+                F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+            ).alias("tie_term")
+        )
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0)).alias(
+            "w2_plus"
+        ),
+    ).join(F.broadcast(ties))
+    z = (
+        (F.col("w2_plus") - F.col("n") * (F.col("n") + 1) / 2).cast(
+            "double"
+        )
+    ) / F.sqrt(
+        (
+            2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+            - F.col("tie_term")
+        ).cast("double")
+        / 12.0
+    )
+    return s.select(
+        "n",
+        "w2_plus",
+        "tie_term",
+        (F.round(z * 1000000) / 1000000).alias("wilcoxon_z"),
+    )
+
+
+@register(
+    "pettitt_changepoint_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day,
+         CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY yc)
+              + count(*) OVER (PARTITION BY event_type, yc) - 1
+              AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS t
+  FROM daily
+),
+u AS (
+  SELECT event_type, day, n, t,
+         CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)
+              - t * (n + 1) AS BIGINT) AS u_t
+  FROM r
+),
+k AS (
+  SELECT event_type, day, abs(u_t) AS au,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(u_t) DESC, day) AS rn
+  FROM u WHERE t < n
+)
+SELECT event_type, day AS change_day, CAST(au AS BIGINT) AS k_stat
+FROM k WHERE rn = 1 ORDER BY event_type
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT changepoint test (Pettitt 1979) per event type — the
+    rank-based (outlier-robust) single-changepoint locator
+    complementing cusum_changepoint_daily's mean-shift CUSUM: U_t =
+    2*W_t - t(n+1) where W_t is the running sum of the series' ranks,
+    and the change point maximizes |U_t| (ties pinned to the earliest
+    day). Tie-averaged ranks use the exact doubled-rank integers, and
+    because the doubled cumsum minus t(n+1) IS U_t, every statistic
+    is exact int64 end-to-end — no Mann-Whitney pair grid (the naive
+    Pettitt is O(n²) sign comparisons; the rank-cumsum identity makes
+    it one sort's worth of work). All windows run on the per-type day
+    aggregate domain. Emits the argmax day and K = max|U_t| per
+    type."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("yc"))
+    r = daily.select(
+        "event_type",
+        "day",
+        (
+            2 * F.rank().over(
+                Window.partitionBy("event_type").orderBy("yc")
+            )
+            + F.count("*").over(
+                Window.partitionBy("event_type", "yc")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    u = r.select(
+        "event_type",
+        "day",
+        "n",
+        "t",
+        (
+            F.sum("r2").over(
+                Window.partitionBy("event_type")
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("t") * (F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("u_t"),
+    )
+    k = (
+        u.filter(F.col("t") < F.col("n"))
+        .select(
+            "event_type",
+            "day",
+            F.abs("u_t").alias("au"),
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.abs("u_t").desc(), "day"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return k.select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        F.col("au").alias("k_stat"),
+    ).orderBy("event_type")

@@ -569,3 +569,103 @@ def window_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last("pv", ignorenulls=True).over(w).alias("last_purchase_cents"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "qq_deciles_mktsegments",
+    oracle="""
+WITH j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+         c.c_mktsegment AS seg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+r AS (
+  SELECT seg, v,
+         row_number() OVER (PARTITION BY seg ORDER BY v, o_orderkey)
+             AS rk,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM j
+),
+sel AS (
+  SELECT seg, CAST(t.q AS INT) AS decile, v
+  FROM r, (VALUES (10), (20), (30), (40), (50), (60), (70), (80),
+                  (90)) t(q)
+  WHERE rk = (t.q * n + 99) // 100
+)
+SELECT b.decile,
+       b.v AS building_cents,
+       m.v AS machinery_cents,
+       b.v - m.v AS gap_cents
+FROM sel b JOIN sel m
+  ON m.decile = b.decile AND b.seg = 'BUILDING' AND m.seg = 'MACHINERY'
+ORDER BY b.decile
+""",
+    category="windows",
+    tags=("defer-window",),
+)
+def qq_deciles_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q (quantile-quantile) comparison of order values between the
+    BUILDING and MACHINERY market segments at each exact decile — the
+    full distributional-shift profile that scalar two-sample tests
+    compress away (ks_statistic_sources reports only the max CDF gap;
+    mann_whitney_u_sources only a rank sum; the Q-Q table says WHERE
+    in the distribution the segments diverge). Per segment the decile
+    is the exact value AT rank ceil(q*n/100) — exact_global_deciles'
+    discrete-quantile semantics, ties broken by orderkey — computed
+    with the 2-pass grank per segment (each pass a map-side binned
+    rank, never a single-task sort), then the two 9-row decile frames
+    meet in a trivially-broadcast equi-join. Exact int64 cents
+    throughout; gap is an integer subtraction."""
+    from spark_lever_spark.functions.exact import cents
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+
+    def seg_deciles(seg: str, out: str):
+        s = j.filter(F.col("c_mktsegment") == seg).select(
+            cents(F.col("o_totalprice")).alias("v"), "o_orderkey"
+        )
+        ranked = with_global_rank(s, F.col("v"), ["o_orderkey"])
+        targets = F.array(
+            *[
+                ((F.lit(q) * F.col("_n_tot") + 99) / 100).cast("long")
+                for q in range(10, 100, 10)
+            ]
+        )
+        return (
+            ranked.withColumn("_tg", targets)
+            .filter(F.array_contains(F.col("_tg"), F.col("_rk")))
+            .select(
+                "v",
+                "_rk",
+                F.posexplode(F.col("_tg")).alias("_pos", "_target"),
+            )
+            .filter(F.col("_rk") == F.col("_target"))
+            .select(
+                ((F.col("_pos") + 1) * 10).cast("int").alias("decile"),
+                F.col("v").alias(out),
+            )
+        )
+
+    b = seg_deciles("BUILDING", "building_cents")
+    m = seg_deciles("MACHINERY", "machinery_cents")
+    return (
+        b.join(m, "decile")
+        .select(
+            "decile",
+            "building_cents",
+            "machinery_cents",
+            (F.col("building_cents") - F.col("machinery_cents")).alias(
+                "gap_cents"
+            ),
+        )
+        .orderBy("decile")
+    )
