@@ -603,6 +603,16 @@ NESTED_LOOP_WHITELIST = {
         "broadcast k=8 fixed centroid table — every vector probes "
         "exactly 8 rows map-side, a query constant at any SF"
     ),
+    "kmeans_inertia_elbow": (
+        "broadcast k=16 fixed centroid table (vec_id < 16) — every "
+        "vector probes exactly 16 rows map-side, a query constant at "
+        "any SF"
+    ),
+    "mutual_nn_int8_ivf": (
+        "broadcast k=16 fixed centroid table (vec_id < 16) for IVF "
+        "probe assignment — constant-size at any SF; candidate pairs "
+        "themselves meet through the cell equi-join"
+    ),
     "ann_ivf": "broadcast probe vector + centroid cells",
     "ann_int8_exact_topk": "broadcast 1-row quantized query vector",
     "hard_negative_mining": "broadcast bounded probe batch (vec_id < 50)",

@@ -1,0 +1,615 @@
+"""Independent-reference checks for the round-11 operator batch —
+the house "simulator equality" pattern: the DuckDB oracle is the
+driver's gate; these tests re-derive the same answers from plain
+Python (hashlib, brute-force pair scans, dict-BFS), so a shared
+SQL-side misconception cannot hide in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+
+from spark_lever_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return registry.all_queries()[name].fn(spark, SF).toPandas()
+
+
+def _cents(x: float) -> int:
+    # SQL round() is half-away-from-zero; Python round() is banker's.
+    return int(x * 100 + (0.5 if x >= 0 else -0.5))
+
+
+def _daily_cents(table: str, date_col: str, val_col: str, where=""):
+    rows = duckdb.sql(
+        f"SELECT CAST({date_col} AS DATE) AS d, {val_col} FROM "
+        f"read_parquet('{SF}/{table}.parquet') {where}"
+    ).fetchall()
+    agg: dict = defaultdict(int)
+    for d, v in rows:
+        agg[d] += _cents(v)
+    return dict(agg)
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint: rank-cumsum form == O(n^2) sign-comparison form
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_rank_identity_vs_brute_signs(spark):
+    """The operator computes U_t via the rank-cumsum identity; the
+    textbook definition is U_t = sum_{i<=t, j>t} sgn(x_j - x_i).
+    Both must agree on |U| (the identity flips the sign only) for
+    EVERY event type, including the argmax day."""
+    got = {
+        r.event_type: (r.change_day, r.k_stat)
+        for r in _run(spark, "pettitt_changepoint_daily").itertuples()
+    }
+    types = [t for (t,) in duckdb.sql(
+        f"SELECT DISTINCT event_type FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()]
+    assert set(got) == set(types)
+    for et in types:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        days = sorted(daily)
+        xs = [daily[d] for d in days]
+        n = len(xs)
+        best = None
+        for t in range(1, n):  # t < n split points
+            u = sum(
+                (xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            cand = (abs(u), days[t - 1])
+            if best is None or cand[0] > best[0] or (
+                cand[0] == best[0] and cand[1] < best[1]
+            ):
+                best = cand
+        k_stat, day = best
+        assert got[et][1] == k_stat, et
+        assert got[et][0].date() == day, et
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: manual reference
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_signed_rank_manual_reference(spark):
+    va = _daily_cents("events", "ts", "value", "WHERE event_type = 'view'")
+    vb = _daily_cents("events", "ts", "value", "WHERE event_type = 'click'")
+    days = sorted(set(va) | set(vb))
+    diffs = [va.get(d, 0) - vb.get(d, 0) for d in days]
+    diffs = [d for d in diffs if d != 0]
+    n = len(diffs)
+    order = sorted(range(n), key=lambda i: abs(diffs[i]))
+    # tie-averaged doubled ranks
+    r2 = [0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and abs(diffs[order[j]]) == abs(diffs[order[i]]):
+            j += 1
+        for k in range(i, j):
+            r2[order[k]] = (i + 1) + j  # 2 * avg rank = (i+1) + j
+        i = j
+    w2p = sum(r for r, d in zip(r2, diffs) if d > 0)
+    tie_term = sum(
+        t**3 - t for t in Counter(abs(d) for d in diffs).values()
+    )
+    z = (w2p - n * (n + 1) / 2) / (
+        ((2 * n * (n + 1) * (2 * n + 1) - tie_term) / 12.0) ** 0.5
+    )
+    row = _run(spark, "wilcoxon_signed_rank_daily").iloc[0]
+    assert row.n == n and row.w2_plus == w2p and row.tie_term == tie_term
+    assert abs(row.wilcoxon_z - z) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: brute pair scan
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_brute_pairs(spark):
+    rows = duckdb.sql(
+        f"SELECT o_orderdate, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    m: dict = defaultdict(lambda: [0, 0])
+    for d, p in rows:
+        key = d.year * 100 + d.month
+        m[key][0] += _cents(p)
+        m[key][1] += 1
+    ks = sorted(m)
+    C = D = tx = ty = 0
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            dx = m[ks[j]][0] - m[ks[i]][0]
+            dy = m[ks[j]][1] - m[ks[i]][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = len(ks) * (len(ks) - 1) // 2
+    tau = (C - D) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    row = _run(spark, "kendall_tau_monthly_rev_orders").iloc[0]
+    assert (row.n0, row.concordant, row.discordant) == (n0, C, D)
+    assert (row.ties_x, row.ties_y) == (tx, ty)
+    assert abs(row.kendall_tau_b - tau) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Luhn: canonical stdlib-style validator over the minted numbers
+# ---------------------------------------------------------------------------
+
+
+def _luhn_ok(number: str) -> bool:
+    total = 0
+    for pos, ch in enumerate(reversed(number), start=1):
+        d = int(ch)
+        if pos % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_reference_numbers_validate(spark):
+    df = _run(spark, "luhn_reference_numbers")
+    assert len(df) > 0
+    for r in df.itertuples():
+        assert len(r.ref_number) == 13
+        assert int(r.ref_number[:12]) == r.o_orderkey
+        assert int(r.ref_number[12]) == r.check_digit
+        assert _luhn_ok(r.ref_number), r.ref_number
+        assert r.luhn_valid == 1
+    # a corrupted digit must fail the canonical validator
+    bad = df.iloc[0].ref_number
+    bad = bad[:-1] + str((int(bad[-1]) + 1) % 10)
+    assert not _luhn_ok(bad)
+
+
+# ---------------------------------------------------------------------------
+# Yule's K: Counter-based reference
+# ---------------------------------------------------------------------------
+
+
+def test_yule_k_counter_reference(spark):
+    texts = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per_src: dict = defaultdict(Counter)
+    for src, text in texts:
+        per_src[src].update(w for w in text.split(" ") if w)
+    got = {
+        r.source: r for r in _run(spark, "yule_k_lexical_diversity").itertuples()
+    }
+    assert set(got) == set(per_src)
+    for src, c in per_src.items():
+        n = sum(c.values())
+        s2 = sum(m * m for m in c.values())
+        hapax = sum(1 for m in c.values() if m == 1)
+        r = got[src]
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (n, len(c), hapax)
+        assert r.yule_k_e6 == (s2 - n) * 10_000_000_000 // (n * n)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: hashlib reference
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_hashlib_reference(spark):
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 100"
+    ).fetchall()
+    ref: dict = defaultdict(int)
+    for doc_id, text in texts:
+        for w in text.split(" "):
+            if not w:
+                continue
+            h = hashlib.md5(w.encode()).hexdigest()
+            bucket = int(h[:8], 16) % 64
+            sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+            ref[(doc_id, bucket)] += sgn
+    got = {
+        (r.doc_id, r.bucket): r.signed_count
+        for r in _run(spark, "feature_hash_bow_sparse").itertuples()
+    }
+    assert got == dict(ref)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: brute integer EMD
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_brute_emd(spark):
+    rows = duckdb.sql(
+        f"""SELECT c.c_nationkey, CAST(substr(o.o_orderpriority,1,1) AS INT)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+        ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    cell: dict = defaultdict(int)
+    for nk, s in rows:
+        cell[(nk, s)] += 1
+    n_all = len(rows)
+    tot = {s: sum(v for (nk, s2), v in cell.items() if s2 == s)
+           for s in range(1, 6)}
+    got = {r.c_nationkey: r for r in
+           _run(spark, "t_closeness_ordered_emd").itertuples()}
+    for nk in {k for k, _ in cell}:
+        n_g = sum(v for (nk2, _), v in cell.items() if nk2 == nk)
+        num = 0
+        cg = ct = 0
+        for s in range(1, 5):  # prefix gaps at s = 1..4
+            cg += cell.get((nk, s), 0)
+            ct += tot[s]
+            num += abs(n_all * cg - n_g * ct)
+        assert got[nk].n_orders == n_g
+        assert got[nk].emd_ppm == num * 1_000_000 // (n_g * n_all * 4)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier life table: brute per-customer simulation
+# ---------------------------------------------------------------------------
+
+
+def test_km_life_table_brute(spark):
+    rows = duckdb.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE) FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    per: dict = {}
+    for ck, d in rows:
+        lo, hi = per.get(ck, (d, d))
+        per[ck] = (min(lo, d), max(hi, d))
+    end = max(hi for _, hi in per.values())
+    events: dict = defaultdict(lambda: [0, 0])
+    for lo, hi in per.values():
+        b = (hi - lo).days // 90
+        churned = (end - hi).days >= 180
+        events[b][0 if churned else 1] += 1
+    got = {r.bucket: r for r in
+           _run(spark, "km_life_table_customer_tenure").itertuples()}
+    assert set(got) == set(events)
+    for b in sorted(events, reverse=True):
+        n_risk = sum(
+            d + c for b2, (d, c) in events.items() if b2 >= b
+        )
+        d, c = events[b]
+        assert (got[b].n_risk, got[b].n_events, got[b].n_censored) == (
+            n_risk, d, c,
+        )
+        assert got[b].hazard_ppm == d * 1_000_000 // n_risk
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN: brute BFS reference
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_brute_bfs(spark):
+    rows = duckdb.sql(
+        f"SELECT event_id, ts, value FROM "
+        f"read_parquet('{SF}/events.parquet') WHERE event_type = 'error'"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    nb = {i: set() for i in ids}
+    for i, (ia, ta, va) in enumerate(rows):
+        for ib, tb, vb in rows[i:]:
+            if abs((tb - ta).total_seconds()) <= 3600 and abs(vb - va) <= 10.0:
+                nb[ia].add(ib)
+                nb[ib].add(ia)
+    core = {i for i in ids if len(nb[i]) >= 4}  # self included
+    label: dict = {}
+    for c in sorted(core):
+        if c in label:
+            continue
+        stack, comp = [c], []
+        seen = {c}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in nb[x]:
+                if y in core and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        root = min(comp)
+        for x in comp:
+            label[x] = root
+    border: dict = {}
+    for i in ids:
+        if i in core:
+            continue
+        cand = [label[j] for j in nb[i] if j in core]
+        if cand:
+            border[i] = min(cand)
+    ref: dict = defaultdict(lambda: [0, 0, None, None])
+    for i, lab in list(label.items()) + list(border.items()):
+        e = ref[lab]
+        e[0 if i in core else 1] += 1
+        e[2] = i if e[2] is None else min(e[2], i)
+        e[3] = i if e[3] is None else max(e[3], i)
+    got = {r.cluster_id: r for r in
+           _run(spark, "dbscan_box_clusters_errors").itertuples()}
+    assert set(got) == set(ref)
+    for lab, (nc, nbd, mn, mx) in ref.items():
+        g = got[lab]
+        assert (g.n_core, g.n_border, g.min_event_id, g.max_event_id) == (
+            nc, nbd, mn, mx,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: brute set reference
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_brute_sets(spark):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    orders: dict = defaultdict(set)
+    for ok, pk in rows:
+        orders[ok].add(pk)
+    sup: Counter = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += 1
+    edges = {p for p, s in sup.items() if s >= 2}
+    adj: dict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    scored = []
+    nodes = sorted(adj)
+    for w in nodes:
+        ns = sorted(adj[w])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                a, b = ns[i], ns[j]
+                if (a, b) in edges:
+                    continue
+                scored.append((a, b))
+    cn = Counter(scored)
+    ranked = sorted(
+        (
+            (-c, -(c * 1_000_000 // (len(adj[a]) + len(adj[b]) - c)), a, b)
+            for (a, b), c in cn.items()
+        )
+    )[:20]
+    expect = [
+        (a, b, -nc, len(adj[a]), len(adj[b]), -jp)
+        for nc, jp, a, b in ranked
+    ]
+    got = [
+        (r.part_a, r.part_b, r.common_neighbors, r.deg_a, r.deg_b,
+         r.jaccard_ppm)
+        for r in _run(spark, "link_prediction_common_neighbors").itertuples()
+    ]
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# k-means elbow + mutual NN: numpy references on the shared int8 grid
+# ---------------------------------------------------------------------------
+
+
+def _quantized():
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    scale = max(np.abs(v).max() for v in vecs.values()) / 127.0
+    return {
+        vid: np.floor(v / scale + 0.5).astype(np.int64)
+        for vid, v in vecs.items()
+    }
+
+
+def test_kmeans_inertia_elbow_numpy_reference(spark):
+    q = _quantized()
+    cents = {k: q[k] for k in range(16)}
+    df = _run(spark, "kmeans_inertia_elbow")
+    got = {int(r.k): int(r.inertia) for r in df.itertuples()}
+    for k in (2, 4, 8, 16):
+        inertia = sum(
+            min(int(((v - cents[c]) ** 2).sum()) for c in range(k))
+            for v in q.values()
+        )
+        assert got[k] == inertia
+    # elbow staircase: nested centroid sets => monotone non-increasing
+    assert got[2] >= got[4] >= got[8] >= got[16]
+    assert df.n_points.iloc[0] == len(q)
+
+
+def test_mutual_nn_numpy_reference(spark):
+    q = _quantized()
+    cents = {k: q[k] for k in range(16)}
+
+    def probes(v):
+        ds = sorted(
+            (int(((v - cv) ** 2).sum()), cid) for cid, cv in cents.items()
+        )
+        return {cid for _, cid in ds[:2]}
+
+    cell_members: dict = defaultdict(set)
+    probe_of = {}
+    for vid, v in q.items():
+        probe_of[vid] = probes(v)
+        for c in probe_of[vid]:
+            cell_members[c].add(vid)
+    nn = {}
+    for vid, v in q.items():
+        cand = set().union(*(cell_members[c] for c in probe_of[vid]))
+        cand.discard(vid)
+        if not cand:
+            continue
+        nn[vid] = min(
+            (int(((v - q[o]) ** 2).sum()), o) for o in sorted(cand)
+        )
+    expect = sorted(
+        (a, b, d)
+        for a, (d, b) in nn.items()
+        if a < b and b in nn and nn[b][1] == a
+    )
+    got = [
+        (r.vec_a, r.vec_b, r.dist_sq)
+        for r in _run(spark, "mutual_nn_int8_ivf").itertuples()
+    ]
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Conformal: brute quantile + the finite-sample coverage guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_brute_and_coverage(spark):
+    daily = _daily_cents("orders", "o_orderdate", "o_totalprice")
+    byx = {(d - min(daily)).days: v for d, v in daily.items()}
+    import datetime
+
+    x0 = min(daily)
+    pairs = {
+        x: (byx[x], byx[x - 7]) for x in byx if x - 7 in byx
+    }
+    split = (datetime.date(2000, 1, 1) - x0).days
+    cal = sorted(
+        (abs(y - f), x) for x, (y, f) in pairs.items() if x < split
+    )
+    n = len(cal)
+    q_hat = cal[((n + 1) * 9 + 9) // 10 - 1][0]
+    test = {x: yf for x, yf in pairs.items() if x >= split}
+    df = _run(spark, "conformal_interval_seasonal_naive")
+    assert len(df) == len(test)
+    covered = 0
+    for r in df.itertuples():
+        x = (r.day.date() - x0).days
+        y, f = test[x]
+        assert (r.actual_cents, r.forecast_cents) == (y, f)
+        assert r.lo_cents == f - q_hat and r.hi_cents == f + q_hat
+        assert r.covered == (1 if f - q_hat <= y <= f + q_hat else 0)
+        covered += r.covered
+    # split-conformal marginal coverage should be in the right regime
+    # (exchangeability gives >= 90% in expectation; allow sampling slack)
+    assert covered / len(df) >= 0.80
+
+
+# ---------------------------------------------------------------------------
+# Bridge + VWAP + migration + Q-Q: reconciliation / brute references
+# ---------------------------------------------------------------------------
+
+
+def test_price_volume_mix_reconciles_to_the_cent(spark):
+    df = _run(spark, "price_volume_mix_bridge")
+    assert len(df) > 0
+    assert (
+        df.volume_effect_cents + df.price_mix_effect_cents
+        == df.delta_cents
+    ).all()
+    assert (
+        df.delta_cents == df.rev_cur_cents - df.rev_prev_cents
+    ).all()
+
+
+def test_vwap_brute(spark):
+    rows = duckdb.sql(
+        f"SELECT CAST(l_shipdate AS DATE), l_extendedprice, l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    agg: dict = defaultdict(lambda: [0, 0])
+    for d, p, qty in rows:
+        agg[d][0] += _cents(p)
+        agg[d][1] += int(qty + 0.5)
+    got = {r.day.date(): r for r in
+           _run(spark, "vwap_daily_lineitem").itertuples()}
+    assert set(got) == set(agg)
+    for d, (cts, qty) in agg.items():
+        r = got[d]
+        assert (r.total_cents, r.total_qty) == (cts, qty)
+        assert r.vwap_millicents == cts * 1000 // qty
+
+
+def test_segment_migration_brute(spark):
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    cm: dict = defaultdict(int)
+    for ck, d, p in rows:
+        cm[(ck, d.year * 12 + d.month - 1)] += _cents(p)
+
+    def band(rev):
+        if rev < 10_000_000:
+            return "B0_LOW"
+        if rev < 30_000_000:
+            return "B1_MID"
+        if rev < 60_000_000:
+            return "B2_HIGH"
+        return "B3_TOP"
+
+    mn = min(mx for _, mx in cm)
+    mxx = max(mx for _, mx in cm)
+    ref: Counter = Counter()
+    for (ck, mx), rev in cm.items():
+        # as destination (arrival at mx > mn)
+        if mx > mn:
+            prev = cm.get((ck, mx - 1))
+            ref[(band(prev) if prev is not None else "NONE", band(rev))] += 1
+        # as source of an exit (no row next month)
+        if mx < mxx and (ck, mx + 1) not in cm:
+            ref[(band(rev), "NONE")] += 1
+    got = {
+        (r.from_band, r.to_band): r.n_transitions
+        for r in _run(spark, "segment_migration_matrix").itertuples()
+    }
+    assert got == dict(ref)
+
+
+def test_qq_deciles_brute_sorted_lists(spark):
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+        ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"""
+    ).fetchall()
+    per: dict = defaultdict(list)
+    for seg, p, ok in rows:
+        per[seg].append((_cents(p), ok))
+    decs = {}
+    for seg, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        decs[seg] = {
+            q: vals[(q * n + 99) // 100 - 1][0] for q in range(10, 100, 10)
+        }
+    got = _run(spark, "qq_deciles_mktsegments")
+    assert len(got) == 9
+    for r in got.itertuples():
+        assert r.building_cents == decs["BUILDING"][r.decile]
+        assert r.machinery_cents == decs["MACHINERY"][r.decile]
+        assert r.gap_cents == r.building_cents - r.machinery_cents
