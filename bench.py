@@ -39,6 +39,7 @@ GATES = {
     "dedup_cluster_quality_election": 20.53,  # v2.5 re-freeze (round 9:
     # candidacy routed through tune_lsh_banding — (4,8) on this corpus,
     # 7.4M -> 3.7M candidate pairs; was 32.96 under fixed 8x4)
+    "dbscan_box_clusters_errors": 7.45,  # v2.8 addition (round 11)
     "dedup_exact_md5": 0.34,
     "dedup_shingle_containment": 8.16,  # v2.7 addition (round 10)
     "dedup_paragraph_rebuild": 0.88,
@@ -53,6 +54,7 @@ GATES = {
     "mad_outlier_order_values": 3.61,  # v2.6 addition (round 10)
     "matview_incremental_orders_by_status": 0.58,
     "merge_apply_cdc_orders": 0.6,
+    "mutual_nn_int8_ivf": 10.88,  # v2.8 addition (round 11)
     "ohlc_hourly_bars": 0.65,
     "pack_concat_2048": 0.93,  # v2.3 re-freeze (2-pass cumsum)
     "pack_documents_2048": 0.46,
@@ -90,7 +92,12 @@ GATES = {
 # + GC barrier so their residency never perturbs the common set's
 # round-over-round comparability (BENCH_r08 showed 11 common queries
 # drifting >= 1.3x from suite interference alone).
-HEAVY_PHASE = {"dedup_cluster_quality_election", "bpe_learn_merges"}
+HEAVY_PHASE = {
+    "dedup_cluster_quality_election",
+    "bpe_learn_merges",
+    "dbscan_box_clusters_errors",
+    "mutual_nn_int8_ivf",
+}
 
 
 def main() -> None:

@@ -943,6 +943,7 @@ def kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mutual_nn_int8_ivf",
+    bench=True,
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,

@@ -1445,6 +1445,7 @@ def link_prediction_common_neighbors(
 
 @register(
     "dbscan_box_clusters_errors",
+    bench=True,
     oracle="""
 WITH RECURSIVE e AS (
   SELECT event_id, ts, value FROM events WHERE event_type = 'error'
