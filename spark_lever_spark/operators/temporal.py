@@ -3070,3 +3070,276 @@ def conformal_interval_seasonal_naive(
         )
         .orderBy("day")
     )
+
+
+@register(
+    "acf_multi_lag_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 7, 14]) AS lag),
+p AS (
+  SELECT d.event_type, l.lag, d.yc AS a, q.yc AS b
+  FROM daily d CROSS JOIN lags l
+  JOIN daily q ON q.event_type = d.event_type AND q.x = d.x - l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             * 1000000) / 1000000 AS acf
+FROM m ORDER BY event_type, lag
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def acf_multi_lag_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION at lags 1/7/14 days per event type —
+    the multi-lag profile that autocorr_lag1_daily is the first point
+    of (lag 7 vs lag 1 is the weekly-seasonality diagnostic
+    seasonal_naive_error_ratio infers indirectly). Every lagged pair
+    meets through a CALENDAR equi-join on day-index minus lag (a
+    row-offset lag would silently misalign across date gaps), the lag
+    list is a 3-row literal broadcast, and each correlation is
+    Pearson on exact int64 cent moments — one IEEE tree (two sqrts,
+    one division) rounded at 1e-6. Scale: the (type, day) aggregate
+    domain is what joins; the fan-out is x3, a query constant."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(cents(F.col("value"))).alias("yc"))
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.col("yc").alias("a"),
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(14))).alias("lag"),
+    )
+    prev = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("yc").alias("b"),
+    )
+    p = lagged.join(
+        prev,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("x2") == F.col("x") - F.col("lag")),
+    )
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    acf = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+                "double"
+            )
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        (F.round(acf * 1000000) / 1000000).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "idle_gap_analysis_users",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM events
+),
+iv AS (
+  SELECT user_id, t AS s, t + 600 * 1000000 AS f,
+         max(t + 600 * 1000000) OVER (
+           PARTITION BY user_id ORDER BY t, s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pmax
+  FROM iv_base
+),
+iv_base AS (SELECT user_id, t FROM e),
+g AS (
+  SELECT user_id,
+         CASE WHEN pmax IS NULL OR pmax >= s THEN 0 ELSE s - pmax END
+             AS gap_us,
+         CASE WHEN pmax IS NOT NULL AND s > pmax THEN 1 ELSE 0 END
+             AS is_gap
+  FROM iv
+),
+span AS (
+  SELECT user_id,
+         max(t) + 600 * 1000000 - min(t) AS span_us
+  FROM e GROUP BY 1
+)
+SELECT g.user_id,
+       CAST(SUM(is_gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) // 1000000 AS BIGINT) AS idle_seconds,
+       CAST(max(span.span_us) // 1000000 AS BIGINT) AS span_seconds,
+       CAST((max(span.span_us) - SUM(gap_us)) * 1000000
+            // max(span.span_us) AS BIGINT) AS coverage_ppm
+FROM g JOIN span ON span.user_id = g.user_id
+GROUP BY g.user_id
+ORDER BY g.user_id
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def idle_gap_analysis_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDLE-GAP analysis — the COMPLEMENT of interval_union_active_time:
+    model each event as a 10-minute activity interval per user and
+    report the UNCOVERED time inside the user's observed span (count
+    of maximal idle gaps, idle seconds, coverage ppm). A gap exists
+    where an interval's start exceeds the running MAX of all earlier
+    interval ends — the gaps-and-islands prefix-max idiom, computed
+    with the 2-pass binned ``with_grouped_prefix_max`` (operators/
+    grank.py) so no user's event history ever funnels through a
+    single task even if one user dominates the stream (the whale-user
+    lesson from the FIFO join). All arithmetic is integer
+    microseconds; seconds and ppm are int64 floor-divisions. Scale:
+    one user-keyed binned-window pass + one user aggregation."""
+    from spark_lever_spark.operators.grank import with_grouped_prefix_max
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tts"),
+    ).select(
+        "user_id", F.unix_micros(F.col("tts")).alias("t")
+    )
+    iv = e.select(
+        "user_id",
+        F.col("t").alias("s"),
+        (F.col("t") + 600 * 1000000).alias("f"),
+    )
+    pm = with_grouped_prefix_max(
+        iv, ["user_id"], F.col("s"), ["s"], "f"
+    )
+    g = pm.select(
+        "user_id",
+        F.when(
+            F.col("_pmax").isNull() | (F.col("_pmax") >= F.col("s")), 0
+        )
+        .otherwise(F.col("s") - F.col("_pmax"))
+        .alias("gap_us"),
+        F.when(
+            F.col("_pmax").isNotNull() & (F.col("s") > F.col("_pmax")), 1
+        )
+        .otherwise(0)
+        .alias("is_gap"),
+    )
+    span = e.groupBy("user_id").agg(
+        (F.max("t") + 600 * 1000000 - F.min("t")).alias("span_us")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("is_gap").alias("n_gaps"),
+            F.sum("gap_us").alias("idle_us"),
+        )
+        .join(span, "user_id")
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("idle_us div 1000000").alias("idle_seconds"),
+            F.expr("span_us div 1000000").alias("span_seconds"),
+            F.expr(
+                "(span_us - idle_us) * 1000000 div span_us"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "reorder_point_brands",
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT p_brand, n AS n_demand_days,
+       round(CAST(s1 AS DOUBLE) / n * 1000000) / 1000000
+           AS mean_daily_qty,
+       round((7.0 * CAST(s1 AS DOUBLE) / n
+              + 2.0 * sqrt(7.0 * (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * (n - 1)))))
+             * 1000000) / 1000000 AS reorder_point_qty
+FROM m ORDER BY p_brand
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def reorder_point_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVENTORY REORDER POINT per brand — the safety-stock formula
+    (lead-time demand + 2 sigma of lead-time demand, 7-day lead time)
+    every replenishment planner runs over the demand history:
+    ROP = L*mean + z*sqrt(L*var) with z = 2. Demand moments come from
+    the (brand, ship-day) aggregate domain as exact int64 (Σq, Σq²,
+    n), so the published quantities are ONE fixed IEEE tree each (a
+    division, a sqrt, two multiplies, one add) — bit-identical
+    cross-engine before the 1e-6 grid. Variance uses the algebraic
+    (nΣq² - (Σq)²)/(n(n-1)) expansion — never a row-wise
+    float-adjusted column (the oracle-parity doctrine's Wilson/CUPED
+    pattern). Scale: one fact-table aggregation; the brand domain is
+    tiny at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+    )
+    m = daily.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+    rop = 7.0 * mean + 2.0 * F.sqrt(7.0 * var)
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_demand_days"),
+        (F.round(mean * 1000000) / 1000000).alias("mean_daily_qty"),
+        (F.round(rop * 1000000) / 1000000).alias("reorder_point_qty"),
+    ).orderBy("p_brand")
