@@ -613,3 +613,125 @@ def test_qq_deciles_brute_sorted_lists(spark):
         assert r.building_cents == decs["BUILDING"][r.decile]
         assert r.machinery_cents == decs["MACHINERY"][r.decile]
         assert r.gap_cents == r.building_cents - r.machinery_cents
+
+
+# ---------------------------------------------------------------------------
+# Multi-lag ACF: Pearson over calendar-aligned daily pairs, plain Python
+# ---------------------------------------------------------------------------
+
+
+def test_acf_multi_lag_brute_pearson(spark):
+    """Re-derive the lag-1/7/14 autocorrelations from dict-of-days
+    Python: calendar alignment (day-index minus lag must EXIST as a
+    key — not a row offset), exact int64 cent moments, one float
+    division at the end."""
+    import math
+
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in _run(spark, "acf_multi_lag_daily").itertuples()
+    }
+    types = [t for (t,) in duckdb.sql(
+        f"SELECT DISTINCT event_type FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()]
+    assert set(et for et, _ in got) == set(types)
+    for et in types:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        idx = {d.toordinal(): v for d, v in daily.items()}
+        for lag in (1, 7, 14):
+            pairs = [
+                (idx[x], idx[x - lag]) for x in idx if (x - lag) in idx
+            ]
+            n = len(pairs)
+            sa = sum(a for a, _ in pairs)
+            sb = sum(b for _, b in pairs)
+            sab = sum(a * b for a, b in pairs)
+            saa = sum(a * a for a, _ in pairs)
+            sbb = sum(b * b for _, b in pairs)
+            acf = (n * sab - sa * sb) / (
+                math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+            )
+            ref = int(acf * 1000000 + (0.5 if acf >= 0 else -0.5)) / 1000000
+            np_, acf_got = got[(et, lag)]
+            assert np_ == n, (et, lag)
+            assert acf_got == ref, (et, lag)
+
+
+# ---------------------------------------------------------------------------
+# Idle gaps: brute-force sorted interval merge per user
+# ---------------------------------------------------------------------------
+
+
+def test_idle_gaps_brute_interval_merge(spark):
+    """Sort each user's 10-minute activity intervals and walk them
+    with a running max-end — count every strictly positive gap and
+    sum its microseconds; coverage_ppm is an int64 floor division."""
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    per: dict = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    got = {
+        r.user_id: (
+            r.n_gaps, r.idle_seconds, r.span_seconds, r.coverage_ppm
+        )
+        for r in _run(spark, "idle_gap_analysis_users").itertuples()
+    }
+    assert set(got) == set(per)
+    W = 600 * 1000000
+    for u, ts in per.items():
+        ts.sort()
+        n_gaps = idle = 0
+        end = None
+        for t in ts:
+            if end is not None and t > end:
+                n_gaps += 1
+                idle += t - end
+            end = t + W if end is None else max(end, t + W)
+        span = ts[-1] + W - ts[0]
+        ref = (n_gaps, idle // 1000000, span // 1000000,
+               (span - idle) * 1000000 // span)
+        assert got[u] == ref, u
+
+
+# ---------------------------------------------------------------------------
+# Reorder point: brute moments per brand
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_point_brute_moments(spark):
+    import math
+
+    part_brand = dict(duckdb.sql(
+        f"SELECT p_partkey, p_brand FROM read_parquet('{SF}/part.parquet')"
+    ).fetchall())
+    rows = duckdb.sql(
+        f"SELECT l_partkey, CAST(l_shipdate AS DATE), l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    daily: Counter = Counter()
+    for pk, d, q in rows:
+        daily[(part_brand[pk], d)] += int(q + 0.5)
+    per: dict = defaultdict(list)
+    for (b, _), q in daily.items():
+        per[b].append(q)
+    got = {
+        r.p_brand: (r.n_demand_days, r.mean_daily_qty,
+                    r.reorder_point_qty)
+        for r in _run(spark, "reorder_point_brands").itertuples()
+    }
+    assert set(got) == set(per)
+    for b, qs in per.items():
+        n, s1, s2 = len(qs), sum(qs), sum(q * q for q in qs)
+        mean = s1 / n
+        var = (n * s2 - s1 * s1) / (n * (n - 1))
+        rop = 7.0 * mean + 2.0 * math.sqrt(7.0 * var)
+
+        def r6(x):
+            return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+        assert got[b] == (n, r6(mean), r6(rop)), b
