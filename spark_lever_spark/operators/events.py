@@ -3269,3 +3269,87 @@ def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("change_day"),
         F.col("au").alias("k_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "dau_wau_mau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+  FROM events
+),
+spine AS (SELECT DISTINCT x FROM ud),
+mau AS (
+  SELECT t.x, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM spine t JOIN ud u ON u.x BETWEEN t.x - 27 AND t.x
+  GROUP BY t.x
+),
+wau AS (
+  SELECT t.x, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM spine t JOIN ud u ON u.x BETWEEN t.x - 6 AND t.x
+  GROUP BY t.x
+),
+dau AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY x
+)
+SELECT CAST(DATE '1970-01-01' + INTERVAL (d.x) DAY AS TIMESTAMP) AS day,
+       d.dau, w.wau, m.mau,
+       d.dau * 1000000 // m.mau AS stickiness_ppm
+FROM dau d JOIN wau w ON w.x = d.x JOIN mau m ON m.x = d.x
+ORDER BY day
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DAU / WAU / MAU and the DAU/MAU 'stickiness' ratio per
+    observed day — the growth-team headline that
+    running_distinct_users_daily (cumulative distinct) and
+    sketch_rolling_distinct_3d (approximate 3-day HLL) bracket but
+    never state exactly. Each distinct (user, day) activity pair is
+    FANNED OUT to the ≤28 report days it supports (explode of a
+    28-element literal range — a bounded map-side multiplier, NOT a
+    range join: no broadcast-nested-loop appears at any SF), then one
+    distinct-aggregate per horizon; the three horizons reuse the SAME
+    fanned frame with conditional distincts. Report days are
+    restricted to days that actually occur (inner join to the
+    user-day spine). Stickiness is an exact int64 ppm ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k"),
+    ).select(
+        "user_id",
+        F.col("x").alias("src_x"),
+        (F.col("x") + F.col("k")).alias("x"),
+        F.col("k"),
+    )
+    per_day = fan.groupBy("x").agg(
+        F.count_distinct(
+            F.when(F.col("k") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("k") <= 6, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    spine = ud.select("x").distinct()
+    return (
+        per_day.join(spine, "x")
+        .select(
+            F.timestamp_seconds(F.col("x") * 86400).alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -4976,3 +4976,91 @@ def t_closeness_ordered_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "hhi_concentration_monthly",
+    oracle="""
+WITH per_nation AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS yyyymm,
+         n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT yyyymm, n_name, rev,
+         rev * 1000000 // SUM(rev) OVER (PARTITION BY yyyymm) AS share_ppm
+  FROM per_nation
+)
+SELECT yyyymm,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+       CAST(1000000000 // (SUM(share_ppm * share_ppm) // 1000000)
+            AS BIGINT) AS effective_n_milli
+FROM shares GROUP BY yyyymm ORDER BY yyyymm
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def hhi_concentration_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN INDEX of monthly revenue across nations —
+    the antitrust-style concentration measure that complements
+    gini_customer_revenue (inequality) and
+    monthly_concentration_top_decile (top-slice share): HHI = Σ s_i²
+    over per-nation revenue shares, plus its reciprocal (the
+    'effective number of nations', in millis). Shares are FLOOR-
+    DIVIDED to int64 ppm BEFORE squaring so every term stays exact
+    int64 (share_ppm ≤ 1e6 → square ≤ 1e12 → a 25-nation sum is
+    ~1e13, no overflow at ANY fact-table scale — the squares live on
+    the ppm grid, never on raw cent totals whose squares would
+    overflow at 100 TB). Orders↔customer meet on the shuffled custkey
+    equi-join (customer is fact-sized at 100 TB — never broadcast);
+    only the 25-row nation table is broadcast. One aggregation to the
+    (month, nation) domain, one tiny window over ≤25 rows per month."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("yyyymm"),
+            "n_name",
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+    shares = per_nation.withColumn(
+        "share_ppm", F.expr("rev * 1000000 div sum(rev) over "
+                            "(partition by yyyymm)")
+    )
+    return (
+        shares.groupBy("yyyymm")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("rev").alias("total_rev_cents"),
+            F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("ss"),
+        )
+        .select(
+            "yyyymm",
+            "n_nations",
+            "total_rev_cents",
+            F.expr("ss div 1000000").alias("hhi_ppm"),
+            F.expr("1000000000 div (ss div 1000000)").alias(
+                "effective_n_milli"
+            ),
+        )
+        .orderBy("yyyymm")
+    )

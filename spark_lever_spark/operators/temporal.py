@@ -3343,3 +3343,84 @@ def reorder_point_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mean * 1000000) / 1000000).alias("mean_daily_qty"),
         (F.round(rop * 1000000) / 1000000).alias("reorder_point_qty"),
     ).orderBy("p_brand")
+
+
+@register(
+    "stock_span_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+sp AS (
+  SELECT d.event_type, d.day, d.x, d.v, max(q.x) AS px
+  FROM daily d
+  LEFT JOIN daily q
+    ON q.event_type = d.event_type AND q.x < d.x AND q.v > d.v
+  GROUP BY 1, 2, 3, 4
+),
+mn AS (SELECT event_type, min(x) AS x0 FROM daily GROUP BY 1)
+SELECT sp.event_type, CAST(sp.day AS TIMESTAMP) AS day, sp.v AS value_cents,
+       CAST(CASE WHEN px IS NULL THEN sp.x - mn.x0 + 1
+                 ELSE sp.x - px END AS BIGINT) AS span_days
+FROM sp JOIN mn ON mn.event_type = sp.event_type
+ORDER BY sp.event_type, sp.day
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def stock_span_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCK SPAN per event type — for every day, how many
+    consecutive days (ending today) had daily value ≤ today's: the
+    classic momentum indicator, = today − (last PRECEDING day with a
+    STRICTLY HIGHER value), or the full distance to the series start
+    when no such day exists. The 'previous greater element' is found
+    with a theta self-join on the (type, day) AGGREGATE domain — that
+    domain is bounded by the CALENDAR (types × days), a constant
+    w.r.t. fact-table scale, so the quadratic join never grows with
+    SF; only the one groupBy that builds the daily series scans the
+    facts. All values exact int64 cents."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.sum(cents(F.col("value"))).alias("v")).withColumn(
+        "x",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long"),
+    )
+    q = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("v").alias("v2"),
+    )
+    sp = (
+        daily.join(
+            q,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("x2") < F.col("x"))
+            & (F.col("v2") > F.col("v")),
+            "left",
+        )
+        .groupBy("event_type", "day", "x", "v")
+        .agg(F.max("x2").alias("px"))
+    )
+    mn = daily.groupBy(F.col("event_type").alias("et3")).agg(
+        F.min("x").alias("x0")
+    )
+    return (
+        sp.join(F.broadcast(mn), sp.event_type == mn.et3)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("v").alias("value_cents"),
+            F.when(F.col("px").isNull(), F.col("x") - F.col("x0") + 1)
+            .otherwise(F.col("x") - F.col("px"))
+            .alias("span_days"),
+        )
+        .orderBy("event_type", "day")
+    )
