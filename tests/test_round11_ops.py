@@ -735,3 +735,97 @@ def test_reorder_point_brute_moments(spark):
             return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
 
         assert got[b] == (n, r6(mean), r6(rop)), b
+
+
+# ---------------------------------------------------------------------------
+# HHI: brute shares-ppm squares per month
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_brute_share_squares(spark):
+    rows = duckdb.sql(
+        f"""SELECT EXTRACT(year FROM o.o_orderdate) * 100
+                   + EXTRACT(month FROM o.o_orderdate),
+                  n.n_name, o.o_totalprice
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey"""
+    ).fetchall()
+    per: Counter = Counter()
+    for ym, nn, p in rows:
+        per[(int(ym), nn)] += _cents(p)
+    months: dict = defaultdict(dict)
+    for (ym, nn), rev in per.items():
+        months[ym][nn] = rev
+    got = {
+        r.yyyymm: (r.n_nations, r.total_rev_cents, r.hhi_ppm,
+                   r.effective_n_milli)
+        for r in _run(spark, "hhi_concentration_monthly").itertuples()
+    }
+    assert set(got) == set(months)
+    for ym, d in months.items():
+        tot = sum(d.values())
+        ss = sum((rev * 1000000 // tot) ** 2 for rev in d.values())
+        hhi = ss // 1000000
+        assert got[ym] == (len(d), tot, hhi, 1000000000 // hhi), ym
+
+
+# ---------------------------------------------------------------------------
+# Stock span: backwards scan per day
+# ---------------------------------------------------------------------------
+
+
+def test_stock_span_brute_backwards_scan(spark):
+    got = {
+        (r.event_type, r.day.date()): (r.value_cents, r.span_days)
+        for r in _run(spark, "stock_span_daily_value").itertuples()
+    }
+    types = {et for et, _ in got}
+    for et in types:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        days = sorted(daily)
+        for i, d in enumerate(days):
+            span = 1
+            j = i - 1
+            while j >= 0 and daily[days[j]] <= daily[d]:
+                # span counts CALENDAR days back to the previous
+                # strictly-greater day, not just observed days
+                j -= 1
+            if j < 0:
+                span = (days[i] - days[0]).days + 1
+            else:
+                span = (days[i] - days[j]).days
+            assert got[(et, d)] == (daily[d], span), (et, d)
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU/MAU: brute sets per day
+# ---------------------------------------------------------------------------
+
+
+def test_dau_wau_mau_brute_sets(spark):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    by_day: dict = defaultdict(set)
+    for u, d in rows:
+        by_day[d.toordinal()].add(u)
+    got = {
+        r.day.date().toordinal(): (r.dau, r.wau, r.mau, r.stickiness_ppm)
+        for r in _run(spark, "dau_wau_mau_stickiness").itertuples()
+    }
+    assert set(got) == set(by_day)
+    for x in by_day:
+        dau = len(by_day[x])
+        wau = len(set().union(
+            *(by_day.get(y, set()) for y in range(x - 6, x + 1))
+        ))
+        mau = len(set().union(
+            *(by_day.get(y, set()) for y in range(x - 27, x + 1))
+        ))
+        assert got[x] == (dau, wau, mau, dau * 1000000 // mau), x
