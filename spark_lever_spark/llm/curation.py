@@ -1598,3 +1598,81 @@ def epoch_sample_overlap_audit(
         "n_both",
         F.expr("n_both * 1000000 div n_ep1").alias("overlap_ppm"),
     )
+
+
+@register(
+    "target_encode_mktsegment",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS target
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(target) AS BIGINT) AS s
+  FROM joined GROUP BY segment
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+  FROM g
+)
+SELECT g.segment, g.n AS n_orders,
+       round(CAST(g.s AS DOUBLE) / g.n * 1000000) / 1000000
+           AS raw_mean_cents,
+       round((CAST(g.s AS DOUBLE)
+              + 100.0 * (CAST(tot.ss AS DOUBLE) / tot.nn))
+             / (g.n + 100) * 1000000) / 1000000 AS encoded_cents,
+       g.n * 1000000 // (g.n + 100) AS shrink_ppm
+FROM g CROSS JOIN tot ORDER BY g.segment
+""",
+    category="llm_curation",
+    tags=("defer-window",),
+)
+def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED TARGET ENCODING (m-estimate, m=100) of the customer
+    market segment against order value — the feature-engineering
+    primitive every tabular-ML training pipeline applies to
+    high-cardinality categoricals before gradient boosting:
+    enc(seg) = (Σ target + m·global_mean) / (n + m), shrinking rare
+    categories toward the prior. Computed from exact int64 cent sums
+    via a FIXED-SHAPE IEEE tree (global mean = one division of two
+    exact int64s; one multiply; one add of two known-order doubles;
+    one final division) — deliberately NOT the int64 cross-product
+    form (S_seg·N overflows int64 at 100 TB); this shape is
+    bit-identical cross-engine at any SF. The category aggregate
+    (5 segments) is the only thing that leaves the fact scan; the
+    global prior joins back as a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss")
+    )
+    mu = F.col("ss").cast("double") / F.col("nn")
+    enc = (F.col("s").cast("double") + 100.0 * mu) / (F.col("n") + 100)
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("n").alias("n_orders"),
+            (
+                F.round(F.col("s").cast("double") / F.col("n") * 1000000)
+                / 1000000
+            ).alias("raw_mean_cents"),
+            (F.round(enc * 1000000) / 1000000).alias("encoded_cents"),
+            F.expr("n * 1000000 div (n + 100)").alias("shrink_ppm"),
+        )
+        .orderBy("segment")
+    )

@@ -3424,3 +3424,216 @@ def stock_span_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "price_elasticity_arc_brand",
+    oracle="""
+WITH monthly AS (
+  SELECT p.p_brand,
+         CAST(EXTRACT(year FROM l.l_shipdate) * 12
+              + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS m,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT a.p_brand,
+       (b.m - 1) // 12 * 100 + (b.m - 1) % 12 + 1 AS yyyymm,
+       a.q AS qty_prev, b.q AS qty_cur,
+       CASE WHEN b.r * a.q - a.r * b.q = 0 THEN NULL
+            ELSE round(
+              CAST(b.q - a.q AS DOUBLE)
+              * CAST(a.r * b.q + b.r * a.q AS DOUBLE)
+              / (CAST(a.q + b.q AS DOUBLE)
+                 * CAST(b.r * a.q - a.r * b.q AS DOUBLE))
+              * 1000000) / 1000000 + 0.0
+       END AS arc_elasticity
+FROM monthly a JOIN monthly b
+  ON b.p_brand = a.p_brand AND b.m = a.m + 1
+ORDER BY a.p_brand, yyyymm
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def price_elasticity_arc_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC PRICE ELASTICITY of demand per brand, month over month —
+    the midpoint-formula elasticity (%Δqty / %Δprice, both against
+    the period average) a pricing team reads before repricing. With
+    p_i = r_i/q_i the algebra collapses to pure int64 cross-products:
+    E = (q2−q1)(r1·q2 + r2·q1) / ((q1+q2)(r2·q1 − r1·q2)) — each
+    product stays exact int64 (r~cents × q~units), the two factors
+    are cast to double and combined in ONE fixed IEEE tree (two
+    multiplies, one division), NULL when the average price did not
+    move. Consecutive months meet through a calendar equi-join on a
+    linear month index (year·12+month — no yyyymm rollover bugs);
+    the joined domain is the (brand, month) aggregate, never facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            (
+                F.year(F.to_date("l_shipdate")) * 12
+                + F.month(F.to_date("l_shipdate"))
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("r"),
+        )
+    )
+    a = monthly.select(
+        "p_brand",
+        F.col("m").alias("ma"),
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+    )
+    b = monthly.select(
+        F.col("p_brand").alias("pb2"),
+        F.col("m").alias("mb"),
+        F.col("q").alias("q2"),
+        F.col("r").alias("r2"),
+    )
+    num = (F.col("q2") - F.col("q1")).cast("double") * (
+        F.col("r1") * F.col("q2") + F.col("r2") * F.col("q1")
+    ).cast("double")
+    den = (F.col("q1") + F.col("q2")).cast("double") * (
+        F.col("r2") * F.col("q1") - F.col("r1") * F.col("q2")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("pb2") == F.col("p_brand"))
+            & (F.col("mb") == F.col("ma") + 1),
+        )
+        .select(
+            "p_brand",
+            (
+                F.expr("(mb - 1) div 12") * 100
+                + (F.col("mb") - 1) % 12
+                + 1
+            ).alias("yyyymm"),
+            F.col("q1").alias("qty_prev"),
+            F.col("q2").alias("qty_cur"),
+            F.when(
+                F.col("r2") * F.col("q1") - F.col("r1") * F.col("q2")
+                == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round(num / den * 1000000) / 1000000 + 0.0)
+            .alias("arc_elasticity"),
+        )
+        .orderBy("p_brand", "yyyymm")
+    )
+
+
+@register(
+    "demand_pattern_sbc_brands",
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS span
+  FROM daily GROUP BY 1
+)
+SELECT p_brand, n AS n_demand_days,
+       round(CAST(span AS DOUBLE) / (n - 1) * 1000000) / 1000000 AS adi,
+       round(CAST(n * (n * s2 - s1 * s1) AS DOUBLE)
+             / CAST((n - 1) * s1 * s1 AS DOUBLE)
+             * 1000000) / 1000000 AS cv2,
+       CASE WHEN 100 * span < 132 * (n - 1) THEN
+              CASE WHEN 100 * n * (n * s2 - s1 * s1)
+                        < 49 * (n - 1) * s1 * s1
+                   THEN 'smooth' ELSE 'erratic' END
+            ELSE
+              CASE WHEN 100 * n * (n * s2 - s1 * s1)
+                        < 49 * (n - 1) * s1 * s1
+                   THEN 'intermittent' ELSE 'lumpy' END
+       END AS pattern
+FROM m WHERE n >= 2 ORDER BY p_brand
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def demand_pattern_sbc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTETOS–BOYLAN demand-pattern classification per brand — the
+    forecasting-method router (smooth / erratic / intermittent /
+    lumpy) that decides whether reorder_point_brands' normal
+    approximation is even admissible: ADI (mean inter-demand
+    interval, span/(n−1)) against the 1.32 cutoff and CV² of demand
+    sizes against 0.49. BOTH cutoffs are evaluated as EXACT INT64
+    cross-multiplication predicates (100·span < 132·(n−1);
+    100·n·(nΣq²−S²) < 49·(n−1)·S²) so the class label never depends
+    on float rounding — the published adi/cv2 columns are one fixed
+    IEEE division each, for display only. One fact aggregation to
+    (brand, day); the brand domain is a query constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+    )
+    m = daily.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    cv2_smooth = (
+        100 * F.col("n") * var_num
+        < 49 * (F.col("n") - 1) * F.col("s1") * F.col("s1")
+    )
+    adi_smooth = 100 * F.col("span") < 132 * (F.col("n") - 1)
+    return (
+        m.where(F.col("n") >= 2)
+        .select(
+            "p_brand",
+            F.col("n").alias("n_demand_days"),
+            (
+                F.round(
+                    F.col("span").cast("double") / (F.col("n") - 1) * 1000000
+                )
+                / 1000000
+            ).alias("adi"),
+            (
+                F.round(
+                    (F.col("n") * var_num).cast("double")
+                    / ((F.col("n") - 1) * F.col("s1") * F.col("s1")).cast(
+                        "double"
+                    )
+                    * 1000000
+                )
+                / 1000000
+            ).alias("cv2"),
+            F.when(
+                adi_smooth,
+                F.when(cv2_smooth, F.lit("smooth")).otherwise(
+                    F.lit("erratic")
+                ),
+            )
+            .otherwise(
+                F.when(cv2_smooth, F.lit("intermittent")).otherwise(
+                    F.lit("lumpy")
+                )
+            )
+            .alias("pattern"),
+        )
+        .orderBy("p_brand")
+    )
