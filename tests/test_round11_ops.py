@@ -829,3 +829,130 @@ def test_dau_wau_mau_brute_sets(spark):
             *(by_day.get(y, set()) for y in range(x - 27, x + 1))
         ))
         assert got[x] == (dau, wau, mau, dau * 1000000 // mau), x
+
+
+# ---------------------------------------------------------------------------
+# Target encoding: brute m-estimate, same IEEE shape
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_brute_m_estimate(spark):
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_totalprice
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    n: Counter = Counter()
+    s: Counter = Counter()
+    for seg, p in rows:
+        n[seg] += 1
+        s[seg] += _cents(p)
+    NN, SS = sum(n.values()), sum(s.values())
+    got = {
+        r.segment: (r.n_orders, r.raw_mean_cents, r.encoded_cents,
+                    r.shrink_ppm)
+        for r in _run(spark, "target_encode_mktsegment").itertuples()
+    }
+    assert set(got) == set(n)
+
+    def r6(x):
+        return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+    for seg in n:
+        enc = (s[seg] + 100.0 * (SS / NN)) / (n[seg] + 100)
+        assert got[seg] == (
+            n[seg], r6(s[seg] / n[seg]), r6(enc),
+            n[seg] * 1000000 // (n[seg] + 100),
+        ), seg
+
+
+# ---------------------------------------------------------------------------
+# Arc elasticity: midpoint formula straight from p_i = r_i / q_i
+# ---------------------------------------------------------------------------
+
+
+def test_arc_elasticity_brute_midpoint(spark):
+    """The operator uses the collapsed cross-product form; this
+    reference computes the TEXTBOOK midpoint formula with explicit
+    unit prices — they must agree to the 1e-6 grid wherever the
+    price moved (the collapse is exact algebra, but the float paths
+    differ, so compare with tolerance one grid step)."""
+    rows = duckdb.sql(
+        f"""SELECT p.p_brand,
+                  EXTRACT(year FROM l.l_shipdate) * 12
+                  + EXTRACT(month FROM l.l_shipdate),
+                  l.l_quantity, l.l_extendedprice
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/part.parquet') p
+          ON p.p_partkey = l.l_partkey"""
+    ).fetchall()
+    q: Counter = Counter()
+    r: Counter = Counter()
+    for b, m, qty, price in rows:
+        q[(b, int(m))] += int(qty + 0.5)
+        r[(b, int(m))] += _cents(price)
+    got = {
+        (row.p_brand, row.yyyymm): (
+            row.qty_prev, row.qty_cur, row.arc_elasticity
+        )
+        for row in _run(spark, "price_elasticity_arc_brand").itertuples()
+    }
+    n_checked = 0
+    for (b, m), q1 in q.items():
+        if (b, m + 1) not in q:
+            continue
+        q2, r1, r2 = q[(b, m + 1)], r[(b, m)], r[(b, m + 1)]
+        ym = (m + 1 - 1) // 12 * 100 + (m + 1 - 1) % 12 + 1
+        qp, qc, el = got[(b, ym)]
+        assert (qp, qc) == (q1, q2)
+        p1, p2 = r1 / q1, r2 / q2
+        if p2 == p1:
+            assert el is None or el != el  # NULL/NaN
+        else:
+            ref = ((q2 - q1) / ((q1 + q2) / 2)) / ((p2 - p1) / ((p1 + p2) / 2))
+            assert abs(el - ref) <= 2e-6, (b, ym, el, ref)
+            n_checked += 1
+    assert n_checked > 0
+
+
+# ---------------------------------------------------------------------------
+# SBC quadrants: brute ADI / CV^2 with float comparisons
+# ---------------------------------------------------------------------------
+
+
+def test_sbc_pattern_brute_quadrants(spark):
+    part_brand = dict(duckdb.sql(
+        f"SELECT p_partkey, p_brand FROM read_parquet('{SF}/part.parquet')"
+    ).fetchall())
+    rows = duckdb.sql(
+        f"SELECT l_partkey, CAST(l_shipdate AS DATE), l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    daily: Counter = Counter()
+    for pk, d, qty in rows:
+        daily[(part_brand[pk], d)] += int(qty + 0.5)
+    per: dict = defaultdict(dict)
+    for (b, d), qty in daily.items():
+        per[b][d] = qty
+    got = {
+        r.p_brand: (r.n_demand_days, r.pattern)
+        for r in _run(spark, "demand_pattern_sbc_brands").itertuples()
+    }
+    from fractions import Fraction
+
+    for b, dd in per.items():
+        if len(dd) < 2:
+            assert b not in got
+            continue
+        n = len(dd)
+        qs = list(dd.values())
+        s1, s2 = sum(qs), sum(x * x for x in qs)
+        span = (max(dd) - min(dd)).days
+        adi = Fraction(span, n - 1)
+        cv2 = Fraction(n * (n * s2 - s1 * s1), (n - 1) * s1 * s1)
+        smooth_a = adi < Fraction(132, 100)
+        smooth_c = cv2 < Fraction(49, 100)
+        ref = ("smooth" if smooth_c else "erratic") if smooth_a else (
+            "intermittent" if smooth_c else "lumpy")
+        assert got[b] == (n, ref), b
