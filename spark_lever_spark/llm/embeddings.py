@@ -1082,3 +1082,156 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+sub AS (
+  SELECT vec_id, j, qv[j * 16 + 1 : j * 16 + 16] AS sv
+  FROM q, (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+cb AS (
+  SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 8
+),
+dists AS (
+  SELECT s.vec_id, s.j, c.cid,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                   * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+              AS BIGINT) AS d
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc_lut AS (
+  SELECT j, cid, d FROM dists WHERE vec_id = 0
+),
+adc AS (
+  SELECT codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc_dist_sq
+  FROM codes JOIN adc_lut lut
+    ON lut.j = codes.j AND lut.cid = codes.code
+  GROUP BY 1
+),
+tru AS (
+  SELECT a.vec_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])
+                   * (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])))
+              AS BIGINT) AS true_dist_sq
+  FROM q a JOIN q b ON b.vec_id = 0
+)
+SELECT * FROM (
+  SELECT adc.vec_id,
+         CAST(row_number() OVER (ORDER BY adc.adc_dist_sq, adc.vec_id)
+              AS BIGINT) AS rnk,
+         adc.adc_dist_sq, tru.true_dist_sq
+  FROM adc JOIN tru ON tru.vec_id = adc.vec_id
+  WHERE adc.vec_id <> 0
+) WHERE rnk <= 20 ORDER BY rnk
+""",
+    category="llm_similarity",
+    tags=("defer-window",),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with ASYMMETRIC DISTANCE COMPUTATION
+    (Jégou et al., PAMI 2011) — the remaining classic ANN family next
+    to the repo's IVF (ann_ivf), hyperplane-LSH, JL projection and
+    flat int8 scan: each 64-dim vector is split into m=4 subspaces of
+    16 dims, each subspace is coded to its nearest of 8 fixed
+    sub-centroids (the lowest-8 vec_ids' subvectors — deterministic,
+    shared int8 grid), and the query's distance to EVERY database
+    vector collapses to 4 lookups in a 4x8 LUT of exact int64
+    subspace distances + a 4-term sum. The LUT is a 32-row broadcast;
+    encoding is a map-side argmin against a broadcast 8x4 codebook —
+    at 100 TB the codes table is 16x smaller than int8 (4 codes/vec),
+    the scan never touches raw vectors, and no shuffle exceeds the
+    vec-keyed aggregate. Top-20 by ADC distance with vec_id
+    tie-break; the exact int8 distance rides along to expose the PQ
+    approximation error. Reference parity: trueyao/spark-lever has no
+    PQ — this extends the ANN coverage Spark-first."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    sub = q.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+        F.col("qv"),
+    ).select(
+        "vec_id",
+        "j",
+        F.expr("slice(qv, j * 16 + 1, 16)").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("j").alias("cj"),
+        F.col("sv").alias("cv"),
+    )
+
+    def sq_l2(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    dists = sub.join(F.broadcast(cb), F.col("cj") == F.col("j")).select(
+        "vec_id", "j", "cid", sq_l2("sv", "cv").alias("d")
+    )
+    codes = (
+        dists.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "j", F.col("m.cid").alias("code"))
+    )
+    lut = dists.filter(F.col("vec_id") == 0).select(
+        F.col("j").alias("lj"), F.col("cid").alias("lcid"), "d"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("lj") == F.col("j")) & (F.col("lcid") == F.col("code")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_dist_sq"))
+    )
+    qv0 = q.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qv0")
+    )
+    tru = q.join(F.broadcast(qv0)).select(
+        F.col("vec_id").alias("tv"), sq_l2("qv", "qv0").alias("true_dist_sq")
+    )
+    # TakeOrderedAndProject bounds the global sort to 20 rows per
+    # partition + a 20-row driver merge; the row_number window then
+    # only ever sees those 20 rows (never a full single-partition
+    # sort of the corpus).
+    top = (
+        adc.filter(F.col("vec_id") != 0)
+        .orderBy("adc_dist_sq", "vec_id")
+        .limit(20)
+    )
+    w = Window.orderBy("adc_dist_sq", "vec_id")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .join(tru, F.col("tv") == F.col("vec_id"))
+        .select("vec_id", "rnk", "adc_dist_sq", "true_dist_sq")
+        .orderBy("rnk")
+    )

@@ -1589,3 +1589,113 @@ def dbscan_box_clusters_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "edge_triangle_support_copurchase",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+sup AS (
+  SELECT pa, pb, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a AS pa, b AS pb FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri
+  ) GROUP BY 1, 2
+)
+SELECT e.pa, e.pb,
+       COALESCE(sup.support, 0) AS support,
+       COALESCE(sup.support, 0) = 0 AS is_local_bridge
+FROM e LEFT JOIN sup ON sup.pa = e.pa AND sup.pb = e.pb
+ORDER BY e.pa, e.pb
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def edge_triangle_support_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EDGE TRIANGLE SUPPORT over the co-purchase graph — per-edge
+    triangle membership counts, the quantity k-truss decomposition
+    peels on and the classic 'local bridge' detector (support 0 =
+    an edge whose endpoints share NO common neighbor — removing it
+    lengthens every path between its sides; Granovetter's weak
+    ties). Reuses triangle_count_copurchase's canonical edge set
+    (pa < pb, >= 2 co-orders) and its compact-forward enumeration
+    — cost Σ deg², pure hash equi-joins — then EXPLODES each
+    triangle back to its 3 canonical edges and counts per edge; the
+    unmatched LEFT side marks the bridges. Everything shuffles on
+    vertex/edge keys only; the triangle fan-out is 3x, a constant."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("pa"), F.col("b").alias("pb")),
+                F.struct(F.col("b").alias("pa"), F.col("c").alias("pb")),
+                F.struct(F.col("a").alias("pa"), F.col("c").alias("pb")),
+            )
+        ).alias("ed")
+    ).select("ed.pa", "ed.pb")
+    sup = edges3.groupBy("pa", "pb").agg(F.count("*").alias("support"))
+    return (
+        e.join(
+            sup.withColumnsRenamed({"pa": "spa", "pb": "spb"}),
+            (F.col("spa") == F.col("pa")) & (F.col("spb") == F.col("pb")),
+            "left",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            (F.coalesce(F.col("support"), F.lit(0)) == 0).alias(
+                "is_local_bridge"
+            ),
+        )
+        .orderBy("pa", "pb")
+    )

@@ -3637,3 +3637,88 @@ def demand_pattern_sbc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "bollinger_breakout_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, day, v,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(v) OVER win AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER win AS BIGINT) AS q
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY x
+                 RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, v AS value_cents,
+       n AS n_window,
+       round(CAST(s AS DOUBLE) / n * 1000000) / 1000000 AS mean_cents,
+       n * v > s AND (n * v - s) * (n * v - s) * (n - 1)
+           > 4 * n * (n * q - s * s) AS breakout_hi,
+       n * v < s AND (n * v - s) * (n * v - s) * (n - 1)
+           > 4 * n * (n * q - s * s) AS breakout_lo
+FROM w ORDER BY event_type, day
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def bollinger_breakout_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER-BAND BREAKOUTS per event type — days whose value
+    leaves the trailing-14-day mean ± 2σ envelope, the mean-reversion
+    /momentum signal xmr_control_chart_daily states for GLOBAL
+    control limits but never for a trailing window. The band test is
+    an EXACT INT64 predicate: |x−μ| > 2σ  ⟺  (n·x−S)²·(n−1) >
+    4·n·(nΣx²−S²), with the direction split by the sign of n·x−S —
+    no float ever decides a flag (the published mean is one IEEE
+    division, display-only). The trailing frame is a CALENDAR RANGE
+    window on the day index (13 PRECEDING) over the (type, day)
+    aggregate domain — partitioned by type, so state per task is
+    bounded by the calendar, and a day-1 window of n=1 collapses the
+    predicate to 0>0 = false in both engines."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.sum(cents(F.col("value"))).alias("v")).withColumn(
+        "x",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-13, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.count("*").over(win).alias("n"),
+        F.sum("v").over(win).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(win).alias("q"),
+    )
+    dev = F.col("n") * F.col("v") - F.col("s")
+    wide = dev * dev * (F.col("n") - 1) > 4 * F.col("n") * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return w.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("v").alias("value_cents"),
+        F.col("n").alias("n_window"),
+        (
+            F.round(F.col("s").cast("double") / F.col("n") * 1000000)
+            / 1000000
+        ).alias("mean_cents"),
+        ((dev > 0) & wide).alias("breakout_hi"),
+        ((dev < 0) & wide).alias("breakout_lo"),
+    ).orderBy("event_type", "day")
