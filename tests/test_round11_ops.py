@@ -956,3 +956,107 @@ def test_sbc_pattern_brute_quadrants(spark):
         ref = ("smooth" if smooth_c else "erratic") if smooth_a else (
             "intermittent" if smooth_c else "lumpy")
         assert got[b] == (n, ref), b
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC: pure-Python codebook/LUT pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_brute_lut_pipeline(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    s = max(max(abs(v) for v in vec) for _, vec in rows) / 127.0
+    q = {vid: [math.floor(v / s + 0.5) for v in vec] for vid, vec in rows}
+
+    def sub(vid, j):
+        return q[vid][j * 16:(j + 1) * 16]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    codes = {}
+    for vid in q:
+        codes[vid] = tuple(
+            min(range(8), key=lambda c: (d2(sub(vid, j), sub(c, j)), c))
+            for j in range(4)
+        )
+    lut = {(j, c): d2(sub(0, j), sub(c, j))
+           for j in range(4) for c in range(8)}
+    adc = {
+        vid: sum(lut[(j, codes[vid][j])] for j in range(4))
+        for vid in q if vid != 0
+    }
+    ref = sorted(adc, key=lambda v: (adc[v], v))[:20]
+    got = _run(spark, "ann_pq_adc_topk")
+    assert list(got.vec_id) == ref
+    for r in got.itertuples():
+        assert r.adc_dist_sq == adc[r.vec_id]
+        assert r.true_dist_sq == d2(q[r.vec_id], q[0])
+        assert r.rnk == ref.index(r.vec_id) + 1
+
+
+# ---------------------------------------------------------------------------
+# Triangle support: |N(a) ∩ N(b)| set intersection (different algorithm)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_support_brute_common_neighbors(spark):
+    rows = duckdb.sql(
+        f"""WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM read_parquet('{SF}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ).fetchall()
+    adj: dict = defaultdict(set)
+    for pa, pb in rows:
+        adj[pa].add(pb)
+        adj[pb].add(pa)
+    got = {
+        (r.pa, r.pb): (r.support, r.is_local_bridge)
+        for r in _run(
+            spark, "edge_triangle_support_copurchase"
+        ).itertuples()
+    }
+    assert set(got) == {(pa, pb) for pa, pb in rows}
+    for pa, pb in rows:
+        sup = len(adj[pa] & adj[pb])
+        assert got[(pa, pb)] == (sup, sup == 0), (pa, pb)
+
+
+# ---------------------------------------------------------------------------
+# Bollinger: trailing calendar window, exact-integer band predicate
+# ---------------------------------------------------------------------------
+
+
+def test_bollinger_brute_trailing_window(spark):
+    got = {
+        (r.event_type, r.day.date()): (
+            r.value_cents, r.n_window, r.mean_cents,
+            r.breakout_hi, r.breakout_lo,
+        )
+        for r in _run(spark, "bollinger_breakout_daily").itertuples()
+    }
+    types = {et for et, _ in got}
+    for et in types:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        for d, v in daily.items():
+            win = [daily[e] for e in daily if 0 <= (d - e).days <= 13]
+            n, s = len(win), sum(win)
+            qq = sum(x * x for x in win)
+            dev = n * v - s
+            wide = dev * dev * (n - 1) > 4 * n * (n * qq - s * s)
+            mean = s / n
+            r6 = int(mean * 1000000 + (0.5 if mean >= 0 else -0.5)) / 1000000
+            assert got[(et, d)] == (
+                v, n, r6, dev > 0 and wide, dev < 0 and wide
+            ), (et, d)
