@@ -41,6 +41,8 @@ GATES = {
     # 7.4M -> 3.7M candidate pairs; was 32.96 under fixed 8x4)
     "dbscan_box_clusters_errors": 7.45,  # v2.8 addition (round 11)
     "dedup_exact_md5": 0.34,
+    "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
+    "ann_pq_adc_topk": 1.7,  # v2.9 addition (round 11)
     "dedup_shingle_containment": 8.16,  # v2.7 addition (round 10)
     "dedup_paragraph_rebuild": 0.88,
     "dsir_importance_weights": 1.71,

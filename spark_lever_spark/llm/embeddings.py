@@ -1086,6 +1086,7 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_adc_topk",
+    bench=True,
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,

@@ -1593,6 +1593,7 @@ def dbscan_box_clusters_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "edge_triangle_support_copurchase",
+    bench=True,
     oracle="""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
