@@ -5064,3 +5064,325 @@ def hhi_concentration_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yyyymm")
     )
+
+
+@register(
+    "roc_auc_price_predicts_return",
+    oracle="""
+WITH lab AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+per_score AS (
+  SELECT score,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM lab GROUP BY score
+),
+cum AS (
+  SELECT score, cnt, np,
+         CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum_incl
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * (cum_incl - cnt) + cnt + 1)) AS BIGINT)
+             AS r1x2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       (r1x2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+           AS auc_ppm,
+       (r1x2 - n_pos * (n_pos + 1)) * 1000000 // (n_pos * n_neg)
+           - 1000000 AS gini_ppm
+FROM agg
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def roc_auc_price_predicts_return(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT ROC-AUC of 'order value predicts a return' — the
+    classifier-evaluation primitive (AUC = P(score⁺ > score⁻) +
+    ½P(tie), the Mann-Whitney identity) that mann_whitney_u_sources
+    states as a test statistic but never as the ranking metric ML
+    pipelines actually report. Tie-corrected via the doubled-midrank
+    idiom (2·midrank = 2·cum_before + cnt + 1 — integer ALWAYS, the
+    same trick spearman_rank_revenue_orders uses), so AUC and its
+    Gini twin (2·AUC−1) are EXACT int64 ppm ratios, no float
+    anywhere. The rank pass runs on the per-SCORE aggregate domain —
+    but cent prices are nearly unique per order, so that domain scales
+    WITH the fact table: the cumulative is therefore grank's binned
+    2-pass cumsum (with_grouped_cumsum, empty partition set), never a
+    single-task global window."""
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    per_score = lab.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("np")
+    )
+    cum = with_grouped_cumsum(
+        per_score, [], F.col("score"), ["score"], "cnt"
+    ).withColumnRenamed("_cum", "cum_incl")
+    agg = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+        F.sum(
+            F.col("np")
+            * (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("r1x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(r1x2 - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg)"
+        ).alias("auc_ppm"),
+        (
+            F.expr(
+                "(r1x2 - n_pos * (n_pos + 1)) * 1000000"
+                " div (n_pos * n_neg)"
+            )
+            - 1000000
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
+              AS BIGINT) AS cum,
+         CAST(SUM(rev) OVER () AS BIGINT) AS tot,
+         CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+              AS BIGINT) AS rk
+  FROM rev
+),
+cls AS (
+  SELECT rk, rev,
+         CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+              WHEN cum * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         tot
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents,
+       CAST(SUM(rev) * 1000000 // max(tot) AS BIGINT) AS share_ppm,
+       min(rk) AS first_rank, max(rk) AS last_rank
+FROM cls GROUP BY abc_class ORDER BY abc_class
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION of parts by revenue — the 80/95
+    cumulative-share cut every materials planner runs (A: parts
+    inside the first 80% of revenue, B: to 95%, C: the tail), the
+    per-item class assignment that pareto_concentration_customers
+    (fixed top-k share) and monthly_concentration_top_decile (fixed
+    top-decile) do not give. The descending cumulative revenue is
+    grank's BINNED 2-pass global cumsum over the per-part aggregate
+    — the part domain grows with SF, so no single-task global window
+    ever appears; class boundaries are exact integer
+    cross-multiplications (cum·5 ≤ tot·4, cum·20 ≤ tot·19) on int64
+    cents. Output is the 3-row class summary with exact rank spans."""
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev")
+    )
+    ranked = with_global_rank(
+        rev, -F.col("rev"), ["l_partkey"], value="rev"
+    )
+    cls = ranked.select(
+        F.col("_rk").alias("rk"),
+        "rev",
+        F.col("_s_tot").alias("tot"),
+        F.when(F.col("_cum") * 5 <= F.col("_s_tot") * 4, "A")
+        .when(F.col("_cum") * 20 <= F.col("_s_tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").alias("rev_cents"),
+            F.expr("sum(rev) * 1000000 div max(tot)").alias("share_ppm"),
+            F.min("rk").alias("first_rank"),
+            F.max("rk").alias("last_rank"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "mahalanobis_outliers_2d",
+    oracle="""
+WITH feat AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(round(o.o_totalprice / 100.0) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM feat GROUP BY 1
+),
+scored AS (
+  SELECT f.segment, f.o_orderkey, f.x, f.y, m.n,
+         CAST(m.n * f.x - m.sx AS DOUBLE) AS dx,
+         CAST(m.n * f.y - m.sy AS DOUBLE) AS dy,
+         CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS a,
+         CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS b,
+         CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) AS c
+  FROM feat f JOIN m ON m.segment = f.segment
+),
+md AS (
+  SELECT segment, o_orderkey, x, y, n,
+         dx * dx * b - 2 * dx * dy * c + dy * dy * a AS num,
+         n * (a * b - c * c) AS den
+  FROM scored
+),
+top AS (
+  SELECT segment, o_orderkey, x, y,
+         round(num * (n - 1) / den * 1000000) / 1000000 AS md2,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY num DESC, o_orderkey) AS rn
+  FROM md
+)
+SELECT segment, CAST(rn AS BIGINT) AS rnk, o_orderkey,
+       x AS total_dollars, y AS n_items, md2
+FROM top WHERE rn <= 3 ORDER BY segment, rnk
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE (2-D Mahalanobis) outliers per market segment —
+    the covariance-aware anomaly score that mad_outlier_order_values
+    cannot see: an order that is unremarkable in value AND in item
+    count but IMPOSSIBLE in their combination (high value, one item)
+    only shows up once the price-basket correlation is inverted.
+    With the 2x2 covariance inverted ANALYTICALLY, d² collapses to
+    (n−1)·(dx²·B − 2·dx·dy·C + dy²·A) / (n·(AB−C²)) over the exact
+    int64 moment complements A,B,C and per-row deviations dx,dy
+    (features are integer DOLLARS so every moment stays inside
+    int64 at sf0.1; the doubles enter only in ONE fixed-shape IEEE
+    tree, identical in both engines — the oracle-parity composed-
+    expression doctrine). Ranking uses the numerator only (the
+    denominator is constant per segment), ties to the orderkey.
+    Scale: one fact aggregation for moments (a 5-row broadcast),
+    one map-side score pass, and a per-segment top-3 window over
+    5 bounded groups."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    feat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / 100.0)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    m = feat.groupBy(F.col("segment").alias("mseg")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dx = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    a = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    b = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    cc = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    num = dx * dx * b - 2 * dx * dy * cc + dy * dy * a
+    den = F.col("n") * (a * b - cc * cc)
+    md = feat.join(F.broadcast(m), F.col("mseg") == F.col("segment")).select(
+        "segment",
+        "o_orderkey",
+        "x",
+        "y",
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("num").desc(), "o_orderkey"
+    )
+    return (
+        md.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "segment",
+            F.col("rn").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.col("x").alias("total_dollars"),
+            F.col("y").alias("n_items"),
+            (
+                F.round(
+                    F.col("num") * (F.col("n") - 1) / F.col("den") * 1000000
+                )
+                / 1000000
+            ).alias("md2"),
+        )
+        .orderBy("segment", "rnk")
+    )
