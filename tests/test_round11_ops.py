@@ -1060,3 +1060,115 @@ def test_bollinger_brute_trailing_window(spark):
             assert got[(et, d)] == (
                 v, n, r6, dev > 0 and wide, dev < 0 and wide
             ), (et, d)
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC: brute pairwise P(score+ > score-) + half-ties
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_brute_pairwise(spark):
+    """The operator uses the midrank identity; this reference counts
+    the O(n_pos * n_neg) pairs directly (wins + half-ties) — the
+    definitional probability AUC estimates."""
+    rows = duckdb.sql(
+        f"""SELECT o.o_orderkey, o.o_totalprice,
+                  max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    pos = sorted(_cents(p) for _, p, lab in rows if lab == 1)
+    neg = sorted(_cents(p) for _, p, lab in rows if lab == 0)
+    import bisect
+
+    wins2 = 0  # doubled so half-ties stay integer
+    for s in pos:
+        lo = bisect.bisect_left(neg, s)
+        hi = bisect.bisect_right(neg, s)
+        wins2 += 2 * lo + (hi - lo)
+    got = _run(spark, "roc_auc_price_predicts_return").iloc[0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    auc_ppm = wins2 * 1000000 // (2 * len(pos) * len(neg))
+    assert got.auc_ppm == auc_ppm
+    assert got.gini_ppm == wins2 * 1000000 // (len(pos) * len(neg)) - 1000000
+
+
+# ---------------------------------------------------------------------------
+# ABC: brute sort + cumulative cents
+# ---------------------------------------------------------------------------
+
+
+def test_abc_brute_cumulative_classes(spark):
+    rows = duckdb.sql(
+        f"SELECT l_partkey, l_extendedprice FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    rev: Counter = Counter()
+    for pk, p in rows:
+        rev[pk] += _cents(p)
+    order = sorted(rev, key=lambda k: (-rev[k], k))
+    tot = sum(rev.values())
+    cum = 0
+    cls: dict = defaultdict(lambda: [0, 0, None, None])  # n, rev, fr, lr
+    for rk, pk in enumerate(order, 1):
+        cum += rev[pk]
+        c = "A" if cum * 5 <= tot * 4 else (
+            "B" if cum * 20 <= tot * 19 else "C")
+        e = cls[c]
+        e[0] += 1
+        e[1] += rev[pk]
+        e[2] = e[2] or rk
+        e[3] = rk
+    got = _run(spark, "abc_classification_parts")
+    assert list(got.abc_class) == sorted(cls)
+    for r in got.itertuples():
+        n, rv, fr, lr = cls[r.abc_class]
+        assert (r.n_parts, r.rev_cents, r.share_ppm, r.first_rank,
+                r.last_rank) == (n, rv, rv * 1000000 // tot, fr, lr)
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis: numpy covariance-inverse reference
+# ---------------------------------------------------------------------------
+
+
+def test_mahalanobis_brute_numpy_inverse(spark):
+    """The operator inverts the 2x2 covariance analytically; this
+    reference builds the actual covariance matrix with numpy and
+    solves — agreement within 1e-6 relative pins the algebra, and
+    the chosen rows must be the true per-segment argmax set."""
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_orderkey,
+                  round(o.o_totalprice / 100.0), count(*)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{SF}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3"""
+    ).fetchall()
+    per: dict = defaultdict(list)
+    for seg, ok, x, y in rows:
+        per[seg].append((int(ok), int(x), int(y)))
+    got = defaultdict(list)
+    for r in _run(spark, "mahalanobis_outliers_2d").itertuples():
+        got[r.segment].append((r.rnk, r.o_orderkey, r.total_dollars,
+                               r.n_items, r.md2))
+    assert set(got) == set(per)
+    for seg, pts in per.items():
+        xy = np.array([(x, y) for _, x, y in pts], dtype=float)
+        cov = np.cov(xy.T, ddof=1)
+        inv = np.linalg.inv(cov)
+        mu = xy.mean(axis=0)
+        d = xy - mu
+        md2 = np.einsum("ij,jk,ik->i", d, inv, d)
+        keys = sorted(
+            range(len(pts)), key=lambda i: (-md2[i], pts[i][0])
+        )[:3]
+        for rank0, i in enumerate(keys):
+            rnk, ok, x, y, got_md2 = got[seg][rank0]
+            assert (rnk, ok, x, y) == (rank0 + 1, *pts[i][:3][:1],
+                                       pts[i][1], pts[i][2])
+            assert abs(got_md2 - md2[i]) <= 1e-6 * max(1.0, md2[i]), seg
