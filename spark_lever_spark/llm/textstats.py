@@ -1281,3 +1281,179 @@ def feature_hash_bow_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("signed_count"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "vocab_coverage_estimators_by_source",
+    oracle="""
+WITH wc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY source, w
+),
+m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS d,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+  FROM wc GROUP BY source
+)
+SELECT source, d AS vocab_size, n AS total_tokens, f1, f2,
+       round((d + CASE WHEN f2 > 0
+                       THEN CAST(f1 * f1 AS DOUBLE) / (2 * f2)
+                       ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2 END)
+             * 1000000) / 1000000 AS chao1_richness,
+       f1 * 1000000 // n AS unseen_mass_ppm,
+       round(CAST(rep2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             * 1000000) AS simpson_repeat_ppm
+FROM m ORDER BY source
+""",
+    category="llm_textstats",
+    tags=("defer-window",),
+)
+def vocab_coverage_estimators_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VOCABULARY COVERAGE ESTIMATORS per source — the capture-
+    recapture statistics a corpus curator reads to decide whether a
+    source is EXHAUSTED: Chao1 richness (how many types exist
+    including unseen ones, D + f1²/2f2, bias-corrected form when
+    f2 = 0), the Good–Turing unseen mass (P(next token is a NEW
+    type) = f1/N — exact int64 ppm), and the Simpson repeat rate
+    (P(two tokens coincide) = Σc(c−1)/N(N−1) — computed as ONE
+    double division of two exact int64s then scaled, never an
+    N-ary float sum, and never the overflow-prone Σc(c−1)·10⁶
+    integer product). Extends vocab_growth_by_source (observed
+    D/f1 ratios) with the INFERENTIAL estimators. One (source,
+    token) shuffle, one per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    m = wc.groupBy("source").agg(
+        F.count("*").alias("d"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep2"),
+    )
+    chao_extra = F.when(
+        F.col("f2") > 0,
+        (F.col("f1") * F.col("f1")).cast("double") / (2 * F.col("f2")),
+    ).otherwise((F.col("f1") * (F.col("f1") - 1)).cast("double") / 2)
+    return m.select(
+        "source",
+        F.col("d").alias("vocab_size"),
+        F.col("n").alias("total_tokens"),
+        "f1",
+        "f2",
+        (F.round((F.col("d") + chao_extra) * 1000000) / 1000000).alias(
+            "chao1_richness"
+        ),
+        F.expr("f1 * 1000000 div n").alias("unseen_mass_ppm"),
+        F.round(
+            F.col("rep2").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+            * 1000000
+        ).alias("simpson_repeat_ppm"),
+    ).orderBy("source")
+
+
+@register(
+    "token_burstiness_fano",
+    oracle="""
+WITH dc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+tw AS (
+  SELECT w,
+         CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dc GROUP BY w
+),
+scored AS (
+  SELECT w, t, df,
+         CAST(nd.d * s2 - t * t AS DOUBLE)
+             / CAST((nd.d - 1) * t AS DOUBLE) AS fano
+  FROM tw CROSS JOIN nd
+  WHERE t >= 50
+)
+SELECT CAST(row_number() OVER (ORDER BY fano DESC, w) AS BIGINT)
+           AS rnk,
+       w AS token, t AS total_count, df AS doc_freq,
+       round(fano * 1000000) / 1000000 AS fano_factor
+FROM scored
+ORDER BY fano DESC, w LIMIT 25
+""",
+    category="llm_textstats",
+    tags=("defer-window",),
+)
+def token_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN BURSTINESS via the FANO FACTOR — var/mean of a token's
+    per-document count INCLUDING the zero documents: Fano ≈ 1 means
+    the token arrives Poisson-like (function words), Fano >> 1 means
+    it BURSTS (topical content words cluster in few docs — Church &
+    Gale's burstiness, the signal behind tf saturation in BM25 and
+    boilerplate detection). With zeros folded in algebraically,
+    F = (D·Σc² − T²) / ((D−1)·T) — a ratio of two EXACT int64s, so
+    the ranking double is bit-identical cross-engine (one division),
+    and the zero-docs never materialize (the dense D×V matrix a
+    naive variance would build at 100 TB does not exist here). Top
+    25 via TakeOrdered (rank assigned after the 25-row cut in Spark;
+    the min-support filter T ≥ 50 keeps rare-token noise out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nd = docs.agg(F.count("*").alias("d"))
+    tw = dc.groupBy("w").agg(
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count("*").alias("df"),
+    )
+    scored = (
+        tw.join(F.broadcast(nd))
+        .filter(F.col("t") >= 50)
+        .select(
+            "w",
+            "t",
+            "df",
+            (
+                (F.col("d") * F.col("s2") - F.col("t") * F.col("t")).cast(
+                    "double"
+                )
+                / ((F.col("d") - 1) * F.col("t")).cast("double")
+            ).alias("fano"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("fano").desc(), "w").limit(25)
+    w25 = Window.orderBy(F.col("fano").desc(), "w")
+    return (
+        top.withColumn("rnk", F.row_number().over(w25).cast("long"))
+        .select(
+            "rnk",
+            F.col("w").alias("token"),
+            F.col("t").alias("total_count"),
+            F.col("df").alias("doc_freq"),
+            (F.round(F.col("fano") * 1000000) / 1000000).alias(
+                "fano_factor"
+            ),
+        )
+        .orderBy("rnk")
+    )

@@ -5386,3 +5386,158 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "rnk")
     )
+
+
+# Poisson(1) CDF thresholds on the 2^40 md5-hash grid: a draw h in
+# [0, 2^40) maps to the bootstrap weight k = #{t in _POIS_T : h >= t}
+# (inverse-CDF by integer comparison — no float ever touches the
+# draw). Tail mass beyond w=8 (~1e-8) collapses into w=8.
+_POIS_T = [
+    404487723187,
+    808975446375,
+    1011219307969,
+    1078633928500,
+    1095487583633,
+    1098858314660,
+    1099420103164,
+    1099500358665,
+]
+
+
+@register(
+    "poisson_bootstrap_ci_priority",
+    oracle="""
+WITH draws AS (
+  SELECT o.o_orderpriority AS priority, b.b,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                             || CAST(b.b AS VARCHAR)), 1, 10))::BIGINT
+             AS h
+  FROM orders o CROSS JOIN (SELECT unnest(range(64)) AS b) b
+),
+weighted AS (
+  SELECT priority, b,
+         ("""
+    + " + ".join(
+        f"CASE WHEN h >= {t} THEN 1 ELSE 0 END" for t in _POIS_T
+    )
+    + """) AS w,
+         x
+  FROM draws
+),
+reps AS (
+  SELECT priority, b,
+         CAST(SUM(w * x) AS BIGINT) AS sw, CAST(SUM(w) AS BIGINT) AS nw
+  FROM weighted GROUP BY 1, 2
+),
+ranked AS (
+  SELECT priority, CAST(sw AS DOUBLE) / nw AS mean_b,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY CAST(sw AS DOUBLE) / nw, b) AS rn
+  FROM reps
+),
+base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS s
+  FROM orders GROUP BY 1
+)
+SELECT base.priority, base.n_orders,
+       round(CAST(base.s AS DOUBLE) / base.n_orders * 1000000) / 1000000
+           AS mean_cents,
+       round(max(CASE WHEN rn = 4 THEN mean_b END) * 1000000) / 1000000
+           AS ci_lo_cents,
+       round(max(CASE WHEN rn = 61 THEN mean_b END) * 1000000) / 1000000
+           AS ci_hi_cents
+FROM base JOIN ranked ON ranked.priority = base.priority
+GROUP BY base.priority, base.n_orders, base.s
+ORDER BY base.priority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def poisson_bootstrap_ci_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval (Chamandy et al., the
+    distributed bootstrap: resample weights ~ Poisson(1) per row,
+    independent across rows, so NO replicate ever needs a global
+    multinomial draw) for the mean order value per priority — 64
+    replicates, 5th/95th percentile band from the 4th/61st ranked
+    replicate means. The per-(row, replicate) weight is the
+    md5-affine hash family (the repo's ONLY sanctioned randomness)
+    inverse-CDF'd through EXACT INTEGER thresholds on the 2^40 grid
+    — both engines compare the same int64 against the same literals,
+    so every weight, every replicate sum (exact int64 cents) and
+    each final mean (one double division) replays bit-identically.
+    Scale: the 64x fan-out is map-side; each replicate reduces by
+    (priority, b) with map-side partial aggregation — the classic
+    'bootstrap without replication storage' at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    draws = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).select(
+        "priority",
+        "b",
+        "x",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = sum(
+        (F.col("h") >= F.lit(t)).cast("long") for t in _POIS_T
+    )
+    reps = (
+        draws.withColumn("w", w)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .withColumn("mean_b", F.col("sw").cast("double") / F.col("nw"))
+    )
+    wn = Window.partitionBy("priority").orderBy("mean_b", "b")
+    ranked = reps.withColumn("rn", F.row_number().over(wn))
+    ci = ranked.groupBy(F.col("priority").alias("cp")).agg(
+        F.max(F.when(F.col("rn") == 4, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 61, F.col("mean_b"))).alias("hi"),
+    )
+    base = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+    )
+    return (
+        base.join(F.broadcast(ci), F.col("cp") == F.col("priority"))
+        .select(
+            "priority",
+            "n_orders",
+            (
+                F.round(F.col("s").cast("double") / F.col("n_orders") * 1000000)
+                / 1000000
+            ).alias("mean_cents"),
+            (F.round(F.col("lo") * 1000000) / 1000000).alias("ci_lo_cents"),
+            (F.round(F.col("hi") * 1000000) / 1000000).alias("ci_hi_cents"),
+        )
+        .orderBy("priority")
+    )
