@@ -1172,3 +1172,145 @@ def test_mahalanobis_brute_numpy_inverse(spark):
             assert (rnk, ok, x, y) == (rank0 + 1, *pts[i][:3][:1],
                                        pts[i][1], pts[i][2])
             assert abs(got_md2 - md2[i]) <= 1e-6 * max(1.0, md2[i]), seg
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: replay the md5 draws in Python, plus sanity on
+# the weight distribution
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_brute_replay(spark):
+    from spark_lever_spark.operators.relational import _POIS_T
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    reps: dict = defaultdict(lambda: [0, 0])  # (priority, b) -> [sw, nw]
+    base: dict = defaultdict(lambda: [0, 0])
+    for ok, pr, price in rows:
+        x = _cents(price)
+        base[pr][0] += 1
+        base[pr][1] += x
+        for b in range(64):
+            h = int(
+                hashlib.md5(f"{ok}:{b}".encode()).hexdigest()[:10], 16
+            )
+            w = sum(1 for t in _POIS_T if h >= t)
+            reps[(pr, b)][0] += w * x
+            reps[(pr, b)][1] += w
+    got = {
+        r.priority: (r.n_orders, r.mean_cents, r.ci_lo_cents,
+                     r.ci_hi_cents)
+        for r in _run(spark, "poisson_bootstrap_ci_priority").itertuples()
+    }
+    assert set(got) == set(base)
+
+    def r6(x):
+        return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+    for pr, (n, s) in base.items():
+        means = sorted(
+            (reps[(pr, b)][0] / reps[(pr, b)][1], b) for b in range(64)
+        )
+        lo, hi = means[3][0], means[60][0]
+        assert got[pr] == (n, r6(s / n), r6(lo), r6(hi)), pr
+        # the band must bracket the point estimate
+        assert lo <= s / n <= hi, pr
+
+
+def test_poisson_weights_distribution_sane():
+    """The integer thresholds must reproduce Poisson(1) frequencies:
+    over the full 2^40 grid, P(w=0) and P(w=1) are e^-1 to within
+    the grid's quantization."""
+    import math
+
+    from spark_lever_spark.operators.relational import _POIS_T
+
+    grid = 1 << 40
+    p0 = _POIS_T[0] / grid
+    p1 = (_POIS_T[1] - _POIS_T[0]) / grid
+    assert abs(p0 - math.exp(-1)) < 1e-9
+    assert abs(p1 - math.exp(-1)) < 1e-9
+    assert _POIS_T == sorted(_POIS_T) and _POIS_T[-1] < grid
+
+
+# ---------------------------------------------------------------------------
+# Coverage estimators: brute token counting
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_brute_counts(spark):
+    import re as _re
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per: dict = defaultdict(Counter)
+    for src, text in rows:
+        for w in _re.split(r"\s+", text):
+            if w:
+                per[src][w] += 1
+    got = {
+        r.source: r
+        for r in _run(
+            spark, "vocab_coverage_estimators_by_source"
+        ).itertuples()
+    }
+    assert set(got) == set(per)
+
+    def r6(x):
+        return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+    for src, cnt in per.items():
+        d, n = len(cnt), sum(cnt.values())
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        rep2 = sum(c * (c - 1) for c in cnt.values())
+        chao = d + (f1 * f1 / (2 * f2) if f2 else f1 * (f1 - 1) / 2)
+        g = got[src]
+        assert (g.vocab_size, g.total_tokens, g.f1, g.f2) == (d, n, f1, f2)
+        assert g.chao1_richness == r6(chao)
+        assert g.unseen_mass_ppm == f1 * 1000000 // n
+        x = rep2 / (n * (n - 1)) * 1000000
+        assert g.simpson_repeat_ppm == float(
+            int(x + (0.5 if x >= 0 else -0.5))
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fano burstiness: dense doc-term matrix variance (the naive way)
+# ---------------------------------------------------------------------------
+
+
+def test_fano_brute_dense_variance(spark):
+    """The operator folds zero-documents in algebraically; this
+    reference builds the per-token count vector across ALL docs
+    (zeros explicit) and computes var/mean with numpy ddof=1."""
+    import re as _re
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    D = len(rows)
+    per_tok: dict = defaultdict(dict)
+    for doc_id, text in rows:
+        c = Counter(w for w in _re.split(r"\s+", text) if w)
+        for w, k in c.items():
+            per_tok[w][doc_id] = k
+    fano = {}
+    for w, dd in per_tok.items():
+        t = sum(dd.values())
+        if t < 50:
+            continue
+        vec = np.zeros(D)
+        vec[: len(dd)] = list(dd.values())  # zeros elsewhere; order no-op
+        fano[w] = (vec.var(ddof=1)) / (t / D)
+    ref = sorted(fano, key=lambda w: (-fano[w], w))[:25]
+    got = _run(spark, "token_burstiness_fano")
+    assert list(got.token) == ref
+    for r in got.itertuples():
+        assert abs(r.fano_factor - fano[r.token]) <= 2e-6
+        assert r.doc_freq == len(per_tok[r.token])
+        assert r.total_count == sum(per_tok[r.token].values())
