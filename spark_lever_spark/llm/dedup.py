@@ -1542,3 +1542,177 @@ def lsh_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+@register(
+    "cohens_kappa_dedup_methods",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ptoks,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             AS stoks
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         md5(list_aggregate(
+           ptoks[CAST(t.p AS INT) * {_PARA_N} + 1
+                 : CAST(t.p AS INT) * {_PARA_N} + {_PARA_N}],
+           'string_agg', ' ')) AS fp
+  FROM base,
+       LATERAL unnest(range(CAST(ceil(len(ptoks) / {_PARA_N}.0)
+                            AS BIGINT))) AS t(p)
+),
+shing AS (
+  SELECT doc_id,
+         md5(list_aggregate(
+           stoks[CAST(t.p AS INT) + 1 : CAST(t.p AS INT) + {_PARA_N}],
+           'string_agg', ' ')) AS fp
+  FROM base,
+       LATERAL unnest(range(CAST(greatest(len(stoks) - {_PARA_N} + 1, 1)
+                            AS BIGINT))) AS t(p)
+),
+pa AS (
+  SELECT DISTINCT p.doc_id FROM paras p
+  JOIN (SELECT fp FROM paras GROUP BY fp
+        HAVING count(DISTINCT doc_id) > 1) d ON d.fp = p.fp
+),
+pb AS (
+  SELECT DISTINCT s.doc_id FROM shing s
+  JOIN (SELECT fp FROM shing GROUP BY fp
+        HAVING count(DISTINCT doc_id) > 1) d ON d.fp = s.fp
+),
+flags AS (
+  SELECT b.doc_id,
+         CASE WHEN pa.doc_id IS NULL THEN 0 ELSE 1 END AS a,
+         CASE WHEN pb.doc_id IS NULL THEN 0 ELSE 1 END AS b
+  FROM base b
+  LEFT JOIN pa ON pa.doc_id = b.doc_id
+  LEFT JOIN pb ON pb.doc_id = b.doc_id
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM flags
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       round(CAST(n * (n11 + n00)
+                  - (n11 + n10) * (n11 + n01)
+                  - (n01 + n00) * (n10 + n00) AS DOUBLE)
+             / CAST(n * n
+                    - (n11 + n10) * (n11 + n01)
+                    - (n01 + n00) * (n10 + n00) AS DOUBLE)
+             * 1000000) / 1000000 AS kappa
+FROM cells
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def cohens_kappa_dedup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two near-dup detection methods — does
+    ALIGNED 16-token chunking (dedup_paragraph_rebuild's unit) agree
+    with SLIDING 16-token shingling (the containment family's unit)
+    on WHICH documents carry cross-document duplication, beyond
+    chance? The two flags CAN disagree both ways (alignment misses
+    unaligned overlap; chunking's short tail chunks match where no
+    full 16-gram does — the direction this corpus exhibits), and
+    kappa = (p_o − p_e)/(1 − p_e)
+    collapses to ONE fixed IEEE division of two exact int64
+    polynomials in the 2x2 cells — the audit a curation pipeline
+    runs before swapping its dedup stage for a cheaper one. Scale:
+    both flag passes shuffle on fingerprint keys (cardinality ≈
+    corpus shingle count, no skew), then one doc-keyed join and a
+    global cell reduce; N² int64 overflows only past ~3e9 docs —
+    switch the two polynomials to decimal(38) there, same tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ptoks"),
+        F.filter(
+            F.split("text", r"\s+"), lambda t: t != F.lit("")
+        ).alias("stoks"),
+    )
+    paras = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ptoks") / F.lit(float(_PARA_N)))
+                    .cast("long")
+                    - 1,
+                ),
+                lambda p: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("ptoks", p * _PARA_N + 1, _PARA_N)
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    shing = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size("stoks") - (_PARA_N - 1), F.lit(1)
+                    ).cast("long")
+                    - 1,
+                ),
+                lambda p: F.md5(
+                    F.concat_ws(" ", F.slice("stoks", p + 1, _PARA_N))
+                ),
+            )
+        ).alias("fp"),
+    )
+
+    def flag(fps: DataFrame, name: str) -> DataFrame:
+        dup_fp = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("cd"))
+            .filter(F.col("cd") > 1)
+            .select("fp")
+        )
+        return (
+            fps.join(dup_fp, "fp")
+            .select("doc_id")
+            .distinct()
+            .withColumn(name, F.lit(1))
+        )
+    fa = flag(paras, "a").withColumnRenamed("doc_id", "da")
+    fb = flag(shing, "b").withColumnRenamed("doc_id", "db")
+    flags = (
+        base.select("doc_id")
+        .join(fa, base.doc_id == fa.da, "left")
+        .join(fb, base.doc_id == fb.db, "left")
+        .select(
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    cells = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    r1c1 = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+    r0c0 = (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    num = (F.col("n") * (F.col("n11") + F.col("n00")) - r1c1 - r0c0).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("n") - r1c1 - r0c0).cast("double")
+    return cells.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.round(num / den * 1000000) / 1000000).alias("kappa"),
+    )

@@ -5541,3 +5541,182 @@ def poisson_bootstrap_ci_priority(
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "decile_lift_table_returns",
+    oracle="""
+WITH lab AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT pos,
+         CAST(row_number() OVER (ORDER BY score DESC, o_orderkey)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS nt
+  FROM lab
+),
+dec AS (
+  SELECT (rk * 10 - 1) // nt + 1 AS decile, pos FROM ranked
+),
+g AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM dec GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np) AS BIGINT) AS pt
+  FROM g
+)
+SELECT g.decile, g.n AS n_orders, g.np AS n_returned,
+       g.np * 1000000 // g.n AS response_ppm,
+       CAST(SUM(g.np) OVER (ORDER BY g.decile) * 1000000 // tot.pt
+            AS BIGINT) AS cum_gain_ppm,
+       g.np * tot.nt * 1000000 // (g.n * tot.pt) AS lift_ppm
+FROM g CROSS JOIN tot ORDER BY g.decile
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def decile_lift_table_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / CUMULATIVE-GAINS TABLE for 'order value predicts
+    a return' — the campaign-targeting readout that accompanies
+    roc_auc_price_predicts_return: orders ranked by score into 10
+    exact-population deciles (grank's binned global rank — the
+    ceiling-division decile rule (rk·10−1) div n_tot + 1, never an
+    approximate ntile), then per-decile response rate, cumulative
+    gain and lift, ALL exact int64 ppm ratios (lift = np·N·10⁶ div
+    (n·P), cross-multiplied — no float). The ranking pass is the
+    2-pass binned global rank over per-order rows; everything after
+    lives on the 10-row decile domain."""
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("score"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    ranked = with_global_rank(lab, -F.col("score"), ["o_orderkey"])
+    dec = ranked.select(
+        F.expr("(_rk * 10 - 1) div _n_tot + 1").alias("decile"), "pos"
+    )
+    g = dec.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("np")
+    )
+    tot = g.agg(F.sum("n").alias("nt"), F.sum("np").alias("pt"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .withColumn("cum_np", F.sum("np").over(wcum))
+        .select(
+            "decile",
+            F.col("n").alias("n_orders"),
+            F.col("np").alias("n_returned"),
+            F.expr("np * 1000000 div n").alias("response_ppm"),
+            F.expr("cum_np * 1000000 div pt").alias("cum_gain_ppm"),
+            F.expr("np * nt * 1000000 div (n * pt)").alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "contingency_residuals_segment_priority",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cell AS (
+  SELECT segment, priority, CAST(count(*) AS BIGINT) AS o
+  FROM j GROUP BY 1, 2
+),
+marg AS (
+  SELECT segment, priority, o,
+         CAST(SUM(o) OVER (PARTITION BY segment) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cell
+)
+SELECT segment, priority, o AS observed,
+       round(CAST(r * c AS DOUBLE) / n * 1000000) / 1000000
+           AS expected,
+       round((CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+             / sqrt(CAST(r * c AS DOUBLE) / n
+                    * (1 - CAST(r AS DOUBLE) / n)
+                    * (1 - CAST(c AS DOUBLE) / n))
+             * 1000000) / 1000000 AS adj_residual
+FROM marg ORDER BY segment, priority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def contingency_residuals_segment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADJUSTED (Haberman) STANDARDIZED RESIDUALS of the segment x
+    priority contingency table — WHICH cells drive an association,
+    the per-cell readout a chi-square total cannot give (and the
+    per-cell route around the cross-engine N-ary float-sum ban that
+    makes a single chi-square statistic unpinnable): residual =
+    (O − E) / sqrt(E(1 − r/N)(1 − c/N)), each cell ONE fixed IEEE
+    tree over exact int64 marginals (|residual| > 2 ≈ a cell
+    significantly off independence). The margins come from three
+    windows over the 25-row CELL domain — the fact table is touched
+    exactly once, by the cell count."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    marg = cell.select(
+        "segment",
+        "priority",
+        "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("r"),
+        F.sum("o").over(Window.partitionBy("priority")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    resid = (F.col("o").cast("double") - e) / F.sqrt(
+        e
+        * (1 - F.col("r").cast("double") / F.col("n"))
+        * (1 - F.col("c").cast("double") / F.col("n"))
+    )
+    return marg.select(
+        "segment",
+        "priority",
+        F.col("o").alias("observed"),
+        (F.round(e * 1000000) / 1000000).alias("expected"),
+        (F.round(resid * 1000000) / 1000000).alias("adj_residual"),
+    ).orderBy("segment", "priority")

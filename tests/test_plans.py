@@ -614,6 +614,11 @@ NESTED_LOOP_WHITELIST = {
         "themselves meet through the cell equi-join"
     ),
     "ann_ivf": "broadcast probe vector + centroid cells",
+    "ann_pq_adc_topk": (
+        "broadcast 1-row quantized query vector (vec_id = 0) for the "
+        "exact-distance rider column only — the ADC scoring path "
+        "itself probes the 32-row broadcast LUT through an equi-join"
+    ),
     "ann_int8_exact_topk": "broadcast 1-row quantized query vector",
     "hard_negative_mining": "broadcast bounded probe batch (vec_id < 50)",
     "embedding_decontaminate_int8": (

@@ -1314,3 +1314,127 @@ def test_fano_brute_dense_variance(spark):
         assert abs(r.fano_factor - fano[r.token]) <= 2e-6
         assert r.doc_freq == len(per_tok[r.token])
         assert r.total_count == sum(per_tok[r.token].values())
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: brute flag computation + sklearn-free kappa formula
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_brute_flags(spark):
+    import re as _re
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    PN = 16
+    para_docs: dict = defaultdict(set)
+    shin_docs: dict = defaultdict(set)
+    for doc_id, text in rows:
+        ptoks = text.split(" ")
+        for p in range(-(-len(ptoks) // PN)):
+            para_docs[" ".join(ptoks[p * PN:(p + 1) * PN])].add(doc_id)
+        stoks = [t for t in _re.split(r"\s+", text) if t]
+        for p in range(max(len(stoks) - PN + 1, 1)):
+            shin_docs[" ".join(stoks[p:p + PN])].add(doc_id)
+    fa = set().union(*(d for d in para_docs.values() if len(d) > 1),
+                     set())
+    fb = set().union(*(d for d in shin_docs.values() if len(d) > 1),
+                     set())
+    n = len(rows)
+    n11 = len(fa & fb)
+    n10 = len(fa - fb)
+    n01 = len(fb - fa)
+    n00 = n - n11 - n10 - n01
+    r1c1 = (n11 + n10) * (n11 + n01)
+    r0c0 = (n01 + n00) * (n10 + n00)
+    kap = (n * (n11 + n00) - r1c1 - r0c0) / (n * n - r1c1 - r0c0)
+    got = _run(spark, "cohens_kappa_dedup_methods").iloc[0]
+    assert (got.n_docs, got.n11, got.n10, got.n01, got.n00) == (
+        n, n11, n10, n01, n00)
+    assert got.kappa == int(kap * 1000000 + (0.5 if kap >= 0 else -0.5)
+                            ) / 1000000
+    # the comparison is only meaningful if the methods actually
+    # disagree somewhere and agree somewhere
+    assert n10 + n01 > 0 and n11 > 0
+
+
+# ---------------------------------------------------------------------------
+# Decile lift: brute ranking
+# ---------------------------------------------------------------------------
+
+
+def test_decile_lift_brute_ranking(spark):
+    rows = duckdb.sql(
+        f"""SELECT o.o_orderkey, o.o_totalprice,
+                  max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    ranked = sorted(rows, key=lambda r: (-_cents(r[1]), r[0]))
+    nt = len(ranked)
+    pt = sum(lab for _, _, lab in ranked)
+    per: dict = defaultdict(lambda: [0, 0])
+    for rk, (_, _, lab) in enumerate(ranked, 1):
+        d = (rk * 10 - 1) // nt + 1
+        per[d][0] += 1
+        per[d][1] += lab
+    got = _run(spark, "decile_lift_table_returns")
+    assert list(got.decile) == sorted(per)
+    cum = 0
+    for r in got.itertuples():
+        n, np_ = per[r.decile]
+        cum += np_
+        assert (r.n_orders, r.n_returned) == (n, np_)
+        assert r.response_ppm == np_ * 1000000 // n
+        assert r.cum_gain_ppm == cum * 1000000 // pt
+        assert r.lift_ppm == np_ * nt * 1000000 // (n * pt)
+    # deciles are exact-population: sizes differ by at most 1
+    sizes = [per[d][0] for d in sorted(per)]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == nt
+
+
+# ---------------------------------------------------------------------------
+# Contingency residuals: scipy-free textbook formula + chi-square tie-out
+# ---------------------------------------------------------------------------
+
+
+def test_contingency_residuals_brute_cells(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_orderpriority, count(*)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    obs = {(s, p): int(c) for s, p, c in rows}
+    rr: Counter = Counter()
+    cc: Counter = Counter()
+    for (s, p), c in obs.items():
+        rr[s] += c
+        cc[p] += c
+    n = sum(obs.values())
+    got = {
+        (r.segment, r.priority): (r.observed, r.expected, r.adj_residual)
+        for r in _run(
+            spark, "contingency_residuals_segment_priority"
+        ).itertuples()
+    }
+    assert set(got) == set(obs)
+
+    def r6(x):
+        return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+    for (s, p), o in obs.items():
+        e = rr[s] * cc[p] / n
+        resid = (o - e) / math.sqrt(
+            e * (1 - rr[s] / n) * (1 - cc[p] / n)
+        )
+        go, ge, gr = got[(s, p)]
+        assert go == o
+        assert ge == r6(e)
+        assert gr == r6(resid)
