@@ -1700,3 +1700,130 @@ def edge_triangle_support_copurchase(
         )
         .orderBy("pa", "pb")
     )
+
+
+@register(
+    "modularity_brand_partition_copurchase",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+pb AS (SELECT p_partkey, p_brand FROM part),
+ee AS (
+  SELECT ba.p_brand AS ca, bb.p_brand AS cb
+  FROM e
+  JOIN pb ba ON ba.p_partkey = e.pa
+  JOIN pb bb ON bb.p_partkey = e.pb
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ee),
+intra AS (
+  SELECT CAST(count(*) AS BIGINT) AS li FROM ee WHERE ca = cb
+),
+deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ca AS c FROM ee UNION ALL SELECT cb FROM ee
+  ) GROUP BY c
+),
+dd AS (
+  SELECT SUM(CAST(d AS HUGEINT) * d) AS sd2,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM deg
+)
+SELECT m.m AS n_edges, dd.nc AS n_communities, intra.li AS intra_edges,
+       round(CAST(4 * CAST(m.m AS HUGEINT) * intra.li - dd.sd2
+                  AS DOUBLE)
+             / CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE)
+             * 1000000) / 1000000 AS modularity
+FROM m CROSS JOIN intra CROSS JOIN dd
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def modularity_brand_partition_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEWMAN MODULARITY of the brand partition over the co-purchase
+    graph — do co-purchases stay within a brand more than a random
+    rewiring with the same degrees would? Q = Σ_c [L_c/m −
+    (D_c/2m)²], collapsed to ONE exact division ((4m·L_intra −
+    ΣD_c²) / 4m²) so the banned N-ary float sum of per-community
+    contributions never happens; the two quadratic terms accumulate
+    in DECIMAL(38,0) ⟷ HUGEINT (4m² breaches int64 once the edge
+    set passes ~1.5e9 — 128-bit keeps the numerator exact at any
+    SF, and both engines round to the identical double). This is
+    the fitness function lpa_communities_copurchase optimizes,
+    evaluated on an INDEPENDENT exogenous partition — the baseline
+    any community detection must beat. Edges reuse the canonical
+    co-purchase set; brands attach through two broadcast part
+    joins; degrees live on the ≤25-row community domain."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    pb_ = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ee = (
+        e.join(
+            F.broadcast(pb_.withColumnsRenamed(
+                {"p_partkey": "ka", "p_brand": "ca"}
+            )),
+            F.col("ka") == F.col("pa"),
+        )
+        .join(
+            F.broadcast(pb_.withColumnsRenamed(
+                {"p_partkey": "kb", "p_brand": "cb"}
+            )),
+            F.col("kb") == F.col("pb"),
+        )
+        .select("ca", "cb")
+    )
+    m = ee.agg(F.count("*").alias("m"))
+    intra = ee.filter(F.col("ca") == F.col("cb")).agg(
+        F.count("*").alias("li")
+    )
+    deg = (
+        ee.select(F.col("ca").alias("c"))
+        .unionByName(ee.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("d"))
+    )
+    dec = "decimal(38,0)"
+    dd = deg.agg(
+        F.sum((F.col("d") * F.col("d")).cast(dec)).alias("sd2"),
+        F.count("*").alias("nc"),
+    )
+    num = (
+        F.lit(4).cast(dec) * F.col("m") * F.col("li") - F.col("sd2")
+    ).cast("double")
+    den = (F.lit(4).cast(dec) * F.col("m") * F.col("m")).cast("double")
+    return (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("nc").alias("n_communities"),
+            F.col("li").alias("intra_edges"),
+            (F.round(num / den * 1000000) / 1000000).alias("modularity"),
+        )
+    )

@@ -5267,18 +5267,18 @@ m AS (
   SELECT segment,
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
   FROM feat GROUP BY 1
 ),
 scored AS (
   SELECT f.segment, f.o_orderkey, f.x, f.y, m.n,
          CAST(m.n * f.x - m.sx AS DOUBLE) AS dx,
          CAST(m.n * f.y - m.sy AS DOUBLE) AS dy,
-         CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS a,
-         CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS b,
-         CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) AS c
+         CAST(m.n * m.sxx - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE) AS a,
+         CAST(m.n * m.syy - CAST(m.sy AS HUGEINT) * m.sy AS DOUBLE) AS b,
+         CAST(m.n * m.sxy - CAST(m.sx AS HUGEINT) * m.sy AS DOUBLE) AS c
   FROM feat f JOIN m ON m.segment = f.segment
 ),
 md AS (
@@ -5309,11 +5309,12 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shows up once the price-basket correlation is inverted.
     With the 2x2 covariance inverted ANALYTICALLY, d² collapses to
     (n−1)·(dx²·B − 2·dx·dy·C + dy²·A) / (n·(AB−C²)) over the exact
-    int64 moment complements A,B,C and per-row deviations dx,dy
-    (features are integer DOLLARS so every moment stays inside
-    int64 at sf0.1; the doubles enter only in ONE fixed-shape IEEE
-    tree, identical in both engines — the oracle-parity composed-
-    expression doctrine). Ranking uses the numerator only (the
+    moment complements A,B,C (accumulated in DECIMAL(38,0) ⟷
+    HUGEINT — 128-bit exact at ANY SF, probed bit-identical across
+    engines this round) and exact int64 per-row deviations dx,dy;
+    the doubles enter only in ONE fixed-shape IEEE tree, identical
+    in both engines — the oracle-parity composed-expression
+    doctrine. Ranking uses the numerator only (the
     denominator is constant per segment), ties to the orderkey.
     Scale: one fact aggregation for moments (a 5-row broadcast),
     one map-side score pass, and a per-segment top-3 window over
@@ -5339,21 +5340,31 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
     )
     dx = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
     dy = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
-    a = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    b = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "double"
-    )
-    cc = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
+    dec = "decimal(38,0)"
+    a = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    b = (
+        F.col("n").cast(dec) * F.col("syy")
+        - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    cc = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
     num = dx * dx * b - 2 * dx * dy * cc + dy * dy * a
     den = F.col("n") * (a * b - cc * cc)
     md = feat.join(F.broadcast(m), F.col("mseg") == F.col("segment")).select(
@@ -5720,3 +5731,223 @@ def contingency_residuals_segment_priority(
         (F.round(e * 1000000) / 1000000).alias("expected"),
         (F.round(resid * 1000000) / 1000000).alias("adj_residual"),
     ).orderBy("segment", "priority")
+
+
+@register(
+    "welch_t_test_segments",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM j GROUP BY seg
+),
+sides AS (
+  SELECT
+    max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+    max(CASE WHEN seg = 'BUILDING' THEN s END) AS s1,
+    max(CASE WHEN seg = 'BUILDING' THEN sxx END) AS x1,
+    max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+    max(CASE WHEN seg = 'MACHINERY' THEN s END) AS s2,
+    max(CASE WHEN seg = 'MACHINERY' THEN sxx END) AS x2
+  FROM m
+),
+t AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+         CAST(n1 * x1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS a,
+         CAST(n2 * x2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS b
+  FROM sides
+)
+SELECT n1 AS n_building, n2 AS n_machinery,
+       round(md * 1000000) / 1000000 AS mean_diff_cents,
+       round(md / sqrt(a + b) * 1000000) / 1000000 AS t_stat,
+       round((a + b) * (a + b)
+             / (a * a / (n1 - 1) + b * b / (n2 - 1))
+             * 1000000) / 1000000 AS welch_df,
+       abs(md / sqrt(a + b)) > 1.959964 AS significant_5pct
+FROM t
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def welch_t_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST for mean order value, BUILDING
+    vs MACHINERY — the parametric partner of mann_whitney_u_sources
+    (and the test a/b dashboards actually run): t = (m1−m2) /
+    sqrt(v1/n1 + v2/n2) with the Welch–Satterthwaite df. The second
+    moments are summed in DECIMAL(38,0) ⟷ HUGEINT (Σx² in cents
+    exceeds int64 already at sf0.01 — probed bit-exact across
+    engines this round: both 128-bit sums round to the IDENTICAL
+    double), so the variance complements n·Σx² − S² stay EXACT at
+    any SF before their single cast to double; v1/n1 + v2/n2 and the
+    df denominator are 2-term known-order double sums (allowed),
+    every division a fixed tree. Scale: one shuffled orders↔customer
+    equi-join, one 2-group reduce, a 1-row pivot."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    x = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_mktsegment").alias("seg"), x.alias("x"))
+    )
+    m = j.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    sides = m.agg(
+        *[
+            F.max(F.when(F.col("seg") == seg, F.col(col))).alias(
+                f"{col}{i}"
+            )
+            for i, seg in ((1, "BUILDING"), (2, "MACHINERY"))
+            for col in ("n", "s", "sxx")
+        ]
+    ).withColumnsRenamed({"sxx1": "x1", "sxx2": "x2"})
+    a = (
+        (
+            F.col("n1").cast("decimal(38,0)") * F.col("x1")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).cast("double")
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
+        / F.col("n1")
+    )
+    b = (
+        (
+            F.col("n2").cast("decimal(38,0)") * F.col("x2")
+            - F.col("s2").cast("decimal(38,0)") * F.col("s2")
+        ).cast("double")
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
+        / F.col("n2")
+    )
+    md = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    t = sides.select(
+        "n1", "n2", md.alias("md"), a.alias("a"), b.alias("b")
+    )
+    tstat = F.col("md") / F.sqrt(F.col("a") + F.col("b"))
+    dfw = (
+        (F.col("a") + F.col("b"))
+        * (F.col("a") + F.col("b"))
+        / (
+            F.col("a") * F.col("a") / (F.col("n1") - 1)
+            + F.col("b") * F.col("b") / (F.col("n2") - 1)
+        )
+    )
+    return t.select(
+        F.col("n1").alias("n_building"),
+        F.col("n2").alias("n_machinery"),
+        (F.round(F.col("md") * 1000000) / 1000000).alias(
+            "mean_diff_cents"
+        ),
+        (F.round(tstat * 1000000) / 1000000).alias("t_stat"),
+        (F.round(dfw * 1000000) / 1000000).alias("welch_df"),
+        (F.abs(tstat) > 1.959964).alias("significant_5pct"),
+    )
+
+
+@register(
+    "trimmed_mean_order_values",
+    oracle="""
+WITH v AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+ranked AS (
+  SELECT segment, x,
+         CAST(row_number() OVER (PARTITION BY segment
+                                 ORDER BY x, o_orderkey) AS BIGINT)
+             AS rk,
+         CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM v
+),
+kept AS (
+  SELECT segment, x, n FROM ranked
+  WHERE rk > n // 10 AND rk <= n - n // 10
+)
+SELECT segment, max(n) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(x) AS BIGINT) AS kept_sum_cents,
+       round(CAST(SUM(x) AS DOUBLE) / count(*) * 1000000) / 1000000
+           AS trimmed_mean_cents
+FROM kept GROUP BY segment ORDER BY segment
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def trimmed_mean_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% TRIMMED MEAN of order value per market segment — the
+    robust location estimate between the mean (outlier-dragged) and
+    the median (throws away 98% of the data): drop the bottom and
+    top n div 10 observations by exact rank, average the rest.
+    Ranks come from grank's with_grouped_cumsum over a running
+    count — the 2-pass binned form, so a 5-value segment key NEVER
+    routes a whole segment through one window task (the
+    low-cardinality funnel the single-partition hazard sweep
+    hunts); the trim boundaries are exact integer floor-divisions
+    and the kept-sum is exact int64 cents with ONE final division.
+    Deterministic under ties via the orderkey tiebreak."""
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = with_grouped_cumsum(
+        v, ["segment"], F.col("x"), ["x", "o_orderkey"], "one"
+    ).withColumnRenamed("_cum", "rk")
+    n = v.groupBy(F.col("segment").alias("nseg")).agg(
+        F.count("*").alias("n")
+    )
+    kept = ranked.join(
+        F.broadcast(n), F.col("nseg") == F.col("segment")
+    ).filter(
+        (F.col("rk") > F.expr("n div 10"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum("x").alias("kept_sum_cents"),
+        )
+        .select(
+            "segment",
+            "n_total",
+            "n_kept",
+            "kept_sum_cents",
+            (
+                F.round(
+                    F.col("kept_sum_cents").cast("double")
+                    / F.col("n_kept")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("segment")
+    )
