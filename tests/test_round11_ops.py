@@ -1438,3 +1438,112 @@ def test_contingency_residuals_brute_cells(spark):
         assert go == o
         assert ge == r6(e)
         assert gr == r6(resid)
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test: scipy-free textbook computation
+# ---------------------------------------------------------------------------
+
+
+def test_welch_brute_textbook(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_totalprice
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"""
+    ).fetchall()
+    xs: dict = defaultdict(list)
+    for seg, p in rows:
+        xs[seg].append(_cents(p))
+
+    def var(v):
+        n, m = len(v), sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / (n - 1)
+
+    b, ma = xs["BUILDING"], xs["MACHINERY"]
+    n1, n2 = len(b), len(ma)
+    md = sum(b) / n1 - sum(ma) / n2
+    a_, b_ = var(b) / n1, var(ma) / n2
+    t = md / math.sqrt(a_ + b_)
+    df = (a_ + b_) ** 2 / (a_ ** 2 / (n1 - 1) + b_ ** 2 / (n2 - 1))
+    got = _run(spark, "welch_t_test_segments").iloc[0]
+    assert (got.n_building, got.n_machinery) == (n1, n2)
+    assert abs(got.mean_diff_cents - md) <= 2e-6 * max(1, abs(md))
+    assert abs(got.t_stat - t) <= 2e-6 * max(1, abs(t))
+    assert abs(got.welch_df - df) <= 1e-4 * df
+    assert got.significant_5pct == (abs(t) > 1.959964)
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean: brute sort-and-slice
+# ---------------------------------------------------------------------------
+
+
+def test_trimmed_mean_brute_slice(spark):
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_totalprice
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    per: dict = defaultdict(list)
+    for seg, p in rows:
+        per[seg].append(_cents(p))
+    got = {
+        r.segment: (r.n_total, r.n_kept, r.kept_sum_cents,
+                    r.trimmed_mean_cents)
+        for r in _run(spark, "trimmed_mean_order_values").itertuples()
+    }
+    assert set(got) == set(per)
+    for seg, v in per.items():
+        v.sort()
+        k = len(v) // 10
+        kept = v[k:len(v) - k]
+        s = sum(kept)
+        mean = s / len(kept)
+        r6 = int(mean * 1000000 + 0.5) / 1000000
+        assert got[seg] == (len(v), len(kept), s, r6), seg
+        # robustness: trimmed mean must sit strictly inside the
+        # untrimmed range and differ from the plain mean here
+        assert min(v) < mean < max(v)
+
+
+# ---------------------------------------------------------------------------
+# Modularity: per-community textbook sum (the N-ary form the operator
+# deliberately avoids)
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_brute_community_sum(spark):
+    part_brand = dict(duckdb.sql(
+        f"SELECT p_partkey, p_brand FROM read_parquet('{SF}/part.parquet')"
+    ).fetchall())
+    edges = duckdb.sql(
+        f"""WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM read_parquet('{SF}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ).fetchall()
+    m = len(edges)
+    li: Counter = Counter()
+    deg: Counter = Counter()
+    for pa, pb in edges:
+        ca, cb = part_brand[pa], part_brand[pb]
+        deg[ca] += 1
+        deg[cb] += 1
+        if ca == cb:
+            li[ca] += 1
+    q = sum(
+        li.get(c, 0) / m - (deg[c] / (2 * m)) ** 2 for c in deg
+    )
+    got = _run(spark, "modularity_brand_partition_copurchase").iloc[0]
+    assert got.n_edges == m
+    assert got.n_communities == len(deg)
+    assert got.intra_edges == sum(li.values())
+    assert abs(got.modularity - q) <= 2e-6
