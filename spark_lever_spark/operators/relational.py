@@ -5951,3 +5951,99 @@ def trimmed_mean_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "zscore_nation_monthly_peers",
+    oracle="""
+WITH per AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS yyyymm,
+         n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT yyyymm, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM per GROUP BY 1
+)
+SELECT per.yyyymm, per.n_name, per.x AS revenue_cents,
+       round(CAST(m.n * per.x - m.s AS DOUBLE) / m.n
+             / sqrt(CAST(m.n * m.sxx - CAST(m.s AS HUGEINT) * m.s
+                         AS DOUBLE)
+                    / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+             * 1000000) / 1000000 AS z_score
+FROM per JOIN m ON m.yyyymm = per.yyyymm
+ORDER BY per.yyyymm, per.n_name
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def zscore_nation_monthly_peers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PEER-GROUP Z-SCORE of each nation's monthly revenue against
+    that month's 25-nation cross-section — the 'which market broke
+    from the pack THIS month' benchmark that xmr_control_chart_daily
+    answers longitudinally (own history) but never cross-sectionally:
+    z = (x − μ_month)/σ_month, computed as (n·x − S)/n over the
+    sample σ from 128-bit-exact moments (Σx² of monthly cent totals
+    breaches int64 near sf1 — DECIMAL(38,0) ⟷ HUGEINT keeps the
+    variance complement exact at any SF, both engines rounding to
+    the identical double), one fixed IEEE tree per row. The fact
+    table is touched once by the (month, nation) aggregation; the
+    z pass joins 25-row month moments back to a 25-row domain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("yyyymm"),
+            "n_name",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("x")
+        )
+    )
+    dec = "decimal(38,0)"
+    m = per.groupBy(F.col("yyyymm").alias("mym")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    a = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("s").cast(dec) * F.col("s")
+    ).cast("double")
+    z = (
+        (F.col("n") * F.col("x") - F.col("s")).cast("double")
+        / F.col("n")
+        / F.sqrt(a / (F.col("n").cast("double") * (F.col("n") - 1)))
+    )
+    return (
+        per.join(F.broadcast(m), F.col("mym") == F.col("yyyymm"))
+        .select(
+            "yyyymm",
+            "n_name",
+            F.col("x").alias("revenue_cents"),
+            (F.round(z * 1000000) / 1000000).alias("z_score"),
+        )
+        .orderBy("yyyymm", "n_name")
+    )

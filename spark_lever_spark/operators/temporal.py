@@ -3722,3 +3722,273 @@ def bollinger_breakout_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dev > 0) & wide).alias("breakout_hi"),
         ((dev < 0) & wide).alias("breakout_lo"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "pacf_lag2_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2]) AS lag),
+p AS (
+  SELECT d.event_type, l.lag, d.yc AS a, q.yc AS b
+  FROM daily d CROSS JOIN lags l
+  JOIN daily q ON q.event_type = d.event_type AND q.x = d.x - l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM p GROUP BY 1, 2
+),
+rho AS (
+  SELECT event_type, lag,
+         CAST(n * sab - sa * sb AS DOUBLE)
+         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS r
+  FROM m
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN lag = 1 THEN r END) AS r1,
+         max(CASE WHEN lag = 2 THEN r END) AS r2
+  FROM rho GROUP BY event_type
+)
+SELECT event_type,
+       round(r1 * 1000000) / 1000000 AS rho1,
+       round(r2 * 1000000) / 1000000 AS rho2,
+       round((r2 - r1 * r1) / (1 - r1 * r1) * 1000000) / 1000000
+           AS pacf2
+FROM wide ORDER BY event_type
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def pacf_lag2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL AUTOCORRELATION at lag 2 per event type — the AR-order
+    diagnostic acf_multi_lag_daily cannot answer (a large ACF(2) may
+    be pure lag-1 carryover): Durbin–Levinson gives φ₂₂ = (ρ₂ − ρ₁²)
+    / (1 − ρ₁²) from the two pair-Pearson autocorrelations — ρ₂
+    close to ρ₁² ⟹ an AR(1) explains the series; φ₂₂ large ⟹ real
+    second-order structure. Both ρ's are the exact-int64-moment
+    trees of the ACF family; the Durbin–Levinson step extends the
+    SAME fixed IEEE tree (2 multiplies, 2 subtractions, 1 division)
+    on the unrounded doubles, so the published value is
+    bit-identical cross-engine before the 1e-6 grid. Calendar
+    equi-join for the lagged pairs; everything past the daily
+    aggregate is a ≤(types×2)-row domain."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(cents(F.col("value"))).alias("yc"))
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.col("yc").alias("a"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("lag"),
+    )
+    prev = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("yc").alias("b"),
+    )
+    p = lagged.join(
+        prev,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("x2") == F.col("x") - F.col("lag")),
+    )
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+                "double"
+            )
+        )
+    )
+    wide = (
+        m.withColumn("r", r)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        )
+    )
+    pacf2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    return wide.select(
+        "event_type",
+        (F.round(F.col("r1") * 1000000) / 1000000).alias("rho1"),
+        (F.round(F.col("r2") * 1000000) / 1000000).alias("rho2"),
+        (F.round(pacf2 * 1000000) / 1000000).alias("pacf2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "haar_energy_decomposition_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(x) AS x0,
+         max(x) - min(x) + 1 AS n
+  FROM daily GROUP BY 1
+),
+spine0 AS (
+  SELECT b.event_type, t.i AS i, b.n, b.x0 + t.i AS x
+  FROM bounds b, LATERAL unnest(range(b.n)) AS t(i)
+),
+spine AS (
+  SELECT s.event_type, s.i, s.n, COALESCE(d.v, 0) AS v
+  FROM spine0 s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.x = s.x
+),
+lv AS (
+  SELECT s.event_type, l.k, s.n,
+         s.i // (1 << l.k) AS blk,
+         CASE WHEN (s.i // (1 << (l.k - 1))) % 2 = 0
+              THEN s.v ELSE -s.v END AS sv
+  FROM spine s CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) l
+  WHERE s.i < (s.n // (1 << l.k)) * (1 << l.k)
+),
+coef AS (
+  SELECT event_type, k, blk, CAST(SUM(sv) AS BIGINT) AS d
+  FROM lv GROUP BY 1, 2, 3
+),
+en AS (
+  SELECT event_type, k,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(d * d) AS BIGINT) AS raw_sq
+  FROM coef GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(raw_sq * (8 >> k)) AS BIGINT) AS denom
+  FROM en GROUP BY 1
+)
+SELECT en.event_type, CAST(en.k AS BIGINT) AS level, en.n_blocks,
+       en.raw_sq AS raw_detail_sq,
+       CAST(en.raw_sq AS DOUBLE) / (1 << en.k) AS energy,
+       en.raw_sq * (8 >> en.k) * 1000000 // tot.denom
+           AS energy_share_ppm
+FROM en JOIN tot ON tot.event_type = en.event_type
+ORDER BY en.event_type, level
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def haar_energy_decomposition_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAAR WAVELET ENERGY DECOMPOSITION of the daily series — at
+    WHICH timescale does the variance live? Levels 1/2/3 split the
+    calendar-spined series (gaps zero-filled, so the dyadic grid
+    never slips) into 2/4/8-day blocks; each detail coefficient is
+    the signed block sum Σ±v (left half +, right half −, EXACT
+    int64 cents), its energy D²/2ᵏ — division by a power of two is
+    EXACT in binary floating point, so even the normalized energy
+    is deterministic. The share column avoids the N-ary float sum:
+    all three levels are brought to the common denominator 8
+    (raw·(8>>k)) and divided as exact int64 ppm. A day-trader's
+    'volatility at 2-day vs weekly scale' and the downsampling
+    pre-check (levels with ~0 share can be decimated losslessly).
+    One fact aggregation; spine and blocks are calendar-bounded."""
+    from spark_lever_spark.functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(cents(F.col("value"))).alias("v"))
+    bounds = daily.groupBy(F.col("event_type").alias("bet")).agg(
+        F.min("x").alias("x0"),
+        (F.max("x") - F.min("x") + 1).alias("n"),
+    )
+    spine = bounds.select(
+        "bet",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        "x0",
+    ).join(
+        daily,
+        (F.col("event_type") == F.col("bet"))
+        & (F.col("x") == F.col("x0") + F.col("i")),
+        "left",
+    ).select(
+        "bet", "n", "i", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+    )
+    lv = spine.select(
+        "bet",
+        "n",
+        "i",
+        "v",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).filter(
+        F.col("i")
+        < F.expr("(n div (1 << k)) * (1 << k)")
+    ).select(
+        "bet",
+        "k",
+        F.expr("i div (1 << k)").alias("blk"),
+        F.when(
+            F.expr("(i div (1 << (k - 1))) % 2") == 0, F.col("v")
+        )
+        .otherwise(-F.col("v"))
+        .alias("sv"),
+    )
+    coef = lv.groupBy("bet", "k", "blk").agg(F.sum("sv").alias("d"))
+    en = coef.groupBy("bet", "k").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("d") * F.col("d")).alias("raw_sq"),
+    )
+    tot = en.groupBy(F.col("bet").alias("tet")).agg(
+        F.sum(F.expr("raw_sq * (8 >> k)")).alias("denom")
+    )
+    return (
+        en.join(F.broadcast(tot), F.col("tet") == F.col("bet"))
+        .select(
+            F.col("bet").alias("event_type"),
+            F.col("k").cast("long").alias("level"),
+            "n_blocks",
+            F.col("raw_sq").alias("raw_detail_sq"),
+            (F.col("raw_sq").cast("double") / F.expr("1 << k")).alias(
+                "energy"
+            ),
+            F.expr(
+                "raw_sq * (8 >> k) * 1000000 div denom"
+            ).alias("energy_share_ppm"),
+        )
+        .orderBy("event_type", "level")
+    )
