@@ -1547,3 +1547,138 @@ def test_modularity_brute_community_sum(spark):
     assert got.n_communities == len(deg)
     assert got.intra_edges == sum(li.values())
     assert abs(got.modularity - q) <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# PACF lag 2: reference via explicit 2-variable OLS (the regression
+# definition of partial autocorrelation, not Durbin-Levinson)
+# ---------------------------------------------------------------------------
+
+
+def test_pacf2_brute_ols_regression(spark):
+    """phi_22 from Durbin-Levinson must match the coefficient of
+    x_{t-2} in the least-squares fit of x_t on (x_{t-1}, x_{t-2})
+    when the pair-Pearson rho's are used consistently. We verify the
+    weaker but independent identity on the rho's themselves plus the
+    AR(1) null: if rho2 == rho1^2 exactly then pacf2 == 0."""
+    got = {
+        r.event_type: (r.rho1, r.rho2, r.pacf2)
+        for r in _run(spark, "pacf_lag2_daily").itertuples()
+    }
+    types = [t for (t,) in duckdb.sql(
+        f"SELECT DISTINCT event_type FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()]
+    assert set(got) == set(types)
+    for et in types:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        idx = {d.toordinal(): v for d, v in daily.items()}
+
+        def rho(lag):
+            pairs = [(idx[x], idx[x - lag]) for x in idx if x - lag in idx]
+            n = len(pairs)
+            sa = sum(a for a, _ in pairs)
+            sb = sum(b for _, b in pairs)
+            sab = sum(a * b for a, b in pairs)
+            saa = sum(a * a for a, _ in pairs)
+            sbb = sum(b * b for _, b in pairs)
+            import math
+            return (n * sab - sa * sb) / (
+                math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+            )
+
+        r1, r2 = rho(1), rho(2)
+        p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+
+        def r6(x):
+            return int(x * 1000000 + (0.5 if x >= 0 else -0.5)) / 1000000
+
+        assert got[et] == (r6(r1), r6(r2), r6(p22)), et
+
+
+# ---------------------------------------------------------------------------
+# Haar energies: pywavelets-free recursive pyramid + Parseval check
+# ---------------------------------------------------------------------------
+
+
+def test_haar_brute_pyramid_and_parseval(spark):
+    got: dict = defaultdict(dict)
+    for r in _run(spark, "haar_energy_decomposition_daily").itertuples():
+        got[r.event_type][r.level] = (
+            r.n_blocks, r.raw_detail_sq, r.energy, r.energy_share_ppm
+        )
+    for et in got:
+        daily = _daily_cents(
+            "events", "ts", "value", f"WHERE event_type = '{et}'"
+        )
+        days = sorted(daily)
+        n = (days[-1] - days[0]).days + 1
+        v = [0] * n
+        for d, x in daily.items():
+            v[(d - days[0]).days] = x
+        raws = {}
+        for k in (1, 2, 3):
+            blk = 1 << k
+            half = blk // 2
+            nb = n // blk
+            raws[k] = (nb, sum(
+                (sum(v[b * blk:b * blk + half])
+                 - sum(v[b * blk + half:(b + 1) * blk])) ** 2
+                for b in range(nb)
+            ))
+        denom = sum(r * (8 >> k) for k, (_, r) in raws.items())
+        for k, (nb, raw) in raws.items():
+            gnb, graw, gen, gshare = got[et][k]
+            assert (gnb, graw) == (nb, raw), (et, k)
+            assert gen == raw / (1 << k)
+            assert gshare == raw * (8 >> k) * 1000000 // denom
+        # Parseval sanity on the dyadic prefix of length 8*(n//8):
+        # detail energies never exceed total signal energy
+        tot_e = sum(x * x for x in v)
+        assert sum(r / (1 << k) for k, (_, r) in raws.items()) <= tot_e
+
+
+# ---------------------------------------------------------------------------
+# Peer z-scores: brute per-month standardization + invariants
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_peers_brute_standardize(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT EXTRACT(year FROM o.o_orderdate) * 100
+                   + EXTRACT(month FROM o.o_orderdate),
+                  n.n_name, o.o_totalprice
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey"""
+    ).fetchall()
+    per: Counter = Counter()
+    for ym, nn, p in rows:
+        per[(int(ym), nn)] += _cents(p)
+    months: dict = defaultdict(dict)
+    for (ym, nn), x in per.items():
+        months[ym][nn] = x
+    got = {
+        (r.yyyymm, r.n_name): (r.revenue_cents, r.z_score)
+        for r in _run(spark, "zscore_nation_monthly_peers").itertuples()
+    }
+    assert set(got) == set(per)
+    for ym, d in months.items():
+        vals = list(d.values())
+        nn_, s = len(vals), sum(vals)
+        mu = s / nn_
+        sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / (nn_ - 1))
+        zs = []
+        for name, x in d.items():
+            rx, gz = got[(ym, name)]
+            assert rx == x
+            z = (x - mu) / sd
+            assert abs(gz - z) <= 2e-6, (ym, name)
+            zs.append(z)
+        # standardization invariant: z's sum to ~0 within the month
+        assert abs(sum(zs)) < 1e-6 * nn_
