@@ -4907,10 +4907,12 @@ cums AS (
 )
 SELECT c_nationkey, max(n_g) AS n_orders,
        CAST(CAST(SUM(CASE WHEN sens < 5
-                     THEN abs((SELECT n_all FROM n) * cum_g
-                              - n_g * cum_t)
+                     THEN abs(CAST((SELECT n_all FROM n) AS HUGEINT)
+                              * cum_g
+                              - CAST(n_g AS HUGEINT) * cum_t)
                      ELSE 0 END) * 1000000 AS HUGEINT)
-            // (n_g * (SELECT n_all FROM n) * 4) AS BIGINT) AS emd_ppm
+            // (CAST(n_g AS HUGEINT)
+                * (SELECT n_all FROM n) * 4) AS BIGINT) AS emd_ppm
 FROM cums
 GROUP BY c_nationkey, n_g
 ORDER BY c_nationkey
@@ -4926,10 +4928,12 @@ def t_closeness_ordered_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table-wide distribution, measured by the ordered-domain Earth
     Mover's Distance = mean absolute difference of the two cumulative
     distributions. Kept exact by cross-multiplying the two rationals
-    onto a common integer numerator |N*cum_g - N_g*cum_t| (the scaled
-    sum fits HUGEINT/long headroom; published as ppm by one
-    floor-division — Spark `div` == DuckDB `//` on non-negative
-    values). Shape: one fact-table aggregation onto the (nation x 5
+    onto a common integer numerator |N*cum_g - N_g*cum_t|, accumulated
+    in decimal(38,0) on the Spark side and HUGEINT on the oracle side
+    (N*cum_g is quadratic in the fact count, so int64 would wrap near
+    sf~5); published as ppm by one floor-division — Spark `div` ==
+    DuckDB `//` on non-negative values, and the ppm quotient itself
+    always fits int64. Shape: one fact-table aggregation onto the (nation x 5
     priorities) cell domain, a dense re-grid so EMPTY cells still
     contribute their cumulative gap, prefix sums via per-nation
     windows over that 125-row domain. Nothing quadratic, nothing
@@ -4938,7 +4942,9 @@ def t_closeness_ordered_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+    # customer is fact-sized at target scale (see hhi_concentration_monthly)
+    # — shuffled equi-join, never broadcast.
+    s = o.join(cust, o.o_custkey == cust.c_custkey).select(
         "c_nationkey",
         F.substring("o_orderpriority", 1, 1).cast("long").alias("sens"),
     )
@@ -4960,19 +4966,25 @@ def t_closeness_ordered_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tot").over(w).alias("cum_t"),
         F.sum("cnt").over(wg).alias("n_g"),
     ).join(F.broadcast(n_all))
+    dec = "decimal(38,0)"
     term = F.when(
         F.col("sens") < 5,
         F.abs(
-            F.col("n_all") * F.col("cum_g") - F.col("n_g") * F.col("cum_t")
+            F.col("n_all").cast(dec) * F.col("cum_g").cast(dec)
+            - F.col("n_g").cast(dec) * F.col("cum_t").cast(dec)
         ),
-    ).otherwise(F.lit(0))
+    ).otherwise(F.lit(0).cast(dec))
     return (
         cums.groupBy("c_nationkey", "n_g", "n_all")
         .agg(F.sum(term).alias("num"))
         .select(
             "c_nationkey",
             F.col("n_g").alias("n_orders"),
-            F.expr("num * 1000000 div (n_g * n_all * 4)").alias("emd_ppm"),
+            F.expr(
+                "CAST(num * CAST(1000000 AS DECIMAL(38,0))"
+                " div (CAST(n_g AS DECIMAL(38,0)) * n_all * 4)"
+                " AS BIGINT)"
+            ).alias("emd_ppm"),
         )
         .orderBy("c_nationkey")
     )
@@ -5091,14 +5103,17 @@ cum AS (
 agg AS (
   SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
          CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
-         CAST(SUM(np * (2 * (cum_incl - cnt) + cnt + 1)) AS BIGINT)
+         CAST(SUM(CAST(np AS HUGEINT)
+                  * (2 * (cum_incl - cnt) + cnt + 1)) AS HUGEINT)
              AS r1x2
   FROM cum
 )
 SELECT n_pos, n_neg,
-       (r1x2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+       CAST((r1x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
            AS auc_ppm,
-       (r1x2 - n_pos * (n_pos + 1)) * 1000000 // (n_pos * n_neg)
+       CAST((r1x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+            // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
            - 1000000 AS gini_ppm
 FROM agg
 """,
@@ -5115,8 +5130,10 @@ def roc_auc_price_predicts_return(
     pipelines actually report. Tie-corrected via the doubled-midrank
     idiom (2·midrank = 2·cum_before + cnt + 1 — integer ALWAYS, the
     same trick spearman_rank_revenue_orders uses), so AUC and its
-    Gini twin (2·AUC−1) are EXACT int64 ppm ratios, no float
-    anywhere. The rank pass runs on the per-SCORE aggregate domain —
+    Gini twin (2·AUC−1) are EXACT ppm ratios, no float anywhere; the
+    rank-sum r1x2 ≈ 2·n_pos·n grows quadratically with SF, so it is
+    accumulated in decimal(38,0) (HUGEINT on the oracle side) and only
+    the final ppm quotient — which always fits — lands in int64. The rank pass runs on the per-SCORE aggregate domain —
     but cent prices are nearly unique per order, so that domain scales
     WITH the fact table: the cumulative is therefore grank's binned
     2-pass cumsum (with_grouped_cumsum, empty partition set), never a
@@ -5145,11 +5162,12 @@ def roc_auc_price_predicts_return(
     cum = with_grouped_cumsum(
         per_score, [], F.col("score"), ["score"], "cnt"
     ).withColumnRenamed("_cum", "cum_incl")
+    dec = "decimal(38,0)"
     agg = cum.agg(
         F.sum("np").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
         F.sum(
-            F.col("np")
+            F.col("np").cast(dec)
             * (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1)
         ).alias("r1x2"),
     )
@@ -5157,13 +5175,15 @@ def roc_auc_price_predicts_return(
         "n_pos",
         "n_neg",
         F.expr(
-            "(r1x2 - n_pos * (n_pos + 1)) * 1000000"
-            " div (2 * n_pos * n_neg)"
+            "CAST((r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
         (
             F.expr(
-                "(r1x2 - n_pos * (n_pos + 1)) * 1000000"
-                " div (n_pos * n_neg)"
+                "CAST((r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+                " * 1000000"
+                " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
             )
             - 1000000
         ).alias("gini_ppm"),

@@ -2997,7 +2997,7 @@ rk AS (
 ),
 q AS (
   SELECT CAST(r AS BIGINT) AS q_hat
-  FROM rk WHERE rn = ((n + 1) * 9 + 9) // 10
+  FROM rk WHERE rn = LEAST(((n + 1) * 9 + 9) // 10, n)
 )
 SELECT day, yc AS actual_cents, fc AS forecast_cents,
        fc - q_hat AS lo_cents, fc + q_hat AS hi_cents,
@@ -3016,7 +3016,9 @@ def conformal_interval_seasonal_naive(
     forecaster (Vovk et al.; the distribution-free uncertainty wrapper
     modern forecasting pipelines ship instead of Gaussian bands):
     calibrate on pre-2000 absolute residuals of the value-7-days-ago
-    predictor, take the ceil((n+1)*0.9)-quantile residual q_hat, and
+    predictor, take the ceil((n+1)*0.9)-quantile residual q_hat
+    (rank clamped to n, so a tiny calibration set degrades to the max
+    residual instead of an empty band), and
     band every post-2000 forecast as f +/- q_hat — finite-sample 90%
     coverage with NO distributional assumption. Everything is exact
     int64 cents: the quantile is the residual AT a computed rank
@@ -3047,8 +3049,13 @@ def conformal_interval_seasonal_naive(
         F.abs(F.col("yc") - F.col("fc")).alias("r"), "x"
     )
     ranked = with_global_rank(cal, F.col("r"), ["x"])
+    # Rank clamped to n: with < 9 calibration residuals the target rank
+    # ceil(0.9*(n+1)) exceeds n, which would silently empty the whole
+    # output through the inner join — degrade to the max residual
+    # (widest honest band) instead.
     q_hat = ranked.filter(
-        F.col("_rk") == F.expr("((_n_tot + 1) * 9 + 9) div 10")
+        F.col("_rk")
+        == F.expr("least(((_n_tot + 1) * 9 + 9) div 10, _n_tot)")
     ).select(F.col("r").alias("q_hat"))
     test = f.filter(F.col("day") >= split)
     return (

@@ -625,7 +625,9 @@ def qq_deciles_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).filter(
+    # customer is fact-sized at target scale (scale doctrine in
+    # hhi_concentration_monthly) — shuffled equi-join, never broadcast.
+    j = o.join(c, o.o_custkey == c.c_custkey).filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
 
