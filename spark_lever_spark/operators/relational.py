@@ -5994,11 +5994,13 @@ m AS (
   FROM per GROUP BY 1
 )
 SELECT per.yyyymm, per.n_name, per.x AS revenue_cents,
-       round(CAST(m.n * per.x - m.s AS DOUBLE) / m.n
-             / sqrt(CAST(m.n * m.sxx - CAST(m.s AS HUGEINT) * m.s
-                         AS DOUBLE)
-                    / (CAST(m.n AS DOUBLE) * (m.n - 1)))
-             * 1000000) / 1000000 AS z_score
+       CASE WHEN m.n >= 2 THEN
+         round(CAST(m.n * per.x - m.s AS DOUBLE) / m.n
+               / sqrt(CAST(m.n * m.sxx - CAST(m.s AS HUGEINT) * m.s
+                           AS DOUBLE)
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+               * 1000000) / 1000000
+       END AS z_score
 FROM per JOIN m ON m.yyyymm = per.yyyymm
 ORDER BY per.yyyymm, per.n_name
 """,
@@ -6063,7 +6065,12 @@ def zscore_nation_monthly_peers(
             "yyyymm",
             "n_name",
             F.col("x").alias("revenue_cents"),
-            (F.round(z * 1000000) / 1000000).alias("z_score"),
+            # A 1-nation cross-section has no sample sigma: NULL, not a
+            # divide-by-zero (ANSI) / NaN (non-ANSI) — mirrored by the
+            # oracle's CASE WHEN n >= 2.
+            F.when(
+                F.col("n") >= 2, F.round(z * 1000000) / 1000000
+            ).alias("z_score"),
         )
         .orderBy("yyyymm", "n_name")
     )
