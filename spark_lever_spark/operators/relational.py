@@ -6074,3 +6074,744 @@ def zscore_nation_monthly_peers(
         )
         .orderBy("yyyymm", "n_name")
     )
+
+
+@register(
+    "kendall_w_nation_months",
+    oracle="""
+WITH per AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS yyyymm,
+         n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT mo.yyyymm, na.n_name, COALESCE(p.rev, 0) AS rev
+  FROM (SELECT DISTINCT yyyymm FROM per) mo
+  CROSS JOIN (SELECT n_name FROM nation) na
+  LEFT JOIN per p ON p.yyyymm = mo.yyyymm AND p.n_name = na.n_name
+),
+rk AS (
+  SELECT n_name,
+         CAST(row_number() OVER (PARTITION BY yyyymm
+                                 ORDER BY rev DESC, n_name) AS BIGINT)
+             AS rk
+  FROM grid
+),
+sums AS (
+  SELECT n_name, CAST(SUM(rk) AS BIGINT) AS r_sum,
+         CAST(count(*) AS BIGINT) AS m
+  FROM rk GROUP BY 1
+),
+nm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nations,
+         CAST(max(m) AS BIGINT) AS m_months
+  FROM sums
+),
+d AS (
+  SELECT CAST(SUM((2 * s.r_sum - nm.m_months * (nm.n_nations + 1))
+               * (2 * s.r_sum - nm.m_months * (nm.n_nations + 1)))
+              AS BIGINT) AS sum_d2_x4
+  FROM sums s CROSS JOIN nm
+)
+SELECT nm.n_nations, nm.m_months, d.sum_d2_x4,
+       d.sum_d2_x4 * 3000000
+         // (4 * nm.m_months * nm.m_months
+             * (nm.n_nations * nm.n_nations * nm.n_nations
+                - nm.n_nations)) AS w_ppm
+FROM nm CROSS JOIN d
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def kendall_w_nation_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S W (coefficient of concordance) over the monthly
+    nation-revenue league table: each month "judges" the 25 nations by
+    ranking them on revenue; W in [0,1] says how stable that ranking is
+    across the whole observation window (W=1: every month agrees; W~0:
+    the table reshuffles at random). The panel is made COMPLETE first —
+    a dense month x nation grid with zero revenue for absent cells, so
+    a nation with no orders one month ranks last instead of silently
+    shrinking that month's panel — and ranks are made deterministic by
+    the (rev DESC, n_name) tie-break both engines share. The doubled
+    deviation 2R_j − m(n+1) keeps the half-integer mean rank exact, so
+    W = 3·Σ(2R−m(n+1))² / (4·m²·(n³−n)) is one int64 ppm
+    floor-division. Scale: rank windows partition by month with exactly
+    |nation| = 25 rows each, and every aggregate after the first
+    fact-table pass lives on the bounded (month x nation) domain —
+    int64 headroom at any SF (ranks are ≤ 25·months, never fact-sized).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("yyyymm"),
+            "n_name",
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+    months = per.select("yyyymm").distinct()
+    grid = (
+        months.crossJoin(F.broadcast(n.select("n_name")))
+        .join(per, ["yyyymm", "n_name"], "left")
+        .na.fill({"rev": 0})
+    )
+    w = Window.partitionBy("yyyymm").orderBy(F.col("rev").desc(), "n_name")
+    ranked = grid.withColumn("rk", F.row_number().over(w).cast("long"))
+    sums = ranked.groupBy("n_name").agg(
+        F.sum("rk").alias("r_sum"), F.count("*").alias("m")
+    )
+    nm = sums.agg(
+        F.count("*").alias("n_nations"), F.max("m").alias("m_months")
+    )
+    dev = 2 * F.col("r_sum") - F.col("m_months") * (F.col("n_nations") + 1)
+    d = (
+        sums.crossJoin(F.broadcast(nm))
+        .select((dev * dev).alias("d2"), "n_nations", "m_months")
+        .groupBy("n_nations", "m_months")
+        .agg(F.sum("d2").alias("sum_d2_x4"))
+    )
+    return d.select(
+        "n_nations",
+        "m_months",
+        "sum_d2_x4",
+        F.expr(
+            "sum_d2_x4 * 3000000 div (4 * m_months * m_months"
+            " * (n_nations * n_nations * n_nations - n_nations))"
+        ).alias("w_ppm"),
+    )
+
+
+@register(
+    "monetary_unit_sampling_orders",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cum AS (
+  SELECT o_orderkey, v,
+         CAST(SUM(v) OVER (ORDER BY o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(v) OVER () AS BIGINT) AS tot
+  FROM v
+),
+par AS (
+  SELECT tot // 100 AS j, (tot // 100) // 2 AS off FROM cum LIMIT 1
+)
+SELECT c.o_orderkey, c.v AS order_cents, c.cum AS cum_cents,
+       (c.cum - p.off + p.j) // p.j
+         - (c.cum - c.v - p.off + p.j) // p.j AS n_hits
+FROM cum c CROSS JOIN par p
+WHERE (c.cum - p.off + p.j) // p.j
+        > (c.cum - c.v - p.off + p.j) // p.j
+ORDER BY c.o_orderkey
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def monetary_unit_sampling_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONETARY-UNIT SAMPLING (dollar-unit / PPS audit sampling, the
+    AICPA-standard technique): lay the orders end to end on a line of
+    cumulative cents, drop 100 equally spaced sampling points (interval
+    J = total//100, first point at J//2), and select every order whose
+    cent-range covers a point — selection probability proportional to
+    monetary size, and any order larger than J is selected with
+    CERTAINTY (n_hits counts multiple strikes: the auditor's
+    'high-value items' fall out of the same formula). This is the PPS
+    complement to systematic_sample_orders' equal-probability
+    every-k-rows design. The hit test is pure integer arithmetic:
+    shifting both range ends by +J keeps them non-negative (off < J, v
+    >= 0), where Spark's truncating `div` and DuckDB's flooring `//`
+    agree. Scale: the cumulative line is grank's binned 2-pass prefix
+    sum over orderkey — no single-task global window; the 1-row
+    (interval, offset) pair broadcasts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("v")
+    )
+    cum = with_global_rank(o, F.col("o_orderkey"), [], value="v").select(
+        "o_orderkey",
+        "v",
+        F.col("_cum").alias("cum"),
+        F.col("_s_tot").alias("tot"),
+    )
+    par = (
+        cum.select("tot")
+        .limit(1)
+        .select(
+            F.expr("tot div 100").alias("j"),
+            F.expr("(tot div 100) div 2").alias("off"),
+        )
+    )
+    hits = F.expr(
+        "(cum - off + j) div j - (cum - v - off + j) div j"
+    )
+    return (
+        cum.join(F.broadcast(par))
+        .select(
+            "o_orderkey",
+            F.col("v").alias("order_cents"),
+            F.col("cum").alias("cum_cents"),
+            hits.alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "robust_quartile_shape_by_priority",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS priority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+r AS (
+  SELECT priority, x,
+         CAST(row_number() OVER (PARTITION BY priority
+                                 ORDER BY x, o_orderkey) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+  FROM v
+),
+q AS (
+  SELECT priority, max(n) AS n,
+         max(CASE WHEN rk = (n + 3) // 4 THEN x END) AS q1_cents,
+         max(CASE WHEN rk = (n + 1) // 2 THEN x END) AS q2_cents,
+         max(CASE WHEN rk = (3 * n + 1) // 4 THEN x END) AS q3_cents
+  FROM r GROUP BY priority
+),
+f AS (
+  SELECT priority, n, q1_cents, q2_cents, q3_cents,
+         q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS lo_fence,
+         q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS hi_fence
+  FROM q
+)
+SELECT f.priority, f.n, f.q1_cents, f.q2_cents, f.q3_cents,
+       CASE WHEN f.q3_cents > f.q1_cents THEN
+         ((f.q3_cents + f.q1_cents - 2 * f.q2_cents) * 1000
+          + 1000 * (f.q3_cents - f.q1_cents))
+           // (f.q3_cents - f.q1_cents) - 1000 END AS bowley_milli,
+       (f.q3_cents - f.q1_cents) * 1000
+         // (f.q3_cents + f.q1_cents) AS qcd_milli,
+       CAST(SUM(CASE WHEN v.x < f.lo_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN v.x > f.hi_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_outliers
+FROM f JOIN v ON v.priority = f.priority
+GROUP BY f.priority, f.n, f.q1_cents, f.q2_cents, f.q3_cents,
+         f.lo_fence, f.hi_fence
+ORDER BY f.priority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def robust_quartile_shape_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROBUST SHAPE PROFILE per order priority from the exact quartile
+    triple: Bowley's quartile skewness (Q3+Q1−2·Q2)/(Q3−Q1), the
+    quartile coefficient of dispersion (Q3−Q1)/(Q3+Q1), and Tukey
+    1.5·IQR fence outlier counts per tail — the quartile-only siblings
+    of mad_outlier_order_values' median-based fences, giving the three
+    numbers (asymmetry, spread, tail mass) a box plot encodes, all
+    outlier-immune where moment skewness/CV are not. Quartiles are the
+    exact order statistics at ranks ceil(n/4), ceil(n/2), ceil(3n/4)
+    (ties broken by orderkey; mirrored row_number), computed with the
+    binned grouped cumsum so no priority group funnels through one
+    task. Ratios are int64 milli floor-divisions (all operands
+    non-negative once Q3>Q1 is guarded; Q-cents are positive). Second
+    pass re-joins the 5-row fence table (broadcast) to count tail
+    exceedances — fact table touched exactly twice."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("x"),
+    ).withColumn("one", F.lit(1).cast("long"))
+    ranked = with_grouped_cumsum(
+        v, ["priority"], F.col("x"), ["x", "o_orderkey"], "one"
+    ).withColumnRenamed("_cum", "rk")
+    n = v.groupBy(F.col("priority").alias("np")).agg(
+        F.count("*").alias("n")
+    )
+    q = (
+        ranked.join(F.broadcast(n), F.col("np") == F.col("priority"))
+        .groupBy("priority")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 3) div 4"), F.col("x"))
+            ).alias("q1_cents"),
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("x"))
+            ).alias("q2_cents"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(3 * n + 1) div 4"), F.col("x")
+                )
+            ).alias("q3_cents"),
+        )
+    )
+    f = q.select(
+        F.col("priority").alias("fp"),
+        "n",
+        "q1_cents",
+        "q2_cents",
+        "q3_cents",
+        F.expr(
+            "q1_cents - (3 * (q3_cents - q1_cents)) div 2"
+        ).alias("lo_fence"),
+        F.expr(
+            "q3_cents + (3 * (q3_cents - q1_cents)) div 2"
+        ).alias("hi_fence"),
+    )
+    return (
+        v.join(F.broadcast(f), F.col("fp") == F.col("priority"))
+        .groupBy(
+            "priority",
+            "n",
+            "q1_cents",
+            "q2_cents",
+            "q3_cents",
+            "lo_fence",
+            "hi_fence",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("x") < F.col("lo_fence"), 1).otherwise(0)
+            ).alias("n_low_outliers"),
+            F.sum(
+                F.when(F.col("x") > F.col("hi_fence"), 1).otherwise(0)
+            ).alias("n_high_outliers"),
+        )
+        .select(
+            "priority",
+            "n",
+            "q1_cents",
+            "q2_cents",
+            "q3_cents",
+            # Bowley can be negative; shift by +1000·IQR so the single
+            # floor-division runs on a non-negative numerator (Spark
+            # div truncates, DuckDB // floors — they only agree >= 0).
+            F.when(
+                F.col("q3_cents") > F.col("q1_cents"),
+                F.expr(
+                    "((q3_cents + q1_cents - 2 * q2_cents) * 1000"
+                    " + 1000 * (q3_cents - q1_cents))"
+                    " div (q3_cents - q1_cents) - 1000"
+                ),
+            ).alias("bowley_milli"),
+            F.expr(
+                "(q3_cents - q1_cents) * 1000"
+                " div (q3_cents + q1_cents)"
+            ).alias("qcd_milli"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "kruskal_wallis_priorities",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+pts AS (
+  SELECT x, priority, CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+),
+tv AS (
+  SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM pts GROUP BY 1
+),
+cum AS (
+  SELECT x, t,
+         CAST(SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t
+              AS BIGINT) AS before_all
+  FROM tv
+),
+grp AS (
+  SELECT p.priority, CAST(SUM(p.c) AS BIGINT) AS n_g,
+         SUM(CAST(p.c AS HUGEINT) * (2 * cum.before_all + cum.t + 1))
+             AS r2
+  FROM pts p JOIN cum ON cum.x = p.x
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_tot,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
+  FROM tv
+),
+contrib AS (
+  SELECT g.priority, g.n_g, g.r2,
+         CAST(g.r2 * g.r2 * 3000
+              // (CAST(g.n_g AS HUGEINT) * tot.n_tot * (tot.n_tot + 1))
+              AS BIGINT) AS contrib_milli
+  FROM grp g CROSS JOIN tot
+),
+h AS (
+  SELECT CAST(SUM(contrib_milli) AS BIGINT)
+           - 3000 * (SELECT n_tot + 1 FROM tot) AS h_milli
+  FROM contrib
+)
+SELECT c.priority, c.n_g, CAST(c.r2 AS BIGINT) AS rank2_sum,
+       tot.n_tot, h.h_milli,
+       CAST(1000000 - tot.tie3 * 1000000
+              // (CAST(tot.n_tot AS HUGEINT) * tot.n_tot * tot.n_tot
+                  - tot.n_tot) AS BIGINT) AS tie_c_ppm
+FROM contrib c CROSS JOIN tot CROSS JOIN h
+ORDER BY c.priority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def kruskal_wallis_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KRUSKAL-WALLIS H — the k-sample generalization of
+    mann_whitney_u_sources (one-way ANOVA on ranks): do the five order
+    priorities draw order values from the same distribution? Works on
+    the value-grain count table with tie-corrected doubled midranks
+    (2r = 2·before + t + 1, integer ALWAYS), so each group's doubled
+    rank sum 2R_g is exact; H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) is
+    published as h_milli with each group's term floored independently
+    (3000·(2R_g)² div (n_g·N·(N+1)), the engines' shared non-negative
+    floor-division — deterministic cross-engine, per-group floor error
+    < 5/1000 total), plus the tie-correction factor
+    C = 1 − Σ(t³−t)/(N³−N) as ppm. All quadratic/cubic cross-products
+    live in decimal(38,0) ⟷ HUGEINT (headroom to N≈10⁹ orders, ~sf600;
+    rank2_sum itself is < 2N² and presented as int64). Scale: the
+    cumulative runs over DISTINCT values via the binned 2-pass cumsum;
+    the 5-row group table and 1-row totals broadcast."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("x"),
+    )
+    pts = v.groupBy("x", "priority").agg(F.count("*").alias("c"))
+    tv = pts.groupBy(F.col("x").alias("xv")).agg(F.sum("c").alias("t"))
+    cum = with_grouped_cumsum(
+        tv, [], F.col("xv"), ["xv"], "t"
+    ).select(
+        "xv", "t", (F.col("_cum") - F.col("t")).alias("before_all")
+    )
+    dec = "decimal(38,0)"
+    grp = (
+        pts.join(cum, pts.x == cum.xv)
+        .groupBy("priority")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                F.col("c").cast(dec)
+                * (2 * F.col("before_all") + F.col("t") + 1)
+            ).alias("r2"),
+        )
+    )
+    tot = cum.agg(
+        F.sum("t").alias("n_tot"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    contrib = grp.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n_g",
+        "r2",
+        "n_tot",
+        "tie3",
+        F.expr(
+            "CAST(r2 * r2 * 3000"
+            " div (CAST(n_g AS DECIMAL(38,0)) * n_tot * (n_tot + 1))"
+            " AS BIGINT)"
+        ).alias("contrib_milli"),
+    )
+    h = contrib.groupBy("n_tot").agg(
+        (F.sum("contrib_milli") - 3000 * (F.col("n_tot") + 1)).alias(
+            "h_milli"
+        )
+    ).select("h_milli")
+    return (
+        contrib.crossJoin(F.broadcast(h))
+        .select(
+            "priority",
+            "n_g",
+            F.col("r2").cast("long").alias("rank2_sum"),
+            "n_tot",
+            "h_milli",
+            F.expr(
+                "CAST(1000000 - tie3 * 1000000"
+                " div (CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot"
+                " - n_tot) AS BIGINT)"
+            ).alias("tie_c_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "cramer_von_mises_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c1 + c2 AS t,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f2
+  FROM pts
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pts
+),
+u AS (
+  SELECT SUM(CAST(cum.t AS HUGEINT)
+             * (cum.f1 * n.n2 - cum.f2 * n.n1)
+             * (cum.f1 * n.n2 - cum.f2 * n.n1)) AS u
+  FROM cum CROSS JOIN n
+)
+SELECT n.n1, n.n2,
+       CAST(u.u * 1000000
+            // (CAST(n.n1 AS HUGEINT) * n.n2 * (n.n1 + n.n2)
+                * (n.n1 + n.n2)) AS BIGINT) AS t_cvm_micro
+FROM n CROSS JOIN u
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def cramer_von_mises_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample CRAMER-VON MISES statistic between src0's and src1's
+    document-length distributions — the INTEGRATED-squared-gap member
+    of the drift-test trio (ks_statistic_sources takes the supremum of
+    |F1−F2|, mann_whitney_u_sources its signed location shift; CvM
+    weighs the WHOLE curve, catching two distributions that cross so
+    their max gap is small but their accumulated gap is not):
+    T = (n1·n2/N²)·Σ_pooled (F1(x)−F2(x))², Anderson's computational
+    form evaluated at every pooled observation (each of the t(v) tied
+    copies contributes — ties handled by the value-grain count table,
+    no midranks needed since only CDF values enter). The gap numerator
+    f1·n2 − f2·n1 is the same exact cross-multiplied integer as the KS
+    query; its square times t accumulates in decimal(38,0) ⟷ HUGEINT
+    and T is published as ONE micro floor-division by n1·n2·N²
+    (headroom: corpus N up to ~10⁷ docs per source pair; document
+    counts grow far slower than fact tables). Scale shape identical to
+    ks_statistic_sources: distinct-length domain, binned 2-pass
+    cumulative, 1-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.col("_cum_c1").alias("f1"),
+        F.col("_cum_c2").alias("f2"),
+    )
+    n = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dec = "decimal(38,0)"
+    gap = (
+        F.col("f1").cast(dec) * F.col("n2")
+        - F.col("f2").cast(dec) * F.col("n1")
+    )
+    u = (
+        cum.crossJoin(F.broadcast(n))
+        .select((F.col("t").cast(dec) * gap * gap).alias("term"))
+        .agg(F.sum("term").alias("u"))
+    )
+    return n.crossJoin(F.broadcast(u)).select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(u * 1000000"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2)"
+            " * (n1 + n2)) AS BIGINT)"
+        ).alias("t_cvm_micro"),
+    )
+
+
+@register(
+    "shift_share_nation_brandmix",
+    oracle="""
+WITH base AS (
+  SELECT n.n_name, p.p_brand,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN (1994, 1995)
+  GROUP BY 1, 2, 3
+),
+brand AS (
+  SELECT p_brand, yr, CAST(SUM(rev) AS BIGINT) AS b FROM base
+  GROUP BY 1, 2
+),
+natl AS (
+  SELECT yr, CAST(SUM(rev) AS BIGINT) AS r FROM base GROUP BY 1
+),
+cells AS (
+  SELECT c0.n_name, c0.p_brand,
+         c0.rev AS r0, c1.rev AS r1,
+         b0.b AS b0, b1.b AS b1,
+         (SELECT r FROM natl WHERE yr = 1994) AS rn0,
+         (SELECT r FROM natl WHERE yr = 1995) AS rn1
+  FROM base c0
+  JOIN base c1 ON c1.n_name = c0.n_name AND c1.p_brand = c0.p_brand
+              AND c1.yr = 1995
+  JOIN brand b0 ON b0.p_brand = c0.p_brand AND b0.yr = 1994
+  JOIN brand b1 ON b1.p_brand = c0.p_brand AND b1.yr = 1995
+  WHERE c0.yr = 1994
+),
+eff AS (
+  SELECT n_name, p_brand, r0, r1,
+         CAST(CAST(r0 AS HUGEINT) * rn1 // rn0 AS BIGINT) - r0 AS ns,
+         CAST(CAST(r0 AS HUGEINT) * b1 // b0 AS BIGINT) - r0
+             AS brand_growth
+  FROM cells
+)
+SELECT n_name, p_brand, r0 AS rev_1994_cents, r1 AS rev_1995_cents,
+       ns AS national_effect_cents,
+       brand_growth - ns AS mix_effect_cents,
+       (r1 - r0) - brand_growth AS competitive_effect_cents
+FROM eff
+ORDER BY n_name, p_brand
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def shift_share_nation_brandmix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHIFT-SHARE ANALYSIS (Dunn 1960, the regional-economics
+    workhorse) of each (nation x brand) cell's 1994→1995 revenue
+    change, decomposed into the three effects an FP&A or economic
+    analyst separates: NATIONAL effect (what growing at the
+    everything-total rate would have added), industry-MIX effect (the
+    extra from the cell's brand growing faster/slower than the total),
+    and the residual COMPETITIVE effect (the nation's own out/under-
+    performance within that brand). Exactness follows
+    price_volume_mix_bridge's reconciliation doctrine: each growth
+    application is floor(r0·R1/R0) − r0 — the subtraction pulled
+    OUTSIDE the floor so the single division runs on a non-negative
+    numerator (decimal(38,0) ⟷ HUGEINT cross-products) even when a
+    year shrinks — and the competitive effect is the exact residual,
+    so the three effects sum to r1−r0 TO THE CENT by construction.
+    Scale: one pass over the year-filtered fact join (nation/part
+    broadcast, customer shuffled); brand and national totals are
+    aggregates OF the cell aggregate, all on the bounded 25x25xyear
+    domain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).cast("long").alias("yr"),
+    ).filter(F.col("yr").isin(1994, 1995))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", cents(F.col("l_extendedprice")).alias("v")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("n_name", "p_brand", "yr")
+        .agg(F.sum("v").alias("rev"))
+    )
+    brand = base.groupBy(F.col("p_brand").alias("bb"), "yr").agg(
+        F.sum("rev").alias("b")
+    )
+    natl = base.groupBy("yr").agg(F.sum("rev").alias("r"))
+    c0 = base.filter(F.col("yr") == 1994).select(
+        "n_name", "p_brand", F.col("rev").alias("r0")
+    )
+    c1 = base.filter(F.col("yr") == 1995).select(
+        F.col("n_name").alias("n1n"),
+        F.col("p_brand").alias("p1b"),
+        F.col("rev").alias("r1"),
+    )
+    b0 = brand.filter(F.col("yr") == 1994).select("bb", F.col("b").alias("b0"))
+    b1 = brand.filter(F.col("yr") == 1995).select(
+        F.col("bb").alias("bb1"), F.col("b").alias("b1")
+    )
+    rn = (
+        natl.groupBy()
+        .agg(
+            F.max(F.when(F.col("yr") == 1994, F.col("r"))).alias("rn0"),
+            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("rn1"),
+        )
+    )
+    cells = (
+        c0.join(
+            c1,
+            (F.col("n_name") == F.col("n1n"))
+            & (F.col("p_brand") == F.col("p1b")),
+        )
+        .join(F.broadcast(b0), F.col("p_brand") == F.col("bb"))
+        .join(F.broadcast(b1), F.col("p_brand") == F.col("bb1"))
+        .crossJoin(F.broadcast(rn))
+    )
+    ns = F.expr(
+        "CAST(CAST(r0 AS DECIMAL(38,0)) * rn1 div rn0 AS BIGINT) - r0"
+    )
+    bg = F.expr(
+        "CAST(CAST(r0 AS DECIMAL(38,0)) * b1 div b0 AS BIGINT) - r0"
+    )
+    return (
+        cells.select(
+            "n_name",
+            "p_brand",
+            F.col("r0").alias("rev_1994_cents"),
+            F.col("r1").alias("rev_1995_cents"),
+            ns.alias("national_effect_cents"),
+            (bg - ns).alias("mix_effect_cents"),
+            (F.col("r1") - F.col("r0") - bg).alias(
+                "competitive_effect_cents"
+            ),
+        )
+        .orderBy("n_name", "p_brand")
+    )
