@@ -3999,3 +3999,422 @@ def haar_energy_decomposition_daily(
         )
         .orderBy("event_type", "level")
     )
+
+
+@register(
+    "hodges_lehmann_daily_value",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.d AS d1, b.d AS d2, a.x + b.x AS w
+  FROM daily a JOIN daily b ON b.d >= a.d
+),
+r AS (
+  SELECT w,
+         CAST(row_number() OVER (ORDER BY w, d1, d2) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       m AS n_pairs, w AS hl_doubled_cents, w // 2 AS hl_cents
+FROM r WHERE rk = (m + 1) // 2
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def hodges_lehmann_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HODGES-LEHMANN estimator of daily revenue level — the median of
+    all n(n+1)/2 pairwise Walsh averages (x_i+x_j)/2, i<=j — the
+    location estimator dual to the Wilcoxon signed-rank test: ~95%
+    Gaussian efficiency yet a 29% breakdown point, where
+    rolling_median_daily_value gives the plain median (50% breakdown,
+    64% efficiency) and the mean breaks on one bad day. Halves stay
+    exact by carrying the DOUBLED Walsh sum w = x_i + x_j; the median
+    is the exact order statistic at rank ceil(M/2) with the (w, d1,
+    d2) tie-break both engines mirror, selected by binned 2-pass
+    SELECTION (exact per-bin counts locate the one bin holding the
+    target rank; only that slice is sorted) — no single-task sort over
+    the pair domain. Scale: the
+    pair blow-up is quadratic in the DAY domain, which is CALENDAR-
+    bounded (~2.6k days → ~3.4M pairs at ANY fact-table SF — the same
+    bounded-domain argument as the km life table), built as a
+    broadcast self-join on the daily aggregate."""
+    from spark_lever_spark.functions.exact import cents
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    # The ~2.6k-row daily aggregate is persisted (bounded-domain, same
+    # as the relational rolling-distinct precedent) so grank's rank and
+    # quantile-bound passes over the 3.4M-pair self-join re-derive it
+    # from memory instead of rescanning the fact table per pass.
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+        .persist()
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(F.broadcast(b), F.col("d2") >= F.col("d1")).select(
+        "d1", "d2", (F.col("x1") + F.col("x2")).alias("w")
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    # SELECTION, not full ranking: bin the pairs by quantile-bound
+    # literals, count per bin, locate the ONE bin holding the median
+    # rank, and sort only that ~1/num_bins slice — the k-th element is
+    # exact no matter where the (approximate) bounds fall, because the
+    # offsets are exact counts. ~2.5x faster than ranking all pairs.
+    from spark_lever_spark.operators.grank import _bin_expr
+
+    d = pairs.withColumn("_key", F.col("w"))
+    binned = d.withColumn("_b", _bin_expr(d, "_key", 64))
+    cnts = binned.groupBy("_b").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_b").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tgt = (
+        cnts.select(
+            "_b",
+            "c",
+            F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("before"),
+            F.sum("c").over(w_all).alias("m"),
+        )
+        .withColumn("tr", F.expr("(m + 1) div 2"))
+        .filter(
+            (F.col("before") < F.col("tr"))
+            & (F.col("tr") <= F.col("before") + F.col("c"))
+        )
+        .select(F.col("_b").alias("tb"), "before", "m", "tr")
+    )
+    w_loc = Window.partitionBy("_b").orderBy("w", "d1", "d2")
+    return (
+        binned.join(F.broadcast(tgt), F.col("_b") == F.col("tb"))
+        .withColumn("_lrk", F.row_number().over(w_loc).cast("long"))
+        .filter(F.col("before") + F.col("_lrk") == F.col("tr"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("m").alias("n_pairs"),
+            F.col("w").alias("hl_doubled_cents"),
+            F.expr("w div 2").alias("hl_cents"),
+        )
+    )
+
+
+@register(
+    "apdex_ship_latency_monthly",
+    oracle="""
+WITH lat AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS yyyymm,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT yyyymm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS satisfied,
+       CAST(SUM(CASE WHEN days > 30 AND days <= 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tolerating,
+       CAST(SUM(CASE WHEN days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+           AS frustrated,
+       CAST((1000 * (2 * SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN days > 30 AND days <= 120
+                      THEN 1 ELSE 0 END)))
+         // (2 * count(*)) AS BIGINT) AS apdex_milli
+FROM lat GROUP BY yyyymm ORDER BY yyyymm
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def apdex_ship_latency_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APDEX SCORE (the industry-standard SLA satisfaction index:
+    (satisfied + tolerating/2) / n with tolerating = (T, 4T]) applied
+    to order→ship latency per order month, T = 30 days — the
+    single-number monthly answer that ship_latency_by_priority's full
+    distribution and slo_burn_rate_daily's error budget both stop
+    short of. The half-weight stays exact by doubling: apdex_milli =
+    1000·(2·sat + tol) div (2·n), one non-negative int64
+    floor-division per month (Spark `div` == DuckDB `//`). Scale: the
+    orderkey equi-join of the two fact tables is the only shuffle
+    (co-partitioned on the join key); everything after lives on the
+    ~84-row month domain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        (
+            F.year(F.to_date("o_orderdate")) * 100
+            + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("yyyymm"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "yyyymm", F.datediff("sd", "od").alias("days")
+    )
+    return (
+        lat.groupBy("yyyymm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("days") <= 30, 1).otherwise(0)).alias(
+                "satisfied"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("days") > 30) & (F.col("days") <= 120), 1
+                ).otherwise(0)
+            ).alias("tolerating"),
+            F.sum(F.when(F.col("days") > 120, 1).otherwise(0)).alias(
+                "frustrated"
+            ),
+        )
+        .select(
+            "yyyymm",
+            "n",
+            "satisfied",
+            "tolerating",
+            "frustrated",
+            F.expr(
+                "(1000 * (2 * satisfied + tolerating)) div (2 * n)"
+            ).alias("apdex_milli"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+@register(
+    "price_index_laspeyres_fisher_monthly",
+    oracle="""
+WITH bm AS (
+  SELECT p.p_brand,
+         CAST(EXTRACT(year FROM l.l_shipdate) * 100
+              + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS yyyymm,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT p_brand, q AS q0, r AS r0 FROM bm
+  WHERE yyyymm = 199401 AND q > 0
+),
+j AS (
+  SELECT bm.yyyymm, bm.p_brand, bm.q AS qt, bm.r AS rt,
+         base.q0, base.r0
+  FROM bm JOIN base ON base.p_brand = bm.p_brand
+  WHERE bm.q > 0
+),
+s AS (
+  SELECT yyyymm,
+         CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(SUM(r0) AS BIGINT) AS sum_r0,
+         CAST(SUM(rt) AS BIGINT) AS sum_rt,
+         CAST(SUM(CAST(rt AS HUGEINT) * q0 // qt) AS BIGINT) AS l_num,
+         CAST(SUM(CAST(r0 AS HUGEINT) * qt // q0) AS BIGINT) AS p_den
+  FROM j GROUP BY 1
+)
+SELECT yyyymm, n_brands,
+       CAST(CAST(l_num AS HUGEINT) * 1000000 // sum_r0 AS BIGINT)
+           AS laspeyres_ppm,
+       CAST(CAST(sum_rt AS HUGEINT) * 1000000 // p_den AS BIGINT)
+           AS paasche_ppm,
+       CAST(round(sqrt(CAST(
+           (CAST(l_num AS HUGEINT) * 1000000 // sum_r0)
+           * (CAST(sum_rt AS HUGEINT) * 1000000 // p_den)
+           AS DOUBLE))) AS BIGINT) AS fisher_ppm
+FROM s ORDER BY yyyymm
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def price_index_laspeyres_fisher_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LASPEYRES / PAASCHE / FISHER PRICE INDEXES of the brand basket,
+    every ship-month against the January-1994 base — the index-number
+    construction CPI statistics and revenue-deflation pipelines run,
+    answering 'how much of revenue motion is PRICE, holding the basket
+    fixed' (price_elasticity_arc_brand estimates response; an index
+    states the level). Brand unit values p = r/q never materialize:
+    Laspeyres' numerator Σ p_t·q_0 is computed per brand as
+    floor(r_t·q_0/q_t) (decimal(38,0) ⟷ HUGEINT cross-product, one
+    non-negative floor-division per brand — deterministic both
+    engines), Paasche's denominator symmetrically, and each index is
+    ONE closing ppm floor-division over the brands present in both
+    base and current month (q>0 both sides — the matched basket).
+    Fisher is the geometric mean √(L·P): the ppm product is < 2^53 so
+    the double is exact, and sqrt/round are IEEE-identical
+    cross-engine. Scale: one fact pass (part broadcast) onto the
+    (brand x month) domain; the 25-row base basket broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from spark_lever_spark.functions.exact import cents
+
+    bm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            (
+                F.year(F.to_date("l_shipdate")) * 100
+                + F.month(F.to_date("l_shipdate"))
+            )
+            .cast("long")
+            .alias("yyyymm"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("r"),
+        )
+    )
+    base = bm.filter(
+        (F.col("yyyymm") == 199401) & (F.col("q") > 0)
+    ).select(
+        F.col("p_brand").alias("bb"),
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+    )
+    j = bm.filter(F.col("q") > 0).join(
+        F.broadcast(base), F.col("p_brand") == F.col("bb")
+    )
+    s = j.groupBy("yyyymm").agg(
+        F.count("*").alias("n_brands"),
+        F.sum("r0").alias("sum_r0"),
+        F.sum(F.col("r").alias("rt")).alias("sum_rt"),
+        F.sum(
+            F.expr("CAST(CAST(r AS DECIMAL(38,0)) * q0 div q AS BIGINT)")
+        ).alias("l_num"),
+        F.sum(
+            F.expr("CAST(CAST(r0 AS DECIMAL(38,0)) * q div q0 AS BIGINT)")
+        ).alias("p_den"),
+    )
+    lasp = F.expr(
+        "CAST(CAST(l_num AS DECIMAL(38,0)) * 1000000 div sum_r0"
+        " AS BIGINT)"
+    )
+    paas = F.expr(
+        "CAST(CAST(sum_rt AS DECIMAL(38,0)) * 1000000 div p_den"
+        " AS BIGINT)"
+    )
+    return s.select(
+        "yyyymm",
+        "n_brands",
+        lasp.alias("laspeyres_ppm"),
+        paas.alias("paasche_ppm"),
+        F.round(
+            F.sqrt((lasp * paas).cast("double"))
+        )
+        .cast("long")
+        .alias("fisher_ppm"),
+    ).orderBy("yyyymm")
+
+
+@register(
+    "stochastic_oscillator_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT d, x,
+         CAST(min(x) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS low14,
+         CAST(max(x) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS high14
+  FROM daily
+),
+k AS (
+  SELECT d, x, low14, high14,
+         CASE WHEN high14 > low14
+              THEN (x - low14) * 1000000 // (high14 - low14)
+         END AS k_ppm
+  FROM win
+)
+SELECT d, x AS value_cents, low14, high14, k_ppm,
+       (k_ppm + LAG(k_ppm, 1) OVER (ORDER BY d)
+        + LAG(k_ppm, 2) OVER (ORDER BY d)) // 3 AS d_ppm
+FROM k ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def stochastic_oscillator_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STOCHASTIC OSCILLATOR (%K/%D, Lane's momentum indicator —
+    'where does today close within its trailing 14-day range') over
+    daily revenue — the range-position companion to
+    bollinger_breakout_daily's band-position and max_drawdown's
+    running extremes: %K = (close − low14)/(high14 − low14), %D its
+    3-observation smoothing. The trailing window is a RANGE frame over
+    the integer day index (13 preceding), so calendar gaps shrink the
+    window identically in both engines instead of silently reaching
+    further back the way a ROWS frame would. %K is one non-negative
+    int64 ppm floor-division (flat-range windows → NULL, not a
+    divide-by-zero); %D = (k + k₋₁ + k₋₂) div 3 on exact ppm integers,
+    with NULL propagation giving the standard 2-row warm-up. Scale:
+    windows run on the calendar-bounded daily aggregate (~2.6k rows at
+    any SF — the bounded-domain precedent of the km life table), after
+    ONE fact-table aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    win = daily.select(
+        "d",
+        "x",
+        F.min("x").over(wr).alias("low14"),
+        F.max("x").over(wr).alias("high14"),
+    )
+    k = win.withColumn(
+        "k_ppm",
+        F.when(
+            F.col("high14") > F.col("low14"),
+            F.expr("(x - low14) * 1000000 div (high14 - low14)"),
+        ),
+    )
+    wl = Window.orderBy("d")
+    return k.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        "low14",
+        "high14",
+        "k_ppm",
+        F.expr(
+            "(k_ppm + lag(k_ppm, 1) OVER (ORDER BY d)"
+            " + lag(k_ppm, 2) OVER (ORDER BY d)) div 3"
+        ).alias("d_ppm"),
+    ).orderBy("d")
