@@ -3353,3 +3353,324 @@ def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "bounce_rate_daily_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no,
+         ts
+  FROM ordered
+),
+per_sess AS (
+  SELECT user_id, session_no,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+  FROM sess GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS bounce_milli
+FROM per_sess GROUP BY day ORDER BY day
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def bounce_rate_daily_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAILY BOUNCE RATE — share of sessions that contain exactly one
+    event, the canonical web-analytics engagement metric sitting one
+    rollup above sessionize_events: same 30-min-gap sessionization
+    (identical lag → new-session flag → running sum, so the session
+    boundaries are THE same sessions every other session query in this
+    repo reports), bucketed by the session's START day, with the rate
+    as an exact int64 milli floor-division. Scale: one shuffle on
+    user_id serves both window passes and the per-session rollup; the
+    day-grain aggregate is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_trunc("day", F.min("ts")).alias("day"),
+    )
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("1000 * n_bounces div n_sessions").alias(
+                "bounce_milli"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "entry_exit_matrix_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+fl AS (
+  SELECT DISTINCT user_id, session_no,
+         first_value(event_type) OVER ws AS entry_type,
+         last_value(event_type) OVER ws AS exit_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+m AS (
+  SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM fl GROUP BY 1, 2
+)
+SELECT entry_type, exit_type, n_sessions,
+       CAST(n_sessions * 1000000
+            // SUM(n_sessions) OVER (PARTITION BY entry_type)
+            AS BIGINT) AS row_share_ppm
+FROM m ORDER BY entry_type, exit_type
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def entry_exit_matrix_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION ENTRY→EXIT MATRIX: which event type OPENS a session
+    crossed with which type CLOSES it, with each row's share of its
+    entry class — the landing/parting-page analysis that
+    session_path_trigrams (interior transitions) and
+    markov_transition_matrix (step-wise) don't answer: 'of sessions
+    that start with a view, how many END on a purchase?'. Sessions are
+    the repo-standard 30-min-gap ones; first/last events are
+    deterministic under the (ts, event_id) total order via
+    first/last_value over an unbounded frame (both engines identical).
+    Scale: the session pass is the one user_id shuffle; the matrix is
+    |event_type|² ≤ ~25 rows, and the row-normalizing window runs on
+    that bounded domain. Shares are exact int64 ppm floor-divisions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fl = sess.select(
+        "user_id",
+        "session_no",
+        F.first("event_type").over(ws).alias("entry_type"),
+        F.last("event_type").over(ws).alias("exit_type"),
+    ).distinct()
+    m = fl.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("n_sessions")
+    )
+    wrow = Window.partitionBy("entry_type")
+    return m.select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        F.expr(
+            "n_sessions * 1000000"
+            " div (SUM(n_sessions) OVER (PARTITION BY entry_type))"
+        ).alias("row_share_ppm"),
+    ).orderBy("entry_type", "exit_type")
+
+
+@register(
+    "littles_law_daily_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+iv AS (
+  SELECT MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, session_no
+),
+arrivals AS (
+  SELECT CAST(date_trunc('day', s) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_started,
+         CAST(SUM(date_diff('second', s, e)) AS BIGINT)
+             AS started_dur_secs
+  FROM iv GROUP BY 1
+),
+clipped AS (
+  SELECT CAST(dts AS TIMESTAMP) AS day,
+         date_diff('second',
+                   greatest(s, CAST(dts AS TIMESTAMP)),
+                   least(e, CAST(dts AS TIMESTAMP) + INTERVAL 1 DAY))
+             AS secs
+  FROM iv,
+       UNNEST(generate_series(date_trunc('day', s),
+                              date_trunc('day', e),
+                              INTERVAL 1 DAY)) AS t(dts)
+),
+occupancy AS (
+  SELECT day, CAST(SUM(secs) AS BIGINT) AS occupied_secs
+  FROM clipped GROUP BY 1
+)
+SELECT a.day, a.n_started, a.started_dur_secs,
+       COALESCE(o.occupied_secs, 0) AS occupied_secs,
+       CASE WHEN a.started_dur_secs > 0 THEN
+         CAST(COALESCE(o.occupied_secs, 0) * 1000000
+              // a.started_dur_secs AS BIGINT)
+       END AS littles_ratio_ppm
+FROM arrivals a LEFT JOIN occupancy o ON o.day = a.day
+ORDER BY a.day
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def littles_law_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LITTLE'S LAW AUDIT per day (L = λ·W, the queueing identity):
+    measure each day's session OCCUPANCY seconds (L·86400, by clipping
+    every session interval to the days it spans — the sweep that
+    interval_union_active_time does for one user, here day-bucketed
+    corpus-wide) against arrivals × mean duration (λ·W·86400 =
+    total duration of sessions STARTED that day), publishing the ppm
+    ratio — ≈1e6 when flow is balanced, drifting when sessions pile
+    across midnight. Durations are whole-second floors on BOTH ends
+    (Spark timestamp long-cast diff == DuckDB date_diff('second'),
+    boundary-crossing counts), so the identity is exact integer
+    arithmetic end to end. Scale: sessionization is the one user_id
+    shuffle; the day-spine explode fans each interval out ≤ days-
+    spanned times (sessions are minutes long — fan-out ~1), and both
+    rollups live on the calendar-bounded day domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    arrivals = iv.groupBy(
+        F.date_trunc("day", F.col("s")).alias("day")
+    ).agg(
+        F.count("*").alias("n_started"),
+        F.sum(
+            F.col("e").cast("long") - F.col("s").cast("long")
+        ).alias("started_dur_secs"),
+    )
+    clipped = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("s")),
+                F.date_trunc("day", F.col("e")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("dts"),
+    ).select(
+        F.col("dts").alias("day"),
+        (
+            F.least(
+                F.col("e"), F.col("dts") + F.expr("INTERVAL 1 DAY")
+            ).cast("long")
+            - F.greatest(F.col("s"), F.col("dts")).cast("long")
+        ).alias("secs"),
+    )
+    occupancy = clipped.groupBy(F.col("day").alias("oday")).agg(
+        F.sum("secs").alias("occupied_secs")
+    )
+    return (
+        arrivals.join(
+            occupancy, F.col("day") == F.col("oday"), "left"
+        )
+        .select(
+            "day",
+            "n_started",
+            "started_dur_secs",
+            F.coalesce(F.col("occupied_secs"), F.lit(0)).alias(
+                "occupied_secs"
+            ),
+            F.when(
+                F.col("started_dur_secs") > 0,
+                F.expr(
+                    "coalesce(occupied_secs, 0) * 1000000"
+                    " div started_dur_secs"
+                ),
+            ).alias("littles_ratio_ppm"),
+        )
+        .orderBy("day")
+    )
