@@ -1457,3 +1457,103 @@ def token_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "readability_ari_by_source",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              AS BIGINT) AS c,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS n_chars_alnum,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences
+  FROM per_doc WHERE w > 0 GROUP BY source
+)
+SELECT source, n_docs, n_chars_alnum, n_words, n_sentences,
+       CAST((471 * CAST(n_chars_alnum AS HUGEINT) * n_sentences
+             + 50 * CAST(n_words AS HUGEINT) * n_words)
+            // (CAST(n_words AS HUGEINT) * n_sentences) - 2143
+            AS BIGINT) AS ari_centi,
+       1000 * n_words // n_sentences AS words_per_sentence_milli
+FROM agg ORDER BY source
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def readability_ari_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUTOMATED READABILITY INDEX (ARI = 4.71·chars/words +
+    0.5·words/sentence − 21.43, the US-grade-level readability score)
+    per document source — the curation signal text_quality_scores'
+    length/punct ratios approximate but never state on the educator's
+    scale; corpus-level filtering pipelines (e.g. targeting grade
+    6-12 text) threshold exactly this. ARI is the readability formula
+    that needs NO syllable counter, so it stays exact: alphanumeric
+    chars, whitespace words (the repo-standard tokenizer), and
+    sentence-ending punctuation RUNS ([.!?]+, min 1 per doc) are
+    integer counts; the score is published in centi-grade as
+    (471·C·S + 50·W²) div (W·S) − 2143 — the constant pulled OUTSIDE
+    the floor so the single division runs on a non-negative numerator
+    (the engines' shared floor semantics), with the quadratic
+    cross-products in decimal(38,0) ⟷ HUGEINT for any-SF headroom.
+    Scale: one stateless map over documents then a per-source
+    aggregate — no shuffle beyond the ~10-row source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length(
+            F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")
+        )
+        .cast("long")
+        .alias("c"),
+        token_count(F.col("text")).cast("long").alias("w"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[.!?]+"), F.lit(0)
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    agg = (
+        per_doc.filter(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_chars_alnum"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars_alnum",
+        "n_words",
+        "n_sentences",
+        F.expr(
+            "CAST((471 * CAST(n_chars_alnum AS DECIMAL(38,0))"
+            " * n_sentences"
+            " + 50 * CAST(n_words AS DECIMAL(38,0)) * n_words)"
+            " div (CAST(n_words AS DECIMAL(38,0)) * n_sentences)"
+            " - 2143 AS BIGINT)"
+        ).alias("ari_centi"),
+        F.expr("1000 * n_words div n_sentences").alias(
+            "words_per_sentence_milli"
+        ),
+    ).orderBy("source")

@@ -732,3 +732,97 @@ def cdc_state_asof_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asof_seq", "o_orderstatus")
     )
+
+
+@register(
+    "matview_join_ivm_orders",
+    oracle=f"""
+WITH ins AS (
+  SELECT o_orderkey + {_INSERT_OFFSET} AS o_orderkey, o_custkey,
+         round(o_totalprice * 1.07 * 100) / 100 AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+merged AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM ins
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(m.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM merged m
+JOIN customer c ON c.c_custkey = m.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+    category="cdc",
+    tags=("defer-window",),
+)
+def matview_join_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — revenue-by-nation over
+    orders ⋈ customer ⋈ nation — under a CDC batch of inserts and
+    deletes. Where matview_incremental_orders_by_status maintains a
+    single-table aggregate, the join view's maintenance rule is the
+    DELTA-JOIN rule (ΔV = ΔO ⋈ C ⋈ N, the textbook IVM identity for
+    one changing input): ONLY the change batch is joined against the
+    dimension chain — deletes contribute (−1, −cents) to their
+    nation's group, inserts (+1, +cents) — and the result merges into
+    the standing view with one 25-row outer join. The base fact table
+    is joined once to BUILD the view and never rescanned by
+    maintenance (the extra base scans here only derive the synthetic
+    feed, which a real deployment receives externally). At 100 TB
+    this turns a nightly 3-table re-join into delta-sized work. The
+    oracle recomputes from the merged snapshot, so the hash check IS
+    the incremental == recompute proof."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents_of = lambda col: F.round(col * 100).cast("long")  # noqa: E731
+
+    def to_nation(df: DataFrame) -> DataFrame:
+        return df.join(c, df.o_custkey == c.c_custkey).join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+
+    view = to_nation(base).groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents_of(F.col("o_totalprice"))).alias("rev_cents"),
+    )
+    k = F.col("o_orderkey")
+    dels = base.filter(k % 97 == 0).select(
+        "o_custkey", F.lit(-1).cast("long").alias("dn"),
+        (-cents_of(F.col("o_totalprice"))).alias("dc"),
+    )
+    ins = base.filter(k % 101 == 0).select(
+        "o_custkey",
+        F.lit(1).cast("long").alias("dn"),
+        cents_of(
+            F.round(F.col("o_totalprice") * 1.07 * 100) / 100
+        ).alias("dc"),
+    )
+    delta = (
+        to_nation(dels.unionByName(ins))
+        .groupBy(F.col("n_name").alias("dname"))
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    return (
+        view.join(delta, F.col("n_name") == F.col("dname"), "full")
+        .select(
+            F.coalesce(F.col("n_name"), F.col("dname")).alias("n_name"),
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("rev_cents"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("rev_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("n_name")
+    )

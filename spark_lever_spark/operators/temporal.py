@@ -4219,7 +4219,7 @@ WITH bm AS (
 ),
 base AS (
   SELECT p_brand, q AS q0, r AS r0 FROM bm
-  WHERE yyyymm = 199401 AND q > 0
+  WHERE yyyymm = (SELECT min(yyyymm) FROM bm) AND q > 0
 ),
 j AS (
   SELECT bm.yyyymm, bm.p_brand, bm.q AS qt, bm.r AS rt,
@@ -4254,7 +4254,9 @@ def price_index_laspeyres_fisher_monthly(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """LASPEYRES / PAASCHE / FISHER PRICE INDEXES of the brand basket,
-    every ship-month against the January-1994 base — the index-number
+    every ship-month against the
+    earliest-ship-month base (data-driven, so the index is defined in
+    every testdata window) — the index-number
     construction CPI statistics and revenue-deflation pipelines run,
     answering 'how much of revenue motion is PRICE, holding the basket
     fixed' (price_elasticity_arc_brand estimates response; an index
@@ -4289,9 +4291,10 @@ def price_index_laspeyres_fisher_monthly(
             F.sum(cents(F.col("l_extendedprice"))).alias("r"),
         )
     )
-    base = bm.filter(
-        (F.col("yyyymm") == 199401) & (F.col("q") > 0)
-    ).select(
+    m0 = bm.agg(F.min("yyyymm").alias("m0"))
+    base = bm.join(
+        F.broadcast(m0), F.col("yyyymm") == F.col("m0")
+    ).filter(F.col("q") > 0).select(
         F.col("p_brand").alias("bb"),
         F.col("q").alias("q0"),
         F.col("r").alias("r0"),

@@ -1,0 +1,590 @@
+"""Independent-reference checks for the round-12 operator batch —
+the house "simulator equality" pattern: the DuckDB oracle is the
+driver's gate; these tests re-derive the same answers from plain
+Python (sorted lists, dict aggregation, Fraction-free integer
+arithmetic), so a shared SQL-side misconception cannot hide in both
+engines.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+from datetime import date, datetime, timedelta
+
+import duckdb
+
+from spark_lever_spark import registry
+
+SF = "/root/testdata/sf0.001"
+EPOCH = datetime(1970, 1, 1)
+
+
+def _run(spark, name):
+    return registry.all_queries()[name].fn(spark, SF).toPandas()
+
+
+def _cents(x: float) -> int:
+    # SQL round() is half-away-from-zero; Python round() is banker's.
+    return int(x * 100 + (0.5 if x >= 0 else -0.5))
+
+
+def _sql(q: str):
+    return duckdb.sql(q.replace("{SF}", SF)).fetchall()
+
+
+def _floor_secs(dt: datetime) -> int:
+    return (dt - EPOCH) // timedelta(seconds=1)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization shared by three operators: 30-min strict gap, (ts,
+# event_id) order — returns per-session event lists.
+# ---------------------------------------------------------------------------
+
+
+def _sessions():
+    rows = _sql(
+        "SELECT user_id, ts, event_id, event_type FROM "
+        "read_parquet('{SF}/events.parquet') ORDER BY user_id, ts, event_id"
+    )
+    by_user: dict = defaultdict(list)
+    for u, ts, eid, et in rows:
+        by_user[u].append((ts, eid, et))
+    out = []
+    gap = timedelta(minutes=30)
+    for u in by_user:
+        cur = []
+        prev = None
+        for ev in by_user[u]:
+            if prev is not None and ev[0] - prev > gap:
+                out.append(cur)
+                cur = []
+            cur.append(ev)
+            prev = ev[0]
+        out.append(cur)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W: dense grid + textbook formula
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_w_brute_grid(spark):
+    got = _run(spark, "kendall_w_nation_months").iloc[0]
+    per = dict()
+    for ym, nname, rev in [
+        (r[0], r[1], _cents_sum(r[2]))
+        for r in _sql(
+            "SELECT CAST(EXTRACT(year FROM o.o_orderdate)*100"
+            " + EXTRACT(month FROM o.o_orderdate) AS BIGINT),"
+            " n.n_name, list(o.o_totalprice)"
+            " FROM read_parquet('{SF}/orders.parquet') o"
+            " JOIN read_parquet('{SF}/customer.parquet') c"
+            "   ON c.c_custkey = o.o_custkey"
+            " JOIN read_parquet('{SF}/nation.parquet') n"
+            "   ON n.n_nationkey = c.c_nationkey"
+            " GROUP BY 1, 2"
+        )
+    ]:
+        per[(ym, nname)] = rev
+    months = sorted({ym for ym, _ in per})
+    nations = [r[0] for r in _sql(
+        "SELECT n_name FROM read_parquet('{SF}/nation.parquet')"
+    )]
+    n, m = len(nations), len(months)
+    r_sum: dict = defaultdict(int)
+    for ym in months:
+        board = sorted(
+            ((-per.get((ym, na), 0), na) for na in nations)
+        )
+        for rk, (_, na) in enumerate(board, start=1):
+            r_sum[na] += rk
+    sum_d2 = sum(
+        (2 * r_sum[na] - m * (n + 1)) ** 2 for na in nations
+    )
+    w_ppm = sum_d2 * 3000000 // (4 * m * m * (n**3 - n))
+    assert int(got.n_nations) == n and int(got.m_months) == m
+    assert int(got.sum_d2_x4) == sum_d2
+    assert int(got.w_ppm) == w_ppm
+
+
+def _cents_sum(vals) -> int:
+    return sum(_cents(v) for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Monetary-unit sampling: cumulative strike scan
+# ---------------------------------------------------------------------------
+
+
+def test_monetary_unit_sampling_brute_scan(spark):
+    got = _run(spark, "monetary_unit_sampling_orders")
+    rows = sorted(
+        (k, _cents(p))
+        for k, p in _sql(
+            "SELECT o_orderkey, o_totalprice FROM "
+            "read_parquet('{SF}/orders.parquet')"
+        )
+    )
+    tot = sum(v for _, v in rows)
+    j, off = tot // 100, (tot // 100) // 2
+    cum, exp = 0, []
+    for k, v in rows:
+        cum += v
+        hits = (cum - off + j) // j - (cum - v - off + j) // j
+        if hits > 0:
+            exp.append((k, v, cum, hits))
+    assert [
+        (r.o_orderkey, r.order_cents, r.cum_cents, r.n_hits)
+        for r in got.itertuples()
+    ] == exp
+    # every order >= one full interval is selected with certainty
+    for k, v in rows:
+        if v >= j:
+            assert k in {e[0] for e in exp}
+
+
+# ---------------------------------------------------------------------------
+# Quartile shape: sorted-list quartiles + fences
+# ---------------------------------------------------------------------------
+
+
+def test_robust_quartile_shape_brute(spark):
+    got = _run(spark, "robust_quartile_shape_by_priority")
+    per: dict = defaultdict(list)
+    for pr, p in _sql(
+        "SELECT o_orderpriority, o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        per[pr].append(_cents(p))
+    assert list(got.priority) == sorted(per)
+    for r in got.itertuples():
+        xs = sorted(per[r.priority])
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q2 = xs[(n + 1) // 2 - 1]
+        q3 = xs[(3 * n + 1) // 4 - 1]
+        assert (r.n, r.q1_cents, r.q2_cents, r.q3_cents) == (n, q1, q2, q3)
+        iqr = q3 - q1
+        assert r.bowley_milli == (q3 + q1 - 2 * q2) * 1000 // iqr
+        assert r.qcd_milli == iqr * 1000 // (q3 + q1)
+        lo, hi = q1 - 3 * iqr // 2, q3 + 3 * iqr // 2
+        assert r.n_low_outliers == sum(1 for x in xs if x < lo)
+        assert r.n_high_outliers == sum(1 for x in xs if x > hi)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis: midrank replay on the pooled sorted values
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_midrank_replay(spark):
+    got = _run(spark, "kruskal_wallis_priorities")
+    per: dict = defaultdict(list)
+    for pr, p in _sql(
+        "SELECT o_orderpriority, o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        per[pr].append(_cents(p))
+    pooled = sorted(x for xs in per.values() for x in xs)
+    n_tot = len(pooled)
+    before: dict = {}
+    t_of: dict = defaultdict(int)
+    for x in pooled:
+        t_of[x] += 1
+    run = 0
+    for x in sorted(t_of):
+        before[x] = run
+        run += t_of[x]
+    r2 = {
+        g: sum(2 * before[x] + t_of[x] + 1 for x in xs)
+        for g, xs in per.items()
+    }
+    contrib = {
+        g: r2[g] ** 2 * 3000 // (len(per[g]) * n_tot * (n_tot + 1))
+        for g in per
+    }
+    h_milli = sum(contrib.values()) - 3000 * (n_tot + 1)
+    tie_c = 1000000 - sum(
+        t**3 - t for t in t_of.values()
+    ) * 1000000 // (n_tot**3 - n_tot)
+    for r in got.itertuples():
+        assert r.n_g == len(per[r.priority])
+        assert r.rank2_sum == r2[r.priority]
+        assert r.n_tot == n_tot
+        assert r.h_milli == h_milli
+        assert r.tie_c_ppm == tie_c
+    # the rank sums of all groups must account for every pooled rank
+    assert sum(r2.values()) == n_tot * (n_tot + 1)
+
+
+# ---------------------------------------------------------------------------
+# Cramer-von Mises: CDF-gap replay
+# ---------------------------------------------------------------------------
+
+
+def test_cramer_von_mises_cdf_replay(spark):
+    got = _run(spark, "cramer_von_mises_sources").iloc[0]
+    xs = {
+        "src0": sorted(
+            v for (v,) in _sql(
+                "SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+                " WHERE source = 'src0'"
+            )
+        ),
+        "src1": sorted(
+            v for (v,) in _sql(
+                "SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+                " WHERE source = 'src1'"
+            )
+        ),
+    }
+    n1, n2 = len(xs["src0"]), len(xs["src1"])
+    vals = sorted(set(xs["src0"]) | set(xs["src1"]))
+    u = f1 = f2 = 0
+    c1 = defaultdict(int)
+    c2 = defaultdict(int)
+    for v in xs["src0"]:
+        c1[v] += 1
+    for v in xs["src1"]:
+        c2[v] += 1
+    for v in vals:
+        f1 += c1[v]
+        f2 += c2[v]
+        u += (c1[v] + c2[v]) * (f1 * n2 - f2 * n1) ** 2
+    n = n1 + n2
+    assert (int(got.n1), int(got.n2)) == (n1, n2)
+    assert int(got.t_cvm_micro) == u * 1000000 // (n1 * n2 * n * n)
+
+
+# ---------------------------------------------------------------------------
+# Shift-share: dict replay + to-the-cent reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_shift_share_reconciles_to_the_cent(spark):
+    got = _run(spark, "shift_share_nation_brandmix")
+    cell: dict = defaultdict(int)
+    for nname, brand, yr, price in _sql(
+        "SELECT n.n_name, p.p_brand,"
+        " CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT),"
+        " l.l_extendedprice"
+        " FROM read_parquet('{SF}/lineitem.parquet') l"
+        " JOIN read_parquet('{SF}/orders.parquet') o"
+        "   ON o.o_orderkey = l.l_orderkey"
+        " JOIN read_parquet('{SF}/customer.parquet') c"
+        "   ON c.c_custkey = o.o_custkey"
+        " JOIN read_parquet('{SF}/nation.parquet') n"
+        "   ON n.n_nationkey = c.c_nationkey"
+        " JOIN read_parquet('{SF}/part.parquet') p"
+        "   ON p.p_partkey = l.l_partkey"
+        " WHERE EXTRACT(year FROM o.o_orderdate) IN (1994, 1995)"
+    ):
+        cell[(nname, brand, yr)] += _cents(price)
+    b = defaultdict(int)
+    rn = defaultdict(int)
+    for (nname, brand, yr), v in cell.items():
+        b[(brand, yr)] += v
+        rn[yr] += v
+    seen = set()
+    for r in got.itertuples():
+        key = (r.n_name, r.p_brand)
+        seen.add(key)
+        r0 = cell[(r.n_name, r.p_brand, 1994)]
+        r1 = cell[(r.n_name, r.p_brand, 1995)]
+        ns = r0 * rn[1995] // rn[1994] - r0
+        bg = r0 * b[(r.p_brand, 1995)] // b[(r.p_brand, 1994)] - r0
+        assert (r.rev_1994_cents, r.rev_1995_cents) == (r0, r1)
+        assert r.national_effect_cents == ns
+        assert r.mix_effect_cents == bg - ns
+        assert r.competitive_effect_cents == (r1 - r0) - bg
+        assert (
+            r.national_effect_cents
+            + r.mix_effect_cents
+            + r.competitive_effect_cents
+            == r1 - r0
+        )
+    both = {
+        (na, br)
+        for (na, br, yr) in cell
+        if yr == 1994 and (na, br, 1995) in cell
+    }
+    assert seen == both
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann: full pair-list median
+# ---------------------------------------------------------------------------
+
+
+def test_hodges_lehmann_pair_median(spark):
+    got = _run(spark, "hodges_lehmann_daily_value").iloc[0]
+    daily: dict = defaultdict(int)
+    for d, p in _sql(
+        "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        daily[(d - date(1970, 1, 1)).days] += _cents(p)
+    ds = sorted(daily)
+    pairs = sorted(
+        (daily[ds[i]] + daily[ds[j]], ds[i], ds[j])
+        for i in range(len(ds))
+        for j in range(i, len(ds))
+    )
+    m = len(pairs)
+    w = pairs[(m + 1) // 2 - 1][0]
+    assert int(got.n_days) == len(ds)
+    assert int(got.n_pairs) == m
+    assert int(got.hl_doubled_cents) == w
+    assert int(got.hl_cents) == w // 2
+
+
+# ---------------------------------------------------------------------------
+# Apdex: threshold replay
+# ---------------------------------------------------------------------------
+
+
+def test_apdex_threshold_replay(spark):
+    got = _run(spark, "apdex_ship_latency_monthly")
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])  # n, sat, tol, fru
+    for od, sd in _sql(
+        "SELECT CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)"
+        " FROM read_parquet('{SF}/lineitem.parquet') l"
+        " JOIN read_parquet('{SF}/orders.parquet') o"
+        "   ON o.o_orderkey = l.l_orderkey"
+    ):
+        d = (sd - od).days
+        a = agg[od.year * 100 + od.month]
+        a[0] += 1
+        a[1 if d <= 30 else (2 if d <= 120 else 3)] += 1
+    assert list(got.yyyymm) == sorted(agg)
+    for r in got.itertuples():
+        n, sat, tol, fru = agg[r.yyyymm]
+        assert (r.n, r.satisfied, r.tolerating, r.frustrated) == (
+            n, sat, tol, fru,
+        )
+        assert r.apdex_milli == 1000 * (2 * sat + tol) // (2 * n)
+
+
+# ---------------------------------------------------------------------------
+# Price indexes: matched-basket replay, Fisher between L and P
+# ---------------------------------------------------------------------------
+
+
+def test_price_index_matched_basket_replay(spark):
+    got = _run(spark, "price_index_laspeyres_fisher_monthly")
+    bm: dict = defaultdict(lambda: [0, 0])  # q, r
+    for brand, sd, qty, price in _sql(
+        "SELECT p.p_brand, CAST(l.l_shipdate AS DATE), l.l_quantity,"
+        " l.l_extendedprice"
+        " FROM read_parquet('{SF}/lineitem.parquet') l"
+        " JOIN read_parquet('{SF}/part.parquet') p"
+        "   ON p.p_partkey = l.l_partkey"
+    ):
+        a = bm[(brand, sd.year * 100 + sd.month)]
+        a[0] += int(qty + 0.5)
+        a[1] += _cents(price)
+    m0 = min(ym for _, ym in bm)
+    base = {
+        br: tuple(v)
+        for (br, ym), v in bm.items()
+        if ym == m0 and v[0] > 0
+    }
+    exp = {}
+    for (br, ym), (qt, rt) in bm.items():
+        if qt <= 0 or br not in base:
+            continue
+        q0, r0 = base[br]
+        e = exp.setdefault(ym, [0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += r0
+        e[2] += rt
+        e[3] += rt * q0 // qt
+        e[4] += r0 * qt // q0
+    assert list(got.yyyymm) == sorted(exp)
+    for r in got.itertuples():
+        nb, sum_r0, sum_rt, l_num, p_den = exp[r.yyyymm]
+        lasp = l_num * 1000000 // sum_r0
+        paas = sum_rt * 1000000 // p_den
+        assert r.n_brands == nb
+        assert r.laspeyres_ppm == lasp
+        assert r.paasche_ppm == paas
+        assert r.fisher_ppm == int(math.sqrt(lasp * paas) + 0.5)
+        # Fisher is the geometric mean: it must lie between L and P
+        assert min(lasp, paas) <= r.fisher_ppm <= max(lasp, paas) + 1
+    # base month indexes at exactly 1e6 by construction
+    base_row = got[got.yyyymm == m0].iloc[0]
+    assert base_row.laspeyres_ppm == 1000000
+    assert base_row.paasche_ppm == 1000000
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator: trailing range-window replay
+# ---------------------------------------------------------------------------
+
+
+def test_stochastic_oscillator_range_window_replay(spark):
+    got = _run(spark, "stochastic_oscillator_daily")
+    daily: dict = defaultdict(int)
+    for d, p in _sql(
+        "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        daily[(d - date(1970, 1, 1)).days] += _cents(p)
+    ds = sorted(daily)
+    ks = []
+    for d in ds:
+        win = [daily[x] for x in ds if d - 13 <= x <= d]
+        lo, hi = min(win), max(win)
+        k = (
+            (daily[d] - lo) * 1000000 // (hi - lo) if hi > lo else None
+        )
+        ks.append((d, daily[d], lo, hi, k))
+    assert list(got.d) == ds
+    for i, r in enumerate(got.itertuples()):
+        d, x, lo, hi, k = ks[i]
+        assert (r.value_cents, r.low14, r.high14) == (x, lo, hi)
+        assert (None if r.k_ppm != r.k_ppm else r.k_ppm) == k  # NaN-safe
+        trio = [ks[j][4] if j >= 0 else None for j in (i, i - 1, i - 2)]
+        exp_d = (
+            None
+            if any(t is None for t in trio)
+            else sum(trio) // 3
+        )
+        assert (None if r.d_ppm != r.d_ppm else r.d_ppm) == exp_d
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate / entry-exit / Little's law: python sessionizer replay
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_rate_session_replay(spark):
+    got = _run(spark, "bounce_rate_daily_sessions")
+    agg: dict = defaultdict(lambda: [0, 0])
+    for sess in _sessions():
+        day = sess[0][0].replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        a = agg[day]
+        a[0] += 1
+        a[1] += 1 if len(sess) == 1 else 0
+    assert list(got.day) == sorted(agg)
+    for r in got.itertuples():
+        s, b = agg[r.day.to_pydatetime()]
+        assert (r.n_sessions, r.n_bounces) == (s, b)
+        assert r.bounce_milli == 1000 * b // s
+
+
+def test_entry_exit_matrix_session_replay(spark):
+    got = _run(spark, "entry_exit_matrix_sessions")
+    m: dict = defaultdict(int)
+    for sess in _sessions():
+        m[(sess[0][2], sess[-1][2])] += 1
+    rows = {(r.entry_type, r.exit_type): r for r in got.itertuples()}
+    assert set(rows) == set(m)
+    row_tot: dict = defaultdict(int)
+    for (en, _), c in m.items():
+        row_tot[en] += c
+    for key, c in m.items():
+        assert rows[key].n_sessions == c
+        assert rows[key].row_share_ppm == c * 1000000 // row_tot[key[0]]
+    # matrix totals == session count
+    assert sum(m.values()) == len(_sessions())
+
+
+def test_littles_law_interval_replay(spark):
+    got = _run(spark, "littles_law_daily_events")
+    arrivals: dict = defaultdict(lambda: [0, 0])
+    occupied: dict = defaultdict(int)
+    for sess in _sessions():
+        s, e = sess[0][0], sess[-1][0]
+        day0 = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        a = arrivals[day0]
+        a[0] += 1
+        a[1] += _floor_secs(e) - _floor_secs(s)
+        day = day0
+        while day <= e:
+            lo = max(s, day)
+            hi = min(e, day + timedelta(days=1))
+            occupied[day] += _floor_secs(hi) - _floor_secs(lo)
+            day += timedelta(days=1)
+    assert list(got.day) == sorted(arrivals)
+    for r in got.itertuples():
+        n, dur = arrivals[r.day.to_pydatetime()]
+        occ = occupied.get(r.day.to_pydatetime(), 0)
+        assert (r.n_started, r.started_dur_secs) == (n, dur)
+        assert r.occupied_secs == occ
+        if dur > 0:
+            assert r.littles_ratio_ppm == occ * 1000000 // dur
+        else:
+            assert r.littles_ratio_ppm != r.littles_ratio_ppm  # NULL
+
+
+# ---------------------------------------------------------------------------
+# ARI readability: regex replay
+# ---------------------------------------------------------------------------
+
+
+def test_readability_ari_regex_replay(spark):
+    got = _run(spark, "readability_ari_by_source")
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in _sql(
+        "SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ):
+        c = len(re.sub(r"[^A-Za-z0-9]", "", text))
+        w = len([t for t in re.split(r"\s+", text) if t != ""])
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        if w == 0:
+            continue
+        a = agg[src]
+        a[0] += 1
+        a[1] += c
+        a[2] += w
+        a[3] += s
+    assert list(got.source) == sorted(agg)
+    for r in got.itertuples():
+        n, c, w, s = agg[r.source]
+        assert (r.n_docs, r.n_chars_alnum, r.n_words, r.n_sentences) == (
+            n, c, w, s,
+        )
+        assert r.ari_centi == (471 * c * s + 50 * w * w) // (w * s) - 2143
+        assert r.words_per_sentence_milli == 1000 * w // s
+
+
+# ---------------------------------------------------------------------------
+# Join-view IVM: incremental == python snapshot recompute
+# ---------------------------------------------------------------------------
+
+
+def test_matview_join_ivm_snapshot_recompute(spark):
+    got = _run(spark, "matview_join_ivm_orders")
+    nation_of = dict(
+        _sql(
+            "SELECT c.c_custkey, n.n_name"
+            " FROM read_parquet('{SF}/customer.parquet') c"
+            " JOIN read_parquet('{SF}/nation.parquet') n"
+            "   ON n.n_nationkey = c.c_nationkey"
+        )
+    )
+    agg: dict = defaultdict(lambda: [0, 0])
+    for k, cust, p in _sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        na = nation_of[cust]
+        if k % 97 != 0:
+            a = agg[na]
+            a[0] += 1
+            a[1] += _cents(p)
+        if k % 101 == 0:
+            a = agg[na]
+            a[0] += 1
+            a[1] += int(p * 1.07 * 100 + 0.5)
+    assert list(got.n_name) == sorted(na for na in agg if agg[na][0] > 0)
+    for r in got.itertuples():
+        n, rev = agg[r.n_name]
+        assert (r.n_orders, r.rev_cents) == (n, rev)
