@@ -227,7 +227,10 @@ def mom_revenue_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     monthly = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is fact-sized at target scale (scale doctrine in
+        # hhi_concentration_monthly) — shuffled equi-join; only the
+        # 25-row nation dim broadcasts.
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), "month")
         .agg(F.sum("cents").alias("cents"))

@@ -5609,7 +5609,8 @@ SELECT g.decile, g.n AS n_orders, g.np AS n_returned,
        g.np * 1000000 // g.n AS response_ppm,
        CAST(SUM(g.np) OVER (ORDER BY g.decile) * 1000000 // tot.pt
             AS BIGINT) AS cum_gain_ppm,
-       g.np * tot.nt * 1000000 // (g.n * tot.pt) AS lift_ppm
+       CAST(CAST(g.np AS HUGEINT) * tot.nt * 1000000
+            // (CAST(g.n AS HUGEINT) * tot.pt) AS BIGINT) AS lift_ppm
 FROM g CROSS JOIN tot ORDER BY g.decile
 """,
     category="relational",
@@ -5622,8 +5623,10 @@ def decile_lift_table_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-population deciles (grank's binned global rank — the
     ceiling-division decile rule (rk·10−1) div n_tot + 1, never an
     approximate ntile), then per-decile response rate, cumulative
-    gain and lift, ALL exact int64 ppm ratios (lift = np·N·10⁶ div
-    (n·P), cross-multiplied — no float). The ranking pass is the
+    gain and lift, ALL exact ppm ratios (lift = np·N·10⁶ div (n·P),
+    cross-multiplied — no float; the quadratic np·N cross-product is
+    carried in decimal(38,0) ⟷ HUGEINT so it never wraps int64 at
+    large SF, and only the ppm quotient lands in int64). The ranking pass is the
     2-pass binned global rank over per-order rows; everything after
     lives on the 10-row decile domain."""
     from spark_lever_spark.operators.grank import with_global_rank
@@ -5666,7 +5669,10 @@ def decile_lift_table_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np").alias("n_returned"),
             F.expr("np * 1000000 div n").alias("response_ppm"),
             F.expr("cum_np * 1000000 div pt").alias("cum_gain_ppm"),
-            F.expr("np * nt * 1000000 div (n * pt)").alias("lift_ppm"),
+            F.expr(
+                "CAST(CAST(np AS DECIMAL(38,0)) * nt * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * pt) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy("decile")
     )

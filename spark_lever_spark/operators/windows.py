@@ -360,9 +360,10 @@ def share_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lever_spark.functions.exact import cents
 
     rev = (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
-        )
+        # customer is fact-sized at target scale (scale doctrine in
+        # hhi_concentration_monthly) — shuffled equi-join; only the
+        # 25-row nation dim broadcasts.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
