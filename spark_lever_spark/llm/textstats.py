@@ -1557,3 +1557,105 @@ def readability_ari_by_source(
             "words_per_sentence_milli"
         ),
     ).orderBy("source")
+
+
+@register(
+    "flesch_vowel_proxy_by_source",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+              AS BIGINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(y) AS BIGINT) AS n_vowel_runs
+  FROM per_doc WHERE w > 0 GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sentences, n_vowel_runs,
+       round((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_vowel_runs AS DOUBLE) / n_words))
+             * 1000) / 1000 AS flesch_milli
+FROM agg ORDER BY source
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def flesch_vowel_proxy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FLESCH READING EASE per source with the VOWEL-RUN syllable
+    proxy — the second readability axis beside readability_ari_by_
+    source (ARI is char-based; Flesch is syllable-based, and the
+    two disagreeing is itself a curation signal for code/tables
+    masquerading as prose). Syllables need a dictionary; the standard
+    streaming proxy counts maximal vowel GROUPS ([aeiouy]+ runs —
+    'beautiful' → eau+i+u = 3), a pure regex both engines evaluate
+    identically. Corpus-level counts (words, sentence runs min-1 per
+    doc, vowel runs) are exact int64; the score 206.835 − 1.015·W/S −
+    84.6·Y/W is a FIXED IEEE tree over those exact integers (the
+    Wilson/CUPED doctrine — two independent divisions, same literals,
+    same operation order, one closing milli round). Scale: one
+    stateless map over documents, ~10-row source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        token_count(F.col("text")).cast("long").alias("w"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[.!?]+"), F.lit(0)
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("s"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[aeiouyAEIOUY]+"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    agg = (
+        per_doc.filter(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("y").alias("n_vowel_runs"),
+        )
+    )
+    fl = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double")
+            / F.col("n_sentences")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_vowel_runs").cast("double")
+            / F.col("n_words")
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_vowel_runs",
+        (F.round(fl * 1000) / 1000).alias("flesch_milli"),
+    ).orderBy("source")

@@ -3674,3 +3674,103 @@ def littles_law_daily_events(
         )
         .orderBy("day")
     )
+
+
+@register(
+    "nelson_aalen_tenure",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+lab AS (
+  SELECT date_diff('day', first_d, last_d) // 90 AS bucket,
+         CASE WHEN date_diff('day', last_d,
+                             (SELECT end_d FROM horizon)) >= 180
+              THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+per_bucket AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(churned) AS BIGINT) AS n_events,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM lab GROUP BY 1
+),
+risk AS (
+  SELECT bucket, n_events, n_censored,
+         CAST(SUM(n_events + n_censored)
+              OVER (ORDER BY bucket DESC) AS BIGINT) AS n_risk
+  FROM per_bucket
+),
+hz AS (
+  SELECT bucket, n_risk, n_events,
+         CAST(n_events * 1000000 AS BIGINT) // n_risk AS hazard_ppm
+  FROM risk
+)
+SELECT bucket, n_risk, n_events, hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_hazard_ppm
+FROM hz ORDER BY bucket
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def nelson_aalen_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimator over customer tenure —
+    the integrated-risk companion to km_life_table_customer_tenure
+    (the KM life table reports each bucket's discrete hazard d/n;
+    Nelson-Aalen accumulates H(t) = Σ_{b<=t} d_b/n_b, the quantity
+    whose slope changes reveal WHEN churn risk regime-shifts, and the
+    standard input to proportional-hazards eyeballing). Same
+    right-censoring discipline (a customer last seen within 180 days
+    of the horizon is censored, not churned), same 90-day buckets, so
+    the two estimators are directly overlayable. H accumulates the
+    per-bucket FLOORED ppm hazards (each an exact int64
+    floor-division; the running sum is then exact integer addition —
+    deterministic in both engines, error bounded by #buckets ppm).
+    Scale: one customer-keyed aggregation, then suffix-sum and
+    prefix-sum windows on the ~30-row bucket domain."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("end_d"))
+    lab = per_cust.join(F.broadcast(horizon)).select(
+        (F.datediff("last_d", "first_d") / 90)
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.datediff("end_d", "last_d") >= 180, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum("churned").alias("n_events"),
+        F.sum(1 - F.col("churned")).alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hz = per_bucket.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
+    ).select(
+        "bucket",
+        "n_risk",
+        "n_events",
+        F.expr("n_events * 1000000 div n_risk").alias("hazard_ppm"),
+    )
+    w_asc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hz.select(
+        "bucket",
+        "n_risk",
+        "n_events",
+        "hazard_ppm",
+        F.sum("hazard_ppm").over(w_asc).alias("cum_hazard_ppm"),
+    ).orderBy("bucket")

@@ -6821,3 +6821,106 @@ def shift_share_nation_brandmix(
         )
         .orderBy("n_name", "p_brand")
     )
+
+
+@register(
+    "cochran_armitage_trend_returns",
+    oracle="""
+WITH lab AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, 1
+),
+g AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w,
+         CAST(SUM(pos) AS BIGINT) AS r_w
+  FROM lab GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n_w) AS BIGINT) AS n,
+         CAST(SUM(r_w) AS BIGINT) AS r,
+         CAST(SUM(w * n_w) AS BIGINT) AS swn,
+         CAST(SUM(w * r_w) AS BIGINT) AS swr,
+         CAST(SUM(w * w * n_w) AS BIGINT) AS sw2n
+  FROM g
+)
+SELECT n AS n_total, r AS n_returned, swn AS sum_w_n, swr AS sum_w_r,
+       sw2n AS sum_w2_n,
+       round(
+         CAST(CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn
+              AS DOUBLE)
+         * CAST(CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn
+                AS DOUBLE)
+         / CAST(CAST(r AS HUGEINT) * (n - r) AS DOUBLE)
+         * n
+         / CAST(CAST(n AS HUGEINT) * sw2n
+                - CAST(swn AS HUGEINT) * swn AS DOUBLE)
+         * 1000000) / 1000000 AS z_squared
+FROM s
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def cochran_armitage_trend_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND TEST: does return probability move
+    MONOTONICALLY with order priority (an ORDERED 1..5 dose)? The
+    ordered-alternative refinement of ab_chi_square /
+    contingency_residuals_segment_priority — chi-square spends its
+    power on any deviation; CA concentrates it on the linear trend a
+    dose-response analyst actually posits. All five moment sums (n, R,
+    Σwn, Σwr, Σw²n) are exact int64 from ONE pass over the per-order
+    aggregate; Z² = (N·Σwr − R·Σwn)²·N / (R(N−R)·(N·Σw²n − (Σwn)²))
+    is then a FIXED IEEE tree over those exact moments (the
+    Wilson/CUPED doctrine: decimal/HUGEINT cross-products cast once to
+    double, identical operation order in both engines, one closing
+    ppm round). Scale: the orderkey fact-fact join is the only
+    shuffle; the dose table is 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    g = lab.groupBy("w").agg(
+        F.count("*").alias("n_w"), F.sum("pos").alias("r_w")
+    )
+    s = g.agg(
+        F.sum("n_w").alias("n"),
+        F.sum("r_w").alias("r"),
+        F.sum(F.col("w") * F.col("n_w")).alias("swn"),
+        F.sum(F.col("w") * F.col("r_w")).alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_w")).alias("sw2n"),
+    )
+    dec = "decimal(38,0)"
+    t = (
+        F.col("n").cast(dec) * F.col("swr")
+        - F.col("r").cast(dec) * F.col("swn")
+    ).cast("double")
+    a = (F.col("r").cast(dec) * (F.col("n") - F.col("r"))).cast("double")
+    b = (
+        F.col("n").cast(dec) * F.col("sw2n")
+        - F.col("swn").cast(dec) * F.col("swn")
+    ).cast("double")
+    z2 = t * t / a * F.col("n") / b
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_returned"),
+        F.col("swn").alias("sum_w_n"),
+        F.col("swr").alias("sum_w_r"),
+        F.col("sw2n").alias("sum_w2_n"),
+        (F.round(z2 * 1000000) / 1000000).alias("z_squared"),
+    )

@@ -4421,3 +4421,179 @@ def stochastic_oscillator_daily(
             " + lag(k_ppm, 2) OVER (ORDER BY d)) div 3"
         ).alias("d_ppm"),
     ).orderBy("d")
+
+
+@register(
+    "durbin_watson_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x) // count(*) AS BIGINT) AS m0
+  FROM daily
+),
+lagged AS (
+  SELECT d, x, LAG(x) OVER (ORDER BY d) AS xp FROM daily
+),
+sums AS (
+  SELECT SUM(CASE WHEN xp IS NOT NULL
+             THEN CAST(x - xp AS HUGEINT) * (x - xp) ELSE 0 END) AS num,
+         SUM(CAST(x - (SELECT m0 FROM m) AS HUGEINT)
+             * (x - (SELECT m0 FROM m))) AS den
+  FROM lagged
+)
+SELECT m.n AS n_days,
+       CAST(sums.num * 1000 // sums.den AS BIGINT) AS dw_milli
+FROM m CROSS JOIN sums
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def durbin_watson_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DURBIN-WATSON statistic of daily revenue around its level —
+    the regression-residual autocorrelation diagnostic (DW ≈ 2(1−ρ₁):
+    ~2 means white noise, →0 positive serial correlation, →4
+    negative) that autocorr_lag1_daily states as ρ itself and
+    runs_test_daily_value states nonparametrically; DW is the form
+    econometrics reports. Exactness: the numerator Σ(x_t − x_{t−1})²
+    is shift-invariant so no mean enters it at all, and the
+    denominator uses the FLOORED mean m0 = S div n (the documented
+    discrete variant — a sub-cent shift of the centering constant,
+    identical in both engines), keeping every term an integer; both
+    quadratic sums accumulate in decimal(38,0) ⟷ HUGEINT and the
+    statistic is ONE milli floor-division. Scale: the lag window and
+    sums run on the calendar-bounded daily aggregate after one fact
+    pass."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.expr("sum(x) div count(*)").alias("m0"),
+    )
+    wl = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "x", F.lag("x").over(wl).alias("xp")
+    )
+    dec = "decimal(38,0)"
+    sums = lagged.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.when(
+                F.col("xp").isNotNull(),
+                (F.col("x") - F.col("xp")).cast(dec)
+                * (F.col("x") - F.col("xp")),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("num"),
+        F.sum(
+            (F.col("x") - F.col("m0")).cast(dec)
+            * (F.col("x") - F.col("m0"))
+        ).alias("den"),
+        F.max("n").alias("n_days"),
+    )
+    return sums.select(
+        "n_days",
+        F.expr("CAST(num * 1000 div den AS BIGINT)").alias("dw_milli"),
+    )
+
+
+@register(
+    "monthly_seasonal_index_ratio_to_ma",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mx,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS cal_month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS r
+  FROM orders GROUP BY 1, 2
+),
+win AS (
+  SELECT mx, cal_month, r,
+         CAST(count(*) OVER w13 AS BIGINT) AS n13,
+         CAST(SUM(r) OVER w13 AS BIGINT) AS s13,
+         CAST(SUM(r) OVER w11 AS BIGINT) AS s11
+  FROM monthly
+  WINDOW w13 AS (ORDER BY mx RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+         w11 AS (ORDER BY mx RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+),
+ratio AS (
+  SELECT cal_month,
+         CAST(r * 24000000 // (s13 + s11) AS BIGINT) AS ratio_ppm
+  FROM win WHERE n13 = 13
+)
+SELECT cal_month,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(SUM(ratio_ppm) // count(*) AS BIGINT) AS seasonal_index_ppm
+FROM ratio GROUP BY cal_month ORDER BY cal_month
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def monthly_seasonal_index_ratio_to_ma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL INDEX by RATIO-TO-MOVING-AVERAGE (the classical
+    multiplicative-decomposition recipe): each month's revenue over
+    its CENTERED 2x12 moving average — the even-window centering
+    trick: the 13-month sum PLUS the inner 11-month sum equals
+    2·(half-weighted 12-MA)·12, so ratio = r·24/(s13+s11), one exact
+    int64 ppm floor-division with NO half-weights materialized — then
+    averaged per calendar month (sum of exact ppm ints div count).
+    Incomplete edge windows are excluded by the n13 = 13 count guard
+    rather than silently averaging a short window. This is the
+    monthly-seasonality complement to seasonal_dow_index's
+    day-of-week profile. Scale: all windows run on the ~84-row month
+    domain after one fact pass."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        )
+        .cast("long")
+        .alias("mx"),
+        F.month(F.to_date("o_orderdate")).cast("long").alias("cal_month"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("r"))
+    w13 = Window.orderBy("mx").rangeBetween(-6, 6)
+    w11 = Window.orderBy("mx").rangeBetween(-5, 5)
+    win = monthly.select(
+        "cal_month",
+        "r",
+        F.count("*").over(w13).alias("n13"),
+        F.sum("r").over(w13).alias("s13"),
+        F.sum("r").over(w11).alias("s11"),
+    )
+    ratio = win.filter(F.col("n13") == 13).select(
+        "cal_month",
+        F.expr("r * 24000000 div (s13 + s11)").alias("ratio_ppm"),
+    )
+    return (
+        ratio.groupBy("cal_month")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.expr(
+                "CAST(sum(ratio_ppm) div count(*) AS BIGINT)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("cal_month")
+    )

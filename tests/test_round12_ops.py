@@ -588,3 +588,166 @@ def test_matview_join_ivm_snapshot_recompute(spark):
     for r in got.itertuples():
         n, rev = agg[r.n_name]
         assert (r.n_orders, r.rev_cents) == (n, rev)
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson: shift-invariant numerator + floored-mean denominator
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_brute(spark):
+    got = _run(spark, "durbin_watson_daily_revenue").iloc[0]
+    daily: dict = defaultdict(int)
+    for d, p in _sql(
+        "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        daily[d] += _cents(p)
+    xs = [daily[d] for d in sorted(daily)]
+    n, s = len(xs), sum(xs)
+    m0 = s // n
+    num = sum((xs[i] - xs[i - 1]) ** 2 for i in range(1, n))
+    den = sum((x - m0) ** 2 for x in xs)
+    assert int(got.n_days) == n
+    assert int(got.dw_milli) == num * 1000 // den
+    # white-noise-ish revenue: DW must land in the open (0, 4) band
+    assert 0 < got.dw_milli < 4000
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-moving-average seasonal index
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_index_ratio_to_ma_brute(spark):
+    got = _run(spark, "monthly_seasonal_index_ratio_to_ma")
+    monthly: dict = defaultdict(int)
+    for d, p in _sql(
+        "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    ):
+        monthly[(d.year * 12 + d.month - 1, d.month)] += _cents(p)
+    keys = sorted(monthly)
+    by_mx = {mx: r for (mx, _), r in monthly.items()}
+    ratios: dict = defaultdict(list)
+    for mx, cal in keys:
+        w13 = [by_mx[x] for x in by_mx if mx - 6 <= x <= mx + 6]
+        if len(w13) != 13:
+            continue
+        s13 = sum(w13)
+        s11 = sum(by_mx[x] for x in by_mx if mx - 5 <= x <= mx + 5)
+        ratios[cal].append(by_mx[mx] * 24000000 // (s13 + s11))
+    assert list(got.cal_month) == sorted(ratios)
+    for r in got.itertuples():
+        rs = ratios[r.cal_month]
+        assert r.n_obs == len(rs)
+        assert r.seasonal_index_ppm == sum(rs) // len(rs)
+    # multiplicative indexes must average near 1e6 across the year
+    mean_idx = sum(
+        r.seasonal_index_ppm for r in got.itertuples()
+    ) / len(got)
+    assert 900000 < mean_idx < 1100000
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage: moment replay + identical IEEE tree
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_armitage_moment_replay(spark):
+    got = _run(spark, "cochran_armitage_trend_returns").iloc[0]
+    per: dict = {}
+    for k, w, pos in _sql(
+        "SELECT o.o_orderkey,"
+        " CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT),"
+        " max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)"
+        " FROM read_parquet('{SF}/orders.parquet') o"
+        " JOIN read_parquet('{SF}/lineitem.parquet') l"
+        "   ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY 1, 2"
+    ):
+        per[k] = (w, pos)
+    n = len(per)
+    r = sum(p for _, p in per.values())
+    swn = sum(w for w, _ in per.values())
+    swr = sum(w for w, p in per.values() if p)
+    sw2n = sum(w * w for w, _ in per.values())
+    assert (int(got.n_total), int(got.n_returned)) == (n, r)
+    assert (int(got.sum_w_n), int(got.sum_w_r), int(got.sum_w2_n)) == (
+        swn, swr, sw2n,
+    )
+    t = float(n * swr - r * swn)
+    z2 = t * t / float(r * (n - r)) * n / float(n * sw2n - swn * swn)
+    assert got.z_squared == int(z2 * 1000000 + 0.5) / 1000000
+
+
+# ---------------------------------------------------------------------------
+# Flesch vowel-run proxy: regex + identical IEEE tree
+# ---------------------------------------------------------------------------
+
+
+def test_flesch_vowel_proxy_regex_replay(spark):
+    got = _run(spark, "flesch_vowel_proxy_by_source")
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in _sql(
+        "SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ):
+        w = len([t for t in re.split(r"\s+", text) if t != ""])
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouyAEIOUY]+", text))
+        if w == 0:
+            continue
+        a = agg[src]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    assert list(got.source) == sorted(agg)
+    for rrow in got.itertuples():
+        n, w, s, y = agg[rrow.source]
+        assert (
+            rrow.n_docs, rrow.n_words, rrow.n_sentences,
+            rrow.n_vowel_runs,
+        ) == (n, w, s, y)
+        fl = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert rrow.flesch_milli == int(fl * 1000 + (0.5 if fl >= 0 else -0.5)) / 1000
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen: per-customer replay + overlay invariant vs KM table
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_customer_replay(spark):
+    got = _run(spark, "nelson_aalen_tenure")
+    per: dict = {}
+    for cust, fd, ld in _sql(
+        "SELECT o_custkey, min(CAST(o_orderdate AS DATE)),"
+        " max(CAST(o_orderdate AS DATE))"
+        " FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"
+    ):
+        per[cust] = (fd, ld)
+    end_d = max(ld for _, ld in per.values())
+    buckets: dict = defaultdict(lambda: [0, 0])  # events, censored
+    for fd, ld in per.values():
+        b = (ld - fd).days // 90
+        buckets[b][0 if (end_d - ld).days >= 180 else 1] += 1
+    bs = sorted(buckets)
+    risk = {}
+    run = 0
+    for b in reversed(bs):
+        run += sum(buckets[b])
+        risk[b] = run
+    cum = 0
+    exp = []
+    for b in bs:
+        hz = buckets[b][0] * 1000000 // risk[b]
+        cum += hz
+        exp.append((b, risk[b], buckets[b][0], hz, cum))
+    assert [
+        (r.bucket, r.n_risk, r.n_events, r.hazard_ppm, r.cum_hazard_ppm)
+        for r in got.itertuples()
+    ] == exp
+    # overlay invariant: NA per-bucket hazard equals the KM life table's
+    km = _run(spark, "km_life_table_customer_tenure")
+    assert list(km.hazard_ppm) == list(got.hazard_ppm)
