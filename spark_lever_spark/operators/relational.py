@@ -6259,13 +6259,9 @@ def monetary_unit_sampling_orders(
         F.col("_cum").alias("cum"),
         F.col("_s_tot").alias("tot"),
     )
-    par = (
-        cum.select("tot")
-        .limit(1)
-        .select(
-            F.expr("tot div 100").alias("j"),
-            F.expr("(tot div 100) div 2").alias("off"),
-        )
+    par = o.agg(F.sum("v").alias("tot")).select(
+        F.expr("tot div 100").alias("j"),
+        F.expr("(tot div 100) div 2").alias("off"),
     )
     hits = F.expr(
         "(cum - off + j) div j - (cum - v - off + j) div j"

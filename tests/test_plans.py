@@ -629,6 +629,12 @@ NESTED_LOOP_WHITELIST = {
         "broadcast 4-row literal tier table — the banded-rate lookup "
         "dim; each fact row probes <= 4 bands map-side"
     ),
+    "hodges_lehmann_daily_value": (
+        "broadcast calendar-bounded daily aggregate (~2.6k rows at "
+        "ANY fact SF) self-joined d2 >= d1 to enumerate Walsh pairs — "
+        "the pair blow-up is quadratic in the DAY domain only, a "
+        "query constant like the km life table's bucket domain"
+    ),
 }
 
 

@@ -1671,6 +1671,13 @@ def test_zscore_peers_brute_standardize(spark):
     for ym, d in months.items():
         vals = list(d.values())
         nn_, s = len(vals), sum(vals)
+        if nn_ < 2:
+            # no sample sigma: the query emits NULL (NaN in pandas)
+            for name, x in d.items():
+                rx, gz = got[(ym, name)]
+                assert rx == x
+                assert gz != gz, (ym, name)
+            continue
         mu = s / nn_
         sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / (nn_ - 1))
         zs = []
