@@ -1659,3 +1659,121 @@ def flesch_vowel_proxy_by_source(
         "n_vowel_runs",
         (F.round(fl * 1000) / 1000).alias("flesch_milli"),
     ).orderBy("source")
+
+
+@register(
+    "bland_altman_token_counters",
+    oracle="""
+WITH per_doc AS (
+  SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '')) AS BIGINT)
+         - CAST(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS d
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         SUM(CAST(d AS HUGEINT) * d) AS sdd
+  FROM per_doc
+),
+b AS (
+  SELECT n, s,
+         CAST(s AS DOUBLE) / n AS mean_d,
+         sqrt(CAST(CAST(n AS HUGEINT) * sdd
+                   - CAST(s AS HUGEINT) * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sd_d
+  FROM m
+)
+SELECT b.n AS n_docs, b.s AS sum_diff,
+       round(b.mean_d * 1000000) / 1000000 AS mean_diff,
+       round(b.sd_d * 1000000) / 1000000 AS sd_diff,
+       round((b.mean_d - 1.96 * b.sd_d) * 1000000) / 1000000 AS loa_lo,
+       round((b.mean_d + 1.96 * b.sd_d) * 1000000) / 1000000 AS loa_hi,
+       (SELECT CAST(count(*) AS BIGINT) FROM per_doc p
+        WHERE CAST(p.d AS DOUBLE) < b.mean_d - 1.96 * b.sd_d
+           OR CAST(p.d AS DOUBLE) > b.mean_d + 1.96 * b.sd_d)
+           AS n_outside_loa
+FROM b
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def bland_altman_token_counters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLAND-ALTMAN AGREEMENT ANALYSIS between the repo's two token
+    counters — whitespace tokens vs the BPE-ish regex proxy — the
+    method-comparison statistic (mean difference ± 1.96·sd limits of
+    agreement) that answers the tokenizer-budgeting question 'can I
+    swap counters and trust the token budgets?' more honestly than a
+    correlation would (two counters can correlate .99 and still
+    disagree by a constant 30%). Per-doc differences are exact
+    integers; mean and LoA come from the 128-bit moment complement
+    n·Σd² − (Σd)² (decimal(38,0) ⟷ HUGEINT) through ONE fixed IEEE
+    tree, and the outside-LoA count compares each exact integer d
+    against the same unrounded double bounds in both engines —
+    deterministic because the bounds are bit-identical. Scale: one
+    stateless map over documents, a 1-row moment frame broadcast back
+    for the exceedance count."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        (
+            token_count(F.col("text")).cast("long")
+            - regex_token_count(F.col("text")).cast("long")
+        ).alias("d")
+    )
+    dec = "decimal(38,0)"
+    m = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("sdd"),
+    )
+    mean_d = F.col("s").cast("double") / F.col("n")
+    sd_d = F.sqrt(
+        (
+            F.col("n").cast(dec) * F.col("sdd")
+            - F.col("s").cast(dec) * F.col("s")
+        ).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    b = m.select(
+        "n",
+        "s",
+        mean_d.alias("mean_d"),
+        sd_d.alias("sd_d"),
+    )
+    outside = (
+        per_doc.crossJoin(F.broadcast(b))
+        .filter(
+            (
+                F.col("d").cast("double")
+                < F.col("mean_d") - F.lit(1.96) * F.col("sd_d")
+            )
+            | (
+                F.col("d").cast("double")
+                > F.col("mean_d") + F.lit(1.96) * F.col("sd_d")
+            )
+        )
+        .agg(F.count("*").alias("n_outside_loa"))
+    )
+    return b.crossJoin(F.broadcast(outside)).select(
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("sum_diff"),
+        (F.round(F.col("mean_d") * 1000000) / 1000000).alias("mean_diff"),
+        (F.round(F.col("sd_d") * 1000000) / 1000000).alias("sd_diff"),
+        (
+            F.round(
+                (F.col("mean_d") - F.lit(1.96) * F.col("sd_d")) * 1000000
+            )
+            / 1000000
+        ).alias("loa_lo"),
+        (
+            F.round(
+                (F.col("mean_d") + F.lit(1.96) * F.col("sd_d")) * 1000000
+            )
+            / 1000000
+        ).alias("loa_hi"),
+        "n_outside_loa",
+    )

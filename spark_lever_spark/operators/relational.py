@@ -6920,3 +6920,617 @@ def cochran_armitage_trend_returns(
         F.col("sw2n").alias("sum_w2_n"),
         (F.round(z2 * 1000000) / 1000000).alias("z_squared"),
     )
+
+
+@register(
+    "cliffs_delta_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c1, c2,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c2
+              AS BIGINT) AS f2_before,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f2_incl
+  FROM pts
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pts
+),
+s AS (
+  SELECT SUM(CAST(cum.c1 AS HUGEINT) * cum.f2_before) AS gt,
+         SUM(CAST(cum.c1 AS HUGEINT) * (n.n2 - cum.f2_incl)) AS lt
+  FROM cum CROSS JOIN n
+)
+SELECT n.n1, n.n2,
+       CAST(s.gt AS BIGINT) AS n_pairs_greater,
+       CAST(s.lt AS BIGINT) AS n_pairs_less,
+       CAST(((s.gt - s.lt) + CAST(n.n1 AS HUGEINT) * n.n2) * 1000000
+            // (CAST(n.n1 AS HUGEINT) * n.n2) - 1000000
+            AS BIGINT) AS cliffs_delta_ppm
+FROM n CROSS JOIN s
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def cliffs_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA between src0's and src1's document lengths — the
+    ORDINAL effect size (P(x>y) − P(x<y), in [−1,1]) that reviewers
+    ask for next to mann_whitney_u_sources' p-value machinery: MW says
+    WHETHER the distributions differ, delta says HOW MUCH, robustly
+    (|δ|<.147 negligible / .33 / .474 are the standard fences). The
+    pair counts come from the same value-grain cumulative table as
+    KS/MW — Σ c1(v)·F2(<v) pairs where src0 wins, Σ c1(v)·(n2−F2(≤v))
+    where it loses, ties excluded by construction — accumulated in
+    decimal(38,0) ⟷ HUGEINT (pair counts are quadratic in corpus
+    size). Delta can be negative, so the ppm floor-division is
+    shift-guarded by +n1·n2 (constant pulled back out after the
+    floor), keeping both engines on the shared non-negative floor
+    path. Scale shape identical to ks_statistic_sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
+        "c1",
+        (F.col("_cum_c2") - F.col("c2")).alias("f2_before"),
+        F.col("_cum_c2").alias("f2_incl"),
+    )
+    n = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dec = "decimal(38,0)"
+    sums = cum.crossJoin(F.broadcast(n)).agg(
+        F.sum(F.col("c1").cast(dec) * F.col("f2_before")).alias("gt"),
+        F.sum(
+            F.col("c1").cast(dec) * (F.col("n2") - F.col("f2_incl"))
+        ).alias("lt"),
+    )
+    return n.crossJoin(F.broadcast(sums)).select(
+        "n1",
+        "n2",
+        F.col("gt").cast("long").alias("n_pairs_greater"),
+        F.col("lt").cast("long").alias("n_pairs_less"),
+        F.expr(
+            "CAST(((gt - lt) + CAST(n1 AS DECIMAL(38,0)) * n2)"
+            " * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+            " - 1000000 AS BIGINT)"
+        ).alias("cliffs_delta_ppm"),
+    )
+
+
+@register(
+    "page_trend_test_priorities",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS yyyymm,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              // count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT yyyymm FROM cell GROUP BY 1 HAVING count(*) = 5
+),
+rk AS (
+  SELECT c.yyyymm, c.j,
+         CAST(row_number() OVER (PARTITION BY c.yyyymm
+                                 ORDER BY c.x, c.j) AS BIGINT) AS r
+  FROM cell c JOIN full_blocks f ON f.yyyymm = c.yyyymm
+),
+s AS (
+  SELECT CAST(count(DISTINCT yyyymm) AS BIGINT) AS m,
+         CAST(SUM(j * r) AS BIGINT) AS l
+  FROM rk
+)
+SELECT m AS n_blocks, l AS page_l,
+       m * 5 * 36 // 4 AS e_l,
+       round((CAST(l AS DOUBLE) - CAST(m * 5 * 36 AS DOUBLE) / 4)
+             * (CAST(l AS DOUBLE) - CAST(m * 5 * 36 AS DOUBLE) / 4)
+             / (CAST(m AS DOUBLE) * 25 * 6 * 24 / 144)
+             * 1000000) / 1000000 AS z_squared
+FROM s
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def page_trend_test_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAGE'S TREND TEST (L statistic) — the ordered-alternative
+    refinement of the Friedman/Kendall-W family, asking whether mean
+    order value moves MONOTONICALLY with priority 1→5 consistently
+    across month blocks (cochran_armitage_trend_returns is the binary-
+    outcome dose test; Page's L is its continuous-outcome block
+    sibling). Each complete month block ranks the 5 priorities by
+    their mean order value (floored-mean cents — exact, deterministic
+    tie-break by priority); L = Σ_blocks Σ_j j·rank_j, an exact int64.
+    Incomplete blocks (< 5 priorities observed) are EXCLUDED by a
+    count guard rather than silently ranked short. Under H0,
+    E[L] = m·k(k+1)²/4 = 45m and Var = m·k²(k+1)(k²−1)/144 = 25m;
+    z² = (L−E)²/Var is a fixed IEEE tree over the exact integers
+    (k = 5 constants folded as literals in both engines). Scale: the
+    fact table aggregates once onto the (month x 5) cell domain;
+    ranks run in 5-row month partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 100
+            + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("yyyymm"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("j"),
+    ).agg(
+        F.expr(
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div count(*)"
+        ).alias("x")
+    )
+    full_blocks = (
+        cell.groupBy(F.col("yyyymm").alias("fb"))
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == 5)
+        .select("fb")
+    )
+    rk = (
+        cell.join(F.broadcast(full_blocks), cell.yyyymm == F.col("fb"))
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("yyyymm").orderBy("x", "j"))
+            .cast("long"),
+        )
+    )
+    s = rk.agg(
+        F.countDistinct("yyyymm").alias("m"),
+        F.sum(F.col("j") * F.col("r")).alias("l"),
+    )
+    e_d = F.col("m").cast("double") * 5 * 36 / 4
+    z2 = (
+        (F.col("l").cast("double") - e_d)
+        * (F.col("l").cast("double") - e_d)
+        / (F.col("m").cast("double") * 25 * 6 * 24 / 144)
+    )
+    return s.select(
+        F.col("m").alias("n_blocks"),
+        F.col("l").alias("page_l"),
+        F.expr("m * 5 * 36 div 4").alias("e_l"),
+        (F.round(z2 * 1000000) / 1000000).alias("z_squared"),
+    )
+
+
+@register(
+    "effect_size_cohens_d_segments",
+    oracle="""
+WITH v AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM v GROUP BY 1
+),
+w AS (
+  SELECT b.n AS n1, b.s AS s1, b.sxx AS sxx1,
+         a.n AS n2, a.s AS s2, a.sxx AS sxx2
+  FROM m b, m a WHERE b.seg = 'BUILDING' AND a.seg = 'MACHINERY'
+)
+SELECT n1, n2,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt((CAST(CAST(n1 AS HUGEINT) * sxx1
+                          - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / n1
+                     + CAST(CAST(n2 AS HUGEINT) * sxx2
+                            - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / n2)
+                    / (CAST(n1 AS DOUBLE) + n2 - 2))
+             * 1000000) / 1000000 AS cohens_d,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt((CAST(CAST(n1 AS HUGEINT) * sxx1
+                          - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / n1
+                     + CAST(CAST(n2 AS HUGEINT) * sxx2
+                            - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / n2)
+                    / (CAST(n1 AS DOUBLE) + n2 - 2))
+             * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n2 - 2) - 1.0))
+             * 1000000) / 1000000 AS hedges_g
+FROM w
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def effect_size_cohens_d_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHEN'S d and HEDGES' g between BUILDING's and MACHINERY's
+    order values — the standardized-mean-difference effect sizes that
+    welch_t_test_segments' t statistic gets divided into for
+    meta-analysis (t answers 'significant?'; d answers 'how big, in
+    pooled-sd units', and g applies the small-sample bias correction
+    J = 1 − 3/(4·df−1)). The pooled variance comes from the exact
+    128-bit moment complements n·Σx² − (Σx)² (decimal(38,0) ⟷
+    HUGEINT — Σx² of cent values breaches int64 near sf1), divided by
+    df = n1+n2−2 in ONE fixed IEEE tree — the Wilson/CUPED doctrine:
+    identical literals, identical operation order, one closing ppm
+    round, so both engines produce the same double bit-for-bit.
+    Scale: one shuffled customer join (fact-sized dim, never
+    broadcast), then two 1-row moment frames."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            cents(F.col("o_totalprice")).alias("x"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = v.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+    )
+    b = m.filter(F.col("seg") == "BUILDING").select(
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    a = m.filter(F.col("seg") == "MACHINERY").select(
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("sxx").alias("sxx2"),
+    )
+    w = b.crossJoin(F.broadcast(a))
+    mean_gap = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    )
+    css1 = (
+        F.col("n1").cast(dec) * F.col("sxx1")
+        - F.col("s1").cast(dec) * F.col("s1")
+    ).cast("double") / F.col("n1")
+    css2 = (
+        F.col("n2").cast(dec) * F.col("sxx2")
+        - F.col("s2").cast(dec) * F.col("s2")
+    ).cast("double") / F.col("n2")
+    df_ = F.col("n1").cast("double") + F.col("n2") - 2
+    d = mean_gap / F.sqrt((css1 + css2) / df_)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * df_ - F.lit(1.0)))
+    return w.select(
+        "n1",
+        "n2",
+        (F.round(d * 1000000) / 1000000).alias("cohens_d"),
+        (F.round(g * 1000000) / 1000000).alias("hedges_g"),
+    )
+
+
+@register(
+    "neyman_allocation_segments",
+    oracle="""
+WITH v AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+m AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM v GROUP BY 1
+),
+wts AS (
+  SELECT segment, n_h,
+         CASE WHEN n_h >= 2 THEN
+           CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * sxx
+                                - CAST(s AS HUGEINT) * s AS DOUBLE)
+                           / (CAST(n_h AS DOUBLE) * (n_h - 1)))
+                      * 1000) AS BIGINT)
+         ELSE 0 END AS sd_milli_cents
+  FROM m
+),
+tot AS (
+  SELECT SUM(CAST(n_h AS HUGEINT) * sd_milli_cents) AS w_tot FROM wts
+),
+shares AS (
+  SELECT w.segment, w.n_h, w.sd_milli_cents,
+         CAST(1000 * CAST(w.n_h AS HUGEINT) * w.sd_milli_cents
+              // t.w_tot AS BIGINT) AS floor_share,
+         1000 * CAST(w.n_h AS HUGEINT) * w.sd_milli_cents
+           % t.w_tot AS rem
+  FROM wts w CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY rem DESC, segment)
+              AS BIGINT) AS rk,
+         CAST(SUM(floor_share) OVER () AS BIGINT) AS floor_sum
+  FROM shares
+)
+SELECT segment, n_h, sd_milli_cents,
+       floor_share + CASE WHEN rk <= 1000 - floor_sum
+                     THEN 1 ELSE 0 END AS alloc_n
+FROM ranked ORDER BY segment
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def neyman_allocation_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION of a 1000-sample audit budget across
+    market-segment strata — the survey-sampling design rule n_h ∝
+    N_h·S_h (sample variance-minimizing under fixed budget) that
+    stratified samplers should use where sample_by_key_stratified's
+    proportional allocation over-samples homogeneous strata. Each
+    stratum's sd comes from the exact 128-bit moment complement,
+    then is FLOORED to integer milli-cents (floor(sqrt·1000) — sqrt
+    and floor are both deterministic cross-engine), so the weights
+    N_h·sd_milli are exact integers and the budget split reuses the
+    prorate_fee_largest_remainder discipline: floor shares
+    1000·w_h div W, leftover units to the largest integer remainders
+    (ties to segment name) — allocations sum to EXACTLY 1000 by
+    construction, the invariant naive rounding violates. Scale: one
+    shuffled customer join (fact-sized dim), then all allocation
+    arithmetic on the 5-row strata frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dec = "decimal(38,0)"
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            cents(F.col("o_totalprice")).alias("x"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        )
+    )
+    css = (
+        F.col("n_h").cast(dec) * F.col("sxx")
+        - F.col("s").cast(dec) * F.col("s")
+    ).cast("double")
+    wts = m.select(
+        "segment",
+        "n_h",
+        F.when(
+            F.col("n_h") >= 2,
+            F.floor(
+                F.sqrt(
+                    css / (F.col("n_h").cast("double") * (F.col("n_h") - 1))
+                )
+                * 1000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("sd_milli_cents"),
+    )
+    tot = wts.agg(
+        F.sum(F.col("n_h").cast(dec) * F.col("sd_milli_cents")).alias(
+            "w_tot"
+        )
+    )
+    shares = wts.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_h",
+        "sd_milli_cents",
+        F.expr(
+            "CAST(1000 * CAST(n_h AS DECIMAL(38,0)) * sd_milli_cents"
+            " div w_tot AS BIGINT)"
+        ).alias("floor_share"),
+        F.expr(
+            "1000 * CAST(n_h AS DECIMAL(38,0)) * sd_milli_cents"
+            " % w_tot"
+        ).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "segment")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = shares.select(
+        "segment",
+        "n_h",
+        "sd_milli_cents",
+        "floor_share",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.sum("floor_share").over(wall).alias("floor_sum"),
+    )
+    return ranked.select(
+        "segment",
+        "n_h",
+        "sd_milli_cents",
+        (
+            F.col("floor_share")
+            + F.when(
+                F.col("rk") <= 1000 - F.col("floor_sum"), 1
+            ).otherwise(0)
+        ).alias("alloc_n"),
+    ).orderBy("segment")
+
+
+@register(
+    "ansari_bradley_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c1, c2,
+         CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              - (c1 + c2) AS BIGINT) AS before_all
+  FROM pts
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 + c2) AS BIGINT) AS nt
+  FROM pts
+),
+blocks AS (
+  SELECT cum.c1, cum.c2,
+         cum.before_all + 1 AS a,
+         cum.before_all + cum.c1 AS b1,
+         cum.before_all + cum.c1 + cum.c2 AS b,
+         n.nt + 1 AS mm,
+         (n.nt + 1) // 2 AS h
+  FROM cum CROSS JOIN n
+),
+scored AS (
+  SELECT
+    CASE WHEN c1 > 0 AND least(b1, h) >= a THEN
+      CAST((a + least(b1, h)) AS HUGEINT)
+        * (least(b1, h) - a + 1) // 2 ELSE 0 END
+    + CASE WHEN c1 > 0 AND b1 >= greatest(a, h + 1) THEN
+      CAST((mm - greatest(a, h + 1) + mm - b1) AS HUGEINT)
+        * (b1 - greatest(a, h + 1) + 1) // 2 ELSE 0 END AS t1,
+    CASE WHEN least(b, h) >= a THEN
+      CAST((a + least(b, h)) AS HUGEINT)
+        * (least(b, h) - a + 1) // 2 ELSE 0 END
+    + CASE WHEN b >= greatest(a, h + 1) THEN
+      CAST((mm - greatest(a, h + 1) + mm - b) AS HUGEINT)
+        * (b - greatest(a, h + 1) + 1) // 2 ELSE 0 END AS t_all
+  FROM blocks
+)
+SELECT n.n1, n.n2,
+       CAST(SUM(s.t1) AS BIGINT) AS ab1_score_sum,
+       CAST(SUM(s.t_all) AS BIGINT) AS total_score_sum,
+       CAST(SUM(s.t1) * 1000000 // SUM(s.t_all) AS BIGINT)
+           AS ab1_share_ppm,
+       CAST(CAST(n.n1 AS HUGEINT) * 1000000 // n.nt AS BIGINT)
+           AS expected_share_ppm
+FROM scored s CROSS JOIN n
+GROUP BY n.n1, n.n2, n.nt
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def ansari_bradley_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSARI-BRADLEY SCALE TEST between src0's and src1's document
+    lengths — the rank test for DISPERSION that completes the
+    two-sample trio (ks: shape, mann-whitney: location, AB: spread):
+    rank the pooled values, score each rank r as min(r, N+1−r) —
+    small at BOTH extremes — and sum sample-1's scores; a sample
+    concentrated in the middle scores high (tighter spread). Ties use
+    the repo's DETERMINISTIC policy (documented here, mirrored
+    exactly: within a tied value block, sample-1 occupies the lower
+    ranks), so each block's sample-1 score is a CLOSED-FORM integer —
+    the V-shaped score sum over a rank range splits at h = (N+1) div 2
+    into two arithmetic series, each an exact (p+q)(q−p+1)/2 with the
+    product always even. Published as the sample-1 share of total
+    score (ppm) against its H0 expectation n1/N — both single int64
+    floor-divisions; series sums accumulate in decimal(38,0) ⟷
+    HUGEINT (quadratic in corpus size). Scale shape identical to
+    ks_statistic_sources: value-grain counts, binned 2-pass
+    cumulative, bounded final frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
+        "c1",
+        "c2",
+        (
+            F.col("_cum_c1") + F.col("_cum_c2") - F.col("c1") - F.col("c2")
+        ).alias("before_all"),
+    )
+    n = pts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        (F.sum("c1") + F.sum("c2")).alias("nt"),
+    )
+    blocks = cum.crossJoin(F.broadcast(n)).select(
+        "c1",
+        "c2",
+        "n1",
+        "n2",
+        "nt",
+        (F.col("before_all") + 1).alias("a"),
+        (F.col("before_all") + F.col("c1")).alias("b1"),
+        (F.col("before_all") + F.col("c1") + F.col("c2")).alias("b"),
+        (F.col("nt") + 1).alias("mm"),
+        F.expr("(nt + 1) div 2").alias("h"),
+    )
+
+    def vsum(lo: str, hi: str) -> F.Column:
+        # sum of min(r, mm - r) for r in [lo, hi], split at h
+        asc = F.expr(
+            f"CASE WHEN least({hi}, h) >= {lo} THEN"
+            f" CAST(({lo} + least({hi}, h)) AS DECIMAL(38,0))"
+            f" * (least({hi}, h) - {lo} + 1) div 2 ELSE 0 END"
+        )
+        desc = F.expr(
+            f"CASE WHEN {hi} >= greatest({lo}, h + 1) THEN"
+            f" CAST((mm - greatest({lo}, h + 1) + mm - {hi})"
+            f" AS DECIMAL(38,0))"
+            f" * ({hi} - greatest({lo}, h + 1) + 1) div 2 ELSE 0 END"
+        )
+        return asc.cast("decimal(38,0)") + desc.cast("decimal(38,0)")
+
+    scored = blocks.select(
+        "n1",
+        "n2",
+        "nt",
+        F.when(F.col("c1") > 0, vsum("a", "b1"))
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("t1"),
+        vsum("a", "b").alias("t_all"),
+    )
+    return (
+        scored.groupBy("n1", "n2", "nt")
+        .agg(F.sum("t1").alias("ab1"), F.sum("t_all").alias("tall"))
+        .select(
+            "n1",
+            "n2",
+            F.col("ab1").cast("long").alias("ab1_score_sum"),
+            F.col("tall").cast("long").alias("total_score_sum"),
+            F.expr(
+                "CAST(ab1 * 1000000 div tall AS BIGINT)"
+            ).alias("ab1_share_ppm"),
+            F.expr(
+                "CAST(CAST(n1 AS DECIMAL(38,0)) * 1000000 div nt"
+                " AS BIGINT)"
+            ).alias("expected_share_ppm"),
+        )
+    )

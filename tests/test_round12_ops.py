@@ -751,3 +751,200 @@ def test_nelson_aalen_customer_replay(spark):
     # overlay invariant: NA per-bucket hazard equals the KM life table's
     km = _run(spark, "km_life_table_customer_tenure")
     assert list(km.hazard_ppm) == list(got.hazard_ppm)
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta: brute pair scan
+# ---------------------------------------------------------------------------
+
+
+def _source_lengths():
+    out = {}
+    for src in ("src0", "src1"):
+        out[src] = [
+            v for (v,) in _sql(
+                "SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+                f" WHERE source = '{src}'"
+            )
+        ]
+    return out
+
+
+def test_cliffs_delta_brute_pairs(spark):
+    got = _run(spark, "cliffs_delta_sources").iloc[0]
+    xs = _source_lengths()
+    gt = sum(1 for x in xs["src0"] for y in xs["src1"] if x > y)
+    lt = sum(1 for x in xs["src0"] for y in xs["src1"] if x < y)
+    n1, n2 = len(xs["src0"]), len(xs["src1"])
+    assert (int(got.n1), int(got.n2)) == (n1, n2)
+    assert (int(got.n_pairs_greater), int(got.n_pairs_less)) == (gt, lt)
+    assert int(got.cliffs_delta_ppm) == (
+        ((gt - lt) + n1 * n2) * 1000000 // (n1 * n2) - 1000000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page trend: block-rank replay
+# ---------------------------------------------------------------------------
+
+
+def test_page_trend_block_replay(spark):
+    got = _run(spark, "page_trend_test_priorities").iloc[0]
+    cells: dict = defaultdict(lambda: [0, 0])
+    for d, pr, p in _sql(
+        "SELECT CAST(o_orderdate AS DATE), o_orderpriority, o_totalprice"
+        " FROM read_parquet('{SF}/orders.parquet')"
+    ):
+        a = cells[(d.year * 100 + d.month, int(pr[0]))]
+        a[0] += _cents(p)
+        a[1] += 1
+    by_month: dict = defaultdict(dict)
+    for (ym, j), (s, n) in cells.items():
+        by_month[ym][j] = s // n
+    m = 0
+    big_l = 0
+    for ym, d in by_month.items():
+        if len(d) != 5:
+            continue
+        m += 1
+        board = sorted((x, j) for j, x in d.items())
+        for r, (_, j) in enumerate(board, start=1):
+            big_l += j * r
+    assert int(got.n_blocks) == m
+    assert int(got.page_l) == big_l
+    assert int(got.e_l) == m * 5 * 36 // 4
+    e = m * 5 * 36 / 4
+    z2 = (big_l - e) * (big_l - e) / (m * 25 * 6 * 24 / 144)
+    assert abs(got.z_squared - z2) <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges g: moment replay
+# ---------------------------------------------------------------------------
+
+
+def test_effect_size_moment_replay(spark):
+    import math
+
+    got = _run(spark, "effect_size_cohens_d_segments").iloc[0]
+    per: dict = defaultdict(list)
+    for seg, p in _sql(
+        "SELECT c.c_mktsegment, o.o_totalprice"
+        " FROM read_parquet('{SF}/orders.parquet') o"
+        " JOIN read_parquet('{SF}/customer.parquet') c"
+        "   ON c.c_custkey = o.o_custkey"
+        " WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    ):
+        per[seg].append(_cents(p))
+    x1, x2 = per["BUILDING"], per["MACHINERY"]
+    n1, n2 = len(x1), len(x2)
+    m1, m2 = sum(x1) / n1, sum(x2) / n2
+    css1 = sum(x * x for x in x1) - sum(x1) ** 2 / n1
+    css2 = sum(x * x for x in x2) - sum(x2) ** 2 / n2
+    sp = math.sqrt((css1 + css2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2 - 2) - 1))
+    assert (int(got.n1), int(got.n2)) == (n1, n2)
+    assert abs(got.cohens_d - d) <= 2e-6
+    assert abs(got.hedges_g - g) <= 2e-6
+    assert abs(got.hedges_g) < abs(got.cohens_d)  # J < 1 shrinks
+
+
+# ---------------------------------------------------------------------------
+# Bland-Altman: per-doc replay
+# ---------------------------------------------------------------------------
+
+
+def test_bland_altman_per_doc_replay(spark):
+    import math
+
+    got = _run(spark, "bland_altman_token_counters").iloc[0]
+    ds = []
+    for (text,) in _sql(
+        "SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ):
+        a = len([t for t in re.split(r"\s+", text) if t != ""])
+        b = len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text))
+        ds.append(a - b)
+    n, s = len(ds), sum(ds)
+    mean = s / n
+    sd = math.sqrt((n * sum(d * d for d in ds) - s * s) / (n * (n - 1)))
+    lo, hi = mean - 1.96 * sd, mean + 1.96 * sd
+    assert (int(got.n_docs), int(got.sum_diff)) == (n, s)
+    assert abs(got.mean_diff - mean) <= 2e-6
+    assert abs(got.sd_diff - sd) <= 2e-6
+    assert int(got.n_outside_loa) == sum(1 for d in ds if d < lo or d > hi)
+    # the LoA band must contain ~95% of differences
+    assert got.n_outside_loa <= 0.1 * n
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: replay + exact-budget invariant
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_replay(spark):
+    import math
+
+    got = _run(spark, "neyman_allocation_segments")
+    per: dict = defaultdict(list)
+    for seg, p in _sql(
+        "SELECT c.c_mktsegment, o.o_totalprice"
+        " FROM read_parquet('{SF}/orders.parquet') o"
+        " JOIN read_parquet('{SF}/customer.parquet') c"
+        "   ON c.c_custkey = o.o_custkey"
+    ):
+        per[seg].append(_cents(p))
+    wts = {}
+    for seg, xs in per.items():
+        n = len(xs)
+        if n < 2:
+            wts[seg] = (n, 0)
+            continue
+        s = sum(xs)
+        css = n * sum(x * x for x in xs) - s * s
+        sd_milli = int(math.sqrt(css / (n * (n - 1))) * 1000)
+        wts[seg] = (n, sd_milli)
+    w_tot = sum(n * sm for n, sm in wts.values())
+    shares = {
+        seg: (1000 * n * sm // w_tot, 1000 * n * sm % w_tot)
+        for seg, (n, sm) in wts.items()
+    }
+    leftover = 1000 - sum(fl for fl, _ in shares.values())
+    order = sorted(shares, key=lambda g: (-shares[g][1], g))
+    alloc = {
+        seg: shares[seg][0] + (1 if i < leftover else 0)
+        for i, seg in enumerate(order)
+    }
+    assert list(got.segment) == sorted(per)
+    for r in got.itertuples():
+        n, sm = wts[r.segment]
+        assert (r.n_h, r.sd_milli_cents) == (n, sm)
+        assert r.alloc_n == alloc[r.segment]
+    assert int(got.alloc_n.sum()) == 1000  # exact-budget invariant
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley: per-observation score replay under the tie policy
+# ---------------------------------------------------------------------------
+
+
+def test_ansari_bradley_score_replay(spark):
+    got = _run(spark, "ansari_bradley_sources").iloc[0]
+    xs = _source_lengths()
+    pooled = sorted(
+        [(v, 1) for v in xs["src0"]] + [(v, 2) for v in xs["src1"]]
+    )  # ties: sample 1 first — the documented deterministic policy
+    nt = len(pooled)
+    ab1 = t_all = 0
+    for r, (_, src) in enumerate(pooled, start=1):
+        sc = min(r, nt + 1 - r)
+        t_all += sc
+        if src == 1:
+            ab1 += sc
+    n1, n2 = len(xs["src0"]), len(xs["src1"])
+    assert (int(got.n1), int(got.n2)) == (n1, n2)
+    assert int(got.ab1_score_sum) == ab1
+    assert int(got.total_score_sum) == t_all
+    assert int(got.ab1_share_ppm) == ab1 * 1000000 // t_all
+    assert int(got.expected_share_ppm) == n1 * 1000000 // nt
