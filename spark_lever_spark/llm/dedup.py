@@ -1716,3 +1716,169 @@ def cohens_kappa_dedup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         (F.round(num / den * 1000000) / 1000000).alias("kappa"),
     )
+
+
+@register(
+    "blocking_quality_sorted_neighborhood",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 100)) AS fp,
+         lower(substr(text, 1, 7)) AS pre
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, fp,
+         (CASE WHEN length(pre) >= 1
+               THEN least(ord(substr(pre, 1, 1)), 255) ELSE 0 END)
+             * 281474976710656
+         + (CASE WHEN length(pre) >= 2
+                 THEN least(ord(substr(pre, 2, 1)), 255) ELSE 0 END)
+             * 1099511627776
+         + (CASE WHEN length(pre) >= 3
+                 THEN least(ord(substr(pre, 3, 1)), 255) ELSE 0 END)
+             * 4294967296
+         + (CASE WHEN length(pre) >= 4
+                 THEN least(ord(substr(pre, 4, 1)), 255) ELSE 0 END)
+             * 16777216
+         + (CASE WHEN length(pre) >= 5
+                 THEN least(ord(substr(pre, 5, 1)), 255) ELSE 0 END)
+             * 65536
+         + (CASE WHEN length(pre) >= 6
+                 THEN least(ord(substr(pre, 6, 1)), 255) ELSE 0 END)
+             * 256
+         + (CASE WHEN length(pre) >= 7
+                 THEN least(ord(substr(pre, 7, 1)), 255) ELSE 0 END)
+             AS k
+  FROM d
+),
+ranked AS (
+  SELECT doc_id, fp,
+         CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM keyed
+),
+cand AS (
+  SELECT a.fp AS fp_a, b.fp AS fp_b
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + 9
+),
+truth AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS true_pairs
+  FROM (SELECT count(*) AS c FROM d GROUP BY fp)
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found
+  FROM cand
+)
+SELECT r.n AS n_docs,
+       s.n_cand AS n_candidate_pairs,
+       t.true_pairs AS n_true_pairs,
+       s.n_found AS n_true_found,
+       CAST(1000000 - s.n_cand * 1000000
+            // (CAST(r.n AS HUGEINT) * (r.n - 1) // 2) AS BIGINT)
+           AS reduction_ratio_ppm,
+       CASE WHEN t.true_pairs > 0 THEN
+         s.n_found * 1000000 // t.true_pairs END
+           AS pair_completeness_ppm
+FROM (SELECT max(n) AS n FROM ranked) r
+CROSS JOIN sums s CROSS JOIN truth t
+""",
+    category="llm_dedup",
+    tags=("defer-window",),
+)
+def blocking_quality_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOCKING-QUALITY EVALUATION of sorted-neighborhood candidate
+    generation against exact-duplicate ground truth — the two numbers
+    (Christen's standard metrics) every entity-resolution/dedup
+    pipeline must report before trusting a blocker: REDUCTION RATIO
+    (what fraction of the quadratic pair space the blocker pruned)
+    and PAIR COMPLETENESS (what fraction of TRUE duplicate pairs
+    survived into the candidate set — recall of the blocking stage).
+    Ground truth is shared-100-char-prefix clusters (the corpus's
+    boilerplate-opening near-dups; it contains no byte-identical
+    docs, so prefix clusters are the honest linkable truth here).
+    Sorted neighborhood runs over a 7-byte packed prefix key (each
+    char capped at 255, base-256 packed — integer-ordered EXACTLY
+    like the lowercased 7-char prefix, computable identically in both
+    engines; ties by doc_id), window w = 10; truth is identical-md5
+    clusters (Σ c(c−1)/2 pairs). The candidate count comes from the
+    rank-offset equi-join (offsets 1..9) the real blocker would run —
+    no formula shortcuts, so boundary effects are counted honestly.
+    Quadratic totals n(n−1)/2 live in decimal(38,0) ⟷ HUGEINT. Scale:
+    ranking is grank's binned 2-pass; the offset join fans out 9x on
+    the rank equi-key; truth is one md5 group-by."""
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = F.lower(F.substring(F.col("text"), 1, 7))
+    k = sum(
+        (
+            F.when(
+                F.length(pre) >= i,
+                F.least(F.ascii(F.substring(pre, i, 1)), F.lit(255)),
+            )
+            .otherwise(0)
+            .cast("long")
+            * (256 ** (7 - i))
+            for i in range(1, 8)
+        ),
+        F.lit(0).cast("long"),
+    )
+    d = docs.select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), 1, 100)).alias("fp"),
+        k.alias("k"),
+    )
+    ranked = with_global_rank(d, F.col("k"), ["doc_id"])
+    a = ranked.select(
+        F.col("fp").alias("fp_a"), F.col("_rk").alias("ra")
+    )
+    b = ranked.select(
+        F.col("fp").alias("fp_b"), F.col("_rk").alias("rb")
+    )
+    offs = F.explode(F.array(*[F.lit(i) for i in range(1, 10)])).alias(
+        "off"
+    )
+    cand = (
+        a.select("fp_a", "ra", offs)
+        .join(b, F.col("rb") == F.col("ra") + F.col("off"))
+    )
+    sums = cand.agg(
+        F.count("*").alias("n_cand"),
+        F.sum(
+            F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+        ).alias("n_found"),
+    )
+    truth = (
+        d.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.expr("c * (c - 1) div 2")
+            ).alias("true_pairs")
+        )
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        n.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_docs",
+            F.col("n_cand").alias("n_candidate_pairs"),
+            F.col("true_pairs").alias("n_true_pairs"),
+            F.col("n_found").alias("n_true_found"),
+            F.expr(
+                "CAST(1000000 - n_cand * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)"
+                " div 2) AS BIGINT)"
+            ).alias("reduction_ratio_ppm"),
+            F.when(
+                F.col("true_pairs") > 0,
+                F.expr("n_found * 1000000 div true_pairs"),
+            ).alias("pair_completeness_ppm"),
+        )
+    )

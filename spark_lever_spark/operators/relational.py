@@ -7534,3 +7534,269 @@ def ansari_bradley_sources(
             ).alias("expected_share_ppm"),
         )
     )
+
+
+@register(
+    "abc_xyz_matrix_parts",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
+              AS BIGINT) AS cum,
+         CAST(SUM(rev) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+abc AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+              WHEN cum * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         tot
+  FROM ranked
+),
+mq AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         SUM(CAST(q AS HUGEINT) * q) AS sqq
+  FROM (
+    SELECT l_partkey,
+           CAST(EXTRACT(year FROM l_shipdate) * 100
+                + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+  ) GROUP BY 1
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN n < 2 THEN 'Z'
+              WHEN 4 * CAST(n AS HUGEINT)
+                   * (CAST(n AS HUGEINT) * sqq
+                      - CAST(s AS HUGEINT) * s)
+                   <= CAST(n - 1 AS HUGEINT) * s * s THEN 'X'
+              WHEN CAST(n AS HUGEINT)
+                   * (CAST(n AS HUGEINT) * sqq
+                      - CAST(s AS HUGEINT) * s)
+                   <= CAST(n - 1 AS HUGEINT) * s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM mq
+)
+SELECT a.abc_class, x.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(a.rev) AS BIGINT) AS rev_cents,
+       CAST(SUM(a.rev) * 1000000 // max(a.tot) AS BIGINT)
+           AS rev_share_ppm
+FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ INVENTORY MATRIX — the 9-cell planning grid supply
+    chains actually run on, crossing abc_classification_parts'
+    revenue-concentration axis (A: top 80% of cumulative revenue, B:
+    to 95%, C: tail) with demand-VARIABILITY classes from each part's
+    monthly quantity series (X: cv ≤ 0.5 steady, Y: cv ≤ 1.0, Z:
+    erratic or < 2 observed months): AX parts get automated
+    replenishment, CZ gets make-to-order. The cv thresholds are EXACT
+    integer predicates — cv² = n·(n·Σq² − S²)/((n−1)·S²), so cv ≤ ½ ⟺
+    4n·(nΣq² − S²) ≤ (n−1)·S², all cross-products in decimal(38,0) ⟷
+    HUGEINT, no float, no sqrt. ABC reuses the descending binned
+    global cumsum; XYZ is two stacked aggregations (month then part).
+    Scale: two passes over lineitem, everything after on the part
+    domain; the final matrix is ≤ 9 rows."""
+    from spark_lever_spark.operators.grank import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("rev")
+    )
+    ranked = with_global_rank(
+        rev, -F.col("rev"), ["l_partkey"], value="rev"
+    )
+    abc = ranked.select(
+        "l_partkey",
+        "rev",
+        F.col("_s_tot").alias("tot"),
+        F.when(F.col("_cum") * 5 <= F.col("_s_tot") * 4, "A")
+        .when(F.col("_cum") * 20 <= F.col("_s_tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    dec = "decimal(38,0)"
+    mq = (
+        li.groupBy(
+            F.col("l_partkey").alias("xp"),
+            (
+                F.year(F.to_date("l_shipdate")) * 100
+                + F.month(F.to_date("l_shipdate"))
+            )
+            .cast("long")
+            .alias("ym"),
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+        .groupBy("xp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q").cast(dec) * F.col("q")).alias("sqq"),
+        )
+    )
+    css = F.col("n").cast(dec) * F.col("sqq") - F.col("s").cast(
+        dec
+    ) * F.col("s")
+    rhs = (F.col("n") - 1).cast(dec) * F.col("s") * F.col("s")
+    xyz = mq.select(
+        "xp",
+        F.when(F.col("n") < 2, "Z")
+        .when(4 * F.col("n").cast(dec) * css <= rhs, "X")
+        .when(F.col("n").cast(dec) * css <= rhs, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, abc.l_partkey == xyz.xp)
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").alias("rev_cents"),
+            F.expr(
+                "CAST(SUM(rev) * 1000000 div max(tot) AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@register(
+    "raking_calibration_segment_priority",
+    oracle="""
+WITH pop AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(SUM(CASE WHEN o.o_orderkey % 10 = 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sample
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cells AS (SELECT * FROM pop WHERE n_sample > 0),
+rowm AS (
+  SELECT segment,
+         CAST(SUM(n_pop) AS BIGINT) AS p_seg,
+         CAST(SUM(n_sample) AS BIGINT) AS s_seg
+  FROM cells GROUP BY 1
+),
+w1 AS (
+  SELECT c.segment, c.priority, c.n_pop, c.n_sample,
+         CAST(1000000 AS HUGEINT) * r.p_seg * 1000000
+           // (CAST(r.s_seg AS HUGEINT) * 1000000) AS w1_ppm
+  FROM cells c JOIN rowm r ON r.segment = c.segment
+),
+colm AS (
+  SELECT priority,
+         CAST(SUM(n_pop) AS BIGINT) AS p_pri,
+         SUM(CAST(n_sample AS HUGEINT) * w1_ppm) AS ws_pri
+  FROM w1 GROUP BY 1
+),
+w2 AS (
+  SELECT w1.segment, w1.priority, w1.n_pop, w1.n_sample,
+         w1.w1_ppm * (CAST(cm.p_pri AS HUGEINT) * 1000000)
+           // cm.ws_pri AS w2_ppm
+  FROM w1 JOIN colm cm ON cm.priority = w1.priority
+)
+SELECT segment, priority, n_pop, n_sample,
+       CAST(w2_ppm AS BIGINT) AS weight_ppm,
+       CAST(CAST(n_sample AS HUGEINT) * w2_ppm // 1000000 AS BIGINT)
+           AS weighted_n
+FROM w2 ORDER BY segment, priority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def raking_calibration_segment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RAKING / ITERATIVE PROPORTIONAL FITTING (one full row+column
+    cycle) — the survey-weighting calibration that post-stratifies a
+    sample to match POPULATION margins on two dimensions at once: a
+    10% deterministic sample (orderkey % 10 = 7) of orders is
+    re-weighted so segment margins match exactly (row step), then
+    priority margins (column step — partially disturbing the row
+    match, which is WHY raking iterates; one cycle shown, the
+    fixed-point machinery identical for more). Where
+    sample_by_key_stratified draws a stratified sample, raking
+    repairs one drawn otherwise. Weights live in exact ppm integers:
+    each scaling factor is one non-negative floor-division of
+    decimal(38,0) ⟷ HUGEINT cross-products (population margin ×
+    current weighted margin), so both engines walk the identical
+    integer trajectory — no float drift across iterations, the
+    property that makes the calibration REPLAYABLE. Scale: one
+    shuffled customer join computes population and sample cells in
+    the same pass (conditional count); everything after lives on the
+    25-cell frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pop = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n_pop"),
+            F.sum(
+                F.when(F.col("o_orderkey") % 10 == 7, 1).otherwise(0)
+            ).alias("n_sample"),
+        )
+        .filter(F.col("n_sample") > 0)
+    )
+    dec = "decimal(38,0)"
+    rowm = pop.groupBy(F.col("segment").alias("rs")).agg(
+        F.sum("n_pop").alias("p_seg"), F.sum("n_sample").alias("s_seg")
+    )
+    w1 = pop.join(F.broadcast(rowm), F.col("segment") == F.col("rs")).select(
+        "segment",
+        "priority",
+        "n_pop",
+        "n_sample",
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * p_seg * 1000000"
+            " div (CAST(s_seg AS DECIMAL(38,0)) * 1000000)"
+        ).alias("w1_ppm"),
+    )
+    colm = w1.groupBy(F.col("priority").alias("cp")).agg(
+        F.sum("n_pop").alias("p_pri"),
+        F.sum(F.col("n_sample").cast(dec) * F.col("w1_ppm")).alias(
+            "ws_pri"
+        ),
+    )
+    w2 = w1.join(F.broadcast(colm), F.col("priority") == F.col("cp")).select(
+        "segment",
+        "priority",
+        "n_pop",
+        "n_sample",
+        F.expr(
+            "w1_ppm * (CAST(p_pri AS DECIMAL(38,0)) * 1000000)"
+            " div ws_pri"
+        ).alias("w2_ppm"),
+    )
+    return w2.select(
+        "segment",
+        "priority",
+        "n_pop",
+        "n_sample",
+        F.col("w2_ppm").cast("long").alias("weight_ppm"),
+        F.expr(
+            "CAST(CAST(n_sample AS DECIMAL(38,0)) * w2_ppm div 1000000"
+            " AS BIGINT)"
+        ).alias("weighted_n"),
+    ).orderBy("segment", "priority")

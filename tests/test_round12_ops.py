@@ -948,3 +948,159 @@ def test_ansari_bradley_score_replay(spark):
     assert int(got.total_score_sum) == t_all
     assert int(got.ab1_share_ppm) == ab1 * 1000000 // t_all
     assert int(got.expected_share_ppm) == n1 * 1000000 // nt
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality: brute sorted-neighborhood replay
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_brute_replay(spark):
+    import hashlib
+
+    got = _run(spark, "blocking_quality_sorted_neighborhood").iloc[0]
+    rows = _sql(
+        "SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    recs = []
+    for doc_id, text in rows:
+        fp = hashlib.md5(text[:100].encode()).hexdigest()
+        pre = text[:7].lower()
+        k = 0
+        for i in range(7):
+            k = k * 256 + (min(ord(pre[i]), 255) if i < len(pre) else 0)
+        recs.append((k, doc_id, fp))
+    recs.sort()
+    n = len(recs)
+    cand = found = 0
+    for i in range(n):
+        for j in range(i + 1, min(i + 10, n)):
+            cand += 1
+            if recs[i][2] == recs[j][2]:
+                found += 1
+    from collections import Counter
+
+    cl = Counter(fp for _, _, fp in recs)
+    true_pairs = sum(c * (c - 1) // 2 for c in cl.values())
+    assert int(got.n_docs) == n
+    assert int(got.n_candidate_pairs) == cand
+    assert int(got.n_true_pairs) == true_pairs
+    assert int(got.n_true_found) == found
+    assert int(got.reduction_ratio_ppm) == (
+        1000000 - cand * 1000000 // (n * (n - 1) // 2)
+    )
+    if true_pairs:
+        assert int(got.pair_completeness_ppm) == (
+            found * 1000000 // true_pairs
+        )
+        # prefix-sharers share the packed key: the blocker must
+        # recover a substantial share of the truth
+        assert got.pair_completeness_ppm >= 500000
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ matrix: dict replay
+# ---------------------------------------------------------------------------
+
+
+def test_abc_xyz_matrix_brute_replay(spark):
+    got = _run(spark, "abc_xyz_matrix_parts")
+    rev: dict = defaultdict(int)
+    mq: dict = defaultdict(lambda: defaultdict(int))
+    for pk, sd, qty, price in _sql(
+        "SELECT l_partkey, CAST(l_shipdate AS DATE), l_quantity,"
+        " l_extendedprice FROM read_parquet('{SF}/lineitem.parquet')"
+    ):
+        rev[pk] += _cents(price)
+        mq[pk][sd.year * 100 + sd.month] += int(qty + 0.5)
+    order = sorted(rev, key=lambda p: (-rev[p], p))
+    tot = sum(rev.values())
+    cum = 0
+    abc = {}
+    for p in order:
+        cum += rev[p]
+        abc[p] = "A" if cum * 5 <= tot * 4 else (
+            "B" if cum * 20 <= tot * 19 else "C"
+        )
+    xyz = {}
+    for p, months in mq.items():
+        qs = list(months.values())
+        n = len(qs)
+        if n < 2:
+            xyz[p] = "Z"
+            continue
+        s = sum(qs)
+        css = n * sum(q * q for q in qs) - s * s
+        if 4 * n * css <= (n - 1) * s * s:
+            xyz[p] = "X"
+        elif n * css <= (n - 1) * s * s:
+            xyz[p] = "Y"
+        else:
+            xyz[p] = "Z"
+    cells: dict = defaultdict(lambda: [0, 0])
+    for p in rev:
+        c = cells[(abc[p], xyz[p])]
+        c[0] += 1
+        c[1] += rev[p]
+    assert {
+        (r.abc_class, r.xyz_class): (r.n_parts, r.rev_cents)
+        for r in got.itertuples()
+    } == {k: tuple(v) for k, v in cells.items()}
+    for r in got.itertuples():
+        assert r.rev_share_ppm == cells[(r.abc_class, r.xyz_class)][1] \
+            * 1000000 // tot
+    assert int(got.n_parts.sum()) == len(rev)
+
+
+# ---------------------------------------------------------------------------
+# Raking: integer IPF replay + exact row-margin-then-column order
+# ---------------------------------------------------------------------------
+
+
+def test_raking_integer_ipf_replay(spark):
+    got = _run(spark, "raking_calibration_segment_priority")
+    pop: dict = defaultdict(lambda: [0, 0])
+    for seg, pri, k in _sql(
+        "SELECT c.c_mktsegment, o.o_orderpriority, o.o_orderkey"
+        " FROM read_parquet('{SF}/orders.parquet') o"
+        " JOIN read_parquet('{SF}/customer.parquet') c"
+        "   ON c.c_custkey = o.o_custkey"
+    ):
+        a = pop[(seg, pri)]
+        a[0] += 1
+        a[1] += 1 if k % 10 == 7 else 0
+    cells = {kk: v for kk, v in pop.items() if v[1] > 0}
+    p_seg: dict = defaultdict(int)
+    s_seg: dict = defaultdict(int)
+    for (seg, _), (np_, ns) in cells.items():
+        p_seg[seg] += np_
+        s_seg[seg] += ns
+    w1 = {
+        kk: 1000000 * p_seg[kk[0]] * 1000000
+        // (s_seg[kk[0]] * 1000000)
+        for kk in cells
+    }
+    p_pri: dict = defaultdict(int)
+    ws_pri: dict = defaultdict(int)
+    for kk, (np_, ns) in cells.items():
+        p_pri[kk[1]] += np_
+        ws_pri[kk[1]] += ns * w1[kk]
+    w2 = {
+        kk: w1[kk] * (p_pri[kk[1]] * 1000000) // ws_pri[kk[1]]
+        for kk in cells
+    }
+    assert {
+        (r.segment, r.priority): (
+            r.n_pop, r.n_sample, r.weight_ppm, r.weighted_n,
+        )
+        for r in got.itertuples()
+    } == {
+        kk: (v[0], v[1], w2[kk], v[1] * w2[kk] // 1000000)
+        for kk, v in cells.items()
+    }
+    # after the column step, priority margins match within floor slack
+    for pri in p_pri:
+        wsum = sum(
+            r.weighted_n for r in got.itertuples() if r.priority == pri
+        )
+        assert abs(wsum - p_pri[pri]) <= len(cells)
