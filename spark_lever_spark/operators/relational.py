@@ -3966,8 +3966,9 @@ base AS (
 SELECT b.disc_pct, b.n_lines, b.total_qty, b.revenue_cents,
        round(CAST(b.total_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE)
              * 1000000) / 1000000 AS mean_qty,
-       CAST(b.total_qty * base.n0 * 1000000
-            // (base.q0 * b.n_lines) AS BIGINT) AS qty_index_ppm
+       CAST(CAST(b.total_qty AS HUGEINT) * base.n0 * 1000000
+            // (CAST(base.q0 AS HUGEINT) * b.n_lines) AS BIGINT)
+           AS qty_index_ppm
 FROM bands b CROSS JOIN base
 ORDER BY b.disc_pct
 """,
@@ -3981,8 +3982,10 @@ def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually move volume' (the empirical input to an elasticity
     model; q19 prices a given promotion, this measures the response
     surface). The index cross-multiplies the two (qty, lines) integer
-    pairs into one exact int64 ratio — never a double-over-double
-    quotient — and the baseline rides a 1-row broadcast. One
+    pairs into one exact ratio — never a double-over-double quotient;
+    the qty x lines cross-product is quadratic in SF so it is carried
+    in decimal(38,0) ⟷ HUGEINT and only the ppm quotient lands in
+    int64 — and the baseline rides a 1-row broadcast. One
     aggregation over lineitem on the ~11-value discount domain."""
     li = load_table(spark, sf_dir, "lineitem")
     bands = li.groupBy(
@@ -4013,7 +4016,8 @@ def discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000
             ).alias("mean_qty"),
             F.expr(
-                "total_qty * n0 * 1000000 div (q0 * n_lines)"
+                "CAST(CAST(total_qty AS DECIMAL(38,0)) * n0 * 1000000"
+                " div (CAST(q0 AS DECIMAL(38,0)) * n_lines) AS BIGINT)"
             ).alias("qty_index_ppm"),
         )
         .orderBy("disc_pct")
@@ -4109,10 +4113,12 @@ m AS (
 )
 SELECT n, sx, min_items, max_items,
        round(CAST(sx AS DOUBLE) / n * 1000000) / 1000000 AS mean_items,
-       round(CAST(n * sxx - sx * sx AS DOUBLE)
-             / CAST(n * (n - 1) AS DOUBLE) * 1000000) / 1000000
+       round(CAST(CAST(n AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1)) * 1000000) / 1000000
            AS var_items,
-       CAST((n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS BIGINT)
+       CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            * 1000000 // (CAST(n - 1 AS HUGEINT) * sx) AS BIGINT)
            AS dispersion_ppm
 FROM m
 """,
@@ -4127,9 +4133,11 @@ def basket_dispersion_index(
     so ppm well above 10^6 says basket sizes are bursty/clumped and
     any Poisson-based capacity or fraud model is miscalibrated. The
     index reduces to exact integers end-to-end: Var/Mean =
-    (n·Σx² − (Σx)²) / ((n−1)·Σx) — one integer floor division in ppm,
-    no double ever accumulated (mean and variance are also published
-    via single divisions of the same exact moments). One orderkey
+    (n·Σx² − (Σx)²) / ((n−1)·Σx) — one floor division in ppm, no
+    double ever accumulated (mean and variance are also published via
+    single divisions of the same exact moments); the quadratic n·Σx²
+    complement is carried in decimal(38,0) ⟷ HUGEINT so it never
+    wraps int64 at large SF. One orderkey
     aggregation then a 1-row moment rollup; at any scale the second
     stage sees exactly one row per basket-size... per basket, i.e.
     the aggregate domain."""
@@ -4153,15 +4161,19 @@ def basket_dispersion_index(
         ).alias("mean_items"),
         (
             F.round(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                .cast("double")
-                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+                ).cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1))
                 * 1000000
             )
             / 1000000
         ).alias("var_items"),
         F.expr(
-            "(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)"
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
+            " div (CAST(n - 1 AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("dispersion_ppm"),
     )
 
