@@ -4355,7 +4355,8 @@ win AS (
 k AS (
   SELECT d, x, low14, high14,
          CASE WHEN high14 > low14
-              THEN (x - low14) * 1000000 // (high14 - low14)
+              THEN CAST(CAST(x - low14 AS HUGEINT) * 1000000
+                        // (high14 - low14) AS BIGINT)
          END AS k_ppm
   FROM win
 )
@@ -4379,8 +4380,9 @@ def stochastic_oscillator_daily(
     the integer day index (13 preceding), so calendar gaps shrink the
     window identically in both engines instead of silently reaching
     further back the way a ROWS frame would. %K is one non-negative
-    int64 ppm floor-division (flat-range windows → NULL, not a
-    divide-by-zero); %D = (k + k₋₁ + k₋₂) div 3 on exact ppm integers,
+    ppm floor-division (flat-range windows → NULL, not a
+    divide-by-zero; the cents x 10⁶ product rides decimal(38,0) ⟷
+    HUGEINT so a large-SF revenue day never wraps int64); %D = (k + k₋₁ + k₋₂) div 3 on exact ppm integers,
     with NULL propagation giving the standard 2-row warm-up. Scale:
     windows run on the calendar-bounded daily aggregate (~2.6k rows at
     any SF — the bounded-domain precedent of the km life table), after
@@ -4406,7 +4408,10 @@ def stochastic_oscillator_daily(
         "k_ppm",
         F.when(
             F.col("high14") > F.col("low14"),
-            F.expr("(x - low14) * 1000000 div (high14 - low14)"),
+            F.expr(
+                "CAST(CAST(x - low14 AS DECIMAL(38,0)) * 1000000"
+                " div (high14 - low14) AS BIGINT)"
+            ),
         ),
     )
     wl = Window.orderBy("d")
@@ -4535,7 +4540,8 @@ win AS (
 ),
 ratio AS (
   SELECT cal_month,
-         CAST(r * 24000000 // (s13 + s11) AS BIGINT) AS ratio_ppm
+         CAST(CAST(r AS HUGEINT) * 24000000 // (s13 + s11) AS BIGINT)
+             AS ratio_ppm
   FROM win WHERE n13 = 13
 )
 SELECT cal_month,
@@ -4554,7 +4560,9 @@ def monthly_seasonal_index_ratio_to_ma(
     its CENTERED 2x12 moving average — the even-window centering
     trick: the 13-month sum PLUS the inner 11-month sum equals
     2·(half-weighted 12-MA)·12, so ratio = r·24/(s13+s11), one exact
-    int64 ppm floor-division with NO half-weights materialized — then
+    ppm floor-division with NO half-weights materialized (the
+    cents x 24·10⁶ product in decimal(38,0) ⟷ HUGEINT for any-SF
+    headroom) — then
     averaged per calendar month (sum of exact ppm ints div count).
     Incomplete edge windows are excluded by the n13 = 13 count guard
     rather than silently averaging a short window. This is the
@@ -4585,7 +4593,10 @@ def monthly_seasonal_index_ratio_to_ma(
     )
     ratio = win.filter(F.col("n13") == 13).select(
         "cal_month",
-        F.expr("r * 24000000 div (s13 + s11)").alias("ratio_ppm"),
+        F.expr(
+            "CAST(CAST(r AS DECIMAL(38,0)) * 24000000"
+            " div (s13 + s11) AS BIGINT)"
+        ).alias("ratio_ppm"),
     )
     return (
         ratio.groupBy("cal_month")
