@@ -4290,7 +4290,8 @@ SELECT CAST(yyyymm AS BIGINT) AS yyyymm,
        CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
        CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev ELSE 0 END)
             AS BIGINT) AS top_decile_rev_cents,
-       CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev ELSE 0 END)
+       CAST(CAST(SUM(CASE WHEN rn * 10 <= n_cust THEN rev ELSE 0 END)
+                 AS HUGEINT)
             * 1000000 // SUM(rev) AS BIGINT) AS top_decile_share_ppm
 FROM ranked GROUP BY yyyymm ORDER BY yyyymm
 """,
@@ -4307,7 +4308,8 @@ def monthly_concentration_top_decile(
     pareto_concentration_customers gives one static snapshot. Windows
     partition on (month) over the per-(month, customer) AGGREGATE
     domain — customers per month, not orders — and the share is an
-    exact int64 ratio per month."""
+    exact ratio per month (the cents x 10⁶ product in decimal(38,0)
+    ⟷ HUGEINT so a large-SF month never wraps int64)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy(
         (
@@ -4346,7 +4348,8 @@ def monthly_concentration_top_decile(
             "total_rev_cents",
             "top_decile_rev_cents",
             F.expr(
-                "top_decile_rev_cents * 1000000 div total_rev_cents"
+                "CAST(CAST(top_decile_rev_cents AS DECIMAL(38,0))"
+                " * 1000000 div total_rev_cents AS BIGINT)"
             ).alias("top_decile_share_ppm"),
         )
         .orderBy("yyyymm")
@@ -5018,7 +5021,9 @@ WITH per_nation AS (
 ),
 shares AS (
   SELECT yyyymm, n_name, rev,
-         rev * 1000000 // SUM(rev) OVER (PARTITION BY yyyymm) AS share_ppm
+         CAST(CAST(rev AS HUGEINT) * 1000000
+              // SUM(rev) OVER (PARTITION BY yyyymm) AS BIGINT)
+             AS share_ppm
   FROM per_nation
 )
 SELECT yyyymm,
@@ -5067,8 +5072,11 @@ def hhi_concentration_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
     )
     shares = per_nation.withColumn(
-        "share_ppm", F.expr("rev * 1000000 div sum(rev) over "
-                            "(partition by yyyymm)")
+        "share_ppm",
+        F.expr(
+            "CAST(CAST(rev AS DECIMAL(38,0)) * 1000000"
+            " div (sum(rev) over (partition by yyyymm)) AS BIGINT)"
+        ),
     )
     return (
         shares.groupBy("yyyymm")
@@ -5231,7 +5239,8 @@ cls AS (
 SELECT abc_class,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev) AS BIGINT) AS rev_cents,
-       CAST(SUM(rev) * 1000000 // max(tot) AS BIGINT) AS share_ppm,
+       CAST(CAST(SUM(rev) AS HUGEINT) * 1000000 // max(tot)
+            AS BIGINT) AS share_ppm,
        min(rk) AS first_rank, max(rk) AS last_rank
 FROM cls GROUP BY abc_class ORDER BY abc_class
 """,
@@ -5275,7 +5284,10 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_parts"),
             F.sum("rev").alias("rev_cents"),
-            F.expr("sum(rev) * 1000000 div max(tot)").alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(sum(rev) AS DECIMAL(38,0)) * 1000000"
+                " div max(tot) AS BIGINT)"
+            ).alias("share_ppm"),
             F.min("rk").alias("first_rank"),
             F.max("rk").alias("last_rank"),
         )

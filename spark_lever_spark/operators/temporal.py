@@ -3895,18 +3895,18 @@ coef AS (
 en AS (
   SELECT event_type, k,
          CAST(count(*) AS BIGINT) AS n_blocks,
-         CAST(SUM(d * d) AS BIGINT) AS raw_sq
+         SUM(CAST(d AS HUGEINT) * d) AS raw_sq
   FROM coef GROUP BY 1, 2
 ),
 tot AS (
   SELECT event_type,
-         CAST(SUM(raw_sq * (8 >> k)) AS BIGINT) AS denom
+         SUM(raw_sq * (8 >> k)) AS denom
   FROM en GROUP BY 1
 )
 SELECT en.event_type, CAST(en.k AS BIGINT) AS level, en.n_blocks,
-       en.raw_sq AS raw_detail_sq,
+       CAST(en.raw_sq AS BIGINT) AS raw_detail_sq,
        CAST(en.raw_sq AS DOUBLE) / (1 << en.k) AS energy,
-       en.raw_sq * (8 >> en.k) * 1000000 // tot.denom
+       CAST(en.raw_sq * (8 >> en.k) * 1000000 // tot.denom AS BIGINT)
            AS energy_share_ppm
 FROM en JOIN tot ON tot.event_type = en.event_type
 ORDER BY en.event_type, level
@@ -3976,9 +3976,10 @@ def haar_energy_decomposition_daily(
         .alias("sv"),
     )
     coef = lv.groupBy("bet", "k", "blk").agg(F.sum("sv").alias("d"))
+    dec = "decimal(38,0)"
     en = coef.groupBy("bet", "k").agg(
         F.count("*").alias("n_blocks"),
-        F.sum(F.col("d") * F.col("d")).alias("raw_sq"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("raw_sq"),
     )
     tot = en.groupBy(F.col("bet").alias("tet")).agg(
         F.sum(F.expr("raw_sq * (8 >> k)")).alias("denom")
@@ -3989,12 +3990,12 @@ def haar_energy_decomposition_daily(
             F.col("bet").alias("event_type"),
             F.col("k").cast("long").alias("level"),
             "n_blocks",
-            F.col("raw_sq").alias("raw_detail_sq"),
+            F.col("raw_sq").cast("long").alias("raw_detail_sq"),
             (F.col("raw_sq").cast("double") / F.expr("1 << k")).alias(
                 "energy"
             ),
             F.expr(
-                "raw_sq * (8 >> k) * 1000000 div denom"
+                "CAST(raw_sq * (8 >> k) * 1000000 div denom AS BIGINT)"
             ).alias("energy_share_ppm"),
         )
         .orderBy("event_type", "level")
