@@ -4609,3 +4609,410 @@ def monthly_seasonal_index_ratio_to_ma(
         )
         .orderBy("cal_month")
     )
+
+
+@register(
+    "rsi_cutler_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+diffs AS (
+  SELECT d, x, x - LAG(x) OVER (ORDER BY d) AS dx FROM daily
+),
+gl AS (
+  SELECT d, x,
+         CASE WHEN dx > 0 THEN dx ELSE 0 END AS g,
+         CASE WHEN dx < 0 THEN -dx ELSE 0 END AS l,
+         CASE WHEN dx IS NULL THEN 0 ELSE 1 END AS has_dx
+  FROM diffs
+),
+win AS (
+  SELECT d, x,
+         CAST(SUM(g) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS gain14,
+         CAST(SUM(l) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS loss14,
+         CAST(SUM(has_dx) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_diffs
+  FROM gl
+)
+SELECT d, x AS value_cents, n_diffs, gain14, loss14,
+       CASE WHEN gain14 + loss14 > 0
+            THEN CAST(CAST(gain14 AS HUGEINT) * 1000000
+                      // (gain14 + loss14) AS BIGINT)
+       END AS rsi_ppm
+FROM win ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def rsi_cutler_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX, Cutler's simple-moving-average variant
+    (RSI = 100·gain/(gain+loss) over a trailing 14-day window) on
+    daily revenue — the momentum companion to
+    stochastic_oscillator_daily's range-position %K: %K locates today
+    inside the window's price RANGE, RSI splits the window's total
+    MOVEMENT into up-moves vs down-moves. Cutler's arithmetic-mean
+    form is chosen over Wilder's because Wilder's recursive smoothing
+    is an infinite-impulse float recurrence (banned from hash-gated
+    outputs); Cutler's is a pure rational in exact cents deltas, so
+    the whole indicator is one non-negative ppm floor-division (the
+    ×10⁶ product rides HUGEINT ⟷ decimal(38,0) so a large-SF revenue
+    swing never wraps int64). RANGE frame over the integer day index:
+    calendar gaps shrink the window identically in both engines.
+    Flat 14 days (gain+loss = 0) → NULL, not a divide-by-zero (ANSI).
+    Scale: windows run on the calendar-bounded daily aggregate (~2.4k
+    rows at any SF) after ONE map-side-combinable fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wl = Window.orderBy("d")
+    diffs = daily.withColumn("dx", F.col("x") - F.lag("x").over(wl))
+    gl = diffs.select(
+        "d",
+        "x",
+        F.when(F.col("dx") > 0, F.col("dx")).otherwise(F.lit(0)).alias("g"),
+        F.when(F.col("dx") < 0, -F.col("dx")).otherwise(F.lit(0)).alias("l"),
+        F.when(F.col("dx").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "has_dx"
+        ),
+    )
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    win = gl.select(
+        "d",
+        "x",
+        F.sum("g").over(wr).alias("gain14"),
+        F.sum("l").over(wr).alias("loss14"),
+        F.sum("has_dx").over(wr).alias("n_diffs"),
+    )
+    return win.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        "n_diffs",
+        "gain14",
+        "loss14",
+        F.when(
+            F.col("gain14") + F.col("loss14") > 0,
+            F.expr(
+                "CAST(CAST(gain14 AS DECIMAL(38,0)) * 1000000"
+                " div (gain14 + loss14) AS BIGINT)"
+            ),
+        ).alias("rsi_ppm"),
+    ).orderBy("d")
+
+
+@register(
+    "obv_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x,
+         CAST(count(*) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+dirs AS (
+  SELECT d, x, v,
+         CASE WHEN LAG(x) OVER (ORDER BY d) IS NULL THEN 0
+              WHEN x > LAG(x) OVER (ORDER BY d) THEN 1
+              WHEN x < LAG(x) OVER (ORDER BY d) THEN -1
+              ELSE 0 END AS dir
+  FROM daily
+)
+SELECT d, x AS value_cents, v AS volume, dir,
+       CAST(SUM(dir * v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM dirs ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-BALANCE VOLUME (Granville) over the daily order series —
+    the classic volume-confirms-price accumulation line: each day's
+    order COUNT is added to a running total when daily revenue rose,
+    subtracted when it fell, ignored when flat (and on the first day,
+    whose direction is undefined). Complements obv-free momentum
+    (rsi_cutler_daily) by tracking participation rather than
+    magnitude. Pure integer arithmetic end-to-end — a signed
+    cumulative sum of exact counts, no division at all; |OBV| is
+    bounded by total order count, so int64 holds to SF ~10⁹.
+    The cumulative frame is ROWS UNBOUNDED PRECEDING (every day is a
+    distinct ORDER BY key, so ROWS ≡ RANGE and both engines agree).
+    Scale: one map-side-combinable aggregation of the fact table to
+    ~2.4k calendar rows; the window runs on that bounded domain."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("x"),
+        F.count("*").alias("v"),
+    )
+    wl = Window.orderBy("d")
+    dirs = daily.withColumn(
+        "dir",
+        F.when(F.lag("x").over(wl).isNull(), F.lit(0))
+        .when(F.col("x") > F.lag("x").over(wl), F.lit(1))
+        .when(F.col("x") < F.lag("x").over(wl), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return dirs.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        F.col("v").alias("volume"),
+        "dir",
+        F.sum(F.col("dir") * F.col("v")).over(wc).alias("obv"),
+    ).orderBy("d")
+
+
+@register(
+    "aroon_25_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+keys AS (
+  SELECT d, x,
+         CAST(x AS HUGEINT) * 100000 + d AS hi_key,
+         CAST(x AS HUGEINT) * 100000 + (99999 - d) AS lo_key
+  FROM daily
+),
+win AS (
+  SELECT d, x,
+         CAST(max(hi_key) OVER (ORDER BY d RANGE BETWEEN 24 PRECEDING
+                                AND CURRENT ROW) % 100000 AS BIGINT)
+             AS d_high,
+         99999 - CAST(min(lo_key) OVER (ORDER BY d RANGE BETWEEN 24
+                      PRECEDING AND CURRENT ROW) % 100000 AS BIGINT)
+             AS d_low,
+         CAST(count(*) OVER (ORDER BY d RANGE BETWEEN 24 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_win
+  FROM keys
+)
+SELECT d, x AS value_cents, n_win,
+       d - d_high AS days_since_high,
+       d - d_low AS days_since_low,
+       (25 - (d - d_high)) * 4 AS aroon_up_pct,
+       (25 - (d - d_low)) * 4 AS aroon_down_pct
+FROM win ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def aroon_25_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AROON indicator (Chande) over daily revenue: how many days ago
+    did the trailing 25-day window set its high / its low, published
+    as aroon-up/down = (25 − days_since_extreme)·4 exact percent —
+    the time-since-extreme lens that stochastic (%K: WHERE in the
+    range) and RSI (HOW the movement split) don't capture. The window
+    argmax is done with PURE INTEGER arithmetic, no arg_max (DuckDB's
+    arg_max can't take a composite tie-break key over a window):
+    encode key = x·10⁵ + d so max(key) is the window max of x with
+    ties broken toward the LATEST day, and d = key mod 10⁵; the low
+    side encodes 99999 − d so min(key) also tie-breaks toward the
+    latest day. day indexes stay < 10⁵ through year 2243, and the
+    HUGEINT ⟷ decimal(38,0) key survives any SF's revenue. RANGE
+    frame over the day index: calendar gaps shrink the window
+    identically in both engines (n_win exposes the warm-up/gap
+    count). Scale: bounded ~2.4k-row daily domain after one
+    map-side-combinable fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    keys = daily.select(
+        "d",
+        "x",
+        F.expr("CAST(x AS DECIMAL(38,0)) * 100000 + d").alias("hi_key"),
+        F.expr("CAST(x AS DECIMAL(38,0)) * 100000 + (99999 - d)").alias(
+            "lo_key"
+        ),
+    )
+    wr = Window.orderBy("d").rangeBetween(-24, 0)
+    win = keys.select(
+        "d",
+        "x",
+        F.expr(
+            "CAST(max(hi_key) OVER (ORDER BY d RANGE BETWEEN 24"
+            " PRECEDING AND CURRENT ROW) % 100000 AS BIGINT)"
+        ).alias("d_high"),
+        (
+            F.lit(99999)
+            - F.expr(
+                "CAST(min(lo_key) OVER (ORDER BY d RANGE BETWEEN 24"
+                " PRECEDING AND CURRENT ROW) % 100000 AS BIGINT)"
+            )
+        ).alias("d_low"),
+        F.count("*").over(wr).alias("n_win"),
+    )
+    return win.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        "n_win",
+        (F.col("d") - F.col("d_high")).alias("days_since_high"),
+        (F.col("d") - F.col("d_low")).alias("days_since_low"),
+        ((F.lit(25) - (F.col("d") - F.col("d_high"))) * 4).alias(
+            "aroon_up_pct"
+        ),
+        ((F.lit(25) - (F.col("d") - F.col("d_low"))) * 4).alias(
+            "aroon_down_pct"
+        ),
+    ).orderBy("d")
+
+
+@register(
+    "chaikin_money_flow_daily",
+    oracle="""
+WITH hourly AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS d,
+         CAST(o_orderkey % 24 AS BIGINT) AS h,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c,
+         CAST(count(*) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+),
+daily AS (
+  SELECT d,
+         CAST(max(c) AS BIGINT) AS hi,
+         CAST(min(c) AS BIGINT) AS lo,
+         CAST(SUM(v) AS BIGINT) AS vol,
+         CAST(max(h) AS BIGINT) AS h_close
+  FROM hourly GROUP BY d
+),
+closes AS (
+  SELECT daily.d, daily.hi, daily.lo, daily.vol, hourly.c AS cl
+  FROM daily JOIN hourly
+    ON hourly.d = daily.d AND hourly.h = daily.h_close
+),
+mf AS (
+  SELECT d, vol,
+         CASE WHEN hi > lo
+              THEN CAST(CAST(cl - lo AS HUGEINT) * 2000000
+                        // (hi - lo) AS BIGINT)
+              ELSE 1000000 END AS mfm_pos_ppm
+  FROM closes
+),
+win AS (
+  SELECT d, vol,
+         CAST(SUM(CAST(mfm_pos_ppm AS HUGEINT) * vol)
+              OVER (ORDER BY d RANGE BETWEEN 19 PRECEDING AND
+                    CURRENT ROW) AS HUGEINT) AS s_mfv,
+         CAST(SUM(vol) OVER (ORDER BY d RANGE BETWEEN 19 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS s_vol
+  FROM mf
+)
+SELECT d, vol AS volume, s_vol AS volume20,
+       CAST(s_mfv // s_vol AS BIGINT) - 1000000 AS cmf_ppm
+FROM win ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def chaikin_money_flow_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAIKIN MONEY FLOW over synthetic intraday bars: each day's
+    orders are bucketed into 24 deterministic 'hours' (o_orderkey mod
+    24 — o_orderdate carries no time component, so the bucketing is a
+    reproducible hash, the md5-family doctrine), giving a high / low /
+    close / volume bar; CMF₂₀ = Σ₂₀(MFM·vol) / Σ₂₀vol where MFM =
+    ((close−low)−(high−close))/(high−low). Every division is made
+    NON-NEGATIVE before flooring (Spark div truncates toward zero,
+    DuckDB // floors — they only agree on non-negatives): MFM is
+    computed as (close−low)·2·10⁶ div (high−low) ∈ [0, 2·10⁶] and the
+    −10⁶ centering constant is pulled OUTSIDE the final volume-ratio
+    division (floor((a−c·d)/d) = floor(a/d)−c). Close = the bar of the
+    highest-numbered hour bucket present (max(h), joined back to the
+    hourly frame — a broadcastable bounded-domain join). Flat bars
+    (hi = lo) take MFM = 0 (the ppm-positive encoding's 10⁶) with
+    volume still counted — the standard CMF convention. The MFM·vol
+    product rides HUGEINT ⟷ decimal(38,0). Scale: two
+    map-side-combinable aggregations down to a bounded ~2.4k-day
+    domain; the 20-day RANGE window runs there."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    hourly = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        (F.col("o_orderkey") % 24).cast("long").alias("h"),
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("c"),
+        F.count("*").alias("v"),
+    )
+    daily = hourly.groupBy("d").agg(
+        F.max("c").alias("hi"),
+        F.min("c").alias("lo"),
+        F.sum("v").alias("vol"),
+        F.max("h").alias("h_close"),
+    )
+    closes = daily.join(
+        hourly.select(
+            F.col("d").alias("hd"), "h", F.col("c").alias("cl")
+        ),
+        (F.col("hd") == F.col("d")) & (F.col("h") == F.col("h_close")),
+    ).select("d", "hi", "lo", "vol", "cl")
+    mf = closes.select(
+        "d",
+        "vol",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr(
+                "CAST(CAST(cl - lo AS DECIMAL(38,0)) * 2000000"
+                " div (hi - lo) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(1000000))
+        .alias("mfm_pos_ppm"),
+    )
+    wr = Window.orderBy("d").rangeBetween(-19, 0)
+    win = mf.select(
+        "d",
+        "vol",
+        F.sum(
+            F.expr("CAST(mfm_pos_ppm AS DECIMAL(38,0)) * vol")
+        ).over(wr).alias("s_mfv"),
+        F.sum("vol").over(wr).alias("s_vol"),
+    )
+    return win.select(
+        "d",
+        F.col("vol").alias("volume"),
+        F.col("s_vol").alias("volume20"),
+        (
+            F.expr("CAST(s_mfv div s_vol AS BIGINT)") - F.lit(1000000)
+        ).alias("cmf_ppm"),
+    ).orderBy("d")

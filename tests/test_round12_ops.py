@@ -1104,3 +1104,110 @@ def test_raking_integer_ipf_replay(spark):
             r.weighted_n for r in got.itertuples() if r.priority == pri
         )
         assert abs(wsum - p_pri[pri]) <= len(cells)
+
+
+# ---------------------------------------------------------------------------
+# Technical indicators on the daily revenue series: one shared daily
+# (day-index -> (cents, volume)) base, then per-indicator brute loops.
+# ---------------------------------------------------------------------------
+
+
+def _daily_series():
+    rows = _sql(
+        "SELECT date_diff('day', DATE '1970-01-01', "
+        "CAST(o_orderdate AS DATE)), o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    )
+    cents_by_d: dict = defaultdict(int)
+    vol_by_d: dict = defaultdict(int)
+    for d, p in rows:
+        cents_by_d[d] += _cents(p)
+        vol_by_d[d] += 1
+    days = sorted(cents_by_d)
+    return days, cents_by_d, vol_by_d
+
+
+def test_rsi_cutler_brute(spark):
+    got = _run(spark, "rsi_cutler_daily")
+    days, x, _ = _daily_series()
+    dx = {
+        d: x[d] - x[dp] for dp, d in zip(days, days[1:])
+    }
+    for r in got.itertuples():
+        d = int(r.d)
+        win = [
+            dd for dd in days if d - 13 <= dd <= d and dd in dx
+        ]
+        gain = sum(max(dx[dd], 0) for dd in win)
+        loss = sum(max(-dx[dd], 0) for dd in win)
+        assert int(r.n_diffs) == len(win)
+        assert int(r.gain14) == gain and int(r.loss14) == loss
+        if gain + loss > 0:
+            assert int(r.rsi_ppm) == gain * 1000000 // (gain + loss)
+        else:
+            assert r.rsi_ppm is None or r.rsi_ppm != r.rsi_ppm  # NaN
+
+
+def test_obv_brute(spark):
+    got = _run(spark, "obv_daily").sort_values("d")
+    days, x, v = _daily_series()
+    obv = 0
+    expect = {}
+    for dp, d in zip([None] + days, days):
+        if dp is not None:
+            if x[d] > x[dp]:
+                obv += v[d]
+            elif x[d] < x[dp]:
+                obv -= v[d]
+        expect[d] = obv
+    for r in got.itertuples():
+        assert int(r.obv) == expect[int(r.d)]
+        assert int(r.volume) == v[int(r.d)]
+
+
+def test_aroon_brute(spark):
+    got = _run(spark, "aroon_25_daily")
+    days, x, _ = _daily_series()
+    for r in got.itertuples():
+        d = int(r.d)
+        win = [dd for dd in days if d - 24 <= dd <= d]
+        hi = max(x[dd] for dd in win)
+        lo = min(x[dd] for dd in win)
+        # ties break toward the LATEST day on both sides
+        d_high = max(dd for dd in win if x[dd] == hi)
+        d_low = max(dd for dd in win if x[dd] == lo)
+        assert int(r.n_win) == len(win)
+        assert int(r.days_since_high) == d - d_high
+        assert int(r.days_since_low) == d - d_low
+        assert int(r.aroon_up_pct) == (25 - (d - d_high)) * 4
+        assert int(r.aroon_down_pct) == (25 - (d - d_low)) * 4
+
+
+def test_chaikin_money_flow_brute(spark):
+    got = _run(spark, "chaikin_money_flow_daily")
+    rows = _sql(
+        "SELECT date_diff('day', DATE '1970-01-01', "
+        "CAST(o_orderdate AS DATE)), o_orderkey % 24, o_totalprice "
+        "FROM read_parquet('{SF}/orders.parquet')"
+    )
+    bars: dict = defaultdict(lambda: defaultdict(int))
+    vol: dict = defaultdict(int)
+    for d, h, p in rows:
+        bars[d][h] += _cents(p)
+        vol[d] += 1
+    days = sorted(bars)
+    mfm_pos = {}
+    for d in days:
+        hi = max(bars[d].values())
+        lo = min(bars[d].values())
+        cl = bars[d][max(bars[d])]
+        mfm_pos[d] = (
+            (cl - lo) * 2000000 // (hi - lo) if hi > lo else 1000000
+        )
+    for r in got.itertuples():
+        d = int(r.d)
+        win = [dd for dd in days if d - 19 <= dd <= d]
+        s_mfv = sum(mfm_pos[dd] * vol[dd] for dd in win)
+        s_vol = sum(vol[dd] for dd in win)
+        assert int(r.volume20) == s_vol
+        assert int(r.cmf_ppm) == s_mfv // s_vol - 1000000
