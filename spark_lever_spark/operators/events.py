@@ -3774,3 +3774,127 @@ def nelson_aalen_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hazard_ppm",
         F.sum("hazard_ppm").over(w_asc).alias("cum_hazard_ppm"),
     ).orderBy("bucket")
+
+
+@register(
+    "cochran_q_event_types",
+    oracle="""
+WITH daily_type AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type AS j,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+dd AS (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM daily_type
+),
+totals AS (
+  SELECT j, CAST(SUM(c) AS BIGINT) AS tot FROM daily_type GROUP BY j
+),
+succ AS (
+  SELECT dt.d, dt.j
+  FROM daily_type dt JOIN totals t ON t.j = dt.j
+                     CROSS JOIN dd
+  WHERE dt.c * dd.n_days > t.tot
+),
+cj AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_types,
+         CAST(SUM(cnt) AS BIGINT) AS n_succ,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM (SELECT j, CAST(count(*) AS BIGINT) AS cnt FROM succ GROUP BY j
+        UNION ALL
+        SELECT t.j, 0 FROM totals t
+        WHERE t.j NOT IN (SELECT DISTINCT j FROM succ))
+),
+ri AS (
+  SELECT CAST(COALESCE(SUM(cnt * cnt), 0) AS BIGINT) AS sum_r2
+  FROM (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM succ GROUP BY d)
+)
+SELECT cj.k_types, dd.n_days, cj.n_succ,
+       (cj.k_types - 1) * (cj.k_types * cj.sum_c2
+                           - cj.n_succ * cj.n_succ) AS q_num,
+       cj.k_types * cj.n_succ - ri.sum_r2 AS q_den,
+       CASE WHEN cj.k_types * cj.n_succ - ri.sum_r2 > 0
+            THEN CAST((cj.k_types - 1)
+                      * (cj.k_types * cj.sum_c2
+                         - cj.n_succ * cj.n_succ) * 1000
+                      // (cj.k_types * cj.n_succ - ri.sum_r2)
+                      AS BIGINT)
+       END AS q_milli
+FROM cj CROSS JOIN dd CROSS JOIN ri
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q TEST over the day × event-type binary design — 'do
+    the k event types run hot on the SAME days?': block i = calendar
+    day, treatment j = event type, success x_ij = 1 when the type's
+    count that day strictly exceeds its own all-days mean (c·D > total
+    — an exact integer cross-multiplication, no division, and a
+    threshold that stays meaningful at every SF where a fixed absolute
+    count would saturate). Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²) is a
+    pure rational in exact counts; numerator (Cauchy-Schwarz) and
+    denominator (R_i ≤ k) are both non-negative, so the single milli
+    floor-division is floor≡trunc in both engines; an all-hot/all-cold
+    degenerate design (den = 0) → NULL under the ANSI guard. Types
+    that never beat their mean enter with C_j = 0 (the UNION ALL
+    backfill) — dropping them would bias kΣC_j². Scale: ONE
+    map-side-combinable (day,type) aggregation of the fact table
+    (~2.4k days × bounded type domain); everything after runs on that
+    bounded grid, and Q's components are exact int64 through SF ~10⁶
+    (N ≤ days×types ≈ 2.4k·k; kΣC_j² ~ k·(2.4k)²·k — table-size
+    independent, the counts are DAYS, not events)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_type = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        F.col("event_type").alias("j"),
+    ).agg(F.count("*").alias("c"))
+    dd = daily_type.agg(
+        F.countDistinct("d").alias("n_days")
+    )
+    totals = daily_type.groupBy("j").agg(F.sum("c").alias("tot"))
+    succ = (
+        daily_type.join(totals.withColumnRenamed("j", "jt"),
+                        F.col("j") == F.col("jt"))
+        .crossJoin(F.broadcast(dd))
+        .filter(F.col("c") * F.col("n_days") > F.col("tot"))
+        .select("d", "j")
+    )
+    per_type = totals.select("j").join(
+        succ.groupBy("j").agg(F.count("*").alias("cnt")), "j", "left"
+    ).select("j", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    cj = per_type.agg(
+        F.count("*").alias("k_types"),
+        F.sum("cnt").alias("n_succ"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_c2"),
+    )
+    ri = succ.groupBy("d").agg(F.count("*").alias("cnt")).agg(
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")), F.lit(0))
+        .cast("long")
+        .alias("sum_r2")
+    )
+    v = cj.crossJoin(dd).crossJoin(ri)
+    q_num = (F.col("k_types") - 1) * (
+        F.col("k_types") * F.col("sum_c2")
+        - F.col("n_succ") * F.col("n_succ")
+    )
+    q_den = F.col("k_types") * F.col("n_succ") - F.col("sum_r2")
+    return v.select(
+        "k_types",
+        "n_days",
+        "n_succ",
+        q_num.alias("q_num"),
+        q_den.alias("q_den"),
+        F.when(
+            q_den > 0, F.expr(
+                "CAST((k_types - 1) * (k_types * sum_c2"
+                " - n_succ * n_succ) * 1000"
+                " div (k_types * n_succ - sum_r2) AS BIGINT)"
+            )
+        ).alias("q_milli"),
+    )

@@ -7824,3 +7824,426 @@ def raking_calibration_segment_priority(
             " AS BIGINT)"
         ).alias("weighted_n"),
     ).orderBy("segment", "priority")
+
+
+@register(
+    "moods_median_test_segments",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+med AS (
+  SELECT x AS m FROM (
+    SELECT x, o_orderkey,
+           row_number() OVER (ORDER BY x, o_orderkey) AS rk,
+           count(*) OVER () AS n
+    FROM j
+  ) WHERE rk = (n + 1) // 2
+),
+cell AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN j.x > med.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+  FROM j, med GROUP BY segment
+),
+marg AS (
+  SELECT segment, n_orders, n_above,
+         CAST(SUM(n_orders) OVER () AS BIGINT) AS n,
+         CAST(SUM(n_above) OVER () AS BIGINT) AS a
+  FROM cell
+)
+SELECT segment, n_orders, n_above,
+       round(CAST(n_orders AS DOUBLE) * a / n * 1000000) / 1000000
+           AS expected_above,
+       round((CAST(n_above AS DOUBLE)
+              - CAST(n_orders AS DOUBLE) * a / n)
+             / sqrt(CAST(n_orders AS DOUBLE) * a / n
+                    * (1 - CAST(n_orders AS DOUBLE) / n)
+                    * (1 - CAST(a AS DOUBLE) / n))
+             * 1000000) / 1000000 AS adj_residual
+FROM marg ORDER BY segment
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def moods_median_test_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MOOD'S MEDIAN TEST across market segments — 'do the segments
+    share one median order value?', the k-sample rank-free coarsening
+    of kruskal_wallis_priorities (which compares mean RANKS; Mood's
+    only asks which side of the pooled median each order falls on, so
+    it is robust to any monotone distortion). The pooled median is the
+    DISCRETE value at rank (N+1) div 2 of exact cents (ties by
+    o_orderkey), extracted with the 2-pass grank machinery — no global
+    sort; the above/below split is then a pure integer comparison, so
+    every count is bit-identical cross-engine. Per-segment readout is
+    the Haberman adjusted residual of the 'above' cell (the
+    contingency_residuals_segment_priority per-cell doctrine — one
+    fixed IEEE tree per segment over exact int64 marginals, no N-ary
+    float sum). customer is FACT-sized by repo doctrine: shuffled
+    equi-join on custkey, never broadcast. Scale: two fact-table
+    passes (rank + recount against the 1-row broadcast median) and one
+    5-row margin window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("x"),
+    )
+    r1 = with_global_rank(j, F.col("x"), ["o_orderkey"])
+    med = r1.filter(F.expr("_rk = (_n_tot + 1) div 2")).agg(
+        F.max("x").alias("m")
+    )
+    cell = (
+        j.crossJoin(F.broadcast(med))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("x") > F.col("m"), 1).otherwise(0)
+            ).alias("n_above"),
+        )
+    )
+    marg = cell.select(
+        "segment",
+        "n_orders",
+        "n_above",
+        F.sum("n_orders").over(Window.partitionBy()).alias("n"),
+        F.sum("n_above").over(Window.partitionBy()).alias("a"),
+    )
+    e = (
+        F.col("n_orders").cast("double")
+        * F.col("a")
+        / F.col("n")
+    )
+    resid = (F.col("n_above").cast("double") - e) / F.sqrt(
+        e
+        * (1 - F.col("n_orders").cast("double") / F.col("n"))
+        * (1 - F.col("a").cast("double") / F.col("n"))
+    )
+    return marg.select(
+        "segment",
+        "n_orders",
+        "n_above",
+        (F.round(e * 1000000) / 1000000).alias("expected_above"),
+        (F.round(resid * 1000000) / 1000000).alias("adj_residual"),
+    ).orderBy("segment")
+
+
+@register(
+    "lorenz_curve_customer_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS r
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT ck, r,
+         row_number() OVER (ORDER BY r, ck) AS rk,
+         count(*) OVER () AS n,
+         CAST(SUM(r) OVER () AS HUGEINT) AS s_tot,
+         CAST(SUM(r) OVER (ORDER BY r, ck ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+  FROM rev
+)
+SELECT CAST(((rk - 1) * 10) // n + 1 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r) AS BIGINT) AS rev_cents,
+       CAST(max(cum) AS BIGINT) AS cum_rev_cents,
+       CAST(max(cum) * 1000000 // max(s_tot) AS BIGINT)
+           AS cum_share_ppm,
+       CAST(max(rk) * 1000000 // max(n) AS BIGINT) AS cum_pop_ppm
+FROM ranked
+GROUP BY 1 ORDER BY decile
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def lorenz_curve_customer_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LORENZ CURVE of customer revenue concentration, published as
+    the 10-point decile table ('the bottom 10% of customers hold X ppm
+    of revenue') — the CURVE behind gini_customer_revenue's scalar:
+    the Gini is twice the area between this curve and the diagonal,
+    but the decile readout is what a curation/BI consumer actually
+    plots, and each point is EXACT (cumulative cents at the decile
+    boundary over total cents, one non-negative ppm floor-division on
+    decimal(38,0) ⟷ HUGEINT). Population axis = customers WITH orders,
+    ranked ascending by (revenue, custkey); decile = ((rk−1)·10) div n
+    — the equal_frequency_buckets closed form, deterministic under
+    ties. Rank AND running revenue sum come from ONE with_global_rank
+    pass (value='r'): bit-identical to a single-task cumsum, but 2-pass
+    parallel — no unpartitioned window ever touches the customer-grain
+    frame. Scale: one map-side-combinable fact aggregation to customer
+    grain, one grank pass, then a 10-row rollup."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("r"))
+    )
+    ranked = with_global_rank(rev, F.col("r"), ["ck"], value="r")
+    return (
+        ranked.withColumn(
+            "decile", F.expr("((_rk - 1) * 10) div _n_tot + 1")
+        )
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("r").alias("rev_cents"),
+            F.max("_cum").alias("cum_rev_cents"),
+            F.expr(
+                "CAST(max(CAST(_cum AS DECIMAL(38,0))) * 1000000"
+                " div max(_s_tot) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "CAST(max(_rk) * 1000000 div max(_n_tot) AS BIGINT)"
+            ).alias("cum_pop_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "on_time_in_full_monthly",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(min(CASE WHEN l_shipdate <= l_commitdate THEN 1 ELSE 0
+                  END) AS BIGINT) AS all_on_time,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 100
+              + EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
+              AS BIGINT) AS yyyymm,
+         p.all_on_time, p.n_lines
+  FROM orders o JOIN per_order p ON p.l_orderkey = o.o_orderkey
+)
+SELECT yyyymm,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(all_on_time) AS BIGINT) AS n_otif,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(all_on_time) * 1000000 // count(*) AS BIGINT)
+           AS otif_ppm
+FROM j GROUP BY yyyymm ORDER BY yyyymm
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def on_time_in_full_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ON-TIME-IN-FULL rate by order month — the classic supply-chain
+    SLA: an order counts only if EVERY line shipped on or before its
+    commit date (the all-lines conjunction is what distinguishes OTIF
+    from q12_late_shipment_priority's line-level lens; one late line
+    fails the whole order). The conjunction is min() over a 0/1
+    indicator — map-side combinable, no DISTINCT; the per-order frame
+    then meets orders in a FACT-to-FACT shuffled equi-join on orderkey
+    (both sides hash-partition on the key — co-located, no broadcast
+    of a fact per repo doctrine). Rate is one non-negative ppm
+    floor-division of exact counts (int64 to any SF — counts, not
+    cents). Scale: two map-side-combinable aggregations + one keyed
+    shuffle join, the canonical TPC-H orders⋈lineitem shape AQE
+    handles at 1000 executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min(
+            F.when(
+                F.col("l_shipdate") <= F.col("l_commitdate"), 1
+            ).otherwise(0)
+        ).alias("all_on_time"),
+        F.count("*").alias("n_lines"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+    return (
+        j.groupBy(
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("yyyymm")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("all_on_time").alias("n_otif"),
+            F.sum("n_lines").alias("n_lines"),
+            F.expr(
+                "CAST(sum(all_on_time) * 1000000 div count(*)"
+                " AS BIGINT)"
+            ).alias("otif_ppm"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+@register(
+    "backlog_aging_snapshot",
+    oracle="""
+WITH snap AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS s FROM orders
+),
+open_orders AS (
+  SELECT date_diff('day', CAST(o.o_orderdate AS DATE), snap.s)
+             AS age_days,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+  FROM orders o CROSS JOIN snap
+  WHERE o.o_orderstatus = 'O'
+),
+bucketed AS (
+  SELECT CASE WHEN age_days < 30 THEN 0
+              WHEN age_days < 60 THEN 30
+              WHEN age_days < 90 THEN 60
+              WHEN age_days < 180 THEN 90
+              ELSE 180 END AS bucket_lo,
+         c
+  FROM open_orders
+)
+SELECT bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS value_cents
+FROM bucketed GROUP BY bucket_lo ORDER BY bucket_lo
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def backlog_aging_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BACKLOG AGING of open orders at the dataset's snapshot date —
+    the AR-aging idiom applied to fulfillment: every order still in
+    status 'O' is bucketed by how many days it has sat open as of
+    max(o_orderdate) (the snapshot is DERIVED, never hardcoded — the
+    sf0.001-sparsity doctrine), into the standard 0/30/60/90/180+
+    ledger buckets with order counts and exact cents value. The
+    snapshot scalar attaches via .agg() (aggregate-derived 1-row
+    broadcast, sanctioned by the nested-loop sweep); bucketing is a
+    pure CASE over an integer day difference, so the whole readout is
+    exact integers end-to-end. Scale: one fact scan + a 5-row rollup;
+    the status filter pushes down to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.agg(F.max(F.to_date("o_orderdate")).alias("s"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.datediff(F.col("s"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+    )
+    bucketed = open_orders.select(
+        F.when(F.col("age_days") < 30, 0)
+        .when(F.col("age_days") < 60, 30)
+        .when(F.col("age_days") < 90, 60)
+        .when(F.col("age_days") < 180, 90)
+        .otherwise(180)
+        .alias("bucket_lo"),
+        "c",
+    )
+    return (
+        bucketed.groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("c").alias("value_cents"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+@register(
+    "slow_moving_parts_by_brand",
+    oracle="""
+WITH snap AS (
+  SELECT max(CAST(l_shipdate AS DATE)) AS s FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey,
+         max(CAST(l_shipdate AS DATE)) AS last_ship,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+flagged AS (
+  SELECT p.p_brand, pp.qty,
+         CASE WHEN date_diff('day', pp.last_ship, snap.s) >= 180
+              THEN 1 ELSE 0 END AS slow
+  FROM per_part pp
+  JOIN part p ON p.p_partkey = pp.l_partkey
+  CROSS JOIN snap
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(slow) AS BIGINT) AS n_slow,
+       CAST(SUM(slow) * 1000000 // count(*) AS BIGINT) AS slow_ppm,
+       CAST(SUM(CASE WHEN slow = 1 THEN qty ELSE 0 END) AS BIGINT)
+           AS slow_qty
+FROM flagged GROUP BY p_brand ORDER BY p_brand
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def slow_moving_parts_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLOW-MOVER / DEAD-STOCK screen rolled up by brand: a part is
+    'slow' when its LAST shipment is ≥180 days before the dataset's
+    latest shipment (snapshot derived, not hardcoded), reported per
+    brand as count, share (exact ppm of counts), and the quantity
+    parked in slow movers — the inventory-health complement to
+    abc_classification_parts' velocity ranking (ABC ranks by revenue
+    RATE; this flags absence of RECENT movement, which ABC's lifetime
+    totals can't see). One map-side-combinable per-part aggregation of
+    lineitem (max shipdate + quantity), then a broadcast join to the
+    part dim (dim-sized by doctrine) and a bounded brand rollup.
+    All-integer outputs; the day-difference threshold is a pure date
+    comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = li.agg(F.max(F.to_date("l_shipdate")).alias("s"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    flagged = (
+        per_part.join(
+            F.broadcast(p), per_part.l_partkey == p.p_partkey
+        )
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "p_brand",
+            "qty",
+            F.when(
+                F.datediff(F.col("s"), F.col("last_ship")) >= 180, 1
+            )
+            .otherwise(0)
+            .alias("slow"),
+        )
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("slow").alias("n_slow"),
+            F.expr(
+                "CAST(sum(slow) * 1000000 div count(*) AS BIGINT)"
+            ).alias("slow_ppm"),
+            F.sum(
+                F.when(F.col("slow") == 1, F.col("qty")).otherwise(0)
+            ).alias("slow_qty"),
+        )
+        .orderBy("p_brand")
+    )

@@ -5016,3 +5016,136 @@ def chaikin_money_flow_daily(
             F.expr("CAST(s_mfv div s_vol AS BIGINT)") - F.lit(1000000)
         ).alias("cmf_ppm"),
     ).orderBy("d")
+
+
+@register(
+    "mann_kendall_trend_monthly",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(month FROM CAST(o_orderdate AS DATE))
+              AS BIGINT) AS mx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM monthly a JOIN monthly b ON b.mx > a.mx
+),
+mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM monthly
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+             AS tsum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY x)
+),
+v AS (
+  SELECT mm.m, pairs.s_stat,
+         mm.m * (mm.m - 1) * (2 * mm.m + 5) - ties.tsum AS var18
+  FROM mm CROSS JOIN pairs CROSS JOIN ties
+)
+SELECT m AS n_months, s_stat, var18,
+       CASE WHEN var18 > 0 THEN
+         round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                     WHEN s_stat < 0 THEN s_stat + 1
+                     ELSE 0 END)
+               / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+         / 1000000
+       END AS z_stat
+FROM v
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def mann_kendall_trend_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANN-KENDALL TREND TEST over the monthly revenue series — the
+    standard nonparametric is-there-a-monotone-trend statistic
+    (S = Σ_{i<j} sign(x_j − x_i)), the hypothesis-test companion to
+    theil_sen_daily_trend's slope ESTIMATE: Theil-Sen says how steep,
+    Mann-Kendall says whether the trend is distinguishable from noise.
+    S and the tie-corrected variance (×18, kept integer:
+    var18 = m(m−1)(2m+5) − Σ t(t−1)(2t+5)) are EXACT int64 over exact
+    cents; the z statistic (continuity-corrected S∓1) is one fixed
+    IEEE tree — integer/18.0 division, correctly-rounded sqrt, one
+    more division — identical in both engines per the Wilson/Welch
+    doctrine. Degenerate all-tied series (var18 = 0) → NULL (ANSI x/0
+    guard). Scale: the pairwise sign enumeration is a self-join of the
+    calendar-bounded MONTHLY aggregate (~80 rows at any SF → ≤3.2k
+    pairs — the hodges_lehmann bounded-domain precedent, and
+    aggregate-derived so the nested-loop inspector sanctions it); the
+    fact table is touched once by a map-side-combinable aggregate."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("mx")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    a = monthly.select(F.col("mx").alias("mxa"), F.col("x").alias("xa"))
+    b = monthly.select(F.col("mx").alias("mxb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("mxb") > F.col("mxa"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("xb") > F.col("xa"), F.lit(1))
+                    .when(F.col("xb") < F.col("xa"), F.lit(-1))
+                    .otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    mm = monthly.agg(F.count("*").alias("m"))
+    ties = (
+        monthly.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    v = mm.crossJoin(s).crossJoin(ties).select(
+        F.col("m").alias("n_months"),
+        "s_stat",
+        (
+            F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+            - F.col("tsum")
+        ).alias("var18"),
+    )
+    zc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    return v.select(
+        "n_months",
+        "s_stat",
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.round(
+                zc / F.sqrt(F.col("var18").cast("double") / 18.0)
+                * 1000000
+            )
+            / 1000000,
+        ).alias("z_stat"),
+    )

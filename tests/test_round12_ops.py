@@ -1211,3 +1211,140 @@ def test_chaikin_money_flow_brute(spark):
         s_vol = sum(vol[dd] for dd in win)
         assert int(r.volume20) == s_vol
         assert int(r.cmf_ppm) == s_mfv // s_vol - 1000000
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall: textbook pairwise loop over the monthly series
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_brute(spark):
+    got = _run(spark, "mann_kendall_trend_monthly").iloc[0]
+    rows = _sql(
+        "SELECT EXTRACT(year FROM o_orderdate) * 12 "
+        "+ EXTRACT(month FROM o_orderdate), o_totalprice "
+        "FROM read_parquet('{SF}/orders.parquet')"
+    )
+    by_m: dict = defaultdict(int)
+    for m, p in rows:
+        by_m[m] += _cents(p)
+    xs = [by_m[m] for m in sorted(by_m)]
+    m = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(m)
+        for j in range(i + 1, m)
+    )
+    tie_counts = defaultdict(int)
+    for x in xs:
+        tie_counts[x] += 1
+    var18 = m * (m - 1) * (2 * m + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in tie_counts.values()
+    )
+    assert int(got.n_months) == m
+    assert int(got.s_stat) == s
+    assert int(got.var18) == var18
+    if var18 > 0:
+        zc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+        z = zc / math.sqrt(var18 / 18.0)
+        assert abs(float(got.z_stat) - z) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: dense day x type grid, exceeds-own-mean successes
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_q_brute(spark):
+    got = _run(spark, "cochran_q_event_types").iloc[0]
+    rows = _sql(
+        "SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)),"
+        " event_type FROM read_parquet('{SF}/events.parquet')"
+    )
+    c: dict = defaultdict(int)
+    for d, j in rows:
+        c[(d, j)] += 1
+    days = sorted({d for d, _ in c})
+    types = sorted({j for _, j in c})
+    D, k = len(days), len(types)
+    tot = {j: sum(c.get((d, j), 0) for d in days) for j in types}
+    x = {
+        (d, j): 1 if c.get((d, j), 0) * D > tot[j] else 0
+        for d in days
+        for j in types
+    }
+    C = {j: sum(x[(d, j)] for d in days) for j in types}
+    R = {d: sum(x[(d, j)] for j in types) for d in days}
+    N = sum(C.values())
+    q_num = (k - 1) * (k * sum(v * v for v in C.values()) - N * N)
+    q_den = k * N - sum(v * v for v in R.values())
+    assert int(got.k_types) == k and int(got.n_days) == D
+    assert int(got.n_succ) == N
+    assert int(got.q_num) == q_num and int(got.q_den) == q_den
+    if q_den > 0:
+        assert int(got.q_milli) == q_num * 1000 // q_den
+
+
+# ---------------------------------------------------------------------------
+# Mood's median: brute pooled-median split + residual formula
+# ---------------------------------------------------------------------------
+
+
+def test_moods_median_brute(spark):
+    got = _run(spark, "moods_median_test_segments")
+    rows = _sql(
+        "SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+        "FROM read_parquet('{SF}/orders.parquet') o "
+        "JOIN read_parquet('{SF}/customer.parquet') c "
+        "ON c.c_custkey = o.o_custkey"
+    )
+    vals = sorted((_cents(p), ok) for _, ok, p in rows)
+    med = vals[(len(vals) + 1) // 2 - 1][0]
+    per: dict = defaultdict(lambda: [0, 0])
+    for seg, _, p in rows:
+        per[seg][0] += 1
+        per[seg][1] += 1 if _cents(p) > med else 0
+    n = sum(v[0] for v in per.values())
+    a = sum(v[1] for v in per.values())
+    for r in got.itertuples():
+        no, na = per[r.segment]
+        assert int(r.n_orders) == no and int(r.n_above) == na
+        e = no * a / n
+        resid = (na - e) / math.sqrt(e * (1 - no / n) * (1 - a / n))
+        assert abs(float(r.adj_residual) - resid) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: brute sort + cumulative shares
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_deciles_brute(spark):
+    got = _run(spark, "lorenz_curve_customer_deciles")
+    rows = _sql(
+        "SELECT o_custkey, o_totalprice FROM "
+        "read_parquet('{SF}/orders.parquet')"
+    )
+    rev: dict = defaultdict(int)
+    for ck, p in rows:
+        rev[ck] += _cents(p)
+    ordered = sorted((r, ck) for ck, r in rev.items())
+    n = len(ordered)
+    s_tot = sum(r for r, _ in ordered)
+    cum = 0
+    per_decile: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for i, (r, ck) in enumerate(ordered):
+        cum += r
+        dec = i * 10 // n + 1
+        per_decile[dec][0] += 1
+        per_decile[dec][1] += r
+        per_decile[dec][2] = cum
+        per_decile[dec][3] = i + 1
+    assert len(got) == len(per_decile)
+    for r in got.itertuples():
+        nc, rv, cm, rk = per_decile[int(r.decile)]
+        assert int(r.n_customers) == nc
+        assert int(r.rev_cents) == rv
+        assert int(r.cum_rev_cents) == cm
+        assert int(r.cum_share_ppm) == cm * 1000000 // s_tot
+        assert int(r.cum_pop_ppm) == rk * 1000000 // n
