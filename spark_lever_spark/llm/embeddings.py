@@ -947,7 +947,14 @@ def kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,
-c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 16),
+kk AS (
+  SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+  FROM q
+),
+c AS (
+  SELECT vec_id AS cid, qv AS cv FROM q CROSS JOIN kk
+  WHERE vec_id < kk.k
+),
 pd AS (
   SELECT q.vec_id, c.cid,
          CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -1002,15 +1009,19 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup seeding: a pair survives only if each vector is the
     OTHER's top-1 neighbor, the strongest symmetric similarity
     evidence cheap to compute at corpus scale. Search is never
-    all-pairs: vectors land in the cells of their 2 nearest of 16
-    fixed centroids (multi-probe IVF — same shared-grid int8 space as
-    kmeans_inertia_elbow, one global absmax scale), candidates meet
-    through a pure EQUI-join on cell id, and top-1 / mutuality are
-    keyed windows and an equi self-join. All distances are exact
-    int64 squared-L2 on the shared grid; ties break to the lower
-    vec_id in both engines. Cells are the scale unit: at 100 TB you
-    raise the centroid count so cell populations stay bounded — the
-    shuffle is Σ cell² pairs, never n²."""
+    all-pairs: vectors land in the cells of their 2 nearest of
+    k = max(16, floor(sqrt(N))) centroids (multi-probe IVF — same
+    shared-grid int8 space as kmeans_inertia_elbow, one global absmax
+    scale; centroid count DERIVED from a count aggregate, centroid
+    identity still the deterministic vec_id < k prefix so the oracle
+    replays exactly — sqrt is IEEE-correctly-rounded in both
+    engines). k ∝ √N is the scale law: candidate shuffle is
+    Σ cell² ≈ 4N²/k = O(N^1.5) pairs and probe assignment is N·k =
+    O(N^1.5) — balanced, so neither side degenerates to n² when the
+    corpus grows 100×. Candidates meet through a pure EQUI-join on
+    cell id, and top-1 / mutuality are keyed windows and an equi
+    self-join. All distances are exact int64 squared-L2 on the shared
+    grid; ties break to the lower vec_id in both engines."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1025,8 +1036,15 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
     )
-    c = q.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    kdf = q.agg(
+        F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    c = (
+        q.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
 
     def sq_l2(x: str, y: str):

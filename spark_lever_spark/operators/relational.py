@@ -6243,7 +6243,8 @@ cum AS (
   FROM v
 ),
 par AS (
-  SELECT tot // 100 AS j, (tot // 100) // 2 AS off FROM cum LIMIT 1
+  SELECT tot // 100 AS j, (tot // 100) // 2 AS off FROM cum
+  WHERE tot // 100 > 0 LIMIT 1
 )
 SELECT c.o_orderkey, c.v AS order_cents, c.cum AS cum_cents,
        (c.cum - p.off + p.j) // p.j
@@ -6283,9 +6284,16 @@ def monetary_unit_sampling_orders(
         F.col("_cum").alias("cum"),
         F.col("_s_tot").alias("tot"),
     )
-    par = o.agg(F.sum("v").alias("tot")).select(
-        F.expr("tot div 100").alias("j"),
-        F.expr("(tot div 100) div 2").alias("off"),
+    par = (
+        o.agg(F.sum("v").alias("tot"))
+        .select(
+            F.expr("tot div 100").alias("j"),
+            F.expr("(tot div 100) div 2").alias("off"),
+        )
+        # degenerate-fixture guard (total < 100 cents): an empty
+        # broadcast side yields 0 sampled rows in both engines
+        # instead of an ANSI divide-by-zero.
+        .filter(F.col("j") > 0)
     )
     hits = F.expr(
         "(cum - off + j) div j - (cum - v - off + j) div j"
@@ -6618,8 +6626,10 @@ n AS (
 ),
 u AS (
   SELECT SUM(CAST(cum.t AS HUGEINT)
-             * (cum.f1 * n.n2 - cum.f2 * n.n1)
-             * (cum.f1 * n.n2 - cum.f2 * n.n1)) AS u
+             * (CAST(cum.f1 AS HUGEINT) * n.n2
+                - CAST(cum.f2 AS HUGEINT) * n.n1)
+             * (CAST(cum.f1 AS HUGEINT) * n.n2
+                - CAST(cum.f2 AS HUGEINT) * n.n1)) AS u
   FROM cum CROSS JOIN n
 )
 SELECT n.n1, n.n2,
@@ -6696,9 +6706,14 @@ def cramer_von_mises_sources(
 @register(
     "shift_share_nation_brandmix",
     oracle="""
-WITH base AS (
+WITH y0 AS (
+  SELECT CAST(min(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS yr0
+  FROM orders
+),
+base AS (
   SELECT n.n_name, p.p_brand,
-         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) - y0.yr0
+             AS t,
          CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
               AS BIGINT) AS rev
   FROM lineitem l
@@ -6706,28 +6721,30 @@ WITH base AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
   JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE EXTRACT(year FROM o.o_orderdate) IN (1994, 1995)
+  CROSS JOIN y0
+  WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) - y0.yr0
+        IN (0, 1)
   GROUP BY 1, 2, 3
 ),
 brand AS (
-  SELECT p_brand, yr, CAST(SUM(rev) AS BIGINT) AS b FROM base
+  SELECT p_brand, t, CAST(SUM(rev) AS BIGINT) AS b FROM base
   GROUP BY 1, 2
 ),
 natl AS (
-  SELECT yr, CAST(SUM(rev) AS BIGINT) AS r FROM base GROUP BY 1
+  SELECT t, CAST(SUM(rev) AS BIGINT) AS r FROM base GROUP BY 1
 ),
 cells AS (
   SELECT c0.n_name, c0.p_brand,
          c0.rev AS r0, c1.rev AS r1,
          b0.b AS b0, b1.b AS b1,
-         (SELECT r FROM natl WHERE yr = 1994) AS rn0,
-         (SELECT r FROM natl WHERE yr = 1995) AS rn1
+         (SELECT r FROM natl WHERE t = 0) AS rn0,
+         (SELECT r FROM natl WHERE t = 1) AS rn1
   FROM base c0
   JOIN base c1 ON c1.n_name = c0.n_name AND c1.p_brand = c0.p_brand
-              AND c1.yr = 1995
-  JOIN brand b0 ON b0.p_brand = c0.p_brand AND b0.yr = 1994
-  JOIN brand b1 ON b1.p_brand = c0.p_brand AND b1.yr = 1995
-  WHERE c0.yr = 1994
+              AND c1.t = 1
+  JOIN brand b0 ON b0.p_brand = c0.p_brand AND b0.t = 0
+  JOIN brand b1 ON b1.p_brand = c0.p_brand AND b1.t = 1
+  WHERE c0.t = 0
 ),
 eff AS (
   SELECT n_name, p_brand, r0, r1,
@@ -6736,7 +6753,7 @@ eff AS (
              AS brand_growth
   FROM cells
 )
-SELECT n_name, p_brand, r0 AS rev_1994_cents, r1 AS rev_1995_cents,
+SELECT n_name, p_brand, r0 AS rev_base_cents, r1 AS rev_next_cents,
        ns AS national_effect_cents,
        brand_growth - ns AS mix_effect_cents,
        (r1 - r0) - brand_growth AS competitive_effect_cents
@@ -6750,28 +6767,40 @@ def shift_share_nation_brandmix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """SHIFT-SHARE ANALYSIS (Dunn 1960, the regional-economics
-    workhorse) of each (nation x brand) cell's 1994→1995 revenue
+    workhorse) of each (nation x brand) cell's base→next-year revenue
     change, decomposed into the three effects an FP&A or economic
     analyst separates: NATIONAL effect (what growing at the
     everything-total rate would have added), industry-MIX effect (the
     extra from the cell's brand growing faster/slower than the total),
     and the residual COMPETITIVE effect (the nation's own out/under-
-    performance within that brand). Exactness follows
-    price_volume_mix_bridge's reconciliation doctrine: each growth
-    application is floor(r0·R1/R0) − r0 — the subtraction pulled
-    OUTSIDE the floor so the single division runs on a non-negative
-    numerator (decimal(38,0) ⟷ HUGEINT cross-products) even when a
-    year shrinks — and the competitive effect is the exact residual,
-    so the three effects sum to r1−r0 TO THE CENT by construction.
-    Scale: one pass over the year-filtered fact join (nation/part
-    broadcast, customer shuffled); brand and national totals are
-    aggregates OF the cell aggregate, all on the bounded 25x25xyear
-    domain."""
-    o = load_table(spark, sf_dir, "orders").select(
+    performance within that brand). The base period is DERIVED — the
+    earliest order year in the data, compared against the year after
+    it (the repo's derive-the-base doctrine; hardcoded years go
+    vacuous when the fixture's date span moves) — normalized to a
+    relative index t∈{0,1} so both engines share the frame. Exactness
+    follows price_volume_mix_bridge's reconciliation doctrine: each
+    growth application is floor(r0·R1/R0) − r0 — the subtraction
+    pulled OUTSIDE the floor so the single division runs on a
+    non-negative numerator (decimal(38,0) ⟷ HUGEINT cross-products)
+    even when a year shrinks — and the competitive effect is the
+    exact residual, so the three effects sum to r1−r0 TO THE CENT by
+    construction. Scale: one pass over the year-filtered fact join
+    (nation/part broadcast, customer shuffled); brand and national
+    totals are aggregates OF the cell aggregate, all on the bounded
+    25x25xyear domain; the base-year scalar is a broadcast aggregate,
+    not a collect."""
+    o_all = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         F.year(F.to_date("o_orderdate")).cast("long").alias("yr"),
-    ).filter(F.col("yr").isin(1994, 1995))
+    )
+    yr0 = o_all.agg(F.min("yr").alias("yr0"))
+    o = (
+        o_all.crossJoin(F.broadcast(yr0))
+        .withColumn("t", F.col("yr") - F.col("yr0"))
+        .filter(F.col("t").isin(0, 1))
+        .select("o_orderkey", "o_custkey", "t")
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", cents(F.col("l_extendedprice")).alias("v")
     )
@@ -6785,30 +6814,30 @@ def shift_share_nation_brandmix(
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("n_name", "p_brand", "yr")
+        .groupBy("n_name", "p_brand", "t")
         .agg(F.sum("v").alias("rev"))
     )
-    brand = base.groupBy(F.col("p_brand").alias("bb"), "yr").agg(
+    brand = base.groupBy(F.col("p_brand").alias("bb"), "t").agg(
         F.sum("rev").alias("b")
     )
-    natl = base.groupBy("yr").agg(F.sum("rev").alias("r"))
-    c0 = base.filter(F.col("yr") == 1994).select(
+    natl = base.groupBy("t").agg(F.sum("rev").alias("r"))
+    c0 = base.filter(F.col("t") == 0).select(
         "n_name", "p_brand", F.col("rev").alias("r0")
     )
-    c1 = base.filter(F.col("yr") == 1995).select(
+    c1 = base.filter(F.col("t") == 1).select(
         F.col("n_name").alias("n1n"),
         F.col("p_brand").alias("p1b"),
         F.col("rev").alias("r1"),
     )
-    b0 = brand.filter(F.col("yr") == 1994).select("bb", F.col("b").alias("b0"))
-    b1 = brand.filter(F.col("yr") == 1995).select(
+    b0 = brand.filter(F.col("t") == 0).select("bb", F.col("b").alias("b0"))
+    b1 = brand.filter(F.col("t") == 1).select(
         F.col("bb").alias("bb1"), F.col("b").alias("b1")
     )
     rn = (
         natl.groupBy()
         .agg(
-            F.max(F.when(F.col("yr") == 1994, F.col("r"))).alias("rn0"),
-            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("rn1"),
+            F.max(F.when(F.col("t") == 0, F.col("r"))).alias("rn0"),
+            F.max(F.when(F.col("t") == 1, F.col("r"))).alias("rn1"),
         )
     )
     cells = (
@@ -6831,8 +6860,8 @@ def shift_share_nation_brandmix(
         cells.select(
             "n_name",
             "p_brand",
-            F.col("r0").alias("rev_1994_cents"),
-            F.col("r1").alias("rev_1995_cents"),
+            F.col("r0").alias("rev_base_cents"),
+            F.col("r1").alias("rev_next_cents"),
             ns.alias("national_effect_cents"),
             (bg - ns).alias("mix_effect_cents"),
             (F.col("r1") - F.col("r0") - bg).alias(
@@ -8016,19 +8045,21 @@ def lorenz_curve_customer_deciles(
 @register(
     "on_time_in_full_monthly",
     oracle="""
-WITH per_order AS (
-  SELECT l_orderkey,
-         CAST(min(CASE WHEN l_shipdate <= l_commitdate THEN 1 ELSE 0
-                  END) AS BIGINT) AS all_on_time,
-         CAST(count(*) AS BIGINT) AS n_lines
-  FROM lineitem GROUP BY l_orderkey
-),
-j AS (
-  SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 100
+WITH j AS (
+  SELECT o.o_orderkey,
+         CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 100
               + EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
               AS BIGINT) AS yyyymm,
-         p.all_on_time, p.n_lines
-  FROM orders o JOIN per_order p ON p.l_orderkey = o.o_orderkey
+         CASE WHEN CAST(l.l_shipdate AS DATE)
+                   <= CAST(o.o_orderdate AS DATE) + 30
+              THEN 1 ELSE 0 END AS ontime
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT o_orderkey, min(yyyymm) AS yyyymm,
+         CAST(min(ontime) AS BIGINT) AS all_on_time,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM j GROUP BY o_orderkey
 )
 SELECT yyyymm,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -8036,7 +8067,7 @@ SELECT yyyymm,
        CAST(SUM(n_lines) AS BIGINT) AS n_lines,
        CAST(SUM(all_on_time) * 1000000 // count(*) AS BIGINT)
            AS otif_ppm
-FROM j GROUP BY yyyymm ORDER BY yyyymm
+FROM per_order GROUP BY yyyymm ORDER BY yyyymm
 """,
     category="relational",
     tags=("defer-window",),
@@ -8045,38 +8076,46 @@ def on_time_in_full_monthly(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """ON-TIME-IN-FULL rate by order month — the classic supply-chain
-    SLA: an order counts only if EVERY line shipped on or before its
-    commit date (the all-lines conjunction is what distinguishes OTIF
-    from q12_late_shipment_priority's line-level lens; one late line
-    fails the whole order). The conjunction is min() over a 0/1
-    indicator — map-side combinable, no DISTINCT; the per-order frame
-    then meets orders in a FACT-to-FACT shuffled equi-join on orderkey
+    SLA: an order counts only if EVERY line shipped on time (one late
+    line fails the whole order — the all-lines conjunction is what
+    distinguishes OTIF from q12_late_shipment_priority's line-level
+    lens). The shipped data contract has no l_commitdate, so "on
+    time" is defined against the order's own clock: shipped within 30
+    days of o_orderdate. That forces the join-first shape — orders
+    meets lineitem in a FACT-to-FACT shuffled equi-join on orderkey
     (both sides hash-partition on the key — co-located, no broadcast
-    of a fact per repo doctrine). Rate is one non-negative ppm
-    floor-division of exact counts (int64 to any SF — counts, not
-    cents). Scale: two map-side-combinable aggregations + one keyed
-    shuffle join, the canonical TPC-H orders⋈lineitem shape AQE
-    handles at 1000 executors."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
+    of a fact per repo doctrine), then the conjunction is min() over
+    a 0/1 indicator grouped by orderkey — map-side combinable, no
+    DISTINCT. Rate is one non-negative ppm floor-division of exact
+    counts (int64 to any SF — counts, not cents). Scale: one keyed
+    shuffle join + two map-side-combinable aggregations, the
+    canonical TPC-H orders⋈lineitem shape AQE handles at 1000
+    executors."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    per_order = j.groupBy("o_orderkey").agg(
+        F.min(
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            ).cast("long")
+        ).alias("yyyymm"),
         F.min(
             F.when(
-                F.col("l_shipdate") <= F.col("l_commitdate"), 1
+                F.to_date("l_shipdate")
+                <= F.date_add(F.to_date("o_orderdate"), 30),
+                1,
             ).otherwise(0)
         ).alias("all_on_time"),
         F.count("*").alias("n_lines"),
     )
-    o = load_table(spark, sf_dir, "orders")
-    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey)
     return (
-        j.groupBy(
-            (
-                F.year(F.to_date("o_orderdate")) * 100
-                + F.month(F.to_date("o_orderdate"))
-            )
-            .cast("long")
-            .alias("yyyymm")
-        )
+        per_order.groupBy("yyyymm")
         .agg(
             F.count("*").alias("n_orders"),
             F.sum("all_on_time").alias("n_otif"),

@@ -5149,3 +5149,527 @@ def mann_kendall_trend_monthly(
             / 1000000,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "macd_signal_daily",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM (
+    SELECT date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS x
+    FROM orders GROUP BY 1)
+),
+r AS (
+  SELECT d, rn, x, x AS e12, x AS e26,
+         CAST(0 AS DOUBLE) AS macd, CAST(0 AS DOUBLE) AS e9
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.d, dd.rn, dd.x,
+         (2.0 / 13.0) * dd.x + (1 - 2.0 / 13.0) * r.e12,
+         (2.0 / 27.0) * dd.x + (1 - 2.0 / 27.0) * r.e26,
+         ((2.0 / 13.0) * dd.x + (1 - 2.0 / 13.0) * r.e12)
+           - ((2.0 / 27.0) * dd.x + (1 - 2.0 / 27.0) * r.e26),
+         (2.0 / 10.0) * (((2.0 / 13.0) * dd.x + (1 - 2.0 / 13.0) * r.e12)
+           - ((2.0 / 27.0) * dd.x + (1 - 2.0 / 27.0) * r.e26))
+           + (1 - 2.0 / 10.0) * r.e9
+  FROM daily dd JOIN r ON dd.rn = r.rn + 1
+)
+SELECT d, round(x * 1000000) / 1000000 AS daily_value,
+       round(macd * 1000000) / 1000000 AS macd,
+       round(e9 * 1000000) / 1000000 AS signal,
+       round((macd - e9) * 1000000) / 1000000 AS histogram
+FROM r ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def macd_signal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (Appel's Moving Average Convergence/Divergence — fast
+    EMA12 minus slow EMA26, with an EMA9 'signal' line and their
+    'histogram' gap) over daily revenue — the trend-momentum
+    complement to bollinger_breakout_daily's band position and
+    rsi_cutler_daily's gain share; crossovers of macd through signal
+    are the classic regime-change trigger. Three coupled EMA
+    recursions run in ONE prefix scan after the daily pre-aggregation
+    collapses the fact table to calendar grain (the ewma doctrine:
+    the inherently sequential part touches ~2.6k rows at any SF, the
+    one big shuffle is the map-side-combinable cents aggregation).
+    All smoothers are seeded at the first observation (e12=e26=x₁ so
+    macd₁=0 and e9₁=0 — the warm-up convention, documented rather
+    than SMA-primed), multipliers are written as the identical IEEE
+    expressions (2.0/13.0, 1 − 2.0/13.0, …) in both engines, inputs
+    are bit-identical doubles (exact cents / 100), and outputs meet
+    on the 1e-6 grid — the ewma_daily_event_value exactness
+    contract."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "x"
+        )
+    )
+    a12, b12 = 2.0 / 13.0, 1 - 2.0 / 13.0
+    a26, b26 = 2.0 / 27.0, 1 - 2.0 / 27.0
+    a9, b9 = 2.0 / 10.0, 1 - 2.0 / 10.0
+    allrows = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        e12 = F.when(F.size(acc) == 0, s["x"]).otherwise(
+            F.lit(a12) * s["x"] + F.lit(b12) * prev["e12"]
+        )
+        e26 = F.when(F.size(acc) == 0, s["x"]).otherwise(
+            F.lit(a26) * s["x"] + F.lit(b26) * prev["e26"]
+        )
+        macd = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(e12 - e26)
+        e9 = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            F.lit(a9) * (e12 - e26) + F.lit(b9) * prev["e9"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["d"].alias("d"),
+                    s["x"].alias("x"),
+                    e12.alias("e12"),
+                    e26.alias("e26"),
+                    macd.alias("macd"),
+                    e9.alias("e9"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, x double,"
+            " e12 double, e26 double, macd double, e9 double>>)"
+        ),
+        step,
+    )
+    return (
+        allrows.select(F.explode(scan).alias("r"))
+        .select(
+            F.col("r.d").alias("d"),
+            (F.round(F.col("r.x") * 1000000) / 1000000).alias(
+                "daily_value"
+            ),
+            (F.round(F.col("r.macd") * 1000000) / 1000000).alias("macd"),
+            (F.round(F.col("r.e9") * 1000000) / 1000000).alias("signal"),
+            (
+                F.round((F.col("r.macd") - F.col("r.e9")) * 1000000)
+                / 1000000
+            ).alias("histogram"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "atr_sma14_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo,
+         CAST(arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+              AS BIGINT) AS cl
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT d, hi, lo, cl, LAG(cl) OVER (ORDER BY d) AS pc FROM daily
+),
+tr AS (
+  SELECT d, hi, lo, cl,
+         CAST(CASE WHEN pc IS NULL THEN hi - lo
+              ELSE GREATEST(hi - lo, abs(hi - pc), abs(lo - pc))
+              END AS BIGINT) AS tr
+  FROM lagged
+)
+SELECT d, hi AS high_cents, lo AS low_cents, cl AS close_cents,
+       tr AS true_range_cents,
+       CAST(SUM(tr) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                          AND CURRENT ROW)
+            // count(*) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+                              AND CURRENT ROW) AS BIGINT)
+           AS atr14_cents
+FROM tr ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def atr_sma14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE TRUE RANGE (Wilder's volatility unit, here with the
+    SMA-14 smoothing — the same recursion-free variant choice as
+    rsi_cutler_daily) over daily event-value bars: TR extends the
+    plain high−low range across the overnight gap by including
+    |high−prev_close| and |low−prev_close|, so a day that gaps away
+    from yesterday's close shows its true movement; ATR is the
+    stop-loss / position-sizing denominator. The daily bar is exact
+    int64 cents — high/low are min/max aggregates and the close is
+    the value at the day's max event_id (max_by/arg_max: a
+    DETERMINISTIC last-tick tiebreak, unlike arg_max on a tied
+    timestamp). The trailing mean is a RANGE frame over the integer
+    day index (calendar gaps shrink the window, the
+    stochastic_oscillator doctrine) published as one floor-division
+    of exact sums. Scale: one map-side-combinable aggregation to
+    calendar grain, then bounded-domain windows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.max(v).alias("hi"),
+        F.min(v).alias("lo"),
+        F.expr(
+            "max_by(CAST(round(value * 100) AS BIGINT), event_id)"
+        ).alias("cl"),
+    )
+    wl = Window.orderBy("d")
+    lagged = daily.withColumn("pc", F.lag("cl").over(wl))
+    tr = lagged.withColumn(
+        "tr",
+        F.when(F.col("pc").isNull(), F.col("hi") - F.col("lo")).otherwise(
+            F.greatest(
+                F.col("hi") - F.col("lo"),
+                F.abs(F.col("hi") - F.col("pc")),
+                F.abs(F.col("lo") - F.col("pc")),
+            )
+        ),
+    )
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    return (
+        tr.withColumn("s14", F.sum("tr").over(wr))
+        .withColumn("n14", F.count("*").over(wr))
+        .select(
+            "d",
+            F.col("hi").alias("high_cents"),
+            F.col("lo").alias("low_cents"),
+            F.col("cl").alias("close_cents"),
+            F.col("tr").alias("true_range_cents"),
+            F.expr("CAST(s14 div n14 AS BIGINT)").alias("atr14_cents"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "donchian_breakout_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT d, x,
+         CAST(max(x) OVER (ORDER BY d RANGE BETWEEN 20 PRECEDING
+                           AND 1 PRECEDING) AS BIGINT) AS hi20,
+         CAST(min(x) OVER (ORDER BY d RANGE BETWEEN 20 PRECEDING
+                           AND 1 PRECEDING) AS BIGINT) AS lo20
+  FROM daily
+)
+SELECT d, x AS value_cents, hi20 AS high20_cents, lo20 AS low20_cents,
+       CAST(CASE WHEN x > hi20 THEN 1 ELSE 0 END AS BIGINT)
+           AS breakout_up,
+       CAST(CASE WHEN x < lo20 THEN 1 ELSE 0 END AS BIGINT)
+           AS breakout_down,
+       CASE WHEN lo20 > 0
+            THEN CAST(CAST(hi20 - lo20 AS HUGEINT) * 1000000 // lo20
+                      AS BIGINT) END AS channel_width_ppm
+FROM w WHERE hi20 IS NOT NULL ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def donchian_breakout_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DONCHIAN CHANNEL breakouts (Richard Donchian's 20-day
+    channel, the rule behind the Turtle trading system) over daily
+    revenue: the channel is the max/min of the TRAILING 20 days
+    EXCLUDING today (RANGE 20 PRECEDING .. 1 PRECEDING — including
+    today would make an upward breakout definitionally impossible),
+    and today breaks out when it exceeds that prior extreme. The
+    exclusive-end RANGE frame is the one structural difference from
+    stochastic_oscillator_daily's inclusive low14/high14 — same
+    calendar-gap semantics, shifted bounds. Channel width is one
+    non-negative ppm floor-division on a decimal(38,0) ⟷ HUGEINT
+    product (revenue-scale headroom); warm-up rows with an empty
+    prior window are dropped identically via hi20 IS NULL. Scale:
+    bounded-domain daily windows after one fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wr = Window.orderBy("d").rangeBetween(-20, -1)
+    w = daily.select(
+        "d",
+        "x",
+        F.max("x").over(wr).alias("hi20"),
+        F.min("x").over(wr).alias("lo20"),
+    )
+    return (
+        w.filter(F.col("hi20").isNotNull())
+        .select(
+            "d",
+            F.col("x").alias("value_cents"),
+            F.col("hi20").alias("high20_cents"),
+            F.col("lo20").alias("low20_cents"),
+            F.when(F.col("x") > F.col("hi20"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("breakout_up"),
+            F.when(F.col("x") < F.col("lo20"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("breakout_down"),
+            F.when(
+                F.col("lo20") > 0,
+                F.expr(
+                    "CAST(CAST(hi20 - lo20 AS DECIMAL(38,0)) * 1000000"
+                    " div lo20 AS BIGINT)"
+                ),
+            ).alias("channel_width_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "ulcer_index_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+pk AS (
+  SELECT d, x,
+         CAST(max(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS peak
+  FROM daily
+),
+dd AS (
+  SELECT d, x, peak,
+         CAST(CAST(peak - x AS HUGEINT) * 1000000 // peak AS BIGINT)
+             AS dd_ppm
+  FROM pk
+),
+ui AS (
+  SELECT d, x, peak, dd_ppm,
+         CAST(SUM(dd_ppm * dd_ppm) OVER (ORDER BY d RANGE BETWEEN
+              13 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2,
+         CAST(count(*) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS n
+  FROM dd
+)
+SELECT d, x AS value_cents, peak AS peak_cents, dd_ppm,
+       CAST(floor(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+            AS BIGINT) AS ulcer14_ppm
+FROM ui ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def ulcer_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULCER INDEX (Martin & McCann's downside-volatility measure —
+    RMS of the running drawdown over a trailing window) of daily
+    revenue: unlike stddev it penalizes only BELOW-peak excursions
+    and weighs them by both depth and duration, which is why
+    portfolio risk dashboards pair it with max_drawdown_daily_value's
+    single worst number. Drawdown is the running-peak ppm
+    floor-division (peak is a monotone ROWS UNBOUNDED PRECEDING max;
+    revenue cents are strictly positive so the divisor never hits
+    zero); the RMS is exact until the last step — dd_ppm ≤ 1e6 so
+    Σdd² over a 14-day RANGE window is ≤ 1.4e13, exactly
+    representable in int64 AND in an IEEE double — making the one
+    double division and the correctly-rounded sqrt bit-identical in
+    both engines, floored onto the ppm grid. Scale: bounded-domain
+    daily windows after one fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pk = daily.withColumn("peak", F.max("x").over(wp))
+    dd = pk.withColumn(
+        "dd_ppm",
+        F.expr(
+            "CAST(CAST(peak - x AS DECIMAL(38,0)) * 1000000 div peak"
+            " AS BIGINT)"
+        ),
+    )
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    ui = dd.withColumn(
+        "s2", F.sum(F.col("dd_ppm") * F.col("dd_ppm")).over(wr)
+    ).withColumn("n", F.count("*").over(wr))
+    return ui.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        F.col("peak").alias("peak_cents"),
+        "dd_ppm",
+        F.floor(
+            F.sqrt(F.col("s2").cast("double") / F.col("n").cast("double"))
+        )
+        .cast("long")
+        .alias("ulcer14_ppm"),
+    ).orderBy("d")
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle="""
+WITH RECURSIVE dem AS (
+  SELECT pk, d, q, row_number() OVER (PARTITION BY pk ORDER BY d) AS rn,
+         LAG(d) OVER (PARTITION BY pk ORDER BY d) AS pd
+  FROM (
+    SELECT l_partkey AS pk,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(l_shipdate AS DATE)) AS d,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS q
+    FROM lineitem WHERE l_partkey < 40
+    GROUP BY 1, 2)
+),
+r AS (
+  SELECT pk, d, rn, q, CAST(1 AS DOUBLE) AS i, q AS z,
+         CAST(1 AS DOUBLE) AS p
+  FROM dem WHERE rn = 1
+  UNION ALL
+  SELECT dd.pk, dd.d, dd.rn, dd.q,
+         CAST(dd.d - dd.pd AS DOUBLE),
+         0.2 * dd.q + 0.8 * r.z,
+         0.2 * CAST(dd.d - dd.pd AS DOUBLE) + 0.8 * r.p
+  FROM dem dd JOIN r ON dd.pk = r.pk AND dd.rn = r.rn + 1
+)
+SELECT pk AS partkey, d, CAST(q AS BIGINT) AS qty,
+       CAST(i AS BIGINT) AS interval_days,
+       round(z * 1000000) / 1000000 AS z_smooth,
+       round(p * 1000000) / 1000000 AS p_smooth,
+       round((z / p) * 1000000) / 1000000 AS croston_forecast
+FROM r ORDER BY partkey, d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSTON'S METHOD (the intermittent-demand forecaster every
+    spare-parts/slow-mover planner uses — demand_pattern_sbc_brands
+    CLASSIFIES the pattern; Croston FORECASTS it) per part over daily
+    shipped quantity: two coupled exponential smoothers (alpha=0.2)
+    run only on DEMAND days — z tracks the nonzero demand size, p the
+    inter-demand interval — and the forecast per period is z/p,
+    which is what plain SES gets wrong on sparse series (it decays
+    toward zero between demands and spikes after each one). Seeds:
+    z₁ = first demand, p₁ = 1 (documented convention). The recursion
+    is per-part (bounded 40-part sample, the interpolate_linear
+    sampling precedent) over calendar-bounded demand days: Spark runs
+    it as a per-key sort_array + F.aggregate prefix scan (the ewma
+    machinery, properly PARTITIONED — no global window), DuckDB as a
+    keyed recursive CTE; both see bit-identical integral doubles and
+    the same literal 0.2/0.8 multipliers in the same order, meeting
+    on the 1e-6 grid. Scale: the fact scan prunes on partkey
+    (PushedFilters), the scan state is per-part calendar-bounded."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 40
+    )
+    dem = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("double")
+            .alias("q")
+        )
+    )
+    wk = Window.partitionBy("pk").orderBy("d")
+    withi = dem.withColumn("pd", F.lag("d").over(wk)).withColumn(
+        "i",
+        F.when(F.col("pd").isNull(), F.lit(1.0)).otherwise(
+            (F.col("d") - F.col("pd")).cast("double")
+        ),
+    )
+    per_pk = withi.groupBy("pk").agg(
+        F.sort_array(F.collect_list(F.struct("d", "q", "i"))).alias("s")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        z = F.when(F.size(acc) == 0, s["q"]).otherwise(
+            F.lit(0.2) * s["q"] + F.lit(0.8) * prev["z"]
+        )
+        p = F.when(F.size(acc) == 0, F.lit(1.0)).otherwise(
+            F.lit(0.2) * s["i"] + F.lit(0.8) * prev["p"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["d"].alias("d"),
+                    s["q"].alias("q"),
+                    s["i"].alias("i"),
+                    z.alias("z"),
+                    p.alias("p"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, q double,"
+            " i double, z double, p double>>)"
+        ),
+        step,
+    )
+    return (
+        per_pk.select(F.col("pk").alias("partkey"), F.explode(scan).alias("r"))
+        .select(
+            "partkey",
+            F.col("r.d").alias("d"),
+            F.col("r.q").cast("long").alias("qty"),
+            F.col("r.i").cast("long").alias("interval_days"),
+            (F.round(F.col("r.z") * 1000000) / 1000000).alias("z_smooth"),
+            (F.round(F.col("r.p") * 1000000) / 1000000).alias("p_smooth"),
+            (
+                F.round((F.col("r.z") / F.col("r.p")) * 1000000) / 1000000
+            ).alias("croston_forecast"),
+        )
+        .orderBy("partkey", "d")
+    )
