@@ -1254,3 +1254,167 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "rnk", "adc_dist_sq", "true_dist_sq")
         .orderBy("rnk")
     )
+
+
+@register(
+    "embedding_top_pc_power_iteration",
+    bench=True,
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+g AS (
+  SELECT a.i, b.j, CAST(SUM(qv[a.i] * qv[b.j]) AS BIGINT) AS g
+  FROM q, unnest(range(1, len(qv) + 1)) a(i),
+       unnest(range(1, len(qv) + 1)) b(j)
+  GROUP BY 1, 2
+),
+dims AS (SELECT DISTINCT i FROM g),
+v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM dims),
+u1 AS (
+  SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v0.val) AS u
+  FROM g JOIN v0 ON v0.i = g.j GROUP BY g.i
+),
+m1 AS (SELECT max(abs(u)) AS m FROM u1 WHERE u <> 0 OR TRUE),
+v1 AS (
+  SELECT i, CASE WHEN u >= 0 THEN CAST(u * 1000000 // m AS BIGINT)
+            ELSE -CAST((-u) * 1000000 // m AS BIGINT) END AS val
+  FROM u1 CROSS JOIN m1 WHERE m > 0
+),
+u2 AS (
+  SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v1.val) AS u
+  FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i
+),
+m2 AS (SELECT max(abs(u)) AS m FROM u2),
+v2 AS (
+  SELECT i, CASE WHEN u >= 0 THEN CAST(u * 1000000 // m AS BIGINT)
+            ELSE -CAST((-u) * 1000000 // m AS BIGINT) END AS val
+  FROM u2 CROSS JOIN m2 WHERE m > 0
+),
+u3 AS (
+  SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v2.val) AS u
+  FROM g JOIN v2 ON v2.i = g.j GROUP BY g.i
+),
+m3 AS (SELECT max(abs(u)) AS m FROM u3),
+v3 AS (
+  SELECT i, CASE WHEN u >= 0 THEN CAST(u * 1000000 // m AS BIGINT)
+            ELSE -CAST((-u) * 1000000 // m AS BIGINT) END AS val
+  FROM u3 CROSS JOIN m3 WHERE m > 0
+),
+ray AS (
+  SELECT SUM(CAST(g.g AS HUGEINT) * a.val * b.val) AS num
+  FROM g JOIN v3 a ON a.i = g.i JOIN v3 b ON b.i = g.j
+),
+den AS (SELECT SUM(CAST(val AS HUGEINT) * val) AS d FROM v3)
+SELECT CAST(v3.i AS BIGINT) AS dim, v3.val AS component_micro,
+       CAST(ray.num // den.d AS BIGINT) AS lambda_est
+FROM v3 CROSS JOIN ray CROSS JOIN den
+ORDER BY dim
+""",
+    category="llm_embeddings",
+    tags=("defer-window",),
+)
+def embedding_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by POWER
+    ITERATION on the (uncentered) Gram matrix — the dominant-direction
+    primitive behind embedding whitening, all-but-the-top
+    post-processing (Mu & Viswanath 2018: removing the top PC
+    measurably improves similarity quality), and drift monitoring
+    (embedding_dominant_dims tracks per-dim mass; this finds the
+    actual direction). Everything is exact integer arithmetic on the
+    shared int8 grid: G = Σ qvqvᵀ is a 64×64 exact int64 table (one
+    map-side-combinable aggregation over the pos-exploded vectors —
+    dim² × N products, the ONLY data-sized pass), and each of the 3
+    iterations is v ← ⌊G·v·10⁶ / max|G·v|⌋ — a 64-row broadcast join,
+    with the sign factored out (sign(u)·(|u|·10⁶ // m)) so the
+    floor-division runs on non-negative operands where Spark's div
+    and DuckDB's // agree. The Rayleigh quotient vᵀGv/vᵀv (exact
+    HUGEINT ⟷ decimal(38,0) products, PSD so non-negative) reports
+    the dominant eigenvalue. Convergence in 3 fixed rounds is the
+    bounded-rounds doctrine (pagerank precedent): enough for a
+    stable leading direction under a spectral gap, a query constant
+    — never data-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    ex1 = q.select(
+        "vec_id", F.posexplode("qv").alias("i0", "a")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "a")
+    ex2 = q.select(
+        F.col("vec_id").alias("vid2"), F.posexplode("qv").alias("j0", "b")
+    ).select("vid2", (F.col("j0") + 1).alias("j"), "b")
+    g = (
+        ex1.join(ex2, ex1.vec_id == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("g"))
+        .localCheckpoint()
+    )
+    v = g.select("i").distinct().select(
+        "i", F.lit(1000000).cast("long").alias("val")
+    )
+    for _ in range(3):
+        vj = v.select(F.col("i").alias("vj"), F.col("val").alias("vval"))
+        u = (
+            g.join(F.broadcast(vj), g.j == F.col("vj"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("g").cast("decimal(38,0)") * F.col("vval")
+                ).alias("u")
+            )
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .filter(F.col("m") > 0)
+            .select(
+                "i",
+                F.when(
+                    F.col("u") >= 0,
+                    F.expr("CAST(u * 1000000 div m AS BIGINT)"),
+                )
+                .otherwise(
+                    -F.expr("CAST((-u) * 1000000 div m AS BIGINT)")
+                )
+                .alias("val"),
+            )
+            .localCheckpoint()
+        )
+    va = v.select(F.col("i").alias("ai"), F.col("val").alias("aval"))
+    vb = v.select(F.col("i").alias("bi"), F.col("val").alias("bval"))
+    ray = (
+        g.join(F.broadcast(va), g.i == F.col("ai"))
+        .join(F.broadcast(vb), g.j == F.col("bi"))
+        .agg(
+            F.sum(
+                F.col("g").cast("decimal(38,0)")
+                * F.col("aval")
+                * F.col("bval")
+            ).alias("num")
+        )
+    )
+    den = v.agg(
+        F.sum(F.col("val").cast("decimal(38,0)") * F.col("val")).alias(
+            "d"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.col("val").alias("component_micro"),
+            F.expr("CAST(num div d AS BIGINT)").alias("lambda_est"),
+        )
+        .orderBy("dim")
+    )

@@ -1827,3 +1827,238 @@ def modularity_brand_partition_copurchase(
             (F.round(num / den * 1000000) / 1000000).alias("modularity"),
         )
     )
+
+
+@register(
+    "link_prediction_resource_allocation",
+    bench=True,
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (
+  SELECT pa AS u, pb AS v FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT x.u AS a, y.v AS b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // dw.d) AS BIGINT) AS ra_micro
+  FROM adj x
+  JOIN adj y ON x.v = y.u AND x.u < y.v
+  JOIN deg dw ON dw.u = x.v
+  GROUP BY 1, 2
+),
+open_w AS (
+  SELECT w.a, w.b, w.cn, w.ra_micro FROM wedge w
+  LEFT JOIN pairs p ON p.pa = w.a AND p.pb = w.b
+  WHERE p.pa IS NULL
+)
+SELECT a AS part_a, b AS part_b, cn AS common_neighbors, ra_micro
+FROM open_w
+ORDER BY ra_micro DESC, cn DESC, a, b LIMIT 20
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def link_prediction_resource_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009)
+    on the co-purchase graph — the degree-penalized upgrade of
+    link_prediction_common_neighbors: each common neighbor w
+    contributes 1/deg(w) instead of 1, so a hub that co-occurs with
+    everything stops dominating the ranking (RA beats plain CN and
+    even Adamic-Adar on most real graphs, and unlike AA's 1/log·deg
+    it needs NO transcendentals — per-neighbor credit is the exact
+    integer 10⁶ // deg(w), summed; the documented per-term-floored
+    discrete variant). Same scale-bounded frame as the CN query:
+    support ≥ 2 adjacency, Σ deg(w)² wedge equi-join with the
+    center's degree joined IN the wedge pass, existing edges removed
+    by anti-join, deterministic top-20 by (ra, cn, pair). Hub caps
+    per the LSH-tuner doctrine apply at whale-catalog scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("ok"))
+            & (F.col("a.l_partkey") < F.col("pk")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    adj = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("w2"), F.col("v").alias("b"))
+    dw = deg.select(F.col("u").alias("wd"), F.col("d").alias("d_w"))
+    wedge = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .join(dw, F.col("w") == F.col("wd"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr("1000000 div d_w")).alias("ra_micro"),
+        )
+    )
+    open_w = wedge.join(
+        pairs,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    return (
+        open_w.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "ra_micro",
+        )
+        .orderBy(
+            F.desc("ra_micro"), F.desc("common_neighbors"),
+            "part_a", "part_b",
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "harmonic_closeness_sampled_bfs",
+    bench=True,
+    oracle="""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+verts AS (SELECT DISTINCT pa AS v FROM sym),
+seeds AS (
+  SELECT v FROM verts ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 8
+),
+walk(s, v, hop) AS (
+  SELECT v, v, 0 FROM seeds
+  UNION
+  SELECT w.s, sym.pb, w.hop + 1
+  FROM walk w JOIN sym ON sym.pa = w.v
+  WHERE w.hop < 4
+),
+dist AS (SELECT s, v, min(hop) AS hop FROM walk GROUP BY 1, 2)
+SELECT s AS seed,
+       CAST(count(*) FILTER (hop > 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(SUM(1000000 // hop) FILTER (hop > 0), 0)
+            AS BIGINT) AS harmonic_micro
+FROM dist GROUP BY s ORDER BY seed
+""",
+    category="llm_graph",
+    tags=("defer-window",),
+)
+def harmonic_closeness_sampled_bfs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HARMONIC CLOSENESS CENTRALITY (Boldi & Vigna's 'axioms for
+    centrality' choice — Σ 1/d(s,v), which unlike classic closeness
+    is well-defined on DISCONNECTED graphs because unreachable
+    vertices contribute 0 rather than ∞) for 8 md5-sampled seed
+    vertices of the co-purchase graph, truncated at the 4-hop budget
+    — the centrality estimator you can actually afford at catalog
+    scale, where exact all-pairs BFS is quadratic: sampled pivots ×
+    bounded hops is how HyperBall-style engines do it. The seed
+    sample is the md5 order (the repo's only sanctioned randomness —
+    replayable in SQL), the multi-source BFS is the
+    bfs_hops_copurchase frontier relaxation with a (seed, vertex)
+    composite state key (one equi-join + one anti-join per round,
+    rounds = hop budget), and per-hop credit is the exact integer
+    10⁶ // hop summed per seed (per-term-floored discrete variant).
+    State is |seeds|·|V| at worst — seeds is the knob that holds it
+    linear at 100 TB."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    sym = e.unionByName(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).localCheckpoint()
+    verts = sym.select(F.col("pa").alias("v")).distinct()
+    seeds = (
+        verts.orderBy(F.md5(F.col("v").cast("string")), "v")
+        .limit(8)
+        .localCheckpoint()
+    )
+    layer = seeds.select(
+        F.col("v").alias("s"), F.col("v").alias("v"), F.lit(0).alias("hop")
+    ).localCheckpoint()
+    visited = layer.select("s", "v")
+    layers = [layer]
+    frontier = layer.select("s", "v")
+    for h in range(1, 5):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["pa"])
+            .select("s", F.col("pb").alias("v"))
+            .distinct()
+            .join(visited, ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        layers.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v"))
+        frontier = nxt.select("s", "v")
+    dist = layers[0]
+    for lay in layers[1:]:
+        dist = dist.unionByName(lay)
+    # aggregate over ALL dist rows (the hop-0 self row keeps an
+    # isolated seed present with zeros, matching the oracle's
+    # FILTER-inside-aggregate shape)
+    return (
+        dist.groupBy(F.col("s").alias("seed"))
+        .agg(
+            F.sum(F.when(F.col("hop") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_reached"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("hop") > 0, F.expr("1000000 div hop"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("seed")
+    )

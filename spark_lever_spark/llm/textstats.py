@@ -1777,3 +1777,137 @@ def bland_altman_token_counters(
         ).alias("loa_hi"),
         "n_outside_loa",
     )
+
+
+@register(
+    "rake_keyword_scores",
+    oracle=r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, ts[i] AS w,
+         CASE WHEN ts[i] IN ('a','the','of','and','or','to','in','on',
+                             'is','it') THEN 1 ELSE 0 END AS stop
+  FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+),
+ph AS (
+  SELECT doc_id, pos, w, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS pid
+  FROM pos
+),
+ph2 AS (
+  SELECT doc_id, pos, w, pid,
+         CAST(count(*) OVER (PARTITION BY doc_id, pid) AS BIGINT)
+             AS n_words
+  FROM ph WHERE stop = 0
+),
+ws AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(SUM(n_words) AS BIGINT) AS deg
+  FROM ph2 GROUP BY w
+),
+scored AS (
+  SELECT p.doc_id, p.pid,
+         string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+         CAST(max(p.n_words) AS BIGINT) AS n_words,
+         CAST(SUM(CAST(ws.deg AS HUGEINT) * 1000000 // ws.freq)
+              AS BIGINT) AS score_micro
+  FROM ph2 p JOIN ws ON ws.w = p.w
+  GROUP BY p.doc_id, p.pid
+)
+SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(score_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY phrase
+ORDER BY score_micro DESC, phrase LIMIT 20
+""",
+    category="llm_text",
+    tags=("defer-window",),
+)
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction, the unsupervised baseline every
+    keyword/tagging pipeline benchmarks against): candidate phrases
+    are maximal stopword-free token runs, each word scores
+    deg(w)/freq(w) — degree counts every co-occurrence inside
+    candidate phrases (including self), so words that live in LONG
+    phrases outrank equally-frequent words that appear alone — and a
+    phrase scores the sum of its member words, surfacing multi-word
+    terms that pure tf-idf (tfidf_top_terms) fragments. Phrase
+    segmentation is a per-doc prefix sum of the stopword indicator
+    (ONE properly-partitioned window); word stats are corpus-global
+    exact integers; per-word credit is deg·10⁶ // freq on a
+    decimal(38,0) ⟷ HUGEINT product (quotient ≤ max-phrase-len·10⁶ —
+    int64-safe at any corpus size); phrase text reassembles
+    deterministically via pos-sorted aggregation. Top-20 by (score,
+    phrase) is a TakeOrdered. Scale: two token-grain shuffles
+    (doc-partitioned segmentation, word-grain stats) and a
+    phrase-grain aggregate — all map-side combinable, no windows
+    without partitions."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "stop",
+            F.when(
+                F.col("w").isin(
+                    "a", "the", "of", "and", "or", "to", "in", "on",
+                    "is", "it",
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    wpid = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ph = pos.withColumn("pid", F.sum("stop").over(wpid))
+    wcnt = Window.partitionBy("doc_id", "pid")
+    ph2 = (
+        ph.filter(F.col("stop") == 0)
+        .withColumn("n_words", F.count("*").over(wcnt))
+        .select("doc_id", "pos", "w", "pid", "n_words")
+    )
+    ws = ph2.groupBy(F.col("w").alias("ww")).agg(
+        F.count("*").alias("freq"), F.sum("n_words").alias("deg")
+    )
+    scored = (
+        ph2.join(ws, ph2.w == F.col("ww"))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("n_words").alias("n_words"),
+            F.expr(
+                "CAST(sum(CAST(deg AS DECIMAL(38,0)) * 1000000"
+                " div freq) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(20)
+    )

@@ -3898,3 +3898,188 @@ def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("q_milli"),
     )
+
+
+@register(
+    "attribution_shapley_channels",
+    oracle="""
+WITH peruser AS (
+  SELECT user_id,
+         CAST(bit_or(CASE event_type WHEN 'click' THEN 1
+                     WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                     WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS users,
+         CAST(SUM(conv) AS BIGINT) AS convs
+  FROM peruser GROUP BY mask
+),
+spine AS (
+  SELECT CAST(range AS BIGINT) AS s,
+         CAST(((range >> 0) & 1) + ((range >> 1) & 1)
+              + ((range >> 2) & 1) + ((range >> 3) & 1) AS BIGINT) AS pc
+  FROM range(16)
+),
+v AS (
+  SELECT spine.s, spine.pc,
+         COALESCE(CAST(obs.convs * 1000000 // obs.users AS BIGINT), 0)
+             AS v_micro
+  FROM spine LEFT JOIN obs ON obs.mask = spine.s
+),
+ch AS (
+  SELECT CAST(range AS BIGINT) AS i,
+         CASE range WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+              WHEN 2 THEN 'signup' ELSE 'view' END AS channel
+  FROM range(4)
+),
+contrib AS (
+  SELECT ch.i, ch.channel,
+         CAST(CASE v0.pc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+              ELSE 6 END AS BIGINT)
+             * (v1.v_micro - v0.v_micro) AS w_gain
+  FROM ch JOIN v v0 ON ((v0.s >> ch.i) & 1) = 0
+  JOIN v v1 ON v1.s = (v0.s | (1 << ch.i))
+),
+touch AS (
+  SELECT ch.i,
+         CAST(SUM(obs.users) FILTER (((obs.mask >> ch.i) & 1) = 1)
+              AS BIGINT) AS users_touched,
+         CAST(SUM(obs.convs) FILTER (((obs.mask >> ch.i) & 1) = 1)
+              AS BIGINT) AS convs_touched
+  FROM ch CROSS JOIN obs GROUP BY ch.i
+)
+SELECT c.channel,
+       CAST(round(CAST(SUM(c.w_gain) AS DOUBLE) / 24.0) AS BIGINT)
+           AS shapley_micro,
+       CAST(COALESCE(max(t.users_touched), 0) AS BIGINT)
+           AS users_touched,
+       CAST(COALESCE(max(t.convs_touched), 0) AS BIGINT)
+           AS convs_touched
+FROM contrib c LEFT JOIN touch t ON t.i = c.i
+GROUP BY c.channel ORDER BY c.channel
+""",
+    category="events",
+    tags=("defer-window",),
+)
+def attribution_shapley_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution (the game-theoretic credit
+    split — Shapley 1953, popularized for marketing by Google's DDA —
+    that last-touch / position-based / time-decay attribution
+    approximate): each user's touched channel SET (the 4 non-purchase
+    event types, encoded as a 4-bit mask via bit_or) defines the
+    coalition they observed, the characteristic function v(S) is the
+    OBSERVED conversion rate of users with exactly that touch set
+    (micro floor-division; unobserved subsets contribute v = 0,
+    documented), and each channel's Shapley value is the
+    marginal-gain sum φ_i = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i)−v(S)) / 4!.
+    The factorial weights {6,2,2,6} keep every term an exact integer
+    on the ×24 grid; the single division by 24.0 happens once, in
+    double, on an exactly-representable integer — bit-identical, then
+    half-away-rounded to micro in both engines. popcount is spelled
+    as four explicit shift-and-masks (portable; no bit_count builtin
+    dependency). Scale: ONE user-grain shuffle (bit_or + max are
+    map-side combinable), then everything lives on the 16-row subset
+    spine × 4 channels — broadcast-sized no matter the SF."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    peruser = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'click' THEN 1"
+            " WHEN 'error' THEN 2 WHEN 'signup' THEN 4"
+            " WHEN 'view' THEN 8 ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    obs = peruser.groupBy("mask").agg(
+        F.count("*").alias("users"), F.sum("conv").alias("convs")
+    )
+    spine = spark.range(16).select(
+        F.col("id").alias("s"),
+        F.expr(
+            "CAST(((id >> 0) & 1) + ((id >> 1) & 1) + ((id >> 2) & 1)"
+            " + ((id >> 3) & 1) AS BIGINT)"
+        ).alias("pc"),
+    )
+    v = spine.join(F.broadcast(obs), spine.s == obs.mask, "left").select(
+        "s",
+        "pc",
+        F.coalesce(
+            F.expr("CAST(convs * 1000000 div users AS BIGINT)"), F.lit(0)
+        ).alias("v_micro"),
+    )
+    ch = spark.range(4).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") == 0, "click")
+        .when(F.col("id") == 1, "error")
+        .when(F.col("id") == 2, "signup")
+        .otherwise("view")
+        .alias("channel"),
+    )
+    v0 = v.select(
+        F.col("s").alias("s0"), F.col("pc").alias("pc0"),
+        F.col("v_micro").alias("vm0"),
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("v_micro").alias("vm1"))
+    contrib = (
+        ch.join(F.broadcast(v0), F.expr("((s0 >> i) & 1) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = (s0 | (1 << i))"))
+        .select(
+            "i",
+            "channel",
+            (
+                F.when(F.col("pc0") == 0, 6)
+                .when(F.col("pc0") == 1, 2)
+                .when(F.col("pc0") == 2, 2)
+                .otherwise(6)
+                .cast("long")
+                * (F.col("vm1") - F.col("vm0"))
+            ).alias("w_gain"),
+        )
+    )
+    touch = (
+        ch.crossJoin(F.broadcast(obs))
+        .groupBy(F.col("i").alias("ti"))
+        .agg(
+            F.sum(
+                F.when(F.expr("((mask >> i) & 1) = 1"), F.col("users"))
+            ).alias("users_touched"),
+            F.sum(
+                F.when(F.expr("((mask >> i) & 1) = 1"), F.col("convs"))
+            ).alias("convs_touched"),
+        )
+    )
+    return (
+        contrib.groupBy("i", "channel")
+        .agg(F.sum("w_gain").alias("phi24"))
+        .join(F.broadcast(touch), F.col("i") == F.col("ti"), "left")
+        .select(
+            "channel",
+            F.round(F.col("phi24").cast("double") / 24.0)
+            .cast("long")
+            .alias("shapley_micro"),
+            F.coalesce(F.col("users_touched"), F.lit(0))
+            .cast("long")
+            .alias("users_touched"),
+            F.coalesce(F.col("convs_touched"), F.lit(0))
+            .cast("long")
+            .alias("convs_touched"),
+        )
+        .orderBy("channel")
+    )

@@ -8286,3 +8286,269 @@ def slow_moving_parts_by_brand(
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "anderson_darling_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c1 + c2 AS t,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f2
+  FROM pts
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pts
+),
+terms AS (
+  SELECT SUM(CAST(cum.t AS HUGEINT)
+             * (CAST(cum.f1 AS HUGEINT) * n.n2
+                - CAST(cum.f2 AS HUGEINT) * n.n1)
+             * (CAST(cum.f1 AS HUGEINT) * n.n2
+                - CAST(cum.f2 AS HUGEINT) * n.n1)
+             * 1000000
+             // (CAST(cum.f1 + cum.f2 AS HUGEINT)
+                 * (n.n1 + n.n2 - cum.f1 - cum.f2))) AS u
+  FROM cum CROSS JOIN n
+  WHERE cum.f1 + cum.f2 < n.n1 + n.n2
+)
+SELECT n.n1, n.n2,
+       CAST(terms.u // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT)
+           AS ad_micro
+FROM n CROSS JOIN terms
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def anderson_darling_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample ANDERSON-DARLING statistic between src0's and src1's
+    document-length distributions — the TAIL-WEIGHTED member of the
+    drift-test quartet (ks = supremum gap, mann-whitney = location,
+    cramer-von-mises = unweighted integrated gap; AD divides each
+    squared CDF gap by B(N−B), which blows up toward the tails, so it
+    catches two corpora that differ mainly in their extremes —
+    exactly where contamination and truncation artifacts live):
+    A² = (1/(n1·n2)) Σ_pooled t·(F1−F2)²·n1n2-cross / (B·(N−B)),
+    Pettitt's computational form with the same exact cross-multiplied
+    gap f1·n2 − f2·n1 as the KS/CvM queries. Each term takes ONE
+    micro floor-division by its own weight (the documented
+    per-term-floored discrete variant — identical in both engines;
+    the last pooled point, B = N, is excluded as in every AD
+    implementation since its weight is 0), terms accumulate in
+    decimal(38,0) ⟷ HUGEINT, and the statistic is one final
+    floor-division by n1·n2. Headroom: t·gap²·10⁶ stays under 10³⁸
+    to ~10⁷ docs per source. Scale shape identical to
+    ks_statistic_sources: distinct-length domain, binned 2-pass
+    cumulative, 1-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.col("_cum_c1").alias("f1"),
+        F.col("_cum_c2").alias("f2"),
+    )
+    n = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dec = "decimal(38,0)"
+    gap = (
+        F.col("f1").cast(dec) * F.col("n2")
+        - F.col("f2").cast(dec) * F.col("n1")
+    )
+    b = F.col("f1") + F.col("f2")
+    nn = F.col("n1") + F.col("n2")
+    terms = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(b < nn)
+        .select(
+            (
+                (F.col("t").cast(dec) * gap * gap * 1000000)
+                .cast(dec)
+            ).alias("num"),
+            (b.cast(dec) * (nn - b)).alias("den"),
+        )
+        .select(F.expr("CAST(num div den AS DECIMAL(38,0))").alias("term"))
+        .agg(F.sum("term").alias("u"))
+    )
+    return n.crossJoin(F.broadcast(terms)).select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(u div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("ad_micro"),
+    )
+
+
+@register(
+    "l_diversity_audit_customers",
+    oracle="""
+WITH bands AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000
+             AS band
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS k_size,
+         CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+  FROM bands GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment, k_size,
+       l_distinct,
+       CAST(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS BIGINT)
+           AS meets_l3
+FROM g ORDER BY c_nationkey, c_mktsegment
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def l_diversity_audit_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007 — the
+    refinement k_anonymity_audit_customers stops short of: a class
+    can be k-anonymous yet leak its sensitive value when all k rows
+    SHARE it) over the customer table: quasi-identifiers are
+    (nation, market segment), the sensitive attribute is the account
+    balance discretized into $1000 bands, and each equivalence class
+    reports its size k and its count-of-distinct sensitive values l —
+    distinct-l-diversity, the auditable variant that needs no
+    entropy/log (doctrine: no transcendentals in checked outputs).
+    The band arithmetic shifts cents by +10⁶ BEFORE the
+    floor-division so the operand is non-negative for every TPC-H
+    balance (min −999.99) — the range where Spark's truncating div
+    and DuckDB's flooring // agree exactly. Scale: one
+    map-side-combinable count-distinct aggregation over a
+    bounded-domain (25 nations × 5 segments) key space."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000)"
+            " div 100000"
+        ).alias("band"),
+    )
+    return (
+        bands.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("k_size"),
+            F.countDistinct("band").alias("l_distinct"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            "k_size",
+            "l_distinct",
+            F.when(F.col("l_distinct") >= 3, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("meets_l3"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "eoq_brands",
+    oracle="""
+WITH demand AS (
+  SELECT p.p_brand,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+holding AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+              // count(*) // 5 AS BIGINT) AS h
+  FROM part GROUP BY 1
+)
+SELECT d.p_brand, d.d AS total_demand_units, h.h AS holding_cents,
+       CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h AS DOUBLE)))
+            AS BIGINT) AS eoq_units,
+       CAST(d.d // CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h
+            AS DOUBLE))) AS BIGINT) AS BIGINT) AS n_orders
+FROM demand d JOIN holding h ON h.p_brand = d.p_brand
+WHERE h.h > 0
+ORDER BY d.p_brand
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def eoq_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECONOMIC ORDER QUANTITY (Harris-Wilson 1913, the square-root
+    law every inventory planner starts from) per brand: EOQ =
+    sqrt(2·D·S/H) balances a fixed S = $50.00 cost per replenishment
+    order against a holding cost H = 20 % of the brand's average unit
+    retail price over the demand D observed in the data — the sizing
+    complement to reorder_point_brands (WHEN to order) and
+    slow_moving_parts_by_brand (WHETHER to keep stocking). Exactness:
+    D, S, H are exact int64 (H via two floor-divisions — mean price
+    then the 20 % haircut, the documented discrete variant); the
+    quotient 2DS/H is floored BEFORE the sqrt so the only float op is
+    one IEEE-correctly-rounded sqrt of an exactly-representable
+    integer (< 2⁵³ up to ~10¹⁵ demand-cents — any SF), floored back
+    to units; n_orders = D div EOQ is pure integers. Scale: one
+    map-side-combinable fact aggregation (part broadcast) plus a
+    25-brand dimension aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    demand = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("d"))
+    )
+    holding = p.groupBy(F.col("p_brand").alias("hb")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))"
+            " div count(*) div 5 AS BIGINT)"
+        ).alias("h")
+    )
+    eoq = F.floor(
+        F.sqrt(F.expr("CAST((2 * d * 5000) div h AS DOUBLE)"))
+    ).cast("long")
+    return (
+        demand.join(
+            F.broadcast(holding), F.col("p_brand") == F.col("hb")
+        )
+        .filter(F.col("h") > 0)
+        .select(
+            "p_brand",
+            F.col("d").alias("total_demand_units"),
+            F.col("h").alias("holding_cents"),
+            eoq.alias("eoq_units"),
+            F.expr(
+                "CAST(d div CAST(floor(sqrt(CAST((2 * d * 5000) div h"
+                " AS DOUBLE))) AS BIGINT) AS BIGINT)"
+            ).alias("n_orders"),
+        )
+        .orderBy("p_brand")
+    )

@@ -447,7 +447,12 @@ def test_kmeans_inertia_elbow_numpy_reference(spark):
 
 def test_mutual_nn_numpy_reference(spark):
     q = _quantized()
-    cents = {k: q[k] for k in range(16)}
+    # k scales as max(16, floor(sqrt(N))) — the IVF scale law the
+    # operator derives from a count aggregate.
+    import math
+
+    k_cents = max(16, math.isqrt(len(q)))
+    cents = {k: q[k] for k in range(k_cents)}
 
     def probes(v):
         ds = sorted(
