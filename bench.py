@@ -59,9 +59,9 @@ GATES = {
     "mutual_nn_int8_ivf": 5.96,  # v3.0 re-freeze (round 13: centroid
     # count k = max(16, floor(sqrt(N))) — candidate work O(N^1.5),
     # was fixed k=16 / 10.88 s)
-    "harmonic_closeness_sampled_bfs": 3.55,  # v3.0 addition (round 13)
-    "link_prediction_resource_allocation": 2.76,  # v3.0 addition (r13)
-    "embedding_top_pc_power_iteration": 1.98,  # v3.0 addition (r13)
+    "harmonic_closeness_sampled_bfs": 4.0,  # v3.0 addition (round 13)
+    "link_prediction_resource_allocation": 3.53,  # v3.0 addition (r13)
+    "embedding_top_pc_power_iteration": 2.49,  # v3.0 addition (r13)
     "ohlc_hourly_bars": 0.65,
     "pack_concat_2048": 0.93,  # v2.3 re-freeze (2-pass cumsum)
     "pack_documents_2048": 0.46,

@@ -1274,7 +1274,7 @@ u1 AS (
   SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v0.val) AS u
   FROM g JOIN v0 ON v0.i = g.j GROUP BY g.i
 ),
-m1 AS (SELECT max(abs(u)) AS m FROM u1 WHERE u <> 0 OR TRUE),
+m1 AS (SELECT max(abs(u)) AS m FROM u1),
 v1 AS (
   SELECT i, CASE WHEN u >= 0 THEN CAST(u * 1000000 // m AS BIGINT)
             ELSE -CAST((-u) * 1000000 // m AS BIGINT) END AS val

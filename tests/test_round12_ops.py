@@ -266,7 +266,14 @@ def test_cramer_von_mises_cdf_replay(spark):
 
 
 def test_shift_share_reconciles_to_the_cent(spark):
+    # round 13: base year is DERIVED (min order year, vs min+1) — the
+    # hardcoded-1994 fixture assumption went vacuous when the testdata
+    # date span moved; t = yr - yr0 in {0, 1} mirrors the operator.
     got = _run(spark, "shift_share_nation_brandmix")
+    yr0 = _sql(
+        "SELECT CAST(min(EXTRACT(year FROM o_orderdate)) AS BIGINT)"
+        " FROM read_parquet('{SF}/orders.parquet')"
+    )[0][0]
     cell: dict = defaultdict(int)
     for nname, brand, yr, price in _sql(
         "SELECT n.n_name, p.p_brand,"
@@ -281,23 +288,24 @@ def test_shift_share_reconciles_to_the_cent(spark):
         "   ON n.n_nationkey = c.c_nationkey"
         " JOIN read_parquet('{SF}/part.parquet') p"
         "   ON p.p_partkey = l.l_partkey"
-        " WHERE EXTRACT(year FROM o.o_orderdate) IN (1994, 1995)"
     ):
-        cell[(nname, brand, yr)] += _cents(price)
+        t = yr - yr0
+        if t in (0, 1):
+            cell[(nname, brand, t)] += _cents(price)
     b = defaultdict(int)
     rn = defaultdict(int)
-    for (nname, brand, yr), v in cell.items():
-        b[(brand, yr)] += v
-        rn[yr] += v
+    for (nname, brand, t), v in cell.items():
+        b[(brand, t)] += v
+        rn[t] += v
     seen = set()
     for r in got.itertuples():
         key = (r.n_name, r.p_brand)
         seen.add(key)
-        r0 = cell[(r.n_name, r.p_brand, 1994)]
-        r1 = cell[(r.n_name, r.p_brand, 1995)]
-        ns = r0 * rn[1995] // rn[1994] - r0
-        bg = r0 * b[(r.p_brand, 1995)] // b[(r.p_brand, 1994)] - r0
-        assert (r.rev_1994_cents, r.rev_1995_cents) == (r0, r1)
+        r0 = cell[(r.n_name, r.p_brand, 0)]
+        r1 = cell[(r.n_name, r.p_brand, 1)]
+        ns = r0 * rn[1] // rn[0] - r0
+        bg = r0 * b[(r.p_brand, 1)] // b[(r.p_brand, 0)] - r0
+        assert (r.rev_base_cents, r.rev_next_cents) == (r0, r1)
         assert r.national_effect_cents == ns
         assert r.mix_effect_cents == bg - ns
         assert r.competitive_effect_cents == (r1 - r0) - bg
@@ -309,10 +317,11 @@ def test_shift_share_reconciles_to_the_cent(spark):
         )
     both = {
         (na, br)
-        for (na, br, yr) in cell
-        if yr == 1994 and (na, br, 1995) in cell
+        for (na, br, t) in cell
+        if t == 0 and (na, br, 1) in cell
     }
     assert seen == both
+    assert seen  # non-vacuous: the derived base year must exist
 
 
 # ---------------------------------------------------------------------------
