@@ -8552,3 +8552,89 @@ def eoq_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "process_capability_cpk_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM lat GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(s * 1000 // n AS BIGINT) AS mean_milli_days,
+       CASE WHEN CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s > 0
+            THEN CAST(floor(
+              CAST(LEAST(180 * n - s, s - 0 * n) AS DOUBLE) * 1000
+              / (3 * sqrt(CAST(CAST(n AS HUGEINT) * s2
+                               - CAST(s AS HUGEINT) * s AS DOUBLE)))
+            ) AS BIGINT) END AS cpk_milli
+FROM m ORDER BY o_orderpriority
+""",
+    category="relational",
+    tags=("defer-window",),
+)
+def process_capability_cpk_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROCESS CAPABILITY INDEX Cpk of order→ship latency per priority
+    class — the Six-Sigma SPC summary (xmr_control_chart_daily watches
+    the process IN TIME; Cpk scores it AGAINST SPEC): with spec limits
+    LSL = 0 and USL = 180 days, Cpk = min(USL−μ, μ−LSL)/(3σ) — above
+    ~1.33 the process comfortably fits the spec window, below 1 it
+    ships defects (here: SLA breaches) even when perfectly centered.
+    Exactness is the reorder_point algebraic-variance doctrine:
+    multiply through by n so the numerator min(USL·n−S, S−LSL·n) and
+    the variance complement n·Σx² − S² are EXACT integers (HUGEINT ⟷
+    decimal(38,0)); both convert to double once (< 2⁵³ to ~10¹²
+    line-days per class — any SF), one IEEE sqrt, one division, one
+    floor onto the milli grid, identical op order in both engines;
+    degenerate zero-variance classes yield NULL via the CASE guard
+    (ANSI-safe). Scale: one map-side-combinable moment aggregation
+    over the orders⋈lineitem keyed join — 5 output rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("x"),
+    )
+    m = lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    comp = F.expr(f"CAST(n AS {dec}) * s2 - CAST(s AS {dec}) * s")
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.expr("CAST(s * 1000 div n AS BIGINT)").alias(
+            "mean_milli_days"
+        ),
+        F.when(
+            comp > 0,
+            F.floor(
+                F.least(
+                    180 * F.col("n") - F.col("s"),
+                    F.col("s") - 0 * F.col("n"),
+                ).cast("double")
+                * 1000
+                / (3 * F.sqrt(comp.cast("double")))
+            ).cast("long"),
+        ).alias("cpk_milli"),
+    ).orderBy("o_orderpriority")

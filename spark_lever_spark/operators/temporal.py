@@ -5673,3 +5673,123 @@ def croston_intermittent_demand(
         )
         .orderBy("partkey", "d")
     )
+
+
+@register(
+    "vortex_indicator_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT d, hi, lo,
+         LAG(hi) OVER (ORDER BY d) AS ph,
+         LAG(lo) OVER (ORDER BY d) AS pl
+  FROM daily
+),
+vm AS (
+  SELECT d, hi, lo,
+         CAST(abs(hi - pl) AS BIGINT) AS vm_plus,
+         CAST(abs(lo - ph) AS BIGINT) AS vm_minus,
+         CAST(GREATEST(hi - lo, abs(hi - ph), abs(lo - ph))
+              AS BIGINT) AS tr
+  FROM lagged WHERE ph IS NOT NULL
+),
+sums AS (
+  SELECT d, hi, lo,
+         CAST(SUM(vm_plus) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS svp,
+         CAST(SUM(vm_minus) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS svm,
+         CAST(SUM(tr) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS str
+  FROM vm
+)
+SELECT d, hi AS high_cents, lo AS low_cents,
+       CASE WHEN str > 0
+            THEN CAST(CAST(svp AS HUGEINT) * 1000000 // str AS BIGINT)
+       END AS vi_plus_ppm,
+       CASE WHEN str > 0
+            THEN CAST(CAST(svm AS HUGEINT) * 1000000 // str AS BIGINT)
+       END AS vi_minus_ppm
+FROM sums ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window",),
+)
+def vortex_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VORTEX INDICATOR (Botes & Siepman 2010 — paired
+    trend-direction oscillators VI+/VI−): upward 'vortex movement'
+    |high − prev_low| against downward |low − prev_high|, each summed
+    over a trailing 14-day window and normalized by the true-range
+    sum — a VI+/VI− crossover is the trend-flip signal, the
+    directional complement to atr_sma14_daily's magnitude-only
+    volatility (same daily bar frame, same prev-bar coupling, same
+    gap-aware RANGE window). Everything is exact int64 cents: the
+    movement and true-range terms are absolute differences of bar
+    extremes, the window sums are map-side-combinable, and each
+    ratio is ONE non-negative ppm floor-division riding a
+    decimal(38,0) ⟷ HUGEINT product (cents-scale headroom at any
+    SF). The first calendar day is excluded identically via the
+    prev-bar IS NULL filter; zero-TR windows yield NULL via the CASE
+    guard (ANSI-safe). Scale: one fact aggregation to calendar
+    grain, then bounded-domain windows — the stochastic_oscillator
+    doctrine."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.max(v).alias("hi"), F.min(v).alias("lo"))
+    wl = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "hi",
+        "lo",
+        F.lag("hi").over(wl).alias("ph"),
+        F.lag("lo").over(wl).alias("pl"),
+    )
+    vm = lagged.filter(F.col("ph").isNotNull()).select(
+        "d",
+        "hi",
+        "lo",
+        F.abs(F.col("hi") - F.col("pl")).alias("vm_plus"),
+        F.abs(F.col("lo") - F.col("ph")).alias("vm_minus"),
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.col("ph")),
+            F.abs(F.col("lo") - F.col("ph")),
+        ).alias("tr"),
+    )
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    sums = vm.select(
+        "d",
+        "hi",
+        "lo",
+        F.sum("vm_plus").over(wr).alias("svp"),
+        F.sum("vm_minus").over(wr).alias("svm"),
+        F.sum("tr").over(wr).alias("str"),
+    )
+    return sums.select(
+        "d",
+        F.col("hi").alias("high_cents"),
+        F.col("lo").alias("low_cents"),
+        F.when(
+            F.col("str") > 0,
+            F.expr(
+                "CAST(CAST(svp AS DECIMAL(38,0)) * 1000000 div str"
+                " AS BIGINT)"
+            ),
+        ).alias("vi_plus_ppm"),
+        F.when(
+            F.col("str") > 0,
+            F.expr(
+                "CAST(CAST(svm AS DECIMAL(38,0)) * 1000000 div str"
+                " AS BIGINT)"
+            ),
+        ).alias("vi_minus_ppm"),
+    ).orderBy("d")

@@ -599,3 +599,77 @@ def test_power_iteration_brute(spark):
     for r in got.itertuples():
         assert r.component_micro == v[r.dim - 1]
         assert r.lambda_est == num // den
+
+
+# ---------------------------------------------------------------------------
+# Cpk process capability: textbook formula over exact moments
+# ---------------------------------------------------------------------------
+
+
+def test_cpk_brute(spark):
+    orders = dict(
+        _sql(
+            "SELECT o_orderkey, (o_orderpriority,"
+            " CAST(o_orderdate AS DATE)) FROM '{SF}/orders.parquet'"
+        )
+    )
+    groups = defaultdict(list)
+    for ok, ship in _sql(
+        "SELECT l_orderkey, CAST(l_shipdate AS DATE)"
+        " FROM '{SF}/lineitem.parquet'"
+    ):
+        prio, od = orders[ok]
+        groups[prio].append((ship - od).days)
+    got = _run(spark, "process_capability_cpk_latency")
+    assert len(got) == len(groups)
+    for r in got.itertuples():
+        xs = groups[r.o_orderpriority]
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        assert r.n == n
+        assert r.mean_milli_days == s * 1000 // n
+        comp = n * s2 - s * s
+        if comp > 0:
+            cpk = math.floor(
+                float(min(180 * n - s, s - 0 * n)) * 1000
+                / (3 * math.sqrt(float(comp)))
+            )
+            assert r.cpk_milli == cpk
+            # sanity: mean latency sits inside (0, 90) for every class
+            assert 0 < s / n < 180
+
+
+# ---------------------------------------------------------------------------
+# Vortex indicator: bar replay with trailing-window ratio
+# ---------------------------------------------------------------------------
+
+
+def test_vortex_brute(spark):
+    bars = {}
+    for ts, v in _sql("SELECT ts, value FROM '{SF}/events.parquet'"):
+        d = _day(ts)
+        c = _cents(v)
+        if d not in bars:
+            bars[d] = [c, c]
+        else:
+            bars[d][0] = max(bars[d][0], c)
+            bars[d][1] = min(bars[d][1], c)
+    days = sorted(bars)
+    rows = {}
+    for i in range(1, len(days)):
+        d = days[i]
+        hi, lo = bars[d]
+        ph, pl = bars[days[i - 1]]
+        rows[d] = (
+            abs(hi - pl),
+            abs(lo - ph),
+            max(hi - lo, abs(hi - ph), abs(lo - ph)),
+        )
+    got = _run(spark, "vortex_indicator_daily")
+    assert len(got) == len(rows)
+    for r in got.itertuples():
+        win = [rows[dd] for dd in rows if r.d - 13 <= dd <= r.d]
+        svp = sum(w[0] for w in win)
+        svm = sum(w[1] for w in win)
+        st = sum(w[2] for w in win)
+        assert r.vi_plus_ppm == (svp * 1000000 // st if st > 0 else None)
+        assert r.vi_minus_ppm == (svm * 1000000 // st if st > 0 else None)
