@@ -1418,3 +1418,120 @@ def embedding_top_pc_power_iteration(
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "semdedup_int8_cells",
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+qq AS (
+  SELECT q.vec_id, e.label, q.qv,
+         CAST(list_sum(list_transform(q.qv, v -> v * v)) AS BIGINT)
+             AS nrm
+  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+),
+pr AS (
+  SELECT a.vec_id AS ca, b.vec_id AS dup, a.label AS cell
+  FROM qq a JOIN qq b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.qv) + 1),
+          i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)])) > 0
+    AND CAST(400 AS HUGEINT)
+        * list_sum(list_transform(range(1, len(a.qv) + 1),
+            i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]))
+        * list_sum(list_transform(range(1, len(a.qv) + 1),
+            i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]))
+        >= CAST(49 AS HUGEINT) * a.nrm * b.nrm
+)
+SELECT dup AS dup_id, CAST(min(ca) AS BIGINT) AS canonical_id,
+       min(cell) AS cell
+FROM pr GROUP BY dup ORDER BY dup_id
+""",
+    category="llm_dedup",
+    tags=("defer-window2",),
+)
+def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 — SEMANTIC deduplication by
+    embedding similarity inside clustering cells, the method behind
+    the LAION/DataComp-scale prunes) on the shared int8 grid: vectors
+    meet ONLY within their cell (label as the k-means cell id, the
+    ann_ivf convention — the cell structure is what makes the method
+    O(Σ cell²) instead of n²), a pair is a semantic duplicate when
+    cosine ≥ 0.35 (the corpus's near-orthogonal background makes 0.35
+    the document-threshold stand-in; production would use ~0.95 with
+    the identical plan — see dedup_embedding_cosine), and each
+    duplicate keeps the LOWEST vec_id as canonical. The cosine
+    predicate is EXACT integer arithmetic — dot > 0 ∧ 400·dot² ≥
+    49·|a|²·|b|² on the absmax-scaled int8 grid (0.35² = 49/400;
+    HUGEINT ⟷ decimal(38,0) cross-products) — no float cosine to
+    drift between engines, unlike dedup_embedding_cosine's
+    double-based variant which this upgrades. Scale: one equi-join
+    on cell id; the cell population is the knob (re-centroid when
+    cells grow), exactly the mutual_nn_int8_ivf argument."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("l")
+    )
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    qq = q.withColumn(
+        "nrm",
+        F.aggregate(
+            F.transform("qv", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    a = qq.select(
+        F.col("vec_id").alias("ca"),
+        F.col("label").alias("cell"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    bb = qq.select(
+        F.col("vec_id").alias("dup"),
+        F.col("label").alias("lb"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pr = (
+        a.join(
+            bb,
+            (F.col("cell") == F.col("lb")) & (F.col("ca") < F.col("dup")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(400).cast("decimal(38,0)")
+                * F.col("dot")
+                * F.col("dot")
+                >= F.lit(49).cast("decimal(38,0)")
+                * F.col("na")
+                * F.col("nb")
+            )
+        )
+    )
+    return (
+        pr.groupBy(F.col("dup").alias("dup_id"))
+        .agg(
+            F.min("ca").alias("canonical_id"),
+            F.min("cell").alias("cell"),
+        )
+        .orderBy("dup_id")
+    )

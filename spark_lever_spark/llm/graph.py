@@ -2062,3 +2062,300 @@ def harmonic_closeness_sampled_bfs(
         )
         .orderBy("seed")
     )
+
+
+def _ppr_oracle(rounds: int = _PR_ROUNDS) -> str:
+    """Unrolled integer-exact PERSONALIZED PageRank oracle — the
+    _pagerank_oracle mechanical unroll with teleport mass restricted
+    to the seed set (parts of one brand)."""
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM base a JOIN base b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS MATERIALIZED (
+  SELECT pa AS v, pb AS u FROM und
+  UNION ALL
+  SELECT pb AS v, pa AS u FROM und
+),
+deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY v
+),
+seeds AS MATERIALIZED (
+  SELECT dg.v FROM deg dg
+  JOIN part p ON p.p_partkey = dg.v
+  WHERE p.p_brand = 'Brand#11'
+),
+r0 AS MATERIALIZED (
+  SELECT dg.v,
+         CAST(CASE WHEN s.v IS NOT NULL THEN {_PR_R0} ELSE 0 END
+              AS BIGINT) AS r
+  FROM deg dg LEFT JOIN seeds s ON s.v = dg.v
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT dg.v,
+         CAST(CASE WHEN s.v IS NOT NULL THEN {_PR_TELEPORT} ELSE 0 END
+              + COALESCE(SUM((r.r * 17) // (20 * sd.d)), 0)
+              AS BIGINT) AS r
+  FROM deg dg
+  LEFT JOIN seeds s ON s.v = dg.v
+  LEFT JOIN e ON e.v = dg.v
+  LEFT JOIN r{i - 1} r ON r.v = e.u
+  LEFT JOIN deg sd ON sd.v = e.u
+  GROUP BY dg.v, s.v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS part, r AS rank_units FROM r{rounds}"
+        + "\nWHERE r > 0"
+        + "\nORDER BY rank_units DESC, part"
+    )
+
+
+@register(
+    "personalized_pagerank_copurchase",
+    oracle=_ppr_oracle(),
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def personalized_pagerank_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set (one brand's parts) over
+    the co-purchase graph — the similar-items primitive behind
+    'because you bought' recommenders and Pinterest's Pixie: where
+    global pagerank_copurchase spreads teleport mass uniformly, PPR
+    teleports ONLY back to the seeds, so rank decays with co-purchase
+    distance from the brand and the output ranks the rest of the
+    catalog BY AFFINITY to it. Same integer-exact recursion as the
+    global variant (units of 1e-9·R0, damping 17/20 as integer
+    division, 5 fixed rounds): seeds start at R0 and keep the exact
+    teleport constant, non-seeds start at 0 — vertices never reached
+    stay 0 and are dropped (WHERE r > 0), keeping the output
+    affinity-sized, not catalog-sized. Scale shape identical to
+    pagerank_copurchase: one static degree-annotated edge list, one
+    rank-vector equi-join + dst aggregation per round; the seed
+    restriction adds one broadcast-sized dimension join."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("v"), F.col("pb").alias("u")
+    ).unionByName(
+        und.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    )
+    edges = edges.persist()
+    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select(F.col("p_partkey").alias("sv"))
+    seeds = deg.join(
+        F.broadcast(p), deg.v == F.col("sv")
+    ).select("v")
+    is_seed = F.col("sv").isNotNull()
+    marked = deg.join(
+        F.broadcast(p), deg.v == F.col("sv"), "left"
+    ).select("v", "d", is_seed.alias("seed"))
+    e_src = (
+        edges.join(deg.select(F.col("v").alias("u"), "d"), "u")
+        .select("v", "u", "d")
+        .persist()
+    )
+    ranks = marked.select(
+        "v",
+        F.when(F.col("seed"), F.lit(_PR_R0))
+        .otherwise(0)
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            e_src.join(ranks.select(F.col("v").alias("u"), "r"), "u")
+            .select("v", F.expr("(r * 17) div (20 * d)").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            marked.join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.when(F.col("seed"), F.lit(_PR_TELEPORT))
+                    .otherwise(0)
+                    .cast("long")
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    out = (
+        ranks.filter(F.col("r") > 0)
+        .select(F.col("v").alias("part"), F.col("r").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), "part")
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    e_src.unpersist()
+    return out
+
+
+def _hits_oracle(rounds: int = 3) -> str:
+    """Unrolled integer-exact HITS oracle over the customer→part
+    purchase bipartite graph, with the power-iteration sign-free
+    max-normalization (all scores non-negative: floors are exact and
+    identical in both engines)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS a FROM e
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""hu{i} AS MATERIALIZED (
+  SELECT e.c, SUM(CAST(a.a AS HUGEINT)) AS h
+  FROM e JOIN a{i - 1} a ON a.p = e.p GROUP BY e.c
+),
+hm{i} AS (SELECT max(h) AS m FROM hu{i}),
+h{i} AS MATERIALIZED (
+  SELECT c, CAST(h * 1000000 // m AS BIGINT) AS h
+  FROM hu{i} CROSS JOIN hm{i} WHERE m > 0
+),
+au{i} AS MATERIALIZED (
+  SELECT e.p, SUM(CAST(h.h AS HUGEINT)) AS a
+  FROM e JOIN h{i} h ON h.c = e.c GROUP BY e.p
+),
+am{i} AS (SELECT max(a) AS m FROM au{i}),
+a{i} AS MATERIALIZED (
+  SELECT p, CAST(a * 1000000 // m AS BIGINT) AS a
+  FROM au{i} CROSS JOIN am{i} WHERE m > 0
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'authority' AS kind, p AS node, a AS score_micro FROM a{rounds}
+UNION ALL
+SELECT 'hub', c, h FROM h{rounds}
+ORDER BY kind, score_micro DESC, node"""
+    )
+
+
+@register(
+    "hits_hubs_authorities_purchases",
+    oracle=_hits_oracle(),
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def hits_hubs_authorities_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) on the customer→part
+    purchase bipartite graph: a customer is a good HUB when they buy
+    high-authority parts, a part a good AUTHORITY when bought by
+    good hubs — the mutually-recursive centrality pair that separates
+    breadth buyers from consensus products (degree alone conflates
+    them; PageRank on the bipartite projection loses the two-sided
+    story). Three fixed rounds of the alternating update, each a
+    single equi-join + key aggregation over the distinct edge list,
+    with the power-iteration normalization discipline: scores are
+    non-negative so v ← ⌊v·10⁶/max(v)⌋ floors identically in both
+    engines (no sign split needed), sums ride HUGEINT ⟷
+    decimal(38,0). Output is both final vectors in long format
+    (kind, node, score). Scale: O(|E|) per round, bounded rounds —
+    the pagerank doctrine on a bipartite edge list."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    auth = e.select("p").distinct().select(
+        "p", F.lit(1000000).cast("long").alias("a")
+    )
+    dec = "decimal(38,0)"
+    hubs = None
+    # localCheckpoint per half-round: the max-normalization references
+    # its un-materialized input TWICE (sum frame + its own max), so
+    # without eager truncation the plan doubles every half-round —
+    # 2^6 subplan copies by round 3, which exploded codegen and OOMed
+    # a 1 GB vanilla driver heap (the BFS/CC lineage doctrine, plus a
+    # plan-growth reason specific to the normalize-by-own-aggregate
+    # shape; the vectors themselves are node-count-sized and tiny).
+    for _ in range(3):
+        hu = (
+            e.join(auth.select(F.col("p").alias("ap"), "a"), e.p == F.col("ap"))
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast(dec)).alias("h"))
+            .localCheckpoint()
+        )
+        hm = hu.agg(F.max("h").alias("m"))
+        hubs = (
+            hu.crossJoin(F.broadcast(hm))
+            .filter(F.col("m") > 0)
+            .select("c", F.expr("CAST(h * 1000000 div m AS BIGINT)").alias("h"))
+            .localCheckpoint()
+        )
+        au = (
+            e.join(hubs.select(F.col("c").alias("hc"), "h"), e.c == F.col("hc"))
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast(dec)).alias("a"))
+            .localCheckpoint()
+        )
+        am = au.agg(F.max("a").alias("m"))
+        auth = (
+            au.crossJoin(F.broadcast(am))
+            .filter(F.col("m") > 0)
+            .select("p", F.expr("CAST(a * 1000000 div m AS BIGINT)").alias("a"))
+            .localCheckpoint()
+        )
+    out = (
+        auth.select(
+            F.lit("authority").alias("kind"),
+            F.col("p").alias("node"),
+            F.col("a").alias("score_micro"),
+        )
+        .unionByName(
+            hubs.select(
+                F.lit("hub").alias("kind"),
+                F.col("c").alias("node"),
+                F.col("h").alias("score_micro"),
+            )
+        )
+        .orderBy("kind", F.desc("score_micro"), "node")
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

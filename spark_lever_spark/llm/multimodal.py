@@ -1047,3 +1047,225 @@ def image_mean_pool_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool_run,
         "doc_id long, pool_w int, pool_h int, pooled_sum long",
     ).orderBy("doc_id")
+
+
+def pgm_histogram_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL per-image intensity histogram: parses the P5 stream like
+    decode_pgm_batch, then buckets the raster into 16 intensity bins
+    (pixel // 16) with numpy bincount — the feature-extraction stage a
+    vision-data pipeline runs right after decode. Corrupt streams
+    raise (fail-loud)."""
+    import numpy as np
+
+    rows_bin, rows_cnt, rows_idx = [], [], []
+    for pos, buf in enumerate(payloads):
+        b = bytes(buf)
+        if not b.startswith(b"P5\n"):
+            raise ValueError("not a binary PGM (P5) stream")
+        hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+        dims_line = b[3 : b.index(b"\n", 3)].split()
+        w, h = int(dims_line[0]), int(dims_line[1])
+        raster = np.frombuffer(b, dtype=np.uint8, offset=hdr_end + 1)
+        if raster.size != w * h:
+            raise ValueError("raster size mismatch")
+        counts = np.bincount(raster >> 4, minlength=16)
+        rows_idx.extend([pos] * 16)
+        rows_bin.extend(range(16))
+        rows_cnt.extend(int(c) for c in counts)
+    return pd.DataFrame(
+        {
+            "_pos": pd.Series(rows_idx, dtype="int64"),
+            "bin": pd.Series(rows_bin, dtype="int64"),
+            "n_pixels": pd.Series(rows_cnt, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "multimodal_pgm_histogram",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h FROM d
+),
+px AS (
+  SELECT doc_id, ((doc_id * 31 + t.i * 7) % 256) // 16 AS bin
+  FROM dims, LATERAL unnest(range(w * h)) AS t(i)
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pixels
+FROM px GROUP BY doc_id, bin ORDER BY doc_id, bin
+""",
+    category="llm_multimodal",
+    tags=("defer-window2",),
+)
+def multimodal_pgm_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-IMAGE INTENSITY HISTOGRAM over REAL decoded rasters — the
+    canonical post-decode feature-extraction stage (exposure/contrast
+    QC, near-dup binning, dataset balance reports run on exactly this
+    16-bin profile): deterministic P5 binaries materialize as the
+    payload column, a genuine parser re-reads header + raster, and
+    numpy buckets pixels into 16 intensity bins inside the same
+    Arrow-batched mapInPandas slot a torchvision transform would
+    occupy — emitting LONG-format (doc_id, bin, count) rows so the
+    downstream shuffle is by histogram row, never by raster. Empty
+    bins are emitted as explicit zero counts... and then dropped to
+    match the oracle's GROUP BY (only observed bins), keeping both
+    engines on the same support. The analytic oracle replays the
+    generator formula through the same ``// 16`` bucketing, so a
+    decoder that misreads the raster or an off-by-one in the binning
+    cannot hash-match. Scale: decode parallelism is row-partitioned;
+    the output is 16 rows per image — reduction, not blow-up."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_pgm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def hist_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pgm_histogram_batch(pdf["payload"])
+            out["doc_id"] = pdf["doc_id"].values[out["_pos"].values]
+            yield out[["doc_id", "bin", "n_pixels"]]
+
+    return (
+        with_media.mapInPandas(
+            hist_run, "doc_id long, bin long, n_pixels long"
+        )
+        .filter(F.col("n_pixels") > 0)
+        .orderBy("doc_id", "bin")
+    )
+
+
+def wav_energy_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL per-clip energy features: parses the RIFF/WAVE stream like
+    decode_wav_batch, then computes the exact sum of squared samples
+    and the strict zero-crossing count (s_i·s_{i+1} < 0) — the
+    features VAD/silence-trim stages run right after decode."""
+    import struct
+
+    import numpy as np
+
+    nsamps, ssq, zc = [], [], []
+    for buf in payloads:
+        b = bytes(buf)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[36:40] != b"data":
+            raise ValueError("not a canonical RIFF/WAVE stream")
+        (data_len,) = struct.unpack("<I", b[40:44])
+        samples = np.frombuffer(
+            b, dtype="<i2", offset=44, count=data_len // 2
+        ).astype(np.int64)
+        if samples.size * 2 != data_len:
+            raise ValueError("sample block size mismatch")
+        nsamps.append(samples.size)
+        ssq.append(int((samples * samples).sum()))
+        zc.append(int(((samples[:-1] * samples[1:]) < 0).sum()))
+    return pd.DataFrame(
+        {
+            "n_samples": pd.Series(nsamps, dtype="int64"),
+            "sum_sq": pd.Series(ssq, dtype="int64"),
+            "zero_crossings": pd.Series(zc, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "multimodal_wav_rms_energy",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+n AS (SELECT doc_id, doc_id % 200 + 50 AS ns FROM d),
+sq AS (
+  SELECT doc_id, ns,
+         CAST(SUM(((doc_id * 131 + t.i * 17) % 2048 - 1024)
+                  * ((doc_id * 131 + t.i * 17) % 2048 - 1024))
+              AS BIGINT) AS sum_sq
+  FROM n, LATERAL unnest(range(ns)) AS t(i)
+  GROUP BY doc_id, ns
+),
+zc AS (
+  SELECT n.doc_id,
+         CAST(SUM(CASE WHEN ((n.doc_id * 131 + t.i * 17) % 2048 - 1024)
+                          * ((n.doc_id * 131 + (t.i + 1) * 17) % 2048
+                             - 1024) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM n, LATERAL unnest(range(ns - 1)) AS t(i)
+  GROUP BY n.doc_id
+)
+SELECT sq.doc_id, CAST(sq.ns AS BIGINT) AS n_samples, sq.sum_sq,
+       CAST(floor(sqrt(CAST(sq.sum_sq * 1000000 AS DOUBLE) / sq.ns))
+            AS BIGINT) AS rms_milli,
+       zc.zero_crossings
+FROM sq JOIN zc ON zc.doc_id = sq.doc_id
+ORDER BY sq.doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window2",),
+)
+def multimodal_wav_rms_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-CLIP RMS ENERGY + ZERO-CROSSING RATE over REAL decoded
+    audio — the two features every voice-activity / silence-trim /
+    music-vs-speech gate computes first (audio_silence_runs finds the
+    quiet SPANS; this scores the whole clip): deterministic RIFF/WAVE
+    PCM binaries materialize as the payload column and a genuine
+    parser reads the int16 block with numpy, accumulating the EXACT
+    int64 sum of squares and the strict sign-product zero-crossing
+    count (s_i·s_{i+1} < 0 — zeros break runs, the convention stated
+    rather than implied). RMS publishes as one IEEE sqrt of
+    sum_sq·10⁶/n — both operands exact and < 2⁵³ (|s| ≤ 1024, n ≤
+    250 ⇒ sum_sq·10⁶ ≤ 2.7e14), floored onto the milli grid. The
+    analytic oracle replays the sample generator through the same
+    arithmetic, so an endianness or offset mistake in the parser
+    cannot hash-match. Scale: decode + features are one
+    row-partitioned Arrow pass; output is one row per clip."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def encode_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(encode_run, "doc_id long, payload binary")
+
+    def energy_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = wav_energy_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    decoded = with_media.mapInPandas(
+        energy_run,
+        "doc_id long, n_samples long, sum_sq long, zero_crossings long",
+    )
+    return decoded.select(
+        "doc_id",
+        "n_samples",
+        "sum_sq",
+        F.floor(
+            F.sqrt(
+                (F.col("sum_sq") * 1000000).cast("double")
+                / F.col("n_samples")
+            )
+        )
+        .cast("long")
+        .alias("rms_milli"),
+        "zero_crossings",
+    ).orderBy("doc_id")

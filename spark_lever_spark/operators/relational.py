@@ -8638,3 +8638,81 @@ def process_capability_cpk_latency(
             ).cast("long"),
         ).alias("cpk_milli"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "sketch_kmv_distinct_orders",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 10))::BIGINT
+             AS hv
+  FROM lineitem
+),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+kth AS (
+  SELECT CAST(max(hv) AS BIGINT) AS hk, CAST(count(*) AS BIGINT) AS k
+  FROM k
+),
+tru AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+)
+SELECT kth.k, kth.hk AS kth_hash,
+       CAST((kth.k - 1) * CAST(1099511627776 AS HUGEINT) // kth.hk
+            AS BIGINT) AS est_distinct,
+       tru.n AS true_distinct,
+       CAST(abs(CAST((kth.k - 1) * CAST(1099511627776 AS HUGEINT)
+                     // kth.hk AS BIGINT) - tru.n) * 1000000 // tru.n
+            AS BIGINT) AS err_ppm
+FROM kth CROSS JOIN tru
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def sketch_kmv_distinct_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) DISTINCT-COUNT SKETCH
+    (Bar-Yossef et al. 2002) over lineitem's order keys — the third
+    mergeable cardinality sketch beside HLL (approx_count_distinct /
+    sketch_hll_mergeable) and theta (sketch_theta_fixed_distinct),
+    and the one whose estimator is pure integer arithmetic: hash
+    every key onto the 2⁴⁰ md5 grid (the repo's replayable hash), keep
+    the k = 256 smallest distinct values, estimate D̂ = (k−1)·2⁴⁰ //
+    h₍ₖ₎ — the k-th smallest of D uniform draws sits near k/D of the
+    range, no harmonic means or doubles anywhere. Mergeability is the
+    scale story: per-partition bottom-k sets union and re-truncate to
+    bottom-k (exactly what TakeOrdered's tree aggregation does here —
+    map-side bottom-k, one tiny final merge, never a global sort),
+    the same shape theta sketches use for set algebra. The estimate,
+    the true distinct count, and the realized error (ppm) publish
+    side by side so the sketch's accuracy contract (≈1/√k ≈ 6 %) is
+    itself oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 10),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    k = h.orderBy("hv").limit(256)
+    kth = k.agg(F.max("hv").alias("hk"), F.count("*").alias("k"))
+    tru = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    est = F.expr(
+        "CAST((k - 1) * CAST(1099511627776 AS DECIMAL(38,0)) div hk"
+        " AS BIGINT)"
+    )
+    return kth.crossJoin(F.broadcast(tru)).select(
+        "k",
+        F.col("hk").alias("kth_hash"),
+        est.alias("est_distinct"),
+        F.col("n").alias("true_distinct"),
+        F.expr(
+            "CAST(abs(CAST((k - 1) * CAST(1099511627776 AS"
+            " DECIMAL(38,0)) div hk AS BIGINT) - n) * 1000000 div n"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -5793,3 +5793,300 @@ def vortex_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("vi_minus_ppm"),
     ).orderBy("d")
+
+
+@register(
+    "kalman_local_level_daily",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM (
+    SELECT date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS x
+    FROM orders GROUP BY 1)
+),
+r AS (
+  SELECT d, rn, x, x AS l, CAST(1.0 AS DOUBLE) AS p,
+         CAST(0.0 AS DOUBLE) AS k
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT t.d, t.rn, t.x,
+         t.l0 + t.k0 * (t.x - t.l0),
+         (1 - t.k0) * t.pp,
+         t.k0
+  FROM (
+    SELECT dd.d, dd.rn, dd.x, r.l AS l0, r.p + 0.01 AS pp,
+           (r.p + 0.01) / ((r.p + 0.01) + 1.0) AS k0
+    FROM daily dd JOIN r ON dd.rn = r.rn + 1
+  ) t
+)
+SELECT d, round(x * 1000000) / 1000000 AS daily_value,
+       round(l * 1000000) / 1000000 AS level,
+       round(k * 1000000) / 1000000 AS gain,
+       round(p * 1000000) / 1000000 AS variance
+FROM r ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def kalman_local_level_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KALMAN FILTER, local-level model (random-walk state + white
+    observation noise, q = 0.01, r = 1.0 in squared daily-revenue
+    units) over daily revenue — the optimal online smoother the EWMA
+    family approximates: unlike ewma's FIXED alpha, the Kalman gain
+    k_t = p_t/(p_t + r) ADAPTS — high while the state estimate is
+    uncertain (fast lock-on after the seed or a regime change),
+    converging to the steady-state gain as evidence accumulates; the
+    published per-day gain and variance ARE that convergence
+    trajectory. One prefix scan after the daily pre-aggregation (the
+    ewma doctrine): predict p⁺ = p + q, gain k = p⁺/(p⁺+r), update
+    l ← l + k(x−l), p ← (1−k)p⁺ — every multiplier computed ONCE per
+    step and reused (both engines evaluate the identical IEEE
+    expression via a nested-subquery alias in the recursive CTE and a
+    Python-variable reuse in the scan), inputs are bit-identical
+    doubles (exact cents / 100), outputs meet on the 1e-6 grid.
+    Seeds: l₁ = x₁, p₁ = 1, k₁ = 0 (the state is the first
+    observation, documented)."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "x"
+        )
+    )
+    allrows = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        pp = prev["p"] + F.lit(0.01)
+        k = pp / (pp + F.lit(1.0))
+        l = F.when(F.size(acc) == 0, s["x"]).otherwise(
+            prev["l"] + k * (s["x"] - prev["l"])
+        )
+        p = F.when(F.size(acc) == 0, F.lit(1.0)).otherwise(
+            (F.lit(1.0) - k) * pp
+        )
+        kk = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(k)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["d"].alias("d"),
+                    s["x"].alias("x"),
+                    l.alias("l"),
+                    p.alias("p"),
+                    kk.alias("k"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, x double,"
+            " l double, p double, k double>>)"
+        ),
+        step,
+    )
+    return (
+        allrows.select(F.explode(scan).alias("r"))
+        .select(
+            F.col("r.d").alias("d"),
+            (F.round(F.col("r.x") * 1000000) / 1000000).alias(
+                "daily_value"
+            ),
+            (F.round(F.col("r.l") * 1000000) / 1000000).alias("level"),
+            (F.round(F.col("r.k") * 1000000) / 1000000).alias("gain"),
+            (F.round(F.col("r.p") * 1000000) / 1000000).alias("variance"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "holt_winters_additive_monthly",
+    oracle="""
+WITH RECURSIVE monthly AS (
+  SELECT m, x, row_number() OVER (ORDER BY m) AS rn FROM (
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 100
+                + EXTRACT(month FROM CAST(o_orderdate AS DATE))
+                AS BIGINT) AS m,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS x
+    FROM orders GROUP BY 1)
+),
+r AS (
+  SELECT m, rn, x, x AS rs,
+         CAST([x] AS DOUBLE[]) AS xs,
+         CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST([] AS DOUBLE[]) AS sl,
+         CAST(0.0 AS DOUBLE) AS f, CAST(0.0 AS DOUBLE) AS snew
+  FROM monthly WHERE rn = 1
+  UNION ALL
+  SELECT t.m, t.rn, t.x, t.rs, t.xs,
+         t.lp,
+         CASE WHEN t.rn > 12 THEN 0.1 * (t.lp - t.l0) + 0.9 * t.b0
+              ELSE 0.0 END,
+         CASE WHEN t.rn = 12
+                THEN list_transform(t.xs, v -> v - t.lp)
+              WHEN t.rn > 12
+                THEN list_append(t.sl0[2:12],
+                       0.3 * (t.x - t.lp) + 0.7 * t.su)
+              ELSE CAST([] AS DOUBLE[]) END,
+         CASE WHEN t.rn > 12 THEN t.l0 + t.b0 + t.su ELSE 0.0 END,
+         CASE WHEN t.rn > 12 THEN 0.3 * (t.x - t.lp) + 0.7 * t.su
+              ELSE 0.0 END
+  FROM (
+    SELECT dd.m, dd.rn, dd.x,
+           r.rs + dd.x AS rs,
+           list_append(r.xs, dd.x) AS xs,
+           r.l AS l0, r.b AS b0, r.sl AS sl0,
+           CASE WHEN dd.rn > 12 THEN r.sl[1] ELSE 0.0 END AS su,
+           CASE WHEN dd.rn = 12 THEN (r.rs + dd.x) / 12.0
+                WHEN dd.rn > 12
+                  THEN 0.2 * (dd.x - r.sl[1]) + 0.8 * (r.l + r.b)
+                ELSE 0.0 END AS lp
+    FROM monthly dd JOIN r ON dd.rn = r.rn + 1
+  ) t
+)
+SELECT m AS yyyymm, round(x * 1000000) / 1000000 AS monthly_value,
+       round(l * 1000000) / 1000000 AS level,
+       round(b * 1000000) / 1000000 AS trend,
+       round(snew * 1000000) / 1000000 AS seasonal,
+       round(f * 1000000) / 1000000 AS fitted
+FROM r WHERE rn > 12 ORDER BY yyyymm
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def holt_winters_additive_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing over
+    monthly revenue (alpha=0.2 level, beta=0.1 trend, gamma=0.3
+    seasonal, period 12) — the classical seasonal forecaster that
+    completes the smoothing ladder (ewma: level only; holt_linear:
+    level+trend; this: level+trend+SEASONAL, the component the
+    monthly_seasonal_index query estimates statically and this one
+    tracks adaptively). The 12-slot seasonal state rides the
+    recursion as a rotating list — s_used is the seasonal from 12
+    steps back (head of the list), each step appends the refreshed
+    value — so one prefix scan carries level, trend, and the whole
+    seasonal vector; `fitted` is the honest one-step-ahead forecast
+    l+b+s computed from PRE-update state. Initialization
+    (documented): first 12 months warm up — level seeds at their
+    sequential running-sum mean (the ONLY N-ary sum, built one add
+    per step so both engines accumulate in the identical order),
+    trend seeds at 0, seasonals at x_i − l; output starts at month
+    13. Both engines compute each multiplier once (nested-subquery
+    aliases ⟷ Python-variable reuse), literals written as 0.8/0.9/0.7
+    on BOTH sides, meeting on the 1e-6 grid. Scale: the recursion
+    touches ~80 calendar-bounded rows after ONE map-side-combinable
+    fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 100
+            + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("m")
+    ).agg(
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "x"
+        )
+    )
+    allrows = monthly.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("m", "x"))).alias("s")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        rn = F.size(acc) + 1
+        rs = F.when(rn == 1, s["x"]).otherwise(prev["rs"] + s["x"])
+        xs = F.when(
+            rn == 1, F.array(s["x"])
+        ).otherwise(F.concat(prev["xs"], F.array(s["x"])))
+        su = F.when(rn > 12, F.element_at(prev["sl"], 1)).otherwise(
+            F.lit(0.0)
+        )
+        lp = (
+            F.when(rn == 12, rs / F.lit(12.0))
+            .when(
+                rn > 12,
+                F.lit(0.2) * (s["x"] - F.element_at(prev["sl"], 1))
+                + F.lit(0.8) * (prev["l"] + prev["b"]),
+            )
+            .otherwise(F.lit(0.0))
+        )
+        b = F.when(
+            rn > 12,
+            F.lit(0.1) * (lp - prev["l"]) + F.lit(0.9) * prev["b"],
+        ).otherwise(F.lit(0.0))
+        snew = F.when(
+            rn > 12, F.lit(0.3) * (s["x"] - lp) + F.lit(0.7) * su
+        ).otherwise(F.lit(0.0))
+        sl = (
+            F.when(rn == 12, F.transform(xs, lambda v: v - lp))
+            .when(
+                rn > 12,
+                F.concat(F.slice(prev["sl"], 2, 11), F.array(snew)),
+            )
+            .otherwise(F.expr("CAST(array() AS array<double>)"))
+        )
+        f = F.when(
+            rn > 12, prev["l"] + prev["b"] + su
+        ).otherwise(F.lit(0.0))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["m"].alias("m"),
+                    s["x"].alias("x"),
+                    rs.alias("rs"),
+                    xs.alias("xs"),
+                    lp.alias("l"),
+                    b.alias("b"),
+                    sl.alias("sl"),
+                    f.alias("f"),
+                    snew.alias("snew"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<m bigint, x double,"
+            " rs double, xs array<double>, l double, b double,"
+            " sl array<double>, f double, snew double>>)"
+        ),
+        step,
+    )
+    rows = allrows.select(
+        F.posexplode(scan).alias("rn0", "r")
+    ).filter(F.col("rn0") + 1 > 12)
+    return rows.select(
+        F.col("r.m").alias("yyyymm"),
+        (F.round(F.col("r.x") * 1000000) / 1000000).alias(
+            "monthly_value"
+        ),
+        (F.round(F.col("r.l") * 1000000) / 1000000).alias("level"),
+        (F.round(F.col("r.b") * 1000000) / 1000000).alias("trend"),
+        (F.round(F.col("r.snew") * 1000000) / 1000000).alias("seasonal"),
+        (F.round(F.col("r.f") * 1000000) / 1000000).alias("fitted"),
+    ).orderBy("yyyymm")
