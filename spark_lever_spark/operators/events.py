@@ -4083,3 +4083,163 @@ def attribution_shapley_channels(
         )
         .orderBy("channel")
     )
+
+
+_ABS_STATES = ("click", "error", "signup", "view")  # transient, sorted
+
+
+def _absorbing_det_expr(cols: list[list[str]], wide: str) -> str:
+    """4x4 determinant as an explicit 24-term SQL expression over cell
+    expressions ``cols[i][j]`` — the SAME string runs in DuckDB (wide =
+    HUGEINT) and Spark (wide = DECIMAL(38,0)), generated from one
+    source so the Leibniz expansion cannot diverge."""
+    import itertools
+
+    terms = []
+    for perm in itertools.permutations(range(4)):
+        inv = sum(
+            1
+            for i in range(4)
+            for j in range(i + 1, 4)
+            if perm[i] > perm[j]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = (
+            f"CAST({cols[0][perm[0]]} AS {wide})"
+            + "".join(f" * {cols[i][perm[i]]}" for i in range(1, 4))
+        )
+        terms.append(f"{sign} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _absorbing_exprs(wide: str) -> dict[str, str]:
+    """All Cramer determinants for the absorbing-chain solve, over the
+    one-row count columns r{i}, c{i}{j}, cp{i} (1-indexed)."""
+    a = [
+        [
+            f"(r{i} - c{i}{i})" if i == j else f"(0 - c{i}{j})"
+            for j in range(1, 5)
+        ]
+        for i in range(1, 5)
+    ]
+    out = {"det_a": _absorbing_det_expr(a, wide)}
+    for k in range(4):
+        steps = [row[:] for row in a]
+        probs = [row[:] for row in a]
+        for i in range(4):
+            steps[i][k] = f"r{i + 1}"
+            probs[i][k] = f"cp{i + 1}"
+        out[f"det_t{k + 1}"] = _absorbing_det_expr(steps, wide)
+        out[f"det_p{k + 1}"] = _absorbing_det_expr(probs, wide)
+    return out
+
+
+def _absorbing_count_sqls() -> list[str]:
+    sqls = []
+    for i, a in enumerate(_ABS_STATES, start=1):
+        sqls.append(
+            f"CAST(SUM(CASE WHEN a = '{a}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS r{i}"
+        )
+        sqls.append(
+            f"CAST(SUM(CASE WHEN a = '{a}' AND b = 'purchase'"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS cp{i}"
+        )
+        for j, bst in enumerate(_ABS_STATES, start=1):
+            sqls.append(
+                f"CAST(SUM(CASE WHEN a = '{a}' AND b = '{bst}'"
+                f" THEN 1 ELSE 0 END) AS BIGINT) AS c{i}{j}"
+            )
+    return sqls
+
+
+def _absorbing_oracle() -> str:
+    counts = ",\n         ".join(_absorbing_count_sqls())
+    d = _absorbing_exprs("HUGEINT")
+    rows = []
+    for k, st in enumerate(_ABS_STATES, start=1):
+        rows.append(
+            f"SELECT '{st}' AS state, r{k} AS n_out,"
+            f" CASE WHEN {d['det_a']} > 0 THEN"
+            f" CAST({d[f'det_t{k}']} * 1000000 // {d['det_a']}"
+            f" AS BIGINT) END AS expected_steps_micro,"
+            f" CASE WHEN {d['det_a']} > 0 THEN"
+            f" CAST({d[f'det_p{k}']} * 1000000 // {d['det_a']}"
+            f" AS BIGINT) END AS absorb_prob_ppm FROM agg"
+        )
+    union = "\nUNION ALL ".join(rows)
+    return f"""
+WITH tr AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS a,
+         event_type AS b
+  FROM events
+),
+t2 AS (SELECT a, b FROM tr WHERE a IS NOT NULL AND a <> 'purchase'),
+agg AS (
+  SELECT {counts}
+  FROM t2
+)
+{union}
+ORDER BY state
+"""
+
+
+@register(
+    "absorbing_markov_sessions",
+    oracle=_absorbing_oracle(),
+    category="events",
+    tags=("defer-window2",),
+)
+def absorbing_markov_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABSORBING MARKOV CHAIN analysis of the event stream with
+    purchase as the absorbing state — the closed-form answer to 'how
+    many more steps until this user converts, starting from state X,
+    and with what probability': where markov_transition_matrix
+    publishes the raw P and funnel_* count fixed paths, this solves
+    the fundamental-matrix system (I−Q)t = 1 and (I−Q)p = R exactly.
+    The solve is CRAMER'S RULE on the row-cleared integer system
+    (multiply row i by its out-count r_i, so A = diag(r)−C and the
+    right-hand sides are integer vectors): five 4×4 determinants,
+    each a 24-term Leibniz expansion generated from ONE Python source
+    and run verbatim in both engines (HUGEINT ⟷ decimal(38,0) —
+    terms ≤ counts⁴, inside 10³⁸ to ~10⁸ transitions per state).
+    (I−Q) is a nonsingular M-matrix when absorption is reachable, so
+    det > 0 and the micro/ppm floor-divisions run on non-negative
+    operands (CASE-guarded otherwise). Scale: ONE user-keyed window
+    pass to extract transitions, one 20-column conditional aggregate
+    to a single broadcast row — the matrix algebra never touches the
+    cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t2 = (
+        ev.select(
+            F.lag("event_type").over(w).alias("a"),
+            F.col("event_type").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != "purchase"))
+    )
+    agg = t2.selectExpr("a", "b").groupBy().agg(
+        *[F.expr(s) for s in _absorbing_count_sqls()]
+    )
+    d = _absorbing_exprs("DECIMAL(38,0)")
+    rows = None
+    for k, st in enumerate(_ABS_STATES, start=1):
+        r = agg.select(
+            F.lit(st).alias("state"),
+            F.col(f"r{k}").alias("n_out"),
+            F.expr(
+                f"CASE WHEN {d['det_a']} > 0 THEN"
+                f" CAST({d[f'det_t{k}']} * 1000000 div {d['det_a']}"
+                f" AS BIGINT) END"
+            ).alias("expected_steps_micro"),
+            F.expr(
+                f"CASE WHEN {d['det_a']} > 0 THEN"
+                f" CAST({d[f'det_p{k}']} * 1000000 div {d['det_a']}"
+                f" AS BIGINT) END"
+            ).alias("absorb_prob_ppm"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("state")

@@ -145,3 +145,82 @@ def partition_stats_prune_report(
         (F.col("max_cents") <= threshold_cents).alias("can_prune"),
         "n_matching",
     ).orderBy("month")
+
+
+def hilbert_step_exprs(s: int) -> tuple[str, str, str]:
+    """One xy2d iteration of the Hilbert curve (the Wikipedia
+    iterative form) as three SQL expressions over input columns
+    (x, y, d) — the SAME strings run in the DuckDB oracle's CTE chain
+    and in Spark's selectExpr chain, so the bit-twiddling cannot
+    diverge. Quadrant code (3·rx) XOR ry is spelled as a CASE (no
+    XOR-operator dialect differences); the ry=0 rotation flips by
+    s−1 when rx=1 and swaps x/y."""
+    rx = f"(x & {s}) > 0"
+    ry = f"(y & {s}) > 0"
+    x_new = (
+        f"CASE WHEN {ry} THEN x"
+        f" WHEN {rx} THEN {s} - 1 - y ELSE y END AS x"
+    )
+    y_new = (
+        f"CASE WHEN {ry} THEN y"
+        f" WHEN {rx} THEN {s} - 1 - x ELSE x END AS y"
+    )
+    d_new = (
+        f"d + {s * s} * (CASE WHEN ({rx}) AND ({ry}) THEN 2"
+        f" WHEN {rx} THEN 3 WHEN {ry} THEN 1 ELSE 0 END) AS d"
+    )
+    return x_new, y_new, d_new
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        "h0 AS (SELECT event_id,"
+        " CAST(user_id & 255 AS BIGINT) AS x,"
+        " CAST(dayofyear(ts) & 255 AS BIGINT) AS y,"
+        " CAST(0 AS BIGINT) AS d FROM events)"
+    ]
+    for i, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1], start=1):
+        xe, ye, de = hilbert_step_exprs(s)
+        ctes.append(
+            f"h{i} AS (SELECT event_id, {xe}, {ye}, {de} FROM h{i - 1})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT event_id, d AS hval FROM h8 ORDER BY event_id"
+    )
+
+
+@register(
+    "layout_hilbert_events",
+    oracle=_hilbert_oracle(),
+    category="layout",
+    tags=("defer-window2",),
+)
+def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE clustering value per event over (user_id,
+    day-of-year) on a 256×256 grid — the locality upgrade over
+    layout_zorder_events' Morton value: Z-order has quadrant seams
+    where consecutive keys jump across the space, while every
+    consecutive pair of Hilbert values is ADJACENT in (x, y)
+    (|Δx|+|Δy| = 1, pinned by the reference test), which is why
+    Delta/Iceberg added Hilbert layout for multi-dimensional file
+    skipping — min/max ranges per file are tighter when the curve
+    never teleports. The 8 bit-plane iterations (rotate + reflect +
+    quadrant offset) run as a chained selectExpr whose per-step
+    expressions are the IDENTICAL strings the DuckDB oracle's CTE
+    chain executes — single-sourced via hilbert_step_exprs, the
+    zorder_expr doctrine. Scale: a map-only projection (no shuffle,
+    no UDF — pure integer CASE arithmetic in whole-stage codegen);
+    writers sort by hval exactly as zorder_write does."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.selectExpr(
+        "event_id",
+        "CAST(user_id & 255 AS BIGINT) AS x",
+        "CAST(dayofyear(ts) & 255 AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        xe, ye, de = hilbert_step_exprs(s)
+        df = df.selectExpr("event_id", xe, ye, de)
+    return df.selectExpr("event_id", "d AS hval").orderBy("event_id")

@@ -8716,3 +8716,104 @@ def sketch_kmv_distinct_orders(
             " AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "newsvendor_quantile_brands",
+    oracle="""
+WITH dem AS (
+  SELECT p.p_brand,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+             AS d,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT p_brand, d, q,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY q, d) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+  FROM dem
+),
+qstar AS (
+  SELECT p_brand, max(n) AS n_days,
+         CAST(max(CASE WHEN r = (3 * n + 3) // 4 THEN q END) AS BIGINT)
+             AS q_star
+  FROM rk GROUP BY p_brand
+)
+SELECT s.p_brand, s.n_days, s.q_star,
+       CAST(SUM(CASE WHEN s.q_star > dem.q THEN s.q_star - dem.q
+                ELSE 0 END) AS BIGINT) AS total_leftover_units,
+       CAST(SUM(CASE WHEN dem.q > s.q_star THEN dem.q - s.q_star
+                ELSE 0 END) AS BIGINT) AS total_shortage_units
+FROM qstar s JOIN dem ON dem.p_brand = s.p_brand
+GROUP BY s.p_brand, s.n_days, s.q_star
+ORDER BY s.p_brand
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def newsvendor_quantile_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEWSVENDOR stocking quantity per brand — the single-period
+    inventory model whose optimum is a pure QUANTILE: with underage
+    cost 3× overage (cu=3, co=1) the critical fractile is
+    cu/(cu+co) = 0.75, so q* is the 0.75 discrete quantile of the
+    brand's daily demand distribution — no distributional assumption,
+    just the empirical inverse CDF (this is the stocking-LEVEL
+    counterpart to eoq_brands' batch size and reorder_point_brands'
+    trigger). q* is selected exactly: per-brand row_number over
+    (demand, day) with the ceil(3n/4) = (3n+3) div 4 index —
+    tie-stable in both engines — and the decision is then SCORED
+    against the same history it came from: exact leftover
+    (Σ max(q*−d, 0)) and shortage (Σ max(d−q*, 0)) unit totals, whose
+    3:1 cost ratio the quantile provably minimizes. Scale: one
+    map-side-combinable fact aggregation to (brand, day) grain (part
+    broadcast), bounded per-brand windows, one re-join at brand
+    grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dem = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("q", "d")
+    wn = Window.partitionBy("p_brand")
+    rk = dem.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    qstar = rk.groupBy(F.col("p_brand").alias("qb")).agg(
+        F.max("n").alias("n_days"),
+        F.max(
+            F.when(F.col("r") == F.expr("(3 * n + 3) div 4"), F.col("q"))
+        ).alias("q_star"),
+    )
+    return (
+        dem.join(F.broadcast(qstar), dem.p_brand == F.col("qb"))
+        .groupBy("p_brand", "n_days", "q_star")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q_star") > F.col("q"),
+                    F.col("q_star") - F.col("q"),
+                ).otherwise(0)
+            ).alias("total_leftover_units"),
+            F.sum(
+                F.when(
+                    F.col("q") > F.col("q_star"),
+                    F.col("q") - F.col("q_star"),
+                ).otherwise(0)
+            ).alias("total_shortage_units"),
+        )
+        .orderBy("p_brand")
+    )

@@ -6090,3 +6090,217 @@ def holt_winters_additive_monthly(
         (F.round(F.col("r.snew") * 1000000) / 1000000).alias("seasonal"),
         (F.round(F.col("r.f") * 1000000) / 1000000).alias("fitted"),
     ).orderBy("yyyymm")
+
+
+@register(
+    "binseg_changepoints_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+         CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS pf
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+  FROM daily
+),
+s1 AS (
+  SELECT i, d,
+         abs(CAST(tot.n AS HUGEINT) * pf - CAST(i AS HUGEINT) * tot.t)
+             AS sc
+  FROM idx CROSS JOIN tot WHERE i < tot.n
+),
+m1 AS (SELECT max(sc) AS m FROM s1),
+k1 AS (SELECT CAST(min(i) AS BIGINT) AS k FROM s1, m1 WHERE sc = m1.m),
+c1 AS (
+  SELECT idx.i, idx.d, idx.pf FROM idx, k1 WHERE idx.i = k1.k
+),
+row1 AS (
+  SELECT CAST(1 AS BIGINT) AS level,
+         (SELECT min(d) FROM daily) AS start_day,
+         (SELECT max(d) FROM daily) AS end_day,
+         c1.d AS cp_day,
+         CAST(m1.m // tot.n AS BIGINT) AS score_cents
+  FROM c1, m1, tot
+),
+s2l AS (
+  SELECT idx.i, idx.d,
+         abs(CAST(c1.i AS HUGEINT) * idx.pf
+             - CAST(idx.i AS HUGEINT) * c1.pf) AS sc
+  FROM idx, c1 WHERE idx.i < c1.i
+),
+m2l AS (SELECT max(sc) AS m FROM s2l),
+k2l AS (SELECT min(i) AS k FROM s2l, m2l WHERE sc = m2l.m),
+row2 AS (
+  SELECT CAST(2 AS BIGINT) AS level,
+         (SELECT min(d) FROM daily) AS start_day,
+         c1.d AS end_day,
+         idx.d AS cp_day,
+         CAST(m2l.m // c1.i AS BIGINT) AS score_cents
+  FROM idx, k2l, c1, m2l WHERE idx.i = k2l.k
+),
+s2r AS (
+  SELECT idx.i, idx.d,
+         abs(CAST(tot.n - c1.i AS HUGEINT) * (idx.pf - c1.pf)
+             - CAST(idx.i - c1.i AS HUGEINT) * (tot.t - c1.pf)) AS sc
+  FROM idx, c1, tot WHERE idx.i > c1.i AND idx.i < tot.n
+),
+m2r AS (SELECT max(sc) AS m FROM s2r),
+k2r AS (SELECT min(i) AS k FROM s2r, m2r WHERE sc = m2r.m),
+row3 AS (
+  SELECT CAST(3 AS BIGINT) AS level,
+         c1.d AS start_day,
+         (SELECT max(d) FROM daily) AS end_day,
+         idx.d AS cp_day,
+         CAST(m2r.m // (tot.n - c1.i) AS BIGINT) AS score_cents
+  FROM idx, k2r, c1, m2r, tot WHERE idx.i = k2r.k
+)
+SELECT * FROM row1
+UNION ALL SELECT * FROM row2
+UNION ALL SELECT * FROM row3
+ORDER BY level
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def binseg_changepoints_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BINARY SEGMENTATION changepoint detection (Scott & Knott's
+    classic, the greedy workhorse behind ruptures/changepoint-R) over
+    daily revenue, depth 2 — where cusum_changepoint_daily finds ONE
+    break and pettitt tests its significance, binary segmentation
+    RECURSES: split at the strongest break, then search each half,
+    yielding the top-level break plus one sub-break per side (3
+    candidate changepoints). The split criterion is the exact-integer
+    CUSUM form: argmax_k |n_seg·P_k − k·T_seg| (the mean-shift
+    statistic with the 1/n factored out — HUGEINT ⟷ decimal(38,0)
+    cross-products), tie → smallest k; the argmax is taken as
+    max-then-min-index AGGREGATES (never LIMIT-1 scalars), so every
+    scalar that feeds level 2 is aggregate-derived and
+    broadcast-sized. The published score is the floored mean-shift
+    magnitude |S_k| in cents (// n_seg — int64 at any SF). Recursion
+    depth is a query constant: each level is one windowed prefix sum
+    (calendar-bounded) + two scans — never data-sized rounds."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wi = Window.orderBy("d")
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "d",
+        "x",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.sum("x").over(wp).alias("pf"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("t"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+    dec = "decimal(38,0)"
+
+    def argmax_min_i(scores):
+        m = scores.agg(F.max("sc").alias("m"))
+        return (
+            scores.crossJoin(F.broadcast(m))
+            .filter(F.col("sc") == F.col("m"))
+            .agg(F.min("i").alias("k"), F.max("m").alias("m"))
+        )
+
+    s1 = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "i",
+            F.abs(
+                F.col("n").cast(dec) * F.col("pf")
+                - F.col("i").cast(dec) * F.col("t")
+            ).alias("sc"),
+        )
+    )
+    k1 = argmax_min_i(s1)
+    c1 = (
+        idx.join(F.broadcast(k1), idx.i == F.col("k"))
+        .select(
+            F.col("i").alias("ci"),
+            F.col("d").alias("cd"),
+            F.col("pf").alias("cpf"),
+            F.col("m").alias("cm"),
+        )
+    )
+    row1 = c1.crossJoin(F.broadcast(tot)).select(
+        F.lit(1).cast("long").alias("level"),
+        F.col("d_min").alias("start_day"),
+        F.col("d_max").alias("end_day"),
+        F.col("cd").alias("cp_day"),
+        F.expr("CAST(cm div n AS BIGINT)").alias("score_cents"),
+    )
+    s2l = (
+        idx.crossJoin(F.broadcast(c1))
+        .filter(F.col("i") < F.col("ci"))
+        .select(
+            "i",
+            F.abs(
+                F.col("ci").cast(dec) * F.col("pf")
+                - F.col("i").cast(dec) * F.col("cpf")
+            ).alias("sc"),
+        )
+    )
+    k2l = argmax_min_i(s2l)
+    row2 = (
+        idx.join(F.broadcast(k2l), idx.i == F.col("k"))
+        .crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(2).cast("long").alias("level"),
+            F.col("d_min").alias("start_day"),
+            F.col("cd").alias("end_day"),
+            F.col("d").alias("cp_day"),
+            F.expr("CAST(m div ci AS BIGINT)").alias("score_cents"),
+        )
+    )
+    s2r = (
+        idx.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("i") > F.col("ci")) & (F.col("i") < F.col("n")))
+        .select(
+            "i",
+            F.abs(
+                (F.col("n") - F.col("ci")).cast(dec)
+                * (F.col("pf") - F.col("cpf"))
+                - (F.col("i") - F.col("ci")).cast(dec)
+                * (F.col("t") - F.col("cpf"))
+            ).alias("sc"),
+        )
+    )
+    k2r = argmax_min_i(s2r)
+    row3 = (
+        idx.join(F.broadcast(k2r), idx.i == F.col("k"))
+        .crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(3).cast("long").alias("level"),
+            F.col("cd").alias("start_day"),
+            F.col("d_max").alias("end_day"),
+            F.col("d").alias("cp_day"),
+            F.expr("CAST(m div (n - ci) AS BIGINT)").alias("score_cents"),
+        )
+    )
+    return row1.unionByName(row2).unionByName(row3).orderBy("level")
