@@ -1676,3 +1676,180 @@ def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# Fellegi-Sunter field parameters as exact rationals (numerator /
+# denominator): m = P(field agrees | pair is a match), u = P(agrees |
+# non-match). Shared by the Spark side and the oracle via the
+# generated CASE expressions below — single source.
+_FS_FIELDS = (
+    # (flag column, m_num, m_den, u_num, u_den)
+    ("f_source", 9, 10, 1, 20),
+    ("f_nchars", 8, 10, 1, 100),
+    ("f_tokband", 95, 100, 1, 10),
+    ("f_md5char", 99, 100, 1, 16),
+)
+
+
+def _fs_weight_exprs() -> tuple[str, str]:
+    """(numerator, denominator) SQL products of the per-field
+    likelihood ratios: agree -> m/u, disagree -> (1-m)/(1-u), each as
+    integer cross-products so the pattern weight is an exact
+    fraction."""
+    nums, dens = [], []
+    for i, (col, mn, md, un, ud) in enumerate(_FS_FIELDS):
+        # widen the leading factor so the 4-way literal product never
+        # runs in INT32 (DuckDB folds small literals narrow)
+        wrap = (
+            (lambda s: f"CAST({s} AS BIGINT)") if i == 0 else (lambda s: s)
+        )
+        nums.append(
+            wrap(
+                f"(CASE WHEN {col} = 1 THEN {mn * ud}"
+                f" ELSE {(md - mn) * ud} END)"
+            )
+        )
+        dens.append(
+            wrap(
+                f"(CASE WHEN {col} = 1 THEN {md * un}"
+                f" ELSE {md * (ud - un)} END)"
+            )
+        )
+    return " * ".join(nums), " * ".join(dens)
+
+
+@register(
+    "fellegi_sunter_weight_table",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         w -> w <> '')) AS n_tok,
+         substr(md5(text), 1, 1) AS h1
+  FROM documents
+),
+pairs AS (
+  SELECT CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END
+              AS BIGINT) AS f_source,
+         CAST(CASE WHEN a.n_chars = b.n_chars THEN 1 ELSE 0 END
+              AS BIGINT) AS f_nchars,
+         CAST(CASE WHEN a.n_tok // 10 = b.n_tok // 10 THEN 1 ELSE 0
+              END AS BIGINT) AS f_tokband,
+         CAST(CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+              AS BIGINT) AS f_md5char
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.n_chars // 50 = b.n_chars // 50
+   AND a.doc_id < b.doc_id
+),
+pat AS (
+  SELECT f_source, f_nchars, f_tokband, f_md5char,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT f_source, f_nchars, f_tokband, f_md5char, n_pairs,
+       CAST(CAST({_fs_weight_exprs()[0]} AS HUGEINT) * 1000
+            // ({_fs_weight_exprs()[1]}) AS BIGINT) AS weight_milli,
+       CASE WHEN ({_fs_weight_exprs()[0]})
+                 >= 100 * ({_fs_weight_exprs()[1]}) THEN 'match'
+            WHEN ({_fs_weight_exprs()[0]})
+                 >= ({_fs_weight_exprs()[1]}) THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM pat
+ORDER BY weight_milli DESC, f_source, f_nchars, f_tokband, f_md5char
+""",
+    category="llm_curation",
+    tags=("defer-window2",),
+)
+def fellegi_sunter_weight_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FELLEGI-SUNTER record-linkage weight table (the 1969
+    probabilistic-matching framework every production entity-resolution
+    system — Splink, dedupe.io, census linkage — is built on): blocked
+    candidate pairs are compared on 4 fields of very different
+    discriminating power (source, exact length, token-count band,
+    md5-prefix), every pair maps to one of the 2⁴ agreement PATTERNS,
+    and each pattern's weight is the likelihood ratio
+    Π agree? m_i/u_i : (1−m_i)/(1−u_i) — here with the m/u parameters
+    as fixed exact rationals, so the whole weight is ONE exact integer
+    fraction (cross-multiplied numerator/denominator products ≤ ~10⁹ —
+    int64-safe; published on the milli grid) and the match /
+    possible / nonmatch decision thresholds (ratio ≥ 100, ≥ 1) are
+    pure integer comparisons. This is the weighting layer that
+    upgrades entity_resolution_clusters' boolean rules; rule-grain
+    output (≤16 rows, the table a linkage analyst actually reviews)
+    keeps it bounded at any corpus size. Scale: blocking on
+    (lang, length-band) caps the self-join (the
+    sorted-neighborhood/LSH doctrine); the pattern rollup is
+    map-side combinable."""
+    from spark_lever_spark.llm.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 1).alias(
+            "h1"
+        ),
+    )
+    a = d.alias("a")
+    b = d.select(
+        F.col("doc_id").alias("bid"),
+        F.col("source").alias("bsource"),
+        F.col("lang").alias("blang"),
+        F.col("n_chars").alias("bnc"),
+        F.col("n_tok").alias("bnt"),
+        F.col("h1").alias("bh1"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("blang"))
+        & (F.expr("a.n_chars div 50") == F.expr("bnc div 50"))
+        & (F.col("a.doc_id") < F.col("bid")),
+    ).select(
+        F.when(F.col("a.source") == F.col("bsource"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("f_source"),
+        F.when(F.col("a.n_chars") == F.col("bnc"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("f_nchars"),
+        F.when(F.expr("a.n_tok div 10") == F.expr("bnt div 10"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("f_tokband"),
+        F.when(F.col("a.h1") == F.col("bh1"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("f_md5char"),
+    )
+    pat = pairs.groupBy(
+        "f_source", "f_nchars", "f_tokband", "f_md5char"
+    ).agg(F.count("*").alias("n_pairs"))
+    num, den = _fs_weight_exprs()
+    return pat.select(
+        "f_source",
+        "f_nchars",
+        "f_tokband",
+        "f_md5char",
+        "n_pairs",
+        F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0)) * 1000 div ({den})"
+            " AS BIGINT)"
+        ).alias("weight_milli"),
+        F.expr(
+            f"CASE WHEN ({num}) >= 100 * ({den}) THEN 'match'"
+            f" WHEN ({num}) >= ({den}) THEN 'possible'"
+            " ELSE 'nonmatch' END"
+        ).alias("decision"),
+    ).orderBy(
+        F.desc("weight_milli"),
+        "f_source",
+        "f_nchars",
+        "f_tokband",
+        "f_md5char",
+    )

@@ -550,3 +550,66 @@ def test_absorbing_markov_brute(spark):
         ) // p[i].denominator
         assert 0 <= row.absorb_prob_ppm <= 1000000
         assert row.expected_steps_micro >= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter: Fraction-exact weight table replay
+# ---------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_brute(spark):
+    from fractions import Fraction
+
+    docs = _sql(
+        "SELECT doc_id, source, lang, n_chars, text"
+        " FROM '{SF}/documents.parquet'"
+    )
+    recs = []
+    for did, src, lang, nc, text in docs:
+        toks = [w for w in __import__("re").split(r"\s+", text) if w]
+        h1 = hashlib.md5(text.encode()).hexdigest()[0]
+        recs.append((did, src, lang, nc, len(toks), h1))
+    params = [
+        (Fraction(9, 10), Fraction(1, 20)),
+        (Fraction(8, 10), Fraction(1, 100)),
+        (Fraction(95, 100), Fraction(1, 10)),
+        (Fraction(99, 100), Fraction(1, 16)),
+    ]
+    pat_counts = defaultdict(int)
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            if a[0] > b[0]:
+                a, b = b, a
+            if a[2] != b[2] or a[3] // 50 != b[3] // 50:
+                continue
+            flags = (
+                1 if a[1] == b[1] else 0,
+                1 if a[3] == b[3] else 0,
+                1 if a[4] // 10 == b[4] // 10 else 0,
+                1 if a[5] == b[5] else 0,
+            )
+            pat_counts[flags] += 1
+    got = _run(spark, "fellegi_sunter_weight_table")
+    assert len(got) == len(pat_counts)
+    for r in got.itertuples():
+        flags = (r.f_source, r.f_nchars, r.f_tokband, r.f_md5char)
+        assert r.n_pairs == pat_counts[flags]
+        w = Fraction(1)
+        for f, (m, u) in zip(flags, params):
+            w *= (m / u) if f else ((1 - m) / (1 - u))
+        assert r.weight_milli == (w.numerator * 1000) // w.denominator
+        if w >= 100:
+            assert r.decision == "match"
+        elif w >= 1:
+            assert r.decision == "possible"
+        else:
+            assert r.decision == "nonmatch"
+    # monotonicity: full agreement outranks every other pattern
+    top = got.iloc[0]
+    assert (
+        top.f_source,
+        top.f_nchars,
+        top.f_tokband,
+        top.f_md5char,
+    ) == (1, 1, 1, 1) or (1, 1, 1, 1) not in pat_counts
