@@ -2122,6 +2122,7 @@ r0 AS MATERIALIZED (
 
 @register(
     "personalized_pagerank_copurchase",
+    bench=True,
     oracle=_ppr_oracle(),
     category="llm_graph",
     tags=("defer-window2",),
@@ -2269,6 +2270,7 @@ ORDER BY kind, score_micro DESC, node"""
 
 @register(
     "hits_hubs_authorities_purchases",
+    bench=True,
     oracle=_hits_oracle(),
     category="llm_graph",
     tags=("defer-window2",),

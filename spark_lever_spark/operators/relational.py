@@ -8817,3 +8817,437 @@ def newsvendor_quantile_brands(
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "anova_f_priorities",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(x) AS BIGINT) AS sg,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+  FROM v GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS HUGEINT) AS q
+  FROM grp
+),
+parts AS (
+  SELECT CAST(SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS HUGEINT)
+             AS sum_sq_over_n
+  FROM grp
+),
+ss AS (
+  SELECT tot.n, tot.k,
+         parts.sum_sq_over_n
+           - CAST(tot.s AS HUGEINT) * tot.s * 1000 // tot.n AS ssb_milli,
+         tot.q * 1000 - parts.sum_sq_over_n AS ssw_milli
+  FROM tot CROSS JOIN parts
+)
+SELECT n, k,
+       CASE WHEN ssw_milli > 0 AND k > 1
+            THEN CAST(ssb_milli * (n - k) * 1000000
+                      // (ssw_milli * (k - 1)) AS BIGINT)
+       END AS f_micro,
+       CASE WHEN ssb_milli + ssw_milli > 0
+            THEN CAST(ssb_milli * 1000000 // (ssb_milli + ssw_milli)
+                      AS BIGINT)
+       END AS eta_sq_ppm
+FROM ss
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def anova_f_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F statistic of order value across priority
+    classes — the parametric k-sample test the registry's
+    nonparametric members shadow (kruskal_wallis = rank version,
+    welch_t = the k=2 unequal-variance case): F =
+    (SSB/(k−1))/(SSW/(n−k)) with SSB = Σ S_g²/n_g − S²/n and
+    SSW = ΣΣx² − Σ S_g²/n_g — computational identities, no per-row
+    mean subtraction, all exact int64/HUGEINT ⟷ decimal(38,0)
+    moments. The per-group S_g²·1000/n_g fractions are per-term
+    milli-floored (discrete variant); on the Spark side the quotient
+    itself exceeds int64 (Spark's `div` ALWAYS yields BIGINT and
+    silently wraps — measured 4× garbage at sf0.001), so the floor is
+    decomposed via S_g = n_g·m + r into
+    (n_g·m² + 2·m·r)·1000 + ⌊1000·r²/n_g⌋ — only the last, int64-safe
+    quotient uses div, the rest is pure decimal arithmetic; DuckDB's
+    native HUGEINT // needs no decomposition. Published outputs are
+    deliberately SCALE-BOUNDED: F (micro) and the eta² effect size
+    (ppm) — the raw SS values are n-scaled and would outgrow any
+    fixed int column at 100 TB. Zero-variance degeneracy yields NULL
+    via CASE guards. Headroom: the F numerator ssb(n-k)*10^6 rides
+    decimal(38,0) - safe to ~10^9 rows at 10^6-cent values; past
+    that, rescale both SS by a common 10^3 before the ratio (F
+    unchanged). Scale: one map-side-combinable moment
+    aggregation, 5-group rollup, 1-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        cents(F.col("o_totalprice")).alias("x"),
+    )
+    dec = "decimal(38,0)"
+    grp = v.groupBy("g").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("qg"),
+    )
+
+    def sq_milli_over(s_col: str, n_col: str) -> str:
+        # floor(s² · 1000 / n) with every `div` quotient int64-safe:
+        # s = n·m + r  ⇒  s²·1000/n = (n·m² + 2·m·r)·1000 + 1000·r²/n
+        m = f"({s_col} div {n_col})"
+        r = f"({s_col} % {n_col})"
+        return (
+            f"(CAST({n_col} AS {dec}) * {m} * {m}"
+            f" + 2 * CAST({m} AS {dec}) * {r}) * 1000"
+            f" + (CAST({r} AS {dec}) * {r} * 1000 div {n_col})"
+        )
+
+    parts = grp.agg(
+        F.sum(F.expr(sq_milli_over("sg", "ng")).cast(dec)).alias(
+            "sum_sq_over_n"
+        )
+    )
+    tot = grp.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+    )
+    ss = tot.crossJoin(F.broadcast(parts)).select(
+        "n",
+        "k",
+        F.expr(
+            f"sum_sq_over_n - CAST({sq_milli_over('s', 'n')} AS {dec})"
+        ).alias("ssb_milli"),
+        F.expr("q * 1000 - sum_sq_over_n").alias("ssw_milli"),
+    )
+    return ss.select(
+        "n",
+        "k",
+        F.expr(
+            "CASE WHEN ssw_milli > 0 AND k > 1 THEN"
+            " CAST(ssb_milli * (n - k) * 1000000"
+            " div (ssw_milli * (k - 1)) AS BIGINT) END"
+        ).alias("f_micro"),
+        F.expr(
+            "CASE WHEN ssb_milli + ssw_milli > 0 THEN"
+            " CAST(ssb_milli * 1000000 div (ssb_milli + ssw_milli)"
+            " AS BIGINT) END"
+        ).alias("eta_sq_ppm"),
+    )
+
+
+@register(
+    "brown_forsythe_priorities",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS g, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+rk AS (
+  SELECT g, x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY x, o_orderkey)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+  FROM v
+),
+med AS (
+  SELECT g, CAST(max(CASE WHEN r = (ng + 1) // 2 THEN x END) AS BIGINT)
+             AS med
+  FROM rk GROUP BY g
+),
+z AS (
+  SELECT v.g, abs(v.x - med.med) AS x
+  FROM v JOIN med ON med.g = v.g
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(x) AS BIGINT) AS sg,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS HUGEINT) AS q
+  FROM grp
+),
+parts AS (
+  SELECT CAST(SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS HUGEINT)
+             AS sum_sq_over_n
+  FROM grp
+),
+ss AS (
+  SELECT tot.n, tot.k,
+         parts.sum_sq_over_n
+           - CAST(tot.s AS HUGEINT) * tot.s * 1000 // tot.n AS ssb_milli,
+         tot.q * 1000 - parts.sum_sq_over_n AS ssw_milli
+  FROM tot CROSS JOIN parts
+)
+SELECT n, k,
+       CASE WHEN ssw_milli > 0 AND k > 1
+            THEN CAST(ssb_milli * (n - k) * 1000000
+                      // (ssw_milli * (k - 1)) AS BIGINT)
+       END AS bf_w_micro
+FROM ss
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def brown_forsythe_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BROWN-FORSYTHE test for EQUALITY OF VARIANCES across priority
+    classes — the robust Levene variant (deviations from the group
+    MEDIAN, not the mean, so heavy tails don't masquerade as variance
+    differences) that guards anova_f_priorities' homogeneity
+    assumption: W is literally the one-way ANOVA F computed on
+    z = |x − median_g|, so this query composes the registry's two
+    exact primitives — per-group lower-median selection (rank
+    (n+1) div 2 over a (value, key) tie-stable order, the
+    robust_quartile doctrine) and the moment-identity F with
+    per-term milli-floored S²/n fractions (anova_f_priorities'
+    decomposition S = n·m + r keeps every Spark `div` quotient
+    int64-safe). Degenerate all-equal groups yield NULL via the CASE
+    guard. Scale: one per-group window for the median (priority-keyed
+    — parallel across groups), one broadcast median join, one moment
+    aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("x"),
+    )
+    wg = Window.partitionBy("g").orderBy("x", "o_orderkey")
+    wn = Window.partitionBy("g")
+    rk = v.withColumn("r", F.row_number().over(wg).cast("long")).withColumn(
+        "ng", F.count("*").over(wn)
+    )
+    med = rk.groupBy(F.col("g").alias("mg")).agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(ng + 1) div 2"), F.col("x"))
+        ).alias("med")
+    )
+    z = v.join(F.broadcast(med), v.g == F.col("mg")).select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("x")
+    )
+    dec = "decimal(38,0)"
+    grp = z.groupBy("g").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("qg"),
+    )
+
+    def sq_milli_over(s_col: str, n_col: str) -> str:
+        m = f"({s_col} div {n_col})"
+        r = f"({s_col} % {n_col})"
+        return (
+            f"(CAST({n_col} AS {dec}) * {m} * {m}"
+            f" + 2 * CAST({m} AS {dec}) * {r}) * 1000"
+            f" + (CAST({r} AS {dec}) * {r} * 1000 div {n_col})"
+        )
+
+    parts = grp.agg(
+        F.sum(F.expr(sq_milli_over("sg", "ng")).cast(dec)).alias(
+            "sum_sq_over_n"
+        )
+    )
+    tot = grp.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+    )
+    ss = tot.crossJoin(F.broadcast(parts)).select(
+        "n",
+        "k",
+        F.expr(
+            f"sum_sq_over_n - CAST({sq_milli_over('s', 'n')} AS {dec})"
+        ).alias("ssb_milli"),
+        F.expr("q * 1000 - sum_sq_over_n").alias("ssw_milli"),
+    )
+    return ss.select(
+        "n",
+        "k",
+        F.expr(
+            "CASE WHEN ssw_milli > 0 AND k > 1 THEN"
+            " CAST(ssb_milli * (n - k) * 1000000"
+            " div (ssw_milli * (k - 1)) AS BIGINT) END"
+        ).alias("bf_w_micro"),
+    )
+
+
+@register(
+    "decision_stump_returns",
+    oracle="""
+WITH lab AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, 2
+),
+pts AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM lab GROUP BY x
+),
+cum AS (
+  SELECT x,
+         CAST(SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS pl
+  FROM pts
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM pts
+),
+sc AS (
+  SELECT cum.x, cum.nl, cum.pl, tot.n - cum.nl AS nr,
+         tot.p - cum.pl AS pr,
+         (CAST(cum.nl AS HUGEINT) * cum.nl
+          - 2 * CAST(cum.pl AS HUGEINT) * (cum.nl - cum.pl)) * 1000
+             // cum.nl
+         + (CAST(tot.n - cum.nl AS HUGEINT) * (tot.n - cum.nl)
+            - 2 * CAST(tot.p - cum.pl AS HUGEINT)
+              * ((tot.n - cum.nl) - (tot.p - cum.pl))) * 1000
+             // (tot.n - cum.nl)
+         AS neg_obj_milli
+  FROM cum CROSS JOIN tot WHERE cum.nl < tot.n
+),
+m AS (SELECT max(neg_obj_milli) AS mm FROM sc),
+best AS (
+  SELECT min(x) AS split_x FROM sc, m WHERE neg_obj_milli = m.mm
+),
+row0 AS (
+  SELECT sc.x AS split_value_cents, sc.nl AS n_left, sc.pl AS pos_left,
+         sc.nr AS n_right, sc.pr AS pos_right,
+         CAST(2 * CAST(sc.pl AS HUGEINT) * (sc.nl - sc.pl) * 1000000
+              // (CAST(sc.nl AS HUGEINT) * sc.nl) AS BIGINT)
+             AS gini_left_ppm,
+         CAST(2 * CAST(sc.pr AS HUGEINT) * (sc.nr - sc.pr) * 1000000
+              // (CAST(sc.nr AS HUGEINT) * sc.nr) AS BIGINT)
+             AS gini_right_ppm,
+         CAST(2 * CAST(tot.p AS HUGEINT) * (tot.n - tot.p) * 1000000
+              // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT)
+             AS gini_root_ppm
+  FROM sc JOIN best ON best.split_x = sc.x
+  CROSS JOIN tot
+)
+SELECT * FROM row0
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def decision_stump_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CART DECISION STUMP: the single best Gini split of order value
+    for predicting 'order contains a returned line' — the primitive a
+    gradient-boosted/random-forest trainer evaluates millions of
+    times, run once, exactly, at data scale (roc_auc_price_predicts_
+    return scores the feature's RANKING power; the stump finds the
+    actual THRESHOLD). Candidates are every boundary between distinct
+    values (value-grain count table + binned cumulative — the CvM
+    frame); the objective min Σ_side n_side·Gini_side collapses to
+    maximizing Σ_side −(n_side² − 2·pos·neg)/n_side, which is
+    per-term milli-floored (discrete variant) so the argmax is an
+    exact-integer max-then-min-split aggregate (no LIMIT scalars).
+    Per-side quotients stay int64 (≤ 2·n·1000); the split row
+    publishes exact counts and the ppm Gini of root and both leaves.
+    Scale: one fact-fact keyed join + per-order conjunction, one
+    value-grain rollup, binned cumulative, two scans."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("x")
+    )
+    lab = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "x")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    pts = lab.groupBy("x").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("x"), ["x"], ["cnt", "pos"]
+    ).select(
+        "x",
+        F.col("_cum_cnt").alias("nl"),
+        F.col("_cum_pos").alias("pl"),
+    )
+    tot = pts.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    dec = "decimal(38,0)"
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "x",
+            "nl",
+            "pl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") - F.col("pl")).alias("pr"),
+            F.expr(
+                # CASE-guarded: ANSI evaluates collapsed
+                # project+filter expressions together, so the nl < n
+                # row filter alone does not protect the divisor
+                f"CASE WHEN nl > 0 AND n > nl THEN"
+                f" (CAST(nl AS {dec}) * nl"
+                f" - 2 * CAST(pl AS {dec}) * (nl - pl)) * 1000 div nl"
+                f" + (CAST(n - nl AS {dec}) * (n - nl)"
+                f" - 2 * CAST(p - pl AS {dec}) * ((n - nl) - (p - pl)))"
+                f" * 1000 div (n - nl) END"
+            ).alias("neg_obj_milli"),
+        )
+    )
+    m = sc.agg(F.max("neg_obj_milli").alias("mm"))
+    best = (
+        sc.crossJoin(F.broadcast(m))
+        .filter(F.col("neg_obj_milli") == F.col("mm"))
+        .agg(F.min("x").alias("split_x"))
+    )
+    return (
+        sc.join(F.broadcast(best), sc.x == F.col("split_x"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("split_value_cents"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            F.expr(
+                f"CAST(2 * CAST(pl AS {dec}) * (nl - pl) * 1000000"
+                f" div (CAST(nl AS {dec}) * nl) AS BIGINT)"
+            ).alias("gini_left_ppm"),
+            F.expr(
+                f"CAST(2 * CAST(pr AS {dec}) * (nr - pr) * 1000000"
+                f" div (CAST(nr AS {dec}) * nr) AS BIGINT)"
+            ).alias("gini_right_ppm"),
+            F.expr(
+                f"CAST(2 * CAST(p AS {dec}) * (n - p) * 1000000"
+                f" div (CAST(n AS {dec}) * n) AS BIGINT)"
+            ).alias("gini_root_ppm"),
+        )
+    )

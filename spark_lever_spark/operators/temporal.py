@@ -6304,3 +6304,96 @@ def binseg_changepoints_daily(
         )
     )
     return row1.unionByName(row2).unionByName(row3).orderBy("level")
+
+
+@register(
+    "rolling_sharpe_14d_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+ret AS (
+  SELECT d, x, x - LAG(x) OVER (ORDER BY d) AS r FROM daily
+),
+win AS (
+  SELECT d, x, r,
+         CAST(SUM(r) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS s,
+         CAST(SUM(CAST(r AS HUGEINT) * r) OVER (ORDER BY d RANGE
+              BETWEEN 13 PRECEDING AND CURRENT ROW) AS HUGEINT) AS q,
+         CAST(count(r) OVER (ORDER BY d RANGE BETWEEN 13 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS n
+  FROM ret WHERE r IS NOT NULL
+)
+SELECT d, x AS value_cents, r AS return_cents,
+       CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+            THEN CAST(floor(CAST(s AS DOUBLE) * 1000
+                 / sqrt(CAST(CAST(n AS HUGEINT) * q
+                             - CAST(s AS HUGEINT) * s AS DOUBLE)))
+                 AS BIGINT)
+       END AS sharpe_milli
+FROM win ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def rolling_sharpe_14d_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING SHARPE RATIO (14-day, zero benchmark) of daily revenue
+    CHANGES — the risk-adjusted momentum gauge that completes the
+    rolling-risk family (ulcer = downside depth, ATR/vortex =
+    range-based volatility/direction; Sharpe = mean return per unit
+    of total volatility): with S = Σr and the population sd, the
+    ratio algebraically collapses to S/√(n·Σr² − S²) — the n
+    denominators CANCEL, so the only float ops are one int→double
+    conversion each (deterministic IEEE rounding of the same exact
+    integer in both engines), one correctly-rounded sqrt, one
+    division and one floor onto the milli grid (floor, not div:
+    negative Sharpe must round toward −∞ identically — the
+    sign-sensitive-floor doctrine). The variance complement is exact
+    HUGEINT ⟷ decimal(38,0); flat windows (zero variance) yield NULL
+    via the CASE guard. Scale: calendar-bounded daily windows after
+    one fact aggregation."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    wl = Window.orderBy("d")
+    ret = daily.withColumn(
+        "r", F.col("x") - F.lag("x").over(wl)
+    ).filter(F.col("r").isNotNull())
+    dec = "decimal(38,0)"
+    wr = Window.orderBy("d").rangeBetween(-13, 0)
+    win = ret.select(
+        "d",
+        "x",
+        "r",
+        F.sum("r").over(wr).alias("s"),
+        F.sum(F.col("r").cast(dec) * F.col("r")).over(wr).alias("q"),
+        F.count("r").over(wr).alias("n"),
+    )
+    comp = F.expr(f"CAST(n AS {dec}) * q - CAST(s AS {dec}) * s")
+    return win.select(
+        "d",
+        F.col("x").alias("value_cents"),
+        F.col("r").alias("return_cents"),
+        F.when(
+            comp > 0,
+            F.floor(
+                F.col("s").cast("double")
+                * 1000
+                / F.sqrt(comp.cast("double"))
+            ).cast("long"),
+        ).alias("sharpe_milli"),
+    ).orderBy("d")

@@ -613,3 +613,147 @@ def test_fellegi_sunter_brute(spark):
         top.f_tokband,
         top.f_md5char,
     ) == (1, 1, 1, 1) or (1, 1, 1, 1) not in pat_counts
+
+
+# ---------------------------------------------------------------------------
+# ANOVA F + Brown-Forsythe: moment replays with the milli-floor grid
+# ---------------------------------------------------------------------------
+
+
+def _anova_f_milli(groups):
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s = sum(sum(v) for v in groups.values())
+    q = sum(sum(x * x for x in v) for v in groups.values())
+    ssov = sum(sum(v) ** 2 * 1000 // len(v) for v in groups.values())
+    ssb = ssov - s * s * 1000 // n
+    ssw = q * 1000 - ssov
+    return n, k, ssb, ssw
+
+
+def test_anova_f_brute(spark):
+    groups = defaultdict(list)
+    for g, tp in _sql(
+        "SELECT o_orderpriority, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        groups[g].append(_cents(tp))
+    n, k, ssb, ssw = _anova_f_milli(groups)
+    got = _run(spark, "anova_f_priorities").iloc[0]
+    assert (got.n, got.k) == (n, k)
+    assert got.f_micro == ssb * (n - k) * 1000000 // (ssw * (k - 1))
+    assert got.eta_sq_ppm == ssb * 1000000 // (ssb + ssw)
+
+
+def test_brown_forsythe_brute(spark):
+    vals = defaultdict(list)
+    for g, ok, tp in _sql(
+        "SELECT o_orderpriority, o_orderkey, o_totalprice"
+        " FROM '{SF}/orders.parquet'"
+    ):
+        vals[g].append((_cents(tp), ok))
+    groups = {}
+    for g, xs in vals.items():
+        xs = sorted(xs)
+        med = xs[(len(xs) + 1) // 2 - 1][0]
+        groups[g] = [abs(x - med) for x, _ in xs]
+    n, k, ssb, ssw = _anova_f_milli(groups)
+    got = _run(spark, "brown_forsythe_priorities").iloc[0]
+    assert (got.n, got.k) == (n, k)
+    assert got.bf_w_micro == ssb * (n - k) * 1000000 // (ssw * (k - 1))
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exhaustive split scan
+# ---------------------------------------------------------------------------
+
+
+def test_decision_stump_brute(spark):
+    orders = dict(
+        _sql(
+            "SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'"
+        )
+    )
+    flags = defaultdict(int)
+    for ok, rf in _sql(
+        "SELECT l_orderkey, l_returnflag FROM '{SF}/lineitem.parquet'"
+    ):
+        if rf == "R":
+            flags[ok] = 1
+    with_lines = {
+        ok
+        for (ok,) in _sql(
+            "SELECT DISTINCT l_orderkey FROM '{SF}/lineitem.parquet'"
+        )
+    }
+    pts = defaultdict(lambda: [0, 0])
+    for ok, tp in orders.items():
+        if ok not in with_lines:  # the operator's inner join drops
+            continue              # line-less orders (synthetic data)
+        x = _cents(tp)
+        pts[x][0] += 1
+        pts[x][1] += flags.get(ok, 0)
+    xs = sorted(pts)
+    n = sum(c for c, _ in pts.values())
+    p = sum(q for _, q in pts.values())
+    best = None
+    nl = pl = 0
+    for x in xs:
+        nl += pts[x][0]
+        pl += pts[x][1]
+        if nl >= n:
+            break
+        nr, pr = n - nl, p - pl
+        obj = (nl * nl - 2 * pl * (nl - pl)) * 1000 // nl + (
+            nr * nr - 2 * pr * (nr - pr)
+        ) * 1000 // nr
+        if best is None or obj > best[0] or (obj == best[0] and x < best[1]):
+            if best is None or obj > best[0]:
+                best = (obj, x, nl, pl, nr, pr)
+    got = _run(spark, "decision_stump_returns").iloc[0]
+    _, x, nl, pl, nr, pr = best
+    assert got.split_value_cents == x
+    assert (got.n_left, got.pos_left, got.n_right, got.pos_right) == (
+        nl,
+        pl,
+        nr,
+        pr,
+    )
+    assert got.gini_left_ppm == 2 * pl * (nl - pl) * 1000000 // (nl * nl)
+    assert got.gini_right_ppm == 2 * pr * (nr - pr) * 1000000 // (
+        nr * nr
+    )
+    assert got.gini_root_ppm == 2 * p * (n - p) * 1000000 // (n * n)
+    # a useful split never exceeds the root impurity on either side's
+    # weighted average
+    wavg = (nl * got.gini_left_ppm + nr * got.gini_right_ppm) // n
+    assert wavg <= got.gini_root_ppm
+
+
+# ---------------------------------------------------------------------------
+# Rolling Sharpe: window replay
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_sharpe_brute(spark):
+    cents_by_day = defaultdict(int)
+    for od, tp in _sql(
+        "SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        cents_by_day[_day(od)] += _cents(tp)
+    days = sorted(cents_by_day)
+    rets = {
+        days[i]: cents_by_day[days[i]] - cents_by_day[days[i - 1]]
+        for i in range(1, len(days))
+    }
+    got = _run(spark, "rolling_sharpe_14d_daily")
+    assert len(got) == len(rets)
+    for r in got.itertuples():
+        win = [rets[dd] for dd in rets if r.d - 13 <= dd <= r.d]
+        s, q, n = sum(win), sum(x * x for x in win), len(win)
+        comp = n * q - s * s
+        assert r.return_cents == rets[r.d]
+        if comp > 0:
+            expect = math.floor(
+                float(s) * 1000 / math.sqrt(float(comp))
+            )
+            assert r.sharpe_milli == expect
