@@ -6397,3 +6397,290 @@ def rolling_sharpe_14d_daily(
             ).cast("long"),
         ).alias("sharpe_milli"),
     ).orderBy("d")
+
+
+# Granger-causality shared expression program: each stage's columns
+# are SQL strings evaluated verbatim by BOTH engines (DuckDB chained
+# CTEs ⟷ Spark chained selectExpr), so the fixed IEEE tree cannot
+# diverge. Stage 1 moments are exact integers; doubles enter once.
+_GRANGER_STAGES: list[list[str]] = [
+    [  # doubles (one conversion per exact moment)
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(sy AS DOUBLE) AS dsy",
+        "CAST(syl AS DOUBLE) AS dsyl",
+        "CAST(sxl AS DOUBLE) AS dsxl",
+        "CAST(syy AS DOUBLE) AS dsyy",
+        "CAST(sylyl AS DOUBLE) AS dsylyl",
+        "CAST(sxlxl AS DOUBLE) AS dsxlxl",
+        "CAST(syyl AS DOUBLE) AS dsyyl",
+        "CAST(syxl AS DOUBLE) AS dsyxl",
+        "CAST(sylxl AS DOUBLE) AS dsylxl",
+    ],
+    [  # Cramer determinants for [1, y_lag, x_lag] and [1, y_lag]
+        "dn * (dsylyl * dsxlxl - dsylxl * dsylxl)"
+        " - dsyl * (dsyl * dsxlxl - dsylxl * dsxl)"
+        " + dsxl * (dsyl * dsylxl - dsylyl * dsxl) AS det3",
+        "dsy * (dsylyl * dsxlxl - dsylxl * dsylxl)"
+        " - dsyl * (dsyyl * dsxlxl - dsylxl * dsyxl)"
+        " + dsxl * (dsyyl * dsylxl - dsylyl * dsyxl) AS deta",
+        "dn * (dsyyl * dsxlxl - dsylxl * dsyxl)"
+        " - dsy * (dsyl * dsxlxl - dsylxl * dsxl)"
+        " + dsxl * (dsyl * dsyxl - dsyyl * dsxl) AS detb",
+        "dn * (dsylyl * dsyxl - dsyyl * dsylxl)"
+        " - dsyl * (dsyl * dsyxl - dsyyl * dsxl)"
+        " + dsy * (dsyl * dsylxl - dsylyl * dsxl) AS detc",
+        "dn * dsylyl - dsyl * dsyl AS det2",
+    ],
+    [  # coefficients (each division exactly once)
+        "deta / det3 AS ca",
+        "detb / det3 AS cb",
+        "detc / det3 AS cc",
+        "(dsy * dsylyl - dsyl * dsyyl) / det2 AS car",
+        "(dn * dsyyl - dsyl * dsy) / det2 AS cbr",
+    ],
+    [  # residual sums via the normal-equation identity
+        "dsyy - (ca * dsy + cb * dsyyl + cc * dsyxl) AS ssr_u",
+        "dsyy - (car * dsy + cbr * dsyyl) AS ssr_r",
+    ],
+    [
+        "(ssr_r - ssr_u) * (dn - 3.0) / ssr_u AS f_stat",
+    ],
+]
+
+
+@register(
+    "granger_causality_daily",
+    oracle="""
+WITH daily AS (
+  SELECT d, y, c FROM (
+    SELECT date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1)
+),
+lagged AS (
+  SELECT y,
+         LAG(y) OVER (ORDER BY d) AS yl,
+         LAG(c) OVER (ORDER BY d) AS xl
+  FROM daily
+),
+t AS (SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(yl) AS BIGINT) AS syl,
+         CAST(SUM(xl) AS BIGINT) AS sxl,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS sylyl,
+         CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS sxlxl,
+         CAST(SUM(CAST(y AS HUGEINT) * yl) AS HUGEINT) AS syyl,
+         CAST(SUM(CAST(y AS HUGEINT) * xl) AS HUGEINT) AS syxl,
+         CAST(SUM(CAST(yl AS HUGEINT) * xl) AS HUGEINT) AS sylxl
+  FROM t
+),
+s1 AS (SELECT *, {S1} FROM mom),
+s2 AS (SELECT *, {S2} FROM s1),
+s3 AS (SELECT *, {S3} FROM s2),
+s4 AS (SELECT *, {S4} FROM s3),
+s5 AS (SELECT *, {S5} FROM s4)
+SELECT n,
+       round(cb * 1000000) / 1000000 AS coef_y_lag,
+       round(cc * 1000000) / 1000000 AS coef_x_lag,
+       round(ssr_u / (dn - 3.0) * 1000000) / 1000000 AS mse_u,
+       round(f_stat * 1000000) / 1000000 AS f_stat
+FROM s5
+""".replace("{S1}", ", ".join(_GRANGER_STAGES[0]))
+   .replace("{S2}", ", ".join(_GRANGER_STAGES[1]))
+   .replace("{S3}", ", ".join(_GRANGER_STAGES[2]))
+   .replace("{S4}", ", ".join(_GRANGER_STAGES[3]))
+   .replace("{S5}", ", ".join(_GRANGER_STAGES[4])),
+    category="temporal",
+    tags=("defer-window2",),
+)
+def granger_causality_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRANGER CAUSALITY test (lag 1): does yesterday's ORDER COUNT
+    help predict today's REVENUE beyond what yesterday's revenue
+    already says? — the econometrician's lead-lag screen, fitting the
+    unrestricted OLS y_t ~ [1, y_{t−1}, x_{t−1}] against the
+    restricted y_t ~ [1, y_{t−1}] and publishing the F statistic for
+    the exclusion plus both lag coefficients (rolling_ols_trend_14d's
+    single-regressor normal equations, upgraded to a 3×3 Cramer
+    solve). Exactness is the cochran_armitage fixed-IEEE-tree
+    doctrine taken further: ALL moments are exact int64/HUGEINT ⟷
+    decimal(38,0) sums, doubles enter via one cast per moment, and
+    every downstream arithmetic step — determinants, coefficients,
+    SSR identities, the F ratio — is a STAGED shared expression
+    program (_GRANGER_STAGES) whose strings run verbatim in DuckDB
+    CTEs and Spark selectExpr, meeting on the 1e-6 grid. SSR comes
+    from the normal-equation identity Syy − βᵀ(Xᵀy) — no residual
+    pass. Scale: one calendar-grain aggregation, one lag window, one
+    10-moment rollup to a single broadcast row."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("y"),
+        F.count("*").alias("c"),
+    )
+    wl = Window.orderBy("d")
+    t = (
+        daily.select(
+            "y",
+            F.lag("y").over(wl).alias("yl"),
+            F.lag("c").over(wl).alias("xl"),
+        )
+        .filter(F.col("yl").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    mom = t.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("syl"),
+        F.sum("xl").alias("sxl"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("yl").cast(dec) * F.col("yl")).alias("sylyl"),
+        F.sum(F.col("xl").cast(dec) * F.col("xl")).alias("sxlxl"),
+        F.sum(F.col("y").cast(dec) * F.col("yl")).alias("syyl"),
+        F.sum(F.col("y").cast(dec) * F.col("xl")).alias("syxl"),
+        F.sum(F.col("yl").cast(dec) * F.col("xl")).alias("sylxl"),
+    )
+    df = mom
+    for stage in _GRANGER_STAGES:
+        df = df.selectExpr("*", *stage)
+    return df.selectExpr(
+        "n",
+        "round(cb * 1000000) / 1000000 AS coef_y_lag",
+        "round(cc * 1000000) / 1000000 AS coef_x_lag",
+        "round(ssr_u / (dn - 3.0) * 1000000) / 1000000 AS mse_u",
+        "round(f_stat * 1000000) / 1000000 AS f_stat",
+    )
+
+
+@register(
+    "hampel_filter_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+nbr AS (
+  SELECT d + t.off AS cd, x
+  FROM daily, unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(off)
+),
+g1 AS (
+  SELECT nbr.cd, CAST(quantile_cont(nbr.x, 0.5) AS DOUBLE) AS med
+  FROM nbr JOIN daily c ON c.d = nbr.cd
+  GROUP BY nbr.cd
+),
+g2 AS (
+  SELECT g1.cd,  max(g1.med) AS med,
+         CAST(quantile_cont(abs(CAST(nbr.x AS DOUBLE) - g1.med), 0.5)
+              AS DOUBLE) AS mad
+  FROM nbr JOIN g1 ON g1.cd = nbr.cd
+  GROUP BY g1.cd
+)
+SELECT c.d, c.x AS value_cents,
+       round(g2.med * 1000000) / 1000000 AS window_median,
+       round(g2.mad * 1000000) / 1000000 AS window_mad,
+       CAST(CASE WHEN abs(CAST(c.x AS DOUBLE) - g2.med) * 10000
+                      > 44478.0 * g2.mad
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier,
+       CAST(CASE WHEN abs(CAST(c.x AS DOUBLE) - g2.med) * 10000
+                      > 44478.0 * g2.mad
+            THEN CAST(round(g2.med) AS BIGINT) ELSE c.x END AS BIGINT)
+           AS filtered_cents
+FROM daily c JOIN g2 ON g2.cd = c.d
+ORDER BY c.d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def hampel_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER over daily revenue — the standard robust
+    despiking pass (flag a point when it sits more than
+    3·1.4826·MAD from the CENTERED 7-day rolling median, replace it
+    with that median): rolling_median smooths, mad_outlier_order_
+    values flags globally; Hampel is the rolling, replace-in-place
+    combination every sensor/finance cleaning pipeline runs first.
+    The centered window is materialized as the range_join_bucketed
+    doctrine — each day EXPLODES onto its 7 center buckets and both
+    the median and the center-dependent MAD (median of |x − med_c|,
+    which no plain window can express because the aggregand depends
+    on the center row) become pure EQUI-join aggregations. Medians
+    interpolate on the exact 0.25-cent binary grid (integer cents and
+    their halves), so both engines' midpoint formulas agree exactly;
+    the 4.4478 threshold runs as the rational 44478/10⁴ against
+    |x−med|·10⁴ in deterministic doubles. Scale: 7× fan-out of the
+    calendar-bounded daily frame, two keyed aggregations — no BNL, no
+    data-sized windows."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+    nbr = daily.select(
+        F.explode(
+            F.sequence(F.col("d") - 3, F.col("d") + 3)
+        ).alias("cd"),
+        "x",
+    )
+    centers = daily.select(F.col("d").alias("cd0"))
+    g1 = (
+        nbr.join(centers, nbr.cd == F.col("cd0"))
+        .groupBy("cd")
+        .agg(F.expr("CAST(percentile(x, 0.5) AS DOUBLE)").alias("med"))
+    )
+    g1n = g1.select(F.col("cd").alias("gcd"), "med")
+    g2 = (
+        nbr.join(g1n, nbr.cd == F.col("gcd"))
+        .groupBy("cd")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr(
+                "CAST(percentile(abs(CAST(x AS DOUBLE) - med), 0.5)"
+                " AS DOUBLE)"
+            ).alias("mad"),
+        )
+    )
+    out_flag = F.expr(
+        "abs(CAST(x AS DOUBLE) - med) * 10000 > 44478.0 * mad"
+    )
+    return (
+        daily.join(g2, daily.d == g2.cd)
+        .select(
+            "d",
+            F.col("x").alias("value_cents"),
+            (F.round(F.col("med") * 1000000) / 1000000).alias(
+                "window_median"
+            ),
+            (F.round(F.col("mad") * 1000000) / 1000000).alias(
+                "window_mad"
+            ),
+            F.when(out_flag, 1).otherwise(0).cast("long").alias(
+                "is_outlier"
+            ),
+            F.when(out_flag, F.round(F.col("med")).cast("long"))
+            .otherwise(F.col("x"))
+            .cast("long")
+            .alias("filtered_cents"),
+        )
+        .orderBy("d")
+    )

@@ -757,3 +757,130 @@ def test_rolling_sharpe_brute(spark):
                 float(s) * 1000 / math.sqrt(float(comp))
             )
             assert r.sharpe_milli == expect
+
+
+# ---------------------------------------------------------------------------
+# Granger causality: fixed-tree replay + numpy OLS cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_granger_brute(spark):
+    cents_by_day = defaultdict(int)
+    cnt_by_day = defaultdict(int)
+    for od, tp in _sql(
+        "SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        cents_by_day[_day(od)] += _cents(tp)
+        cnt_by_day[_day(od)] += 1
+    days = sorted(cents_by_day)
+    rows = [
+        (
+            float(cents_by_day[days[i]]),
+            float(cents_by_day[days[i - 1]]),
+            float(cnt_by_day[days[i - 1]]),
+        )
+        for i in range(1, len(days))
+    ]
+    # exact moments then the identical double tree
+    yi = [cents_by_day[days[i]] for i in range(1, len(days))]
+    yli = [cents_by_day[days[i - 1]] for i in range(1, len(days))]
+    xli = [cnt_by_day[days[i - 1]] for i in range(1, len(days))]
+    n = len(yi)
+    dn = float(n)
+    dsy, dsyl, dsxl = (
+        float(sum(yi)),
+        float(sum(yli)),
+        float(sum(xli)),
+    )
+    dsyy = float(sum(a * a for a in yi))
+    dsylyl = float(sum(a * a for a in yli))
+    dsxlxl = float(sum(a * a for a in xli))
+    dsyyl = float(sum(a * b for a, b in zip(yi, yli)))
+    dsyxl = float(sum(a * b for a, b in zip(yi, xli)))
+    dsylxl = float(sum(a * b for a, b in zip(yli, xli)))
+    det3 = (
+        dn * (dsylyl * dsxlxl - dsylxl * dsylxl)
+        - dsyl * (dsyl * dsxlxl - dsylxl * dsxl)
+        + dsxl * (dsyl * dsylxl - dsylyl * dsxl)
+    )
+    deta = (
+        dsy * (dsylyl * dsxlxl - dsylxl * dsylxl)
+        - dsyl * (dsyyl * dsxlxl - dsylxl * dsyxl)
+        + dsxl * (dsyyl * dsylxl - dsylyl * dsyxl)
+    )
+    detb = (
+        dn * (dsyyl * dsxlxl - dsylxl * dsyxl)
+        - dsy * (dsyl * dsxlxl - dsylxl * dsxl)
+        + dsxl * (dsyl * dsyxl - dsyyl * dsxl)
+    )
+    detc = (
+        dn * (dsylyl * dsyxl - dsyyl * dsylxl)
+        - dsyl * (dsyl * dsyxl - dsyyl * dsxl)
+        + dsy * (dsyl * dsylxl - dsylyl * dsxl)
+    )
+    det2 = dn * dsylyl - dsyl * dsyl
+    ca, cb, cc = deta / det3, detb / det3, detc / det3
+    car = (dsy * dsylyl - dsyl * dsyyl) / det2
+    cbr = (dn * dsyyl - dsyl * dsy) / det2
+    ssr_u = dsyy - (ca * dsy + cb * dsyyl + cc * dsyxl)
+    ssr_r = dsyy - (car * dsy + cbr * dsyyl)
+    f = (ssr_r - ssr_u) * (dn - 3.0) / ssr_u
+    got = _run(spark, "granger_causality_daily").iloc[0]
+    assert got.n == n
+    assert abs(got.coef_y_lag - _micro(cb)) < 1e-9
+    assert abs(got.coef_x_lag - _micro(cc)) < 1e-9
+    assert abs(got.f_stat - _micro(f)) < 1e-9
+    # independent check: numpy least squares agrees to float precision
+    import numpy as np
+
+    X = np.array([[1.0, b, c] for _, b, c in rows])
+    yv = np.array([a for a, _, _ in rows])
+    beta, res, _, _ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(beta[1] - cb) < 1e-6 * max(1.0, abs(cb))
+    assert abs(beta[2] - cc) < 1e-6 * max(1.0, abs(cc))
+    ssr_np = float(((X @ beta - yv) ** 2).sum())
+    assert abs(ssr_np - ssr_u) <= 1e-6 * ssr_u
+    assert f >= 0 or abs(f) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter: centered-window replay
+# ---------------------------------------------------------------------------
+
+
+def _median(vals):
+    vals = sorted(vals)
+    n = len(vals)
+    if n % 2 == 1:
+        return float(vals[n // 2])
+    return vals[n // 2 - 1] + (vals[n // 2] - vals[n // 2 - 1]) * 0.5
+
+
+def test_hampel_brute(spark):
+    cents_by_day = defaultdict(int)
+    for od, tp in _sql(
+        "SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        cents_by_day[_day(od)] += _cents(tp)
+    days = sorted(cents_by_day)
+    got = _run(spark, "hampel_filter_daily")
+    assert len(got) == len(days)
+    n_out = 0
+    for r in got.itertuples():
+        win = [
+            cents_by_day[dd]
+            for dd in days
+            if r.d - 3 <= dd <= r.d + 3
+        ]
+        med = _median(win)
+        mad = _median([abs(float(x) - med) for x in win])
+        flag = abs(float(r.value_cents) - med) * 10000 > 44478.0 * mad
+        assert abs(r.window_median - _micro(med)) < 1e-9
+        assert abs(r.window_mad - _micro(mad)) < 1e-9
+        assert r.is_outlier == (1 if flag else 0)
+        assert r.filtered_cents == (
+            _round_half_away(med) if flag else r.value_cents
+        )
+        n_out += r.is_outlier
+    # the filter must actually fire somewhere but not everywhere
+    assert 0 < n_out < len(days)
