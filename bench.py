@@ -59,6 +59,10 @@ GATES = {
     "mutual_nn_int8_ivf": 5.96,  # v3.0 re-freeze (round 13: centroid
     # count k = max(16, floor(sqrt(N))) — candidate work O(N^1.5),
     # was fixed k=16 / 10.88 s)
+    "personalized_pagerank_copurchase": 4.93,  # v3.1 addition (r13)
+    "hits_hubs_authorities_purchases": 5.81,  # v3.1 addition (r13)
+    "decision_stump_returns": 4.77,  # v3.1 addition (r13)
+    "fellegi_sunter_weight_table": 0.63,  # v3.1 addition (r13)
     "harmonic_closeness_sampled_bfs": 4.0,  # v3.0 addition (round 13)
     "link_prediction_resource_allocation": 3.53,  # v3.0 addition (r13)
     "embedding_top_pc_power_iteration": 2.49,  # v3.0 addition (r13)

@@ -1720,6 +1720,7 @@ def _fs_weight_exprs() -> tuple[str, str]:
 
 @register(
     "fellegi_sunter_weight_table",
+    bench=True,
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source, lang, n_chars,

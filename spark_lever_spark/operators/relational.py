@@ -9090,6 +9090,7 @@ def brown_forsythe_priorities(
 
 @register(
     "decision_stump_returns",
+    bench=True,
     oracle="""
 WITH lab AS (
   SELECT o.o_orderkey,

@@ -5154,7 +5154,7 @@ def mann_kendall_trend_monthly(
 @register(
     "macd_signal_daily",
     oracle="""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM (
     SELECT date_diff('day', DATE '1970-01-01',
                      CAST(o_orderdate AS DATE)) AS d,
@@ -5548,7 +5548,7 @@ def ulcer_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "croston_intermittent_demand",
     oracle="""
-WITH RECURSIVE dem AS (
+WITH RECURSIVE dem AS MATERIALIZED (
   SELECT pk, d, q, row_number() OVER (PARTITION BY pk ORDER BY d) AS rn,
          LAG(d) OVER (PARTITION BY pk ORDER BY d) AS pd
   FROM (
@@ -5798,7 +5798,7 @@ def vortex_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kalman_local_level_daily",
     oracle="""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM (
     SELECT date_diff('day', DATE '1970-01-01',
                      CAST(o_orderdate AS DATE)) AS d,
@@ -5918,7 +5918,7 @@ def kalman_local_level_daily(
 @register(
     "holt_winters_additive_monthly",
     oracle="""
-WITH RECURSIVE monthly AS (
+WITH RECURSIVE monthly AS MATERIALIZED (
   SELECT m, x, row_number() OVER (ORDER BY m) AS rn FROM (
     SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 100
                 + EXTRACT(month FROM CAST(o_orderdate AS DATE))
