@@ -9252,3 +9252,160 @@ def decision_stump_returns(
             ).alias("gini_root_ppm"),
         )
     )
+
+
+@register(
+    "isotonic_return_rate_by_price",
+    oracle="""
+WITH lab AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, 2
+),
+rk AS (
+  SELECT x, y,
+         CAST(row_number() OVER (ORDER BY x, o_orderkey) AS BIGINT)
+             AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM lab
+),
+bkt AS (
+  SELECT ((r - 1) * 20) // n + 1 AS b,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(SUM(y) AS BIGINT) AS pb
+  FROM rk GROUP BY 1
+),
+cum AS (
+  SELECT b, nb, pb,
+         CAST(SUM(nb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cn,
+         CAST(SUM(pb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cp
+  FROM bkt
+),
+pairs AS (
+  SELECT j.b AS j, k.b AS k,
+         CAST((k.cp - j.cp + j.pb) * 1000
+              // (k.cn - j.cn + j.nb) AS BIGINT) AS avg_milli
+  FROM cum j JOIN cum k ON k.b >= j.b
+),
+suffmin AS (
+  SELECT p.j, i.b AS i, min(p.avg_milli) AS m
+  FROM pairs p JOIN cum i ON p.k >= i.b AND p.j <= i.b
+  GROUP BY p.j, i.b
+),
+iso AS (
+  SELECT i, max(m) AS iso_milli FROM suffmin GROUP BY i
+)
+SELECT cum.b AS bucket, cum.nb AS n_orders, cum.pb AS n_returned,
+       CAST(cum.pb * 1000 // cum.nb AS BIGINT) AS raw_rate_milli,
+       iso.iso_milli AS iso_rate_milli
+FROM cum JOIN iso ON iso.i = cum.b
+ORDER BY bucket
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def isotonic_return_rate_by_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC REGRESSION of the returned-order rate on price rank —
+    the monotone calibration fit (PAVA's solution) that turns a noisy
+    bucket curve into the best nondecreasing one, the standard
+    score-calibration step (sklearn's IsotonicRegression) and the
+    monotone-binning core of credit-risk WoE pipelines
+    (roc_auc_price_predicts_return scores the feature; this CALIBRATES
+    it). Instead of the sequential pool-adjacent-violators loop, the
+    fit uses the exact MINIMAX identity ŷ_i = max_{j≤i} min_{k≥i}
+    avg(y[j..k]) — every (j,k) segment average materializes from the
+    20-bucket cumulative as ONE bounded pair frame (20² rows at ANY
+    data size: the bucket grid is the scale knob), averages live on
+    the milli floor grid (deterministic in both engines; floor
+    preserves ≤ so the fit stays monotone), and the max-of-suffix-min
+    collapses to two keyed aggregations. Scale: one global rank
+    (binned 2-pass), one 20-bucket rollup — the data-sized work is
+    rank assignment; the regression itself is grid-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("x")
+    )
+    lab = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "x")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    ranked = with_global_rank(
+        lab.select(F.col("x").alias("v"), "o_orderkey", "y"),
+        F.col("v"),
+        ["v", "o_orderkey"],
+        value="y",
+    )
+    bkt = (
+        ranked.groupBy(
+            F.expr("((_rk - 1) * 20) div _n_tot + 1").alias("b")
+        )
+        .agg(F.count("*").alias("nb"), F.sum("y").alias("pb"))
+    )
+    cum = with_grouped_cumsum(
+        bkt, [], F.col("b"), ["b"], ["nb", "pb"]
+    ).select(
+        "b",
+        "nb",
+        "pb",
+        F.col("_cum_nb").alias("cn"),
+        F.col("_cum_pb").alias("cp"),
+    )
+    j = cum.select(
+        F.col("b").alias("j"),
+        F.col("nb").alias("jnb"),
+        F.col("pb").alias("jpb"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("b").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        F.expr(
+            "CAST((kcp - jcp + jpb) * 1000 div (kcn - jcn + jnb)"
+            " AS BIGINT)"
+        ).alias("avg_milli"),
+    )
+    i_frame = cum.select(F.col("b").alias("i"))
+    suffmin = (
+        pairs.join(
+            F.broadcast(i_frame),
+            (F.col("k") >= F.col("i")) & (F.col("j") <= F.col("i")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg_milli").alias("m"))
+    )
+    iso = suffmin.groupBy("i").agg(F.max("m").alias("iso_milli"))
+    return (
+        cum.join(iso, cum.b == iso.i)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("nb").alias("n_orders"),
+            F.col("pb").alias("n_returned"),
+            F.expr("CAST(pb * 1000 div nb AS BIGINT)").alias(
+                "raw_rate_milli"
+            ),
+            F.col("iso_milli").alias("iso_rate_milli"),
+        )
+        .orderBy("bucket")
+    )

@@ -884,3 +884,94 @@ def test_hampel_brute(spark):
         n_out += r.is_outlier
     # the filter must actually fire somewhere but not everywhere
     assert 0 < n_out < len(days)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression: minimax replay + true-PAVA cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_brute(spark):
+    orders = dict(
+        _sql(
+            "SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'"
+        )
+    )
+    with_lines = {
+        ok
+        for (ok,) in _sql(
+            "SELECT DISTINCT l_orderkey FROM '{SF}/lineitem.parquet'"
+        )
+    }
+    returned = {
+        ok
+        for (ok,) in _sql(
+            "SELECT DISTINCT l_orderkey FROM '{SF}/lineitem.parquet'"
+            " WHERE l_returnflag = 'R'"
+        )
+    }
+    rows = sorted(
+        (_cents(tp), ok, 1 if ok in returned else 0)
+        for ok, tp in orders.items()
+        if ok in with_lines
+    )
+    n = len(rows)
+    buckets = defaultdict(lambda: [0, 0])
+    for r0, (_, _, y) in enumerate(rows):
+        b = (r0 * 20) // n + 1
+        buckets[b][0] += 1
+        buckets[b][1] += y
+    bs = sorted(buckets)
+    nb = [buckets[b][0] for b in bs]
+    pb = [buckets[b][1] for b in bs]
+    m = len(bs)
+    # minimax on the milli grid (the operator's defined statistic)
+    avg = {}
+    for j in range(m):
+        sn = sp = 0
+        for k in range(j, m):
+            sn += nb[k]
+            sp += pb[k]
+            avg[(j, k)] = sp * 1000 // sn
+    iso = []
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            mn = min(avg[(j, k)] for k in range(i, m))
+            best = mn if best is None else max(best, mn)
+        iso.append(best)
+    got = _run(spark, "isotonic_return_rate_by_price")
+    assert len(got) == m
+    for r in got.itertuples():
+        idx = r.bucket - 1
+        assert (r.n_orders, r.n_returned) == (nb[idx], pb[idx])
+        assert r.raw_rate_milli == pb[idx] * 1000 // nb[idx]
+        assert r.iso_rate_milli == iso[idx]
+    # monotone by construction
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    # true PAVA (exact fractions) agrees within the 1-milli floor grid
+    pools = [[nb[i], pb[i]] for i in range(m)]
+    idxs = list(range(m))
+    stack = []
+    for w, s in pools:
+        stack.append([w, s])
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]
+        ):
+            w2, s2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += s2
+    # expand pooled values back to bucket grain by pooled widths
+    fit = []
+    start = 0
+    for w, s in stack:
+        cnt = 0
+        acc = 0
+        while acc < w:
+            acc += nb[start + cnt]
+            cnt += 1
+        fit.extend([s / w] * cnt)
+        start += cnt
+    assert len(fit) == m
+    for i in range(m):
+        assert abs(fit[i] * 1000 - iso[i]) <= 1.0 + 1e-9
