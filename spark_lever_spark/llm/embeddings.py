@@ -1535,3 +1535,176 @@ def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_id")
     )
+
+
+@register(
+    "lof_outliers_int8_cells",
+    oracle="""
+WITH
+""" + _GLOBAL_INT8_CTES + """,
+qq AS (
+  SELECT q.vec_id, e.label, q.qv
+  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+),
+pd AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, a.label AS cell,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              t -> (a.qv[CAST(t AS INT)] - b.qv[CAST(t AS INT)])
+                   * (a.qv[CAST(t AS INT)] - b.qv[CAST(t AS INT)])))
+              AS BIGINT) AS dist
+  FROM qq a JOIN qq b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT i, j, cell, dist FROM (
+    SELECT i, j, cell, dist,
+           row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+    FROM pd
+  ) WHERE rn <= 5
+),
+kd AS (
+  SELECT i AS node, CAST(max(dist) AS BIGINT) AS kdist,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM knn GROUP BY i
+),
+reach AS (
+  SELECT knn.i, knn.j, knn.cell,
+         CAST(GREATEST(knn.dist, kdj.kdist) AS BIGINT) AS rd
+  FROM knn JOIN kd kdj ON kdj.node = knn.j
+),
+rsum AS (
+  SELECT reach.i AS node, min(reach.cell) AS cell,
+         CAST(SUM(rd) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM reach GROUP BY reach.i
+),
+lof AS (
+  SELECT ri.node, ri.cell, ri.cnt,
+         CAST(SUM(CASE WHEN rj.r > 0 THEN
+              CAST(rj.cnt AS HUGEINT) * ri.r * 1000
+              // (CAST(rj.r AS HUGEINT) * ri.cnt) END)
+              // ri.cnt AS BIGINT) AS lof_milli
+  FROM rsum ri
+  JOIN knn ON knn.i = ri.node
+  JOIN rsum rj ON rj.node = knn.j
+  GROUP BY ri.node, ri.cell, ri.cnt, ri.r
+)
+SELECT node AS vec_id, cell, cnt AS n_neighbors, lof_milli
+FROM lof
+ORDER BY lof_milli DESC, vec_id LIMIT 20
+""",
+    category="llm_similarity",
+    tags=("defer-window2",),
+)
+def lof_outliers_int8_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000 — density-RATIO
+    outlier scoring: a point is anomalous when its local density is
+    low RELATIVE to its neighbors', which catches outliers sitting
+    next to dense clusters that any global threshold — mahalanobis,
+    dbscan's fixed eps — misses) over int8 embeddings, k = 5
+    neighbors searched WITHIN IVF cells (the semdedup/mutual-NN cell
+    doctrine: Σ cell² pairwise work, never n²). All distances are
+    exact int64 squared-L2 on the shared grid (the squared-distance
+    LOF variant — a monotone transform of the classic, documented);
+    reachability reach(i,j) = max(d(i,j), kdist(j)) and the density
+    ratio lrd_j/lrd_i = (cnt_j·R_i)/(R_j·cnt_i) stay exact integer
+    fractions, per-term milli-floored and averaged by one more floor
+    (degenerate duplicate-point cells, R = 0, drop from the sum via
+    the CASE guard). Deterministic top-20 by (score, id). Scale: one
+    cell-keyed self-join for distances, two keyed windows/rollups,
+    one neighbor re-join — the cell population is the knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("l")
+    )
+    sc = b.agg(
+        (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
+        .alias("s")
+    )
+    q = b.join(F.broadcast(sc)).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("cell"),
+        F.col("qv").alias("qa"),
+    )
+    bb = q.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lb"),
+        F.col("qv").alias("qb"),
+    )
+    dist = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pd_ = (
+        a.join(bb, (F.col("cell") == F.col("lb")) & (F.col("i") != F.col("j")))
+        .select("i", "j", "cell", dist.alias("dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("i").orderBy("dist", "j")
+    knn = (
+        pd_.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("i", "j", "cell", "dist")
+        .localCheckpoint()
+    )
+    kd = knn.groupBy(F.col("i").alias("node")).agg(
+        F.max("dist").alias("kdist"), F.count("*").alias("cnt")
+    )
+    reach = knn.join(
+        kd.select(F.col("node").alias("jn"), "kdist"),
+        knn.j == F.col("jn"),
+    ).select(
+        "i", "j", "cell", F.greatest("dist", "kdist").alias("rd")
+    )
+    rsum = reach.groupBy(F.col("i").alias("node")).agg(
+        F.min("cell").alias("cell"),
+        F.sum("rd").alias("r"),
+        F.count("*").alias("cnt"),
+    )
+    ri = rsum.select(
+        F.col("node").alias("inode"),
+        F.col("cell").alias("icell"),
+        F.col("r").alias("ri"),
+        F.col("cnt").alias("icnt"),
+    )
+    rj = rsum.select(
+        F.col("node").alias("jnode"),
+        F.col("r").alias("rj"),
+        F.col("cnt").alias("jcnt"),
+    )
+    dec = "decimal(38,0)"
+    knn2 = knn.select(F.col("i").alias("ki"), F.col("j").alias("kj"))
+    lof = (
+        ri.join(knn2, F.col("inode") == F.col("ki"))
+        .join(rj, F.col("kj") == F.col("jnode"))
+        .groupBy("inode", "icell", "icnt", "ri")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN rj > 0 THEN"
+                f" CAST(jcnt AS {dec}) * ri * 1000"
+                f" div (CAST(rj AS {dec}) * icnt) END)"
+                f" div icnt AS BIGINT)"
+            ).alias("lof_milli")
+        )
+    )
+    return (
+        lof.select(
+            F.col("inode").alias("vec_id"),
+            F.col("icell").alias("cell"),
+            F.col("icnt").alias("n_neighbors"),
+            "lof_milli",
+        )
+        .orderBy(F.desc("lof_milli"), "vec_id")
+        .limit(20)
+    )

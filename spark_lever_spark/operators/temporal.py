@@ -6684,3 +6684,182 @@ def hampel_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "burst_viterbi_daily",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1)
+),
+lv AS MATERIALIZED (
+  SELECT CAST(quantile_disc(x, 0.25) AS BIGINT) AS l0,
+         CAST(quantile_disc(x, 0.75) AS BIGINT) AS l1,
+         CAST(quantile_disc(x, 0.5) AS BIGINT) AS pen
+  FROM daily
+),
+r AS (
+  SELECT dd.rn, dd.d, dd.x,
+         abs(dd.x - lv.l0) AS c0,
+         abs(dd.x - lv.l1) AS c1,
+         CAST([0] AS BIGINT[]) AS p0,
+         CAST([1] AS BIGINT[]) AS p1
+  FROM daily dd, lv WHERE dd.rn = 1
+  UNION ALL
+  SELECT t.rn, t.d, t.x,
+         t.e0 + t.b00,
+         t.e1 + t.b11,
+         CASE WHEN t.stay0 THEN list_append(t.p0, 0)
+              ELSE list_append(t.p1, 0) END,
+         CASE WHEN t.stay1 THEN list_append(t.p1, 1)
+              ELSE list_append(t.p0, 1) END
+  FROM (
+    SELECT dd.rn, dd.d, dd.x,
+           abs(dd.x - lv.l0) AS e0,
+           abs(dd.x - lv.l1) AS e1,
+           r.c0 <= r.c1 + lv.pen AS stay0,
+           r.c1 <= r.c0 + lv.pen AS stay1,
+           CASE WHEN r.c0 <= r.c1 + lv.pen THEN r.c0
+                ELSE r.c1 + lv.pen END AS b00,
+           CASE WHEN r.c1 <= r.c0 + lv.pen THEN r.c1
+                ELSE r.c0 + lv.pen END AS b11,
+           r.p0, r.p1
+    FROM daily dd JOIN r ON dd.rn = r.rn + 1
+    CROSS JOIN lv
+  ) t
+),
+fin AS (
+  SELECT rn, d, x, c0, c1,
+         CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+  FROM r ORDER BY rn DESC LIMIT 1
+),
+expanded AS (
+  SELECT dd.d, dd.x, fin.path[dd.rn] AS state
+  FROM daily dd CROSS JOIN fin
+)
+SELECT d, x AS n_events, CAST(state AS BIGINT) AS burst_state
+FROM expanded ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def burst_viterbi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION by exact-integer VITERBI decoding — the
+    Kleinberg two-state burst automaton recast with L1 emission costs
+    so the whole dynamic program is integer arithmetic (Kleinberg's
+    original uses log-likelihoods; the L1 variant is the documented
+    exact form, same machinery): state 0 is the 'baseline' level
+    (daily event count ≈ 25th percentile), state 1 the 'burst' level
+    (75th), emission cost |x − level_s|, and switching costs the
+    median daily count — so a single spiky day stays baseline but a
+    SUSTAINED elevation flips the decoded state, which is what
+    separates bursts from anomaly_hourly's pointwise outliers and
+    hysteresis_alerts' fixed thresholds (Viterbi finds the GLOBAL
+    minimum-cost state path). Levels/penalty are discrete quantiles —
+    aggregate-derived scalars. The DP is one prefix scan (ewma
+    machinery) carrying both state costs AND both best-path arrays
+    (calendar-bounded backtracking-free Viterbi; ties break to the
+    LOWER state in both engines); the final path is the cheaper
+    terminal state's array. Scale: one fact aggregation to calendar
+    grain, a 3-scalar broadcast, one bounded scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count("*").alias("x"))
+    lv = daily.agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x)"
+               " AS BIGINT)").alias("l0"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY x)"
+               " AS BIGINT)").alias("l1"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"
+               " AS BIGINT)").alias("pen"),
+    )
+    allrows = (
+        daily.crossJoin(F.broadcast(lv))
+        .groupBy("l0", "l1", "pen")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"))
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        e0 = F.abs(s["x"] - F.col("l0"))
+        e1 = F.abs(s["x"] - F.col("l1"))
+        stay0 = prev["c0"] <= prev["c1"] + F.col("pen")
+        stay1 = prev["c1"] <= prev["c0"] + F.col("pen")
+        b00 = F.when(stay0, prev["c0"]).otherwise(
+            prev["c1"] + F.col("pen")
+        )
+        b11 = F.when(stay1, prev["c1"]).otherwise(
+            prev["c0"] + F.col("pen")
+        )
+        first = F.size(acc) == 0
+        c0 = F.when(first, e0).otherwise(e0 + b00)
+        c1 = F.when(first, e1).otherwise(e1 + b11)
+        p0 = F.when(first, F.array(F.lit(0).cast("long"))).otherwise(
+            F.concat(
+                F.when(stay0, prev["p0"]).otherwise(prev["p1"]),
+                F.array(F.lit(0).cast("long")),
+            )
+        )
+        p1 = F.when(first, F.array(F.lit(1).cast("long"))).otherwise(
+            F.concat(
+                F.when(stay1, prev["p1"]).otherwise(prev["p0"]),
+                F.array(F.lit(1).cast("long")),
+            )
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["d"].alias("d"),
+                    s["x"].alias("x"),
+                    c0.alias("c0"),
+                    c1.alias("c1"),
+                    p0.alias("p0"),
+                    p1.alias("p1"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, x bigint,"
+            " c0 bigint, c1 bigint, p0 array<bigint>,"
+            " p1 array<bigint>>>)"
+        ),
+        step,
+    )
+    fin = allrows.select(
+        F.col("s").alias("seq"), F.element_at(scan, -1).alias("last")
+    ).select(
+        "seq",
+        F.when(
+            F.col("last.c0") <= F.col("last.c1"), F.col("last.p0")
+        )
+        .otherwise(F.col("last.p1"))
+        .alias("path"),
+    )
+    return (
+        fin.select(
+            F.posexplode(
+                F.zip_with(
+                    "seq", "path", lambda s, st: F.struct(
+                        s["d"].alias("d"), s["x"].alias("x"),
+                        st.alias("state"),
+                    )
+                )
+            ).alias("i", "r")
+        )
+        .select(
+            F.col("r.d").alias("d"),
+            F.col("r.x").alias("n_events"),
+            F.col("r.state").cast("long").alias("burst_state"),
+        )
+        .orderBy("d")
+    )

@@ -975,3 +975,104 @@ def test_isotonic_brute(spark):
     assert len(fit) == m
     for i in range(m):
         assert abs(fit[i] * 1000 - iso[i]) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Burst Viterbi: exact-integer DP replay
+# ---------------------------------------------------------------------------
+
+
+def test_burst_viterbi_brute(spark):
+    counts = defaultdict(int)
+    for (ts,) in _sql("SELECT ts FROM '{SF}/events.parquet'"):
+        counts[_day(ts)] += 1
+    days = sorted(counts)
+    xs = [counts[d] for d in days]
+
+    def qdisc(vals, frac):
+        # discrete quantile: smallest element with cum weight >= frac
+        sv = sorted(vals)
+        import math as _m
+
+        idx = _m.ceil(frac * len(sv)) - 1
+        return sv[max(idx, 0)]
+
+    l0, l1, pen = qdisc(xs, 0.25), qdisc(xs, 0.75), qdisc(xs, 0.5)
+    c0 = abs(xs[0] - l0)
+    c1 = abs(xs[0] - l1)
+    p0, p1 = [0], [1]
+    for x in xs[1:]:
+        stay0 = c0 <= c1 + pen
+        stay1 = c1 <= c0 + pen
+        b00 = c0 if stay0 else c1 + pen
+        b11 = c1 if stay1 else c0 + pen
+        np0 = (p0 if stay0 else p1) + [0]
+        np1 = (p1 if stay1 else p0) + [1]
+        c0, c1 = abs(x - l0) + b00, abs(x - l1) + b11
+        p0, p1 = np0, np1
+    path = p0 if c0 <= c1 else p1
+    got = _run(spark, "burst_viterbi_daily")
+    assert len(got) == len(days)
+    for r in got.itertuples():
+        assert r.burst_state == path[days.index(r.d)]
+        assert r.n_events == counts[r.d]
+    # semantic: burst days (if any) average more events than baseline
+    burst = [counts[d] for d, s in zip(days, path) if s == 1]
+    base = [counts[d] for d, s in zip(days, path) if s == 0]
+    if burst and base:
+        assert sum(burst) / len(burst) > sum(base) / len(base)
+
+
+# ---------------------------------------------------------------------------
+# LOF: full python replay on the int8 grid
+# ---------------------------------------------------------------------------
+
+
+def test_lof_brute(spark):
+    rows = _sql(
+        "SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    )
+    arrs = {r[0]: ([float(x) for x in r[2]], r[1]) for r in rows}
+    s = max(max(abs(x) for x in a) for a, _ in arrs.values()) / 127.0
+    q = {
+        vid: ([int(math.floor(x / s + 0.5)) for x in a], lab)
+        for vid, (a, lab) in arrs.items()
+    }
+    cells = defaultdict(list)
+    for vid, (qv, lab) in q.items():
+        cells[lab].append(vid)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    knn = {}
+    for lab, vids in cells.items():
+        for i in vids:
+            ds = sorted(
+                (d2(q[i][0], q[j][0]), j) for j in vids if j != i
+            )[:5]
+            knn[i] = ds
+    kdist = {i: ds[-1][0] for i, ds in knn.items()}
+    cnt = {i: len(ds) for i, ds in knn.items()}
+    r = {
+        i: sum(max(d, kdist[j]) for d, j in ds)
+        for i, ds in knn.items()
+    }
+    lof = {}
+    for i, ds in knn.items():
+        terms = [
+            cnt[j] * r[i] * 1000 // (r[j] * cnt[i])
+            for _, j in ds
+            if r[j] > 0
+        ]
+        lof[i] = sum(terms) // cnt[i]
+    top = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _run(spark, "lof_outliers_int8_cells")
+    assert len(got) == len(top)
+    for row, (vid, score) in zip(got.itertuples(), top):
+        assert (row.vec_id, row.lof_milli) == (vid, score)
+        assert row.cell == q[vid][1]
+        assert row.n_neighbors == cnt[vid]
+    # LOF semantics: the flagged set scores above the typical point
+    med = sorted(lof.values())[len(lof) // 2]
+    assert top[0][1] > med
