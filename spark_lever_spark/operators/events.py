@@ -4243,3 +4243,141 @@ def absorbing_markov_sessions(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("state")
+
+
+@register(
+    "competing_risks_daily_events",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         max(ts) AS last_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS ta,
+         min(CASE WHEN event_type = 'error' THEN ts END) AS tb
+  FROM events GROUP BY user_id
+),
+lab AS (
+  SELECT user_id,
+         CASE
+           WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+             THEN date_diff('day', first_ts, ta)
+           WHEN tb IS NOT NULL
+             THEN date_diff('day', first_ts, tb)
+           ELSE date_diff('day', first_ts, last_ts)
+         END AS bucket,
+         CASE
+           WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb) THEN 1
+           WHEN tb IS NOT NULL THEN 2
+           ELSE 0
+         END AS cause
+  FROM per_user
+),
+per_bucket AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ev_purchase,
+         CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ev_error,
+         CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS censored
+  FROM lab GROUP BY 1
+),
+risk AS (
+  SELECT bucket, ev_purchase, ev_error, censored,
+         CAST(SUM(ev_purchase + ev_error + censored)
+              OVER (ORDER BY bucket DESC) AS BIGINT) AS n_risk
+  FROM per_bucket
+)
+SELECT bucket, n_risk, ev_purchase, ev_error, censored,
+       CAST(ev_purchase * 1000000 // n_risk AS BIGINT)
+           AS hazard_purchase_ppm,
+       CAST(ev_error * 1000000 // n_risk AS BIGINT)
+           AS hazard_error_ppm
+FROM risk ORDER BY bucket
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def competing_risks_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPETING-RISKS life table (Aalen-Johansen inputs) for the two
+    terminal outcomes of a user journey — FIRST PURCHASE vs FIRST
+    ERROR, whichever strikes first from the user's own start: the
+    survival family's missing member (km_life_table = single risk,
+    nelson_aalen = its cumulative hazard; competing risks is what you
+    need when one event REMOVES the user from risk of the other —
+    treating errors as censoring would bias conversion hazard up,
+    the classic Fine-Gray complaint). Per user: entry = first event,
+    outcome = earlier of first purchase / first error (exact-tie →
+    purchase, documented), else censored at last activity. The table
+    publishes per-day-bucket risk sets (reverse cumulative — the KM
+    doctrine), per-cause event counts, and the two cause-specific
+    hazards as exact ppm floor-divisions — hazards rather than CIF
+    products, so everything stays integer (the km_life_table
+    exactness pattern). Scale: one user-keyed aggregation, one
+    bounded bucket rollup, one reverse cumsum window on the bounded
+    bucket domain."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("ta"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("tb"),
+    )
+    a_wins = F.col("ta").isNotNull() & (
+        F.col("tb").isNull() | (F.col("ta") <= F.col("tb"))
+    )
+    lab = per_user.select(
+        F.when(a_wins, F.datediff(F.to_date("ta"), F.to_date("first_ts")))
+        .when(
+            F.col("tb").isNotNull(),
+            F.datediff(F.to_date("tb"), F.to_date("first_ts")),
+        )
+        .otherwise(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.when(a_wins, 1)
+        .when(F.col("tb").isNotNull(), 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ev_purchase"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("ev_error"),
+        F.sum(F.when(F.col("cause") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("censored"),
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_bucket.withColumn(
+        "n_risk",
+        F.sum(
+            F.col("ev_purchase") + F.col("ev_error") + F.col("censored")
+        ).over(w),
+    )
+    return risk.select(
+        "bucket",
+        "n_risk",
+        "ev_purchase",
+        "ev_error",
+        "censored",
+        F.expr("CAST(ev_purchase * 1000000 div n_risk AS BIGINT)").alias(
+            "hazard_purchase_ppm"
+        ),
+        F.expr("CAST(ev_error * 1000000 div n_risk AS BIGINT)").alias(
+            "hazard_error_ppm"
+        ),
+    ).orderBy("bucket")

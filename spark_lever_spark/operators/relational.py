@@ -9409,3 +9409,157 @@ def isotonic_return_rate_by_price(
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "median_polish_nation_month",
+    oracle="""
+WITH cell AS (
+  SELECT n.n_name AS rn,
+         CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS cm,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+rm1 AS (
+  SELECT rn, CAST(max(CASE WHEN rk = (cnt + 1) // 2 THEN v END)
+              AS BIGINT) AS m
+  FROM (SELECT rn, v,
+               row_number() OVER (PARTITION BY rn ORDER BY v, cm)
+                   AS rk,
+               count(*) OVER (PARTITION BY rn) AS cnt
+        FROM cell) GROUP BY rn
+),
+r1 AS (
+  SELECT cell.rn, cell.cm, cell.v, cell.v - rm1.m AS r, rm1.m AS re
+  FROM cell JOIN rm1 ON rm1.rn = cell.rn
+),
+cm1 AS (
+  SELECT cm, CAST(max(CASE WHEN rk = (cnt + 1) // 2 THEN r END)
+              AS BIGINT) AS m
+  FROM (SELECT cm, r,
+               row_number() OVER (PARTITION BY cm ORDER BY r, rn)
+                   AS rk,
+               count(*) OVER (PARTITION BY cm) AS cnt
+        FROM r1) GROUP BY cm
+),
+r2 AS (
+  SELECT r1.rn, r1.cm, r1.v, r1.r - cm1.m AS r, r1.re, cm1.m AS ce
+  FROM r1 JOIN cm1 ON cm1.cm = r1.cm
+),
+rm2 AS (
+  SELECT rn, CAST(max(CASE WHEN rk = (cnt + 1) // 2 THEN r END)
+              AS BIGINT) AS m
+  FROM (SELECT rn, r,
+               row_number() OVER (PARTITION BY rn ORDER BY r, cm)
+                   AS rk,
+               count(*) OVER (PARTITION BY rn) AS cnt
+        FROM r2) GROUP BY rn
+),
+r3 AS (
+  SELECT r2.rn, r2.cm, r2.v, r2.r - rm2.m AS r,
+         r2.re + rm2.m AS re, r2.ce
+  FROM r2 JOIN rm2 ON rm2.rn = r2.rn
+),
+cm2 AS (
+  SELECT cm, CAST(max(CASE WHEN rk = (cnt + 1) // 2 THEN r END)
+              AS BIGINT) AS m
+  FROM (SELECT cm, r,
+               row_number() OVER (PARTITION BY cm ORDER BY r, rn)
+                   AS rk,
+               count(*) OVER (PARTITION BY cm) AS cnt
+        FROM r3) GROUP BY cm
+)
+SELECT r3.rn AS n_name, r3.cm AS yyyymm, r3.v AS rev_cents,
+       r3.re AS row_effect_cents,
+       r3.ce + cm2.m AS col_effect_cents,
+       r3.r - cm2.m AS residual_cents
+FROM r3 JOIN cm2 ON cm2.cm = r3.cm
+ORDER BY n_name, yyyymm
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def median_polish_nation_month(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEDIAN POLISH (Tukey's robust two-way decomposition — the EDA
+    workhorse behind every 'row effect + column effect + residual'
+    table) of monthly revenue by nation: two full sweeps of
+    alternately subtracting row (nation) and column (month) LOWER
+    medians, leaving residuals that expose cell-level surprises the
+    mean-based two-way ANOVA smears (one outlier month drags every
+    mean; medians shrug it off). The lower-median variant ((n+1)
+    div 2 rank over a (value, key) tie-stable order — the
+    robust_quartile selection) keeps EVERY intermediate integer
+    cents, so the sweep is exact with no interpolation games; effects
+    accumulate across sweeps and the published identity
+    v = row + col + residual holds to the cent by construction
+    (checked in the reference test). Scale: the sweep runs on the
+    bounded 25-nation × calendar-month cell table after ONE fact
+    aggregation; each median is a group-keyed window — parallel
+    across rows/columns, two fixed sweeps."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("rn"),
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.month(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("cm"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("v"))
+    )
+
+    def group_median(df, key, val, tie):
+        wk = Window.partitionBy(key).orderBy(val, tie)
+        wc = Window.partitionBy(key)
+        return (
+            df.withColumn("_rk", F.row_number().over(wk))
+            .withColumn("_cnt", F.count("*").over(wc))
+            .groupBy(F.col(key).alias("_k"))
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("_rk") == F.expr("(_cnt + 1) div 2"),
+                        F.col(val),
+                    )
+                ).alias("_m")
+            )
+        )
+
+    r = cell.withColumn("r", F.col("v")).withColumn(
+        "re", F.lit(0).cast("long")
+    ).withColumn("ce", F.lit(0).cast("long"))
+    for sweep_key, eff in (("rn", "re"), ("cm", "ce"), ("rn", "re"),
+                           ("cm", "ce")):
+        tie = "cm" if sweep_key == "rn" else "rn"
+        med = group_median(r, sweep_key, "r", tie)
+        r = (
+            r.join(F.broadcast(med), F.col(sweep_key) == F.col("_k"))
+            .withColumn("r", F.col("r") - F.col("_m"))
+            .withColumn(eff, F.col(eff) + F.col("_m"))
+            .drop("_k", "_m")
+        )
+    return r.select(
+        F.col("rn").alias("n_name"),
+        F.col("cm").alias("yyyymm"),
+        F.col("v").alias("rev_cents"),
+        F.col("re").alias("row_effect_cents"),
+        F.col("ce").alias("col_effect_cents"),
+        F.col("r").alias("residual_cents"),
+    ).orderBy("n_name", "yyyymm")

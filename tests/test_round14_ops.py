@@ -1076,3 +1076,108 @@ def test_lof_brute(spark):
     # LOF semantics: the flagged set scores above the typical point
     med = sorted(lof.values())[len(lof) // 2]
     assert top[0][1] > med
+
+
+# ---------------------------------------------------------------------------
+# Competing risks: per-user outcome replay
+# ---------------------------------------------------------------------------
+
+
+def test_competing_risks_brute(spark):
+    users = defaultdict(list)
+    for uid, ts, et in _sql(
+        "SELECT user_id, ts, event_type FROM '{SF}/events.parquet'"
+    ):
+        users[uid].append((ts, et))
+    per_bucket = defaultdict(lambda: [0, 0, 0])
+    for uid, evs in users.items():
+        first = min(t for t, _ in evs)
+        last = max(t for t, _ in evs)
+        ta = min((t for t, e in evs if e == "purchase"), default=None)
+        tb = min((t for t, e in evs if e == "error"), default=None)
+        if ta is not None and (tb is None or ta <= tb):
+            bucket, cause = (ta.date() - first.date()).days, 0
+        elif tb is not None:
+            bucket, cause = (tb.date() - first.date()).days, 1
+        else:
+            bucket, cause = (last.date() - first.date()).days, 2
+        per_bucket[bucket][cause] += 1
+    got = _run(spark, "competing_risks_daily_events")
+    assert len(got) == len(per_bucket)
+    total = sum(sum(v) for v in per_bucket.values())
+    for r in got.itertuples():
+        ea, eb, cz = per_bucket[r.bucket]
+        n_risk = sum(
+            sum(v) for b, v in per_bucket.items() if b >= r.bucket
+        )
+        assert (r.ev_purchase, r.ev_error, r.censored) == (ea, eb, cz)
+        assert r.n_risk == n_risk
+        assert r.hazard_purchase_ppm == ea * 1000000 // n_risk
+        assert r.hazard_error_ppm == eb * 1000000 // n_risk
+    # risk set at bucket 0 covers everyone
+    assert got[got.bucket == got.bucket.min()].iloc[0].n_risk == total
+
+
+# ---------------------------------------------------------------------------
+# Median polish: full sweep replay + exact reconstruction identity
+# ---------------------------------------------------------------------------
+
+
+def test_median_polish_brute(spark):
+    cell = defaultdict(int)
+    cust_nation = dict(
+        _sql("SELECT c_custkey, c_nationkey FROM '{SF}/customer.parquet'")
+    )
+    nations = dict(
+        _sql("SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'")
+    )
+    for ck, od, tp in _sql(
+        "SELECT o_custkey, o_orderdate, o_totalprice"
+        " FROM '{SF}/orders.parquet'"
+    ):
+        rn = nations[cust_nation[ck]]
+        cm = od.year * 100 + od.month
+        cell[(rn, cm)] += _cents(tp)
+
+    def lower_median(pairs):
+        # pairs: list of (value, tiebreak)
+        pairs = sorted(pairs)
+        return pairs[(len(pairs) + 1) // 2 - 1][0]
+
+    r = dict(cell)
+    re = defaultdict(int)
+    ce = defaultdict(int)
+    for sweep in range(4):
+        if sweep % 2 == 0:  # rows
+            for rn in {k[0] for k in r}:
+                m = lower_median(
+                    [(v, k[1]) for k, v in r.items() if k[0] == rn]
+                )
+                re[rn] += m
+                for k in list(r):
+                    if k[0] == rn:
+                        r[k] -= m
+        else:  # columns
+            for cm in {k[1] for k in r}:
+                m = lower_median(
+                    [(v, k[0]) for k, v in r.items() if k[1] == cm]
+                )
+                ce[cm] += m
+                for k in list(r):
+                    if k[1] == cm:
+                        r[k] -= m
+    got = _run(spark, "median_polish_nation_month")
+    assert len(got) == len(cell)
+    for row in got.itertuples():
+        k = (row.n_name, row.yyyymm)
+        assert row.rev_cents == cell[k]
+        assert row.row_effect_cents == re[row.n_name]
+        assert row.col_effect_cents == ce[row.yyyymm]
+        assert row.residual_cents == r[k]
+        # exact reconstruction
+        assert (
+            row.row_effect_cents
+            + row.col_effect_cents
+            + row.residual_cents
+            == row.rev_cents
+        )
