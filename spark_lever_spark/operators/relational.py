@@ -9563,3 +9563,104 @@ def median_polish_nation_month(
         F.col("ce").alias("col_effect_cents"),
         F.col("r").alias("residual_cents"),
     ).orderBy("n_name", "yyyymm")
+
+
+@register(
+    "wasserstein_distance_sources",
+    oracle="""
+WITH pts AS (
+  SELECT n_chars AS v,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c2
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f2,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM pts
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pts
+),
+area AS (
+  SELECT SUM(abs(CAST(cum.f1 AS HUGEINT) * n.n2
+                 - CAST(cum.f2 AS HUGEINT) * n.n1)
+             * (cum.nxt - cum.v)) AS a
+  FROM cum CROSS JOIN n WHERE cum.nxt IS NOT NULL
+)
+SELECT n.n1, n.n2,
+       CAST(area.a * 1000000 // (CAST(n.n1 AS HUGEINT) * n.n2)
+            AS BIGINT) AS w1_micro
+FROM n CROSS JOIN area
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def wasserstein_distance_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D WASSERSTEIN (earth mover's) DISTANCE between src0's and
+    src1's document-length distributions — completing the drift-test
+    QUINTET with the metric that carries UNITS: KS takes the supremum
+    CDF gap, CvM/AD integrate its square, Mann-Whitney its sign; W1 =
+    ∫|F1−F2|dx is literally 'average characters of work to morph one
+    distribution into the other', which is why distribution-shift
+    monitors report it (it is finite, metric, and insensitive to
+    binning). On the pooled distinct-value grid W1 is EXACT: the CDF
+    gap is the cross-multiplied integer f1·n2 − f2·n1 (the KS/CvM
+    family numerator), each segment contributes |gap|·Δv (pure
+    int64/HUGEINT ⟷ decimal(38,0)), and the total takes ONE micro
+    floor-division by n1·n2. Scale shape identical to
+    ks_statistic_sources: value-grain counts, binned 2-pass
+    cumulative, a LEAD for segment widths, 1-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("src"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("src") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = with_grouped_cumsum(
+        pts, [], F.col("v"), ["v"], ["c1", "c2"]
+    ).select(
+        "v",
+        F.col("_cum_c1").alias("f1"),
+        F.col("_cum_c2").alias("f2"),
+    )
+    w = Window.orderBy("v")
+    cum = cum.withColumn("nxt", F.lead("v").over(w))
+    n = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dec = "decimal(38,0)"
+    area = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (
+                F.abs(
+                    F.col("f1").cast(dec) * F.col("n2")
+                    - F.col("f2").cast(dec) * F.col("n1")
+                )
+                * (F.col("nxt") - F.col("v"))
+            ).alias("seg")
+        )
+        .agg(F.sum("seg").alias("a"))
+    )
+    return n.crossJoin(F.broadcast(area)).select(
+        "n1",
+        "n2",
+        F.expr(
+            f"CAST(a * 1000000 div (CAST(n1 AS {dec}) * n2) AS BIGINT)"
+        ).alias("w1_micro"),
+    )

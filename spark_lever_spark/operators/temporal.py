@@ -6863,3 +6863,184 @@ def burst_viterbi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_CHOW_SSR = (
+    "({p}syy - ({p}sy * {p}sy) / {p}n)"
+    " - ({p}sxy - ({p}sx * {p}sy) / {p}n)"
+    " * ({p}sxy - ({p}sx * {p}sy) / {p}n)"
+    " / ({p}sxx - ({p}sx * {p}sx) / {p}n)"
+)
+
+
+@register(
+    "chow_test_midpoint_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS y
+  FROM orders GROUP BY 1
+),
+brk AS (
+  SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS bd FROM daily
+),
+halves AS (
+  SELECT CASE WHEN daily.d <= brk.bd THEN 1 ELSE 2 END AS h,
+         daily.d, daily.y
+  FROM daily CROSS JOIN brk
+),
+mom AS (
+  SELECT
+    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN h = 1 THEN d ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(SUM(CASE WHEN h = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(SUM(CASE WHEN h = 1 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+         AS HUGEINT) AS sxx1,
+    CAST(SUM(CASE WHEN h = 1 THEN CAST(d AS HUGEINT) * y ELSE 0 END)
+         AS HUGEINT) AS sxy1,
+    CAST(SUM(CASE WHEN h = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+         AS HUGEINT) AS syy1,
+    CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN h = 2 THEN d ELSE 0 END) AS BIGINT) AS sx2,
+    CAST(SUM(CASE WHEN h = 2 THEN y ELSE 0 END) AS BIGINT) AS sy2,
+    CAST(SUM(CASE WHEN h = 2 THEN CAST(d AS HUGEINT) * d ELSE 0 END)
+         AS HUGEINT) AS sxx2,
+    CAST(SUM(CASE WHEN h = 2 THEN CAST(d AS HUGEINT) * y ELSE 0 END)
+         AS HUGEINT) AS sxy2,
+    CAST(SUM(CASE WHEN h = 2 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+         AS HUGEINT) AS syy2
+  FROM halves
+),
+dbl AS (
+  SELECT
+    CAST(n1 AS DOUBLE) AS h1n, CAST(sx1 AS DOUBLE) AS h1sx,
+    CAST(sy1 AS DOUBLE) AS h1sy, CAST(sxx1 AS DOUBLE) AS h1sxx,
+    CAST(sxy1 AS DOUBLE) AS h1sxy, CAST(syy1 AS DOUBLE) AS h1syy,
+    CAST(n2 AS DOUBLE) AS h2n, CAST(sx2 AS DOUBLE) AS h2sx,
+    CAST(sy2 AS DOUBLE) AS h2sy, CAST(sxx2 AS DOUBLE) AS h2sxx,
+    CAST(sxy2 AS DOUBLE) AS h2sxy, CAST(syy2 AS DOUBLE) AS h2syy,
+    CAST(n1 + n2 AS DOUBLE) AS ppn,
+    CAST(sx1 + sx2 AS DOUBLE) AS ppsx,
+    CAST(sy1 + sy2 AS DOUBLE) AS ppsy,
+    CAST(sxx1 + sxx2 AS DOUBLE) AS ppsxx,
+    CAST(sxy1 + sxy2 AS DOUBLE) AS ppsxy,
+    CAST(syy1 + syy2 AS DOUBLE) AS ppsyy,
+    n1, n2
+  FROM mom
+),
+ssr AS (
+  SELECT n1, n2, ppn,
+         {_CHOW_SSR.format(p="h1")} AS ssr1,
+         {_CHOW_SSR.format(p="h2")} AS ssr2,
+         {_CHOW_SSR.format(p="pp")} AS ssrp
+  FROM dbl
+)
+SELECT n1, n2,
+       (SELECT bd FROM brk) AS break_day,
+       round((ssrp - ssr1 - ssr2) * (ppn - 4.0)
+             / ((ssr1 + ssr2) * 2.0) * 1000000) / 1000000 AS f_stat
+FROM ssr
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def chow_test_midpoint_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHOW TEST for a structural break in the daily revenue TREND at
+    the sample's median day — the hypothesis-test companion to
+    binseg_changepoints_daily (binseg FINDS the strongest break; Chow
+    TESTS whether a candidate break is real): fit the linear trend
+    separately on each half and pooled, then
+    F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1+SSR_2)/(n−2k)) with
+    k = 2 parameters. The break day is the DERIVED median day (a
+    discrete-quantile aggregate — never a hardcoded date, the
+    shift-share lesson). Exactness is the granger fixed-IEEE-tree
+    doctrine: per-half moments are exact int64/HUGEINT ⟷
+    decimal(38,0) conditional sums in ONE pass, pooled moments are
+    their exact integer sums, and each SSR evaluates the SAME
+    generated expression string (_CHOW_SSR) in both engines. Scale:
+    one calendar-grain aggregation, one 12-moment conditional rollup
+    to a single broadcast row."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("y"))
+    brk = daily.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d)"
+            " AS BIGINT)"
+        ).alias("bd")
+    )
+    halves = daily.crossJoin(F.broadcast(brk)).select(
+        F.when(F.col("d") <= F.col("bd"), 1).otherwise(2).alias("h"),
+        "d",
+        "y",
+        "bd",
+    )
+    dec = "decimal(38,0)"
+
+    def cond(h, expr):
+        return F.expr(f"SUM(CASE WHEN h = {h} THEN {expr} ELSE 0 END)")
+
+    mom = halves.groupBy("bd").agg(
+        cond(1, "1").cast("long").alias("n1"),
+        cond(1, "d").cast("long").alias("sx1"),
+        cond(1, "y").cast("long").alias("sy1"),
+        cond(1, f"CAST(d AS {dec}) * d").alias("sxx1"),
+        cond(1, f"CAST(d AS {dec}) * y").alias("sxy1"),
+        cond(1, f"CAST(y AS {dec}) * y").alias("syy1"),
+        cond(2, "1").cast("long").alias("n2"),
+        cond(2, "d").cast("long").alias("sx2"),
+        cond(2, "y").cast("long").alias("sy2"),
+        cond(2, f"CAST(d AS {dec}) * d").alias("sxx2"),
+        cond(2, f"CAST(d AS {dec}) * y").alias("sxy2"),
+        cond(2, f"CAST(y AS {dec}) * y").alias("syy2"),
+    )
+    dbl = mom.selectExpr(
+        "bd",
+        "n1",
+        "n2",
+        "CAST(n1 AS DOUBLE) AS h1n",
+        "CAST(sx1 AS DOUBLE) AS h1sx",
+        "CAST(sy1 AS DOUBLE) AS h1sy",
+        "CAST(sxx1 AS DOUBLE) AS h1sxx",
+        "CAST(sxy1 AS DOUBLE) AS h1sxy",
+        "CAST(syy1 AS DOUBLE) AS h1syy",
+        "CAST(n2 AS DOUBLE) AS h2n",
+        "CAST(sx2 AS DOUBLE) AS h2sx",
+        "CAST(sy2 AS DOUBLE) AS h2sy",
+        "CAST(sxx2 AS DOUBLE) AS h2sxx",
+        "CAST(sxy2 AS DOUBLE) AS h2sxy",
+        "CAST(syy2 AS DOUBLE) AS h2syy",
+        "CAST(n1 + n2 AS DOUBLE) AS ppn",
+        "CAST(sx1 + sx2 AS DOUBLE) AS ppsx",
+        "CAST(sy1 + sy2 AS DOUBLE) AS ppsy",
+        "CAST(sxx1 + sxx2 AS DOUBLE) AS ppsxx",
+        "CAST(sxy1 + sxy2 AS DOUBLE) AS ppsxy",
+        "CAST(syy1 + syy2 AS DOUBLE) AS ppsyy",
+    )
+    ssr = dbl.selectExpr(
+        "n1",
+        "n2",
+        "bd",
+        "ppn",
+        f"{_CHOW_SSR.format(p='h1')} AS ssr1",
+        f"{_CHOW_SSR.format(p='h2')} AS ssr2",
+        f"{_CHOW_SSR.format(p='pp')} AS ssrp",
+    )
+    return ssr.selectExpr(
+        "n1",
+        "n2",
+        "bd AS break_day",
+        "round((ssrp - ssr1 - ssr2) * (ppn - 4.0)"
+        " / ((ssr1 + ssr2) * 2.0) * 1000000) / 1000000 AS f_stat",
+    )
