@@ -59,6 +59,8 @@ GATES = {
     "mutual_nn_int8_ivf": 5.96,  # v3.0 re-freeze (round 13: centroid
     # count k = max(16, floor(sqrt(N))) — candidate work O(N^1.5),
     # was fixed k=16 / 10.88 s)
+    "isotonic_return_rate_by_price": 6.77,  # v3.2 addition (r13)
+    "lof_outliers_int8_cells": 4.73,  # v3.2 addition (r13)
     "personalized_pagerank_copurchase": 4.93,  # v3.1 addition (r13)
     "hits_hubs_authorities_purchases": 5.81,  # v3.1 addition (r13)
     "decision_stump_returns": 4.77,  # v3.1 addition (r13)

@@ -1539,6 +1539,7 @@ def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lof_outliers_int8_cells",
+    bench=True,
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,

@@ -9256,6 +9256,7 @@ def decision_stump_returns(
 
 @register(
     "isotonic_return_rate_by_price",
+    bench=True,
     oracle="""
 WITH lab AS (
   SELECT o.o_orderkey,
