@@ -9665,3 +9665,124 @@ def wasserstein_distance_sources(
             f"CAST(a * 1000000 div (CAST(n1 AS {dec}) * n2) AS BIGINT)"
         ).alias("w1_micro"),
     )
+
+
+@register(
+    "ge2_inequality_decomposition_nations",
+    oracle="""
+WITH v AS (
+  SELECT n.n_name AS g,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(x) AS BIGINT) AS sg,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+  FROM v GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS HUGEINT) AS q,
+         CAST(SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS HUGEINT)
+             AS ssov_milli
+  FROM grp
+)
+SELECT n, s AS total_cents,
+       CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+            * 1000000 // (2 * CAST(s AS HUGEINT) * s) AS BIGINT)
+           AS ge2_total_micro,
+       CAST((CAST(n AS HUGEINT) * ssov_milli
+             - CAST(s AS HUGEINT) * s * 1000) * 1000000
+            // (2 * CAST(s AS HUGEINT) * s * 1000) AS BIGINT)
+           AS ge2_between_micro,
+       CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+            * 1000000 // (2 * CAST(s AS HUGEINT) * s) AS BIGINT)
+       - CAST((CAST(n AS HUGEINT) * ssov_milli
+               - CAST(s AS HUGEINT) * s * 1000) * 1000000
+              // (2 * CAST(s AS HUGEINT) * s * 1000) AS BIGINT)
+           AS ge2_within_micro
+FROM tot
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def ge2_inequality_decomposition_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERALIZED-ENTROPY GE(2) INEQUALITY DECOMPOSITION of order
+    value across nations — the inequality index that decomposes
+    ADDITIVELY into between-group and within-group parts (Gini, which
+    gini_customer_revenue publishes, famously does NOT decompose;
+    Theil needs logarithms; GE(2) = half the squared coefficient of
+    variation is the member that is PURE MOMENTS): GE2 =
+    (n·Σx² − S²)/(2S²), between-GE2 replaces each value with its
+    nation mean — n·Σ S_g²/n_g − S² over the same denominator (the
+    anova_f per-group milli-floored fraction machinery; in fact
+    between/within here are SSB/SSW in disguise, rescaled by the
+    grand mean — this query and anova_f_priorities are the
+    inequality and inference faces of one identity). Published as
+    micro floor-divisions with within = total − between taken as the
+    exact RESIDUAL (the shift_share reconciliation doctrine), so the
+    three numbers add up by construction. Scale: one
+    map-side-combinable moment aggregation over the fact join
+    (nation broadcast, customer shuffled per doctrine), 1-row
+    output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n_ = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_), c.c_nationkey == n_.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            cents(F.col("o_totalprice")).alias("x"),
+        )
+    )
+    dec = "decimal(38,0)"
+    grp = v.groupBy("g").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("qg"),
+    )
+
+    def sq_milli_over(s_col: str, n_col: str) -> str:
+        m = f"({s_col} div {n_col})"
+        r = f"({s_col} % {n_col})"
+        return (
+            f"(CAST({n_col} AS {dec}) * {m} * {m}"
+            f" + 2 * CAST({m} AS {dec}) * {r}) * 1000"
+            f" + (CAST({r} AS {dec}) * {r} * 1000 div {n_col})"
+        )
+
+    tot = grp.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(F.expr(sq_milli_over("sg", "ng")).cast(dec)).alias(
+            "ssov_milli"
+        ),
+    )
+    total = F.expr(
+        f"CAST((CAST(n AS {dec}) * q - CAST(s AS {dec}) * s)"
+        f" * 1000000 div (2 * CAST(s AS {dec}) * s) AS BIGINT)"
+    )
+    between = F.expr(
+        f"CAST((CAST(n AS {dec}) * ssov_milli"
+        f" - CAST(s AS {dec}) * s * 1000) * 1000000"
+        f" div (2 * CAST(s AS {dec}) * s * 1000) AS BIGINT)"
+    )
+    return tot.select(
+        "n",
+        F.col("s").alias("total_cents"),
+        total.alias("ge2_total_micro"),
+        between.alias("ge2_between_micro"),
+        (total - between).alias("ge2_within_micro"),
+    )

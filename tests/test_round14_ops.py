@@ -1249,3 +1249,44 @@ def test_chow_brute(spark):
     got = _run(spark, "chow_test_midpoint_daily").iloc[0]
     assert (got.n1, got.n2, got.break_day) == (len(h1), len(h2), bd)
     assert abs(got.f_stat - _micro(f)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# GE(2) inequality decomposition: moment replay + additivity + ANOVA tie
+# ---------------------------------------------------------------------------
+
+
+def test_ge2_brute(spark):
+    cust_nation = dict(
+        _sql("SELECT c_custkey, c_nationkey FROM '{SF}/customer.parquet'")
+    )
+    nations = dict(
+        _sql("SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'")
+    )
+    groups = defaultdict(list)
+    for ck, tp in _sql(
+        "SELECT o_custkey, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        groups[nations[cust_nation[ck]]].append(_cents(tp))
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(sum(x * x for x in v) for v in groups.values())
+    ssov_milli = sum(
+        sum(v) ** 2 * 1000 // len(v) for v in groups.values()
+    )
+    total = (n * q - s * s) * 1000000 // (2 * s * s)
+    between = (n * ssov_milli - s * s * 1000) * 1000000 // (
+        2 * s * s * 1000
+    )
+    got = _run(spark, "ge2_inequality_decomposition_nations").iloc[0]
+    assert (got.n, got.total_cents) == (n, s)
+    assert got.ge2_total_micro == total
+    assert got.ge2_between_micro == between
+    assert got.ge2_within_micro == total - between
+    # sanity: between <= total (decomposition non-negativity) and the
+    # index equals half the squared CV on the micro grid
+    assert 0 <= between <= total
+    mean = s / n
+    var = q / n - mean * mean
+    cv2_half = var / (2 * mean * mean)
+    assert abs(total / 1e6 - cv2_half) < 1e-4
