@@ -1425,16 +1425,40 @@ def embedding_top_pc_power_iteration(
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,
+kk AS (
+  SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+  FROM q
+),
+cc AS (
+  SELECT vec_id AS cid, qv AS cv FROM q CROSS JOIN kk
+  WHERE vec_id < kk.k
+),
+cpd AS (
+  SELECT q.vec_id, cc.cid,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> (q.qv[CAST(i AS INT)] - cc.cv[CAST(i AS INT)])
+                   * (q.qv[CAST(i AS INT)] - cc.cv[CAST(i AS INT)])))
+              AS BIGINT) AS dist
+  FROM q, cc
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM cpd
+  ) WHERE rn = 1
+),
 qq AS (
-  SELECT q.vec_id, e.label, q.qv,
+  SELECT q.vec_id, cells.cell, q.qv,
          CAST(list_sum(list_transform(q.qv, v -> v * v)) AS BIGINT)
              AS nrm
-  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+  FROM q JOIN cells ON cells.vec_id = q.vec_id
 ),
 pr AS (
-  SELECT a.vec_id AS ca, b.vec_id AS dup, a.label AS cell
+  SELECT a.vec_id AS ca, b.vec_id AS dup, a.cell AS cell
   FROM qq a JOIN qq b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_sum(list_transform(range(1, len(a.qv) + 1),
           i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)])) > 0
     AND CAST(400 AS HUGEINT)
@@ -1455,9 +1479,13 @@ def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 — SEMANTIC deduplication by
     embedding similarity inside clustering cells, the method behind
     the LAION/DataComp-scale prunes) on the shared int8 grid: vectors
-    meet ONLY within their cell (label as the k-means cell id, the
-    ann_ivf convention — the cell structure is what makes the method
-    O(Σ cell²) instead of n²), a pair is a semantic duplicate when
+    meet ONLY within their cell — the cell id is each vector's
+    NEAREST of k = max(16, ⌊√N⌋) deterministic prefix centroids
+    (vec_id < k on the shared int8 grid, ties to the lower cid; the
+    mutual_nn_int8_ivf convention), so cell count GROWS with the
+    corpus and Σ cell² ≈ N²/k = O(N^1.5) — a fixed label-keyed
+    bucketing would quietly degenerate to n² pairwise work at 100×
+    the data. A pair is a semantic duplicate when
     cosine ≥ 0.35 (the corpus's near-orthogonal background makes 0.35
     the document-threshold stand-in; production would use ~0.95 with
     the identical plan — see dedup_embedding_cosine), and each
@@ -1466,23 +1494,52 @@ def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     49·|a|²·|b|² on the absmax-scaled int8 grid (0.35² = 49/400;
     HUGEINT ⟷ decimal(38,0) cross-products) — no float cosine to
     drift between engines, unlike dedup_embedding_cosine's
-    double-based variant which this upgrades. Scale: one equi-join
-    on cell id; the cell population is the knob (re-centroid when
-    cells grow), exactly the mutual_nn_int8_ivf argument."""
+    double-based variant which this upgrades. Scale: centroid
+    assignment is N·k = O(N^1.5) rows through a broadcast join (k
+    centroids are always broadcast-sized), then one equi-join on
+    cell id — both sides of the scale law balanced at √N cells,
+    exactly the mutual_nn_int8_ivf argument."""
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("l")
-    )
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
     sc = b.agg(
         (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
         .alias("s")
     )
     q = b.join(F.broadcast(sc)).select(
         "vec_id",
-        "label",
         F.transform(
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
+    )
+    kdf = q.agg(
+        F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    cent = (
+        q.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    cpd = q.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("cdist"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    cells = (
+        cpd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cvid"), F.col("cid").alias("label"))
+    )
+    q = q.join(cells, q.vec_id == F.col("cvid")).select(
+        "vec_id", "label", "qv"
     )
     qq = q.withColumn(
         "nrm",
@@ -1543,18 +1600,42 @@ def semdedup_int8_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH
 """ + _GLOBAL_INT8_CTES + """,
+kk AS (
+  SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+  FROM q
+),
+cc AS (
+  SELECT vec_id AS cid, qv AS cv FROM q CROSS JOIN kk
+  WHERE vec_id < kk.k
+),
+cpd AS (
+  SELECT q.vec_id, cc.cid,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> (q.qv[CAST(i AS INT)] - cc.cv[CAST(i AS INT)])
+                   * (q.qv[CAST(i AS INT)] - cc.cv[CAST(i AS INT)])))
+              AS BIGINT) AS dist
+  FROM q, cc
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM cpd
+  ) WHERE rn = 1
+),
 qq AS (
-  SELECT q.vec_id, e.label, q.qv
-  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+  SELECT q.vec_id, cells.cell, q.qv
+  FROM q JOIN cells ON cells.vec_id = q.vec_id
 ),
 pd AS (
-  SELECT a.vec_id AS i, b.vec_id AS j, a.label AS cell,
+  SELECT a.vec_id AS i, b.vec_id AS j, a.cell AS cell,
          CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
               t -> (a.qv[CAST(t AS INT)] - b.qv[CAST(t AS INT)])
                    * (a.qv[CAST(t AS INT)] - b.qv[CAST(t AS INT)])))
               AS BIGINT) AS dist
   FROM qq a JOIN qq b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ),
 knn AS (
   SELECT i, j, cell, dist FROM (
@@ -1605,31 +1686,62 @@ def lof_outliers_int8_cells(
     low RELATIVE to its neighbors', which catches outliers sitting
     next to dense clusters that any global threshold — mahalanobis,
     dbscan's fixed eps — misses) over int8 embeddings, k = 5
-    neighbors searched WITHIN IVF cells (the semdedup/mutual-NN cell
-    doctrine: Σ cell² pairwise work, never n²). All distances are
+    neighbors searched WITHIN IVF cells — each vector's nearest of
+    kc = max(16, ⌊√N⌋) deterministic prefix centroids (vec_id < kc,
+    ties to lower cid; the mutual_nn/semdedup cell doctrine), so
+    cell count grows with the corpus and the pairwise stage is
+    Σ cell² ≈ N²/kc = O(N^1.5), never n². All distances are
     exact int64 squared-L2 on the shared grid (the squared-distance
     LOF variant — a monotone transform of the classic, documented);
     reachability reach(i,j) = max(d(i,j), kdist(j)) and the density
     ratio lrd_j/lrd_i = (cnt_j·R_i)/(R_j·cnt_i) stay exact integer
     fractions, per-term milli-floored and averaged by one more floor
     (degenerate duplicate-point cells, R = 0, drop from the sum via
-    the CASE guard). Deterministic top-20 by (score, id). Scale: one
+    the CASE guard). Deterministic top-20 by (score, id). Scale:
+    centroid assignment is N·kc through a broadcast join, then one
     cell-keyed self-join for distances, two keyed windows/rollups,
-    one neighbor re-join — the cell population is the knob."""
+    one neighbor re-join — √N cells keep both stages O(N^1.5)."""
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("l")
-    )
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
     sc = b.agg(
         (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
         .alias("s")
     )
     q = b.join(F.broadcast(sc)).select(
         "vec_id",
-        "label",
         F.transform(
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
+    )
+    kdf = q.agg(
+        F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    cent = (
+        q.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    cpd = q.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("cdist"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    cells = (
+        cpd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cvid"), F.col("cid").alias("label"))
+    )
+    q = q.join(cells, q.vec_id == F.col("cvid")).select(
+        "vec_id", "label", "qv"
     )
     a = q.select(
         F.col("vec_id").alias("i"),
@@ -1650,8 +1762,6 @@ def lof_outliers_int8_cells(
         a.join(bb, (F.col("cell") == F.col("lb")) & (F.col("i") != F.col("j")))
         .select("i", "j", "cell", dist.alias("dist"))
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("i").orderBy("dist", "j")
     knn = (
         pd_.withColumn("rn", F.row_number().over(w))

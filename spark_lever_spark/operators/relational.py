@@ -8489,10 +8489,12 @@ holding AS (
   FROM part GROUP BY 1
 )
 SELECT d.p_brand, d.d AS total_demand_units, h.h AS holding_cents,
-       CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h AS DOUBLE)))
-            AS BIGINT) AS eoq_units,
-       CAST(d.d // CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h
-            AS DOUBLE))) AS BIGINT) AS BIGINT) AS n_orders
+       CASE WHEN h.h > 0 THEN
+            CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h AS DOUBLE)))
+                 AS BIGINT) END AS eoq_units,
+       CASE WHEN h.h > 0 AND (2 * d.d * 5000) // h.h >= 1 THEN
+            CAST(d.d // CAST(floor(sqrt(CAST((2 * d.d * 5000) // h.h
+                 AS DOUBLE))) AS BIGINT) AS BIGINT) END AS n_orders
 FROM demand d JOIN holding h ON h.p_brand = d.p_brand
 WHERE h.h > 0
 ORDER BY d.p_brand
@@ -8513,9 +8515,15 @@ def eoq_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient 2DS/H is floored BEFORE the sqrt so the only float op is
     one IEEE-correctly-rounded sqrt of an exactly-representable
     integer (< 2⁵³ up to ~10¹⁵ demand-cents — any SF), floored back
-    to units; n_orders = D div EOQ is pure integers. Scale: one
-    map-side-combinable fact aggregation (part broadcast) plus a
-    25-brand dimension aggregate."""
+    to units; n_orders = D div EOQ is pure integers. Degenerate
+    guard: when 10000·D < H the floored EOQ is 0 — n_orders is
+    CASE-guarded to NULL in BOTH engines (DuckDB `// 0` raises,
+    non-ANSI Spark yields NULL — the guard makes them agree), and
+    the H divisor itself is CASE-guarded because ANSI Spark
+    evaluates projections before the h > 0 row filter
+    (project+filter collapse). Scale: one map-side-combinable fact
+    aggregation (part broadcast) plus a 25-brand dimension
+    aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     demand = (
@@ -8532,9 +8540,10 @@ def eoq_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) div 5 AS BIGINT)"
         ).alias("h")
     )
-    eoq = F.floor(
-        F.sqrt(F.expr("CAST((2 * d * 5000) div h AS DOUBLE)"))
-    ).cast("long")
+    eoq = F.expr(
+        "CASE WHEN h > 0 THEN CAST(floor(sqrt("
+        "CAST((2 * d * 5000) div h AS DOUBLE))) AS BIGINT) END"
+    )
     return (
         demand.join(
             F.broadcast(holding), F.col("p_brand") == F.col("hb")
@@ -8546,8 +8555,9 @@ def eoq_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("holding_cents"),
             eoq.alias("eoq_units"),
             F.expr(
-                "CAST(d div CAST(floor(sqrt(CAST((2 * d * 5000) div h"
-                " AS DOUBLE))) AS BIGINT) AS BIGINT)"
+                "CASE WHEN h > 0 AND (2 * d * 5000) div h >= 1 THEN"
+                " CAST(d div CAST(floor(sqrt(CAST((2 * d * 5000) div h"
+                " AS DOUBLE))) AS BIGINT) AS BIGINT) END"
             ).alias("n_orders"),
         )
         .orderBy("p_brand")
@@ -8853,10 +8863,15 @@ ss AS (
 )
 SELECT n, k,
        CASE WHEN ssw_milli > 0 AND k > 1
+                 AND CAST(ssb_milli AS DOUBLE)
+                     * CAST(n - k AS DOUBLE) < 1e31
+                 AND CAST(ssw_milli AS DOUBLE)
+                     * CAST(k - 1 AS DOUBLE) < 1e37
             THEN CAST(ssb_milli * (n - k) * 1000000
                       // (ssw_milli * (k - 1)) AS BIGINT)
        END AS f_micro,
        CASE WHEN ssb_milli + ssw_milli > 0
+                 AND CAST(ssb_milli AS DOUBLE) < 1e31
             THEN CAST(ssb_milli * 1000000 // (ssb_milli + ssw_milli)
                       AS BIGINT)
        END AS eta_sq_ppm
@@ -8884,10 +8899,14 @@ def anova_f_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately SCALE-BOUNDED: F (micro) and the eta² effect size
     (ppm) — the raw SS values are n-scaled and would outgrow any
     fixed int column at 100 TB. Zero-variance degeneracy yields NULL
-    via CASE guards. Headroom: the F numerator ssb(n-k)*10^6 rides
-    decimal(38,0) - safe to ~10^9 rows at 10^6-cent values; past
-    that, rescale both SS by a common 10^3 before the ratio (F
-    unchanged). Scale: one map-side-combinable moment
+    via CASE guards. Headroom: the F numerator ssb·(n−k)·10⁶ rides
+    decimal(38,0) ⟷ HUGEINT, whose overflow modes DIVERGE (Spark
+    non-ANSI silently NULLs, DuckDB errors) — so an explicit
+    magnitude guard (ssb·(n−k) < 10³¹ and ssw·(k−1) < 10³⁷,
+    evaluated in IEEE doubles, bit-identical cross-engine) degrades
+    the statistic to NULL IDENTICALLY in both engines past the safe
+    region (~10¹² rows at 10⁶-cent values, 10× under the 10³⁸
+    decimal cap). Scale: one map-side-combinable moment
     aggregation, 5-group rollup, 1-row output."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(
@@ -8935,12 +8954,17 @@ def anova_f_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.expr(
-            "CASE WHEN ssw_milli > 0 AND k > 1 THEN"
+            "CASE WHEN ssw_milli > 0 AND k > 1"
+            " AND CAST(ssb_milli AS DOUBLE)"
+            " * CAST(n - k AS DOUBLE) < 1e31"
+            " AND CAST(ssw_milli AS DOUBLE)"
+            " * CAST(k - 1 AS DOUBLE) < 1e37 THEN"
             " CAST(ssb_milli * (n - k) * 1000000"
             " div (ssw_milli * (k - 1)) AS BIGINT) END"
         ).alias("f_micro"),
         F.expr(
-            "CASE WHEN ssb_milli + ssw_milli > 0 THEN"
+            "CASE WHEN ssb_milli + ssw_milli > 0"
+            " AND CAST(ssb_milli AS DOUBLE) < 1e31 THEN"
             " CAST(ssb_milli * 1000000 div (ssb_milli + ssw_milli)"
             " AS BIGINT) END"
         ).alias("eta_sq_ppm"),
@@ -8997,6 +9021,10 @@ ss AS (
 )
 SELECT n, k,
        CASE WHEN ssw_milli > 0 AND k > 1
+                 AND CAST(ssb_milli AS DOUBLE)
+                     * CAST(n - k AS DOUBLE) < 1e31
+                 AND CAST(ssw_milli AS DOUBLE)
+                     * CAST(k - 1 AS DOUBLE) < 1e37
             THEN CAST(ssb_milli * (n - k) * 1000000
                       // (ssw_milli * (k - 1)) AS BIGINT)
        END AS bf_w_micro
@@ -9020,9 +9048,13 @@ def brown_forsythe_priorities(
     per-term milli-floored S²/n fractions (anova_f_priorities'
     decomposition S = n·m + r keeps every Spark `div` quotient
     int64-safe). Degenerate all-equal groups yield NULL via the CASE
-    guard. Scale: one per-group window for the median (priority-keyed
-    — parallel across groups), one broadcast median join, one moment
-    aggregation."""
+    guard, and the anova_f double-precision magnitude guard
+    (ssb·(n−k) < 10³¹, ssw·(k−1) < 10³⁷) degrades the statistic to
+    NULL identically in both engines past the decimal(38,0)/HUGEINT
+    headroom instead of diverging (silent Spark NULL vs DuckDB
+    error). Scale: one per-group window for the median
+    (priority-keyed — parallel across groups), one broadcast median
+    join, one moment aggregation."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(
         F.col("o_orderpriority").alias("g"),
@@ -9081,7 +9113,11 @@ def brown_forsythe_priorities(
         "n",
         "k",
         F.expr(
-            "CASE WHEN ssw_milli > 0 AND k > 1 THEN"
+            "CASE WHEN ssw_milli > 0 AND k > 1"
+            " AND CAST(ssb_milli AS DOUBLE)"
+            " * CAST(n - k AS DOUBLE) < 1e31"
+            " AND CAST(ssw_milli AS DOUBLE)"
+            " * CAST(k - 1 AS DOUBLE) < 1e37 THEN"
             " CAST(ssb_milli * (n - k) * 1000000"
             " div (ssw_milli * (k - 1)) AS BIGINT) END"
         ).alias("bf_w_micro"),
@@ -9692,19 +9728,28 @@ tot AS (
   FROM grp
 )
 SELECT n, s AS total_cents,
+       CASE WHEN s > 0 AND CAST(s AS DOUBLE) < 2e17
+                 AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE) < 1e28
+       THEN
        CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
             * 1000000 // (2 * CAST(s AS HUGEINT) * s) AS BIGINT)
-           AS ge2_total_micro,
+       END AS ge2_total_micro,
+       CASE WHEN s > 0 AND CAST(s AS DOUBLE) < 2e17
+                 AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE) < 1e28
+       THEN
        CAST((CAST(n AS HUGEINT) * ssov_milli
              - CAST(s AS HUGEINT) * s * 1000) * 1000000
             // (2 * CAST(s AS HUGEINT) * s * 1000) AS BIGINT)
-           AS ge2_between_micro,
+       END AS ge2_between_micro,
+       CASE WHEN s > 0 AND CAST(s AS DOUBLE) < 2e17
+                 AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE) < 1e28
+       THEN
        CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
             * 1000000 // (2 * CAST(s AS HUGEINT) * s) AS BIGINT)
        - CAST((CAST(n AS HUGEINT) * ssov_milli
                - CAST(s AS HUGEINT) * s * 1000) * 1000000
               // (2 * CAST(s AS HUGEINT) * s * 1000) AS BIGINT)
-           AS ge2_within_micro
+       END AS ge2_within_micro
 FROM tot
 """,
     category="relational",
@@ -9727,7 +9772,12 @@ def ge2_inequality_decomposition_nations(
     inequality and inference faces of one identity). Published as
     micro floor-divisions with within = total − between taken as the
     exact RESIDUAL (the shift_share reconciliation doctrine), so the
-    three numbers add up by construction. Scale: one
+    three numbers add up by construction. Headroom guard (anova_f
+    doctrine): s > 0 plus double-precision magnitude checks
+    (s < 2·10¹⁷ keeps 2·s²·1000 under the 10³⁸ decimal cap;
+    n·q < 10²⁸ keeps both micro numerators under it) degrade all
+    three indices to NULL identically in both engines past the safe
+    region instead of diverging. Scale: one
     map-side-combinable moment aggregation over the fact join
     (nation broadcast, customer shuffled per doctrine), 1-row
     output."""
@@ -9770,14 +9820,20 @@ def ge2_inequality_decomposition_nations(
             "ssov_milli"
         ),
     )
+    guard = (
+        "s > 0 AND CAST(s AS DOUBLE) < 2e17"
+        " AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE) < 1e28"
+    )
     total = F.expr(
-        f"CAST((CAST(n AS {dec}) * q - CAST(s AS {dec}) * s)"
-        f" * 1000000 div (2 * CAST(s AS {dec}) * s) AS BIGINT)"
+        f"CASE WHEN {guard} THEN"
+        f" CAST((CAST(n AS {dec}) * q - CAST(s AS {dec}) * s)"
+        f" * 1000000 div (2 * CAST(s AS {dec}) * s) AS BIGINT) END"
     )
     between = F.expr(
-        f"CAST((CAST(n AS {dec}) * ssov_milli"
+        f"CASE WHEN {guard} THEN"
+        f" CAST((CAST(n AS {dec}) * ssov_milli"
         f" - CAST(s AS {dec}) * s * 1000) * 1000000"
-        f" div (2 * CAST(s AS {dec}) * s * 1000) AS BIGINT)"
+        f" div (2 * CAST(s AS {dec}) * s * 1000) AS BIGINT) END"
     )
     return tot.select(
         "n",

@@ -609,8 +609,18 @@ NESTED_LOOP_WHITELIST = {
         "any SF"
     ),
     "mutual_nn_int8_ivf": (
-        "broadcast k=16 fixed centroid table (vec_id < 16) for IVF "
-        "probe assignment — constant-size at any SF; candidate pairs "
+        "broadcast k = max(16, sqrt(N)) prefix-centroid table for IVF "
+        "probe assignment — N*k = O(N^1.5) map-side probes; candidate "
+        "pairs themselves meet through the cell equi-join"
+    ),
+    "semdedup_int8_cells": (
+        "broadcast k = max(16, sqrt(N)) prefix-centroid table for IVF "
+        "cell assignment — N*k = O(N^1.5) map-side probes; duplicate "
+        "pairs themselves meet through the cell equi-join"
+    ),
+    "lof_outliers_int8_cells": (
+        "broadcast k = max(16, sqrt(N)) prefix-centroid table for IVF "
+        "cell assignment — N*k = O(N^1.5) map-side probes; kNN pairs "
         "themselves meet through the cell equi-join"
     ),
     "ann_ivf": "broadcast probe vector + centroid cells",

@@ -147,28 +147,43 @@ def test_kmv_brute(spark):
 # ---------------------------------------------------------------------------
 
 
+def _ivf_cells(q):
+    # the mutual_nn/semdedup/lof cell doctrine: nearest of
+    # k = max(16, floor(sqrt(N))) prefix centroids, ties to lower cid
+    k = max(16, math.isqrt(len(q)))
+    cents = {cid: q[cid] for cid in q if cid < k}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    return {
+        vid: min((d2(qv, cv), cid) for cid, cv in cents.items())[1]
+        for vid, qv in q.items()
+    }
+
+
 def test_semdedup_brute(spark):
     rows = _sql(
-        "SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+        "SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
     )
-    arrs = {vid: ([float(x) for x in emb], lab) for vid, emb, lab in
-            [(r[0], r[2], r[1]) for r in rows]}
-    s = max(max(abs(x) for x in a) for a, _ in arrs.values()) / 127.0
+    arrs = {r[0]: [float(x) for x in r[1]] for r in rows}
+    s = max(max(abs(x) for x in a) for a in arrs.values()) / 127.0
     q = {
-        vid: ([int(math.floor(x / s + 0.5)) for x in a], lab)
-        for vid, (a, lab) in arrs.items()
+        vid: [int(math.floor(x / s + 0.5)) for x in a]
+        for vid, a in arrs.items()
     }
+    cell = _ivf_cells(q)
     by_cell = defaultdict(list)
-    for vid, (qv, lab) in q.items():
-        by_cell[lab].append(vid)
+    for vid in q:
+        by_cell[cell[vid]].append(vid)
     expect = {}
     for lab, vids in by_cell.items():
         vids = sorted(vids)
         for j, b in enumerate(vids):
-            qb = q[b][0]
+            qb = q[b]
             nb = sum(x * x for x in qb)
             for a in vids[:j]:
-                qa = q[a][0]
+                qa = q[a]
                 na = sum(x * x for x in qa)
                 dot = sum(x * y for x, y in zip(qa, qb))
                 if dot > 0 and 400 * dot * dot >= 49 * na * nb:
@@ -1030,17 +1045,18 @@ def test_burst_viterbi_brute(spark):
 
 def test_lof_brute(spark):
     rows = _sql(
-        "SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+        "SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
     )
-    arrs = {r[0]: ([float(x) for x in r[2]], r[1]) for r in rows}
-    s = max(max(abs(x) for x in a) for a, _ in arrs.values()) / 127.0
+    arrs = {r[0]: [float(x) for x in r[1]] for r in rows}
+    s = max(max(abs(x) for x in a) for a in arrs.values()) / 127.0
     q = {
-        vid: ([int(math.floor(x / s + 0.5)) for x in a], lab)
-        for vid, (a, lab) in arrs.items()
+        vid: [int(math.floor(x / s + 0.5)) for x in a]
+        for vid, a in arrs.items()
     }
+    cell = _ivf_cells(q)
     cells = defaultdict(list)
-    for vid, (qv, lab) in q.items():
-        cells[lab].append(vid)
+    for vid in q:
+        cells[cell[vid]].append(vid)
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -1049,7 +1065,7 @@ def test_lof_brute(spark):
     for lab, vids in cells.items():
         for i in vids:
             ds = sorted(
-                (d2(q[i][0], q[j][0]), j) for j in vids if j != i
+                (d2(q[i], q[j]), j) for j in vids if j != i
             )[:5]
             knn[i] = ds
     kdist = {i: ds[-1][0] for i, ds in knn.items()}
@@ -1071,7 +1087,7 @@ def test_lof_brute(spark):
     assert len(got) == len(top)
     for row, (vid, score) in zip(got.itertuples(), top):
         assert (row.vec_id, row.lof_milli) == (vid, score)
-        assert row.cell == q[vid][1]
+        assert row.cell == cell[vid]
         assert row.n_neighbors == cnt[vid]
     # LOF semantics: the flagged set scores above the typical point
     med = sorted(lof.values())[len(lof) // 2]
