@@ -666,3 +666,1081 @@ def cci_20_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (3 * mdev) AS BIGINT) END END"
         ).alias("cci_milli"),
     ).orderBy("x")
+
+
+# Monthly revenue per (month, priority) — the blocked-design base for
+# Friedman / Cronbach (blocks = months with ALL k priorities present).
+_MONTH_PRIO_CTES = """
+cell AS (
+  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+              AS BIGINT) AS mx,
+         o_orderpriority AS g,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1, 2
+),
+kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cell),
+comp AS (
+  SELECT cell.mx, cell.g, cell.rev
+  FROM cell
+  JOIN (SELECT mx FROM cell GROUP BY mx
+        HAVING count(*) = (SELECT k FROM kk)) f ON f.mx = cell.mx
+)
+"""
+
+
+def _month_prio_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("long")
+        .alias("mx"),
+        F.col("o_orderpriority").alias("g"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev"
+        )
+    )
+    kk = cell.agg(F.count_distinct("g").alias("k"))
+    full = (
+        cell.groupBy(F.col("mx").alias("fmx"))
+        .agg(F.count("*").alias("gcnt"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("gcnt") == F.col("k"))
+        .select("fmx", "k")
+    )
+    return cell.join(
+        F.broadcast(full), cell.mx == F.col("fmx")
+    ).select("mx", "g", "rev", "k")
+
+
+@register(
+    "friedman_test_priorities_monthly",
+    oracle="""
+WITH
+""" + _MONTH_PRIO_CTES + """,
+rk AS (
+  SELECT mx, g,
+         CAST(2 * rank() OVER (PARTITION BY mx ORDER BY rev)
+              + count(*) OVER (PARTITION BY mx, rev) - 1
+              AS BIGINT) AS r2
+  FROM comp
+),
+rsum AS (
+  SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_sum FROM rk GROUP BY g
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS HUGEINT)
+             AS sum_r2_sq
+  FROM rsum
+),
+b AS (
+  SELECT CAST(count(DISTINCT mx) AS BIGINT) AS b_months FROM comp
+)
+SELECT b.b_months, agg.k AS k_groups,
+       CAST(agg.sum_r2_sq AS BIGINT) AS sum_r2_sq,
+       CASE WHEN b.b_months > 0 AND agg.k > 1 THEN
+         CAST(3000 * agg.sum_r2_sq
+              // (4 * b.b_months * agg.k * (agg.k + 1)) AS BIGINT)
+         - 3000 * b.b_months * (agg.k + 1)
+       END AS chi2_milli
+FROM b CROSS JOIN agg
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def friedman_test_priorities_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FRIEDMAN rank test for k related samples — the blocked-design
+    nonparametric ANOVA (months are blocks, the 5 order priorities
+    are treatments, monthly revenue is the response): χ² =
+    12/(bk(k+1))·ΣR_j² − 3b(k+1) on within-block ranks, the test
+    kendall_w rescales into agreement (W = χ²/(b(k−1))) and
+    page_trend_test orders — this publishes the plain omnibus
+    member. Exactness: average ranks are kept on the ×2 integer grid
+    (2·rank + ties − 1, the tie-stable discrete doctrine), so ΣR2² =
+    4·ΣR² is exact and χ²·1000 = 3000·ΣR2²/(4bk(k+1)) − 3000b(k+1)
+    — ONE floor-division with the constant pulled outside the floor
+    (constant-minus doctrine; tie-uncorrected variant, documented).
+    Only months observing all k priorities enter (complete blocks).
+    Scale: one month×priority rollup (calendar-bounded domain), one
+    per-block rank window."""
+    comp = _month_prio_complete(spark, sf_dir)
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("mx").orderBy("rev"))
+        + F.count("*").over(Window.partitionBy("mx", "rev"))
+        - 1
+    ).cast("long")
+    rk = comp.select("mx", "g", r2.alias("r2"))
+    rsum = rk.groupBy("g").agg(F.sum("r2").alias("r2_sum"))
+    agg = rsum.agg(
+        F.count("*").alias("k"),
+        F.sum(F.col("r2_sum").cast(_DEC) * F.col("r2_sum")).alias(
+            "sum_r2_sq"
+        ),
+    )
+    b = comp.agg(F.count_distinct("mx").alias("b_months"))
+    return b.crossJoin(F.broadcast(agg)).select(
+        "b_months",
+        F.col("k").alias("k_groups"),
+        F.col("sum_r2_sq").cast("long").alias("sum_r2_sq"),
+        F.expr(
+            "CASE WHEN b_months > 0 AND k > 1 THEN"
+            " CAST(3000 * sum_r2_sq"
+            " div (4 * b_months * k * (k + 1)) AS BIGINT)"
+            " - 3000 * b_months * (k + 1) END"
+        ).alias("chi2_milli"),
+    )
+
+
+@register(
+    "cronbach_alpha_priorities_monthly",
+    oracle="""
+WITH
+""" + _MONTH_PRIO_CTES + """,
+bb AS (SELECT CAST(count(DISTINCT mx) AS BIGINT) AS b FROM comp),
+item AS (
+  SELECT g, CAST(SUM(rev) AS BIGINT) AS si,
+         CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS qi
+  FROM comp GROUP BY g
+),
+dsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(bb.b * qi - CAST(si AS HUGEINT) * si) AS HUGEINT)
+             AS d_items
+  FROM item CROSS JOIN bb GROUP BY bb.b
+),
+tm AS (
+  SELECT mx, CAST(SUM(rev) AS BIGINT) AS tv FROM comp GROUP BY mx
+),
+dtot AS (
+  SELECT CAST(bb.b * SUM(CAST(tv AS HUGEINT) * tv)
+              - CAST(SUM(tv) AS HUGEINT) * SUM(tv) AS HUGEINT) AS d_t
+  FROM tm CROSS JOIN bb GROUP BY bb.b
+)
+SELECT bb.b AS b_months, dsum.k AS k_items,
+       CASE WHEN dtot.d_t > 0 AND dsum.k > 1
+                 AND CAST(dsum.k AS DOUBLE)
+                     * abs(CAST(dtot.d_t AS DOUBLE)) * 1000 < 1e37
+            THEN CASE WHEN dtot.d_t - dsum.d_items >= 0
+                 THEN CAST(dsum.k * (dtot.d_t - dsum.d_items) * 1000
+                           // ((dsum.k - 1) * dtot.d_t) AS BIGINT)
+                 ELSE -CAST(dsum.k * (dsum.d_items - dtot.d_t) * 1000
+                            // ((dsum.k - 1) * dtot.d_t) AS BIGINT)
+                 END
+       END AS alpha_milli
+FROM bb CROSS JOIN dsum CROSS JOIN dtot
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def cronbach_alpha_priorities_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency reliability — the
+    psychometric workhorse (α = k/(k−1)·(1 − Σσᵢ²/σ_T²)) read over
+    the month×priority revenue matrix: months are subjects, the 5
+    priorities are items, and α asks whether the priority revenue
+    streams move together month to month (the reliability face of
+    what kendall_w measures in ranks). Exactness: every variance is
+    the n-scaled moment b·Q − S² (exact decimal(38,0) ⟷ HUGEINT on
+    the same complete-block b), so α = k·(D_T − ΣDᵢ)/((k−1)·D_T) is
+    a ratio of exact integers, published milli with the SIGN-SPLIT
+    floor (α < 0 happens when items anticorrelate; Spark div
+    truncates, DuckDB // floors). Degenerate zero total variance
+    NULLs via the same CASE; the 10³⁷ double guard degrades
+    identically past decimal headroom. Scale: one calendar-bounded
+    month×priority rollup; three scalar aggregates."""
+    comp = _month_prio_complete(spark, sf_dir)
+    bb = comp.agg(F.count_distinct("mx").alias("b"))
+    item = comp.groupBy("g").agg(
+        F.sum("rev").alias("si"),
+        F.sum(F.col("rev").cast(_DEC) * F.col("rev")).alias("qi"),
+    )
+    dsum = (
+        item.crossJoin(F.broadcast(bb))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.col("b") * F.col("qi")
+                - F.col("si").cast(_DEC) * F.col("si")
+            ).alias("d_items"),
+        )
+    )
+    tm = comp.groupBy("mx").agg(F.sum("rev").alias("tv"))
+    dtot = (
+        tm.crossJoin(F.broadcast(bb))
+        .groupBy("b")
+        .agg(
+            (
+                F.first("b")
+                * F.sum(F.col("tv").cast(_DEC) * F.col("tv"))
+                - F.sum("tv").cast(_DEC) * F.sum("tv")
+            ).alias("d_t")
+        )
+        .select("d_t")
+    )
+    return (
+        bb.crossJoin(F.broadcast(dsum.select("k", "d_items")))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.col("b").alias("b_months"),
+            F.col("k").alias("k_items"),
+            F.expr(
+                "CASE WHEN d_t > 0 AND k > 1"
+                " AND CAST(k AS DOUBLE) * abs(CAST(d_t AS DOUBLE))"
+                " * 1000 < 1e37 THEN"
+                " CASE WHEN d_t - d_items >= 0"
+                " THEN CAST(k * (d_t - d_items) * 1000"
+                " div ((k - 1) * d_t) AS BIGINT)"
+                " ELSE -CAST(k * (d_items - d_t) * 1000"
+                " div ((k - 1) * d_t) AS BIGINT) END END"
+            ).alias("alpha_milli"),
+        )
+    )
+
+
+@register(
+    "jonckheere_terpstra_priorities",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderpriority AS g
+  FROM orders
+),
+cnts AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c5
+  FROM v GROUP BY x
+),
+cum AS (
+  SELECT x, c1, c2, c3, c4, c5,
+         COALESCE(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS l1,
+         COALESCE(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS l2,
+         COALESCE(SUM(c3) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS l3,
+         COALESCE(SUM(c4) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS l4
+  FROM cnts
+),
+jt AS (
+  SELECT CAST(SUM(
+           CAST(c2 AS HUGEINT) * (2 * l1 + c1)
+         + CAST(c3 AS HUGEINT) * (2 * l1 + c1 + 2 * l2 + c2)
+         + CAST(c4 AS HUGEINT) * (2 * l1 + c1 + 2 * l2 + c2
+                                  + 2 * l3 + c3)
+         + CAST(c5 AS HUGEINT) * (2 * l1 + c1 + 2 * l2 + c2
+                                  + 2 * l3 + c3 + 2 * l4 + c4)
+         ) AS HUGEINT) AS jt2
+  FROM cum
+),
+gn AS (
+  SELECT CAST(SUM(c1 + c2 + c3 + c4 + c5) AS BIGINT) AS n,
+         CAST(SUM(c1) AS BIGINT) * CAST(SUM(c1) AS BIGINT)
+         + CAST(SUM(c2) AS BIGINT) * CAST(SUM(c2) AS BIGINT)
+         + CAST(SUM(c3) AS BIGINT) * CAST(SUM(c3) AS BIGINT)
+         + CAST(SUM(c4) AS BIGINT) * CAST(SUM(c4) AS BIGINT)
+         + CAST(SUM(c5) AS BIGINT) * CAST(SUM(c5) AS BIGINT)
+             AS sum_n_sq
+  FROM cnts
+)
+SELECT gn.n AS n_total,
+       CASE WHEN CAST(gn.n AS DOUBLE) < 3e9
+            THEN CAST(jt.jt2 AS BIGINT) END AS jt2,
+       CASE WHEN CAST(gn.n AS DOUBLE) < 3e9
+            THEN CAST(2 * jt.jt2
+                      - (CAST(gn.n AS HUGEINT) * gn.n - gn.sum_n_sq)
+                      AS BIGINT) END AS dev_x4
+FROM gn CROSS JOIN jt
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def jonckheere_terpstra_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JONCKHEERE-TERPSTRA ordered-alternatives test — the k-sample
+    trend test (H₁: order value shifts MONOTONICALLY across the
+    ordinal priority classes 1-URGENT → 5-LOW) that beats
+    kruskal_wallis exactly when the alternative is ordered, computed
+    WITHOUT the naive Σ n_i·n_j pairwise comparisons: one pass over
+    the DISTINCT value domain carries per-group counts plus
+    strictly-less running sums, and JT = Σ_{i<j} U_ij becomes one
+    windowed scan (U_ij = Σ_v c_j(v)·[lt_i(v) + ½c_i(v)]). Ties are
+    kept exact on the ×2 grid (JT2 = 2·JT, all integers). dev_x4 =
+    4·(JT − E[JT]) with E[JT] = (N² − Σn_i²)/4 — the centered
+    statistic, still exact. The N < 3·10⁹ guard (N² must fit int64)
+    NULLs identically in both engines past that. Scale: one
+    value-domain rollup + one ordered window — work is O(distinct
+    values), never O(N²)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    prios = [
+        ("c1", "1-URGENT"),
+        ("c2", "2-HIGH"),
+        ("c3", "3-MEDIUM"),
+        ("c4", "4-NOT SPECIFIED"),
+        ("c5", "5-LOW"),
+    ]
+    cnts = v.groupBy("x").agg(
+        *[
+            F.sum(F.when(F.col("g") == p, 1).otherwise(0)).alias(c)
+            for c, p in prios
+        ]
+    )
+    wl = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnts.select(
+        "x",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        *[
+            F.coalesce(F.sum(f"c{i}").over(wl), F.lit(0)).alias(f"l{i}")
+            for i in range(1, 5)
+        ],
+    )
+    jt = cum.agg(
+        F.sum(
+            F.expr(
+                f"CAST(c2 AS {_DEC}) * (2 * l1 + c1)"
+                f" + CAST(c3 AS {_DEC}) * (2 * l1 + c1 + 2 * l2 + c2)"
+                f" + CAST(c4 AS {_DEC}) * (2 * l1 + c1 + 2 * l2 + c2"
+                f" + 2 * l3 + c3)"
+                f" + CAST(c5 AS {_DEC}) * (2 * l1 + c1 + 2 * l2 + c2"
+                f" + 2 * l3 + c3 + 2 * l4 + c4)"
+            )
+        ).alias("jt2")
+    )
+    gn = cnts.agg(
+        F.sum(
+            F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+            + F.col("c5")
+        ).alias("n"),
+        (
+            F.sum("c1") * F.sum("c1")
+            + F.sum("c2") * F.sum("c2")
+            + F.sum("c3") * F.sum("c3")
+            + F.sum("c4") * F.sum("c4")
+            + F.sum("c5") * F.sum("c5")
+        ).alias("sum_n_sq"),
+    )
+    return gn.crossJoin(F.broadcast(jt)).select(
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CASE WHEN CAST(n AS DOUBLE) < 3e9"
+            " THEN CAST(jt2 AS BIGINT) END"
+        ).alias("jt2"),
+        F.expr(
+            f"CASE WHEN CAST(n AS DOUBLE) < 3e9"
+            f" THEN CAST(2 * jt2"
+            f" - (CAST(n AS {_DEC}) * n - sum_n_sq) AS BIGINT) END"
+        ).alias("dev_x4"),
+    )
+
+
+@register(
+    "mm1_queue_metrics_hourly",
+    oracle="""
+WITH slot AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd
+  FROM events
+),
+mu AS (SELECT CAST(max(c) + 1 AS BIGINT) AS m FROM slot),
+hourly AS (
+  SELECT h, CAST(SUM(c) AS BIGINT) AS arrivals FROM slot GROUP BY h
+)
+SELECT hourly.h AS hour, hourly.arrivals, days.nd AS n_days,
+       mu.m AS mu_per_slot,
+       CAST(hourly.arrivals * 1000000 // (days.nd * mu.m) AS BIGINT)
+           AS rho_ppm,
+       CAST(CAST(hourly.arrivals AS HUGEINT) * hourly.arrivals * 1000
+            // (days.nd * mu.m
+                * (days.nd * mu.m - hourly.arrivals)) AS BIGINT)
+           AS lq_milli,
+       CAST(hourly.arrivals * 1000
+            // (mu.m * (days.nd * mu.m - hourly.arrivals)) AS BIGINT)
+           AS wq_milli_slots
+FROM hourly CROSS JOIN days CROSS JOIN mu
+ORDER BY hourly.h
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def mm1_queue_metrics_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M/M/1 STEADY-STATE QUEUEING METRICS per hour-of-day — the
+    capacity-planning readout littles_law_daily_events leaves
+    implicit: with the hourly arrival rate λ_h = arrivals/n_days
+    (absent slots count as zero arrivals — the day spine is the
+    distinct-day count, not the observed-slot count) and a service
+    rate μ = the busiest observed slot + 1 (data-derived, so ρ < 1
+    by construction and the queue is stable at every hour), publish
+    utilization ρ = λ/μ, queue length Lq = ρ²/(1−ρ), and wait
+    Wq = Lq/λ — each an EXACT rational of integer counts: ρ_ppm =
+    a·10⁶ div (D·μ), Lq_milli = a²·10³ div (D·μ·(D·μ−a)),
+    Wq = a·10³ div (μ·(D·μ−a)) slot-lengths. The M/M/1 idealization
+    is the point — it turns two count aggregates into the standard
+    what-if dial. Scale: one (day,hour) rollup, a 24-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    days = ev.agg(
+        F.count_distinct(F.to_date("ts")).alias("nd")
+    )
+    mu = slot.agg((F.max("c") + 1).alias("m"))
+    hourly = slot.groupBy("h").agg(F.sum("c").alias("arrivals"))
+    return (
+        hourly.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            F.col("h").alias("hour"),
+            "arrivals",
+            F.col("nd").alias("n_days"),
+            F.col("m").alias("mu_per_slot"),
+            F.expr(
+                "CAST(arrivals * 1000000 div (nd * m) AS BIGINT)"
+            ).alias("rho_ppm"),
+            F.expr(
+                f"CAST(CAST(arrivals AS {_DEC}) * arrivals * 1000"
+                f" div (nd * m * (nd * m - arrivals)) AS BIGINT)"
+            ).alias("lq_milli"),
+            F.expr(
+                "CAST(arrivals * 1000"
+                " div (m * (nd * m - arrivals)) AS BIGINT)"
+            ).alias("wq_milli_slots"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "logrank_test_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+lab AS (
+  SELECT CAST(date_diff('day', p.first_d, p.last_d) // 90 AS BIGINT)
+             AS bucket,
+         CASE WHEN date_diff('day', p.last_d,
+                             (SELECT end_d FROM horizon)) >= 180
+              THEN 1 ELSE 0 END AS churned,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN grp = 1 THEN churned ELSE 0 END)
+              AS BIGINT) AS e1,
+         CAST(SUM(CASE WHEN grp = 0 THEN churned ELSE 0 END)
+              AS BIGINT) AS e0,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - churned ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - churned ELSE 0 END)
+              AS BIGINT) AS x0
+  FROM lab GROUP BY bucket
+),
+risk AS (
+  SELECT bucket, e1, e0,
+         CAST(SUM(e1 + x1) OVER (ORDER BY bucket DESC) AS BIGINT)
+             AS n1,
+         CAST(SUM(e1 + x1 + e0 + x0) OVER (ORDER BY bucket DESC)
+              AS BIGINT) AS n
+  FROM per_bucket
+),
+terms AS (
+  SELECT bucket,
+         e1 * 1000 - CAST((e1 + e0) * n1 * 1000 // n AS BIGINT)
+             AS oe_milli,
+         CASE WHEN n > 1 THEN
+           CAST(CAST(e1 + e0 AS HUGEINT) * n1 * (n - n1)
+                * (n - e1 - e0) * 1000000
+                // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+         END AS v_micro
+  FROM risk
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(oe_milli) AS BIGINT) AS oe_milli,
+         CAST(COALESCE(SUM(v_micro), 0) AS BIGINT) AS v_micro
+  FROM terms
+)
+SELECT n_buckets, oe_milli, v_micro,
+       CASE WHEN v_micro > 0
+            THEN CAST(CAST(oe_milli AS HUGEINT) * oe_milli * 1000
+                      // v_micro AS BIGINT)
+       END AS chi2_milli
+FROM agg
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def logrank_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-GROUP LOG-RANK TEST on customer tenure — the standard
+    survival-curve comparison (Mantel-Cox): does the BUILDING
+    segment churn on a different schedule than everyone else? Reuses
+    km_life_table_customer_tenure's exact censoring semantics
+    (90-day tenure buckets, churned = last order ≥ 180 days before
+    the horizon) and adds the inference layer the life table lacks:
+    per bucket, observed group-1 events minus the hypergeometric
+    expectation d·n1/n (milli-floored per term — discrete variant)
+    and the hypergeometric variance d·n1·(n−n1)·(n−d)/(n²·(n−1))
+    (micro-floored; single-subject buckets contribute NULL→skipped
+    identically in both engines), then χ² = (O−E)²/V as one more
+    exact floor-division. The customer table is fact-sized and joins
+    SHUFFLED per doctrine (never broadcast). Scale: one
+    customer-grain rollup, bucket-domain suffix sums, 1-row out."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("end_d"))
+    lab = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.datediff("last_d", "first_d") / 90)
+            .cast("long")
+            .alias("bucket"),
+            F.when(F.datediff("end_d", "last_d") >= 180, 1)
+            .otherwise(0)
+            .alias("churned"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("churned")).otherwise(0)
+        ).alias("e1"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("churned")).otherwise(0)
+        ).alias("e0"),
+        F.sum(
+            F.when(F.col("grp") == 1, 1 - F.col("churned")).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("grp") == 0, 1 - F.col("churned")).otherwise(0)
+        ).alias("x0"),
+    )
+    wd = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_bucket.select(
+        "bucket",
+        "e1",
+        "e0",
+        F.sum(F.col("e1") + F.col("x1")).over(wd).alias("n1"),
+        F.sum(
+            F.col("e1") + F.col("x1") + F.col("e0") + F.col("x0")
+        )
+        .over(wd)
+        .alias("n"),
+    )
+    terms = risk.select(
+        F.expr(
+            "e1 * 1000 - CAST((e1 + e0) * n1 * 1000 div n AS BIGINT)"
+        ).alias("oe_milli"),
+        F.expr(
+            f"CASE WHEN n > 1 THEN"
+            f" CAST(CAST(e1 + e0 AS {_DEC}) * n1 * (n - n1)"
+            f" * (n - e1 - e0) * 1000000"
+            f" div (CAST(n AS {_DEC}) * n * (n - 1)) AS BIGINT) END"
+        ).alias("v_micro"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("oe_milli").alias("oe_milli"),
+        F.coalesce(F.sum("v_micro"), F.lit(0)).cast("long").alias(
+            "v_micro"
+        ),
+    )
+    return agg.select(
+        "n_buckets",
+        "oe_milli",
+        "v_micro",
+        F.expr(
+            f"CASE WHEN v_micro > 0"
+            f" THEN CAST(CAST(oe_milli AS {_DEC}) * oe_milli * 1000"
+            f" div v_micro AS BIGINT) END"
+        ).alias("chi2_milli"),
+    )
+
+
+# Benford second-significant-digit expected frequencies, ppm:
+# P(d) = sum over d1 in 1..9 of log10(1 + 1/(10*d1 + d)), the ONLY
+# transcendental — frozen as rational literals shared verbatim by
+# both engines (the hard-coded-constant doctrine).
+_BENFORD2_PPM = [
+    (0, 119679),
+    (1, 113890),
+    (2, 108821),
+    (3, 104330),
+    (4, 100308),
+    (5, 96677),
+    (6, 93375),
+    (7, 90352),
+    (8, 87570),
+    (9, 84997),
+]
+
+_BENFORD2_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD2_PPM)
+
+
+@register(
+    "benford_second_digit_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 2, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice > 0
+    AND length(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR)) >= 2
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+exp_t AS (SELECT * FROM (VALUES {_BENFORD2_VALUES}) AS v(digit, p_ppm)),
+j AS (
+  SELECT e.digit, COALESCE(c.n, 0) AS n,
+         CAST(e.p_ppm AS BIGINT) AS expected_ppm,
+         CAST(t.total * e.p_ppm AS BIGINT) AS e_micro
+  FROM exp_t e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+)
+SELECT CAST(digit AS BIGINT) AS digit, n, expected_ppm,
+       CASE WHEN e_micro > 0 THEN
+         CAST((CAST(n * 1000000 - e_micro AS HUGEINT)
+               * (n * 1000000 - e_micro))
+              // (CAST(e_micro AS HUGEINT) * 1000) AS BIGINT)
+       END AS chi2_term_milli
+FROM j ORDER BY digit
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def benford_second_digit_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BENFORD SECOND-DIGIT audit of order amounts — the forensic
+    accounting follow-up to benford_first_digit_audit (fabricators
+    who learn the first-digit law still flunk the second digit;
+    Nigrini's standard two-test battery), upgraded with the
+    inference the first-digit query leaves to the reader: per digit,
+    the χ² contribution (n_d − N·p_d)²/(N·p_d) against the Benford
+    expectation — the expected frequencies Σ log₁₀(1+1/(10d₁+d))
+    are the only transcendental and are FROZEN as ppm literals
+    shared verbatim by both engines. χ² terms are exact integer
+    arithmetic on the µ-count grid, milli-floored per digit (the
+    caller sums 10 terms for the statistic); digits with zero
+    observations still contribute via the 10-row literal spine.
+    Digit extraction is position 2 of the exact cents string. Scale:
+    one digit rollup; 10-row output."""
+    spine = [
+        F.struct(
+            F.lit(d).cast("long").alias("digit"),
+            F.lit(p).cast("long").alias("p_ppm"),
+        )
+        for d, p in _BENFORD2_PPM
+    ]
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    cents_str = F.round(F.col("o_totalprice") * 100).cast("long").cast(
+        "string"
+    )
+    d = o.select(
+        F.substring(cents_str, 2, 1).cast("long").alias("digit")
+    ).filter(F.length(cents_str) >= 2)
+    c = d.groupBy("digit").agg(F.count("*").alias("cn"))
+    t = c.agg(F.sum("cn").alias("total"))
+    exp_t = (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(F.explode(F.array(*spine)).alias("e"))
+        .select(F.col("e.digit").alias("edigit"), F.col("e.p_ppm"))
+    )
+    j = (
+        exp_t.join(c, F.col("edigit") == F.col("digit"), "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("edigit").alias("digit"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("n"),
+            F.col("p_ppm").alias("expected_ppm"),
+            (F.col("total") * F.col("p_ppm")).alias("e_micro"),
+        )
+    )
+    return j.select(
+        "digit",
+        "n",
+        "expected_ppm",
+        F.expr(
+            f"CASE WHEN e_micro > 0 THEN"
+            f" CAST((CAST(n * 1000000 - e_micro AS {_DEC})"
+            f" * (n * 1000000 - e_micro))"
+            f" div (CAST(e_micro AS {_DEC}) * 1000) AS BIGINT) END"
+        ).alias("chi2_term_milli"),
+    ).orderBy("digit")
+
+
+@register(
+    "sketch_log2_histogram_quantiles",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+b AS (
+  SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY 1
+),
+c AS (
+  SELECT bucket, n,
+         CAST(SUM(n) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM b
+)
+SELECT bucket, n, cum,
+       CAST(1 << bucket AS BIGINT) AS lo_cents,
+       CASE WHEN cum - n < (total + 1) // 2
+                 AND (total + 1) // 2 <= cum
+            THEN 1 ELSE 0 END AS contains_median,
+       CASE WHEN cum - n < (9 * total + 9) // 10
+                 AND (9 * total + 9) // 10 <= cum
+            THEN 1 ELSE 0 END AS contains_p90
+FROM c ORDER BY bucket
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def sketch_log2_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POWER-OF-TWO-BUCKET HISTOGRAM quantile sketch over order
+    amounts — the DDSketch/HdrHistogram idea (log-spaced buckets
+    give bounded RELATIVE error; base 2 gives a 100% worst-case
+    relative bound) with the bucket index computed EXACTLY in both
+    engines: floor(log₂ cents) = length(bin(cents)) − 1 — a string
+    length, not a transcendental (IEEE log2 is NOT guaranteed
+    correctly rounded near powers of two; bin() is exact at any
+    magnitude). The sketch is one tiny mergeable map {bucket →
+    count} (≤ 64 entries at ANY corpus size — the sketch_hll
+    mergeability argument), and the discrete median / p90 ranks
+    (n+1)//2 and ceil(0.9n) land in buckets via exact cumulative
+    counts; the bucket lower bound 2^b (one integer shift) is the
+    quantile estimate with ≤ 2× relative error. Scale: one
+    map-side-combinable bucket rollup; ~15-row output."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    b = v.groupBy(
+        (F.length(F.bin("cents")) - 1).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "bucket",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return c.select(
+        "bucket",
+        "n",
+        "cum",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+            " AS BIGINT)"
+        ).alias("lo_cents"),
+        F.expr(
+            "CASE WHEN cum - n < (total + 1) div 2"
+            " AND (total + 1) div 2 <= cum THEN 1 ELSE 0 END"
+        ).alias("contains_median"),
+        F.expr(
+            "CASE WHEN cum - n < (9 * total + 9) div 10"
+            " AND (9 * total + 9) div 10 <= cum THEN 1 ELSE 0 END"
+        ).alias("contains_p90"),
+    ).orderBy("bucket")
+
+
+@register(
+    "clustering_coefficient_copurchase",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (
+  SELECT pa AS u, pb AS v FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+tri AS (
+  SELECT x.u AS node, CAST(count(*) AS BIGINT) AS t
+  FROM adj x
+  JOIN adj y ON y.u = x.u AND x.v < y.v
+  JOIN pairs p ON p.pa = x.v AND p.pb = y.v
+  GROUP BY x.u
+)
+SELECT deg.u AS part, deg.d AS degree,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tri.t, 0) * 1000000
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tri ON tri.node = deg.u
+WHERE deg.d >= 2
+ORDER BY cc_ppm DESC, degree DESC, part LIMIT 20
+""",
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def clustering_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-NODE LOCAL CLUSTERING COEFFICIENT on the co-purchase graph
+    — Watts-Strogatz cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)), the
+    node-level density readout triangle_count_copurchase only
+    publishes globally (and the structural signal behind 'tightly
+    bundled accessory kits' vs 'hub parts bought with everything').
+    Per-node triangles come from the wedge-closure equi-join (both
+    neighbors of v adjacent, v's wedge oriented x.v < y.v so each
+    triangle counts once per corner — Σ deg² work, the compact-
+    forward bound), closed against the canonical pa < pb edge set.
+    cc is exact: integer triangle counts and degrees, one ppm
+    floor-division, deg ≥ 2 filter excludes the undefined leaves.
+    Deterministic top-20 (cc desc, degree desc, part). Scale: the
+    same support-≥ 2 pruned edge set as every copurchase query; no
+    step exceeds the wedge bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("ok"))
+            & (F.col("a.l_partkey") < F.col("pk")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    adj = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("u").alias("node"), F.col("v").alias("w1"))
+    y = adj.select(F.col("u").alias("node2"), F.col("v").alias("w2"))
+    tri = (
+        x.join(
+            y,
+            (F.col("node2") == F.col("node"))
+            & (F.col("w1") < F.col("w2")),
+        )
+        .join(
+            pairs,
+            (F.col("pa") == F.col("w1")) & (F.col("pb") == F.col("w2")),
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tri, deg.u == tri.node, "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CAST(2 * COALESCE(t, 0) * 1000000"
+                " div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.desc("degree"), "part")
+        .limit(20)
+    )
+
+
+@register(
+    "multimodal_pgm_sobel_energy",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h FROM d
+),
+inter AS (
+  SELECT doc_id, w, h,
+         CAST(t.i % (w - 2) + 1 AS BIGINT) AS px,
+         CAST(t.i // (w - 2) + 1 AS BIGINT) AS py
+  FROM dims, LATERAL unnest(range((w - 2) * (h - 2))) AS t(i)
+),
+g AS (
+  SELECT doc_id, w, h,
+         ((doc_id * 31 + ((py - 1) * w + px + 1) * 7) % 256
+          + 2 * ((doc_id * 31 + (py * w + px + 1) * 7) % 256)
+          + (doc_id * 31 + ((py + 1) * w + px + 1) * 7) % 256)
+         - ((doc_id * 31 + ((py - 1) * w + px - 1) * 7) % 256
+            + 2 * ((doc_id * 31 + (py * w + px - 1) * 7) % 256)
+            + (doc_id * 31 + ((py + 1) * w + px - 1) * 7) % 256)
+             AS gx,
+         ((doc_id * 31 + ((py + 1) * w + px - 1) * 7) % 256
+          + 2 * ((doc_id * 31 + ((py + 1) * w + px) * 7) % 256)
+          + (doc_id * 31 + ((py + 1) * w + px + 1) * 7) % 256)
+         - ((doc_id * 31 + ((py - 1) * w + px - 1) * 7) % 256
+            + 2 * ((doc_id * 31 + ((py - 1) * w + px) * 7) % 256)
+            + (doc_id * 31 + ((py - 1) * w + px + 1) * 7) % 256)
+             AS gy
+  FROM inter
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+       CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS sobel_energy
+FROM g GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window2",),
+)
+def multimodal_pgm_sobel_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL IMAGE-GRADIENT compute over binary image payloads: Sobel
+    edge energy Σ(Gx² + Gy²) over every interior pixel — the
+    standard blur/quality screen a production image-curation
+    pipeline runs after decode (blurry → low gradient energy). The
+    pipeline is genuinely end-to-end binary: deterministic NetPBM P5
+    payloads (multimodal_pgm_real_decode's generator) are decoded —
+    magic check, header parse, numpy raster — and convolved with the
+    3×3 Sobel kernels via numpy slicing inside one Arrow-batched
+    mapInPandas stage (the slot a PIL/OpenCV kernel would occupy; a
+    100 TB corpus maps this per-partition with zero shuffle). The
+    oracle predicts the exact integer energy analytically from the
+    raster formula (doc·31 + i·7) mod 256, so a decoder that misreads
+    the header, raster order, or kernel CANNOT hash-match. All
+    integers; no floats anywhere."""
+    import numpy as np  # noqa: F401 (imported for the worker closure)
+
+    from spark_lever_spark.llm.multimodal import encode_pgm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_pgm(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    with_media = docs.mapInPandas(
+        encode_run, "doc_id long, payload binary"
+    )
+
+    def sobel_run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, ni, en = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                if not b.startswith(b"P5\n"):
+                    raise ValueError("not a binary PGM (P5) stream")
+                hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+                dims = b[3 : b.index(b"\n", 3)].split()
+                w, h = int(dims[0]), int(dims[1])
+                img = (
+                    np.frombuffer(b, dtype=np.uint8, offset=hdr_end + 1)
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                gx = (
+                    (img[:-2, 2:] + 2 * img[1:-1, 2:] + img[2:, 2:])
+                    - (img[:-2, :-2] + 2 * img[1:-1, :-2] + img[2:, :-2])
+                )
+                gy = (
+                    (img[2:, :-2] + 2 * img[2:, 1:-1] + img[2:, 2:])
+                    - (img[:-2, :-2] + 2 * img[:-2, 1:-1] + img[:-2, 2:])
+                )
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                ni.append((w - 2) * (h - 2))
+                en.append(int((gx * gx + gy * gy).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_interior": pd.Series(ni, dtype="int64"),
+                    "sobel_energy": pd.Series(en, dtype="int64"),
+                }
+            )
+
+    out = with_media.mapInPandas(
+        sobel_run,
+        "doc_id long, width int, height int,"
+        " n_interior long, sobel_energy long",
+    )
+    return out.orderBy("doc_id")
