@@ -60,7 +60,10 @@ GATES = {
     # count k = max(16, floor(sqrt(N))) — candidate work O(N^1.5),
     # was fixed k=16 / 10.88 s)
     "isotonic_return_rate_by_price": 6.77,  # v3.2 addition (r13)
-    "lof_outliers_int8_cells": 4.73,  # v3.2 addition (r13)
+    "lof_outliers_int8_cells": 3.38,  # v3.3 re-freeze (round 14:
+    # cells re-derived as nearest of k = max(16, floor(sqrt(N)))
+    # prefix centroids instead of the 10 fixture labels — pairwise
+    # work O(N^1.5); was label-celled / 4.73 s)
     "personalized_pagerank_copurchase": 4.93,  # v3.1 addition (r13)
     "hits_hubs_authorities_purchases": 5.81,  # v3.1 addition (r13)
     "decision_stump_returns": 4.77,  # v3.1 addition (r13)
@@ -99,6 +102,9 @@ GATES = {
     "text_token_counts": 0.45,
     "triangle_count_copurchase": 2.11,
     "window_topk_per_group": 0.6,
+    "cci_20_daily": 0.54,  # v3.3 addition (round 14)
+    "clustering_coefficient_copurchase": 2.93,  # v3.3 addition (r14)
+    "lincoln_petersen_dedup_estimate": 2.88,  # v3.3 addition (r14)
 }
 
 # v2.4 heavy queries: benched in a trailing phase behind a cache-drop

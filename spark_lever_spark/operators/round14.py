@@ -577,6 +577,7 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cci_20_daily",
+    bench=True,
     oracle="""
 WITH
 """ + _DAILY_ORDERS_CTE + """,
@@ -1511,6 +1512,7 @@ def sketch_log2_histogram_quantiles(
 
 @register(
     "clustering_coefficient_copurchase",
+    bench=True,
     oracle="""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1744,3 +1746,559 @@ def multimodal_pgm_sobel_energy(
         " n_interior long, sobel_energy long",
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "dixon_q_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+rk AS (
+  SELECT x, v,
+         row_number() OVER (ORDER BY v, x) AS ra,
+         row_number() OVER (ORDER BY v DESC, x DESC) AS rd
+  FROM daily
+),
+pick AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS x1,
+         CAST(max(CASE WHEN ra = 2 THEN v END) AS BIGINT) AS x2,
+         CAST(max(CASE WHEN rd = 2 THEN v END) AS BIGINT) AS xn1,
+         CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS xn,
+         CAST(max(CASE WHEN ra = 1 THEN x END) AS BIGINT) AS low_x,
+         CAST(max(CASE WHEN rd = 1 THEN x END) AS BIGINT) AS high_x
+  FROM rk
+)
+SELECT n, low_x, high_x,
+       CASE WHEN n >= 3 AND xn > x1
+            THEN CAST((x2 - x1) * 1000000 // (xn - x1) AS BIGINT)
+       END AS q_low_ppm,
+       CASE WHEN n >= 3 AND xn > x1
+            THEN CAST((xn - xn1) * 1000000 // (xn - x1) AS BIGINT)
+       END AS q_high_ppm
+FROM pick
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def dixon_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIXON'S Q TEST on daily order revenue — the small-sample
+    gap-over-range outlier screen (Q = gap to the nearest neighbor
+    over the full range) run at BOTH ends: Q_low = (x₍₂₎−x₍₁₎)/R and
+    Q_high = (x₍ₙ₎−x₍ₙ₋₁₎)/R — the order-statistic complement to
+    grubbs_outlier_daily's moment-based G (Q needs no variance, so a
+    second outlier can't mask the first as it inflates s). Order
+    statistics come from two deterministic rank windows (value with
+    day tie-break); the published ratios are exact ppm
+    floor-divisions of int64 cents, NULL on the degenerate flat
+    series via the same CASE both engines. Scale: the day domain is
+    calendar-bounded; one daily rollup + one window pass."""
+    daily = _daily_orders(spark, sf_dir)
+    rk = daily.select(
+        "x",
+        "v",
+        F.row_number().over(Window.orderBy("v", "x")).alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.desc("x")))
+        .alias("rd"),
+    )
+    pick = rk.agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("ra") == 1, F.col("v"))).alias("x1"),
+        F.max(F.when(F.col("ra") == 2, F.col("v"))).alias("x2"),
+        F.max(F.when(F.col("rd") == 2, F.col("v"))).alias("xn1"),
+        F.max(F.when(F.col("rd") == 1, F.col("v"))).alias("xn"),
+        F.max(F.when(F.col("ra") == 1, F.col("x"))).alias("low_x"),
+        F.max(F.when(F.col("rd") == 1, F.col("x"))).alias("high_x"),
+    )
+    return pick.select(
+        "n",
+        "low_x",
+        "high_x",
+        F.expr(
+            "CASE WHEN n >= 3 AND xn > x1 THEN"
+            " CAST((x2 - x1) * 1000000 div (xn - x1) AS BIGINT) END"
+        ).alias("q_low_ppm"),
+        F.expr(
+            "CASE WHEN n >= 3 AND xn > x1 THEN"
+            " CAST((xn - xn1) * 1000000 div (xn - x1) AS BIGINT) END"
+        ).alias("q_high_ppm"),
+    )
+
+
+@register(
+    "dominant_cycle_acf_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM daily
+),
+y AS (
+  SELECT CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS t,
+         CAST(tot.n * v - tot.s AS BIGINT) AS yd, tot.n
+  FROM daily CROSS JOIN tot
+),
+led AS (
+  SELECT t, yd, n,
+         lead(yd, 2) OVER (ORDER BY t) AS y2,
+         lead(yd, 3) OVER (ORDER BY t) AS y3,
+         lead(yd, 4) OVER (ORDER BY t) AS y4,
+         lead(yd, 5) OVER (ORDER BY t) AS y5,
+         lead(yd, 6) OVER (ORDER BY t) AS y6,
+         lead(yd, 7) OVER (ORDER BY t) AS y7,
+         lead(yd, 8) OVER (ORDER BY t) AS y8,
+         lead(yd, 9) OVER (ORDER BY t) AS y9,
+         lead(yd, 10) OVER (ORDER BY t) AS y10,
+         lead(yd, 11) OVER (ORDER BY t) AS y11,
+         lead(yd, 12) OVER (ORDER BY t) AS y12,
+         lead(yd, 13) OVER (ORDER BY t) AS y13,
+         lead(yd, 14) OVER (ORDER BY t) AS y14
+  FROM y
+),
+mom AS (
+  SELECT max(n) AS n,
+         CAST(SUM(CAST(yd AS HUGEINT) * yd) AS HUGEINT) AS c0,
+         CAST(SUM(CAST(yd AS HUGEINT) * y2) AS HUGEINT) AS c2,
+         CAST(SUM(CAST(yd AS HUGEINT) * y3) AS HUGEINT) AS c3,
+         CAST(SUM(CAST(yd AS HUGEINT) * y4) AS HUGEINT) AS c4,
+         CAST(SUM(CAST(yd AS HUGEINT) * y5) AS HUGEINT) AS c5,
+         CAST(SUM(CAST(yd AS HUGEINT) * y6) AS HUGEINT) AS c6,
+         CAST(SUM(CAST(yd AS HUGEINT) * y7) AS HUGEINT) AS c7,
+         CAST(SUM(CAST(yd AS HUGEINT) * y8) AS HUGEINT) AS c8,
+         CAST(SUM(CAST(yd AS HUGEINT) * y9) AS HUGEINT) AS c9,
+         CAST(SUM(CAST(yd AS HUGEINT) * y10) AS HUGEINT) AS c10,
+         CAST(SUM(CAST(yd AS HUGEINT) * y11) AS HUGEINT) AS c11,
+         CAST(SUM(CAST(yd AS HUGEINT) * y12) AS HUGEINT) AS c12,
+         CAST(SUM(CAST(yd AS HUGEINT) * y13) AS HUGEINT) AS c13,
+         CAST(SUM(CAST(yd AS HUGEINT) * y14) AS HUGEINT) AS c14
+  FROM led
+),
+lags AS (
+  SELECT mom.n, mom.c0, k.k,
+         CASE k.k WHEN 2 THEN mom.c2 WHEN 3 THEN mom.c3
+                  WHEN 4 THEN mom.c4 WHEN 5 THEN mom.c5
+                  WHEN 6 THEN mom.c6 WHEN 7 THEN mom.c7
+                  WHEN 8 THEN mom.c8 WHEN 9 THEN mom.c9
+                  WHEN 10 THEN mom.c10 WHEN 11 THEN mom.c11
+                  WHEN 12 THEN mom.c12 WHEN 13 THEN mom.c13
+                  ELSE mom.c14 END AS ck
+  FROM mom CROSS JOIN (SELECT unnest(range(2, 15)) AS k) k
+),
+scored AS (
+  SELECT CAST(k AS BIGINT) AS lag_k, n,
+         CASE WHEN c0 > 0 AND n > k
+                   AND CAST(c0 AS DOUBLE) < 1e30 THEN
+           CASE WHEN ck >= 0
+                THEN CAST(ck * 1000000 * n // (c0 * (n - k)) AS BIGINT)
+                ELSE -CAST((-ck) * 1000000 * n // (c0 * (n - k))
+                           AS BIGINT)
+           END
+         END AS score_micro
+  FROM lags
+)
+SELECT lag_k, n, score_micro,
+       CASE WHEN row_number() OVER (ORDER BY score_micro DESC, lag_k)
+                 = 1 THEN 1 ELSE 0 END AS is_dominant
+FROM scored ORDER BY lag_k
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def dominant_cycle_acf_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOMINANT-CYCLE detection by length-adjusted autocovariance —
+    the period-finding primitive behind seasonal-period auto-config
+    (which lag 2..14 does daily revenue echo most strongly? 7 is the
+    honest answer for commerce data, and this query DERIVES it
+    instead of assuming it like the dow/weekly queries): score(k) =
+    (c_k/(n−k))/(c₀/n), the unbiased-length-adjusted ACF that
+    corrects raw c_k's downward bias at longer lags. Exactness: the
+    ljung_box machinery (n-scaled deviations, exact decimal ⟷
+    HUGEINT autocovariances), score published as the SIGN-SPLIT
+    micro floor-division c_k·10⁶·n div (c₀·(n−k)) — numerator ≤
+    ~4·10³⁷ under the c₀ < 10³⁰ double guard, NULL past it
+    identically both engines. The winner is flagged by a
+    deterministic rank (score desc, lag asc). Scale: one
+    calendar-bounded daily rollup, one 13-lead window pass."""
+    daily = _daily_orders(spark, sf_dir)
+    tot = daily.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    wl = Window.orderBy("t")
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy("x")).cast("long").alias("t"),
+        (F.col("n") * F.col("v") - F.col("s")).alias("yd"),
+        "n",
+    )
+    led = y.select(
+        "yd",
+        "n",
+        *[F.lead("yd", k).over(wl).alias(f"y{k}") for k in range(2, 15)],
+    )
+    mom = led.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("yd").cast(_DEC) * F.col("yd")).alias("c0"),
+        *[
+            F.sum(F.col("yd").cast(_DEC) * F.col(f"y{k}")).alias(f"c{k}")
+            for k in range(2, 15)
+        ],
+    )
+    lags = mom.select(
+        "n",
+        "c0",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag_k"),
+                        F.col(f"c{k}").alias("ck"),
+                    )
+                    for k in range(2, 15)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "n", "c0", F.col("e.lag_k").alias("lag_k"), F.col("e.ck").alias("ck")
+    )
+    scored = lags.select(
+        "lag_k",
+        "n",
+        F.expr(
+            "CASE WHEN c0 > 0 AND n > lag_k"
+            " AND CAST(c0 AS DOUBLE) < 1e30 THEN"
+            " CASE WHEN ck >= 0"
+            " THEN CAST(ck * 1000000 * n div (c0 * (n - lag_k))"
+            " AS BIGINT)"
+            " ELSE -CAST((-ck) * 1000000 * n div (c0 * (n - lag_k))"
+            " AS BIGINT) END END"
+        ).alias("score_micro"),
+    )
+    return scored.select(
+        "lag_k",
+        "n",
+        "score_micro",
+        F.expr(
+            "CASE WHEN row_number() OVER (ORDER BY score_micro DESC,"
+            " lag_k) = 1 THEN 1 ELSE 0 END"
+        ).alias("is_dominant"),
+    ).orderBy("lag_k")
+
+
+@register(
+    "keltner_channel_daily",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT d, x, r, row_number() OVER (ORDER BY d) AS rn FROM (
+    SELECT d, CAST(c AS DOUBLE) / 100 AS x,
+           CAST(COALESCE(abs(c - lag(c) OVER (ORDER BY d)), 0)
+                AS DOUBLE) / 100 AS r
+    FROM (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1))
+),
+rec AS (
+  SELECT d, rn, x, r, x AS e20, CAST(0 AS DOUBLE) AS e10
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.d, dd.rn, dd.x, dd.r,
+         (2.0 / 21.0) * dd.x + (1 - 2.0 / 21.0) * rec.e20,
+         (2.0 / 11.0) * dd.r + (1 - 2.0 / 11.0) * rec.e10
+  FROM daily dd JOIN rec ON dd.rn = rec.rn + 1
+)
+SELECT d, round(x * 1000000) / 1000000 AS daily_value,
+       round(e20 * 1000000) / 1000000 AS center,
+       round((e20 + 2 * e10) * 1000000) / 1000000 AS upper_band,
+       round((e20 - 2 * e10) * 1000000) / 1000000 AS lower_band,
+       CAST(CASE WHEN x > e20 + 2 * e10 THEN 1
+                 WHEN x < e20 - 2 * e10 THEN -1 ELSE 0 END
+            AS BIGINT) AS breakout
+FROM rec ORDER BY d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def keltner_channel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELTNER CHANNELS over daily revenue — the EMA-centered,
+    volatility-scaled band (center EMA20, band ±2× an EMA10 of the
+    absolute day-over-day move — the single-series stand-in for
+    Wilder's true range) whose breakouts are trend triggers where
+    bollinger's variance bands are mean-reversion triggers; the two
+    disagree exactly when volatility clusters, which is why desks
+    run both. Two coupled EMA recursions in ONE prefix scan over the
+    calendar-grain aggregate (the macd_signal_daily machinery:
+    collect-sorted scan on ~2.6k rows at any SF, seeded e20₁ = x₁,
+    e10₁ = 0 — documented warm-up); the |Δ| range proxy is computed
+    on exact cents BEFORE the float recursion. Multipliers are the
+    IDENTICAL IEEE expressions both engines (2.0/21.0, never
+    pre-simplified); inputs bit-identical doubles; outputs meet on
+    the 1e-6 grid and the breakout flag compares the same raw
+    doubles in both engines."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    dc = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("c"))
+    wl = Window.orderBy("d")
+    daily = dc.select(
+        "d",
+        (F.col("c").cast("double") / 100).alias("x"),
+        (
+            F.coalesce(
+                F.abs(F.col("c") - F.lag("c").over(wl)), F.lit(0)
+            ).cast("double")
+            / 100
+        ).alias("r"),
+    )
+    a20, b20 = 2.0 / 21.0, 1 - 2.0 / 21.0
+    a10, b10 = 2.0 / 11.0, 1 - 2.0 / 11.0
+    allrows = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x", "r"))).alias("s")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc, -1)
+        e20 = F.when(F.size(acc) == 0, s["x"]).otherwise(
+            F.lit(a20) * s["x"] + F.lit(b20) * prev["e20"]
+        )
+        e10 = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            F.lit(a10) * s["r"] + F.lit(b10) * prev["e10"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["d"].alias("d"),
+                    s["x"].alias("x"),
+                    e20.alias("e20"),
+                    e10.alias("e10"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, x double,"
+            " e20 double, e10 double>>)"
+        ),
+        step,
+    )
+    return (
+        allrows.select(F.explode(scan).alias("r"))
+        .select(
+            F.col("r.d").alias("d"),
+            (F.round(F.col("r.x") * 1000000) / 1000000).alias(
+                "daily_value"
+            ),
+            (F.round(F.col("r.e20") * 1000000) / 1000000).alias(
+                "center"
+            ),
+            (
+                F.round(
+                    (F.col("r.e20") + 2 * F.col("r.e10")) * 1000000
+                )
+                / 1000000
+            ).alias("upper_band"),
+            (
+                F.round(
+                    (F.col("r.e20") - 2 * F.col("r.e10")) * 1000000
+                )
+                / 1000000
+            ).alias("lower_band"),
+            F.when(
+                F.col("r.x") > F.col("r.e20") + 2 * F.col("r.e10"),
+                F.lit(1),
+            )
+            .when(
+                F.col("r.x") < F.col("r.e20") - 2 * F.col("r.e10"),
+                F.lit(-1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("breakout"),
+        )
+        .orderBy("d")
+    )
+
+
+_LP_N = 16  # tokens per chunk/shingle — cohens_kappa_dedup_methods' unit
+
+
+@register(
+    "lincoln_petersen_dedup_estimate",
+    bench=True,
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ptoks,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             AS stoks
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         md5(list_aggregate(
+           ptoks[CAST(t.p AS INT) * {_LP_N} + 1
+                 : CAST(t.p AS INT) * {_LP_N} + {_LP_N}],
+           'string_agg', ' ')) AS fp
+  FROM base,
+       LATERAL unnest(range(CAST(ceil(len(ptoks) / {_LP_N}.0)
+                            AS BIGINT))) AS t(p)
+),
+shing AS (
+  SELECT doc_id,
+         md5(list_aggregate(
+           stoks[CAST(t.p AS INT) + 1 : CAST(t.p AS INT) + {_LP_N}],
+           'string_agg', ' ')) AS fp
+  FROM base,
+       LATERAL unnest(range(CAST(greatest(len(stoks) - {_LP_N} + 1, 1)
+                            AS BIGINT))) AS t(p)
+),
+pa AS (
+  SELECT DISTINCT p.doc_id FROM paras p
+  JOIN (SELECT fp FROM paras GROUP BY fp
+        HAVING count(DISTINCT doc_id) > 1) d ON d.fp = p.fp
+),
+pb AS (
+  SELECT DISTINCT s.doc_id FROM shing s
+  JOIN (SELECT fp FROM shing GROUP BY fp
+        HAVING count(DISTINCT doc_id) > 1) d ON d.fp = s.fp
+),
+flags AS (
+  SELECT b.doc_id,
+         CASE WHEN pa.doc_id IS NULL THEN 0 ELSE 1 END AS a,
+         CASE WHEN pb.doc_id IS NULL THEN 0 ELSE 1 END AS b
+  FROM base b
+  LEFT JOIN pa ON pa.doc_id = b.doc_id
+  LEFT JOIN pb ON pb.doc_id = b.doc_id
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(a) AS BIGINT) AS n1,
+         CAST(SUM(b) AS BIGINT) AS n2,
+         CAST(SUM(a * b) AS BIGINT) AS m_both,
+         CAST(SUM(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS union_flagged
+  FROM flags
+)
+SELECT n_docs, n1, n2, m_both, union_flagged,
+       CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT)
+           AS chapman_est,
+       CAST(GREATEST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1
+                     - union_flagged, 0) AS BIGINT) AS est_missed
+FROM cells
+""",
+    category="llm_dedup",
+    tags=("defer-window2",),
+)
+def lincoln_petersen_dedup_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CAPTURE-RECAPTURE estimate of TOTAL near-duplicate documents —
+    Lincoln-Petersen with the Chapman bias correction, treating two
+    independent detectors as the two capture occasions (aligned
+    16-token chunk fingerprints = capture 1, sliding 16-token
+    shingles = capture 2 — cohens_kappa_dedup_methods' exact flag
+    definitions, reused verbatim): N̂ = (n₁+1)(n₂+1)/(m+1) − 1. Where
+    kappa asks 'do the methods agree', this asks the question a
+    curation budget actually needs — 'how many duplicates does even
+    the UNION miss' (est_missed = N̂ − |union|, clamped at 0). The
+    Chapman +1s keep the estimator finite at m = 0 and the whole
+    readout is exact integer arithmetic — one floor-division.
+    Scale: both flag passes shuffle on fingerprint keys (the kappa
+    plan); one doc-keyed join; 1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ptoks"),
+        F.filter(
+            F.split("text", r"\s+"), lambda t: t != F.lit("")
+        ).alias("stoks"),
+    )
+    paras = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ptoks") / F.lit(float(_LP_N)))
+                    .cast("long")
+                    - 1,
+                ),
+                lambda p: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("ptoks", p * _LP_N + 1, _LP_N)
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    shing = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size("stoks") - (_LP_N - 1), F.lit(1)
+                    ).cast("long")
+                    - 1,
+                ),
+                lambda p: F.md5(
+                    F.concat_ws(" ", F.slice("stoks", p + 1, _LP_N))
+                ),
+            )
+        ).alias("fp"),
+    )
+
+    def flagged(fps: DataFrame) -> DataFrame:
+        dup_fp = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("cd"))
+            .filter(F.col("cd") > 1)
+            .select("fp")
+        )
+        return fps.join(dup_fp, "fp").select("doc_id").distinct()
+
+    pa = flagged(paras).select(F.col("doc_id").alias("pa_id"))
+    pb = flagged(shing).select(F.col("doc_id").alias("pb_id"))
+    flags = (
+        base.select("doc_id")
+        .join(pa, base.doc_id == F.col("pa_id"), "left")
+        .join(pb, base.doc_id == F.col("pb_id"), "left")
+        .select(
+            F.when(F.col("pa_id").isNull(), 0).otherwise(1).alias("a"),
+            F.when(F.col("pb_id").isNull(), 0).otherwise(1).alias("b"),
+        )
+    )
+    cells = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).alias("m_both"),
+        F.sum(
+            F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
+        ).alias("union_flagged"),
+    )
+    return cells.select(
+        "n_docs",
+        "n1",
+        "n2",
+        "m_both",
+        "union_flagged",
+        F.expr(
+            "CAST((n1 + 1) * (n2 + 1) div (m_both + 1) - 1 AS BIGINT)"
+        ).alias("chapman_est"),
+        F.expr(
+            "CAST(GREATEST((n1 + 1) * (n2 + 1) div (m_both + 1) - 1"
+            " - union_flagged, 0) AS BIGINT)"
+        ).alias("est_missed"),
+    )

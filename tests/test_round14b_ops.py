@@ -498,3 +498,121 @@ def test_sobel_energy_brute(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_interior == (w - 2) * (h - 2)
         assert r.sobel_energy == energy
+
+
+# ---------------------------------------------------------------------------
+# Late additions: Dixon Q, dominant cycle, Keltner, Lincoln-Petersen
+# ---------------------------------------------------------------------------
+
+
+def test_dixon_q_brute(spark):
+    daily = _daily_cents()
+    vals = sorted((v, x) for x, v in daily.items())
+    n = len(vals)
+    x1, x2 = vals[0][0], vals[1][0]
+    xn, xn1 = vals[-1][0], vals[-2][0]
+    got = _run(spark, "dixon_q_daily").iloc[0]
+    assert got.n == n
+    assert got.low_x == vals[0][1]
+    # high-end tie-break is (v desc, x desc): the LAST day wins
+    assert got.high_x == max(x for v, x in vals if v == xn)
+    assert got.q_low_ppm == (x2 - x1) * 1000000 // (xn - x1)
+    assert got.q_high_ppm == (xn - xn1) * 1000000 // (xn - x1)
+    assert 0 <= got.q_low_ppm <= 1000000
+    assert 0 <= got.q_high_ppm <= 1000000
+
+
+def test_dominant_cycle_brute(spark):
+    vs = list(_daily_cents().values())
+    n, s = len(vs), sum(vs)
+    ys = [n * v - s for v in vs]
+    c0 = sum(y * y for y in ys)
+    scores = {}
+    for k in range(2, 15):
+        ck = sum(ys[t] * ys[t + k] for t in range(n - k))
+        num = ck * 1000000 * n
+        den = c0 * (n - k)
+        scores[k] = num // den if num >= 0 else -((-num) // den)
+    best = min(
+        scores, key=lambda k: (-scores[k], k)
+    )
+    got = _run(spark, "dominant_cycle_acf_daily")
+    assert list(got.lag_k) == list(range(2, 15))
+    for r in got.itertuples():
+        assert r.score_micro == scores[r.lag_k]
+        assert r.is_dominant == int(r.lag_k == best)
+    assert got.is_dominant.sum() == 1
+    # the winner's score is a maximum by construction
+    assert scores[best] == max(scores.values())
+
+
+def test_keltner_brute(spark):
+    daily = _daily_cents()
+    items = sorted(daily.items())
+    a20, b20 = 2.0 / 21.0, 1 - 2.0 / 21.0
+    a10, b10 = 2.0 / 11.0, 1 - 2.0 / 11.0
+    expect = []
+    e20 = e10 = None
+    prev_c = None
+    for d, c in items:
+        x = c / 100
+        r = abs(c - prev_c) / 100 if prev_c is not None else 0.0
+        if e20 is None:
+            e20, e10 = x, 0.0
+        else:
+            e20 = a20 * x + b20 * e20
+            e10 = a10 * r + b10 * e10
+        up, lo = e20 + 2 * e10, e20 - 2 * e10
+        flag = 1 if x > up else (-1 if x < lo else 0)
+        expect.append((d, x, e20, up, lo, flag))
+        prev_c = c
+    got = _run(spark, "keltner_channel_daily")
+    assert len(got) == len(expect)
+    for row, (d, x, c_, up, lo, flag) in zip(got.itertuples(), expect):
+        assert row.d == d
+        assert row.daily_value == _micro(x)
+        assert row.center == _micro(c_)
+        assert row.upper_band == _micro(up)
+        assert row.lower_band == _micro(lo)
+        assert row.breakout == flag
+    # day 1 sits exactly on the center: never a breakout
+    assert got.breakout.iloc[0] == 0
+
+
+def _micro(x: float) -> float:
+    v = x * 1000000
+    r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+    return r / 1000000
+
+
+def test_lincoln_petersen_brute(spark):
+    rows = _sql("SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    N = 16
+    para_fp = defaultdict(set)
+    shin_fp = defaultdict(set)
+    for doc_id, text in rows:
+        ptoks = text.split(" ")
+        stoks = [t for t in text.split() if t]
+        n_chunks = math.ceil(len(ptoks) / N)
+        for p in range(n_chunks):
+            para_fp[" ".join(ptoks[p * N : p * N + N])].add(doc_id)
+        for p in range(max(len(stoks) - N + 1, 1)):
+            shin_fp[" ".join(stoks[p : p + N])].add(doc_id)
+    fa = set().union(
+        *(d for d in para_fp.values() if len(d) > 1), set()
+    )
+    fb = set().union(
+        *(d for d in shin_fp.values() if len(d) > 1), set()
+    )
+    n_docs = len(rows)
+    n1, n2 = len(fa), len(fb)
+    m = len(fa & fb)
+    union = len(fa | fb)
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    got = _run(spark, "lincoln_petersen_dedup_estimate").iloc[0]
+    assert (got.n_docs, got.n1, got.n2, got.m_both) == (n_docs, n1, n2, m)
+    assert got.union_flagged == union
+    assert got.chapman_est == chapman
+    assert got.est_missed == max(chapman - union, 0)
+    # the estimator can never undercut the recapture count
+    assert got.chapman_est >= m
