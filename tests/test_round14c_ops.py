@@ -1,0 +1,210 @@
+"""Independent-reference checks for the round-14 second-wave
+operators (portfolio-risk ratio family) — plain-Python replays per
+the house simulator-equality pattern, so a shared SQL-side
+misconception cannot hide in both engines."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from datetime import datetime, timedelta
+
+import duckdb
+
+from spark_lever_spark import registry
+
+SF = "/root/testdata/sf0.001"
+EPOCH = datetime(1970, 1, 1)
+
+
+def _run(spark, name):
+    return registry.all_queries()[name].fn(spark, SF).toPandas()
+
+
+def _cents(x: float) -> int:
+    return int(x * 100 + (0.5 if x >= 0 else -0.5))
+
+
+def _sql(q: str):
+    return duckdb.sql(q.replace("{SF}", SF)).fetchall()
+
+
+def _day(ts) -> int:
+    return (ts.date() - EPOCH.date()) // timedelta(days=1)
+
+
+def _daily_cents() -> dict[int, int]:
+    d = defaultdict(int)
+    for od, tp in _sql(
+        "SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        d[_day(od)] += _cents(tp)
+    return dict(sorted(d.items()))
+
+
+def _mkt_cents() -> dict[int, int]:
+    d = defaultdict(int)
+    for sd, ext, disc in _sql(
+        "SELECT l_shipdate, l_extendedprice, l_discount"
+        " FROM '{SF}/lineitem.parquet'"
+    ):
+        v = ext * (1 - disc) * 100
+        d[_day(sd)] += int(v + (0.5 if v >= 0 else -0.5))
+    return dict(sorted(d.items()))
+
+
+def _returns(series: dict[int, int]) -> list[tuple[int, int]]:
+    xs = sorted(series.items())
+    return [
+        (x1, v1 - v0)
+        for (_, v0), (x1, v1) in zip(xs, xs[1:])
+    ]
+
+
+def _ssdiv(num: int, den: int, scale: int) -> int:
+    # sign-split floor: magnitudes floor-divided, sign reapplied
+    if num >= 0:
+        return (num * scale) // den
+    return -(((-num) * scale) // den)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_sortino_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    n, s = len(rets), sum(rets)
+    dq = sum(r * r for r in rets if r < 0)
+    nd = sum(1 for r in rets if r < 0)
+    want = (
+        math.floor(float(s) * 1000 / math.sqrt(float(n * dq)))
+        if dq > 0
+        else None
+    )
+    got = _run(spark, "sortino_ratio_daily").iloc[0]
+    assert (got.n, got.sum_ret_cents, got.n_down) == (n, s, nd)
+    assert got.sortino_milli == want
+
+
+def test_var_cvar_brute(spark):
+    rx = _returns(_daily_cents())
+    order = sorted(rx, key=lambda p: (p[1], p[0]))
+    n = len(order)
+    k = (n + 19) // 20
+    var95 = order[k - 1][1]
+    tail = [r for _, r in order[:k]]
+    ts, tn = sum(tail), len(tail)
+    got = _run(spark, "var_cvar_daily").iloc[0]
+    assert (got.n, got.k, got.var95_cents) == (n, k, var95)
+    assert (got.tail_sum_cents, got.n_tail) == (ts, tn)
+    assert got.cvar_milli == _ssdiv(ts, tn, 1000)
+
+
+def test_omega_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    g = sum(r for r in rets if r > 0)
+    l = sum(-r for r in rets if r < 0)
+    got = _run(spark, "omega_ratio_daily").iloc[0]
+    assert (got.n, got.gains_cents, got.losses_cents) == (
+        len(rets), g, l,
+    )
+    assert got.omega_ppm == (g * 10**6 // l if l > 0 else None)
+
+
+def test_calmar_brute(spark):
+    xs = sorted(_daily_cents().items())
+    vs = [v for _, v in xs]
+    peak, mdd = -(10**30), 0
+    for v in vs:
+        peak = max(peak, v)
+        mdd = max(mdd, peak - v)
+    gain = vs[-1] - vs[0]
+    got = _run(spark, "calmar_ratio_daily").iloc[0]
+    assert (got.n, got.total_gain_cents, got.max_drawdown_cents) == (
+        len(vs), gain, mdd,
+    )
+    want = _ssdiv(gain, mdd, 10**6) if mdd > 0 else None
+    assert got.calmar_ppm == want
+
+
+def test_kelly_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    w = sum(1 for r in rets if r > 0)
+    l = sum(1 for r in rets if r < 0)
+    sw = sum(r for r in rets if r > 0)
+    sl = sum(-r for r in rets if r < 0)
+    got = _run(spark, "kelly_criterion_daily").iloc[0]
+    assert (got.n_wins, got.n_losses) == (w, l)
+    assert (got.sum_win_cents, got.sum_loss_cents) == (sw, sl)
+    want = (
+        _ssdiv(w * (sw - sl), (w + l) * sw, 10**6)
+        if w > 0 and l > 0 and sw > 0
+        else None
+    )
+    assert got.kelly_ppm == want
+    # cross-check against the textbook f* = p - q/b on floats
+    if want is not None:
+        p, q = w / (w + l), l / (w + l)
+        b = (sw / w) / (sl / l)
+        assert abs(want / 1e6 - (p - q / b)) < 1e-5
+
+
+def _joined_returns():
+    port, mkt = _daily_cents(), _mkt_cents()
+    days = sorted(set(port) & set(mkt))
+    rp = [port[b] - port[a] for a, b in zip(days, days[1:])]
+    rm = [mkt[b] - mkt[a] for a, b in zip(days, days[1:])]
+    return rp, rm
+
+
+def test_beta_ir_brute(spark):
+    rp, rm = _joined_returns()
+    n = len(rp)
+    sp, sm = sum(rp), sum(rm)
+    smm = sum(r * r for r in rm)
+    spm = sum(a * b for a, b in zip(rp, rm))
+    ds = [a - b for a, b in zip(rp, rm)]
+    sd, qd = sum(ds), sum(d * d for d in ds)
+    got = _run(spark, "beta_information_ratio_daily").iloc[0]
+    assert (got.n, got.sum_port_cents, got.sum_mkt_cents) == (n, sp, sm)
+    den = n * smm - sm * sm
+    want_beta = (
+        math.floor(float(n * spm - sp * sm) * 10**6 / float(den))
+        if den > 0
+        else None
+    )
+    assert got.beta_ppm == want_beta
+    vd = n * qd - sd * sd
+    want_ir = (
+        math.floor(float(sd) * 1000 / math.sqrt(float(vd)))
+        if vd > 0
+        else None
+    )
+    assert got.info_ratio_milli == want_ir
+    # float cross-check: beta should equal the numpy-style cov/var
+    if want_beta is not None:
+        mean_p, mean_m = sp / n, sm / n
+        cov = sum((a - mean_p) * (b - mean_m) for a, b in zip(rp, rm))
+        var = sum((b - mean_m) ** 2 for b in rm)
+        assert abs(want_beta / 1e6 - cov / var) < 1e-5
+
+
+def test_capture_brute(spark):
+    rp, rm = _joined_returns()
+    pu = sum(a for a, b in zip(rp, rm) if b > 0)
+    mu = sum(b for b in rm if b > 0)
+    pd_ = sum(a for a, b in zip(rp, rm) if b < 0)
+    md = sum(b for b in rm if b < 0)
+    got = _run(spark, "capture_ratios_daily").iloc[0]
+    assert (got.n_up, got.n_down) == (
+        sum(1 for b in rm if b > 0),
+        sum(1 for b in rm if b < 0),
+    )
+    assert (got.port_up_cents, got.mkt_up_cents) == (pu, mu)
+    assert (got.port_down_cents, got.mkt_down_cents) == (pd_, md)
+    assert got.up_capture_ppm == (
+        _ssdiv(pu, mu, 10**6) if mu > 0 else None
+    )
+    assert got.down_capture_ppm == (
+        _ssdiv(-pd_, -md, 10**6) if md < 0 else None
+    )
