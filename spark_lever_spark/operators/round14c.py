@@ -612,3 +612,358 @@ def capture_ratios_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN md < 0 THEN " + _spark(_DOWNCAP_SEL)
         + " END AS down_capture_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical process control: attribute charts + zone rules
+# ---------------------------------------------------------------------------
+
+_PCHART_UCL = (
+    "CAST(floor((CAST(dd AS DOUBLE) * 1000000"
+    " + 3000000 * sqrt(CAST(dd AS DOUBLE) * (nn - dd) / ni)) / nn)"
+    " AS BIGINT)"
+)
+_PCHART_LCL = (
+    "GREATEST(CAST(0 AS BIGINT),"
+    " CAST(floor((CAST(dd AS DOUBLE) * 1000000"
+    " - 3000000 * sqrt(CAST(dd AS DOUBLE) * (nn - dd) / ni)) / nn)"
+    " AS BIGINT))"
+)
+
+
+@register(
+    "p_chart_monthly_returns",
+    oracle="""
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 100
+              + EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+             AS ym,
+         CAST(count(*) AS BIGINT) AS ni,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS di
+  FROM lineitem GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(di) AS BIGINT) AS dd
+  FROM m
+),
+lim AS (
+  SELECT m.ym, m.ni, m.di, g.nn, g.dd,
+         CAST(m.di * 1000000 // m.ni AS BIGINT) AS phat_ppm,
+         """ + _PCHART_UCL + """ AS ucl_ppm,
+         """ + _PCHART_LCL + """ AS lcl_ppm
+  FROM m, g
+)
+SELECT ym, ni AS n_lines, di AS n_returned, phat_ppm, ucl_ppm, lcl_ppm,
+       CAST(CASE WHEN phat_ppm > ucl_ppm THEN 1 ELSE 0 END AS INT)
+           AS above_ucl,
+       CAST(CASE WHEN phat_ppm < lcl_ppm THEN 1 ELSE 0 END AS INT)
+           AS below_lcl
+FROM lim ORDER BY ym
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def p_chart_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-CHART (attribute control chart) of the monthly lineitem
+    return fraction — Shewhart limits p̄ ± 3·√(p̄(1−p̄)/nᵢ) with
+    VARYING subgroup sizes (each month's limit uses its own nᵢ —
+    the defining feature of the p-chart vs the np-chart). Exactness:
+    p̄(1−p̄)/nᵢ = D·(N−D)/(N²·nᵢ), so each limit is ONE double
+    expression over three exact integers (D·(N−D) ≈ 10¹¹ ≪ 2⁵³ —
+    exact in DOUBLE), one sqrt, one division, one floor onto the ppm
+    grid, written as the SAME SQL text in both engines; the plotted
+    statistic p̂ᵢ is the exact non-negative ppm floor-division and
+    violation flags compare ON THE PPM GRID (documented — the grid
+    is the published contract). LCL clamps at 0 via GREATEST. Scale:
+    one map-side monthly rollup + a 1-row broadcast of the grand
+    totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (
+            F.year(F.to_date("l_shipdate")).cast("long") * 100
+            + F.month(F.to_date("l_shipdate")).cast("long")
+        ).alias("ym")
+    ).agg(
+        F.count("*").alias("ni"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("di"),
+    )
+    g = m.agg(
+        F.sum("ni").alias("nn"), F.sum("di").alias("dd")
+    )
+    lim = m.crossJoin(F.broadcast(g)).selectExpr(
+        "ym",
+        "ni",
+        "di",
+        "CAST(di * 1000000 div ni AS BIGINT) AS phat_ppm",
+        _PCHART_UCL + " AS ucl_ppm",
+        _PCHART_LCL + " AS lcl_ppm",
+    )
+    return lim.selectExpr(
+        "ym",
+        "ni AS n_lines",
+        "di AS n_returned",
+        "phat_ppm",
+        "ucl_ppm",
+        "lcl_ppm",
+        "CAST(CASE WHEN phat_ppm > ucl_ppm THEN 1 ELSE 0 END AS INT)"
+        " AS above_ucl",
+        "CAST(CASE WHEN phat_ppm < lcl_ppm THEN 1 ELSE 0 END AS INT)"
+        " AS below_lcl",
+    ).orderBy("ym")
+
+
+_CCHART_UCL = (
+    "CAST(floor((1000 * CAST(tt AS DOUBLE)"
+    " + 3000 * sqrt(CAST(tt AS DOUBLE) * nd)) / nd) AS BIGINT)"
+)
+_CCHART_LCL = (
+    "GREATEST(CAST(0 AS BIGINT),"
+    " CAST(floor((1000 * CAST(tt AS DOUBLE)"
+    " - 3000 * sqrt(CAST(tt AS DOUBLE) * nd)) / nd) AS BIGINT))"
+)
+
+
+@register(
+    "c_chart_daily_error_events",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS x
+  FROM events
+),
+err AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+grid AS (
+  SELECT d.x, COALESCE(e.c, 0) AS c FROM days d LEFT JOIN err e
+  ON e.x = d.x
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS tt
+  FROM grid
+)
+SELECT grid.x, grid.c,
+       CAST(1000 * g.tt // g.nd AS BIGINT) AS cbar_milli,
+       """ + _CCHART_UCL + """ AS ucl_milli,
+       """ + _CCHART_LCL + """ AS lcl_milli,
+       CAST(CASE WHEN grid.c * 1000 > """ + _CCHART_UCL + """
+                 THEN 1 ELSE 0 END AS INT) AS above_ucl,
+       CAST(CASE WHEN grid.c * 1000 < """ + _CCHART_LCL + """
+                 THEN 1 ELSE 0 END AS INT) AS below_lcl
+FROM grid, g ORDER BY grid.x
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def c_chart_daily_error_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """c-CHART (Poisson count control chart) of daily error events —
+    Shewhart limits c̄ ± 3·√c̄ on the COUNT scale, plotted over the
+    full observed event-day spine (days with zero errors count as 0,
+    via one distinct-days LEFT JOIN — dropping them would bias c̄
+    up). Exactness: √c̄ = √(T/n) = √(T·n)/n, so each limit is one
+    double expression over two exact integers, one sqrt, one
+    division, one floor onto the milli grid (same SQL text both
+    engines); c̄ itself is the exact non-negative milli
+    floor-division, and violations compare cᵢ·1000 against the
+    milli-grid limits (the grid is the contract). Scale:
+    calendar-bounded day domain; one rollup + 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    days = ev.select(day.alias("x")).distinct()
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(day.alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+    grid = days.join(err, "x", "left").select(
+        "x", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    g = grid.agg(F.count("*").alias("nd"), F.sum("c").alias("tt"))
+    return (
+        grid.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "x",
+            "c",
+            "CAST(1000 * tt div nd AS BIGINT) AS cbar_milli",
+            _CCHART_UCL + " AS ucl_milli",
+            _CCHART_LCL + " AS lcl_milli",
+            "CAST(CASE WHEN c * 1000 > " + _CCHART_UCL
+            + " THEN 1 ELSE 0 END AS INT) AS above_ucl",
+            "CAST(CASE WHEN c * 1000 < " + _CCHART_LCL
+            + " THEN 1 ELSE 0 END AS INT) AS below_lcl",
+        )
+        .orderBy("x")
+    )
+
+
+_WE_ZONE = (
+    "CAST(CASE WHEN dev2 > 9 * vv THEN 3"
+    " WHEN dev2 > 4 * vv THEN 2"
+    " WHEN dev2 > vv THEN 1 ELSE 0 END AS INT)"
+)
+
+
+@register(
+    "western_electric_rules_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM daily
+),
+z AS (
+  SELECT d.x, d.v,
+         CAST(g.n * d.v - g.s AS BIGINT) AS dev,
+         CAST(CAST(g.n * d.v - g.s AS HUGEINT)
+              * (g.n * d.v - g.s) AS HUGEINT) AS dev2,
+         CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS HUGEINT) AS vv
+  FROM daily d, g
+),
+f AS (
+  SELECT x, v, dev,
+         CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END
+             AS side,
+         """ + _WE_ZONE + """ AS zone,
+         CASE WHEN dev2 > 4 * vv AND dev > 0 THEN 1 ELSE 0 END AS b2p,
+         CASE WHEN dev2 > 4 * vv AND dev < 0 THEN 1 ELSE 0 END AS b2m,
+         CASE WHEN dev2 > vv AND dev > 0 THEN 1 ELSE 0 END AS b1p,
+         CASE WHEN dev2 > vv AND dev < 0 THEN 1 ELSE 0 END AS b1m
+  FROM z
+),
+r AS (
+  SELECT x, v, side, zone,
+         CAST(CASE WHEN zone = 3 THEN 1 ELSE 0 END AS INT) AS rule1,
+         CAST(CASE WHEN count(*) OVER w3 = 3 AND
+              (SUM(b2p) OVER w3 >= 2 OR SUM(b2m) OVER w3 >= 2)
+              THEN 1 ELSE 0 END AS INT) AS rule2,
+         CAST(CASE WHEN count(*) OVER w5 = 5 AND
+              (SUM(b1p) OVER w5 >= 4 OR SUM(b1m) OVER w5 >= 4)
+              THEN 1 ELSE 0 END AS INT) AS rule3,
+         CAST(CASE WHEN count(*) OVER w8 = 8 AND
+              (SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8 = 8
+               OR SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+                  OVER w8 = 8)
+              THEN 1 ELSE 0 END AS INT) AS rule4
+  FROM f
+  WINDOW w3 AS (ORDER BY x ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (ORDER BY x ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (ORDER BY x ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT x, v, side, zone, rule1, rule2, rule3, rule4
+FROM r WHERE rule1 + rule2 + rule3 + rule4 > 0 ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def western_electric_rules_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WESTERN ELECTRIC ZONE RULES over the daily revenue series —
+    the four classic Shewhart run rules (1: one point beyond 3σ;
+    2: ≥2 of 3 beyond 2σ same side; 3: ≥4 of 5 beyond 1σ same side;
+    4: 8 consecutive same side of center), published for the days
+    where ANY rule fires. The novelty vs xmr_control_chart_daily:
+    zone membership never touches a float — |z| > k ⇔ dev² > k²·V
+    with dev = n·x − S (int64) and V = n·Q − S² (HUGEINT ⟷
+    decimal(38,0)), an EXACT integer comparison, so σ itself is
+    never materialized; runs are plain windowed sums of the exact
+    0/1 zone flags with full-window count guards (no partial-window
+    false fires at the series head). Scale: calendar-bounded day
+    domain — one rollup, one 1-row moment broadcast, three row
+    windows."""
+    daily = _daily_orders(spark, sf_dir)
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    z = daily.crossJoin(F.broadcast(g)).selectExpr(
+        "x",
+        "v",
+        "CAST(n * v - s AS BIGINT) AS dev",
+        f"CAST(CAST(n * v - s AS {_DEC}) * (n * v - s) AS {_DEC})"
+        " AS dev2",
+        f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS vv",
+    )
+    f = z.selectExpr(
+        "x",
+        "v",
+        "dev",
+        "CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END"
+        " AS side",
+        _WE_ZONE + " AS zone",
+        "CASE WHEN dev2 > 4 * vv AND dev > 0 THEN 1 ELSE 0 END AS b2p",
+        "CASE WHEN dev2 > 4 * vv AND dev < 0 THEN 1 ELSE 0 END AS b2m",
+        "CASE WHEN dev2 > vv AND dev > 0 THEN 1 ELSE 0 END AS b1p",
+        "CASE WHEN dev2 > vv AND dev < 0 THEN 1 ELSE 0 END AS b1m",
+    )
+    w3 = Window.orderBy("x").rowsBetween(-2, 0)
+    w5 = Window.orderBy("x").rowsBetween(-4, 0)
+    w8 = Window.orderBy("x").rowsBetween(-7, 0)
+    r = f.select(
+        "x",
+        "v",
+        "side",
+        "zone",
+        F.when(F.col("zone") == 3, 1).otherwise(0).cast("int").alias(
+            "rule1"
+        ),
+        F.when(
+            (F.count("*").over(w3) == 3)
+            & (
+                (F.sum("b2p").over(w3) >= 2)
+                | (F.sum("b2m").over(w3) >= 2)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rule2"),
+        F.when(
+            (F.count("*").over(w5) == 5)
+            & (
+                (F.sum("b1p").over(w5) >= 4)
+                | (F.sum("b1m").over(w5) >= 4)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rule3"),
+        F.when(
+            (F.count("*").over(w8) == 8)
+            & (
+                (
+                    F.sum(
+                        F.when(F.col("side") == 1, 1).otherwise(0)
+                    ).over(w8)
+                    == 8
+                )
+                | (
+                    F.sum(
+                        F.when(F.col("side") == -1, 1).otherwise(0)
+                    ).over(w8)
+                    == 8
+                )
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rule4"),
+    )
+    return r.filter(
+        F.col("rule1") + F.col("rule2") + F.col("rule3") + F.col("rule4")
+        > 0
+    ).orderBy("x")

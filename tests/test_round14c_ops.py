@@ -208,3 +208,110 @@ def test_capture_brute(spark):
     assert got.down_capture_ppm == (
         _ssdiv(-pd_, -md, 10**6) if md < 0 else None
     )
+
+
+# ---------------------------------------------------------------------------
+# SPC charts
+# ---------------------------------------------------------------------------
+
+
+def test_p_chart_brute(spark):
+    months = defaultdict(lambda: [0, 0])
+    for sd, rf in _sql(
+        "SELECT l_shipdate, l_returnflag FROM '{SF}/lineitem.parquet'"
+    ):
+        key = sd.year * 100 + sd.month
+        months[key][0] += 1
+        months[key][1] += 1 if rf == "R" else 0
+    nn = sum(v[0] for v in months.values())
+    dd = sum(v[1] for v in months.values())
+    got = _run(spark, "p_chart_monthly_returns").set_index("ym")
+    assert len(got) == len(months)
+    for ym, (ni, di) in sorted(months.items()):
+        row = got.loc[ym]
+        assert (row.n_lines, row.n_returned) == (ni, di)
+        assert row.phat_ppm == di * 10**6 // ni
+        ucl = math.floor(
+            (dd * 1e6 + 3e6 * math.sqrt(dd * (nn - dd) / ni)) / nn
+        )
+        lcl = max(
+            0,
+            math.floor(
+                (dd * 1e6 - 3e6 * math.sqrt(dd * (nn - dd) / ni)) / nn
+            ),
+        )
+        assert (row.ucl_ppm, row.lcl_ppm) == (ucl, lcl)
+        assert row.above_ucl == (1 if row.phat_ppm > ucl else 0)
+        assert row.below_lcl == (1 if row.phat_ppm < lcl else 0)
+
+
+def test_c_chart_brute(spark):
+    days, errs = set(), defaultdict(int)
+    for ts, et in _sql(
+        "SELECT ts, event_type FROM '{SF}/events.parquet'"
+    ):
+        d = _day(ts)
+        days.add(d)
+        if et == "error":
+            errs[d] += 1
+    nd, tt = len(days), sum(errs.values())
+    ucl = math.floor((1000 * tt + 3000 * math.sqrt(tt * nd)) / nd)
+    lcl = max(
+        0, math.floor((1000 * tt - 3000 * math.sqrt(tt * nd)) / nd)
+    )
+    got = _run(spark, "c_chart_daily_error_events").set_index("x")
+    assert len(got) == nd
+    for d in sorted(days):
+        row = got.loc[d]
+        c = errs.get(d, 0)
+        assert row.c == c
+        assert row.cbar_milli == 1000 * tt // nd
+        assert (row.ucl_milli, row.lcl_milli) == (ucl, lcl)
+        assert row.above_ucl == (1 if c * 1000 > ucl else 0)
+        assert row.below_lcl == (1 if c * 1000 < lcl else 0)
+
+
+def test_western_electric_brute(spark):
+    xs = sorted(_daily_cents().items())
+    n = len(xs)
+    s = sum(v for _, v in xs)
+    q = sum(v * v for _, v in xs)
+    vv = n * q - s * s
+    rows = []
+    for x, v in xs:
+        dev = n * v - s
+        side = 1 if dev > 0 else (-1 if dev < 0 else 0)
+        d2 = dev * dev
+        zone = 3 if d2 > 9 * vv else (2 if d2 > 4 * vv else (1 if d2 > vv else 0))
+        rows.append((x, v, side, zone, d2 > 4 * vv, d2 > vv))
+    want = []
+    for i, (x, v, side, zone, b2, b1) in enumerate(rows):
+        r1 = 1 if zone == 3 else 0
+        w3 = rows[max(0, i - 2): i + 1]
+        r2 = int(
+            len(w3) == 3
+            and (
+                sum(1 for t in w3 if t[4] and t[2] > 0) >= 2
+                or sum(1 for t in w3 if t[4] and t[2] < 0) >= 2
+            )
+        )
+        w5 = rows[max(0, i - 4): i + 1]
+        r3 = int(
+            len(w5) == 5
+            and (
+                sum(1 for t in w5 if t[5] and t[2] > 0) >= 4
+                or sum(1 for t in w5 if t[5] and t[2] < 0) >= 4
+            )
+        )
+        w8 = rows[max(0, i - 7): i + 1]
+        r4 = int(
+            len(w8) == 8
+            and (
+                sum(1 for t in w8 if t[2] == 1) == 8
+                or sum(1 for t in w8 if t[2] == -1) == 8
+            )
+        )
+        if r1 + r2 + r3 + r4 > 0:
+            want.append((x, v, side, zone, r1, r2, r3, r4))
+    got = _run(spark, "western_electric_rules_daily")
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
