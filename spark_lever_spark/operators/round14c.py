@@ -967,3 +967,370 @@ def western_electric_rules_daily(
         F.col("rule1") + F.col("rule2") + F.col("rule3") + F.col("rule4")
         > 0
     ).orderBy("x")
+
+
+# ---------------------------------------------------------------------------
+# Diversity / concentration indices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ecological_diversity_brands_by_nation",
+    oracle="""
+WITH bc AS (
+  SELECT n.n_nationkey AS nation, p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS richness,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS rep2,
+         CAST(MAX(c) AS BIGINT) AS cmax
+  FROM bc GROUP BY 1
+)
+SELECT nation, richness, n,
+       CASE WHEN n > 1
+            THEN CAST(rep2 * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+                      AS BIGINT) END AS simpson_ppm,
+       CASE WHEN rep2 > 0
+            THEN CAST(CAST(n AS HUGEINT) * (n - 1) * 1000000 // rep2
+                      AS BIGINT) END AS inv_simpson_ppm,
+       CAST(cmax * 1000000 // n AS BIGINT) AS berger_parker_ppm,
+       CASE WHEN rep2 > 0
+            THEN CAST(CAST(n AS HUGEINT) * (n - 1) * 1000000
+                      // (rep2 * richness) AS BIGINT)
+       END AS simpson_evenness_ppm
+FROM m ORDER BY nation
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def ecological_diversity_brands_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ECOLOGICAL DIVERSITY PROFILE of purchased part brands per
+    customer nation — the community-ecology index battery on
+    categorical purchase mixes: richness (distinct brands), the
+    UNBIASED Simpson concentration Σc(c−1)/n(n−1) (probability two
+    random purchases without replacement share a brand — a rational
+    in the counts, unlike entropy), its inverse ("effective number
+    of brands", Hill number of order 2), Berger–Parker dominance
+    (share of the single biggest brand), and Simpson evenness
+    (inverse-Simpson over richness). Distinct from
+    event_type_diversity_impurity (per-user Gini impurity of event
+    types — biased form, different grain and table). All ratios are
+    non-negative HUGEINT ⟷ decimal(38,0) ppm floor-divisions.
+    Scale: one 4-way dim join (dims broadcastable), two stacked
+    map-side aggregations on (nation, brand) then (nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    bc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_nationkey").alias("nation"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    m = bc.groupBy("nation").agg(
+        F.count("*").alias("richness"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(_DEC) * (F.col("c") - 1)).alias("rep2"),
+        F.max("c").alias("cmax"),
+    )
+    return m.selectExpr(
+        "nation",
+        "richness",
+        "n",
+        "CASE WHEN n > 1 THEN CAST(rep2 * 1000000"
+        f" div (CAST(n AS {_DEC}) * (n - 1)) AS BIGINT) END"
+        " AS simpson_ppm",
+        f"CASE WHEN rep2 > 0 THEN CAST(CAST(n AS {_DEC}) * (n - 1)"
+        " * 1000000 div rep2 AS BIGINT) END AS inv_simpson_ppm",
+        "CAST(cmax * 1000000 div n AS BIGINT) AS berger_parker_ppm",
+        f"CASE WHEN rep2 > 0 THEN CAST(CAST(n AS {_DEC}) * (n - 1)"
+        " * 1000000 div (rep2 * richness) AS BIGINT) END"
+        " AS simpson_evenness_ppm",
+    ).orderBy("nation")
+
+
+@register(
+    "atkinson_index_customers",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+pos AS (SELECT x FROM cr WHERE x > 0),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS t,
+         CAST(SUM(1000000000000 // x) AS HUGEINT) AS rsum
+  FROM pos
+)
+SELECT n, t AS total_cents, CAST(rsum AS BIGINT) AS recip_sum_pico,
+       CASE WHEN t > 0 AND rsum > 0
+            THEN 1000000 - CAST(CAST(n AS HUGEINT) * n
+                 * 1000000000000000000 // (CAST(t AS HUGEINT) * rsum)
+                 AS BIGINT)
+       END AS atkinson2_ppm
+FROM m
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def atkinson_index_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATKINSON INEQUALITY INDEX (ε = 2) over per-customer order
+    revenue — the welfare-theoretic inequality measure with an
+    explicit aversion parameter; at ε = 2 the equally-distributed
+    equivalent is the HARMONIC mean, so A = 1 − H/μ = 1 −
+    n²/(T·Σ1/xᵢ) is a pure RATIONAL in the data (ε = 1 would need
+    the geometric mean's logs — banned from hash-gated outputs).
+    Complements gini_customer_revenue / ge2_inequality (Gini weights
+    transfers by rank, GE(2) by distance; Atkinson-2 is
+    bottom-sensitive — transfers among the poorest dominate). The
+    reciprocal sum is per-term floored on the pico grid (Σ 10¹²//xᵢ,
+    the discrete variant, documented); the final index is one
+    HUGEINT ⟷ decimal(38,0) ppm floor-division. Zero-revenue
+    customers are excluded (H degenerates at x = 0). Scale: one
+    customer rollup, one 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "x"
+        )
+    )
+    pos = cr.filter(F.col("x") > 0)
+    m = pos.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.expr("1000000000000 div x").cast(_DEC)).alias("rsum"),
+    )
+    return m.selectExpr(
+        "n",
+        "t AS total_cents",
+        "CAST(rsum AS BIGINT) AS recip_sum_pico",
+        "CASE WHEN t > 0 AND rsum > 0 THEN 1000000 -"
+        f" CAST(CAST(n AS {_DEC}) * n * 1000000000000000000"
+        f" div (CAST(t AS {_DEC}) * rsum) AS BIGINT) END"
+        " AS atkinson2_ppm",
+    )
+
+
+@register(
+    "palma_hoover_customers",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS x
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT x,
+         row_number() OVER (ORDER BY x, o_custkey) AS ra,
+         row_number() OVER (ORDER BY x DESC, o_custkey DESC) AS rd
+  FROM cr
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+  FROM rk
+),
+parts AS (
+  SELECT g.n, g.t,
+         CAST(g.n // 10 AS BIGINT) AS n10,
+         CAST(4 * g.n // 10 AS BIGINT) AS n40,
+         CAST(SUM(CASE WHEN rk.rd <= g.n // 10 THEN rk.x ELSE 0 END)
+              AS BIGINT) AS top10,
+         CAST(SUM(CASE WHEN rk.ra <= 4 * g.n // 10 THEN rk.x ELSE 0
+              END) AS BIGINT) AS bot40,
+         CAST(SUM(ABS(CAST(g.n AS HUGEINT) * rk.x - g.t)) AS HUGEINT)
+             AS sdev
+  FROM rk, g GROUP BY g.n, g.t
+)
+SELECT n, t AS total_cents, n10, n40,
+       top10 AS top10_cents, bot40 AS bottom40_cents,
+       CASE WHEN bot40 > 0
+            THEN CAST(CAST(top10 AS HUGEINT) * 1000000 // bot40
+                      AS BIGINT) END AS palma_ppm,
+       CASE WHEN t > 0
+            THEN CAST(sdev * 1000000 // (2 * CAST(n AS HUGEINT) * t)
+                      AS BIGINT) END AS hoover_ppm
+FROM parts
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def palma_hoover_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PALMA RATIO + HOOVER INDEX over per-customer order revenue —
+    the two inequality summaries policy economists quote alongside
+    Gini: Palma (total revenue of the top 10% of customers over the
+    bottom 40%, on exact floor-count group sizes n//10 and 4n//10
+    with deterministic revenue-then-key rank tie-breaks) and Hoover
+    (the share of total revenue that would have to move to equalize:
+    Σ|n·xᵢ − T|/(2nT) — the maximum Lorenz-to-diagonal gap, exact
+    HUGEINT ⟷ decimal(38,0)). Both publish as non-negative ppm
+    floor-divisions. Scale: one customer rollup, two rank windows,
+    one 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "x"
+        )
+    )
+    rk = cr.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.desc("o_custkey")))
+        .alias("rd"),
+    )
+    g = rk.agg(F.count("*").alias("n"), F.sum("x").alias("t"))
+    parts = (
+        rk.crossJoin(F.broadcast(g))
+        .groupBy("n", "t")
+        .agg(
+            F.expr("CAST(max(n) div 10 AS BIGINT)").alias("n10"),
+            F.expr("CAST(4 * max(n) div 10 AS BIGINT)").alias("n40"),
+            F.sum(
+                F.when(
+                    F.col("rd") <= F.expr("n div 10"), F.col("x")
+                ).otherwise(0)
+            ).alias("top10"),
+            F.sum(
+                F.when(
+                    F.col("ra") <= F.expr("4 * n div 10"), F.col("x")
+                ).otherwise(0)
+            ).alias("bot40"),
+            F.sum(
+                F.abs(F.col("n").cast(_DEC) * F.col("x") - F.col("t"))
+            ).alias("sdev"),
+        )
+    )
+    return parts.selectExpr(
+        "n",
+        "t AS total_cents",
+        "n10",
+        "n40",
+        "top10 AS top10_cents",
+        "bot40 AS bottom40_cents",
+        "CASE WHEN bot40 > 0 THEN"
+        f" CAST(CAST(top10 AS {_DEC}) * 1000000 div bot40 AS BIGINT)"
+        " END AS palma_ppm",
+        "CASE WHEN t > 0 THEN CAST(sdev * 1000000"
+        f" div (2 * CAST(n AS {_DEC}) * t) AS BIGINT) END"
+        " AS hoover_ppm",
+    )
+
+
+@register(
+    "cr_concentration_brands",
+    oracle="""
+WITH br AS (
+  SELECT p.p_brand AS brand,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+rk AS (
+  SELECT rev, row_number() OVER (ORDER BY rev DESC, brand) AS rd
+  FROM br
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(SUM(rev) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN rd <= 1 THEN rev ELSE 0 END) AS BIGINT)
+             AS c1,
+         CAST(SUM(CASE WHEN rd <= 4 THEN rev ELSE 0 END) AS BIGINT)
+             AS c4,
+         CAST(SUM(CASE WHEN rd <= 8 THEN rev ELSE 0 END) AS BIGINT)
+             AS c8
+  FROM rk
+)
+SELECT n_brands, t AS total_cents,
+       CAST(CAST(c1 AS HUGEINT) * 1000000 // t AS BIGINT) AS cr1_ppm,
+       CAST(CAST(c4 AS HUGEINT) * 1000000 // t AS BIGINT) AS cr4_ppm,
+       CAST(CAST(c8 AS HUGEINT) * 1000000 // t AS BIGINT) AS cr8_ppm
+FROM m
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def cr_concentration_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONCENTRATION RATIOS CR1/CR4/CR8 of discounted revenue by part
+    brand — the antitrust screen quoted before HHI (CR4 > 0.6 ⇒
+    "highly concentrated" under the classic DOJ bands):
+    top-k revenue shares under a deterministic revenue-then-brand
+    rank. Complements hhi_concentration_monthly (HHI weights ALL
+    squared shares; CR-k reads only the head — the two disagree
+    exactly when a long tail hides behind a few leaders). Exact
+    int64 cents throughout; shares are non-negative HUGEINT ⟷
+    decimal(38,0) ppm floor-divisions. Scale: one fact-dim join
+    (part prunable to partkey+brand), one brand rollup (bounded
+    domain), one rank window on the tiny brand table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    br = (
+        li.join(p.select("p_partkey", "p_brand"),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("rev")
+        )
+    )
+    rk = br.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), "brand"))
+        .alias("rd"),
+    )
+    m = rk.agg(
+        F.count("*").alias("n_brands"),
+        F.sum("rev").alias("t"),
+        F.sum(F.when(F.col("rd") <= 1, F.col("rev")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("rd") <= 4, F.col("rev")).otherwise(0)).alias(
+            "c4"
+        ),
+        F.sum(F.when(F.col("rd") <= 8, F.col("rev")).otherwise(0)).alias(
+            "c8"
+        ),
+    )
+    return m.selectExpr(
+        "n_brands",
+        "t AS total_cents",
+        f"CAST(CAST(c1 AS {_DEC}) * 1000000 div t AS BIGINT) AS cr1_ppm",
+        f"CAST(CAST(c4 AS {_DEC}) * 1000000 div t AS BIGINT) AS cr4_ppm",
+        f"CAST(CAST(c8 AS {_DEC}) * 1000000 div t AS BIGINT) AS cr8_ppm",
+    )

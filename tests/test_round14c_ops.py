@@ -315,3 +315,101 @@ def test_western_electric_brute(spark):
             want.append((x, v, side, zone, r1, r2, r3, r4))
     got = _run(spark, "western_electric_rules_daily")
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+# ---------------------------------------------------------------------------
+# Diversity / concentration
+# ---------------------------------------------------------------------------
+
+
+def test_ecological_diversity_brute(spark):
+    counts = defaultdict(lambda: defaultdict(int))
+    for nat, brand in _sql("""
+        SELECT cu.c_nationkey, p.p_brand
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{SF}/customer.parquet' cu ON cu.c_custkey = o.o_custkey
+        JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+    """):
+        counts[nat][brand] += 1
+    got = _run(spark, "ecological_diversity_brands_by_nation").set_index(
+        "nation"
+    )
+    assert len(got) == len(counts)
+    for nat, bc in counts.items():
+        row = got.loc[nat]
+        rich, n = len(bc), sum(bc.values())
+        rep2 = sum(c * (c - 1) for c in bc.values())
+        cmax = max(bc.values())
+        assert (row.richness, row.n) == (rich, n)
+        assert row.simpson_ppm == (
+            rep2 * 10**6 // (n * (n - 1)) if n > 1 else None
+        )
+        assert row.inv_simpson_ppm == (
+            n * (n - 1) * 10**6 // rep2 if rep2 > 0 else None
+        )
+        assert row.berger_parker_ppm == cmax * 10**6 // n
+        assert row.simpson_evenness_ppm == (
+            n * (n - 1) * 10**6 // (rep2 * rich) if rep2 > 0 else None
+        )
+
+
+def _cust_revenue():
+    d = defaultdict(int)
+    for ck, tp in _sql(
+        "SELECT o_custkey, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        d[ck] += _cents(tp)
+    return d
+
+
+def test_atkinson_brute(spark):
+    xs = [x for x in _cust_revenue().values() if x > 0]
+    n, t = len(xs), sum(xs)
+    rsum = sum(10**12 // x for x in xs)
+    got = _run(spark, "atkinson_index_customers").iloc[0]
+    assert (got.n, got.total_cents, got.recip_sum_pico) == (n, t, rsum)
+    want = 10**6 - n * n * 10**18 // (t * rsum)
+    assert got.atkinson2_ppm == want
+    # float cross-check vs the textbook 1 - harmonic/mean
+    hm = n / sum(1.0 / x for x in xs)
+    assert abs(want / 1e6 - (1 - hm / (t / n))) < 1e-4
+
+
+def test_palma_hoover_brute(spark):
+    rev = sorted(_cust_revenue().items())
+    xs_asc = sorted(rev, key=lambda p: (p[1], p[0]))
+    xs_desc = sorted(rev, key=lambda p: (-p[1], -p[0]))
+    n = len(rev)
+    t = sum(x for _, x in rev)
+    n10, n40 = n // 10, 4 * n // 10
+    top10 = sum(x for _, x in xs_desc[:n10])
+    bot40 = sum(x for _, x in xs_asc[:n40])
+    sdev = sum(abs(n * x - t) for _, x in rev)
+    got = _run(spark, "palma_hoover_customers").iloc[0]
+    assert (got.n, got.total_cents, got.n10, got.n40) == (n, t, n10, n40)
+    assert (got.top10_cents, got.bottom40_cents) == (top10, bot40)
+    assert got.palma_ppm == (
+        top10 * 10**6 // bot40 if bot40 > 0 else None
+    )
+    assert got.hoover_ppm == (
+        sdev * 10**6 // (2 * n * t) if t > 0 else None
+    )
+
+
+def test_cr_concentration_brute(spark):
+    brands = defaultdict(int)
+    for brand, ext, disc in _sql("""
+        SELECT p.p_brand, l.l_extendedprice, l.l_discount
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+    """):
+        v = ext * (1 - disc) * 100
+        brands[brand] += int(v + (0.5 if v >= 0 else -0.5))
+    order = sorted(brands.items(), key=lambda p: (-p[1], p[0]))
+    t = sum(brands.values())
+    got = _run(spark, "cr_concentration_brands").iloc[0]
+    assert (got.n_brands, got.total_cents) == (len(brands), t)
+    for k, col in ((1, "cr1_ppm"), (4, "cr4_ppm"), (8, "cr8_ppm")):
+        want = sum(v for _, v in order[:k]) * 10**6 // t
+        assert got[col] == want
