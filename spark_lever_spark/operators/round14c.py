@@ -1334,3 +1334,482 @@ def cr_concentration_brands(
         f"CAST(CAST(c4 AS {_DEC}) * 1000000 div t AS BIGINT) AS cr4_ppm",
         f"CAST(CAST(c8 AS {_DEC}) * 1000000 div t AS BIGINT) AS cr8_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation metrics on the 'order value predicts a return' task
+# ---------------------------------------------------------------------------
+
+_LAB_CTE = """
+lab AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("score"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pos")
+        )
+    )
+
+
+@register(
+    "pr_auc_price_predicts_return",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+per_score AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM lab GROUP BY score
+),
+cum AS (
+  SELECT score, cnt, np,
+         CAST(SUM(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+         CAST(SUM(np) OVER (ORDER BY score DESC) AS BIGINT) AS tp
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS n_scores,
+         CAST(SUM(CAST(np AS HUGEINT) * tp * 1000000 // cum_n)
+              AS HUGEINT) AS ap_terms
+  FROM cum
+)
+SELECT n_pos, n_neg, n_scores,
+       CAST(n_pos * 1000000 // (n_pos + n_neg) AS BIGINT)
+           AS prevalence_ppm,
+       CAST(ap_terms // n_pos AS BIGINT) AS ap_ppm
+FROM agg
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def pr_auc_price_predicts_return(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVERAGE PRECISION (step-interpolated PR-AUC) of 'order value
+    predicts a return' — the ranking metric that matters when
+    positives are rare and ROC-AUC flatters (its baseline is the
+    prevalence, published alongside): AP = Σᵢ ΔRᵢ·Pᵢ over
+    descending-score thresholds, which with integer counts is
+    (1/n₊)·Σ npᵢ·TPᵢ/cumᵢ — each threshold term is ONE per-term
+    floored ppm division (the discrete variant, documented; all of
+    np, TP, cum are exact), the final AP one more exact integer
+    division. The cumulative runs on the per-SCORE domain which
+    scales with the fact table, so Spark uses grank's binned 2-pass
+    cumsum (with_grouped_cumsum, empty partition set, descending via
+    the negated score) — never a single-task global window.
+    Reference: roc_auc_price_predicts_return (same task, Mann-
+    Whitney identity)."""
+    from spark_lever_spark.operators.grank import with_grouped_cumsum
+
+    lab = _lab(spark, sf_dir)
+    per_score = lab.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("np")
+    )
+    neg = per_score.withColumn("nscore", -F.col("score"))
+    cum = with_grouped_cumsum(
+        neg, [], F.col("nscore"), ["nscore"], ["cnt", "np"]
+    )
+    agg = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+        F.count("*").alias("n_scores"),
+        F.sum(
+            F.expr(
+                f"CAST(np AS {_DEC}) * _cum_np * 1000000 div _cum_cnt"
+            )
+        ).alias("ap_terms"),
+    )
+    return agg.selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "CAST(n_pos * 1000000 div (n_pos + n_neg) AS BIGINT)"
+        " AS prevalence_ppm",
+        "CAST(ap_terms div n_pos AS BIGINT) AS ap_ppm",
+    )
+
+
+_MCC_SEL = (
+    "CASE WHEN (tp + fp) * (tp + fn) > 0 AND (tn + fp) * (tn + fn) > 0"
+    " THEN CAST(floor("
+    "CAST(CAST(tp AS {I}) * tn - CAST(fp AS {I}) * fn AS DOUBLE) * 1000"
+    " / sqrt(CAST(CAST(tp + fp AS {I}) * (tp + fn) * (tn + fp)"
+    " * (tn + fn) AS DOUBLE))) AS BIGINT) END"
+)
+
+
+@register(
+    "mcc_youden_price_median",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+rk AS (
+  SELECT score, pos,
+         row_number() OVER (ORDER BY score, o_orderkey) AS rn
+  FROM lab
+),
+med AS (
+  SELECT CAST(max(CASE WHEN rn = (n + 1) // 2 THEN score END)
+              AS BIGINT) AS thr
+  FROM rk, (SELECT CAST(count(*) AS BIGINT) AS n FROM rk) g
+),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN pos = 1 AND score > thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN pos = 0 AND score > thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN pos = 1 AND score <= thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN pos = 0 AND score <= thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn,
+    CAST(max(thr) AS BIGINT) AS thr
+  FROM rk, med
+)
+SELECT thr AS threshold_cents, tp, fp, fn, tn,
+       """ + _duck(_MCC_SEL) + """ AS mcc_milli,
+       CASE WHEN tp + fn > 0 AND fp + tn > 0
+            THEN CAST(tp * 1000000 // (tp + fn)
+                      + tn * 1000000 // (fp + tn) - 1000000 AS BIGINT)
+       END AS youden_j_ppm,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+       END AS f1_ppm
+FROM conf
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def mcc_youden_price_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATTHEWS CORRELATION + YOUDEN'S J (+ precision/recall/F1) of
+    the median-threshold classifier 'order value > median predicts a
+    return' — the single-threshold confusion-matrix battery that
+    complements the threshold-free AUC pair: MCC is the only one of
+    the five that uses all four cells symmetrically (the binary-
+    classification Pearson φ). The threshold is the exact lower
+    median (rank (n+1)//2 under a deterministic score-then-key
+    order). MCC's denominator is one exact HUGEINT ⟷ decimal(38,0)
+    4-product, its numerator exact; ONE double conversion each, one
+    sqrt, one division, one floor onto the milli grid (floor handles
+    the negative-MCC case identically in both engines). Youden/
+    precision/recall/F1 are per-term floored non-negative ppm
+    divisions. Scale: one fact join + rollup, one rank window on the
+    order domain, one 1-row reduce."""
+    lab = _lab(spark, sf_dir)
+    rk = lab.select(
+        "score",
+        "pos",
+        F.row_number()
+        .over(Window.orderBy("score", "o_orderkey"))
+        .alias("rn"),
+    )
+    g = rk.agg(F.count("*").alias("n"))
+    med = (
+        rk.crossJoin(F.broadcast(g))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"),
+                    F.col("score"),
+                )
+            ).alias("thr")
+        )
+    )
+    conf = rk.crossJoin(F.broadcast(med)).agg(
+        F.sum(
+            F.when(
+                (F.col("pos") == 1) & (F.col("score") > F.col("thr")), 1
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("pos") == 0) & (F.col("score") > F.col("thr")), 1
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("pos") == 1) & (F.col("score") <= F.col("thr")),
+                1,
+            ).otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when(
+                (F.col("pos") == 0) & (F.col("score") <= F.col("thr")),
+                1,
+            ).otherwise(0)
+        ).alias("tn"),
+        F.max("thr").alias("thr"),
+    )
+    return conf.selectExpr(
+        "thr AS threshold_cents",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _spark(_MCC_SEL) + " AS mcc_milli",
+        "CASE WHEN tp + fn > 0 AND fp + tn > 0 THEN"
+        " CAST(tp * 1000000 div (tp + fn)"
+        " + tn * 1000000 div (fp + tn) - 1000000 AS BIGINT)"
+        " END AS youden_j_ppm",
+        "CASE WHEN tp + fp > 0 THEN"
+        " CAST(tp * 1000000 div (tp + fp) AS BIGINT)"
+        " END AS precision_ppm",
+        "CASE WHEN tp + fn > 0 THEN"
+        " CAST(tp * 1000000 div (tp + fn) AS BIGINT)"
+        " END AS recall_ppm",
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+        " CAST(2 * tp * 1000000 div (2 * tp + fp + fn) AS BIGINT)"
+        " END AS f1_ppm",
+    )
+
+
+@register(
+    "brier_score_band_forecast",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+banded AS (
+  SELECT score // 500000 AS band, pos, o_orderkey % 2 AS half
+  FROM lab
+),
+train AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS b,
+         CAST(SUM(pos) AS BIGINT) AS a
+  FROM banded WHERE half = 1 GROUP BY 1
+),
+test AS (
+  SELECT band, CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(count(*) - SUM(pos) AS BIGINT) AS n0
+  FROM banded WHERE half = 0 GROUP BY 1
+),
+terms AS (
+  SELECT t.band,
+         CAST((CAST(te.n1 AS HUGEINT) * (t.a - t.b) * (t.a - t.b)
+               + CAST(te.n0 AS HUGEINT) * t.a * t.a) * 1000000000000
+              // (CAST(t.b AS HUGEINT) * t.b) AS HUGEINT) AS term,
+         te.n1 + te.n0 AS nt
+  FROM train t JOIN test te ON te.band = t.band
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bands,
+         CAST(SUM(nt) AS BIGINT) AS n_test,
+         CAST(SUM(term) AS HUGEINT) AS tsum
+  FROM terms
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test_all FROM banded
+  WHERE half = 0
+)
+SELECT agg.n_bands, agg.n_test, tot.n_test_all,
+       CAST(agg.tsum // (1000000 * CAST(agg.n_test AS HUGEINT))
+            AS BIGINT) AS brier_ppm
+FROM agg, tot
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def brier_score_band_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRIER SCORE of a held-out band-rate forecast — the proper
+    scoring rule on probabilities (not ranks): train on ODD order
+    keys (per fixed $5000 price band, forecast p̂ = returns/count, an
+    exact rational a/b), score on EVEN keys as mean (p̂ − y)².
+    The key-parity split is the house's deterministic train/test
+    idiom (grouped_split_no_leakage); fixed-width bands keep the
+    band key rank-free so train and test band identically. Per band
+    the test sum collapses exactly: n₁·(a−b)² + n₀·a² over b² — one
+    per-band pico-floored term (documented discrete variant), then
+    one exact integer division onto the ppm grid. Test rows in
+    bands unseen in training are skipped (inner join; the published
+    n_test vs n_test_all shows the skip). Scale: one fact join +
+    three band rollups on a bounded band domain."""
+    lab = _lab(spark, sf_dir)
+    banded = lab.selectExpr(
+        "score div 500000 AS band", "pos", "o_orderkey % 2 AS half"
+    )
+    train = (
+        banded.filter("half = 1")
+        .groupBy("band")
+        .agg(F.count("*").alias("b"), F.sum("pos").alias("a"))
+    )
+    test = (
+        banded.filter("half = 0")
+        .groupBy("band")
+        .agg(
+            F.sum("pos").alias("n1"),
+            (F.count("*") - F.sum("pos")).alias("n0"),
+        )
+    )
+    terms = train.join(test, "band").selectExpr(
+        "band",
+        f"CAST((CAST(n1 AS {_DEC}) * (a - b) * (a - b)"
+        f" + CAST(n0 AS {_DEC}) * a * a) * 1000000000000"
+        f" div (CAST(b AS {_DEC}) * b) AS {_DEC}) AS term",
+        "n1 + n0 AS nt",
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_bands"),
+        F.sum("nt").alias("n_test"),
+        F.sum("term").alias("tsum"),
+    )
+    tot = banded.filter("half = 0").agg(
+        F.count("*").alias("n_test_all")
+    )
+    return agg.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_bands",
+        "n_test",
+        "n_test_all",
+        f"CAST(tsum div (1000000 * CAST(n_test AS {_DEC})) AS BIGINT)"
+        " AS brier_ppm",
+    )
+
+
+@register(
+    "odds_risk_ratio_building_returns",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+expo AS (
+  SELECT lab.pos,
+         CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS exposed
+  FROM lab
+  JOIN orders o ON o.o_orderkey = lab.o_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN exposed = 1 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN exposed = 1 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN exposed = 0 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN exposed = 0 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM expo
+)
+SELECT a, b, c, d,
+       CASE WHEN a + b > 0
+            THEN CAST(a * 1000000 // (a + b) AS BIGINT)
+       END AS risk_exposed_ppm,
+       CASE WHEN c + d > 0
+            THEN CAST(c * 1000000 // (c + d) AS BIGINT)
+       END AS risk_unexposed_ppm,
+       CASE WHEN CAST(b AS HUGEINT) * c > 0
+            THEN CAST(CAST(a AS HUGEINT) * d * 1000000
+                      // (CAST(b AS HUGEINT) * c) AS BIGINT)
+       END AS odds_ratio_ppm,
+       CASE WHEN c > 0 AND a + b > 0
+            THEN CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+                      // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT)
+       END AS risk_ratio_ppm
+FROM conf
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def odds_risk_ratio_building_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ODDS RATIO + RISK RATIO of 'BUILDING-segment customer ⇒ order
+    has a return' — the epidemiology 2×2 effect measures that
+    newcombe_diff_ci_ab (risk DIFFERENCE) and ab_chi_square
+    (independence TEST) don't publish: OR = ad/bc (symmetric,
+    case-control-valid), RR = [a/(a+b)]/[c/(c+d)] (the direct
+    relative risk cohort studies quote — the two diverge exactly
+    when the outcome is common, visible here). All four cells are
+    exact counts; every published ratio is one non-negative HUGEINT
+    ⟷ decimal(38,0) ppm floor-division with degenerate-cell CASE
+    guards. Scale: one fact rollup + two dim joins, one 1-row
+    reduce."""
+    lab = _lab(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    expo = (
+        lab.join(o, "o_orderkey")
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .select(
+            "pos",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("exposed"),
+        )
+    )
+    conf = expo.agg(
+        F.sum(
+            F.when((F.col("exposed") == 1) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("exposed") == 1) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("exposed") == 0) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("exposed") == 0) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("d"),
+    )
+    return conf.selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        "CASE WHEN a + b > 0 THEN"
+        " CAST(a * 1000000 div (a + b) AS BIGINT)"
+        " END AS risk_exposed_ppm",
+        "CASE WHEN c + d > 0 THEN"
+        " CAST(c * 1000000 div (c + d) AS BIGINT)"
+        " END AS risk_unexposed_ppm",
+        f"CASE WHEN CAST(b AS {_DEC}) * c > 0 THEN"
+        f" CAST(CAST(a AS {_DEC}) * d * 1000000"
+        f" div (CAST(b AS {_DEC}) * c) AS BIGINT)"
+        " END AS odds_ratio_ppm",
+        "CASE WHEN c > 0 AND a + b > 0 THEN"
+        f" CAST(CAST(a AS {_DEC}) * (c + d) * 1000000"
+        f" div (CAST(c AS {_DEC}) * (a + b)) AS BIGINT)"
+        " END AS risk_ratio_ppm",
+    )

@@ -413,3 +413,137 @@ def test_cr_concentration_brute(spark):
     for k, col in ((1, "cr1_ppm"), (4, "cr4_ppm"), (8, "cr8_ppm")):
         want = sum(v for _, v in order[:k]) * 10**6 // t
         assert got[col] == want
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+def _labels():
+    return _sql("""
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """)
+
+
+def test_pr_auc_brute(spark):
+    lab = _labels()
+    per = defaultdict(lambda: [0, 0])
+    for _, score, pos in lab:
+        per[score][0] += 1
+        per[score][1] += pos
+    n_pos = sum(v[1] for v in per.values())
+    n_neg = sum(v[0] - v[1] for v in per.values())
+    cum_n = tp = 0
+    terms = 0
+    for score in sorted(per, reverse=True):
+        cnt, np_ = per[score]
+        cum_n += cnt
+        tp += np_
+        terms += np_ * tp * 10**6 // cum_n
+    got = _run(spark, "pr_auc_price_predicts_return").iloc[0]
+    assert (got.n_pos, got.n_neg, got.n_scores) == (
+        n_pos, n_neg, len(per),
+    )
+    assert got.prevalence_ppm == n_pos * 10**6 // (n_pos + n_neg)
+    assert got.ap_ppm == terms // n_pos
+    # sanity: AP is a mean of precisions — bounded by [0, 1]; for this
+    # near-random score it should sit NEAR the prevalence baseline
+    assert 0 <= got.ap_ppm <= 10**6
+    assert abs(got.ap_ppm - got.prevalence_ppm) < 100_000
+
+
+def test_mcc_youden_brute(spark):
+    lab = _labels()
+    order = sorted(lab, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    thr = order[(n + 1) // 2 - 1][1]
+    tp = sum(1 for _, s, p in lab if p == 1 and s > thr)
+    fp = sum(1 for _, s, p in lab if p == 0 and s > thr)
+    fn = sum(1 for _, s, p in lab if p == 1 and s <= thr)
+    tn = sum(1 for _, s, p in lab if p == 0 and s <= thr)
+    got = _run(spark, "mcc_youden_price_median").iloc[0]
+    assert (got.threshold_cents, got.tp, got.fp, got.fn, got.tn) == (
+        thr, tp, fp, fn, tn,
+    )
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    want_mcc = (
+        math.floor(float(tp * tn - fp * fn) * 1000 / math.sqrt(float(den)))
+        if (tp + fp) * (tp + fn) > 0 and (tn + fp) * (tn + fn) > 0
+        else None
+    )
+    assert got.mcc_milli == want_mcc
+    assert got.youden_j_ppm == (
+        tp * 10**6 // (tp + fn) + tn * 10**6 // (fp + tn) - 10**6
+    )
+    assert got.f1_ppm == 2 * tp * 10**6 // (2 * tp + fp + fn)
+
+
+def test_brier_brute(spark):
+    lab = _labels()
+    train = defaultdict(lambda: [0, 0])
+    test = defaultdict(lambda: [0, 0])
+    n_test_all = 0
+    for ok, score, pos in lab:
+        band = score // 500000
+        if ok % 2 == 1:
+            train[band][0] += 1
+            train[band][1] += pos
+        else:
+            n_test_all += 1
+            test[band][0] += pos
+            test[band][1] += 1 - pos
+    tsum = n_test = n_bands = 0
+    for band, (b, a) in train.items():
+        if band not in test:
+            continue
+        n1, n0 = test[band]
+        n_bands += 1
+        n_test += n1 + n0
+        tsum += (n1 * (a - b) ** 2 + n0 * a * a) * 10**12 // (b * b)
+    got = _run(spark, "brier_score_band_forecast").iloc[0]
+    assert (got.n_bands, got.n_test, got.n_test_all) == (
+        n_bands, n_test, n_test_all,
+    )
+    assert got.brier_ppm == tsum // (10**6 * n_test)
+    # float sanity: Brier of a band-rate forecast is bounded by 0.25-ish
+    assert 0 <= got.brier_ppm <= 10**6
+
+
+def test_odds_risk_brute(spark):
+    rows = _sql("""
+        WITH lab AS (
+          SELECT o.o_orderkey, o.o_custkey,
+                 max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS pos
+          FROM '{SF}/orders.parquet' o
+          JOIN '{SF}/lineitem.parquet' l
+            ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT lab.pos,
+               CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        FROM lab JOIN '{SF}/customer.parquet' cu
+          ON cu.c_custkey = lab.o_custkey
+    """)
+    a = sum(1 for p, e in rows if e == 1 and p == 1)
+    b = sum(1 for p, e in rows if e == 1 and p == 0)
+    c = sum(1 for p, e in rows if e == 0 and p == 1)
+    d = sum(1 for p, e in rows if e == 0 and p == 0)
+    got = _run(spark, "odds_risk_ratio_building_returns").iloc[0]
+    assert (got.a, got.b, got.c, got.d) == (a, b, c, d)
+    assert got.risk_exposed_ppm == a * 10**6 // (a + b)
+    assert got.risk_unexposed_ppm == c * 10**6 // (c + d)
+    assert got.odds_ratio_ppm == (
+        a * d * 10**6 // (b * c) if b * c > 0 else None
+    )
+    assert got.risk_ratio_ppm == (
+        a * (c + d) * 10**6 // (c * (a + b))
+        if c > 0 and a + b > 0
+        else None
+    )
