@@ -1813,3 +1813,526 @@ def odds_risk_ratio_building_returns(
         f" div (CAST(c AS {_DEC}) * (a + b)) AS BIGINT)"
         " END AS risk_ratio_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: spectral / complexity / stationarity / momentum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "square_wave_periodogram_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM daily
+),
+y AS (
+  SELECT d.x, CAST(g.n * d.v - g.s AS BIGINT) AS yd, g.n,
+         CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS HUGEINT) AS c0
+  FROM daily d, g
+),
+p AS (SELECT unnest([7, 14, 30, 91, 365]) AS period),
+terms AS (
+  SELECT p.period,
+         CAST(SUM(CASE WHEN (y.x % p.period) * 2 < p.period
+                       THEN y.yd ELSE -y.yd END) AS BIGINT) AS ip,
+         CAST(SUM(CASE WHEN ((y.x + p.period // 4) % p.period) * 2
+                            < p.period
+                       THEN y.yd ELSE -y.yd END) AS BIGINT) AS qd,
+         CAST(max(y.n) AS BIGINT) AS n, CAST(max(y.c0) AS HUGEINT)
+             AS c0
+  FROM y, p GROUP BY p.period
+)
+SELECT period, ip AS inphase_sum, qd AS quadrature_sum,
+       CASE WHEN c0 > 0
+            THEN CAST((CAST(ip AS HUGEINT) * ip
+                       + CAST(qd AS HUGEINT) * qd) * 1000000
+                      // (CAST(n AS HUGEINT) * c0) AS BIGINT)
+       END AS power_ppm
+FROM terms ORDER BY period
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def square_wave_periodogram_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQUARE-WAVE PERIODOGRAM of daily revenue at the calendar
+    periods {7, 14, 30, 91, 365} — spectral cycle detection with a
+    WALSH (±1 square) basis instead of sin/cos, because per-row
+    transcendentals are banned from hash-gated outputs and a square
+    wave correlates >81% (8/π²) with the sinusoid of the same
+    period: power_P = IP² + Q², with IP = Σ y·s_P (in-phase, s_P =
+    ±1 by epoch-day half-period) and Q the quadrature at a P//4 day
+    shift; y = n·x − S are the exact n-scaled deviations, so the
+    normalized power (IP² + Q²)/(n·Σy²) is Cauchy-Schwarz-bounded
+    and exact (HUGEINT ⟷ decimal(38,0) products, one non-negative
+    ppm floor-division). The dominant-cycle complement to
+    dominant_cycle_acf_daily (ACF peaks) in the frequency domain.
+    Scale: one rollup, a 5-row broadcast period table, one
+    grouped reduce."""
+    daily = _daily_orders(spark, sf_dir)
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    y = daily.crossJoin(F.broadcast(g)).selectExpr(
+        "x",
+        "CAST(n * v - s AS BIGINT) AS yd",
+        "n",
+        f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS c0",
+    )
+    p = spark.range(1).selectExpr(
+        "explode(array(7, 14, 30, 91, 365)) AS period"
+    )
+    terms = (
+        y.crossJoin(F.broadcast(p))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN (x % period) * 2 < period"
+                    " THEN yd ELSE -yd END"
+                )
+            ).alias("ip"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ((x + period div 4) % period) * 2"
+                    " < period THEN yd ELSE -yd END"
+                )
+            ).alias("qd"),
+            F.max("n").alias("n"),
+            F.max("c0").alias("c0"),
+        )
+    )
+    return terms.selectExpr(
+        "CAST(period AS INT) AS period",
+        "ip AS inphase_sum",
+        "qd AS quadrature_sum",
+        "CASE WHEN c0 > 0 THEN"
+        f" CAST((CAST(ip AS {_DEC}) * ip + CAST(qd AS {_DEC}) * qd)"
+        f" * 1000000 div (CAST(n AS {_DEC}) * c0) AS BIGINT)"
+        " END AS power_ppm",
+    ).orderBy("period")
+
+
+@register(
+    "sample_entropy_kernel_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+idx AS (
+  SELECT v, row_number() OVER (ORDER BY x) AS t FROM daily
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM idx
+),
+tri AS (
+  SELECT t, v AS v0,
+         lead(v, 1) OVER (ORDER BY t) AS v1,
+         lead(v, 2) OVER (ORDER BY t) AS v2
+  FROM idx
+),
+pairs AS (
+  SELECT a.t AS i, b.t AS j, g.n,
+         CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS HUGEINT) AS vv,
+         CAST(a.v0 - b.v0 AS BIGINT) AS d0,
+         CAST(a.v1 - b.v1 AS BIGINT) AS d1,
+         CAST(a.v2 - b.v2 AS BIGINT) AS d2
+  FROM tri a JOIN tri b ON b.t > a.t, g
+  WHERE a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN 25 * CAST(d0 AS HUGEINT) * d0 * n * n <= vv
+                   AND 25 * CAST(d1 AS HUGEINT) * d1 * n * n <= vv
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN 25 * CAST(d0 AS HUGEINT) * d0 * n * n <= vv
+                   AND 25 * CAST(d1 AS HUGEINT) * d1 * n * n <= vv
+                   AND 25 * CAST(d2 AS HUGEINT) * d2 * n * n <= vv
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT n_pairs, b AS template_matches_m2, a AS template_matches_m3,
+       CASE WHEN b > 0
+            THEN CAST(CAST(a AS HUGEINT) * 1000000 // b AS BIGINT)
+       END AS sampen_kernel_ppm
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def sample_entropy_kernel_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLE-ENTROPY KERNEL (m = 2, r = 0.2σ, Chebyshev) of the
+    daily revenue series — the regularity statistic of Richman &
+    Moorman: B counts template pairs whose length-2 windows stay
+    within r at every offset, A the same at length 3; SampEn is
+    −ln(A/B), so the published EXACT quantity is the kernel ratio
+    A/B in ppm (the log is the caller's one transcendental — banned
+    from hash-gated outputs). The tolerance never materializes:
+    |Δ| ≤ 0.2σ ⇔ 25·n²·Δ² ≤ n·Q − S², an exact HUGEINT ⟷
+    decimal(38,0) comparison (the Western-Electric zone trick).
+    Scale: the pair join is DAY-DOMAIN-bounded (calendar², ~3M
+    pairs regardless of SF — the hodges_lehmann argument); the fact
+    scan is one map-side rollup."""
+    daily = _daily_orders(spark, sf_dir)
+    idx = daily.select(
+        "v", F.row_number().over(Window.orderBy("x")).alias("t")
+    )
+    g = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    wl = Window.orderBy("t")
+    tri = idx.select(
+        "t",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(wl).alias("v1"),
+        F.lead("v", 2).over(wl).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    a = tri.select(
+        F.col("t").alias("i"),
+        F.col("v0").alias("a0"),
+        F.col("v1").alias("a1"),
+        F.col("v2").alias("a2"),
+    )
+    b = tri.select(
+        F.col("t").alias("j"),
+        F.col("v0").alias("b0"),
+        F.col("v1").alias("b1"),
+        F.col("v2").alias("b2"),
+    )
+    pairs = (
+        a.join(b, F.col("j") > F.col("i"))
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "CAST(a0 - b0 AS BIGINT) AS d0",
+            "CAST(a1 - b1 AS BIGINT) AS d1",
+            "CAST(a2 - b2 AS BIGINT) AS d2",
+            "n",
+            f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS vv",
+        )
+    )
+    hit = (
+        f"25 * CAST(d0 AS {_DEC}) * d0 * n * n <= vv"
+        f" AND 25 * CAST(d1 AS {_DEC}) * d1 * n * n <= vv"
+    )
+    m = pairs.agg(
+        F.sum(F.expr(f"CASE WHEN {hit} THEN 1 ELSE 0 END")).alias("b"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN {hit} AND 25 * CAST(d2 AS {_DEC}) * d2"
+                " * n * n <= vv THEN 1 ELSE 0 END"
+            )
+        ).alias("a"),
+        F.count("*").alias("n_pairs"),
+    )
+    return m.selectExpr(
+        "n_pairs",
+        "b AS template_matches_m2",
+        "a AS template_matches_m3",
+        "CASE WHEN b > 0 THEN"
+        f" CAST(CAST(a AS {_DEC}) * 1000000 div b AS BIGINT)"
+        " END AS sampen_kernel_ppm",
+    )
+
+
+@register(
+    "kpss_level_stat_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM daily
+),
+e AS (
+  SELECT d.x, CAST(g.n * d.v - g.s AS BIGINT) AS ed, g.n
+  FROM daily d, g
+),
+p AS (
+  SELECT x, ed, n,
+         CAST(SUM(ed) OVER (ORDER BY x) AS BIGINT) AS pt
+  FROM e
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(pt AS HUGEINT) * pt) AS HUGEINT) AS sp2,
+         CAST(SUM(CAST(ed AS HUGEINT) * ed) AS HUGEINT) AS se2
+  FROM p
+)
+SELECT n, CAST(floor(CAST(sp2 AS DOUBLE) * 1000000
+            / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))) AS BIGINT)
+           AS kpss_eta_ppm
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def kpss_level_stat_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KPSS LEVEL-STATIONARITY STATISTIC (lag-0 long-run variance)
+    of daily revenue — the null-reversal complement to the trend
+    tests (mann_kendall/cox_stuart test FOR trend; KPSS tests
+    AGAINST stationarity: η = Σₜ Sₜ²/(n·Σe²) with Sₜ the partial
+    sums of demeaned residuals — large partial-sum excursions ⇒ a
+    unit root / level shift). With the n-scaled residuals E = n·x−S
+    both Σ numerator and denominator are exact HUGEINT ⟷
+    decimal(38,0) and the n-scalings CANCEL, leaving one double
+    division of two exact integers floored onto the ppm grid. The
+    cumulative runs on the calendar-bounded day domain (one ordered
+    prefix-sum window). Lag-0 is the documented discrete variant
+    (the Bartlett-weighted long-run variance adds nuisance lags,
+    not shape)."""
+    daily = _daily_orders(spark, sf_dir)
+    g = daily.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    e = daily.crossJoin(F.broadcast(g)).selectExpr(
+        "x", "CAST(n * v - s AS BIGINT) AS ed", "n"
+    )
+    p = e.select(
+        "ed",
+        "n",
+        F.sum("ed").over(Window.orderBy("x")).alias("pt"),
+    )
+    m = p.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("pt").cast(_DEC) * F.col("pt")).alias("sp2"),
+        F.sum(F.col("ed").cast(_DEC) * F.col("ed")).alias("se2"),
+    )
+    return m.selectExpr(
+        "n",
+        "CAST(floor(CAST(sp2 AS DOUBLE) * 1000000"
+        " / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))) AS BIGINT)"
+        " AS kpss_eta_ppm",
+    )
+
+
+@register(
+    "permutation_pattern_census_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+tri AS (
+  SELECT v AS v0,
+         lead(v, 1) OVER (ORDER BY x) AS v1,
+         lead(v, 2) OVER (ORDER BY x) AS v2
+  FROM daily
+),
+pat AS (
+  SELECT CASE
+           WHEN v0 <= v1 AND v1 <= v2 THEN '012'
+           WHEN v0 <= v2 AND v2 <  v1 THEN '021'
+           WHEN v1 <  v0 AND v0 <= v2 THEN '102'
+           WHEN v2 <  v0 AND v0 <= v1 THEN '120'
+           WHEN v1 <= v2 AND v2 <  v0 THEN '201'
+           ELSE '210'
+         END AS pattern
+  FROM tri WHERE v2 IS NOT NULL
+),
+c AS (
+  SELECT pattern, CAST(count(*) AS BIGINT) AS cnt FROM pat GROUP BY 1
+),
+g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c)
+SELECT c.pattern, c.cnt,
+       CAST(c.cnt * 1000000 // g.t AS BIGINT) AS share_ppm,
+       CASE WHEN g.t > 1
+            THEN CAST((SELECT SUM(CAST(cnt AS HUGEINT) * (cnt - 1))
+                       FROM c) * 1000000
+                      // (CAST(g.t AS HUGEINT) * (g.t - 1)) AS BIGINT)
+       END AS renyi2_repeat_ppm
+FROM c, g ORDER BY c.pattern
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def permutation_pattern_census_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDER-3 PERMUTATION PATTERN CENSUS of daily revenue (Bandt &
+    Pompe's permutation-entropy alphabet): each consecutive triple
+    maps to one of the 6 ordinal patterns, labeled rank-of-each-
+    position (digit i = rank of the i-th value; ties broken by
+    POSITION — earlier day ranks first — via the ≤/< asymmetry of
+    the CASE tree, identical in both engines), and
+    the census publishes each pattern's count and share plus the
+    Rényi-2 repeat rate Σc(c−1)/T(T−1) — the exact rational kernel
+    of permutation entropy (the Shannon form needs logs, banned from
+    hash-gated outputs; white noise ⇒ repeat ≈ 1/6, a trend ⇒ one
+    monotone pattern dominates). Scale: one lead window over the
+    calendar-bounded day domain, one 6-row rollup."""
+    daily = _daily_orders(spark, sf_dir)
+    wl = Window.orderBy("x")
+    tri = daily.select(
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(wl).alias("v1"),
+        F.lead("v", 2).over(wl).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    pat = tri.selectExpr(
+        "CASE"
+        " WHEN v0 <= v1 AND v1 <= v2 THEN '012'"
+        " WHEN v0 <= v2 AND v2 <  v1 THEN '021'"
+        " WHEN v1 <  v0 AND v0 <= v2 THEN '102'"
+        " WHEN v2 <  v0 AND v0 <= v1 THEN '120'"
+        " WHEN v1 <= v2 AND v2 <  v0 THEN '201'"
+        " ELSE '210' END AS pattern"
+    )
+    c = pat.groupBy("pattern").agg(F.count("*").alias("cnt"))
+    g = c.agg(
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("cnt").cast(_DEC) * (F.col("cnt") - 1)).alias(
+            "rep2"
+        ),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "pattern",
+            "cnt",
+            "CAST(cnt * 1000000 div t AS BIGINT) AS share_ppm",
+            "CASE WHEN t > 1 THEN CAST(rep2 * 1000000"
+            f" div (CAST(t AS {_DEC}) * (t - 1)) AS BIGINT)"
+            " END AS renyi2_repeat_ppm",
+        )
+        .orderBy("pattern")
+    )
+
+
+_DPO_SEL = _ss_div("20 * vlag - s20", "20", 1000)
+
+
+@register(
+    "dpo_20_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+idx AS (
+  SELECT x, v, row_number() OVER (ORDER BY x) AS t FROM daily
+),
+win AS (
+  SELECT x, v, t,
+         CAST(SUM(v) OVER (ORDER BY t ROWS BETWEEN 19 PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS s20,
+         CAST(count(*) OVER (ORDER BY t ROWS BETWEEN 19 PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS cnt,
+         lag(v, 11) OVER (ORDER BY t) AS vlag
+  FROM idx
+)
+SELECT x, v,
+       """ + _duck(_DPO_SEL) + """ AS dpo_milli
+FROM win WHERE cnt = 20 AND vlag IS NOT NULL ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def dpo_20_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETRENDED PRICE OSCILLATOR (20-period) of daily revenue —
+    the cycle isolator that REMOVES the trend by comparing a
+    displaced price to the moving average: DPO_t = x_{t−(20/2+1)} −
+    SMA20_t, so the oscillator is phase-aligned with the cycle
+    rather than lagging it (the displacement is what separates DPO
+    from a plain price-minus-SMA). Exactness: DPO = (20·x_{t−11} −
+    S20)/20 — one subtraction of exact int64s, one SIGN-SPLIT milli
+    floor-division by the window width. Rows with partial windows
+    or no 11-lagged observation are excluded by count guards.
+    Scale: calendar-bounded day domain, one rollup + two windows."""
+    daily = _daily_orders(spark, sf_dir)
+    idx = daily.select(
+        "x", "v", F.row_number().over(Window.orderBy("x")).alias("t")
+    )
+    wt = Window.orderBy("t").rowsBetween(-19, 0)
+    win = idx.select(
+        "x",
+        "v",
+        F.sum("v").over(wt).alias("s20"),
+        F.count("*").over(wt).alias("cnt"),
+        F.lag("v", 11).over(Window.orderBy("t")).alias("vlag"),
+    )
+    return (
+        win.filter((F.col("cnt") == 20) & F.col("vlag").isNotNull())
+        .selectExpr("x", "v", _spark(_DPO_SEL) + " AS dpo_milli")
+        .orderBy("x")
+    )
+
+
+_CMO_SEL = _ss_div("su - sd", "su + sd", 1000000)
+
+
+@register(
+    "chande_momentum_20_daily",
+    oracle="""
+WITH
+""" + _DAILY_RET_CTE + """,
+idx AS (
+  SELECT x, r, row_number() OVER (ORDER BY x) AS t
+  FROM ret WHERE r IS NOT NULL
+),
+win AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END) OVER w
+              AS BIGINT) AS su,
+         CAST(SUM(CASE WHEN r < 0 THEN -r ELSE 0 END) OVER w
+              AS BIGINT) AS sd,
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM idx
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT x, su AS up_sum_cents, sd AS down_sum_cents,
+       CASE WHEN su + sd > 0 THEN """ + _duck(_CMO_SEL) + """
+       END AS cmo_ppm
+FROM win WHERE cnt = 20 ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def chande_momentum_20_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHANDE MOMENTUM OSCILLATOR (20-period) of daily revenue
+    changes — the UNSMOOTHED momentum ratio CMO = (Su − Sd)/(Su +
+    Sd): where RSI feeds the same up/down sums through a smoothing
+    chain and a 0–100 squash, CMO publishes the raw ratio on ±1, so
+    overbought/oversold symmetry is exact and zero net movement is
+    exactly 0 (rsi_cutler_daily's complement). Both conditional
+    sums are exact int64 cents over a full 20-row window (count
+    guard); the ratio is one SIGN-SPLIT ppm floor-division with the
+    flat-window CASE degenerating to NULL identically. Scale:
+    calendar-bounded day domain, one rollup + one lag + one row
+    window."""
+    ret = _daily_ret(spark, sf_dir).filter(F.col("r").isNotNull())
+    idx = ret.select(
+        "x", "r", F.row_number().over(Window.orderBy("x")).alias("t")
+    )
+    w = Window.orderBy("t").rowsBetween(-19, 0)
+    win = idx.select(
+        "x",
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0))
+        .over(w)
+        .alias("su"),
+        F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0))
+        .over(w)
+        .alias("sd"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return (
+        win.filter(F.col("cnt") == 20)
+        .selectExpr(
+            "x",
+            "su AS up_sum_cents",
+            "sd AS down_sum_cents",
+            "CASE WHEN su + sd > 0 THEN " + _spark(_CMO_SEL)
+            + " END AS cmo_ppm",
+        )
+        .orderBy("x")
+    )

@@ -547,3 +547,158 @@ def test_odds_risk_brute(spark):
         if c > 0 and a + b > 0
         else None
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: spectral / complexity / stationarity / momentum
+# ---------------------------------------------------------------------------
+
+
+def test_square_wave_periodogram_brute(spark):
+    xs = sorted(_daily_cents().items())
+    n = len(xs)
+    s = sum(v for _, v in xs)
+    q = sum(v * v for _, v in xs)
+    c0 = n * q - s * s
+    got = _run(spark, "square_wave_periodogram_daily").set_index(
+        "period"
+    )
+    for p in (7, 14, 30, 91, 365):
+        ip = sum(
+            (n * v - s) * (1 if (x % p) * 2 < p else -1) for x, v in xs
+        )
+        qd = sum(
+            (n * v - s) * (1 if ((x + p // 4) % p) * 2 < p else -1)
+            for x, v in xs
+        )
+        row = got.loc[p]
+        assert (row.inphase_sum, row.quadrature_sum) == (ip, qd)
+        assert row.power_ppm == (ip * ip + qd * qd) * 10**6 // (n * c0)
+
+
+def test_sample_entropy_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n = len(vs)
+    s, q = sum(vs), sum(v * v for v in vs)
+    vv = n * q - s * s
+    tri = [
+        (vs[i], vs[i + 1], vs[i + 2]) for i in range(n - 2)
+    ]
+
+    def close(a, b):
+        return 25 * (a - b) ** 2 * n * n <= vv
+
+    bb = aa = npairs = 0
+    for i in range(len(tri)):
+        for j in range(i + 1, len(tri)):
+            npairs += 1
+            if close(tri[i][0], tri[j][0]) and close(tri[i][1], tri[j][1]):
+                bb += 1
+                if close(tri[i][2], tri[j][2]):
+                    aa += 1
+    got = _run(spark, "sample_entropy_kernel_daily").iloc[0]
+    assert (got.n_pairs, got.template_matches_m2,
+            got.template_matches_m3) == (npairs, bb, aa)
+    assert got.sampen_kernel_ppm == (
+        aa * 10**6 // bb if bb > 0 else None
+    )
+
+
+def test_kpss_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n, s = len(vs), sum(vs)
+    es = [n * v - s for v in vs]
+    pt, sp2 = 0, 0
+    for e in es:
+        pt += e
+        sp2 += pt * pt
+    se2 = sum(e * e for e in es)
+    got = _run(spark, "kpss_level_stat_daily").iloc[0]
+    assert got.n == n
+    assert got.kpss_eta_ppm == math.floor(
+        float(sp2) * 10**6 / (float(n) * float(se2))
+    )
+
+
+def test_permutation_census_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    pats = defaultdict(int)
+    for a, b, c in zip(vs, vs[1:], vs[2:]):
+        if a <= b and b <= c:
+            p = "012"
+        elif a <= c and c < b:
+            p = "021"
+        elif b < a and a <= c:
+            p = "102"
+        elif c < a and a <= b:
+            p = "120"
+        elif b <= c and c < a:
+            p = "201"
+        else:
+            p = "210"
+        pats[p] += 1
+    t = sum(pats.values())
+    rep2 = sum(c * (c - 1) for c in pats.values())
+    got = _run(spark, "permutation_pattern_census_daily").set_index(
+        "pattern"
+    )
+    assert len(got) == len(pats)
+    for p, c in pats.items():
+        row = got.loc[p]
+        assert row.cnt == c
+        assert row.share_ppm == c * 10**6 // t
+        assert row.renyi2_repeat_ppm == rep2 * 10**6 // (t * (t - 1))
+    # cross-check the CASE tree against rank-of-each-position
+    # (digit i = rank of the i-th value, position-tie-broken)
+    for a, b, c in [(1, 2, 3), (1, 3, 2), (2, 1, 3), (2, 3, 1),
+                    (3, 1, 2), (3, 2, 1), (1, 1, 2), (2, 1, 1),
+                    (1, 2, 1), (1, 1, 1)]:
+        order = sorted(range(3), key=lambda i: ([a, b, c][i], i))
+        rank = [0, 0, 0]
+        for r, i in enumerate(order):
+            rank[i] = r
+        expect = "".join(str(r) for r in rank)
+        if a <= b and b <= c:
+            p = "012"
+        elif a <= c and c < b:
+            p = "021"
+        elif b < a and a <= c:
+            p = "102"
+        elif c < a and a <= b:
+            p = "120"
+        elif b <= c and c < a:
+            p = "201"
+        else:
+            p = "210"
+        # pattern names positions in ascending-value order
+        assert p == expect, (a, b, c)
+
+
+def test_dpo_cmo_brute(spark):
+    xs = sorted(_daily_cents().items())
+    vs = [v for _, v in xs]
+    got = _run(spark, "dpo_20_daily").set_index("x")
+    cnt = 0
+    for i in range(len(vs)):
+        if i >= 19 and i >= 11:
+            s20 = sum(vs[i - 19: i + 1])
+            want = _ssdiv(20 * vs[i - 11] - s20, 20, 1000)
+            assert got.loc[xs[i][0]].dpo_milli == want
+            cnt += 1
+    assert len(got) == cnt
+
+    rets = _returns(_daily_cents())
+    got2 = _run(spark, "chande_momentum_20_daily").set_index("x")
+    cnt2 = 0
+    for i in range(19, len(rets)):
+        w = [r for _, r in rets[i - 19: i + 1]]
+        su = sum(r for r in w if r > 0)
+        sd = sum(-r for r in w if r < 0)
+        row = got2.loc[rets[i][0]]
+        assert (row.up_sum_cents, row.down_sum_cents) == (su, sd)
+        want = (
+            _ssdiv(su - sd, su + sd, 10**6) if su + sd > 0 else None
+        )
+        assert row.cmo_ppm == want
+        cnt2 += 1
+    assert len(got2) == cnt2
