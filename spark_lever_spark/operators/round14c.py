@@ -2336,3 +2336,292 @@ def chande_momentum_20_daily(
         )
         .orderBy("x")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: rich-club / k-truss / preferential attachment on co-purchase
+# ---------------------------------------------------------------------------
+
+# Support->=2 co-purchase edge list (the graph every llm_graph query
+# shares — see triangle_count_copurchase / kcore_peel_copurchase).
+_COPURCHASE_CTE = """
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("ok"))
+            & (F.col("a.l_partkey") < F.col("pk")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+
+
+@register(
+    "rich_club_coefficient_copurchase",
+    oracle="""
+WITH
+""" + _COPURCHASE_CTE + """,
+adj AS (
+  SELECT pa AS u, pb AS v FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+club AS (
+  SELECT ks.k, CAST(count(*) AS BIGINT) AS nk
+  FROM deg, ks WHERE deg.d > ks.k GROUP BY ks.k
+),
+ek AS (
+  SELECT ks.k, CAST(count(*) AS BIGINT) AS mk
+  FROM pairs p
+  JOIN deg da ON da.u = p.pa
+  JOIN deg db ON db.u = p.pb, ks
+  WHERE da.d > ks.k AND db.d > ks.k
+  GROUP BY ks.k
+)
+SELECT c.k, c.nk AS club_size, COALESCE(e.mk, 0) AS club_edges,
+       CASE WHEN c.nk > 1
+            THEN CAST(COALESCE(e.mk, 0) * 2000000
+                      // (c.nk * (c.nk - 1)) AS BIGINT)
+       END AS phi_ppm
+FROM club c LEFT JOIN ek e ON e.k = c.k
+ORDER BY c.k
+""",
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def rich_club_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RICH-CLUB COEFFICIENT φ(k) of the co-purchase graph at k ∈
+    {2,4,8,16,32} — do high-degree parts preferentially co-purchase
+    with EACH OTHER (hub oligarchy) or spread across the catalog?
+    φ(k) = 2·E_{>k} / (n_{>k}(n_{>k}−1)): the density of the
+    subgraph induced by nodes of degree > k, published as one exact
+    non-negative ppm floor-division per k (counts are int64; the
+    2× lives in the scale constant). Complements
+    degree_assortativity_copurchase (a single global correlation)
+    with the full k-profile the assortativity coefficient
+    averages away. Scale: one edge rollup + a degree join + a 5-row
+    broadcast threshold table; no wedge work at all."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    adj = pairs.select(F.col("pa").alias("u")).union(
+        pairs.select(F.col("pb").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    ks = spark.range(1).selectExpr(
+        "explode(array(2, 4, 8, 16, 32)) AS k"
+    )
+    club = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("nk"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("dda"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("ddb"))
+    ek = (
+        pairs.join(da, F.col("pa") == F.col("ua"))
+        .join(db, F.col("pb") == F.col("ub"))
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("dda") > F.col("k")) & (F.col("ddb") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("mk"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .selectExpr(
+            "CAST(k AS INT) AS k",
+            "nk AS club_size",
+            "COALESCE(mk, 0) AS club_edges",
+            "CASE WHEN nk > 1 THEN CAST(COALESCE(mk, 0) * 2000000"
+            " div (nk * (nk - 1)) AS BIGINT) END AS phi_ppm",
+        )
+        .orderBy("k")
+    )
+
+
+def _truss_round_sql(i: int) -> str:
+    """One unrolled 3-truss peel round: keep edges of e{i} with >= 1
+    triangle support inside e{i}. Every stage is MATERIALIZED: each
+    CTE is referenced by two+ later stages and the chain would
+    otherwise be re-inlined (and re-computed) once per unrolled
+    round — the recursive-oracle doctrine."""
+    return f"""
+adj{i} AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM e{i}
+  UNION ALL SELECT pb, pa FROM e{i}
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT p.pa, p.pb
+  FROM e{i} p
+  WHERE EXISTS (
+    SELECT 1 FROM adj{i} x JOIN adj{i} y
+      ON x.v = y.v AND x.u = p.pa AND y.u = p.pb
+  )
+)"""
+
+
+@register(
+    "ktruss_3_copurchase",
+    oracle="""
+WITH
+""" + _COPURCHASE_CTE.replace(
+    "pairs AS (", "pairs AS MATERIALIZED ("
+) + """,
+e0 AS MATERIALIZED (SELECT pa, pb FROM pairs),
+""" + ",".join(_truss_round_sql(i) for i in range(3)) + """
+SELECT 0 AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges_remaining
+UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM e1)
+UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM e2)
+UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM e3)
+ORDER BY round
+""",
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def ktruss_3_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-TRUSS PEELING of the co-purchase graph — the EDGE analog of
+    kcore_peel_copurchase: an edge survives iff it closes at least
+    one triangle among surviving edges (k-truss with k = 3 ⇒
+    support ≥ k−2 = 1), iterated 3 bounded rounds (the bounded-
+    rounds doctrine: each peel round is ONE wedge equi-join on the
+    surviving adjacency — Σ deg² work — plus a semi-join; the round
+    count is a query constant, never data-driven). Published as the
+    per-round edge-census trajectory (round 0 = raw support-≥2
+    graph); a converged trajectory shows edges_remaining constant
+    across the last rounds. Trusses are the community-detection
+    precursor (cohesive cores stricter than k-core — every edge,
+    not just every node, needs embedded support). Exact integer
+    counts only."""
+    # Each round's edge set is PERSISTED before the count: without it
+    # round i re-evaluates the whole peel lineage of rounds 0..i-1
+    # (O(rounds²) wedge joins) — the iterative-algorithm caching
+    # doctrine (same as lpa_communities / pagerank rounds).
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e = pairs.persist()
+    cached = [e]
+    counts = [("0", e.count())]
+    for i in range(3):
+        adj = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
+            e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
+        x = adj.select(F.col("u").alias("xa"), F.col("v").alias("w"))
+        y = adj.select(F.col("u").alias("yb"), F.col("v").alias("w2"))
+        tri_edges = (
+            x.join(y, F.col("w") == F.col("w2"))
+            .select(F.col("xa").alias("pa"), F.col("yb").alias("pb"))
+            .distinct()
+        )
+        e = e.join(tri_edges, ["pa", "pb"], "left_semi").persist()
+        cached.append(e)
+        counts.append((str(i + 1), e.count()))
+    rows = [(int(r), int(c)) for r, c in counts]
+    for df in cached:
+        df.unpersist()
+    return spark.createDataFrame(
+        rows, "round INT, edges_remaining BIGINT"
+    ).orderBy("round")
+
+
+@register(
+    "link_prediction_pref_attachment",
+    oracle="""
+WITH
+""" + _COPURCHASE_CTE + """,
+adj AS (
+  SELECT pa AS u, pb AS v FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT x.u AS a, y.v AS b
+  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+  GROUP BY 1, 2
+),
+open_w AS (
+  SELECT w.a, w.b FROM wedge w
+  LEFT JOIN pairs p ON p.pa = w.a AND p.pb = w.b
+  WHERE p.pa IS NULL
+)
+SELECT o.a AS part_a, o.b AS part_b,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(da.d * db.d AS BIGINT) AS pa_score
+FROM open_w o
+JOIN deg da ON da.u = o.a
+JOIN deg db ON db.u = o.b
+ORDER BY pa_score DESC, part_a, part_b LIMIT 20
+""",
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def link_prediction_pref_attachment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PREFERENTIAL-ATTACHMENT LINK PREDICTION on the co-purchase
+    graph: rank not-yet-co-purchased 2-hop pairs by deg(a)·deg(b) —
+    the growth-model predictor (Barabási–Albert: new edges attach
+    proportionally to degree products), the GLOBAL-popularity
+    counterweight to link_prediction_common_neighbors /
+    _resource_allocation (which reward local overlap; PA rewards
+    joint popularity even with zero shared neighbors among the
+    candidates). Candidates come from the same wedge join + edge
+    anti-join; the score is one exact int64 product, top-20 by
+    (score, pair) deterministic order. Scale: hub-bounded wedge
+    work, same as the CN predictor."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    adj = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("w2"), F.col("v").alias("b"))
+    wedge = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    open_w = wedge.join(
+        pairs,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("deg_b"))
+    return (
+        open_w.join(da, F.col("a") == F.col("ua"))
+        .join(db, F.col("b") == F.col("ub"))
+        .selectExpr(
+            "a AS part_a",
+            "b AS part_b",
+            "deg_a",
+            "deg_b",
+            "CAST(deg_a * deg_b AS BIGINT) AS pa_score",
+        )
+        .orderBy(F.desc("pa_score"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -702,3 +702,96 @@ def test_dpo_cmo_brute(spark):
         assert row.cmo_ppm == want
         cnt2 += 1
     assert len(got2) == cnt2
+
+
+# ---------------------------------------------------------------------------
+# Graph: rich-club / k-truss / preferential attachment
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges():
+    items = set(_sql(
+        "SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM '{SF}/lineitem.parquet'"
+    ))
+    by_order = defaultdict(list)
+    for ok, pk in items:
+        by_order[ok].append(pk)
+    pair_counts = defaultdict(int)
+    for parts in by_order.values():
+        parts.sort()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_counts[(parts[i], parts[j])] += 1
+    return {p for p, c in pair_counts.items() if c >= 2}
+
+
+def test_rich_club_brute(spark):
+    edges = _copurchase_edges()
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = _run(spark, "rich_club_coefficient_copurchase").set_index("k")
+    for k in (2, 4, 8, 16, 32):
+        club = {u for u, d in deg.items() if d > k}
+        if not club:
+            assert k not in got.index
+            continue
+        mk = sum(1 for a, b in edges if a in club and b in club)
+        row = got.loc[k]
+        assert (row.club_size, row.club_edges) == (len(club), mk)
+        want = (
+            mk * 2 * 10**6 // (len(club) * (len(club) - 1))
+            if len(club) > 1
+            else None
+        )
+        assert row.phi_ppm == want
+
+
+def test_ktruss_brute(spark):
+    edges = _copurchase_edges()
+    traj = [len(edges)]
+    cur = set(edges)
+    for _ in range(3):
+        adj = defaultdict(set)
+        for a, b in cur:
+            adj[a].add(b)
+            adj[b].add(a)
+        cur = {
+            (a, b) for a, b in cur if adj[a] & adj[b]
+        }
+        traj.append(len(cur))
+    got = _run(spark, "ktruss_3_copurchase")
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (i, c) for i, c in enumerate(traj)
+    ]
+
+
+def test_pref_attachment_brute(spark):
+    edges = _copurchase_edges()
+    adj = defaultdict(set)
+    deg = defaultdict(int)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        deg[a] += 1
+        deg[b] += 1
+    cands = set()
+    for w, nbrs in adj.items():
+        nl = sorted(nbrs)
+        for i in range(len(nl)):
+            for j in range(i + 1, len(nl)):
+                if (nl[i], nl[j]) not in edges:
+                    cands.add((nl[i], nl[j]))
+    scored = sorted(
+        ((deg[a] * deg[b], a, b) for a, b in cands),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = _run(spark, "link_prediction_pref_attachment")
+    assert [
+        (r.pa_score, r.part_a, r.part_b)
+        for r in got.itertuples(index=False)
+    ] == scored
+    for r in got.itertuples(index=False):
+        assert (r.deg_a, r.deg_b) == (deg[r.part_a], deg[r.part_b])
