@@ -2625,3 +2625,368 @@ def link_prediction_pref_attachment(
         .orderBy(F.desc("pa_score"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text: dyadic Zipf slope, Hellinger drift, BM25 (rational RSJ idf)
+# ---------------------------------------------------------------------------
+
+_WC_CTE = """
+wc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY source, w
+)
+"""
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_lever_spark.llm.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+_ZIPF_SLOPE = _ss_div(
+    "nb * sxy - sx * sy", "nb * sxx - sx * sx", 1000
+)
+
+
+@register(
+    "zipf_dyadic_slope_by_source",
+    oracle="""
+WITH
+""" + _WC_CTE + """,
+rk AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, w) AS rnk
+  FROM wc
+),
+pts AS (
+  SELECT source,
+         CAST(length(bin(rnk)) - 1 AS BIGINT) AS b,
+         CAST(SUM(CAST(length(bin(c)) - 1 AS BIGINT)) AS BIGINT) AS ylog,
+         CAST(count(*) AS BIGINT) AS nb_types
+  FROM rk GROUP BY 1, 2
+),
+pt AS (
+  SELECT source, b, CAST(1000 * ylog // nb_types AS BIGINT) AS y
+  FROM pts
+),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nb,
+         CAST(SUM(b) AS BIGINT) AS sx,
+         CAST(SUM(b * b) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(b * y) AS BIGINT) AS sxy
+  FROM pt GROUP BY 1
+)
+SELECT source, nb AS n_buckets,
+       CASE WHEN nb * sxx - sx * sx > 0
+            THEN """ + _duck(_ZIPF_SLOPE) + """
+       END AS zipf_slope_micro
+FROM m ORDER BY source
+""",
+    category="llm_text",
+    tags=("defer-window2",),
+)
+def zipf_dyadic_slope_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYADIC ZIPF SLOPE per source — the Zipf exponent (slope of
+    log-frequency vs log-rank) estimated ENTIRELY on the dyadic
+    grid so no transcendental ever executes: ranks bucket by
+    floor(log₂ rank) = length(bin(rank))−1 (the sketch_log2 string
+    trick, exact in both engines), each bucket's mean floor(log₂
+    count) lands on the milli grid by one exact division, and the
+    slope is the standard OLS Cramer ratio over the ≤ ~17 bucket
+    points — a SIGN-SPLIT micro floor-division of exact int64
+    moments (slope ≈ −1000 micro ⇔ the classic Zipf −1). The
+    distributional-shape complement to vocab_growth_by_source
+    (which publishes totals, not the power-law exponent). Scale:
+    one (source, token) shuffle, a per-source rank window, then a
+    bounded ≤ 17-bucket rollup."""
+    wc = _word_counts(spark, sf_dir)
+    rk = wc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(F.desc("c"), "w")
+        )
+        .alias("rnk"),
+    )
+    pts = rk.groupBy(
+        "source",
+        (F.length(F.bin("rnk")) - 1).cast("long").alias("b"),
+    ).agg(
+        F.sum((F.length(F.bin("c")) - 1).cast("long")).alias("ylog"),
+        F.count("*").alias("nb_types"),
+    )
+    pt = pts.selectExpr(
+        "source", "b", "CAST(1000 * ylog div nb_types AS BIGINT) AS y"
+    )
+    m = pt.groupBy("source").agg(
+        F.count("*").alias("nb"),
+        F.sum("b").alias("sx"),
+        F.sum(F.col("b") * F.col("b")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("b") * F.col("y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "source",
+        "nb AS n_buckets",
+        "CASE WHEN nb * sxx - sx * sx > 0 THEN "
+        + _spark(_ZIPF_SLOPE)
+        + " END AS zipf_slope_micro",
+    ).orderBy("source")
+
+
+@register(
+    "hellinger_affinity_sources",
+    oracle="""
+WITH
+""" + _WC_CTE + """,
+tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY SUM(c) DESC, source) AS rnk
+  FROM wc GROUP BY 1
+),
+pair AS (
+  SELECT max(CASE WHEN rnk = 1 THEN source END) AS sa,
+         max(CASE WHEN rnk = 2 THEN source END) AS sb,
+         CAST(max(CASE WHEN rnk = 1 THEN n END) AS BIGINT) AS na,
+         CAST(max(CASE WHEN rnk = 2 THEN n END) AS BIGINT) AS nb
+  FROM tot WHERE rnk <= 2
+),
+sa_wc AS (
+  SELECT wc.w, wc.c FROM wc, pair WHERE wc.source = pair.sa
+),
+sb_wc AS (
+  SELECT wc.w, wc.c FROM wc, pair WHERE wc.source = pair.sb
+),
+joined AS (
+  SELECT COALESCE(a.c, 0) AS cp, COALESCE(b.c, 0) AS cq
+  FROM sa_wc a FULL OUTER JOIN sb_wc b ON b.w = a.w
+),
+terms AS (
+  SELECT CAST(SUM(CAST(floor(1000000 * sqrt(CAST(cp * cq AS DOUBLE))
+                  / sqrt(CAST(p.na * p.nb AS DOUBLE)))
+              AS BIGINT)) AS BIGINT) AS bc
+  FROM joined, pair p
+)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       t.bc AS bc_affinity_ppm,
+       1000000 - t.bc AS hellinger_sq_ppm
+FROM terms t, pair p
+""",
+    category="llm_text",
+    tags=("defer-window2",),
+)
+def hellinger_affinity_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HELLINGER DISTANCE between the token distributions of the two
+    LARGEST sources — the bounded f-divergence drift metric that
+    completes the drift quintet (TV = token_drift_tv_distance,
+    Wasserstein/KS/CvM/AD on values): H² = 1 − Σ√(pᵢqᵢ), with the
+    Bhattacharyya affinity Σ√(pᵢqᵢ) = Σ√(cpᵢ·cqᵢ)/√(N_a·N_b)
+    computed PER-TERM-FLOORED on the ppm grid (the anderson_darling
+    doctrine): each term is one exact int64 product → one double
+    conversion (< 2⁵³ at these SFs, documented) → correctly-rounded
+    IEEE sqrt/division → floor, the same expression text in both
+    engines. Unlike TV (L1 on shares), Hellinger is
+    mass-concentration sensitive — the metric semdedup-style
+    distribution matching actually wants. Scale: one (source,
+    token) shuffle + one full-outer token join of the two largest
+    sources."""
+    wc = _word_counts(spark, sf_dir)
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    rk = tot.select(
+        "source",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "source"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 2)
+    pair = rk.agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("source"))).alias("sa"),
+        F.max(F.when(F.col("rnk") == 2, F.col("source"))).alias("sb"),
+        F.max(F.when(F.col("rnk") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("rnk") == 2, F.col("n"))).alias("nb"),
+    )
+    a = (
+        wc.join(
+            F.broadcast(pair), F.col("source") == F.col("sa"), "inner"
+        )
+        .select(F.col("w").alias("wa"), F.col("c").alias("cp"))
+    )
+    b = (
+        wc.join(
+            F.broadcast(pair.select("sb")),
+            F.col("source") == F.col("sb"),
+            "inner",
+        )
+        .select(F.col("w").alias("wb"), F.col("c").alias("cq"))
+    )
+    joined = a.join(b, F.col("wa") == F.col("wb"), "full_outer").select(
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+        F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+    )
+    terms = joined.crossJoin(F.broadcast(pair)).agg(
+        F.max("sa").alias("source_a"),
+        F.max("sb").alias("source_b"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(
+            F.expr(
+                "CAST(floor(1000000 * sqrt(CAST(cp * cq AS DOUBLE))"
+                " / sqrt(CAST(na * nb AS DOUBLE))) AS BIGINT)"
+            )
+        ).alias("bc"),
+    )
+    return terms.selectExpr(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "bc AS bc_affinity_ppm",
+        "1000000 - bc AS hellinger_sq_ppm",
+    )
+
+
+@register(
+    "bm25_rsj_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+             string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(SUM(dlen) AS BIGINT) AS tt
+  FROM dl
+),
+df AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+  FROM toks GROUP BY 1
+),
+qterms AS (
+  SELECT w, dfc FROM (
+    SELECT w, dfc,
+           row_number() OVER (ORDER BY dfc DESC, w) AS rnk
+    FROM df
+  ) WHERE rnk IN (10, 11, 12)
+),
+tf AS (
+  SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS tfc
+  FROM toks t JOIN qterms q ON q.w = t.w
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM((2 * g.nd - 2 * q.dfc + 1) * 22
+                  * CAST(g.tt AS HUGEINT) * tf.tfc * 1000000
+                  // ((2 * q.dfc + 1)
+                      * (10 * CAST(g.tt AS HUGEINT) * tf.tfc
+                         + 3 * g.tt + 9 * dl.dlen * g.nd)))
+              AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS terms_matched,
+         CAST(max(dl.dlen) AS BIGINT) AS doc_len
+  FROM tf
+  JOIN qterms q ON q.w = tf.w
+  JOIN dl ON dl.doc_id = tf.doc_id, g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, terms_matched, doc_len, score_micro
+FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+""",
+    category="llm_text",
+    tags=("defer-window2",),
+)
+def bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL (k₁ = 1.2, b = 0.75, rational RSJ idf)
+    over the documents table — the reference-grade lexical ranker
+    tfidf_top_terms stops short of: query = the 3 mid-head terms
+    (document-frequency ranks 10–12, deterministic df-then-token
+    order), idf = the Robertson–Spärck-Jones ODDS form (N−df+½)/
+    (df+½) ≡ (2N−2df+1)/(2df+1) — a pure rational, so the usual log
+    never executes (log is monotone: per-term ordering is preserved
+    within each term; the summed score is the documented
+    rational-idf variant). The whole per-(doc,term) score collapses
+    to ONE exact integer ratio: with T = Σdl and N docs,
+    tf·(k₁+1)/(tf + k₁(1−b+b·dl·N/T)) = 22·T·tf/(10·T·tf + 3·T +
+    9·dl·N) (k₁, b as the rationals 6/5, 3/4) — per-term micro-
+    floored (HUGEINT ⟷ decimal(38,0)), summed exactly, top-20 by
+    (score, doc_id). Scale: one token explode, a 3-term broadcast
+    semi-join (only matching postings survive), per-doc rollup."""
+    from spark_lever_spark.llm.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    g = dl.agg(
+        F.count("*").alias("nd"), F.sum("dlen").alias("tt")
+    )
+    df = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("dfc")
+    )
+    qterms = (
+        df.select(
+            "w",
+            "dfc",
+            F.row_number()
+            .over(Window.orderBy(F.desc("dfc"), "w"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk").isin(10, 11, 12))
+        .select("w", "dfc")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "w")
+        .groupBy("doc_id", "w", "dfc")
+        .agg(F.count("*").alias("tfc"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(2 * nd - 2 * dfc + 1) * 22"
+                    f" * CAST(tt AS {_DEC}) * tfc * 1000000"
+                    " div ((2 * dfc + 1)"
+                    f" * (10 * CAST(tt AS {_DEC}) * tfc"
+                    " + 3 * tt + 9 * dlen * nd))"
+                )
+            )
+            .cast("long")
+            .alias("score_micro"),
+            F.count("*").alias("terms_matched"),
+            F.max("dlen").alias("doc_len"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "terms_matched", "doc_len", "score_micro"
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+    )

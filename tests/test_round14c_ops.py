@@ -795,3 +795,112 @@ def test_pref_attachment_brute(spark):
     ] == scored
     for r in got.itertuples(index=False):
         assert (r.deg_a, r.deg_b) == (deg[r.part_a], deg[r.part_b])
+
+
+# ---------------------------------------------------------------------------
+# Text: dyadic Zipf, Hellinger, BM25
+# ---------------------------------------------------------------------------
+
+
+def _source_word_counts():
+    counts = defaultdict(lambda: defaultdict(int))
+    for src, text in _sql(
+        "SELECT source, text FROM '{SF}/documents.parquet'"
+    ):
+        for w in text.split():
+            counts[src][w] += 1
+    return counts
+
+
+def test_zipf_dyadic_brute(spark):
+    counts = _source_word_counts()
+    got = _run(spark, "zipf_dyadic_slope_by_source").set_index("source")
+    for src, wc in counts.items():
+        ranked = sorted(wc.items(), key=lambda p: (-p[1], p[0]))
+        pts = defaultdict(lambda: [0, 0])
+        for rnk, (_, c) in enumerate(ranked, start=1):
+            b = rnk.bit_length() - 1
+            pts[b][0] += c.bit_length() - 1
+            pts[b][1] += 1
+        xy = [(b, 1000 * ylog // nb) for b, (ylog, nb) in pts.items()]
+        nb = len(xy)
+        sx = sum(x for x, _ in xy)
+        sxx = sum(x * x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        den = nb * sxx - sx * sx
+        want = (
+            _ssdiv(nb * sxy - sx * sy, den, 1000) if den > 0 else None
+        )
+        row = got.loc[src]
+        assert row.n_buckets == nb
+        assert row.zipf_slope_micro == want
+        # the synthetic corpus should be roughly Zipfian: slope <= 0
+        # (a tiny corpus where most dyadic buckets hold count-1 types
+        # can flatten the fit to exactly 0)
+        if want is not None:
+            assert want <= 0
+
+
+def test_hellinger_brute(spark):
+    counts = _source_word_counts()
+    totals = sorted(
+        ((sum(wc.values()), src) for src, wc in counts.items()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    (na, sa), (nb, sb) = totals[0], totals[1]
+    wa, wb = counts[sa], counts[sb]
+    bc = 0
+    for w in set(wa) | set(wb):
+        cp, cq = wa.get(w, 0), wb.get(w, 0)
+        bc += math.floor(
+            10**6 * math.sqrt(float(cp * cq))
+            / math.sqrt(float(na * nb))
+        )
+    got = _run(spark, "hellinger_affinity_sources").iloc[0]
+    assert (got.source_a, got.source_b, got.n_a, got.n_b) == (
+        sa, sb, na, nb,
+    )
+    assert got.bc_affinity_ppm == bc
+    assert got.hellinger_sq_ppm == 10**6 - bc
+
+
+def test_bm25_brute(spark):
+    doc_toks = {}
+    for did, text in _sql(
+        "SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ):
+        doc_toks[did] = text.split()
+    nd = len(doc_toks)
+    tt = sum(len(t) for t in doc_toks.values())
+    df = defaultdict(int)
+    for toks in doc_toks.values():
+        for w in set(toks):
+            df[w] += 1
+    ranked = sorted(df.items(), key=lambda p: (-p[1], p[0]))
+    qterms = dict(ranked[9:12])
+    scores = {}
+    for did, toks in doc_toks.items():
+        s = 0
+        matched = 0
+        dl = len(toks)
+        for w, dfc in qterms.items():
+            tf = sum(1 for t in toks if t == w)
+            if tf == 0:
+                continue
+            matched += 1
+            s += (
+                (2 * nd - 2 * dfc + 1) * 22 * tt * tf * 10**6
+                // ((2 * dfc + 1) * (10 * tt * tf + 3 * tt + 9 * dl * nd))
+            )
+        if matched:
+            scores[did] = (s, matched, dl)
+    want = sorted(
+        ((s, did, m, dl) for did, (s, m, dl) in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = _run(spark, "bm25_rsj_topk")
+    assert [
+        (r.score_micro, r.doc_id, r.terms_matched, r.doc_len)
+        for r in got.itertuples(index=False)
+    ] == want
