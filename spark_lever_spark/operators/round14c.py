@@ -2990,3 +2990,283 @@ def bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Survey sampling: design effect, Horvitz-Thompson, grouped jackknife
+# ---------------------------------------------------------------------------
+
+# Deterministic unequal-probability sample of orders: segment h keeps
+# orders whose md5 bucket < 100/k_h (k = 2,3,4,5,8 by segment name
+# order) — the stable-slice idiom of sample_hash_bucket with per-
+# stratum rates, so design-based estimators have real variation.
+_SEG_RATE_CTE = """
+segk AS (
+  SELECT c_mktsegment AS seg,
+         CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) + 1
+             AS k
+  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+),
+od AS (
+  SELECT o.o_orderkey, cu.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+             ::BIGINT % 100 AS bucket
+  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+samp AS (
+  SELECT od.o_orderkey, od.seg, od.x, segk.k
+  FROM od JOIN segk ON segk.seg = od.seg
+  WHERE od.bucket * segk.k < 100
+)
+"""
+
+
+def _seg_sample(spark: SparkSession, sf_dir: str):
+    from spark_lever_spark.llm.curation import _md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    segk = (
+        cu.select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+        .select(
+            "seg",
+            (
+                F.row_number().over(Window.orderBy("seg")).cast("long")
+                + 1
+            ).alias("k"),
+        )
+    )
+    od = o.join(cu, o["o_custkey"] == cu["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        (
+            _md5_long(F.col("o_orderkey").cast("string"), 8) % 100
+        ).alias("bucket"),
+    )
+    samp = od.join(F.broadcast(segk), "seg").filter(
+        F.col("bucket") * F.col("k") < 100
+    )
+    return od, samp
+
+
+@register(
+    "kish_design_effect_segments",
+    oracle="""
+WITH
+""" + _SEG_RATE_CTE + """,
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS sw,
+         CAST(SUM(k * k) AS BIGINT) AS sww
+  FROM samp
+)
+SELECT n, sw AS sum_weights, sww AS sum_sq_weights,
+       CAST(CAST(n AS HUGEINT) * sww * 1000000
+            // (CAST(sw AS HUGEINT) * sw) AS BIGINT) AS deff_ppm,
+       CAST(CAST(sw AS HUGEINT) * sw // sww AS BIGINT)
+           AS effective_n
+FROM m
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def kish_design_effect_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KISH DESIGN EFFECT of an unequal-probability order sample —
+    the survey-statistics penalty for weight variation: deff =
+    n·Σw²/(Σw)² and the effective sample size n_eff = (Σw)²/Σw²
+    (Kish 1965), on a DETERMINISTIC stratified hash sample (segment
+    h keeps bucket·k_h < 100, k = 2..6 by segment order — the
+    sample_hash_bucket stable-slice idiom, so membership is a row
+    property, reproducible in both engines). Weights are the exact
+    integer inverse rates k; both ratios are single HUGEINT ⟷
+    decimal(38,0) floor-divisions. The number every weighted-
+    analysis pipeline should publish before quoting its n. Scale:
+    one dim join + map-side filter + 1-row reduce."""
+    _, samp = _seg_sample(spark, sf_dir)
+    m = samp.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sw"),
+        F.sum(F.col("k") * F.col("k")).alias("sww"),
+    )
+    return m.selectExpr(
+        "n",
+        "sw AS sum_weights",
+        "sww AS sum_sq_weights",
+        f"CAST(CAST(n AS {_DEC}) * sww * 1000000"
+        f" div (CAST(sw AS {_DEC}) * sw) AS BIGINT) AS deff_ppm",
+        f"CAST(CAST(sw AS {_DEC}) * sw div sww AS BIGINT)"
+        " AS effective_n",
+    )
+
+
+_HT_ERR = _ss_div("ht - t", "t", 1000000)
+
+
+@register(
+    "horvitz_thompson_total_audit",
+    oracle="""
+WITH
+""" + _SEG_RATE_CTE + """,
+est AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(k * x) AS BIGINT) AS ht
+  FROM samp
+),
+tru AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(SUM(x) AS BIGINT) AS t
+  FROM od
+)
+SELECT est.n_sampled, tru.n_all,
+       est.ht AS ht_total_cents, tru.t AS true_total_cents,
+       """ + _duck(_HT_ERR) + """ AS rel_error_ppm
+FROM est, tru
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def horvitz_thompson_total_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORVITZ-THOMPSON TOTAL ESTIMATOR AUDIT — the design-based
+    π-estimator T̂ = Σ_{sampled} xᵢ/πᵢ over the same deterministic
+    stratified hash sample as kish_design_effect_segments (πᵢ =
+    1/k_h exactly, so xᵢ/πᵢ = k_h·xᵢ — an exact int64 product), put
+    side-by-side with the TRUE revenue total the full table yields:
+    the published relative error (SIGN-SPLIT ppm) is the
+    design-consistency check a sampling pipeline runs before
+    trusting its estimates at 100 TB, where the full-table pass is
+    the expensive one. Complements monetary_unit_sampling_orders
+    (PPS selection) with the classic STRATIFIED inverse-probability
+    design. Scale: one dim join, two map-side reduces."""
+    od, samp = _seg_sample(spark, sf_dir)
+    est = samp.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("k") * F.col("x")).alias("ht"),
+    )
+    tru = od.agg(
+        F.count("*").alias("n_all"), F.sum("x").alias("t")
+    )
+    return est.crossJoin(F.broadcast(tru)).selectExpr(
+        "n_sampled",
+        "n_all",
+        "ht AS ht_total_cents",
+        "t AS true_total_cents",
+        _spark(_HT_ERR) + " AS rel_error_ppm",
+    )
+
+
+@register(
+    "jackknife_ratio_nations",
+    oracle="""
+WITH base AS (
+  SELECT cu.c_nationkey AS nation,
+         CAST(count(*) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS rl
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS grp,
+         CAST(SUM(nl) AS BIGINT) AS n, CAST(SUM(rl) AS BIGINT) AS r
+  FROM base
+),
+loo AS (
+  SELECT CAST((g.r - b.rl) * 1000000 // (g.n - b.nl) AS BIGINT)
+             AS theta_i,
+         g.grp, g.n, g.r
+  FROM base b, g
+),
+m AS (
+  SELECT CAST(max(grp) AS BIGINT) AS grp,
+         CAST(max(r) * 1000000 // max(n) AS BIGINT) AS theta_ppm,
+         CAST(SUM(theta_i) AS BIGINT) AS st,
+         CAST(SUM(CAST(theta_i AS HUGEINT) * theta_i) AS HUGEINT)
+             AS stt
+  FROM loo
+)
+SELECT grp AS n_groups, theta_ppm,
+       CAST(st // grp AS BIGINT) AS jack_mean_ppm,
+       CAST(floor(sqrt(
+            CAST((grp - 1) AS DOUBLE)
+            * CAST(grp * stt - CAST(st AS HUGEINT) * st AS DOUBLE)
+            / (CAST(grp AS DOUBLE) * grp * grp)))
+           AS BIGINT) AS jack_se_ppm
+FROM m
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def jackknife_ratio_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE-A-GROUP JACKKNIFE standard error of the global return
+    RATE — the resampling-free variance estimator for a RATIO
+    (where no closed form exists): leave each customer nation out
+    in turn, re-compute θ̂₍ᵢ₎ = (R−rᵢ)/(N−nᵢ) exactly on the ppm
+    grid (one floor-division per group — the documented grid), then
+    SE_J = √((g−1)/g · Σ(θᵢ−θ̄)²) via the moment collapse g·Σθ² −
+    (Σθ)² (exact HUGEINT ⟷ decimal(38,0); ONE double conversion,
+    one sqrt, one floor). The deterministic replay-based alternative
+    to poisson_bootstrap_ci_priority — no randomness, no replicate
+    storms, one pass + a 25-row reduce. Scale: one fact rollup by
+    nation (bounded domain), then driver-free 25-row algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("nl"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("rl"),
+        )
+    )
+    g = base.agg(
+        F.count("*").alias("grp"),
+        F.sum("nl").alias("n"),
+        F.sum("rl").alias("r"),
+    )
+    loo = base.crossJoin(F.broadcast(g)).selectExpr(
+        "CAST((r - rl) * 1000000 div (n - nl) AS BIGINT) AS theta_i",
+        "grp",
+        "n",
+        "r",
+    )
+    m = loo.agg(
+        F.max("grp").alias("grp"),
+        F.expr("CAST(max(r) * 1000000 div max(n) AS BIGINT)").alias(
+            "theta_ppm"
+        ),
+        F.sum("theta_i").alias("st"),
+        F.sum(F.col("theta_i").cast(_DEC) * F.col("theta_i")).alias(
+            "stt"
+        ),
+    )
+    return m.selectExpr(
+        "grp AS n_groups",
+        "theta_ppm",
+        "CAST(st div grp AS BIGINT) AS jack_mean_ppm",
+        "CAST(floor(sqrt("
+        "CAST((grp - 1) AS DOUBLE)"
+        f" * CAST(grp * stt - CAST(st AS {_DEC}) * st AS DOUBLE)"
+        " / (CAST(grp AS DOUBLE) * grp * grp)))"
+        " AS BIGINT) AS jack_se_ppm",
+    )

@@ -904,3 +904,83 @@ def test_bm25_brute(spark):
         (r.score_micro, r.doc_id, r.terms_matched, r.doc_len)
         for r in got.itertuples(index=False)
     ] == want
+
+
+# ---------------------------------------------------------------------------
+# Survey sampling
+# ---------------------------------------------------------------------------
+
+
+def _seg_sample_py():
+    import hashlib
+    segs = sorted({s for (s,) in _sql(
+        "SELECT DISTINCT c_mktsegment FROM '{SF}/customer.parquet'"
+    )})
+    k = {s: i + 2 for i, s in enumerate(segs)}
+    rows = []
+    for ok, seg, tp in _sql("""
+        SELECT o.o_orderkey, cu.c_mktsegment, o.o_totalprice
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' cu ON cu.c_custkey = o.o_custkey
+    """):
+        bucket = int(
+            hashlib.md5(str(ok).encode()).hexdigest()[:8], 16
+        ) % 100
+        rows.append((ok, seg, _cents(tp), bucket, k[seg]))
+    return rows
+
+
+def test_kish_brute(spark):
+    rows = _seg_sample_py()
+    samp = [(x, kk) for _, _, x, b, kk in rows if b * kk < 100]
+    n = len(samp)
+    sw = sum(kk for _, kk in samp)
+    sww = sum(kk * kk for _, kk in samp)
+    got = _run(spark, "kish_design_effect_segments").iloc[0]
+    assert (got.n, got.sum_weights, got.sum_sq_weights) == (n, sw, sww)
+    assert got.deff_ppm == n * sww * 10**6 // (sw * sw)
+    assert got.effective_n == sw * sw // sww
+    assert got.deff_ppm >= 10**6  # deff >= 1 always (Cauchy-Schwarz)
+
+
+def test_horvitz_thompson_brute(spark):
+    rows = _seg_sample_py()
+    t = sum(x for _, _, x, _, _ in rows)
+    ht = sum(kk * x for _, _, x, b, kk in rows if b * kk < 100)
+    got = _run(spark, "horvitz_thompson_total_audit").iloc[0]
+    assert (got.n_all, got.true_total_cents) == (len(rows), t)
+    assert got.ht_total_cents == ht
+    assert got.rel_error_ppm == _ssdiv(ht - t, t, 10**6)
+    # design-based estimate should land within 25% of truth here
+    assert abs(got.rel_error_ppm) < 250_000
+
+
+def test_jackknife_brute(spark):
+    base = defaultdict(lambda: [0, 0])
+    for nat, rf in _sql("""
+        SELECT cu.c_nationkey, l.l_returnflag
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{SF}/customer.parquet' cu ON cu.c_custkey = o.o_custkey
+    """):
+        base[nat][0] += 1
+        base[nat][1] += 1 if rf == "R" else 0
+    grp = len(base)
+    n = sum(v[0] for v in base.values())
+    r = sum(v[1] for v in base.values())
+    thetas = [
+        (r - rl) * 10**6 // (n - nl) for nl, rl in base.values()
+    ]
+    st = sum(thetas)
+    stt = sum(t * t for t in thetas)
+    got = _run(spark, "jackknife_ratio_nations").iloc[0]
+    assert (got.n_groups, got.theta_ppm) == (grp, r * 10**6 // n)
+    assert got.jack_mean_ppm == st // grp
+    want_se = math.floor(
+        math.sqrt(
+            float(grp - 1)
+            * float(grp * stt - st * st)
+            / (float(grp) * grp * grp)
+        )
+    )
+    assert got.jack_se_ppm == want_se
