@@ -3270,3 +3270,244 @@ def jackknife_ratio_nations(
         " / (CAST(grp AS DOUBLE) * grp * grp)))"
         " AS BIGINT) AS jack_se_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical randomness / robust-trend tests on the daily series
+# ---------------------------------------------------------------------------
+
+_TP_Z = (
+    "CAST(floor((CAST(tp AS DOUBLE) * 90 - CAST(2 * (n - 2) * 30"
+    " AS DOUBLE)) * 1000 / (90 * sqrt(CAST(16 * n - 29 AS DOUBLE)"
+    " / 90))) AS BIGINT)"
+)
+
+
+@register(
+    "turning_points_test_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+tri AS (
+  SELECT v AS v0,
+         lead(v, 1) OVER (ORDER BY x) AS v1,
+         lead(v, 2) OVER (ORDER BY x) AS v2
+  FROM daily
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN (v1 > v0 AND v1 > v2)
+                         OR (v1 < v0 AND v1 < v2)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(count(*) + 2 AS BIGINT) AS n
+  FROM tri WHERE v2 IS NOT NULL
+)
+SELECT n, tp AS turning_points,
+       CAST(2 * (n - 2) * 1000 // 3 AS BIGINT) AS expected_milli,
+       """ + _TP_Z + """ AS z_milli
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def turning_points_test_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TURNING-POINTS TEST of randomness on daily revenue — the
+    oldest nonparametric IID check (Bienaymé 1874): count strict
+    local extrema among interior days; under randomness E[T] =
+    2(n−2)/3 and Var[T] = (16n−29)/90 — both exact rationals, so
+    the expectation publishes as an exact milli floor-division and
+    the z-score needs exactly ONE sqrt of an exact integer ratio
+    (the shared double expression text). Complements
+    runs_test_daily_value (sign runs around the median — level
+    alternation) with CURVATURE alternation: a smooth trend has few
+    turning points, noise has ~2n/3. Ties break conservatively
+    (equal neighbors are not extrema — the strict-inequality
+    convention, documented). Scale: one lead window over the
+    calendar-bounded day domain, one 1-row reduce."""
+    daily = _daily_orders(spark, sf_dir)
+    wl = Window.orderBy("x")
+    tri = daily.select(
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(wl).alias("v1"),
+        F.lead("v", 2).over(wl).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    m = tri.agg(
+        F.sum(
+            F.when(
+                ((F.col("v1") > F.col("v0")) & (F.col("v1") > F.col("v2")))
+                | (
+                    (F.col("v1") < F.col("v0"))
+                    & (F.col("v1") < F.col("v2"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        (F.count("*") + 2).alias("n"),
+    )
+    return m.selectExpr(
+        "n",
+        "tp AS turning_points",
+        "CAST(2 * (n - 2) * 1000 div 3 AS BIGINT) AS expected_milli",
+        _TP_Z + " AS z_milli",
+    )
+
+
+@register(
+    "records_test_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+pm AS (
+  SELECT x, v,
+         row_number() OVER (ORDER BY x) AS t,
+         MAX(v) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prior_max
+  FROM daily
+),
+rec AS (
+  SELECT CAST(SUM(CASE WHEN prior_max IS NULL OR v > prior_max
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pm
+),
+harm AS (
+  SELECT CAST(SUM(1000000 // t) AS BIGINT) AS h_micro
+  FROM pm
+)
+SELECT rec.n, rec.n_records, harm.h_micro AS expected_micro,
+       CAST(rec.n_records * 1000000 AS BIGINT) - harm.h_micro
+           AS excess_micro
+FROM rec, harm
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def records_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORDS TEST on daily revenue — count upper records (days
+    strictly above every earlier day) against the IID expectation
+    E[R] = Σₜ 1/t ≈ ln n + γ, computed as the exact per-term-floored
+    harmonic sum Σ 10⁶//t (the discrete variant — no logs, no
+    gamma): record-rich series indicate an upward trend or
+    heavy-tailed shocks, record-starved ones a decline (the
+    classical Glick 1978 diagnostic, also the fair-weather check on
+    stock_span_daily_value, whose spans are inter-record gaps). The
+    record indicator is one strict prefix-max window comparison.
+    Scale: one rollup + one prefix window over the calendar-bounded
+    day domain."""
+    daily = _daily_orders(spark, sf_dir)
+    wl = Window.orderBy("x")
+    pm = daily.select(
+        "v",
+        F.row_number().over(wl).alias("t"),
+        F.max("v")
+        .over(wl.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prior_max"),
+    )
+    rec = pm.agg(
+        F.sum(
+            F.when(
+                F.col("prior_max").isNull()
+                | (F.col("v") > F.col("prior_max")),
+                1,
+            ).otherwise(0)
+        ).alias("n_records"),
+        F.count("*").alias("n"),
+        F.sum(F.expr("1000000 div t")).alias("h_micro"),
+    )
+    return rec.selectExpr(
+        "n",
+        "n_records",
+        "h_micro AS expected_micro",
+        "CAST(n_records * 1000000 AS BIGINT) - h_micro"
+        " AS excess_micro",
+    )
+
+
+@register(
+    "siegel_repeated_medians_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+pairs AS (
+  SELECT a.x AS xi,
+         CASE WHEN (b.v >= a.v) = (b.x > a.x)
+              THEN CAST(abs(b.v - a.v) * 1000 // abs(b.x - a.x)
+                        AS BIGINT)
+              ELSE -CAST(abs(b.v - a.v) * 1000 // abs(b.x - a.x)
+                         AS BIGINT)
+         END AS slope_milli
+  FROM daily a JOIN daily b ON b.x <> a.x
+),
+permed AS (
+  SELECT xi, slope_milli,
+         row_number() OVER (PARTITION BY xi ORDER BY slope_milli)
+             AS rn,
+         count(*) OVER (PARTITION BY xi) AS cnt
+  FROM pairs
+),
+inner_med AS (
+  SELECT xi, CAST(slope_milli AS BIGINT) AS med_i
+  FROM permed WHERE rn = (cnt + 1) // 2
+),
+fin AS (
+  SELECT med_i,
+         row_number() OVER (ORDER BY med_i, xi) AS rn,
+         count(*) OVER () AS cnt
+  FROM inner_med
+)
+SELECT CAST(cnt AS BIGINT) AS n_days,
+       CAST(med_i AS BIGINT) AS siegel_slope_milli
+FROM fin WHERE rn = (cnt + 1) // 2
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def siegel_repeated_medians_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIEGEL REPEATED-MEDIANS slope of daily revenue — the
+    50%-breakdown robust trend (median over anchor days of the
+    median pairwise slope THROUGH each anchor), one robustness
+    class above theil_sen_daily_trend (Theil-Sen's single global
+    median breaks at 29%): an adversary must corrupt half the DAYS,
+    not half the pairs. Slopes land on the exact milli grid by the
+    SIGN-SPLIT floor (the published contract — medians are then
+    order statistics of exact integers with deterministic
+    (slope, day) tie-breaks at both levels, lower-median
+    convention). Scale: the pair join is day-domain-bounded
+    (calendar², the hodges_lehmann argument) and the inner median
+    is a per-anchor rank window — parallel across anchors."""
+    daily = _daily_orders(spark, sf_dir)
+    a = daily.select(F.col("x").alias("xi"), F.col("v").alias("vi"))
+    b = daily.select(F.col("x").alias("xj"), F.col("v").alias("vj"))
+    # magnitude-split on the QUOTIENT sign: the pair set runs both
+    # directions, so xj - xi may be negative — dividing magnitudes and
+    # reapplying sign((vj-vi)·(xj-xi)) keeps Spark div / DuckDB //
+    # agreement (they diverge on any negative operand).
+    pairs = a.join(b, F.col("xj") != F.col("xi")).selectExpr(
+        "xi",
+        "CASE WHEN (vj >= vi) = (xj > xi)"
+        " THEN CAST(abs(vj - vi) * 1000 div abs(xj - xi) AS BIGINT)"
+        " ELSE -CAST(abs(vj - vi) * 1000 div abs(xj - xi) AS BIGINT)"
+        " END AS slope_milli",
+    )
+    wp = Window.partitionBy("xi").orderBy("slope_milli")
+    permed = pairs.select(
+        "xi",
+        "slope_milli",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(Window.partitionBy("xi")).alias("cnt"),
+    )
+    inner_med = permed.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("xi", F.col("slope_milli").alias("med_i"))
+    fin = inner_med.select(
+        "med_i",
+        F.row_number().over(Window.orderBy("med_i", "xi")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    return fin.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).selectExpr(
+        "CAST(cnt AS BIGINT) AS n_days",
+        "CAST(med_i AS BIGINT) AS siegel_slope_milli",
+    )

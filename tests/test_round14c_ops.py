@@ -984,3 +984,61 @@ def test_jackknife_brute(spark):
         )
     )
     assert got.jack_se_ppm == want_se
+
+
+# ---------------------------------------------------------------------------
+# Classical randomness / robust-trend tests
+# ---------------------------------------------------------------------------
+
+
+def test_turning_points_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n = len(vs)
+    tp = sum(
+        1
+        for a, b, c in zip(vs, vs[1:], vs[2:])
+        if (b > a and b > c) or (b < a and b < c)
+    )
+    got = _run(spark, "turning_points_test_daily").iloc[0]
+    assert (got.n, got.turning_points) == (n, tp)
+    assert got.expected_milli == 2 * (n - 2) * 1000 // 3
+    want_z = math.floor(
+        (tp * 90.0 - float(2 * (n - 2) * 30)) * 1000
+        / (90 * math.sqrt((16 * n - 29) / 90))
+    )
+    assert got.z_milli == want_z
+
+
+def test_records_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n = len(vs)
+    best = None
+    recs = 0
+    for v in vs:
+        if best is None or v > best:
+            recs += 1
+            best = v
+    h = sum(10**6 // t for t in range(1, n + 1))
+    got = _run(spark, "records_test_daily").iloc[0]
+    assert (got.n, got.n_records) == (n, recs)
+    assert got.expected_micro == h
+    assert got.excess_micro == recs * 10**6 - h
+
+
+def test_siegel_brute(spark):
+    xs = sorted(_daily_cents().items())
+    meds = []
+    for i, (xi, vi) in enumerate(xs):
+        slopes = []
+        for j, (xj, vj) in enumerate(xs):
+            if i == j:
+                continue
+            num, den = abs(vj - vi) * 1000, abs(xj - xi)
+            q = num // den
+            slopes.append(q if (vj >= vi) == (xj > xi) else -q)
+        slopes.sort()
+        meds.append((slopes[(len(slopes) + 1) // 2 - 1], xi))
+    meds.sort()
+    want = meds[(len(meds) + 1) // 2 - 1][0]
+    got = _run(spark, "siegel_repeated_medians_daily").iloc[0]
+    assert (got.n_days, got.siegel_slope_milli) == (len(xs), want)
