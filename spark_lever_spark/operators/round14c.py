@@ -3511,3 +3511,192 @@ def siegel_repeated_medians_daily(
         "CAST(cnt AS BIGINT) AS n_days",
         "CAST(med_i AS BIGINT) AS siegel_slope_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unit-root test + loss-system queueing
+# ---------------------------------------------------------------------------
+
+_DF_GAMMA = (
+    "CASE WHEN dzz > 0 THEN CAST(floor(CAST(dzy AS DOUBLE) * 1000000"
+    " / CAST(dzz AS DOUBLE)) AS BIGINT) END"
+)
+# t = dzy * sqrt((m-2) / (dzz * (dyy - dzy^2/dzz))) — one fixed double
+# tree over exact decimal moments (the granger staged-expression rule).
+_DF_T = (
+    "CASE WHEN dzz > 0 AND CAST(dyy AS DOUBLE)"
+    " - CAST(dzy AS DOUBLE) * CAST(dzy AS DOUBLE)"
+    " / CAST(dzz AS DOUBLE) > 0"
+    " THEN CAST(floor(CAST(dzy AS DOUBLE)"
+    " * sqrt(CAST(m - 2 AS DOUBLE) / (CAST(dzz AS DOUBLE)"
+    " * (CAST(dyy AS DOUBLE) - CAST(dzy AS DOUBLE)"
+    " * CAST(dzy AS DOUBLE) / CAST(dzz AS DOUBLE)))) * 1000)"
+    " AS BIGINT) END"
+)
+
+
+@register(
+    "dickey_fuller_t_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+dz AS (
+  SELECT v - LAG(v) OVER (ORDER BY x) AS y,
+         LAG(v) OVER (ORDER BY x) AS z
+  FROM daily
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(SUM(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy
+  FROM dz WHERE y IS NOT NULL
+),
+d AS (
+  SELECT m,
+         CAST(m * szy - CAST(sz AS HUGEINT) * sy AS HUGEINT) AS dzy,
+         CAST(m * szz - CAST(sz AS HUGEINT) * sz AS HUGEINT) AS dzz,
+         CAST(m * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) AS dyy
+  FROM mom
+)
+SELECT m AS n_obs,
+       """ + _DF_GAMMA + """ AS gamma_micro,
+       """ + _DF_T + """ AS df_t_milli
+FROM d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def dickey_fuller_t_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DICKEY-FULLER UNIT-ROOT t-STATISTIC (with drift) on daily
+    revenue — the inferential companion to kpss_level_stat_daily
+    with the null REVERSED (DF null: unit root; KPSS null:
+    stationary — agreement between them is the textbook two-sided
+    conclusion): regress Δxₜ on xₜ₋₁, publish γ̂ and its t-ratio.
+    Every moment is exact HUGEINT ⟷ decimal(38,0); the Cramer
+    determinants dzy/dzz/dyy are exact, and γ̂, t enter doubles ONCE
+    through the granger staged-expression rule (identical text both
+    engines): t = dzy·√((m−2)/(dzz·(dyy − dzy²/dzz))) — γ̂ on the
+    micro grid, t on the milli grid, degenerate variance CASE-NULL.
+    Scale: one rollup + one lag window + one 1-row reduce."""
+    daily = _daily_orders(spark, sf_dir)
+    wl = Window.orderBy("x")
+    dz = daily.select(
+        (F.col("v") - F.lag("v").over(wl)).alias("y"),
+        F.lag("v").over(wl).alias("z"),
+    ).filter(F.col("y").isNotNull())
+    mom = dz.agg(
+        F.count("*").alias("m"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("z").cast(_DEC) * F.col("z")).alias("szz"),
+        F.sum(F.col("z").cast(_DEC) * F.col("y")).alias("szy"),
+    )
+    d = mom.selectExpr(
+        "m",
+        f"CAST(m * szy - CAST(sz AS {_DEC}) * sy AS {_DEC}) AS dzy",
+        f"CAST(m * szz - CAST(sz AS {_DEC}) * sz AS {_DEC}) AS dzz",
+        f"CAST(m * syy - CAST(sy AS {_DEC}) * sy AS {_DEC}) AS dyy",
+    )
+    return d.selectExpr(
+        "m AS n_obs",
+        _DF_GAMMA + " AS gamma_micro",
+        _DF_T + " AS df_t_milli",
+    )
+
+
+def _erlang_step(k: int) -> str:
+    """b_k = a·b_{k−1}/(k + a·b_{k−1}) on the micro grid with a =
+    An/Ad: one per-step floored division (documented discrete
+    recursion — the keltner/ewma fixed-point doctrine)."""
+    return (
+        f"CAST(CAST(an AS {{I}}) * b{k - 1} * 1000000"
+        f" {{D}} (CAST({k} AS {{I}}) * ad * 1000000"
+        f" + CAST(an AS {{I}}) * b{k - 1}) AS BIGINT) AS b{k}"
+    )
+
+
+@register(
+    "erlang_b_blocking_hourly",
+    oracle="""
+WITH hr AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+load AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS an,
+         CAST(count(*) AS BIGINT) AS ad
+  FROM hr
+),
+r0 AS (SELECT an, ad, CAST(1000000 AS BIGINT) AS b0 FROM load),
+""" + ",\n".join(
+        f"r{k} AS (SELECT an, ad, "
+        + ", ".join([f"b{j}" for j in range(0, k)])
+        + ", "
+        + _duck(_erlang_step(k))
+        + f" FROM r{k - 1})"
+        for k in range(1, 9)
+    ) + """
+SELECT CAST(c AS INT) AS servers,
+       CAST(1000 * an // ad AS BIGINT) AS offered_load_milli,
+       CAST(CASE c """ + " ".join(
+        f"WHEN {k} THEN b{k}" for k in range(1, 9)
+    ) + """ END AS BIGINT) AS blocking_micro
+FROM r8, (SELECT unnest([1,2,3,4,5,6,7,8]) AS c)
+ORDER BY servers
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def erlang_b_blocking_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ERLANG-B BLOCKING PROBABILITY at c = 1..8 servers for the
+    event stream — the loss-system sizing table (M/M/c/c: arrivals
+    that find all servers busy are DROPPED, the capacity-planning
+    complement to mm1_queue_metrics_hourly's infinite queue):
+    offered load a = mean events per hour (the exact rational
+    T/H, one service per hour), and B(c,a) via the numerically
+    stable Erlang-B recursion B_k = a·B_{k−1}/(k + a·B_{k−1}) —
+    factorials never materialize. Each step is ONE per-step-floored
+    micro division (the documented discrete recursion, exact
+    HUGEINT ⟷ decimal(38,0) products; 8 unrolled steps — a query
+    constant), identical expression text in both engines. Scale:
+    one hour rollup (calendar-bounded), then 1-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    load = hr.agg(
+        F.sum("c").alias("an"), F.count("*").alias("ad")
+    )
+    r = load.selectExpr(
+        "an", "ad", "CAST(1000000 AS BIGINT) AS b0"
+    )
+    for k in range(1, 9):
+        r = r.selectExpr(
+            "an", "ad", f"b{k - 1}", _spark(_erlang_step(k))
+        ) if k == 1 else r.selectExpr(
+            "an", "ad", *[f"b{j}" for j in range(1, k)],
+            _spark(_erlang_step(k)),
+        )
+    cs = spark.range(1).selectExpr(
+        "explode(array(1,2,3,4,5,6,7,8)) AS c"
+    )
+    return (
+        r.crossJoin(F.broadcast(cs))
+        .selectExpr(
+            "CAST(c AS INT) AS servers",
+            "CAST(1000 * an div ad AS BIGINT) AS offered_load_milli",
+            "CAST(CASE c "
+            + " ".join(f"WHEN {k} THEN b{k}" for k in range(1, 9))
+            + " END AS BIGINT) AS blocking_micro",
+        )
+        .orderBy("servers")
+    )

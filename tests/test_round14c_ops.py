@@ -1042,3 +1042,71 @@ def test_siegel_brute(spark):
     want = meds[(len(meds) + 1) // 2 - 1][0]
     got = _run(spark, "siegel_repeated_medians_daily").iloc[0]
     assert (got.n_days, got.siegel_slope_milli) == (len(xs), want)
+
+
+# ---------------------------------------------------------------------------
+# Unit root + Erlang-B
+# ---------------------------------------------------------------------------
+
+
+def test_dickey_fuller_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    ys = [b - a for a, b in zip(vs, vs[1:])]
+    zs = vs[:-1]
+    m = len(ys)
+    sy, sz = sum(ys), sum(zs)
+    syy = sum(y * y for y in ys)
+    szz = sum(z * z for z in zs)
+    szy = sum(z * y for z, y in zip(zs, ys))
+    dzy = m * szy - sz * sy
+    dzz = m * szz - sz * sz
+    dyy = m * syy - sy * sy
+    got = _run(spark, "dickey_fuller_t_daily").iloc[0]
+    assert got.n_obs == m
+    assert got.gamma_micro == math.floor(
+        float(dzy) * 10**6 / float(dzz)
+    )
+    ssr_m = float(dyy) - float(dzy) * float(dzy) / float(dzz)
+    want_t = math.floor(
+        float(dzy)
+        * math.sqrt(float(m - 2) / (float(dzz) * ssr_m))
+        * 1000
+    )
+    assert got.df_t_milli == want_t
+    # gamma should be negative (mean-reverting daily revenue)
+    assert got.gamma_micro < 0
+    # cross-check t against the textbook OLS route on floats
+    gamma = dzy / dzz
+    alpha = (sy - gamma * sz) / m
+    ssr = sum(
+        (y - alpha - gamma * z) ** 2 for y, z in zip(ys, zs)
+    )
+    s2 = ssr / (m - 2)
+    se = math.sqrt(s2 / (szz - sz * sz / m))
+    assert abs(want_t / 1000 - gamma / se) < 0.01
+
+
+def test_erlang_b_brute(spark):
+    hours = defaultdict(int)
+    for (ts,) in _sql("SELECT ts FROM '{SF}/events.parquet'"):
+        hours[ts.replace(minute=0, second=0, microsecond=0)] += 1
+    an, ad = sum(hours.values()), len(hours)
+    b = 10**6
+    bs = []
+    for k in range(1, 9):
+        b = (an * b * 10**6) // (k * ad * 10**6 + an * b)
+        bs.append(b)
+    got = _run(spark, "erlang_b_blocking_hourly").set_index("servers")
+    assert len(got) == 8
+    for k in range(1, 9):
+        row = got.loc[k]
+        assert row.offered_load_milli == 1000 * an // ad
+        assert row.blocking_micro == bs[k - 1]
+    # float cross-check of the final value vs the true recursion
+    a = an / ad
+    bf = 1.0
+    for k in range(1, 9):
+        bf = a * bf / (k + a * bf)
+    assert abs(bs[7] / 1e6 - bf) < 2e-3
+    # blocking decreases with more servers
+    assert all(x > y for x, y in zip(bs, bs[1:]))
