@@ -3700,3 +3700,365 @@ def erlang_b_blocking_hourly(
         )
         .orderBy("servers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction + embedding drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_pgm_centroid_moments",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h FROM d
+),
+px AS (
+  SELECT doc_id, w, h,
+         t.i % w AS xx, t.i // w AS yy,
+         (doc_id * 31 + t.i * 7) % 256 AS p
+  FROM dims, LATERAL unnest(range(w * h)) AS t(i)
+),
+m AS (
+  SELECT doc_id, CAST(max(w) AS INT) AS width,
+         CAST(max(h) AS INT) AS height,
+         CAST(SUM(p) AS BIGINT) AS m00,
+         CAST(SUM(xx * p) AS BIGINT) AS m10,
+         CAST(SUM(yy * p) AS BIGINT) AS m01
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, width, height, m00, m10, m01,
+       CASE WHEN m00 > 0
+            THEN CAST(m10 * 1000 // m00 AS BIGINT)
+       END AS cx_milli,
+       CASE WHEN m00 > 0
+            THEN CAST(m01 * 1000 // m00 AS BIGINT)
+       END AS cy_milli
+FROM m ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window2",),
+)
+def multimodal_pgm_centroid_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RAW IMAGE MOMENTS + INTENSITY CENTROID over REAL decoded PGM
+    rasters — the M00/M10/M01 moment stage every blob-tracking /
+    alignment / crop-heuristic pipeline runs right after decode (and
+    the precursor to Hu invariants): deterministic P5 binaries
+    materialize as the payload column (same generator as
+    multimodal_pgm_histogram / _sobel_energy), a genuine numpy
+    parser re-reads header + raster and accumulates the exact int64
+    moment sums; the centroid publishes as two non-negative milli
+    floor-divisions. The analytic oracle replays the pixel formula
+    ((id·31 + i·7) mod 256 at x = i mod w, y = i div w), so a
+    row-major/column-major mixup in the decoder cannot hash-match.
+    Scale: decode + moments are one row-partitioned Arrow pass."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from spark_lever_spark.llm.multimodal import encode_pgm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_pgm(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    with_media = docs.mapInPandas(
+        encode_run, "doc_id long, payload binary"
+    )
+
+    def moments_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, m00s, m10s, m01s = [], [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                if not b.startswith(b"P5\n"):
+                    raise ValueError("not a binary PGM (P5) stream")
+                hdr_end = b.index(b"\n", b.index(b"\n", 3) + 1)
+                dims = b[3 : b.index(b"\n", 3)].split()
+                w, h = int(dims[0]), int(dims[1])
+                img = (
+                    np.frombuffer(
+                        b, dtype=np.uint8, offset=hdr_end + 1
+                    )
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                m00s.append(int(img.sum()))
+                m10s.append(int((img * xs[None, :]).sum()))
+                m01s.append(int((img * ys[:, None]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "m00": pd.Series(m00s, dtype="int64"),
+                    "m10": pd.Series(m10s, dtype="int64"),
+                    "m01": pd.Series(m01s, dtype="int64"),
+                }
+            )
+
+    out = with_media.mapInPandas(
+        moments_run,
+        "doc_id long, width int, height int,"
+        " m00 long, m10 long, m01 long",
+    )
+    return out.selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "m00",
+        "m10",
+        "m01",
+        "CASE WHEN m00 > 0 THEN CAST(m10 * 1000 div m00 AS BIGINT)"
+        " END AS cx_milli",
+        "CASE WHEN m00 > 0 THEN CAST(m01 * 1000 div m00 AS BIGINT)"
+        " END AS cy_milli",
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_wav_diff_energy",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+dims AS (
+  SELECT doc_id, doc_id % 200 + 50 AS n FROM d
+),
+s AS (
+  SELECT doc_id, n, t.i AS i,
+         (doc_id * 131 + t.i * 17) % 2048 - 1024 AS v
+  FROM dims, LATERAL unnest(range(n)) AS t(i)
+),
+led AS (
+  SELECT doc_id, n, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS v1
+  FROM s
+),
+m AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(SUM(v * v) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN v1 IS NULL THEN 0
+                       ELSE (v1 - v) * (v1 - v) END) AS BIGINT)
+             AS diff_energy
+  FROM led GROUP BY doc_id
+)
+SELECT doc_id, n_samples, energy, diff_energy,
+       CASE WHEN energy > 0
+            THEN CAST(CAST(diff_energy AS HUGEINT) * 1000000
+                      // (4 * CAST(energy AS HUGEINT)) AS BIGINT)
+       END AS hf_ratio_ppm
+FROM m ORDER BY doc_id
+""",
+    category="llm_multimodal",
+    tags=("defer-window2",),
+)
+def multimodal_wav_diff_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-DIFFERENCE ENERGY RATIO over REAL decoded audio — the
+    log-free high-frequency proxy (Σ(sᵢ₊₁−sᵢ)²/4Σsᵢ² is the
+    normalized difference energy, monotone in the spectral centroid
+    for band-limited signals — the music/speech/hiss triage feature
+    computed when an FFT is not affordable or, here, not
+    hash-exact). Same deterministic RIFF/WAVE payloads and numpy
+    parser as multimodal_wav_rms_energy; both energies accumulate
+    as exact int64 (|s| ≤ 1024 ⇒ per-clip sums ≪ 2⁶³), the ratio is
+    one non-negative HUGEINT ⟷ decimal(38,0) ppm floor-division,
+    Cauchy-Schwarz-bounded by 10⁶. The analytic oracle replays the
+    sample formula through a lead window, so off-by-one framing in
+    the parser cannot hash-match. Scale: one row-partitioned Arrow
+    pass."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from spark_lever_spark.llm.multimodal import encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    with_media = docs.mapInPandas(
+        encode_run, "doc_id long, payload binary"
+    )
+
+    def diff_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, es, ds = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE stream")
+                (nbytes,) = struct.unpack("<I", b[40:44])
+                samples = np.frombuffer(
+                    b, dtype="<i2", offset=44, count=nbytes // 2
+                ).astype(np.int64)
+                diff = np.diff(samples)
+                ids.append(int(doc_id))
+                ns.append(len(samples))
+                es.append(int((samples * samples).sum()))
+                ds.append(int((diff * diff).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "diff_energy": pd.Series(ds, dtype="int64"),
+                }
+            )
+
+    out = with_media.mapInPandas(
+        diff_run,
+        "doc_id long, n_samples long, energy long, diff_energy long",
+    )
+    return out.selectExpr(
+        "doc_id",
+        "n_samples",
+        "energy",
+        "diff_energy",
+        "CASE WHEN energy > 0 THEN"
+        f" CAST(CAST(diff_energy AS {_DEC}) * 1000000"
+        f" div (4 * CAST(energy AS {_DEC})) AS BIGINT)"
+        " END AS hf_ratio_ppm",
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_centroid_drift_labels",
+    oracle="""
+WITH comp AS (
+  SELECT label, t.i AS pos,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY 1, 2
+),
+cm AS (
+  SELECT label, pos,
+         CASE WHEN s >= 0 THEN CAST(s * 1000 // n AS BIGINT)
+              ELSE -CAST((-s) * 1000 // n AS BIGINT) END AS c_micro
+  FROM cent
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.c_micro - b.c_micro AS HUGEINT)
+                  * (a.c_micro - b.c_micro)) AS HUGEINT) AS l2sq
+  FROM cm a JOIN cm b ON b.pos = a.pos AND b.label > a.label
+  GROUP BY 1, 2
+)
+SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT)
+           AS label_b,
+       CAST(l2sq // 1000000 AS BIGINT) AS centroid_l2sq_micro
+FROM pairs ORDER BY label_a, label_b
+""",
+    category="llm_embeddings",
+    tags=("defer-window2",),
+)
+def embedding_centroid_drift_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRWISE CENTROID DRIFT between embedding label clusters —
+    the distribution-shift monitor an embedding pipeline runs per
+    ingest batch (are today's class centroids where yesterday's
+    were?): each component quantizes to the exact milli grid
+    (floor(v·1000 + 0.5) — one deterministic double product per
+    float, the documented grid), per-label centroids are SIGN-SPLIT
+    micro floor-divisions of exact int64 component sums, and every
+    label pair publishes the exact squared L2 distance between
+    centroid vectors (HUGEINT ⟷ decimal(38,0), re-floored to the
+    micro grid). 10 labels ⇒ 45 pairs — the full drift matrix, not
+    a sample. Scale: one (label, pos) rollup after a posexplode
+    (64·N rows, map-side combinable), then a 640-row self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).selectExpr(
+        "label",
+        "pos",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q",
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    cm = cent.selectExpr(
+        "label",
+        "pos",
+        "CASE WHEN s >= 0 THEN CAST(s * 1000 div n AS BIGINT)"
+        " ELSE -CAST((-s) * 1000 div n AS BIGINT) END AS c_micro",
+    )
+    a = cm.selectExpr(
+        "label AS label_a", "pos AS pa", "c_micro AS ca"
+    )
+    b = cm.selectExpr(
+        "label AS label_b", "pos AS pb", "c_micro AS cb"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("pb") == F.col("pa"))
+            & (F.col("label_b") > F.col("label_a")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ca - cb AS {_DEC}) * (ca - cb)")
+            ).alias("l2sq")
+        )
+    )
+    return pairs.selectExpr(
+        "CAST(label_a AS INT) AS label_a",
+        "CAST(label_b AS INT) AS label_b",
+        f"CAST(l2sq div 1000000 AS BIGINT) AS centroid_l2sq_micro",
+    ).orderBy("label_a", "label_b")

@@ -1110,3 +1110,78 @@ def test_erlang_b_brute(spark):
     assert abs(bs[7] / 1e6 - bf) < 2e-3
     # blocking decreases with more servers
     assert all(x > y for x, y in zip(bs, bs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + embedding drift
+# ---------------------------------------------------------------------------
+
+
+def test_pgm_centroid_brute(spark):
+    got = _run(spark, "multimodal_pgm_centroid_moments").set_index(
+        "doc_id"
+    )
+    doc_ids = [d for (d,) in _sql(
+        "SELECT doc_id FROM '{SF}/documents.parquet' WHERE doc_id < 120"
+    )]
+    assert len(got) == len(doc_ids)
+    for d in doc_ids:
+        w, h = d % 16 + 4, d % 12 + 4
+        m00 = m10 = m01 = 0
+        for i in range(w * h):
+            p = (d * 31 + i * 7) % 256
+            m00 += p
+            m10 += (i % w) * p
+            m01 += (i // w) * p
+        row = got.loc[d]
+        assert (row.width, row.height) == (w, h)
+        assert (row.m00, row.m10, row.m01) == (m00, m10, m01)
+        assert row.cx_milli == (m10 * 1000 // m00 if m00 else None)
+        assert row.cy_milli == (m01 * 1000 // m00 if m00 else None)
+
+
+def test_wav_diff_energy_brute(spark):
+    got = _run(spark, "multimodal_wav_diff_energy").set_index("doc_id")
+    doc_ids = [d for (d,) in _sql(
+        "SELECT doc_id FROM '{SF}/documents.parquet' WHERE doc_id < 200"
+    )]
+    assert len(got) == len(doc_ids)
+    for d in doc_ids:
+        n = d % 200 + 50
+        s = [((d * 131 + i * 17) % 2048) - 1024 for i in range(n)]
+        e = sum(v * v for v in s)
+        de = sum((b - a) ** 2 for a, b in zip(s, s[1:]))
+        row = got.loc[d]
+        assert (row.n_samples, row.energy, row.diff_energy) == (n, e, de)
+        want = de * 10**6 // (4 * e) if e > 0 else None
+        assert row.hf_ratio_ppm == want
+        if want is not None:
+            assert 0 <= want <= 10**6
+
+
+def test_embedding_centroid_drift_brute(spark):
+    sums = defaultdict(lambda: defaultdict(int))
+    counts = defaultdict(int)
+    for label, emb in _sql(
+        "SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ):
+        counts[label] += 1
+        for pos, v in enumerate(emb):
+            sums[label][pos] += math.floor(float(v) * 1000 + 0.5)
+    cent = {}
+    for label, by_pos in sums.items():
+        n = counts[label]
+        cent[label] = {}
+        for pos, s in by_pos.items():
+            q = (s * 1000) // n if s >= 0 else -(((-s) * 1000) // n)
+            cent[label][pos] = q
+    labels = sorted(cent)
+    got = _run(spark, "embedding_centroid_drift_labels")
+    want = []
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            l2 = sum(
+                (cent[la][p] - cent[lb][p]) ** 2 for p in cent[la]
+            )
+            want.append((la, lb, l2 // 10**6))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
