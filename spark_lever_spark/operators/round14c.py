@@ -1923,6 +1923,7 @@ def square_wave_periodogram_daily(
 
 @register(
     "sample_entropy_kernel_daily",
+    bench=True,  # v3.3 gate (round 14): new bench shape
     oracle="""
 WITH
 """ + _DAILY_ORDERS_CTE + """,
@@ -2867,6 +2868,7 @@ def hellinger_affinity_sources(
 
 @register(
     "bm25_rsj_topk",
+    bench=True,  # v3.3 gate (round 14): new bench shape
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(
@@ -4062,3 +4064,157 @@ def embedding_centroid_drift_labels(
         "CAST(label_b AS INT) AS label_b",
         f"CAST(l2sq div 1000000 AS BIGINT) AS centroid_l2sq_micro",
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (time-varying limits) — keltner scan machinery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_control_chart_daily",
+    oracle="""
+WITH RECURSIVE g AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM (
+    SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS c
+    FROM orders GROUP BY date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)))
+),
+daily AS MATERIALIZED (
+  SELECT d, CAST(c AS DOUBLE) / 100 AS x,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM (
+    SELECT date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS c
+    FROM orders GROUP BY 1)
+),
+rec AS (
+  SELECT d, rn, x, x AS z,
+         (1 - 1.0 / 5.0) * (1 - 1.0 / 5.0) AS p
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.d, dd.rn, dd.x,
+         (1.0 / 5.0) * dd.x + (1 - 1.0 / 5.0) * rec.z,
+         rec.p * ((1 - 1.0 / 5.0) * (1 - 1.0 / 5.0))
+  FROM daily dd JOIN rec ON dd.rn = rec.rn + 1
+)
+SELECT rec.d,
+       round(rec.x * 1000000) / 1000000 AS daily_value,
+       round(rec.z * 1000000) / 1000000 AS ewma,
+       round(((CAST(g.s AS DOUBLE) / g.n) / 100
+              + sqrt(CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s
+                          AS DOUBLE)) / g.n / 100 * sqrt(1 - rec.p))
+             * 1000000) / 1000000 AS ucl,
+       round(((CAST(g.s AS DOUBLE) / g.n) / 100
+              - sqrt(CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s
+                          AS DOUBLE)) / g.n / 100 * sqrt(1 - rec.p))
+             * 1000000) / 1000000 AS lcl,
+       CAST(CASE WHEN rec.z > (CAST(g.s AS DOUBLE) / g.n) / 100
+                      + sqrt(CAST(g.n * g.q - CAST(g.s AS HUGEINT)
+                                  * g.s AS DOUBLE)) / g.n / 100
+                        * sqrt(1 - rec.p) THEN 1
+                 WHEN rec.z < (CAST(g.s AS DOUBLE) / g.n) / 100
+                      - sqrt(CAST(g.n * g.q - CAST(g.s AS HUGEINT)
+                                  * g.s AS DOUBLE)) / g.n / 100
+                        * sqrt(1 - rec.p) THEN -1
+                 ELSE 0 END AS BIGINT) AS signal
+FROM rec, g ORDER BY rec.d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def ewma_control_chart_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EWMA CONTROL CHART (λ = 0.2, L = 3) with exact TIME-VARYING
+    limits — the small-shift detector that beats Shewhart charts on
+    sub-σ drifts (xmr/western_electric fire on points, CUSUM on
+    cumulative sums; EWMA weights recency geometrically): z
+    recursion AND the (1−λ)^{2i} limit-decay term ride the SAME
+    prefix scan (the keltner/macd machinery — collect-sorted scan
+    over the calendar-grain rows, one extra accumulator), and with
+    λ = 1/5, L = 3 the limit collapses to μ ± σ·√(1−pᵢ) exactly
+    (3·√(λ/(2−λ)) = 1). μ, σ come from exact HUGEINT ⟷
+    decimal(38,0) moments, entering doubles once via identical
+    expression text; published values meet on the 1e-6 grid, the
+    signal compares raw doubles in both engines (the keltner
+    breakout contract)."""
+    from spark_lever_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    dc = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("c"))
+    g = dc.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c")).alias("q"),
+    )
+    daily = dc.select(
+        "d", (F.col("c").cast("double") / 100).alias("x")
+    )
+    lam = 1.0 / 5.0
+    dec2 = (1 - 1.0 / 5.0) * (1 - 1.0 / 5.0)
+    allrows = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("srt")
+    )
+
+    def step(acc, srow):
+        prev = F.element_at(acc, -1)
+        z = F.when(F.size(acc) == 0, srow["x"]).otherwise(
+            F.lit(lam) * srow["x"] + F.lit(1 - 1.0 / 5.0) * prev["z"]
+        )
+        p = F.when(F.size(acc) == 0, F.lit(dec2)).otherwise(
+            prev["p"] * F.lit(dec2)
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    srow["d"].alias("d"),
+                    srow["x"].alias("x"),
+                    z.alias("z"),
+                    p.alias("p"),
+                )
+            ),
+        )
+
+    scan = F.aggregate(
+        F.col("srt"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint, x double,"
+            " z double, p double>>)"
+        ),
+        step,
+    )
+    mu = "(CAST(s AS DOUBLE) / n) / 100"
+    sig = (
+        f"sqrt(CAST(n * q - CAST(s AS {_DEC}) * s AS DOUBLE)) / n / 100"
+    )
+    return (
+        allrows.select(F.explode(scan).alias("r"))
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "r.d AS d",
+            "round(r.x * 1000000) / 1000000 AS daily_value",
+            "round(r.z * 1000000) / 1000000 AS ewma",
+            f"round(({mu} + {sig} * sqrt(1 - r.p)) * 1000000)"
+            " / 1000000 AS ucl",
+            f"round(({mu} - {sig} * sqrt(1 - r.p)) * 1000000)"
+            " / 1000000 AS lcl",
+            f"CAST(CASE WHEN r.z > {mu} + {sig} * sqrt(1 - r.p)"
+            " THEN 1"
+            f" WHEN r.z < {mu} - {sig} * sqrt(1 - r.p) THEN -1"
+            " ELSE 0 END AS BIGINT) AS signal",
+        )
+        .orderBy("d")
+    )

@@ -1185,3 +1185,31 @@ def test_embedding_centroid_drift_brute(spark):
             )
             want.append((la, lb, l2 // 10**6))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_ewma_control_chart_brute(spark):
+    xs = sorted(_daily_cents().items())
+    n = len(xs)
+    s = sum(v for _, v in xs)
+    q = sum(v * v for _, v in xs)
+    mu = (s / n) / 100
+    sig = math.sqrt(float(n * q - s * s)) / n / 100
+    lam = 1.0 / 5.0
+    dec2 = (1 - 1.0 / 5.0) * (1 - 1.0 / 5.0)
+    got = _run(spark, "ewma_control_chart_daily").set_index("d")
+    assert len(got) == n
+    z = p = None
+    for i, (d, c) in enumerate(xs):
+        x = c / 100
+        if i == 0:
+            z, p = x, dec2
+        else:
+            z = lam * x + (1 - 1.0 / 5.0) * z
+            p = p * dec2
+        row = got.loc[d]
+        assert row.daily_value == round(x * 10**6) / 10**6
+        assert row.ewma == round(z * 10**6) / 10**6
+        ucl = mu + sig * math.sqrt(1 - p)
+        lcl = mu - sig * math.sqrt(1 - p)
+        assert abs(row.ucl - ucl) < 2e-6 and abs(row.lcl - lcl) < 2e-6
+        assert row.signal == (1 if z > ucl else (-1 if z < lcl else 0))
