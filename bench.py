@@ -28,6 +28,10 @@ import time
 # only at sf0.1 (the freeze's operating point).
 GATES = {
     "agg_stats_full": 1.38,
+    "bm25_rsj_topk": 1.01,  # v3.3 addition (round 14): postings
+    # semi-join + per-doc rational-idf rollup shape
+    "sample_entropy_kernel_daily": 2.32,  # v3.3 addition (round 14):
+    # day-domain-bounded O(calendar^2) template-pair join shape
     "ann_ivf": 0.93,
     "ann_lsh_hyperplane": 1.84,
     "asof_purchase_last_view": 0.98,

@@ -4218,3 +4218,248 @@ def ewma_control_chart_daily(
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Apportionment + actuarial development
+# ---------------------------------------------------------------------------
+
+# lcm(1..20) — exact divisor-method sort keys: rev/k ordered by
+# rev * (LCM // k) with no rational arithmetic (HUGEINT / decimal keys).
+_LCM20 = 232792560
+
+
+@register(
+    "dhondt_allocation_nations",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_nationkey AS nation,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  GROUP BY 1
+),
+ks AS (SELECT unnest(range(1, 21)) AS k),
+dh AS (
+  SELECT nation, r, k,
+         row_number() OVER (
+           ORDER BY CAST(r AS HUGEINT) * ({_LCM20} // k) DESC,
+                    nation, k) AS rnk
+  FROM rev, ks
+),
+sl AS (
+  SELECT nation, r, k,
+         row_number() OVER (
+           ORDER BY CAST(r AS HUGEINT) * ({_LCM20 * 2} // (2 * k - 1))
+                    DESC, nation, k) AS rnk
+  FROM rev, ks
+)
+SELECT rev.nation, rev.r AS revenue_cents,
+       CAST((SELECT count(*) FROM dh
+             WHERE dh.nation = rev.nation AND dh.rnk <= 20)
+            AS BIGINT) AS dhondt_seats,
+       CAST((SELECT count(*) FROM sl
+             WHERE sl.nation = rev.nation AND sl.rnk <= 20)
+            AS BIGINT) AS sainte_lague_seats
+FROM rev ORDER BY rev.nation
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def dhondt_allocation_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIVISOR-METHOD APPORTIONMENT of 20 slots across customer
+    nations by revenue — D'Hondt (divisors 1,2,3…, favors large
+    parties) and Sainte-Laguë (1,3,5…, proportionality-neutral)
+    side-by-side, the fair-allocation primitive behind quota
+    assignment, shard budgeting and A/B traffic splits (and the
+    divisor complement to prorate_fee_largest_remainder's quota
+    method — the two famously disagree: Alabama paradox): each
+    quotient rev/k orders EXACTLY via the integer key
+    rev·(lcm(1..20)//k) (HUGEINT ⟷ decimal(38,0) — no rational or
+    float division anywhere), deterministic (key, nation, k)
+    tie-break, top-20 by rank per method. Scale: one fact rollup to
+    the 25-nation domain, a 20-row divisor broadcast, two 500-row
+    rank windows."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    rev = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("r")
+        )
+    )
+    ks = spark.range(1, 21).selectExpr("CAST(id AS INT) AS k")
+    quot = rev.crossJoin(F.broadcast(ks))
+    dh = quot.select(
+        "nation",
+        "k",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr(
+                    f"CAST(r AS {_DEC}) * ({_LCM20} div k)"
+                ).desc(),
+                "nation",
+                "k",
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 20)
+    sl = quot.select(
+        "nation",
+        "k",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr(
+                    f"CAST(r AS {_DEC})"
+                    f" * ({_LCM20 * 2} div (2 * k - 1))"
+                ).desc(),
+                "nation",
+                "k",
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 20)
+    dhc = dh.groupBy("nation").agg(F.count("*").alias("dh_seats"))
+    slc = sl.groupBy("nation").agg(F.count("*").alias("sl_seats"))
+    return (
+        rev.join(dhc, "nation", "left")
+        .join(slc, "nation", "left")
+        .selectExpr(
+            "nation",
+            "r AS revenue_cents",
+            "COALESCE(dh_seats, 0) AS dhondt_seats",
+            "COALESCE(sl_seats, 0) AS sainte_lague_seats",
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "chain_ladder_dev_factors",
+    oracle="""
+WITH paid AS (
+  SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+              + EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
+              AS BIGINT) AS cohort,
+         CAST((EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(l.l_shipdate AS DATE)))
+              - (EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+                 + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)))
+              AS BIGINT) AS dev,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS amt
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, dev,
+         CAST(SUM(amt) OVER (PARTITION BY cohort ORDER BY dev)
+              AS BIGINT) AS c
+  FROM paid WHERE dev BETWEEN 0 AND 6
+),
+lnk AS (
+  SELECT a.dev AS from_dev,
+         CAST(count(*) AS BIGINT) AS n_cohorts,
+         CAST(SUM(b.c) AS BIGINT) AS num,
+         CAST(SUM(a.c) AS BIGINT) AS den
+  FROM cum a JOIN cum b
+    ON b.cohort = a.cohort AND b.dev = a.dev + 1
+  GROUP BY 1
+)
+SELECT from_dev, n_cohorts, num AS next_cum_cents,
+       den AS cur_cum_cents,
+       CASE WHEN den > 0
+            THEN CAST(CAST(num AS HUGEINT) * 1000000 // den AS BIGINT)
+       END AS dev_factor_ppm
+FROM lnk ORDER BY from_dev
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def chain_ladder_dev_factors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAIN-LADDER DEVELOPMENT FACTORS on the order→ship run-off
+    triangle — the actuarial reserving primitive (Mack's volume-
+    weighted link ratios f_j = ΣᵢC_{i,j+1}/ΣᵢC_{i,j}): cohorts are
+    order months, development lags the order-to-ship month gaps
+    (0..6 — the TPC-H shipping window), cumulative 'paid' is exact
+    discounted revenue cents via one per-cohort prefix-sum window,
+    and each factor is one non-negative HUGEINT ⟷ decimal(38,0)
+    ppm floor-division over the cohorts that have BOTH lags (the
+    self-join on (cohort, dev+1) enforces the common-diagonal rule
+    — the subtle part every naive implementation gets wrong).
+    Scale: one fact join + bounded (month × 7-lag) rollup +
+    triangle-domain windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    om = (
+        F.year(F.to_date("o_orderdate")).cast("long") * 12
+        + F.month(F.to_date("o_orderdate")).cast("long")
+    )
+    sm = (
+        F.year(F.to_date("l_shipdate")).cast("long") * 12
+        + F.month(F.to_date("l_shipdate")).cast("long")
+    )
+    paid = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            om.alias("cohort"), (sm - om).alias("dev")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("amt")
+        )
+        .filter((F.col("dev") >= 0) & (F.col("dev") <= 6))
+    )
+    cum = paid.select(
+        "cohort",
+        "dev",
+        F.sum("amt")
+        .over(Window.partitionBy("cohort").orderBy("dev"))
+        .alias("c"),
+    )
+    a = cum.selectExpr("cohort", "dev AS from_dev", "c AS ca")
+    b = cum.selectExpr("cohort", "dev AS dev_b", "c AS cb")
+    lnk = (
+        a.join(
+            b,
+            (F.col("dev_b") == F.col("from_dev") + 1)
+            & (a["cohort"] == b["cohort"]),
+        )
+        .groupBy("from_dev")
+        .agg(
+            F.count("*").alias("n_cohorts"),
+            F.sum("cb").alias("num"),
+            F.sum("ca").alias("den"),
+        )
+    )
+    return lnk.selectExpr(
+        "from_dev",
+        "n_cohorts",
+        "num AS next_cum_cents",
+        "den AS cur_cum_cents",
+        "CASE WHEN den > 0 THEN"
+        f" CAST(CAST(num AS {_DEC}) * 1000000 div den AS BIGINT)"
+        " END AS dev_factor_ppm",
+    ).orderBy("from_dev")

@@ -1213,3 +1213,79 @@ def test_ewma_control_chart_brute(spark):
         lcl = mu - sig * math.sqrt(1 - p)
         assert abs(row.ucl - ucl) < 2e-6 and abs(row.lcl - lcl) < 2e-6
         assert row.signal == (1 if z > ucl else (-1 if z < lcl else 0))
+
+
+# ---------------------------------------------------------------------------
+# Apportionment + chain ladder
+# ---------------------------------------------------------------------------
+
+_LCM20 = 232792560
+
+
+def test_dhondt_brute(spark):
+    rev = defaultdict(int)
+    for nat, tp in _sql("""
+        SELECT cu.c_nationkey, o.o_totalprice
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' cu ON cu.c_custkey = o.o_custkey
+    """):
+        rev[nat] += _cents(tp)
+
+    def alloc(divisor):
+        quots = []
+        for nat, r in rev.items():
+            for k in range(1, 21):
+                quots.append((-(r * (_LCM20 * 2 // divisor(k))), nat, k))
+        quots.sort()
+        seats = defaultdict(int)
+        for _, nat, _k in quots[:20]:
+            seats[nat] += 1
+        return seats
+
+    dh = alloc(lambda k: 2 * k)      # keys r*(2L//2k) == r*(L//k)
+    sl = alloc(lambda k: 2 * k - 1)
+    got = _run(spark, "dhondt_allocation_nations").set_index("nation")
+    assert len(got) == len(rev)
+    for nat, r in rev.items():
+        row = got.loc[nat]
+        assert row.revenue_cents == r
+        assert row.dhondt_seats == dh.get(nat, 0)
+        assert row.sainte_lague_seats == sl.get(nat, 0)
+    assert got.dhondt_seats.sum() == 20
+    assert got.sainte_lague_seats.sum() == 20
+
+
+def test_chain_ladder_brute(spark):
+    paid = defaultdict(int)
+    for od, sd, ext, disc in _sql("""
+        SELECT o.o_orderdate, l.l_shipdate, l.l_extendedprice,
+               l.l_discount
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+    """):
+        cohort = od.year * 12 + od.month
+        dev = (sd.year * 12 + sd.month) - cohort
+        if 0 <= dev <= 6:
+            v = ext * (1 - disc) * 100
+            paid[(cohort, dev)] += int(v + (0.5 if v >= 0 else -0.5))
+    cum = {}
+    running = defaultdict(int)
+    for (cohort, dev), amt in sorted(paid.items()):
+        running[cohort] += amt
+        cum[(cohort, dev)] = running[cohort]
+    links = defaultdict(lambda: [0, 0, 0])
+    for (cohort, dev), c in cum.items():
+        nxt = cum.get((cohort, dev + 1))
+        if nxt is not None:
+            links[dev][0] += 1
+            links[dev][1] += nxt
+            links[dev][2] += c
+    got = _run(spark, "chain_ladder_dev_factors").set_index("from_dev")
+    assert len(got) == len(links)
+    for dev, (ncoh, num, den) in links.items():
+        row = got.loc[dev]
+        assert (row.n_cohorts, row.next_cum_cents, row.cur_cum_cents) \
+            == (ncoh, num, den)
+        assert row.dev_factor_ppm == (
+            num * 10**6 // den if den > 0 else None
+        )
