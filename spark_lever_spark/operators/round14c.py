@@ -4463,3 +4463,339 @@ def chain_ladder_dev_factors(
         f" CAST(CAST(num AS {_DEC}) * 1000000 div den AS BIGINT)"
         " END AS dev_factor_ppm",
     ).orderBy("from_dev")
+
+
+# ---------------------------------------------------------------------------
+# Lexical concentration, temporal burstiness, ranking stability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_gini_by_source",
+    oracle="""
+WITH
+""" + _WC_CTE + """,
+rk AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c, w) AS i
+  FROM wc
+),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS ic
+  FROM rk GROUP BY 1
+)
+SELECT source, n AS n_types, t AS n_tokens,
+       CASE WHEN n > 0 AND t > 0
+            THEN CAST((2 * ic - (CAST(n AS HUGEINT) + 1) * t) * 1000000
+                      // (CAST(n AS HUGEINT) * t) AS BIGINT)
+       END AS token_gini_ppm
+FROM m ORDER BY source
+""",
+    category="llm_text",
+    tags=("defer-window2",),
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT OF TOKEN FREQUENCIES per source — lexical
+    concentration as economists would measure it (how unequally is
+    token mass distributed over the vocabulary): the exact
+    rank-formula G = (2Σi·cᵢ − (n+1)Σc)/(n·Σc) over ascending-count
+    ranks with deterministic (count, token) tie-breaks — one
+    HUGEINT ⟷ decimal(38,0) ppm floor-division, non-negative by the
+    rearrangement inequality. The distribution-SHAPE complement to
+    yule_k (repeat-rate) and the zipf slope (power-law exponent):
+    Gini reads the whole Lorenz curve of the vocabulary.
+    Scale: one (source, token) shuffle + per-source rank window."""
+    wc = _word_counts(spark, sf_dir)
+    rk = wc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("c", "w"))
+        .alias("i"),
+    )
+    m = rk.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("i").cast(_DEC) * F.col("c")).alias("ic"),
+    )
+    return m.selectExpr(
+        "source",
+        "n AS n_types",
+        "t AS n_tokens",
+        "CASE WHEN n > 0 AND t > 0 THEN"
+        f" CAST((2 * ic - (CAST(n AS {_DEC}) + 1) * t) * 1000000"
+        f" div (CAST(n AS {_DEC}) * t) AS BIGINT)"
+        " END AS token_gini_ppm",
+    ).orderBy("source")
+
+
+_BURST_B = (
+    "CASE WHEN n > 1 AND s > 0 THEN CAST(floor("
+    "(sqrt(CAST(CAST(n AS {I}) * q - CAST(s AS {I}) * s AS DOUBLE))"
+    " - CAST(s AS DOUBLE)) * 1000"
+    " / (sqrt(CAST(CAST(n AS {I}) * q - CAST(s AS {I}) * s AS DOUBLE))"
+    " + CAST(s AS DOUBLE))) AS BIGINT) END"
+)
+_BURST_M = (
+    "CASE WHEN CAST(m AS {I}) * qa - CAST(sa AS {I}) * sa > 0"
+    " AND CAST(m AS {I}) * qb - CAST(sb AS {I}) * sb > 0"
+    " THEN CAST(floor("
+    "CAST(CAST(m AS {I}) * sab - CAST(sa AS {I}) * sb AS DOUBLE) * 1000"
+    " / (sqrt(CAST(CAST(m AS {I}) * qa - CAST(sa AS {I}) * sa"
+    " AS DOUBLE))"
+    " * sqrt(CAST(CAST(m AS {I}) * qb - CAST(sb AS {I}) * sb"
+    " AS DOUBLE)))) AS BIGINT) END"
+)
+
+
+@register(
+    "interevent_burstiness_memory_types",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP))
+         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gaps AS (
+  SELECT event_type, gap,
+         lead(gap) OVER (PARTITION BY event_type ORDER BY gap_rn)
+             AS gap2
+  FROM (
+    SELECT event_type, gap,
+           row_number() OVER (PARTITION BY event_type ORDER BY gap)
+               AS gap_rn
+    FROM seq WHERE gap IS NOT NULL
+  )
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+  FROM gaps GROUP BY 1
+),
+lagmom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(gap) AS BIGINT) AS sa,
+         CAST(SUM(gap2) AS BIGINT) AS sb,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS qa,
+         CAST(SUM(CAST(gap2 AS HUGEINT) * gap2) AS HUGEINT) AS qb,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap2) AS HUGEINT) AS sab
+  FROM gaps WHERE gap2 IS NOT NULL GROUP BY 1
+)
+SELECT mom.event_type, mom.n AS n_gaps,
+       """ + _duck(_BURST_B) + """ AS burstiness_milli,
+       """ + _duck(_BURST_M) + """ AS sorted_memory_milli
+FROM mom JOIN lagmom ON lagmom.event_type = mom.event_type
+ORDER BY mom.event_type
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def interevent_burstiness_memory_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOH–BARABÁSI BURSTINESS + a sorted-gap memory coefficient of
+    inter-event times per event type — the two-parameter temporal-
+    pattern fingerprint (B = (σ−μ)/(σ+μ): −1 periodic, 0 Poisson,
+    →1 bursty; the companion correlation reads how gap magnitudes
+    cluster). Gaps are exact epoch-microsecond differences on a
+    deterministic (ts, event_id) order; B collapses to
+    (√(nQ−S²) − S)/(√(nQ−S²) + S) — exact HUGEINT ⟷ decimal(38,0)
+    moments, ONE shared double tree. The memory coefficient here is
+    computed over GAP-SORTED consecutive pairs (a deterministic,
+    order-free discrete variant — chronological lag-correlation
+    would hinge on timestamp tie order; sorted-neighbor correlation
+    reads the same magnitude-clustering signal reproducibly, and is
+    documented as such). Scale: per-type lag/lead windows (types
+    are a bounded domain), two rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+            ).over(wt)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_rn")
+    gaps = seq.select(
+        "event_type",
+        "gap",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("gap"))
+        .alias("gap_rn"),
+    ).select(
+        "event_type",
+        "gap",
+        F.lead("gap").over(wr).alias("gap2"),
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap").cast(_DEC) * F.col("gap")).alias("q"),
+    )
+    lagmom = (
+        gaps.filter(F.col("gap2").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum("gap").alias("sa"),
+            F.sum("gap2").alias("sb"),
+            F.sum(F.col("gap").cast(_DEC) * F.col("gap")).alias("qa"),
+            F.sum(F.col("gap2").cast(_DEC) * F.col("gap2")).alias(
+                "qb"
+            ),
+            F.sum(F.col("gap").cast(_DEC) * F.col("gap2")).alias(
+                "sab"
+            ),
+        )
+    )
+    return (
+        mom.join(lagmom, "event_type")
+        .selectExpr(
+            "event_type",
+            "n AS n_gaps",
+            _spark(_BURST_B) + " AS burstiness_milli",
+            _spark(_BURST_M) + " AS sorted_memory_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "topk_stability_monthly_parts",
+    oracle="""
+WITH pm AS (
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 100
+              + EXTRACT(month FROM CAST(l_shipdate AS DATE))
+              AS BIGINT) AS ym,
+         l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+topk AS (
+  SELECT ym, l_partkey FROM (
+    SELECT ym, l_partkey,
+           row_number() OVER (PARTITION BY ym
+                              ORDER BY rev DESC, l_partkey) AS rnk
+    FROM pm
+  ) WHERE rnk <= 10
+),
+months AS (SELECT DISTINCT ym FROM topk),
+pairs AS (
+  SELECT m.ym AS cur,
+         (SELECT max(m2.ym) FROM months m2 WHERE m2.ym < m.ym)
+             AS prev
+  FROM months m
+),
+inter AS (
+  SELECT p.cur, p.prev, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN topk a ON a.ym = p.cur
+  JOIN topk b ON b.ym = p.prev AND b.l_partkey = a.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.cur AS ym, p.prev AS prev_ym,
+       COALESCE(i.n_common, 0) AS n_common,
+       CASE WHEN p.prev IS NOT NULL
+            THEN CAST(COALESCE(i.n_common, 0) * 1000000
+                      // (20 - COALESCE(i.n_common, 0)) AS BIGINT)
+       END AS jaccard_ppm
+FROM pairs p LEFT JOIN inter i ON i.cur = p.cur
+ORDER BY ym
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def topk_stability_monthly_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOP-K RANKING STABILITY month over month — the Jaccard
+    overlap of each month's top-10 revenue parts with the previous
+    month's: the drift monitor for any leaderboard/recommender
+    ('how much does our bestseller list churn?'), a set-valued
+    complement to segment_migration_matrix (entity transitions) and
+    kendall_tau (full-ranking correlation — top-k Jaccard reads
+    only the head, which is what dashboards show). Top-10 per month
+    under deterministic (revenue, partkey) ranks; |A∩B|/|A∪B| =
+    c/(20−c) is EXACT in the intersection count — one non-negative
+    ppm floor-division. The first month publishes NULL (no
+    predecessor). Scale: one month×part rollup, a per-month rank
+    window, one self-join on the bounded month domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        (
+            F.year(F.to_date("l_shipdate")).cast("long") * 100
+            + F.month(F.to_date("l_shipdate")).cast("long")
+        ).alias("ym"),
+        "l_partkey",
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * 100
+            ).cast("long")
+        ).alias("rev")
+    )
+    topk = (
+        pm.select(
+            "ym",
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("ym").orderBy(
+                    F.desc("rev"), "l_partkey"
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("ym", "l_partkey")
+    )
+    months = topk.select("ym").distinct()
+    m2 = months.select(F.col("ym").alias("prev_cand"))
+    pairs = (
+        months.join(
+            m2, F.col("prev_cand") < F.col("ym"), "left"
+        )
+        .groupBy("ym")
+        .agg(F.max("prev_cand").alias("prev"))
+    )
+    a = topk.select(F.col("ym").alias("cur"), "l_partkey")
+    b = topk.select(
+        F.col("ym").alias("pym"), F.col("l_partkey").alias("pk2")
+    )
+    inter = (
+        pairs.join(a, F.col("cur") == F.col("ym"))
+        .join(
+            b,
+            (F.col("pym") == F.col("prev"))
+            & (F.col("pk2") == F.col("l_partkey")),
+        )
+        .groupBy(F.col("ym").alias("iym"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(inter, pairs["ym"] == inter["iym"], "left")
+        .selectExpr(
+            "ym",
+            "prev AS prev_ym",
+            "COALESCE(n_common, 0) AS n_common",
+            "CASE WHEN prev IS NOT NULL THEN"
+            " CAST(COALESCE(n_common, 0) * 1000000"
+            " div (20 - COALESCE(n_common, 0)) AS BIGINT)"
+            " END AS jaccard_ppm",
+        )
+        .orderBy("ym")
+    )

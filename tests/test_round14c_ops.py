@@ -1289,3 +1289,94 @@ def test_chain_ladder_brute(spark):
         assert row.dev_factor_ppm == (
             num * 10**6 // den if den > 0 else None
         )
+
+
+# ---------------------------------------------------------------------------
+# Token Gini, burstiness, top-k stability
+# ---------------------------------------------------------------------------
+
+
+def test_token_gini_brute(spark):
+    counts = _source_word_counts()
+    got = _run(spark, "token_gini_by_source").set_index("source")
+    for src, wc in counts.items():
+        ranked = sorted(wc.items(), key=lambda p: (p[1], p[0]))
+        n = len(ranked)
+        t = sum(c for _, c in ranked)
+        ic = sum((i + 1) * c for i, (_, c) in enumerate(ranked))
+        want = (2 * ic - (n + 1) * t) * 10**6 // (n * t)
+        row = got.loc[src]
+        assert (row.n_types, row.n_tokens) == (n, t)
+        assert row.token_gini_ppm == want
+        assert 0 <= want <= 10**6
+
+
+def test_burstiness_memory_brute(spark):
+    seqs = defaultdict(list)
+    for et, ts, eid in _sql(
+        "SELECT event_type, ts, event_id FROM '{SF}/events.parquet'"
+        " ORDER BY ts, event_id"
+    ):
+        seqs[et].append(ts)
+    got = _run(
+        spark, "interevent_burstiness_memory_types"
+    ).set_index("event_type")
+    for et, tss in seqs.items():
+        gaps = [
+            int((b - a).total_seconds() * 1_000_000)
+            for a, b in zip(tss, tss[1:])
+        ]
+        n, s = len(gaps), sum(gaps)
+        q = sum(g * g for g in gaps)
+        row = got.loc[et]
+        assert row.n_gaps == n
+        sd = math.sqrt(float(n * q - s * s))
+        want_b = math.floor((sd - s) * 1000 / (sd + s))
+        assert row.burstiness_milli == want_b
+        sg = sorted(gaps)
+        xs, ys = sg[:-1], sg[1:]
+        m = len(xs)
+        sa, sb = sum(xs), sum(ys)
+        qa = sum(x * x for x in xs)
+        qb = sum(y * y for y in ys)
+        sab = sum(x * y for x, y in zip(xs, ys))
+        va, vb = m * qa - sa * sa, m * qb - sb * sb
+        if va > 0 and vb > 0:
+            want_m = math.floor(
+                float(m * sab - sa * sb) * 1000
+                / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+            )
+        else:
+            want_m = None
+        assert row.sorted_memory_milli == want_m
+
+
+def test_topk_stability_brute(spark):
+    pm = defaultdict(lambda: defaultdict(int))
+    for sd, pk, ext, disc in _sql(
+        "SELECT l_shipdate, l_partkey, l_extendedprice, l_discount"
+        " FROM '{SF}/lineitem.parquet'"
+    ):
+        v = ext * (1 - disc) * 100
+        pm[sd.year * 100 + sd.month][pk] += int(
+            v + (0.5 if v >= 0 else -0.5)
+        )
+    tops = {}
+    for ym, parts in pm.items():
+        ranked = sorted(parts.items(), key=lambda p: (-p[1], p[0]))
+        tops[ym] = {pk for pk, _ in ranked[:10]}
+    months = sorted(tops)
+    got = _run(spark, "topk_stability_monthly_parts").set_index("ym")
+    assert len(got) == len(months)
+    for i, ym in enumerate(months):
+        row = got.loc[ym]
+        if i == 0:
+            import pandas as pd
+            assert pd.isna(row.prev_ym)
+            assert row.jaccard_ppm is None or pd.isna(row.jaccard_ppm)
+            continue
+        prev = months[i - 1]
+        c = len(tops[ym] & tops[prev])
+        assert row.prev_ym == prev
+        assert row.n_common == c
+        assert row.jaccard_ppm == c * 10**6 // (20 - c)
