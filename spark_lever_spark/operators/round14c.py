@@ -4799,3 +4799,215 @@ def topk_stability_monthly_parts(
         )
         .orderBy("ym")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-counting sketch audit + integer adstock regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linear_counting_audit",
+    oracle="""
+WITH ms AS (SELECT unnest([256, 1024, 4096]) AS m),
+hits AS (
+  SELECT ms.m,
+         CAST(count(DISTINCT
+              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::BIGINT % ms.m) AS BIGINT) AS occupied
+  FROM events, ms GROUP BY ms.m
+),
+tru AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS d FROM events
+)
+SELECT CAST(h.m AS BIGINT) AS m_bits, h.occupied, tru.d AS true_distinct,
+       CAST((h.m - h.occupied) * 1000000 // h.m AS BIGINT)
+           AS empty_frac_ppm,
+       CAST((tru.d - h.occupied) * 1000000 // tru.d AS BIGINT)
+           AS collision_loss_ppm
+FROM hits h, tru ORDER BY m_bits
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def linear_counting_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LINEAR-COUNTING SKETCH AUDIT at m ∈ {256, 1024, 4096} bits —
+    the simplest cardinality sketch (Whang 1990: estimate =
+    −m·ln(empty/m)) audited against truth WITHOUT the log: the
+    published exact quantities are the occupied-bit count (one
+    distinct-of-md5-mod aggregation — the same stable-hash idiom as
+    sample_hash_bucket), the empty fraction, and the collision loss
+    (distinct users the bitmap under-counts) per size. The
+    occupancy trio IS the sketch designer's sizing table: it shows
+    exactly when m is too small for HLL's fallback range (the
+    sketch_hll ops' companion). All ratios are exact non-negative
+    ppm floor-divisions. Scale: three map-side mod-m distincts over
+    a bounded bitmap domain + one exact distinct."""
+    from spark_lever_spark.llm.curation import _md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = spark.range(1).selectExpr(
+        "explode(array(256, 1024, 4096)) AS m"
+    )
+    hits = (
+        ev.select(
+            _md5_long(F.col("user_id").cast("string"), 8).alias("hv")
+        )
+        .crossJoin(F.broadcast(ms))
+        .groupBy("m")
+        .agg(F.countDistinct(F.expr("hv % m")).alias("occupied"))
+    )
+    tru = ev.agg(F.countDistinct("user_id").alias("d"))
+    return (
+        hits.crossJoin(F.broadcast(tru))
+        .selectExpr(
+            "CAST(m AS BIGINT) AS m_bits",
+            "occupied",
+            "d AS true_distinct",
+            "CAST((m - occupied) * 1000000 div m AS BIGINT)"
+            " AS empty_frac_ppm",
+            "CAST((d - occupied) * 1000000 div d AS BIGINT)"
+            " AS collision_loss_ppm",
+        )
+        .orderBy("m_bits")
+    )
+
+
+@register(
+    "adstock_regression_daily",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT d, clicks, purchases, row_number() OVER (ORDER BY d) AS rn
+  FROM (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS BIGINT) AS purchases
+    FROM events GROUP BY 1)
+),
+rec AS (
+  SELECT d, rn, clicks, purchases,
+         CAST(clicks * 1000 AS BIGINT) AS z
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.d, dd.rn, dd.clicks, dd.purchases,
+         CAST(dd.clicks * 1000 + 7 * rec.z // 10 AS BIGINT)
+  FROM daily dd JOIN rec ON dd.rn = rec.rn + 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS BIGINT) AS sx,
+         CAST(SUM(purchases) AS BIGINT) AS sy,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(z AS HUGEINT) * purchases) AS HUGEINT) AS sxy
+  FROM rec
+)
+SELECT n,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                 > 0
+            THEN CAST(floor(
+                 CAST(CAST(n AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE) * 1000000000
+                 / CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                 AS BIGINT)
+       END AS beta_nano_per_milli,
+       CAST(sx // n AS BIGINT) AS mean_adstock_milli,
+       CAST(sy * 1000 // n AS BIGINT) AS mean_purchases_milli
+FROM mom
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def adstock_regression_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GEOMETRIC ADSTOCK REGRESSION — the marketing-mix primitive:
+    carryover-transform daily clicks (adstock zₜ = xₜ + 0.7·zₜ₋₁,
+    the retention-decay model of advertising memory) and regress
+    daily purchases on the transformed series. The recursion runs
+    ENTIRELY on the milli-integer grid (zₜ = 1000·xₜ + ⌊7·zₜ₋₁/10⌋
+    — the documented per-step-floored discrete variant, so no float
+    ever enters the scan; non-negative operands keep Spark div =
+    DuckDB //), via the keltner prefix-scan machinery on Spark and
+    a recursive CTE oracle; the OLS slope is the standard Cramer
+    ratio of exact HUGEINT ⟷ decimal(38,0) moments with ONE double
+    division, floored to nano units (purchases per milli-adstock).
+    Scale: one day rollup, one calendar-bounded scan, one 1-row
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchases"),
+    )
+    allrows = dc.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "clicks", "purchases"))
+        ).alias("srt")
+    )
+
+    scan = F.aggregate(
+        F.col("srt"),
+        F.expr(
+            "CAST(array() AS array<struct<d bigint,"
+            " purchases bigint, z bigint>>)"
+        ),
+        lambda acc, srow: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    srow["d"].alias("d"),
+                    srow["purchases"].alias("purchases"),
+                    F.when(
+                        F.size(acc) == 0,
+                        srow["clicks"] * F.lit(1000),
+                    )
+                    .otherwise(
+                        srow["clicks"] * F.lit(1000)
+                        + F.floor(
+                            F.lit(7)
+                            * F.element_at(acc, -1)["z"]
+                            / F.lit(10)
+                        )
+                    )
+                    .cast("long")
+                    .alias("z"),
+                )
+            ),
+        ),
+    )
+    rec = allrows.select(F.explode(scan).alias("r")).select(
+        F.col("r.purchases").alias("purchases"),
+        F.col("r.z").alias("z"),
+    )
+    mom = rec.agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("sx"),
+        F.sum("purchases").alias("sy"),
+        F.sum(F.col("z").cast(_DEC) * F.col("z")).alias("sxx"),
+        F.sum(F.col("z").cast(_DEC) * F.col("purchases")).alias("sxy"),
+    )
+    return mom.selectExpr(
+        "n",
+        f"CASE WHEN CAST(n AS {_DEC}) * sxx - CAST(sx AS {_DEC}) * sx"
+        " > 0 THEN CAST(floor("
+        f"CAST(CAST(n AS {_DEC}) * sxy - CAST(sx AS {_DEC}) * sy"
+        " AS DOUBLE) * 1000000000"
+        f" / CAST(CAST(n AS {_DEC}) * sxx - CAST(sx AS {_DEC}) * sx"
+        " AS DOUBLE)) AS BIGINT) END AS beta_nano_per_milli",
+        "CAST(sx div n AS BIGINT) AS mean_adstock_milli",
+        "CAST(sy * 1000 div n AS BIGINT) AS mean_purchases_milli",
+    )

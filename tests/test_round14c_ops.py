@@ -1380,3 +1380,62 @@ def test_topk_stability_brute(spark):
         assert row.prev_ym == prev
         assert row.n_common == c
         assert row.jaccard_ppm == c * 10**6 // (20 - c)
+
+
+# ---------------------------------------------------------------------------
+# Linear counting + adstock
+# ---------------------------------------------------------------------------
+
+
+def test_linear_counting_brute(spark):
+    import hashlib
+    users = [u for (u,) in _sql(
+        "SELECT DISTINCT user_id FROM '{SF}/events.parquet'"
+    )]
+    d = len(users)
+    got = _run(spark, "linear_counting_audit").set_index("m_bits")
+    for m in (256, 1024, 4096):
+        occ = len({
+            int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % m
+            for u in users
+        })
+        row = got.loc[m]
+        assert (row.occupied, row.true_distinct) == (occ, d)
+        assert row.empty_frac_ppm == (m - occ) * 10**6 // m
+        assert row.collision_loss_ppm == (d - occ) * 10**6 // d
+
+
+def test_adstock_regression_brute(spark):
+    days = defaultdict(lambda: [0, 0])
+    for ts, et in _sql(
+        "SELECT ts, event_type FROM '{SF}/events.parquet'"
+    ):
+        dd = _day(ts)
+        if et == "click":
+            days[dd][0] += 1
+        elif et == "purchase":
+            days[dd][1] += 1
+        else:
+            days[dd]  # day exists even without clicks/purchases
+    zs, ys = [], []
+    z = None
+    for dd in sorted(days):
+        clicks, purchases = days[dd]
+        z = clicks * 1000 if z is None else clicks * 1000 + 7 * z // 10
+        zs.append(z)
+        ys.append(purchases)
+    n = len(zs)
+    sx, sy = sum(zs), sum(ys)
+    sxx = sum(z * z for z in zs)
+    sxy = sum(z * y for z, y in zip(zs, ys))
+    got = _run(spark, "adstock_regression_daily").iloc[0]
+    assert got.n == n
+    den = n * sxx - sx * sx
+    want = (
+        math.floor(float(n * sxy - sx * sy) * 10**9 / float(den))
+        if den > 0
+        else None
+    )
+    assert got.beta_nano_per_milli == want
+    assert got.mean_adstock_milli == sx // n
+    assert got.mean_purchases_milli == sy * 1000 // n
