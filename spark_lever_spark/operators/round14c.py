@@ -5011,3 +5011,213 @@ def adstock_regression_daily(
         "CAST(sx div n AS BIGINT) AS mean_adstock_milli",
         "CAST(sy * 1000 div n AS BIGINT) AS mean_purchases_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF surface + partial correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_grouped_agg_iqr",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice * 100),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT pri, CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+            AS BIGINT) AS q1_cents,
+       CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+            AS BIGINT) AS q3_cents,
+       CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+            - max(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+            AS BIGINT) AS iqr_cents
+FROM c GROUP BY pri ORDER BY pri
+""",
+    category="udf",
+    tags=("defer-window2",),
+)
+def pandas_grouped_agg_iqr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED_AGG PANDAS UDF surface — the Arrow per-group
+    AGGREGATION path (pandas_udf returning a scalar inside .agg()),
+    distinct from grouped_pandas_median's applyInPandas (full-frame
+    in, full-frame out) and from map_in_pandas (partition
+    streams): three scalar UDAFs compute the exact ⌈n/4⌉ / ⌈3n/4⌉
+    order-statistic quartiles and their IQR on int64 cents, with
+    numpy partition-free exact sorting inside the Arrow batch (each
+    GROUP must fit an executor — the priority domain is 5 keys;
+    heavy-key domains pre-aggregate instead, same caveat as the
+    median op). The oracle replays the quartiles as rank windows —
+    a Python-rounding or nearest-rank-convention slip in the UDF
+    cannot hash-match. Scale: one shuffle on the bounded priority
+    key."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+
+    # series-to-scalar: the explicit GROUPED_AGG functionType (this
+    # module's `from __future__ import annotations` stringifies type
+    # hints, which defeats pandas_udf's signature inference)
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def q1_udaf(cents, key):
+        order = sorted(zip(cents.tolist(), key.tolist()))
+        n = len(order)
+        return int(order[(n + 3) // 4 - 1][0])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def q3_udaf(cents, key):
+        order = sorted(zip(cents.tolist(), key.tolist()))
+        n = len(order)
+        return int(order[(3 * n + 3) // 4 - 1][0])
+
+    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one
+    # .agg() — the count rides a third pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_udaf(cents):
+        return len(cents)
+
+    agg = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        n_udaf(F.col("cents")).alias("n_orders"),
+        q1_udaf(F.col("cents"), F.col("o_orderkey")).alias("q1_cents"),
+        q3_udaf(F.col("cents"), F.col("o_orderkey")).alias("q3_cents"),
+    )
+    return agg.selectExpr(
+        "pri",
+        "n_orders",
+        "q1_cents",
+        "q3_cents",
+        "q3_cents - q1_cents AS iqr_cents",
+    ).orderBy("pri")
+
+
+_PC_R = (
+    "CAST({d} AS DOUBLE)"
+    " / sqrt(CAST({va} AS DOUBLE) * CAST({vb} AS DOUBLE))"
+)
+_PC_RXY = _PC_R.format(d="dxy", va="vx", vb="vy")
+_PC_RXZ = _PC_R.format(d="dxz", va="vx", vb="vz")
+_PC_RZY = _PC_R.format(d="dzy", va="vz", vb="vy")
+_PC_SEL = (
+    "CASE WHEN vx > 0 AND vy > 0 AND vz > 0"
+    f" AND (1 - ({_PC_RXZ}) * ({_PC_RXZ}))"
+    f" * (1 - ({_PC_RZY}) * ({_PC_RZY})) > 0"
+    f" THEN CAST(floor((({_PC_RXY}) - ({_PC_RXZ}) * ({_PC_RZY}))"
+    f" * 1000 / sqrt((1 - ({_PC_RXZ}) * ({_PC_RXZ}))"
+    f" * (1 - ({_PC_RZY}) * ({_PC_RZY})))) AS BIGINT) END"
+)
+
+
+@register(
+    "partial_correlation_daily_events",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS z
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(z * y) AS BIGINT) AS szy
+  FROM daily
+),
+d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS HUGEINT) AS dxy,
+         CAST(n * sxz - sx * sz AS HUGEINT) AS dxz,
+         CAST(n * szy - sz * sy AS HUGEINT) AS dzy,
+         CAST(n * sxx - sx * sx AS HUGEINT) AS vx,
+         CAST(n * syy - sy * sy AS HUGEINT) AS vy,
+         CAST(n * szz - sz * sz AS HUGEINT) AS vz
+  FROM mom
+)
+SELECT n AS n_days,
+       """ + _PC_SEL + """ AS partial_corr_milli
+FROM d
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def partial_correlation_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTIAL CORRELATION of daily clicks and purchases CONTROLLING
+    for views — the confounder-adjusted association (first-order
+    pcor = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²))): raw click↔
+    purchase correlation is inflated by overall traffic; partialling
+    out the view count reads the direct association — the
+    observational-causal primitive between rolling_corr (raw) and
+    granger (lagged). All three correlations come from ONE pass of
+    exact int64/HUGEINT moments; the pcor is a single fixed double
+    tree (identical text both engines — the granger staged-
+    expression rule), milli-floored, with variance and denominator
+    CASE guards degrading to NULL identically. Scale: one day-grain
+    rollup + one 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("z"),
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+    )
+    d = mom.selectExpr(
+        "n",
+        f"CAST(n * sxy - sx * sy AS {_DEC}) AS dxy",
+        f"CAST(n * sxz - sx * sz AS {_DEC}) AS dxz",
+        f"CAST(n * szy - sz * sy AS {_DEC}) AS dzy",
+        f"CAST(n * sxx - sx * sx AS {_DEC}) AS vx",
+        f"CAST(n * syy - sy * sy AS {_DEC}) AS vy",
+        f"CAST(n * szz - sz * sz AS {_DEC}) AS vz",
+    )
+    return d.selectExpr(
+        "n AS n_days", _PC_SEL + " AS partial_corr_milli"
+    )

@@ -1439,3 +1439,64 @@ def test_adstock_regression_brute(spark):
     assert got.beta_nano_per_milli == want
     assert got.mean_adstock_milli == sx // n
     assert got.mean_purchases_milli == sy * 1000 // n
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG IQR + partial correlation
+# ---------------------------------------------------------------------------
+
+
+def test_pandas_grouped_agg_iqr_brute(spark):
+    groups = defaultdict(list)
+    for pri, tp, ok in _sql(
+        "SELECT o_orderpriority, o_totalprice, o_orderkey"
+        " FROM '{SF}/orders.parquet'"
+    ):
+        groups[pri].append((_cents(tp), ok))
+    got = _run(spark, "pandas_grouped_agg_iqr").set_index("pri")
+    assert len(got) == len(groups)
+    for pri, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[(n + 3) // 4 - 1][0]
+        q3 = vals[(3 * n + 3) // 4 - 1][0]
+        row = got.loc[pri]
+        assert (row.n_orders, row.q1_cents, row.q3_cents) == (n, q1, q3)
+        assert row.iqr_cents == q3 - q1
+
+
+def test_partial_correlation_brute(spark):
+    days = defaultdict(lambda: [0, 0, 0])
+    for ts, et in _sql(
+        "SELECT ts, event_type FROM '{SF}/events.parquet'"
+    ):
+        dd = days[_day(ts)]
+        if et == "click":
+            dd[0] += 1
+        elif et == "purchase":
+            dd[1] += 1
+        elif et == "view":
+            dd[2] += 1
+    xs = [v[0] for v in days.values()]
+    ys = [v[1] for v in days.values()]
+    zs = [v[2] for v in days.values()]
+    n = len(xs)
+
+    def dets(a, b):
+        return n * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+
+    dxy, dxz, dzy = dets(xs, ys), dets(xs, zs), dets(zs, ys)
+    vx, vy, vz = dets(xs, xs), dets(ys, ys), dets(zs, zs)
+    rxy = float(dxy) / math.sqrt(float(vx) * float(vy))
+    rxz = float(dxz) / math.sqrt(float(vx) * float(vz))
+    rzy = float(dzy) / math.sqrt(float(vz) * float(vy))
+    den = (1 - rxz * rxz) * (1 - rzy * rzy)
+    want = (
+        math.floor((rxy - rxz * rzy) * 1000 / math.sqrt(den))
+        if vx > 0 and vy > 0 and vz > 0 and den > 0
+        else None
+    )
+    got = _run(spark, "partial_correlation_daily_events").iloc[0]
+    assert got.n_days == n
+    assert got.partial_corr_milli == want
+    assert -1000 <= got.partial_corr_milli <= 1000
