@@ -5221,3 +5221,246 @@ def partial_correlation_daily_events(
     return d.selectExpr(
         "n AS n_days", _PC_SEL + " AS partial_corr_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained oscillators: Stochastic RSI, Know Sure Thing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stoch_rsi_14_daily",
+    oracle="""
+WITH
+""" + _DAILY_RET_CTE + """,
+idx AS (
+  SELECT x, r, row_number() OVER (ORDER BY x) AS t
+  FROM ret WHERE r IS NOT NULL
+),
+rsi AS (
+  SELECT x, t,
+         CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END) OVER w
+              AS BIGINT) AS su,
+         CAST(SUM(CASE WHEN r < 0 THEN -r ELSE 0 END) OVER w
+              AS BIGINT) AS sd,
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM idx
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+rv AS (
+  SELECT x, t,
+         CASE WHEN su + sd > 0
+              THEN CAST(su * 1000000 // (su + sd) AS BIGINT)
+              ELSE 500000 END AS rsi_ppm
+  FROM rsi WHERE cnt = 14
+),
+st AS (
+  SELECT x, rsi_ppm,
+         CAST(MIN(rsi_ppm) OVER w2 AS BIGINT) AS lo,
+         CAST(MAX(rsi_ppm) OVER w2 AS BIGINT) AS hi,
+         CAST(count(*) OVER w2 AS BIGINT) AS cnt2
+  FROM rv
+  WINDOW w2 AS (ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT x, rsi_ppm,
+       CASE WHEN hi > lo
+            THEN CAST((rsi_ppm - lo) * 1000000 // (hi - lo) AS BIGINT)
+       END AS stoch_rsi_ppm
+FROM st WHERE cnt2 = 14 ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def stoch_rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHASTIC RSI (14/14, Cutler variant) — the
+    oscillator-of-an-oscillator (Chande & Kroll): run the
+    SMA-form RSI (exact ppm — the rsi_cutler_daily kernel, flat
+    windows pinned to the 500 000 midpoint by the same CASE), then
+    re-normalize it against its own 14-period range, exposing
+    overbought/oversold turns the raw RSI smooths over. Both stages
+    are exact: the stochastic stage is (RSI − min)/(max − min) on
+    the ppm grid — one more non-negative floor-division over
+    integer window extrema (full-window count guards at BOTH
+    stages, so warm-up rows never publish). Scale: calendar-bounded
+    day domain — one rollup, one lag, two stacked row windows."""
+    ret = _daily_ret(spark, sf_dir).filter(F.col("r").isNotNull())
+    idx = ret.select(
+        "x", "r", F.row_number().over(Window.orderBy("x")).alias("t")
+    )
+    w = Window.orderBy("t").rowsBetween(-13, 0)
+    rsi = idx.select(
+        "x",
+        "t",
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0))
+        .over(w)
+        .alias("su"),
+        F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0))
+        .over(w)
+        .alias("sd"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    rv = rsi.filter(F.col("cnt") == 14).selectExpr(
+        "x",
+        "t",
+        "CASE WHEN su + sd > 0"
+        " THEN CAST(su * 1000000 div (su + sd) AS BIGINT)"
+        " ELSE CAST(500000 AS BIGINT) END AS rsi_ppm",
+    )
+    w2 = Window.orderBy("t").rowsBetween(-13, 0)
+    st = rv.select(
+        "x",
+        "rsi_ppm",
+        F.min("rsi_ppm").over(w2).alias("lo"),
+        F.max("rsi_ppm").over(w2).alias("hi"),
+        F.count("*").over(w2).alias("cnt2"),
+    )
+    return (
+        st.filter(F.col("cnt2") == 14)
+        .selectExpr(
+            "x",
+            "rsi_ppm",
+            "CASE WHEN hi > lo THEN"
+            " CAST((rsi_ppm - lo) * 1000000 div (hi - lo) AS BIGINT)"
+            " END AS stoch_rsi_ppm",
+        )
+        .orderBy("x")
+    )
+
+
+_KST_ROC = """
+  SELECT x, t, {n} AS nn,
+         CASE WHEN lag(v, {n}) OVER (ORDER BY t) > 0 THEN
+           CASE WHEN v - lag(v, {n}) OVER (ORDER BY t) >= 0
+                THEN CAST((v - lag(v, {n}) OVER (ORDER BY t))
+                     * 1000000 {d} lag(v, {n}) OVER (ORDER BY t)
+                     AS BIGINT)
+                ELSE -CAST((lag(v, {n}) OVER (ORDER BY t) - v)
+                     * 1000000 {d} lag(v, {n}) OVER (ORDER BY t)
+                     AS BIGINT)
+           END
+         END AS roc_ppm
+  FROM idx
+"""
+
+
+@register(
+    "kst_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+idx AS (
+  SELECT x, v, row_number() OVER (ORDER BY x) AS t FROM daily
+),
+rocs AS (
+""" + " UNION ALL ".join(
+        _KST_ROC.format(n=n, d="//") for n in (10, 15, 20, 30)
+    ) + """
+),
+sma AS (
+  SELECT x, t, nn, roc_ppm,
+         CAST(SUM(roc_ppm) OVER (PARTITION BY nn ORDER BY t
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS s10,
+         CAST(count(roc_ppm) OVER (PARTITION BY nn ORDER BY t
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS c10
+  FROM rocs
+),
+rcma AS (
+  SELECT x, t, nn,
+         CASE WHEN s10 >= 0 THEN CAST(s10 // 10 AS BIGINT)
+              ELSE -CAST((-s10) // 10 AS BIGINT) END AS rcma_ppm
+  FROM sma WHERE c10 = 10 AND roc_ppm IS NOT NULL
+),
+kst AS (
+  SELECT x,
+         CAST(SUM(CASE nn WHEN 10 THEN 1 WHEN 15 THEN 2
+                  WHEN 20 THEN 3 ELSE 4 END * rcma_ppm) AS BIGINT)
+             AS kst_ppm,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM rcma GROUP BY x HAVING count(*) = 4
+)
+SELECT x, kst_ppm FROM kst ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def kst_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNOW SURE THING (Pring's KST) on daily revenue — the
+    four-horizon momentum composite: rate-of-change at 10/15/20/30
+    days, each smoothed by a 10-day SMA, weighted 1..4 and summed —
+    the multi-timeframe confirmation oscillator a single-window ROC
+    can't provide. Exactness: each ROC is a SIGN-SPLIT ppm
+    floor-division against the lagged level (positive-level CASE
+    guard), each SMA a SIGN-SPLIT floor by the constant 10 on a
+    full-window count guard, the weighted sum exact int64; a day
+    publishes only when ALL FOUR legs have complete history
+    (HAVING = 4 — the longest leg gates, documented). Scale:
+    calendar-bounded day domain — one rollup, four lag windows
+    stacked long-format (one UNION, one partitioned SMA window)."""
+    daily = _daily_orders(spark, sf_dir)
+    idx = daily.select(
+        "x", "v", F.row_number().over(Window.orderBy("x")).alias("t")
+    )
+    wl = Window.orderBy("t")
+    legs = []
+    for n in (10, 15, 20, 30):
+        lagv = F.lag("v", n).over(wl)
+        legs.append(
+            idx.select(
+                "x",
+                "t",
+                F.lit(n).cast("int").alias("nn"),
+                F.when(
+                    lagv > 0,
+                    F.when(
+                        F.col("v") - lagv >= 0,
+                        F.expr(
+                            f"CAST((v - lag(v, {n}) OVER (ORDER BY t))"
+                            f" * 1000000 div lag(v, {n})"
+                            " OVER (ORDER BY t) AS BIGINT)"
+                        ),
+                    ).otherwise(
+                        F.expr(
+                            f"-CAST((lag(v, {n}) OVER (ORDER BY t) - v)"
+                            f" * 1000000 div lag(v, {n})"
+                            " OVER (ORDER BY t) AS BIGINT)"
+                        )
+                    ),
+                ).alias("roc_ppm"),
+            )
+        )
+    rocs = legs[0]
+    for leg in legs[1:]:
+        rocs = rocs.unionByName(leg)
+    ws = Window.partitionBy("nn").orderBy("t").rowsBetween(-9, 0)
+    sma = rocs.select(
+        "x",
+        "t",
+        "nn",
+        "roc_ppm",
+        F.sum("roc_ppm").over(ws).alias("s10"),
+        F.count("roc_ppm").over(ws).alias("c10"),
+    )
+    rcma = sma.filter(
+        (F.col("c10") == 10) & F.col("roc_ppm").isNotNull()
+    ).selectExpr(
+        "x",
+        "nn",
+        "CASE WHEN s10 >= 0 THEN CAST(s10 div 10 AS BIGINT)"
+        " ELSE -CAST((-s10) div 10 AS BIGINT) END AS rcma_ppm",
+    )
+    kst = (
+        rcma.groupBy("x")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE nn WHEN 10 THEN 1 WHEN 15 THEN 2"
+                    " WHEN 20 THEN 3 ELSE 4 END * rcma_ppm"
+                )
+            ).alias("kst_ppm"),
+            F.count("*").alias("n_legs"),
+        )
+        .filter(F.col("n_legs") == 4)
+    )
+    return kst.select("x", "kst_ppm").orderBy("x")

@@ -1500,3 +1500,64 @@ def test_partial_correlation_brute(spark):
     assert got.n_days == n
     assert got.partial_corr_milli == want
     assert -1000 <= got.partial_corr_milli <= 1000
+
+
+# ---------------------------------------------------------------------------
+# Stochastic RSI + KST
+# ---------------------------------------------------------------------------
+
+
+def test_stoch_rsi_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    days = [x for x, _ in _returns(_daily_cents())]
+    rsi = []
+    for i in range(13, len(rets)):
+        w = rets[i - 13: i + 1]
+        su = sum(r for r in w if r > 0)
+        sd = sum(-r for r in w if r < 0)
+        rsi.append(
+            (days[i], su * 10**6 // (su + sd) if su + sd > 0 else 500000)
+        )
+    got = _run(spark, "stoch_rsi_14_daily").set_index("x")
+    cnt = 0
+    for i in range(13, len(rsi)):
+        w = [p for _, p in rsi[i - 13: i + 1]]
+        lo, hi = min(w), max(w)
+        row = got.loc[rsi[i][0]]
+        assert row.rsi_ppm == rsi[i][1]
+        want = (
+            (rsi[i][1] - lo) * 10**6 // (hi - lo) if hi > lo else None
+        )
+        assert row.stoch_rsi_ppm == want
+        cnt += 1
+    assert len(got) == cnt
+
+
+def test_kst_brute(spark):
+    xs = sorted(_daily_cents().items())
+    days = [x for x, _ in xs]
+    vs = [v for _, v in xs]
+    legs = {}
+    for nn, wgt in ((10, 1), (15, 2), (20, 3), (30, 4)):
+        rocs = []
+        for i in range(len(vs)):
+            if i < nn or vs[i - nn] <= 0:
+                rocs.append(None)
+            else:
+                rocs.append(
+                    _ssdiv(vs[i] - vs[i - nn], vs[i - nn], 10**6)
+                )
+        rcma = {}
+        for i in range(len(rocs)):
+            w = [r for r in rocs[max(0, i - 9): i + 1] if r is not None]
+            if len(w) == 10 and rocs[i] is not None:
+                rcma[days[i]] = _ssdiv(sum(w), 10, 1)
+        legs[(nn, wgt)] = rcma
+    want = {}
+    for d in days:
+        if all(d in legs[k] for k in legs):
+            want[d] = sum(w * legs[(n, w)][d] for n, w in legs)
+    got = _run(spark, "kst_daily").set_index("x")
+    assert len(got) == len(want)
+    for d, k in want.items():
+        assert got.loc[d].kst_ppm == k
