@@ -5464,3 +5464,278 @@ def kst_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_legs") == 4)
     )
     return kst.select("x", "kst_ppm").orderBy("x")
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality: simplified silhouette + Calinski-Harabasz
+# ---------------------------------------------------------------------------
+
+# Shared milli-grid embedding quantization + per-label centroids (the
+# embedding_centroid_drift_labels grid): q = floor(v*1000 + 0.5),
+# centroid component = sign-split micro floor of the exact sums.
+_EMB_CENT_CTE = """
+comp AS (
+  SELECT vec_id, label, t.i AS pos,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CASE WHEN SUM(q) >= 0
+              THEN CAST(SUM(q) * 1000 // count(*) AS BIGINT)
+              ELSE -CAST((-SUM(q)) * 1000 // count(*) AS BIGINT)
+         END AS c_micro,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY 1, 2
+)
+"""
+
+
+def _emb_comp_cent(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).selectExpr(
+        "vec_id",
+        "label",
+        "pos",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q",
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.expr(
+            "CASE WHEN SUM(q) >= 0"
+            " THEN CAST(SUM(q) * 1000 div count(*) AS BIGINT)"
+            " ELSE -CAST((-SUM(q)) * 1000 div count(*) AS BIGINT) END"
+        ).alias("c_micro"),
+        F.count("*").alias("n_members"),
+    )
+    return comp, cent
+
+
+@register(
+    "silhouette_simplified_labels",
+    oracle="""
+WITH
+""" + _EMB_CENT_CTE + """,
+d2 AS (
+  SELECT comp.vec_id, comp.label AS own_label, cent.label AS to_label,
+         CAST(SUM(CAST(comp.q * 1000 - cent.c_micro AS HUGEINT)
+                  * (comp.q * 1000 - cent.c_micro)) AS HUGEINT) AS dd
+  FROM comp JOIN cent ON cent.pos = comp.pos
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, own_label,
+         CAST(max(CASE WHEN to_label = own_label THEN dd END)
+              AS HUGEINT) AS a2,
+         CAST(min(CASE WHEN to_label <> own_label THEN dd END)
+              AS HUGEINT) AS b2
+  FROM d2 GROUP BY 1, 2
+),
+s AS (
+  SELECT own_label AS label,
+         CASE WHEN b2 > a2 THEN CAST((b2 - a2) * 1000000
+                   // (CASE WHEN a2 > b2 THEN a2 ELSE b2 END)
+                   AS BIGINT)
+              WHEN a2 > b2 THEN -CAST((a2 - b2) * 1000000
+                   // (CASE WHEN a2 > b2 THEN a2 ELSE b2 END)
+                   AS BIGINT)
+              ELSE 0 END AS s_ppm
+  FROM ab WHERE a2 IS NOT NULL AND b2 IS NOT NULL
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CASE WHEN SUM(s_ppm) >= 0
+            THEN CAST(SUM(s_ppm) // count(*) AS BIGINT)
+            ELSE -CAST((-SUM(s_ppm)) // count(*) AS BIGINT)
+       END AS mean_silhouette_ppm
+FROM s GROUP BY label ORDER BY label
+""",
+    category="llm_embeddings",
+    tags=("defer-window2",),
+)
+def silhouette_simplified_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE per embedding label — the cluster-
+    quality score kmeans_inertia_elbow (within-scatter only) cannot
+    see: for each vector, a = squared distance to its OWN centroid,
+    b = squared distance to the NEAREST other centroid, s =
+    (b−a)/max(a,b) — the centroid-based simplified silhouette
+    (Hruschka 2004; O(N·k) instead of the O(N²) full silhouette),
+    here on SQUARED distances (the documented monotone discrete
+    variant — sign and ranking agree with the classic; no sqrt
+    ever runs). Vectors and centroids meet on the micro grid
+    (comp·1000 vs the micro centroid — same scale), all distances
+    exact HUGEINT ⟷ decimal(38,0); per-point and per-label means
+    are SIGN-SPLIT floors. Scale: one posexplode rollup, one
+    (pos)-join of N·64 rows against the 640-row broadcast centroid
+    table, one per-point reduce."""
+    comp, cent = _emb_comp_cent(spark, sf_dir)
+    d2 = (
+        comp.join(
+            F.broadcast(
+                cent.selectExpr(
+                    "label AS to_label", "pos AS cpos", "c_micro"
+                )
+            ),
+            F.col("cpos") == F.col("pos"),
+        )
+        .groupBy("vec_id", F.col("label").alias("own_label"), "to_label")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(q * 1000 - c_micro AS {_DEC})"
+                    " * (q * 1000 - c_micro)"
+                )
+            ).alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.when(F.col("to_label") == F.col("own_label"), F.col("dd"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("to_label") != F.col("own_label"), F.col("dd"))
+        ).alias("b2"),
+    )
+    s = ab.filter(
+        F.col("a2").isNotNull() & F.col("b2").isNotNull()
+    ).selectExpr(
+        "own_label AS label",
+        "CASE WHEN b2 > a2 THEN CAST((b2 - a2) * 1000000"
+        " div (CASE WHEN a2 > b2 THEN a2 ELSE b2 END) AS BIGINT)"
+        " WHEN a2 > b2 THEN -CAST((a2 - b2) * 1000000"
+        " div (CASE WHEN a2 > b2 THEN a2 ELSE b2 END) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS s_ppm",
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr(
+                "CASE WHEN SUM(s_ppm) >= 0"
+                " THEN CAST(SUM(s_ppm) div count(*) AS BIGINT)"
+                " ELSE -CAST((-SUM(s_ppm)) div count(*) AS BIGINT)"
+                " END"
+            ).alias("mean_silhouette_ppm"),
+        )
+        .selectExpr(
+            "CAST(label AS INT) AS label",
+            "n_points",
+            "mean_silhouette_ppm",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "calinski_harabasz_labels",
+    oracle="""
+WITH
+""" + _EMB_CENT_CTE + """,
+gmean AS (
+  SELECT pos,
+         CASE WHEN SUM(q) >= 0
+              THEN CAST(SUM(q) * 1000 // count(*) AS BIGINT)
+              ELSE -CAST((-SUM(q)) * 1000 // count(*) AS BIGINT)
+         END AS g_micro
+  FROM comp GROUP BY 1
+),
+ssw AS (
+  SELECT CAST(SUM(CAST(comp.q * 1000 - cent.c_micro AS HUGEINT)
+              * (comp.q * 1000 - cent.c_micro)) AS HUGEINT) AS w
+  FROM comp JOIN cent
+    ON cent.label = comp.label AND cent.pos = comp.pos
+),
+ssb AS (
+  SELECT CAST(SUM(CAST(cent.n_members AS HUGEINT)
+              * (cent.c_micro - gmean.g_micro)
+              * (cent.c_micro - gmean.g_micro)) AS HUGEINT) AS b
+  FROM cent JOIN gmean ON gmean.pos = cent.pos
+),
+dims AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+         CAST(count(DISTINCT label) AS BIGINT) AS k
+  FROM comp
+)
+SELECT dims.n, dims.k,
+       CASE WHEN ssw.w > 0 AND dims.k > 1
+            THEN CAST(ssb.b * (dims.n - dims.k) * 1000
+                      // (ssw.w * (dims.k - 1)) AS BIGINT)
+       END AS ch_milli
+FROM ssw, ssb, dims
+""",
+    category="llm_embeddings",
+    tags=("defer-window2",),
+)
+def calinski_harabasz_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALINSKI-HARABASZ VARIANCE-RATIO CRITERION of the embedding
+    label clustering — CH = (SSB/(k−1))/(SSW/(n−k)), the
+    cluster-separation index that is a PURE RATIONAL in the scatter
+    sums (no sqrt, no log — unlike Davies-Bouldin): between-scatter
+    weights each centroid's squared offset from the global mean by
+    its membership, within-scatter sums squared member-to-centroid
+    offsets, all on the shared micro grid with exact HUGEINT ⟷
+    decimal(38,0) accumulation and ONE milli floor-division.
+    Complements silhouette_simplified_labels (per-point view) with
+    the global ANOVA-style view. Scale: one posexplode, two
+    broadcast centroid joins, 1-row algebra."""
+    comp, cent = _emb_comp_cent(spark, sf_dir)
+    gmean = comp.groupBy("pos").agg(
+        F.expr(
+            "CASE WHEN SUM(q) >= 0"
+            " THEN CAST(SUM(q) * 1000 div count(*) AS BIGINT)"
+            " ELSE -CAST((-SUM(q)) * 1000 div count(*) AS BIGINT) END"
+        ).alias("g_micro")
+    )
+    ssw = (
+        comp.join(
+            F.broadcast(
+                cent.selectExpr(
+                    "label AS cl", "pos AS cpos", "c_micro"
+                )
+            ),
+            (F.col("cl") == F.col("label"))
+            & (F.col("cpos") == F.col("pos")),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(q * 1000 - c_micro AS {_DEC})"
+                    " * (q * 1000 - c_micro)"
+                )
+            ).alias("w")
+        )
+    )
+    ssb = (
+        cent.join(F.broadcast(gmean), "pos")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(n_members AS {_DEC})"
+                    " * (c_micro - g_micro) * (c_micro - g_micro)"
+                )
+            ).alias("b")
+        )
+    )
+    dims = comp.agg(
+        F.countDistinct("vec_id").alias("n"),
+        F.countDistinct("label").alias("k"),
+    )
+    return (
+        ssw.crossJoin(ssb)
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "n",
+            "k",
+            "CASE WHEN w > 0 AND k > 1 THEN"
+            " CAST(b * (n - k) * 1000 div (w * (k - 1)) AS BIGINT)"
+            " END AS ch_milli",
+        )
+    )

@@ -1561,3 +1561,85 @@ def test_kst_brute(spark):
     assert len(got) == len(want)
     for d, k in want.items():
         assert got.loc[d].kst_ppm == k
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality
+# ---------------------------------------------------------------------------
+
+
+def _emb_grid():
+    vecs = {}
+    for vid, label, emb in _sql(
+        "SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ):
+        vecs[vid] = (
+            label,
+            [math.floor(float(v) * 1000 + 0.5) for v in emb],
+        )
+    cents = {}
+    by_label = defaultdict(list)
+    for vid, (label, q) in vecs.items():
+        by_label[label].append(q)
+    for label, qs in by_label.items():
+        n = len(qs)
+        c = []
+        for pos in range(len(qs[0])):
+            s = sum(q[pos] for q in qs)
+            c.append((s * 1000) // n if s >= 0 else -(((-s) * 1000) // n))
+        cents[label] = (c, n)
+    return vecs, cents
+
+
+def test_silhouette_brute(spark):
+    vecs, cents = _emb_grid()
+    per_label = defaultdict(list)
+    for vid, (label, q) in vecs.items():
+        dd = {
+            lb: sum(
+                (qi * 1000 - ci) ** 2 for qi, ci in zip(q, c)
+            )
+            for lb, (c, _) in cents.items()
+        }
+        a2 = dd[label]
+        b2 = min(v for lb, v in dd.items() if lb != label)
+        if b2 > a2:
+            s = (b2 - a2) * 10**6 // max(a2, b2)
+        elif a2 > b2:
+            s = -((a2 - b2) * 10**6 // max(a2, b2))
+        else:
+            s = 0
+        per_label[label].append(s)
+    got = _run(spark, "silhouette_simplified_labels").set_index("label")
+    assert len(got) == len(per_label)
+    for label, ss in per_label.items():
+        row = got.loc[label]
+        assert row.n_points == len(ss)
+        t = sum(ss)
+        want = t // len(ss) if t >= 0 else -(((-t) // len(ss)))
+        assert row.mean_silhouette_ppm == want
+
+
+def test_calinski_harabasz_brute(spark):
+    vecs, cents = _emb_grid()
+    dim = len(next(iter(vecs.values()))[1])
+    n, k = len(vecs), len(cents)
+    gsum = [0] * dim
+    for _, (label, q) in vecs.items():
+        for pos in range(dim):
+            gsum[pos] += q[pos]
+    gm = [
+        (s * 1000) // n if s >= 0 else -(((-s) * 1000) // n)
+        for s in gsum
+    ]
+    ssw = 0
+    for _, (label, q) in vecs.items():
+        c, _n = cents[label]
+        ssw += sum((qi * 1000 - ci) ** 2 for qi, ci in zip(q, c))
+    ssb = 0
+    for label, (c, nm) in cents.items():
+        ssb += nm * sum((ci - gi) ** 2 for ci, gi in zip(c, gm))
+    got = _run(spark, "calinski_harabasz_labels").iloc[0]
+    assert (got.n, got.k) == (n, k)
+    want = ssb * (n - k) * 1000 // (ssw * (k - 1))
+    assert got.ch_milli == want
