@@ -5739,3 +5739,160 @@ def calinski_harabasz_labels(
             " END AS ch_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shape audits: Chebyshev coverage + Gini mean difference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chebyshev_coverage_audit",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM daily
+),
+z AS (
+  SELECT CAST(CAST(g.n * d.v - g.s AS HUGEINT)
+              * (g.n * d.v - g.s) AS HUGEINT) AS dev2,
+         CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS HUGEINT)
+             AS vv,
+         g.n
+  FROM daily d, g
+),
+ks AS (SELECT unnest([1, 2, 3]) AS k),
+cov AS (
+  SELECT ks.k, CAST(max(z.n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN z.dev2 <= ks.k * ks.k * z.vv
+                       THEN 1 ELSE 0 END) AS BIGINT) AS within
+  FROM z, ks GROUP BY ks.k
+)
+SELECT CAST(k AS INT) AS k, n, within,
+       CAST(within * 1000000 // n AS BIGINT) AS coverage_ppm,
+       CAST(CASE WHEN k = 1 THEN 0
+                 ELSE (CAST(k AS BIGINT) * k - 1) * 1000000
+                      // (CAST(k AS BIGINT) * k) END AS BIGINT)
+           AS chebyshev_floor_ppm
+FROM cov ORDER BY k
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def chebyshev_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHEBYSHEV COVERAGE AUDIT of daily revenue — what fraction of
+    days sits within k·σ of the mean for k = 1, 2, 3, against the
+    distribution-free Chebyshev floor 1 − 1/k² (exact rational
+    ppm): the tail-heaviness summary that says whether ±3σ SLO
+    bands are honest for THIS distribution (normal ⇒ ~68/95/99.7%;
+    coverage hugging the Chebyshev floor ⇒ pathological tails).
+    σ never materializes: within-k·σ ⇔ dev² ≤ k²·(nQ−S²) with
+    dev = n·x − S — the exact Western-Electric integer-zone
+    comparison, summed per k. Scale: one rollup, a 1-row moment
+    broadcast, a 3-row k table."""
+    daily = _daily_orders(spark, sf_dir)
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    z = daily.crossJoin(F.broadcast(g)).selectExpr(
+        f"CAST(CAST(n * v - s AS {_DEC}) * (n * v - s) AS {_DEC})"
+        " AS dev2",
+        f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS vv",
+        "n",
+    )
+    ks = spark.range(1).selectExpr("explode(array(1, 2, 3)) AS k")
+    cov = (
+        z.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN dev2 <= k * k * vv THEN 1 ELSE 0 END"
+                )
+            ).alias("within"),
+        )
+    )
+    return cov.selectExpr(
+        "CAST(k AS INT) AS k",
+        "n",
+        "within",
+        "CAST(within * 1000000 div n AS BIGINT) AS coverage_ppm",
+        "CAST(CASE WHEN k = 1 THEN 0"
+        " ELSE (CAST(k AS BIGINT) * k - 1) * 1000000"
+        " div (CAST(k AS BIGINT) * k) END AS BIGINT)"
+        " AS chebyshev_floor_ppm",
+    ).orderBy("k")
+
+
+@register(
+    "gini_mean_difference_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+rk AS (
+  SELECT v, row_number() OVER (ORDER BY v, x) AS i
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(2 * i AS HUGEINT) * v) AS HUGEINT) AS s2iv,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM rk
+)
+SELECT n,
+       CASE WHEN n > 1
+            THEN CAST((2 * (s2iv - CAST(n + 1 AS HUGEINT) * s))
+                      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       END AS gmd_cents,
+       CASE WHEN s > 0 AND n > 1
+            THEN CAST((s2iv - CAST(n + 1 AS HUGEINT) * s) * 1000000
+                      // (CAST(n AS HUGEINT) * s) AS BIGINT)
+       END AS gini_ppm
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def gini_mean_difference_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GINI MEAN DIFFERENCE of daily revenue — the robust scale
+    estimator E|X−X'| WITHOUT the pair join: the rank identity
+    GMD = 2·Σ(2i−n−1)·x₍ᵢ₎ / (n(n−1)) collapses all n² pairwise
+    absolute differences to one rank window + one weighted sum
+    (exact HUGEINT ⟷ decimal(38,0); deterministic (value, day)
+    rank tie-break is immaterial to the sum — equal values get
+    interchangeable weights). Publishes GMD in exact cents AND the
+    series' relative-Gini (GMD/2μ) in ppm — the dispersion pair
+    between stddev (moment, outlier-fragile ~0%) and MAD
+    (median-based, 50% breakdown): GMD keeps √n-efficiency at ~2×
+    outlier resistance. Scale: calendar-bounded rank window, 1-row
+    reduce — the hodges_lehmann O(n²) shape made O(n log n)."""
+    daily = _daily_orders(spark, sf_dir)
+    rk = daily.select(
+        "v", F.row_number().over(Window.orderBy("v", "x")).alias("i")
+    )
+    m = rk.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(f"CAST(2 * i AS {_DEC}) * v")).alias("s2iv"),
+        F.sum("v").alias("s"),
+    )
+    return m.selectExpr(
+        "n",
+        "CASE WHEN n > 1 THEN"
+        f" CAST((2 * (s2iv - CAST(n + 1 AS {_DEC}) * s))"
+        f" div (CAST(n AS {_DEC}) * (n - 1)) AS BIGINT)"
+        " END AS gmd_cents",
+        "CASE WHEN s > 0 AND n > 1 THEN"
+        f" CAST((s2iv - CAST(n + 1 AS {_DEC}) * s) * 1000000"
+        f" div (CAST(n AS {_DEC}) * s) AS BIGINT)"
+        " END AS gini_ppm",
+    )

@@ -1643,3 +1643,44 @@ def test_calinski_harabasz_brute(spark):
     assert (got.n, got.k) == (n, k)
     want = ssb * (n - k) * 1000 // (ssw * (k - 1))
     assert got.ch_milli == want
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev coverage + Gini mean difference
+# ---------------------------------------------------------------------------
+
+
+def test_chebyshev_coverage_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n = len(vs)
+    s, q = sum(vs), sum(v * v for v in vs)
+    vv = n * q - s * s
+    got = _run(spark, "chebyshev_coverage_audit").set_index("k")
+    for k in (1, 2, 3):
+        within = sum(1 for v in vs if (n * v - s) ** 2 <= k * k * vv)
+        row = got.loc[k]
+        assert (row.n, row.within) == (n, within)
+        assert row.coverage_ppm == within * 10**6 // n
+        floor = 0 if k == 1 else (k * k - 1) * 10**6 // (k * k)
+        assert row.chebyshev_floor_ppm == floor
+        assert row.coverage_ppm >= floor  # Chebyshev holds
+
+
+def test_gini_mean_difference_brute(spark):
+    vs = sorted(
+        (v, x) for x, v in _daily_cents().items()
+    )
+    n = len(vs)
+    s = sum(v for v, _ in vs)
+    s2iv = sum(2 * (i + 1) * v for i, (v, _) in enumerate(vs))
+    got = _run(spark, "gini_mean_difference_daily").iloc[0]
+    assert got.n == n
+    want_gmd = (2 * (s2iv - (n + 1) * s)) // (n * (n - 1))
+    assert got.gmd_cents == want_gmd
+    assert got.gini_ppm == (s2iv - (n + 1) * s) * 10**6 // (n * s)
+    # brute pairwise cross-check of the rank identity
+    vals = [v for v, _ in vs]
+    pair_sum = sum(
+        abs(a - b) for i, a in enumerate(vals) for b in vals[i + 1:]
+    )
+    assert want_gmd == 2 * pair_sum // (n * (n - 1))
