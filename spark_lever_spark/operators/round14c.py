@@ -5896,3 +5896,198 @@ def gini_mean_difference_daily(
         f" div (CAST(n AS {_DEC}) * s) AS BIGINT)"
         " END AS gini_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Drawdown spells + ARCH volatility clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drawdown_spells_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+pm AS (
+  SELECT x, v,
+         MAX(v) OVER (ORDER BY x) AS peak,
+         row_number() OVER (ORDER BY x) AS rn
+  FROM daily
+),
+flagged AS (
+  SELECT x, v, peak, rn,
+         CASE WHEN v < peak THEN 1 ELSE 0 END AS under
+  FROM pm
+),
+isl AS (
+  SELECT x, v, peak, under,
+         rn - CAST(SUM(under) OVER (ORDER BY rn) AS BIGINT) AS grp
+  FROM flagged
+),
+spells AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS len_days,
+         CAST(MAX(peak - v) AS BIGINT) AS depth_cents,
+         CAST(min(x) AS BIGINT) AS start_x
+  FROM isl WHERE under = 1 GROUP BY grp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_spells,
+       CAST(max(len_days) AS BIGINT) AS longest_days,
+       CAST(max(CASE WHEN r = 1 THEN start_x END) AS BIGINT)
+           AS longest_start_x,
+       CAST(max(depth_cents) AS BIGINT) AS deepest_cents,
+       CAST(SUM(len_days) AS BIGINT) AS total_underwater_days
+FROM (
+  SELECT *, row_number() OVER (ORDER BY len_days DESC, start_x) AS r
+  FROM spells
+)
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def drawdown_spells_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DRAWDOWN SPELL CENSUS of the daily revenue level — the
+    DURATION side of risk that max_drawdown_daily_value (depth
+    only) and calmar (depth-normalized return) don't read: how many
+    underwater spells, the longest (with its deterministic start
+    day), the deepest, and total days spent below the running peak
+    ("lake ratio" numerator). Spells are gaps-and-islands on the
+    below-prefix-max flag (the longest_daily_streak grouping trick:
+    rn − cumulative(under) is constant within a run); every
+    quantity is an exact int64 count/cents max. Scale:
+    calendar-bounded day domain — one rollup, two ordered windows,
+    one bounded spell rollup."""
+    daily = _daily_orders(spark, sf_dir)
+    wl = Window.orderBy("x")
+    pm = daily.select(
+        "x",
+        "v",
+        F.max("v").over(wl).alias("peak"),
+        F.row_number().over(wl).alias("rn"),
+    )
+    flagged = pm.withColumn(
+        "under", F.when(F.col("v") < F.col("peak"), 1).otherwise(0)
+    )
+    isl = flagged.withColumn(
+        "grp",
+        F.col("rn") - F.sum("under").over(Window.orderBy("rn")),
+    )
+    spells = (
+        isl.filter(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("len_days"),
+            F.max(F.col("peak") - F.col("v")).alias("depth_cents"),
+            F.min("x").alias("start_x"),
+        )
+    )
+    ranked = spells.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("len_days"), "start_x")
+        ),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_spells"),
+        F.max("len_days").alias("longest_days"),
+        F.max(F.when(F.col("r") == 1, F.col("start_x"))).alias(
+            "longest_start_x"
+        ),
+        F.max("depth_cents").alias("deepest_cents"),
+        F.sum("len_days").alias("total_underwater_days"),
+    )
+
+
+_ARCH_R2 = (
+    "CASE WHEN dzz > 0 AND dyy > 0"
+    " THEN CAST(floor(CAST(dzy AS DOUBLE) * CAST(dzy AS DOUBLE)"
+    " * 1000000 / (CAST(dzz AS DOUBLE) * CAST(dyy AS DOUBLE)))"
+    " AS BIGINT) END"
+)
+
+
+@register(
+    "arch_lm_test_daily",
+    oracle="""
+WITH
+""" + _DAILY_RET_CTE + """,
+sq AS (
+  SELECT x, CAST(r AS HUGEINT) * r AS r2
+  FROM ret WHERE r IS NOT NULL
+),
+lagd AS (
+  SELECT CAST(r2 // 1000000 AS BIGINT) AS y,
+         CAST(lag(r2) OVER (ORDER BY x) // 1000000 AS BIGINT) AS z
+  FROM sq
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(SUM(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy
+  FROM lagd WHERE z IS NOT NULL
+),
+d AS (
+  SELECT m,
+         CAST(m * szy - CAST(sz AS HUGEINT) * sy AS HUGEINT) AS dzy,
+         CAST(m * szz - CAST(sz AS HUGEINT) * sz AS HUGEINT) AS dzz,
+         CAST(m * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) AS dyy
+  FROM mom
+)
+SELECT m AS n_obs,
+       """ + _ARCH_R2 + """ AS r2_ppm,
+       CASE WHEN dzz > 0 AND dyy > 0
+            THEN CAST(m * (""" + _ARCH_R2 + """) // 1000 AS BIGINT)
+       END AS lm_stat_milli
+FROM d
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def arch_lm_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH LM TEST (lag 1) on daily revenue changes — the
+    volatility-clustering diagnostic (regress today's SQUARED
+    return on yesterday's: LM = n·R² ~ χ²(1) under homoskedastic
+    null), the conditional-variance complement to ljung_box (level
+    autocorrelation) and variance_ratio (long-horizon scaling):
+    GARCH-worthy series fail exactly this test. Squared returns are
+    pre-scaled to the exact megacent² grid (r²//10⁶ — the documented
+    discrete grid, keeping all Cramer determinants inside
+    HUGEINT ⟷ decimal(38,0) at any SF); R² = dzy²/(dzz·dyy) is one
+    fixed double tree (granger rule), ppm-floored; LM = m·R²
+    published in milli via exact integer ops on the already-floored
+    R². Scale: one rollup, two lag windows, one 1-row reduce."""
+    ret = _daily_ret(spark, sf_dir).filter(F.col("r").isNotNull())
+    sq = ret.selectExpr(
+        "x", f"CAST(CAST(r AS {_DEC}) * r AS {_DEC}) AS r2"
+    )
+    wl = Window.orderBy("x")
+    lagd = sq.select(
+        F.expr("CAST(r2 div 1000000 AS BIGINT)").alias("y"),
+        F.expr(
+            "CAST(lag(r2) OVER (ORDER BY x) div 1000000 AS BIGINT)"
+        ).alias("z"),
+    ).filter(F.col("z").isNotNull())
+    mom = lagd.agg(
+        F.count("*").alias("m"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("z").cast(_DEC) * F.col("z")).alias("szz"),
+        F.sum(F.col("z").cast(_DEC) * F.col("y")).alias("szy"),
+    )
+    d = mom.selectExpr(
+        "m",
+        f"CAST(m * szy - CAST(sz AS {_DEC}) * sy AS {_DEC}) AS dzy",
+        f"CAST(m * szz - CAST(sz AS {_DEC}) * sz AS {_DEC}) AS dzz",
+        f"CAST(m * syy - CAST(sy AS {_DEC}) * sy AS {_DEC}) AS dyy",
+    )
+    return d.selectExpr(
+        "m AS n_obs",
+        _ARCH_R2 + " AS r2_ppm",
+        "CASE WHEN dzz > 0 AND dyy > 0 THEN"
+        " CAST(m * (" + _ARCH_R2 + ") div 1000 AS BIGINT)"
+        " END AS lm_stat_milli",
+    )

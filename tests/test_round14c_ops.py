@@ -1684,3 +1684,60 @@ def test_gini_mean_difference_brute(spark):
         abs(a - b) for i, a in enumerate(vals) for b in vals[i + 1:]
     )
     assert want_gmd == 2 * pair_sum // (n * (n - 1))
+
+
+# ---------------------------------------------------------------------------
+# Drawdown spells + ARCH LM
+# ---------------------------------------------------------------------------
+
+
+def test_drawdown_spells_brute(spark):
+    xs = sorted(_daily_cents().items())
+    peak = -(10**30)
+    spells = []
+    cur = None
+    for x, v in xs:
+        peak = max(peak, v)
+        if v < peak:
+            if cur is None:
+                cur = [x, 0, 0]  # start, len, depth
+            cur[1] += 1
+            cur[2] = max(cur[2], peak - v)
+        else:
+            if cur is not None:
+                spells.append(tuple(cur))
+                cur = None
+    if cur is not None:
+        spells.append(tuple(cur))
+    got = _run(spark, "drawdown_spells_daily").iloc[0]
+    assert got.n_spells == len(spells)
+    assert got.longest_days == max(s[1] for s in spells)
+    longest = sorted(spells, key=lambda s: (-s[1], s[0]))[0]
+    assert got.longest_start_x == longest[0]
+    assert got.deepest_cents == max(s[2] for s in spells)
+    assert got.total_underwater_days == sum(s[1] for s in spells)
+
+
+def test_arch_lm_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    sq = [r * r // 10**6 for r in rets]
+    ys, zs = sq[1:], sq[:-1]
+    m = len(ys)
+    sy, sz = sum(ys), sum(zs)
+    syy = sum(y * y for y in ys)
+    szz = sum(z * z for z in zs)
+    szy = sum(z * y for z, y in zip(zs, ys))
+    dzy = m * szy - sz * sy
+    dzz = m * szz - sz * sz
+    dyy = m * syy - sy * sy
+    got = _run(spark, "arch_lm_test_daily").iloc[0]
+    assert got.n_obs == m
+    r2 = (
+        math.floor(float(dzy) * float(dzy) * 10**6
+                   / (float(dzz) * float(dyy)))
+        if dzz > 0 and dyy > 0
+        else None
+    )
+    assert got.r2_ppm == r2
+    assert got.lm_stat_milli == m * r2 // 1000
+    assert 0 <= r2 <= 10**6
