@@ -6091,3 +6091,196 @@ def arch_lm_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(m * (" + _ARCH_R2 + ") div 1000 AS BIGINT)"
         " END AS lm_stat_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve + up/down streak census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qini_uplift_deciles",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+expo AS (
+  SELECT lab.score, lab.pos,
+         CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS treated
+  FROM lab
+  JOIN orders o ON o.o_orderkey = lab.o_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+rk AS (
+  SELECT pos, treated,
+         ntile(10) OVER (ORDER BY score DESC, treated, pos) AS decile
+  FROM expo
+),
+byd AS (
+  SELECT CAST(decile AS INT) AS decile,
+         CAST(SUM(CASE WHEN treated = 1 THEN pos ELSE 0 END)
+              AS BIGINT) AS yt,
+         CAST(SUM(treated) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN treated = 0 THEN pos ELSE 0 END)
+              AS BIGINT) AS yc,
+         CAST(SUM(1 - treated) AS BIGINT) AS nc
+  FROM rk GROUP BY 1
+),
+cum AS (
+  SELECT decile,
+         CAST(SUM(yt) OVER w AS BIGINT) AS cyt,
+         CAST(SUM(nt) OVER w AS BIGINT) AS cnt_t,
+         CAST(SUM(yc) OVER w AS BIGINT) AS cyc,
+         CAST(SUM(nc) OVER w AS BIGINT) AS cnc
+  FROM byd WINDOW w AS (ORDER BY decile)
+)
+SELECT decile, cyt AS cum_treated_pos, cnt_t AS cum_treated,
+       cyc AS cum_control_pos, cnc AS cum_control,
+       CASE WHEN cnc > 0
+            THEN CAST(cyt AS BIGINT)
+                 - CAST(CAST(cyc AS HUGEINT) * cnt_t // cnc AS BIGINT)
+       END AS qini_scaled
+FROM cum ORDER BY decile
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI UPLIFT CURVE by score decile — the uplift-model
+    evaluation standard (Radcliffe): order the population by model
+    score (here the price score, BUILDING membership as the
+    'treatment' — the same derived task as the epidemiology 2×2),
+    then at each cumulative decile publish Qini(k) = Y_t(k) −
+    Y_c(k)·N_t(k)/N_c(k) — incremental positives versus a
+    control-scaled counterfactual. The only division is ONE
+    non-negative HUGEINT ⟷ decimal(38,0) floor per decile; ntile
+    runs on a deterministic (score, treated, key) total order so
+    decile boundaries are reproducible. Complements
+    decile_lift_table_returns (lift without a control arm) and
+    diff_in_diff (two-period, no ranking). Scale: one fact rollup,
+    two dim joins, one rank window + bounded decile rollup."""
+    lab = _lab(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    expo = (
+        lab.join(o, "o_orderkey")
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .select(
+            "score",
+            "pos",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("treated"),
+        )
+    )
+    rk = expo.select(
+        "pos",
+        "treated",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "treated", "pos"))
+        .alias("decile"),
+    )
+    byd = rk.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("pos")).otherwise(0)
+        ).alias("yt"),
+        F.sum("treated").alias("nt"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("pos")).otherwise(0)
+        ).alias("yc"),
+        F.sum(1 - F.col("treated")).alias("nc"),
+    )
+    w = Window.orderBy("decile")
+    cum = byd.select(
+        "decile",
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("nt").over(w).alias("cnt_t"),
+        F.sum("yc").over(w).alias("cyc"),
+        F.sum("nc").over(w).alias("cnc"),
+    )
+    return cum.selectExpr(
+        "decile",
+        "cyt AS cum_treated_pos",
+        "cnt_t AS cum_treated",
+        "cyc AS cum_control_pos",
+        "cnc AS cum_control",
+        "CASE WHEN cnc > 0 THEN CAST(cyt AS BIGINT)"
+        f" - CAST(CAST(cyc AS {_DEC}) * cnt_t div cnc AS BIGINT)"
+        " END AS qini_scaled",
+    ).orderBy("decile")
+
+
+@register(
+    "updown_streak_census_daily",
+    oracle="""
+WITH
+""" + _DAILY_RET_CTE + """,
+sgn AS (
+  SELECT x, CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END
+             AS s,
+         row_number() OVER (ORDER BY x) AS rn
+  FROM ret WHERE r IS NOT NULL
+),
+isl AS (
+  SELECT s, rn,
+         rn - row_number() OVER (PARTITION BY s ORDER BY rn) AS grp
+  FROM sgn
+),
+runs AS (
+  SELECT s, grp, CAST(count(*) AS BIGINT) AS len FROM isl
+  GROUP BY 1, 2
+)
+SELECT CAST(s AS INT) AS direction, CAST(len AS BIGINT) AS run_length,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY s, len ORDER BY direction, run_length
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def updown_streak_census_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UP/DOWN/FLAT STREAK CENSUS of daily revenue changes — the
+    full run-length distribution by direction (how many 1-day,
+    2-day, … up-streaks and down-streaks the series produced):
+    runs_test_daily_value publishes one test statistic; the census
+    IS the distribution momentum traders and randomness audits
+    actually read (IID ⇒ run lengths geometric with ratio ~1/2 per
+    sign — a surplus of long runs is trend persistence).
+    Gaps-and-islands per sign (rn − per-sign rank is constant
+    within a run — the longest_daily_streak trick partitioned by
+    direction); all outputs exact counts. Scale: calendar-bounded
+    day domain, two rank windows, one bounded census rollup."""
+    ret = _daily_ret(spark, sf_dir).filter(F.col("r").isNotNull())
+    sgn = ret.select(
+        "x",
+        F.when(F.col("r") > 0, 1)
+        .when(F.col("r") < 0, -1)
+        .otherwise(0)
+        .alias("s"),
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+    )
+    isl = sgn.select(
+        "s",
+        (
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("s").orderBy("rn")
+            )
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("s", "grp").agg(F.count("*").alias("len"))
+    return (
+        runs.groupBy("s", "len")
+        .agg(F.count("*").alias("n_runs"))
+        .selectExpr(
+            "CAST(s AS INT) AS direction",
+            "CAST(len AS BIGINT) AS run_length",
+            "n_runs",
+        )
+        .orderBy("direction", "run_length")
+    )

@@ -1741,3 +1741,71 @@ def test_arch_lm_brute(spark):
     assert got.r2_ppm == r2
     assert got.lm_stat_milli == m * r2 // 1000
     assert 0 <= r2 <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# Qini + streak census
+# ---------------------------------------------------------------------------
+
+
+def test_qini_brute(spark):
+    rows = _sql("""
+        WITH lab AS (
+          SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
+                 max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS pos,
+                 max(o.o_custkey) AS ck
+          FROM '{SF}/orders.parquet' o
+          JOIN '{SF}/lineitem.parquet' l
+            ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT lab.score, lab.pos,
+               CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+               END
+        FROM lab JOIN '{SF}/customer.parquet' cu
+          ON cu.c_custkey = lab.ck
+    """)
+    # replicate ntile(10) over (score DESC, treated, pos)
+    order = sorted(rows, key=lambda r: (-r[0], r[2], r[1]))
+    n = len(order)
+    base, rem = n // 10, n % 10
+    deciles = []
+    idx = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= rem else 0)
+        deciles.append(order[idx: idx + size])
+        idx += size
+    cyt = cnt_t = cyc = cnc = 0
+    got = _run(spark, "qini_uplift_deciles").set_index("decile")
+    for d, chunk in enumerate(deciles, start=1):
+        cyt += sum(p for _, p, t in chunk if t == 1)
+        cnt_t += sum(1 for *_, t in chunk if t == 1)
+        cyc += sum(p for _, p, t in chunk if t == 0)
+        cnc += sum(1 for *_, t in chunk if t == 0)
+        row = got.loc[d]
+        assert (row.cum_treated_pos, row.cum_treated) == (cyt, cnt_t)
+        assert (row.cum_control_pos, row.cum_control) == (cyc, cnc)
+        want = cyt - cyc * cnt_t // cnc if cnc > 0 else None
+        assert row.qini_scaled == want
+
+
+def test_updown_streak_census_brute(spark):
+    rets = [r for _, r in _returns(_daily_cents())]
+    signs = [1 if r > 0 else (-1 if r < 0 else 0) for r in rets]
+    census = defaultdict(int)
+    i = 0
+    while i < len(signs):
+        j = i
+        while j < len(signs) and signs[j] == signs[i]:
+            j += 1
+        census[(signs[i], j - i)] += 1
+        i = j
+    got = _run(spark, "updown_streak_census_daily")
+    assert [
+        (r.direction, r.run_length, r.n_runs)
+        for r in got.itertuples(index=False)
+    ] == [
+        (d, ln, c) for (d, ln), c in sorted(census.items())
+    ]
