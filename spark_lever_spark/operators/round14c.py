@@ -6284,3 +6284,157 @@ def updown_streak_census_daily(
         )
         .orderBy("direction", "run_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (KM product on the micro grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rmst_customer_tenure",
+    oracle="""
+WITH RECURSIVE per_cust AS MATERIALIZED (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_d
+            FROM orders),
+lab AS (
+  SELECT date_diff('day', first_d, last_d) // 90 AS bucket,
+         CASE WHEN date_diff('day', last_d,
+                             (SELECT end_d FROM horizon)) >= 180
+              THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+per_bucket AS MATERIALIZED (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(1 - churned) AS BIGINT) AS c
+  FROM lab GROUP BY 1
+),
+risk AS MATERIALIZED (
+  SELECT bucket, d,
+         CAST(SUM(d + c) OVER (ORDER BY bucket DESC) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY bucket) AS rn
+  FROM per_bucket
+),
+km AS (
+  SELECT bucket, rn, d, n,
+         CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.d, r.n,
+         CAST((km.s * (r.n - r.d)) // r.n AS BIGINT)
+  FROM risk r JOIN km ON r.rn = km.rn + 1
+)
+SELECT bucket, n AS n_risk, d AS n_events,
+       s AS survival_ppm,
+       CAST(SUM(s * 90) OVER (ORDER BY bucket) AS BIGINT)
+           AS rmst_ppm_days
+FROM km ORDER BY bucket
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def rmst_customer_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME over customer tenure — the
+    clinically-preferred summary when hazards aren't proportional
+    (RMST(τ) = ∫₀τ S(t)dt — "expected retained days within τ"),
+    built ON the km_life_table machinery (same 90-day buckets, same
+    censoring rule): the KM product S(t) = Π(1 − dᵢ/nᵢ) runs as a
+    per-step micro-floored integer recursion (sₖ = ⌊sₖ₋₁·(nₖ−dₖ)/nₖ⌋
+    — the documented discrete product, all non-negative so Spark
+    div = DuckDB //; a recursive CTE on the ≤ ~30-bucket domain in
+    the oracle, the keltner collect-sorted scan on Spark), and RMST
+    is the exact running Σ s·90 in ppm-days. Scale: one customer
+    rollup, then bucket-domain algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("end_d"))
+    lab = per_cust.join(F.broadcast(horizon)).select(
+        (F.datediff("last_d", "first_d") / 90)
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.datediff("end_d", "last_d") >= 180, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_bucket.select(
+        "bucket",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(wdesc).alias("n"),
+    )
+    allrows = risk.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "d", "n"))
+        ).alias("srt")
+    )
+    def _exact_div(num, den):
+        # exact non-negative integer floor-division on Column longs:
+        # (num - num % den) is exactly divisible, so the double
+        # division is exact (operands < 2^53) — floor(a/b) alone
+        # could round up across an integer boundary
+        return ((num - num % den) / den).cast("long")
+
+    scan = F.aggregate(
+        F.col("srt"),
+        F.expr(
+            "CAST(array() AS array<struct<bucket bigint, d bigint,"
+            " n bigint, s bigint>>)"
+        ),
+        lambda acc, r: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    r["bucket"].alias("bucket"),
+                    r["d"].alias("d"),
+                    r["n"].alias("n"),
+                    F.when(
+                        F.size(acc) == 0,
+                        _exact_div(
+                            F.lit(1000000).cast("long")
+                            * (r["n"] - r["d"]),
+                            r["n"],
+                        ),
+                    )
+                    .otherwise(
+                        _exact_div(
+                            F.element_at(acc, -1)["s"]
+                            * (r["n"] - r["d"]),
+                            r["n"],
+                        )
+                    )
+                    .cast("long")
+                    .alias("s"),
+                )
+            ),
+        ),
+    )
+    km = allrows.select(F.explode(scan).alias("r")).select(
+        F.col("r.bucket").alias("bucket"),
+        F.col("r.n").alias("n_risk"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.s").alias("survival_ppm"),
+    )
+    return km.select(
+        "bucket",
+        "n_risk",
+        "n_events",
+        "survival_ppm",
+        F.sum(F.col("survival_ppm") * 90)
+        .over(Window.orderBy("bucket"))
+        .alias("rmst_ppm_days"),
+    ).orderBy("bucket")

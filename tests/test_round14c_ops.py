@@ -1809,3 +1809,53 @@ def test_updown_streak_census_brute(spark):
     ] == [
         (d, ln, c) for (d, ln), c in sorted(census.items())
     ]
+
+
+# ---------------------------------------------------------------------------
+# RMST
+# ---------------------------------------------------------------------------
+
+
+def test_rmst_brute(spark):
+    per_cust = {}
+    for ck, od in _sql(
+        "SELECT o_custkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ):
+        d = od.date() if hasattr(od, "date") else od
+        if ck in per_cust:
+            lo, hi = per_cust[ck]
+            per_cust[ck] = (min(lo, d), max(hi, d))
+        else:
+            per_cust[ck] = (d, d)
+    end_d = max(hi for _, hi in per_cust.values())
+    buckets = defaultdict(lambda: [0, 0])
+    for lo, hi in per_cust.values():
+        b = (hi - lo).days // 90
+        churned = 1 if (end_d - hi).days >= 180 else 0
+        buckets[b][0] += churned
+        buckets[b][1] += 1 - churned
+    order = sorted(buckets)
+    suffix = 0
+    n_at = {}
+    for b in reversed(order):
+        suffix += sum(buckets[b])
+        n_at[b] = suffix
+    s = 10**6
+    rmst = 0
+    got = _run(spark, "rmst_customer_tenure").set_index("bucket")
+    assert len(got) == len(order)
+    for b in order:
+        d = buckets[b][0]
+        n = n_at[b]
+        s = (s * (n - d)) // n
+        rmst += s * 90
+        row = got.loc[b]
+        assert (row.n_risk, row.n_events) == (n, d)
+        assert row.survival_ppm == s
+        assert row.rmst_ppm_days == rmst
+    # survival is non-increasing
+    assert all(
+        a >= b for a, b in zip(
+            got.survival_ppm.tolist(), got.survival_ppm.tolist()[1:]
+        )
+    )
