@@ -6438,3 +6438,151 @@ def rmst_customer_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("bucket"))
         .alias("rmst_ppm_days"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc pairwise rank test + monthly pivot points
+# ---------------------------------------------------------------------------
+
+_DUNN_Z = (
+    "CASE WHEN (CAST(nn AS DOUBLE) * (nn + 1) * (nn - 1) - tt) > 0"
+    " THEN CAST(floor(CAST(num AS DOUBLE) * 1000"
+    " / (2 * sqrt((CAST(nn AS DOUBLE) * (nn + 1) * (nn - 1) - tt)"
+    " * CAST(ni AS DOUBLE) * nj * (ni + nj)"
+    " / (12.0 * (nn - 1))))) AS BIGINT) END"
+)
+
+
+@register(
+    "dunn_posthoc_priorities",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+pts AS (
+  SELECT x, priority, CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+),
+tv AS (
+  SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM pts GROUP BY 1
+),
+cum AS (
+  SELECT x, t,
+         CAST(SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t
+              AS BIGINT) AS before_all
+  FROM tv
+),
+grp AS (
+  SELECT p.priority, CAST(SUM(p.c) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(p.c AS HUGEINT)
+                  * (2 * cum.before_all + cum.t + 1)) AS HUGEINT)
+             AS s2r
+  FROM pts p JOIN cum ON cum.x = p.x GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS nn FROM grp
+),
+ties AS (
+  SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+  FROM tv
+),
+pairs AS (
+  SELECT a.priority AS pri_a, b.priority AS pri_b,
+         a.n_g AS ni, b.n_g AS nj,
+         CAST(a.s2r * b.n_g - b.s2r * a.n_g AS HUGEINT) AS num,
+         g.nn, CAST(ties.tt AS DOUBLE) AS tt
+  FROM grp a JOIN grp b ON b.priority > a.priority, g, ties
+)
+SELECT pri_a, pri_b, ni, nj,
+       CAST(FLOOR(CAST(num AS DOUBLE)
+            / CAST(2 * CAST(ni AS HUGEINT) * nj AS DOUBLE)) AS BIGINT)
+           AS mean_rank_diff_x1,
+       """ + _DUNN_Z + """ AS dunn_z_milli
+FROM pairs ORDER BY pri_a, pri_b
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def dunn_posthoc_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUNN'S POST-HOC TEST after Kruskal-Wallis — WHICH priority
+    pairs differ (KW only says "some do"): pairwise z = (R̄ᵢ−R̄ⱼ)/
+    √(V·(1/nᵢ+1/nⱼ)) with the tie-corrected rank variance V =
+    (n(n+1) − Σ(t³−t)/(n−1))/12, on the kruskal_wallis_priorities
+    machinery (doubled midranks 2·before+t+1 — integers ALWAYS; the
+    value-domain rollup, never a row-level rank). The rank-mean
+    difference cross-multiplies to the exact HUGEINT ⟷
+    decimal(38,0) numerator S2ᵢnⱼ − S2ⱼnᵢ; z is ONE shared double
+    tree (sqrt of exact products), milli-floored; the signed
+    mean-rank gap also publishes exactly (⌊num/2nᵢnⱼ⌋ — num is signed, and
+    DuckDB's HUGEINT // TRUNCATES on negatives while FLOOR(double)
+    floors, so BOTH engines publish via the identical FLOOR-on-
+    double text — operands ≪ 2⁵³, conversion exact). All 10 pairs.
+    Scale: value-domain rollups (cent-price domain), a 5-row
+    self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    pts = v.groupBy("x", "priority").agg(F.count("*").alias("c"))
+    tv = pts.groupBy("x").agg(F.sum("c").alias("t"))
+    wc = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tv.select(
+        "x",
+        "t",
+        (F.sum("t").over(wc) - F.col("t")).alias("before_all"),
+    )
+    grp = (
+        pts.join(cum, "x")
+        .groupBy("priority")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                F.col("c").cast(_DEC)
+                * (2 * F.col("before_all") + F.col("t") + 1)
+            ).alias("s2r"),
+        )
+    )
+    g = grp.agg(F.sum("n_g").alias("nn"))
+    ties = tv.agg(
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tt")
+    )
+    a = grp.selectExpr(
+        "priority AS pri_a", "n_g AS ni", "s2r AS s2a"
+    )
+    b = grp.selectExpr(
+        "priority AS pri_b", "n_g AS nj", "s2r AS s2b"
+    )
+    pairs = (
+        a.join(b, F.col("pri_b") > F.col("pri_a"))
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "pri_a",
+            "pri_b",
+            "ni",
+            "nj",
+            f"CAST(s2a * nj - s2b * ni AS {_DEC}) AS num",
+            "nn",
+            "CAST(tt AS DOUBLE) AS tt",
+        )
+    )
+    return pairs.selectExpr(
+        "pri_a",
+        "pri_b",
+        "ni",
+        "nj",
+        "CAST(FLOOR(CAST(num AS DOUBLE)"
+        f" / CAST(2 * CAST(ni AS {_DEC}) * nj AS DOUBLE)) AS BIGINT)"
+        " AS mean_rank_diff_x1",
+        _DUNN_Z + " AS dunn_z_milli",
+    ).orderBy("pri_a", "pri_b")

@@ -1859,3 +1859,52 @@ def test_rmst_brute(spark):
             got.survival_ppm.tolist(), got.survival_ppm.tolist()[1:]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_posthoc_brute(spark):
+    vals = defaultdict(list)
+    for pri, tp in _sql(
+        "SELECT o_orderpriority, o_totalprice FROM '{SF}/orders.parquet'"
+    ):
+        vals[pri].append(_cents(tp))
+    # doubled midranks over the pooled sample
+    pooled = sorted(
+        (x, pri) for pri, xs in vals.items() for x in xs
+    )
+    from itertools import groupby
+    pos = 0
+    rank2 = {}
+    tie_T = 0
+    for x, grp_iter in groupby(pooled, key=lambda p: p[0]):
+        grp_list = list(grp_iter)
+        t = len(grp_list)
+        tie_T += t ** 3 - t
+        rank2[x] = 2 * pos + t + 1
+        pos += t
+    s2r = {
+        pri: sum(rank2[x] for x in xs) for pri, xs in vals.items()
+    }
+    nn = sum(len(xs) for xs in vals.values())
+    pris = sorted(vals)
+    got = _run(spark, "dunn_posthoc_priorities").set_index(
+        ["pri_a", "pri_b"]
+    )
+    for i, pa in enumerate(pris):
+        for pb in pris[i + 1:]:
+            ni, nj = len(vals[pa]), len(vals[pb])
+            num = s2r[pa] * nj - s2r[pb] * ni
+            row = got.loc[(pa, pb)]
+            assert (row.ni, row.nj) == (ni, nj)
+            assert row.mean_rank_diff_x1 == math.floor(
+                float(num) / float(2 * ni * nj)
+            )
+            den = (
+                float(nn) * (nn + 1) * (nn - 1) - float(tie_T)
+            ) * ni * nj * (ni + nj) / (12.0 * (nn - 1))
+            want_z = math.floor(float(num) * 1000 / (2 * math.sqrt(den)))
+            assert row.dunn_z_milli == want_z
