@@ -6586,3 +6586,212 @@ def dunn_posthoc_priorities(
         " AS mean_rank_diff_x1",
         _DUNN_Z + " AS dunn_z_milli",
     ).orderBy("pri_a", "pri_b")
+
+
+# ---------------------------------------------------------------------------
+# Pivot points + forecast-quality monitors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_points_monthly",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+bars AS (
+  SELECT CAST(EXTRACT(year FROM DATE '1970-01-01' + INTERVAL (x) DAY)
+              * 100
+              + EXTRACT(month FROM DATE '1970-01-01' + INTERVAL (x)
+                        DAY) AS BIGINT) AS ym,
+         x, v
+  FROM daily
+),
+ohlc AS (
+  SELECT ym,
+         CAST(MAX(v) AS BIGINT) AS h, CAST(MIN(v) AS BIGINT) AS l,
+         CAST(max_by(v, x) AS BIGINT) AS c
+  FROM bars GROUP BY 1
+)
+SELECT ym, h AS high_cents, l AS low_cents, c AS close_cents,
+       CAST((h + l + c) * 1000 // 3 AS BIGINT) AS pivot_milli,
+       CAST(2 * ((h + l + c) * 1000 // 3) - l * 1000 AS BIGINT)
+           AS r1_milli,
+       CAST(2 * ((h + l + c) * 1000 // 3) - h * 1000 AS BIGINT)
+           AS s1_milli,
+       CAST((h + l + c) * 1000 // 3 + (h - l) * 1000 AS BIGINT)
+           AS r2_milli,
+       CAST((h + l + c) * 1000 // 3 - (h - l) * 1000 AS BIGINT)
+           AS s2_milli
+FROM ohlc ORDER BY ym
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def pivot_points_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIC FLOOR-TRADER PIVOT POINTS per month — the
+    support/resistance ladder (P = (H+L+C)/3; R1/S1 = 2P−L / 2P−H;
+    R2/S2 = P ± (H−L)) computed from monthly bars of the daily
+    revenue series (H/L = window extrema, C = last day's value via
+    max_by with the deterministic day key — the atr_sma14 bar
+    idiom). P lands on the milli grid by ONE non-negative
+    floor-division by 3; every other level is exact integer
+    arithmetic ON the published milli grid (levels derive from the
+    published pivot, not a hidden higher-precision one — the grid
+    is the contract). Scale: one rollup + bounded month-domain
+    algebra."""
+    daily = _daily_orders(spark, sf_dir)
+    bars = daily.select(
+        F.expr(
+            "CAST(EXTRACT(year FROM DATE '1970-01-01'"
+            " + make_interval(0, 0, 0, CAST(x AS INT))) * 100"
+            " + EXTRACT(month FROM DATE '1970-01-01'"
+            " + make_interval(0, 0, 0, CAST(x AS INT))) AS BIGINT)"
+        ).alias("ym"),
+        "x",
+        "v",
+    )
+    ohlc = bars.groupBy("ym").agg(
+        F.max("v").alias("h"),
+        F.min("v").alias("l"),
+        F.expr("max_by(v, x)").alias("c"),
+    )
+    return ohlc.selectExpr(
+        "ym",
+        "h AS high_cents",
+        "l AS low_cents",
+        "c AS close_cents",
+        "CAST((h + l + c) * 1000 div 3 AS BIGINT) AS pivot_milli",
+        "CAST(2 * ((h + l + c) * 1000 div 3) - l * 1000 AS BIGINT)"
+        " AS r1_milli",
+        "CAST(2 * ((h + l + c) * 1000 div 3) - h * 1000 AS BIGINT)"
+        " AS s1_milli",
+        "CAST((h + l + c) * 1000 div 3 + (h - l) * 1000 AS BIGINT)"
+        " AS r2_milli",
+        "CAST((h + l + c) * 1000 div 3 - (h - l) * 1000 AS BIGINT)"
+        " AS s2_milli",
+    ).orderBy("ym")
+
+
+_THEIL_U = (
+    "CASE WHEN sa > 0 OR sp > 0"
+    " THEN CAST(floor(sqrt(CAST(se AS DOUBLE) / n) * 1000000"
+    " / (sqrt(CAST(sa AS DOUBLE) / n) + sqrt(CAST(sp AS DOUBLE) / n)))"
+    " AS BIGINT) END"
+)
+
+
+@register(
+    "theil_u_naive_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+fc AS (
+  SELECT x, v, LAG(v) OVER (ORDER BY x) AS pred
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v - pred AS HUGEINT) * (v - pred)) AS HUGEINT)
+             AS se,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sa,
+         CAST(SUM(CAST(pred AS HUGEINT) * pred) AS HUGEINT) AS sp
+  FROM fc WHERE pred IS NOT NULL
+)
+SELECT n,
+       """ + _THEIL_U + """ AS theil_u1_ppm
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def theil_u_naive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S U₁ INEQUALITY COEFFICIENT of the naive (lag-1)
+    forecast — the bounded [0,1] forecast-quality score (0 =
+    perfect, 1 = worst): U₁ = RMSE/(RMS(actual) + RMS(forecast)),
+    the scale-free complement to seasonal_naive_error_ratio (MASE
+    compares against another forecast; U₁ normalizes by the series'
+    own magnitude). All three second moments are exact HUGEINT ⟷
+    decimal(38,0); U₁ is one fixed double tree (three sqrts of
+    exact integer ratios, one division — identical text both
+    engines), ppm-floored. Scale: one rollup + one lag window +
+    1-row reduce."""
+    daily = _daily_orders(spark, sf_dir)
+    fc = daily.select(
+        "x", "v", F.lag("v").over(Window.orderBy("x")).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    m = fc.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("v") - F.col("pred")).cast(_DEC)
+            * (F.col("v") - F.col("pred"))
+        ).alias("se"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("sa"),
+        F.sum(F.col("pred").cast(_DEC) * F.col("pred")).alias("sp"),
+    )
+    return m.selectExpr("n", _THEIL_U + " AS theil_u1_ppm")
+
+
+_TS_SEL = _ss_div("cfe * cnt", "sae", 1000)
+
+
+@register(
+    "tracking_signal_naive_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+fc AS (
+  SELECT x, CAST(v - LAG(v) OVER (ORDER BY x) AS BIGINT) AS e
+  FROM daily
+),
+run AS (
+  SELECT x, e,
+         CAST(SUM(e) OVER w AS BIGINT) AS cfe,
+         CAST(SUM(abs(e)) OVER w AS BIGINT) AS sae,
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM fc WHERE e IS NOT NULL
+  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+)
+SELECT x, e AS error_cents, cfe AS cum_error_cents,
+       CASE WHEN sae > 0 THEN """ + _duck(_TS_SEL) + """
+       END AS tracking_signal_milli
+FROM run ORDER BY x
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def tracking_signal_naive_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORECAST TRACKING SIGNAL of the naive (lag-1) forecast — the
+    running bias monitor every demand-planning loop keeps next to
+    its forecaster (Brown: TS = CFE/MAD, alarm at |TS| > 4; a
+    biased forecast drifts, an unbiased one oscillates near 0):
+    with MAD = Σ|e|/n the signal collapses to CFE·n/Σ|e| — both
+    running sums exact int64 via ONE unbounded prefix window, the
+    ratio a SIGN-SPLIT milli floor-division per day. The
+    MONITORING complement to the forecasting ops (croston/holt/
+    holt_winters publish forecasts; this publishes when to stop
+    trusting one). Scale: calendar-bounded day domain — one rollup,
+    one prefix window."""
+    daily = _daily_orders(spark, sf_dir)
+    fc = daily.select(
+        "x",
+        (F.col("v") - F.lag("v").over(Window.orderBy("x"))).alias("e"),
+    ).filter(F.col("e").isNotNull())
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = fc.select(
+        "x",
+        "e",
+        F.sum("e").over(w).alias("cfe"),
+        F.sum(F.abs(F.col("e"))).over(w).alias("sae"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return run.selectExpr(
+        "x",
+        "e AS error_cents",
+        "cfe AS cum_error_cents",
+        "CASE WHEN sae > 0 THEN " + _spark(_TS_SEL)
+        + " END AS tracking_signal_milli",
+    ).orderBy("x")

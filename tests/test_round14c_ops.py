@@ -1908,3 +1908,64 @@ def test_dunn_posthoc_brute(spark):
             ) * ni * nj * (ni + nj) / (12.0 * (nn - 1))
             want_z = math.floor(float(num) * 1000 / (2 * math.sqrt(den)))
             assert row.dunn_z_milli == want_z
+
+
+# ---------------------------------------------------------------------------
+# Pivot points + forecast monitors
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_points_brute(spark):
+    from datetime import date, timedelta as td
+    months = defaultdict(list)
+    for x, v in sorted(_daily_cents().items()):
+        d = date(1970, 1, 1) + td(days=x)
+        months[d.year * 100 + d.month].append((x, v))
+    got = _run(spark, "pivot_points_monthly").set_index("ym")
+    assert len(got) == len(months)
+    for ym, xs in months.items():
+        h = max(v for _, v in xs)
+        l = min(v for _, v in xs)
+        c = max(xs)[1]  # value at the max day
+        p = (h + l + c) * 1000 // 3
+        row = got.loc[ym]
+        assert (row.high_cents, row.low_cents, row.close_cents) == (
+            h, l, c,
+        )
+        assert row.pivot_milli == p
+        assert row.r1_milli == 2 * p - l * 1000
+        assert row.s1_milli == 2 * p - h * 1000
+        assert row.r2_milli == p + (h - l) * 1000
+        assert row.s2_milli == p - (h - l) * 1000
+
+
+def test_theil_u_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    es = [b - a for a, b in zip(vs, vs[1:])]
+    n = len(es)
+    se = sum(e * e for e in es)
+    sa = sum(v * v for v in vs[1:])
+    sp = sum(v * v for v in vs[:-1])
+    got = _run(spark, "theil_u_naive_daily").iloc[0]
+    assert got.n == n
+    want = math.floor(
+        math.sqrt(float(se) / n) * 10**6
+        / (math.sqrt(float(sa) / n) + math.sqrt(float(sp) / n))
+    )
+    assert got.theil_u1_ppm == want
+    assert 0 <= want <= 10**6
+
+
+def test_tracking_signal_brute(spark):
+    rets = _returns(_daily_cents())
+    got = _run(spark, "tracking_signal_naive_daily").set_index("x")
+    assert len(got) == len(rets)
+    cfe = sae = cnt = 0
+    for x, e in rets:
+        cfe += e
+        sae += abs(e)
+        cnt += 1
+        row = got.loc[x]
+        assert (row.error_cents, row.cum_error_cents) == (e, cfe)
+        want = _ssdiv(cfe * cnt, sae, 1000) if sae > 0 else None
+        assert row.tracking_signal_milli == want
