@@ -6795,3 +6795,261 @@ def tracking_signal_naive_daily(
         "CASE WHEN sae > 0 THEN " + _spark(_TS_SEL)
         + " END AS tracking_signal_milli",
     ).orderBy("x")
+
+
+# ---------------------------------------------------------------------------
+# Causal diagnostics: covariate balance + E-value
+# ---------------------------------------------------------------------------
+
+_SMD_SEL = (
+    "CASE WHEN nt > 1 AND nc > 1 AND"
+    " (CAST(qt AS DOUBLE) * nt - CAST(st AS DOUBLE) * st)"
+    " / (CAST(nt AS DOUBLE) * nt * (nt - 1))"
+    " + (CAST(qc AS DOUBLE) * nc - CAST(sc AS DOUBLE) * sc)"
+    " / (CAST(nc AS DOUBLE) * nc * (nc - 1)) > 0"
+    " THEN CAST(floor((CAST(st AS DOUBLE) / nt"
+    " - CAST(sc AS DOUBLE) / nc) * 1000"
+    " / sqrt(((CAST(qt AS DOUBLE) * nt - CAST(st AS DOUBLE) * st)"
+    " / (CAST(nt AS DOUBLE) * nt * (nt - 1))"
+    " + (CAST(qc AS DOUBLE) * nc - CAST(sc AS DOUBLE) * sc)"
+    " / (CAST(nc AS DOUBLE) * nc * (nc - 1))) / 2)) AS BIGINT) END"
+)
+
+
+@register(
+    "smd_covariate_balance_building",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS treated,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price,
+         CAST(EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
+              AS BIGINT) AS mth,
+         CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT)
+             AS prio_proxy
+  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+long AS (
+  SELECT treated, 'price_cents' AS covariate, price AS val FROM base
+  UNION ALL
+  SELECT treated, 'order_month', mth FROM base
+  UNION ALL
+  SELECT treated, 'priority_proxy', prio_proxy FROM base
+),
+m AS (
+  SELECT covariate,
+         CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nt,
+         CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nc,
+         CAST(SUM(CASE WHEN treated = 1 THEN val ELSE 0 END)
+              AS BIGINT) AS st,
+         CAST(SUM(CASE WHEN treated = 0 THEN val ELSE 0 END)
+              AS BIGINT) AS sc,
+         CAST(SUM(CASE WHEN treated = 1
+                  THEN CAST(val AS HUGEINT) * val ELSE 0 END)
+              AS HUGEINT) AS qt,
+         CAST(SUM(CASE WHEN treated = 0
+                  THEN CAST(val AS HUGEINT) * val ELSE 0 END)
+              AS HUGEINT) AS qc
+  FROM long GROUP BY 1
+)
+SELECT covariate, nt AS n_treated, nc AS n_control,
+       """ + _SMD_SEL + """ AS smd_milli
+FROM m ORDER BY covariate
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def smd_covariate_balance_building(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STANDARDIZED MEAN DIFFERENCE covariate-balance table for the
+    BUILDING 'treatment' — the table every observational study
+    prints FIRST (|SMD| < 0.1 ⇒ covariate balanced; the
+    prerequisite the odds-ratio / Qini queries implicitly assume):
+    SMD = (x̄_t − x̄_c)/√((s²_t + s²_c)/2) per covariate (order
+    price, order month, the numeric priority code), long-format. All moments
+    are exact int64/HUGEINT per arm; the SMD is one fixed double
+    tree (sample variances via the n·Q−S² collapse over n²(n−1) —
+    identical text both engines), milli-floored, degenerate arms
+    CASE-NULL. Scale: one dim join, one 3-covariate long rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(cu, o["o_custkey"] == cu["c_custkey"]).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price"),
+        F.month(F.to_date("o_orderdate")).cast("long").alias("mth"),
+        F.substring("o_orderpriority", 1, 1)
+        .cast("long")
+        .alias("prio_proxy"),
+    )
+    long = (
+        base.selectExpr(
+            "treated", "'price_cents' AS covariate", "price AS val"
+        )
+        .unionByName(
+            base.selectExpr(
+                "treated", "'order_month' AS covariate", "mth AS val"
+            )
+        )
+        .unionByName(
+            base.selectExpr(
+                "treated",
+                "'priority_proxy' AS covariate",
+                "prio_proxy AS val",
+            )
+        )
+    )
+    m = long.groupBy("covariate").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias(
+            "nt"
+        ),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias(
+            "nc"
+        ),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("val")).otherwise(0)
+        ).alias("st"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("val")).otherwise(0)
+        ).alias("sc"),
+        F.sum(
+            F.when(
+                F.col("treated") == 1,
+                F.col("val").cast(_DEC) * F.col("val"),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("qt"),
+        F.sum(
+            F.when(
+                F.col("treated") == 0,
+                F.col("val").cast(_DEC) * F.col("val"),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("qc"),
+    )
+    return m.selectExpr(
+        "covariate",
+        "nt AS n_treated",
+        "nc AS n_control",
+        _SMD_SEL + " AS smd_milli",
+    ).orderBy("covariate")
+
+
+_EVALUE_SEL = (
+    "CASE WHEN rr_ppm >= 1000000"
+    " THEN CAST(floor(CAST(rr_ppm AS DOUBLE) / 1000"
+    " + sqrt(CAST(rr_ppm AS DOUBLE) / 1000000"
+    " * (CAST(rr_ppm AS DOUBLE) / 1000000 - 1)) * 1000) AS BIGINT)"
+    " ELSE CAST(floor(1000000000.0 / rr_ppm"
+    " + sqrt(1000000.0 / rr_ppm"
+    " * (1000000.0 / rr_ppm - 1)) * 1000) AS BIGINT) END"
+)
+
+
+@register(
+    "evalue_building_returns",
+    oracle="""
+WITH
+""" + _LAB_CTE + """,
+expo AS (
+  SELECT lab.pos,
+         CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS exposed
+  FROM lab
+  JOIN orders o ON o.o_orderkey = lab.o_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN exposed = 1 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN exposed = 1 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN exposed = 0 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN exposed = 0 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM expo
+),
+rr AS (
+  SELECT a, b, c, d,
+         CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+              // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT) AS rr_ppm
+  FROM conf WHERE c > 0 AND a + b > 0
+)
+SELECT a, b, c, d, rr_ppm,
+       """ + _EVALUE_SEL + """ AS evalue_milli
+FROM rr
+""",
+    category="relational",
+    tags=("defer-window2",),
+)
+def evalue_building_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VANDERWEELE E-VALUE for the BUILDING→return risk ratio — the
+    sensitivity-analysis headline of modern epidemiology: the
+    minimum strength of unmeasured confounding (on the risk-ratio
+    scale, with both treatment and outcome) that could explain away
+    the observed association, E = RR* + √(RR*(RR*−1)) with RR* the
+    risk ratio oriented above 1 (the reciprocal convention for
+    protective effects, encoded in the CASE). RR comes exact from
+    the same 2×2 as odds_risk_ratio_building_returns (ppm
+    floor-division); the E-value is one fixed double tree on the
+    published rr_ppm grid (the grid is the contract), milli-
+    floored. An E-value near 1 says the smd-unbalanced covariates
+    could easily explain the effect — the three causal queries
+    (balance → effect → robustness) read as a pipeline. Scale: one
+    fact rollup + dim joins, 1-row algebra."""
+    lab = _lab(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    expo = (
+        lab.join(o, "o_orderkey")
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .select(
+            "pos",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("exposed"),
+        )
+    )
+    conf = expo.agg(
+        F.sum(
+            F.when((F.col("exposed") == 1) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("exposed") == 1) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("exposed") == 0) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("exposed") == 0) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("d"),
+    )
+    rr = conf.filter("c > 0 AND a + b > 0").selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        f"CAST(CAST(a AS {_DEC}) * (c + d) * 1000000"
+        f" div (CAST(c AS {_DEC}) * (a + b)) AS BIGINT) AS rr_ppm",
+    )
+    return rr.selectExpr(
+        "a", "b", "c", "d", "rr_ppm", _EVALUE_SEL + " AS evalue_milli"
+    )

@@ -1969,3 +1969,70 @@ def test_tracking_signal_brute(spark):
         assert (row.error_cents, row.cum_error_cents) == (e, cfe)
         want = _ssdiv(cfe * cnt, sae, 1000) if sae > 0 else None
         assert row.tracking_signal_milli == want
+
+
+# ---------------------------------------------------------------------------
+# Causal diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_smd_balance_brute(spark):
+    rows = _sql("""
+        SELECT CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+               END,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               EXTRACT(month FROM CAST(o.o_orderdate AS DATE)),
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' cu ON cu.c_custkey = o.o_custkey
+    """)
+    covs = {
+        "price_cents": [(t, p) for t, p, _, _ in rows],
+        "order_month": [(t, m) for t, _, m, _ in rows],
+        "priority_proxy": [(t, pr) for t, _, _, pr in rows],
+    }
+    got = _run(spark, "smd_covariate_balance_building").set_index(
+        "covariate"
+    )
+    for cov, pairs in covs.items():
+        tvals = [v for t, v in pairs if t == 1]
+        cvals = [v for t, v in pairs if t == 0]
+        nt, nc = len(tvals), len(cvals)
+        st, sc = sum(tvals), sum(cvals)
+        qt = sum(v * v for v in tvals)
+        qc = sum(v * v for v in cvals)
+        vt = (float(qt) * nt - float(st) * st) / (
+            float(nt) * nt * (nt - 1)
+        )
+        vc = (float(qc) * nc - float(sc) * sc) / (
+            float(nc) * nc * (nc - 1)
+        )
+        row = got.loc[cov]
+        assert (row.n_treated, row.n_control) == (nt, nc)
+        want = math.floor(
+            (float(st) / nt - float(sc) / nc) * 1000
+            / math.sqrt((vt + vc) / 2)
+        )
+        assert row.smd_milli == want
+
+
+def test_evalue_brute(spark):
+    got_or = _run(spark, "odds_risk_ratio_building_returns").iloc[0]
+    a, b, c, d = got_or.a, got_or.b, got_or.c, got_or.d
+    rr_ppm = a * (c + d) * 10**6 // (c * (a + b))
+    got = _run(spark, "evalue_building_returns").iloc[0]
+    assert (got.a, got.b, got.c, got.d) == (a, b, c, d)
+    assert got.rr_ppm == rr_ppm
+    # replicate the exact CASE tree
+    if rr_ppm >= 10**6:
+        want = math.floor(
+            rr_ppm / 1000
+            + math.sqrt(rr_ppm / 10**6 * (rr_ppm / 10**6 - 1)) * 1000
+        )
+    else:
+        want = math.floor(
+            10**9 / rr_ppm
+            + math.sqrt(10**6 / rr_ppm * (10**6 / rr_ppm - 1)) * 1000
+        )
+    assert got.evalue_milli == want
+    assert got.evalue_milli >= 1000  # E-value is always >= 1
