@@ -7053,3 +7053,130 @@ def evalue_building_returns(
     return rr.selectExpr(
         "a", "b", "c", "d", "rr_ppm", _EVALUE_SEL + " AS evalue_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter lower bound
+# ---------------------------------------------------------------------------
+
+_SWEEP_SQL = """
+walk{tag}(v, hop) AS (
+  SELECT {seed}, 0
+  UNION
+  SELECT s.pb, w.hop + 1
+  FROM walk{tag} w JOIN sym s ON s.pa = w.v
+  WHERE w.hop < 4
+),
+dist{tag} AS (
+  SELECT v, CAST(min(hop) AS BIGINT) AS hop FROM walk{tag} GROUP BY v
+),
+far{tag} AS (
+  SELECT v, hop FROM dist{tag}
+  ORDER BY hop DESC, v LIMIT 1
+)"""
+
+
+@register(
+    "diameter_double_sweep_copurchase",
+    oracle="""
+WITH RECURSIVE
+""" + _COPURCHASE_CTE.replace(
+        "pairs AS (", "pairs AS MATERIALIZED ("
+    ) + """,
+sym AS MATERIALIZED (
+  SELECT pa, pb FROM pairs UNION ALL SELECT pb, pa FROM pairs
+),
+""" + _SWEEP_SQL.format(tag="1", seed="(SELECT min(pa) FROM sym)")
+    + ","
+    + _SWEEP_SQL.format(tag="2", seed="(SELECT v FROM far1)") + """
+SELECT (SELECT min(pa) FROM sym) AS start_vertex,
+       (SELECT v FROM far1) AS turn_vertex,
+       (SELECT hop FROM far1) AS first_sweep_dist,
+       (SELECT v FROM far2) AS far_vertex,
+       (SELECT hop FROM far2) AS diameter_lower_bound,
+       (SELECT CAST(count(*) AS BIGINT) FROM dist2) AS n_reached
+""",
+    category="llm_graph",
+    tags=("defer-window2",),
+)
+def diameter_double_sweep_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOUBLE-SWEEP DIAMETER LOWER BOUND of the co-purchase graph —
+    the classic 2-BFS heuristic (Magnien/Latapy/Habib: BFS from an
+    arbitrary vertex, re-BFS from the farthest found; the second
+    eccentricity is a lower bound that is EXACT on trees and
+    near-tight in practice — how 'how wide is the catalog graph'
+    gets answered without all-pairs work): both sweeps are the
+    bfs_hops_copurchase frontier-relaxation (hop budget 4, a query
+    constant; each round ONE frontier-adjacency equi-join with the
+    visited-set anti-join, per-round persist — the iterative-
+    algorithm caching doctrine), the turn vertex picked by the
+    deterministic (hop DESC, vertex) order. Scale: 2 × 4 bounded
+    rounds of Σdeg-work joins."""
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    sym = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).persist()
+
+    def sweep(seed_df):
+        # seed_df: single row (v) — frontier relaxation, 4 bounded
+        # rounds (the bfs_hops budget), built LAZILY: no per-round
+        # driver action — one collect at the end materializes the
+        # whole sweep (per-round isEmpty/count actions measured ~3s
+        # of job overhead each on a graph this small)
+        dist = seed_df.select(
+            F.col("v"), F.lit(0).cast("long").alias("hop")
+        ).localCheckpoint()
+        frontier = dist
+        for hop in range(1, 5):
+            fr = frontier.select(F.col("v").alias("fv"))
+            visited = dist.select(F.col("v").alias("dv"))
+            sy = sym.alias("sy")
+            nxt = frontier = (
+                fr.join(sy, F.col("fv") == F.col("sy.u"))
+                .select(F.col("sy.v").alias("nv"))
+                .distinct()
+                .join(
+                    visited, F.col("nv") == F.col("dv"), "left_anti"
+                )
+                .select(
+                    F.col("nv").alias("v"),
+                    F.lit(hop).cast("long").alias("hop"),
+                )
+            )
+            # localCheckpoint truncates the per-round lineage: the
+            # lazy 4-round DAG otherwise compounds to ~200 stages of
+            # shuffle bookkeeping on a graph this small
+            dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        far_rows = (
+            dist.orderBy(F.desc("hop"), "v").limit(1).collect()
+        )
+        n_reached = dist.count()
+        return far_rows[0], n_reached
+
+    start = sym.agg(F.min("u").alias("v"))
+    far1, _ = sweep(start)
+    far2, n2 = sweep(
+        sym.sparkSession.createDataFrame([(far1["v"],)], "v bigint")
+    )
+    start_v = start.collect()[0]["v"]
+    pairs.unpersist()
+    sym.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(start_v),
+                int(far1["v"]),
+                int(far1["hop"]),
+                int(far2["v"]),
+                int(far2["hop"]),
+                int(n2),
+            )
+        ],
+        "start_vertex bigint, turn_vertex bigint,"
+        " first_sweep_dist bigint, far_vertex bigint,"
+        " diameter_lower_bound bigint, n_reached bigint",
+    )

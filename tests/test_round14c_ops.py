@@ -2036,3 +2036,43 @@ def test_evalue_brute(spark):
         )
     assert got.evalue_milli == want
     assert got.evalue_milli >= 1000  # E-value is always >= 1
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter
+# ---------------------------------------------------------------------------
+
+
+def test_diameter_double_sweep_brute(spark):
+    edges = _copurchase_edges()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(seed):
+        dist = {seed: 0}
+        frontier = [seed]
+        for hop in range(1, 5):
+            nxt = set()
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt.add(w)
+            for w in nxt:
+                dist[w] = hop
+            frontier = sorted(nxt)
+        far = max(dist.items(), key=lambda p: (p[1], -p[0]))
+        # deterministic tie-break: max hop, MIN vertex
+        best_hop = max(dist.values())
+        far_v = min(v for v, h in dist.items() if h == best_hop)
+        return far_v, best_hop, len(dist)
+
+    start = min(adj)
+    turn_v, d1, _ = bfs(start)
+    far_v, d2, n2 = bfs(turn_v)
+    got = _run(spark, "diameter_double_sweep_copurchase").iloc[0]
+    assert (got.start_vertex, got.turn_vertex, got.first_sweep_dist) \
+        == (start, turn_v, d1)
+    assert (got.far_vertex, got.diameter_lower_bound, got.n_reached) \
+        == (far_v, d2, n2)
