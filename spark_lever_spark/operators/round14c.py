@@ -3,10 +3,30 @@
 Families this module adds (SURVEY.md §2 growth areas):
 
 - the portfolio-risk ratio family on the daily revenue series
-  (Sortino, historical VaR/CVaR, Omega, Calmar, Kelly fraction),
-- two-series risk diagnostics of the orders series against the
-  shipped-lineitem "market" series (beta + information ratio,
-  up/down capture ratios).
+  (Sortino, historical VaR/CVaR, Omega, Calmar, Kelly fraction) and
+  two-series diagnostics vs the shipped-lineitem "market" (beta +
+  information ratio, up/down capture, drawdown spells),
+- SPC: p-chart, c-chart, Western Electric zone rules, EWMA control
+  chart with exact time-varying limits, Chebyshev coverage audit,
+- diversity/inequality: Simpson battery, Atkinson-2, Palma+Hoover,
+  CR-k concentration, token Gini, Gini mean difference,
+- ML evaluation: average precision, MCC/Youden battery, held-out
+  Brier, odds/risk ratios, Qini uplift, clustering quality
+  (simplified silhouette, Calinski-Harabasz),
+- causal diagnostics: SMD covariate balance, E-value, partial
+  correlation, adstock regression,
+- time series: square-wave periodogram, SampEn kernel, KPSS,
+  Dickey-Fuller, ARCH LM, permutation census, DPO/CMO/StochRSI/KST,
+  pivot points, Theil U1, tracking signal, turning-points/records
+  tests, Siegel repeated medians, up/down streak census,
+- survey sampling: Kish deff, Horvitz-Thompson audit, grouped
+  jackknife; apportionment (D'Hondt/Sainte-Laguë); chain-ladder;
+  Erlang-B; linear-counting audit; RMST on the KM product,
+- graph: rich-club profile, 3-truss peel, preferential attachment,
+  double-sweep diameter bound,
+- text/multimodal/embeddings: dyadic Zipf slope, Hellinger drift,
+  BM25 (rational RSJ idf), PGM moments, WAV difference energy,
+  centroid drift; the GROUPED_AGG pandas-UDF surface (exact IQR).
 
 Every query follows the exact-arithmetic oracle doctrine
 (spark_lever_spark/functions/exact.py): int64 cents, HUGEINT ⟷
