@@ -7200,3 +7200,123 @@ def diameter_double_sweep_copurchase(
         " first_sweep_dist bigint, far_vertex bigint,"
         " diameter_lower_bound bigint, n_reached bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event predictability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_predictability_event_types",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+st AS (
+  SELECT from_type,
+         CAST(SUM(c) AS BIGINT) AS n_s,
+         CAST(MAX(c) AS BIGINT) AS c_max,
+         CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS rep2
+  FROM tr GROUP BY 1
+),
+rows_out AS (
+  SELECT from_type, n_s, c_max,
+         CAST(c_max * 1000000 // n_s AS BIGINT) AS greedy_acc_ppm,
+         CASE WHEN n_s > 1
+              THEN CAST(rep2 * 1000000
+                   // (CAST(n_s AS HUGEINT) * (n_s - 1)) AS BIGINT)
+         END AS renyi2_ppm
+  FROM st
+  UNION ALL
+  SELECT '__ALL__',
+         CAST(SUM(n_s) AS BIGINT),
+         CAST(SUM(c_max) AS BIGINT),
+         CAST(SUM(c_max) * 1000000 // SUM(n_s) AS BIGINT),
+         CAST(SUM(rep2 * 1000000
+              // (CAST(n_s AS HUGEINT) * (n_s - 1)) * n_s)
+              // SUM(n_s) AS BIGINT)
+  FROM st WHERE n_s > 1
+)
+SELECT from_type, n_s AS n_transitions, c_max AS modal_count,
+       greedy_acc_ppm, renyi2_ppm
+FROM rows_out ORDER BY from_type
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def markov_predictability_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEXT-EVENT PREDICTABILITY of the event-type Markov chain —
+    what markov_transition_matrix's raw probabilities don't
+    summarize: per source state, the GREEDY accuracy (share of
+    transitions the argmax predictor gets right — the ceiling of
+    any deterministic next-event model) and the Rényi-2 collision
+    rate Σc(c−1)/n(n−1) (probability two random transitions from
+    this state agree — the log-free entropy surrogate, same kernel
+    as the permutation census). The '__ALL__' row weights per-state
+    values by transition mass: greedy accuracy aggregates EXACTLY
+    (Σ modal counts / Σ n), the pooled Rényi-2 is the n_s-weighted
+    mean of the per-state ppm values (per-term floored, the
+    documented grid). Scale: one per-user lead window, bounded
+    type-pair rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wt).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("c")
+    )
+    st = tr.groupBy("from_type").agg(
+        F.sum("c").alias("n_s"),
+        F.max("c").alias("c_max"),
+        F.sum(F.col("c").cast(_DEC) * (F.col("c") - 1)).alias("rep2"),
+    )
+    per_state = st.selectExpr(
+        "from_type",
+        "n_s",
+        "c_max",
+        "CAST(c_max * 1000000 div n_s AS BIGINT) AS greedy_acc_ppm",
+        "CASE WHEN n_s > 1 THEN CAST(rep2 * 1000000"
+        f" div (CAST(n_s AS {_DEC}) * (n_s - 1)) AS BIGINT)"
+        " END AS renyi2_ppm",
+    )
+    overall = st.filter("n_s > 1").agg(
+        F.sum("n_s").alias("n_s"),
+        F.sum("c_max").alias("c_max"),
+        F.expr(
+            "CAST(SUM(c_max) * 1000000 div SUM(n_s) AS BIGINT)"
+        ).alias("greedy_acc_ppm"),
+        F.expr(
+            "CAST(SUM(rep2 * 1000000"
+            f" div (CAST(n_s AS {_DEC}) * (n_s - 1)) * n_s)"
+            " div SUM(n_s) AS BIGINT)"
+        ).alias("renyi2_ppm"),
+    ).selectExpr(
+        "'__ALL__' AS from_type",
+        "n_s",
+        "c_max",
+        "greedy_acc_ppm",
+        "renyi2_ppm",
+    )
+    return (
+        per_state.unionByName(overall)
+        .selectExpr(
+            "from_type",
+            "n_s AS n_transitions",
+            "c_max AS modal_count",
+            "greedy_acc_ppm",
+            "renyi2_ppm",
+        )
+        .orderBy("from_type")
+    )

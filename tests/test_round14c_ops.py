@@ -2076,3 +2076,43 @@ def test_diameter_double_sweep_brute(spark):
         == (start, turn_v, d1)
     assert (got.far_vertex, got.diameter_lower_bound, got.n_reached) \
         == (far_v, d2, n2)
+
+
+# ---------------------------------------------------------------------------
+# Markov predictability
+# ---------------------------------------------------------------------------
+
+
+def test_markov_predictability_brute(spark):
+    seqs = defaultdict(list)
+    for uid, ts, eid, et in _sql(
+        "SELECT user_id, ts, event_id, event_type"
+        " FROM '{SF}/events.parquet' ORDER BY ts, event_id"
+    ):
+        seqs[uid].append(et)
+    trans = defaultdict(lambda: defaultdict(int))
+    for types in seqs.values():
+        for a, b in zip(types, types[1:]):
+            trans[a][b] += 1
+    got = _run(spark, "markov_predictability_event_types").set_index(
+        "from_type"
+    )
+    tot_n = tot_max = 0
+    weighted = 0
+    for ft, tos in trans.items():
+        n_s = sum(tos.values())
+        c_max = max(tos.values())
+        rep2 = sum(c * (c - 1) for c in tos.values())
+        row = got.loc[ft]
+        assert (row.n_transitions, row.modal_count) == (n_s, c_max)
+        assert row.greedy_acc_ppm == c_max * 10**6 // n_s
+        r2 = rep2 * 10**6 // (n_s * (n_s - 1)) if n_s > 1 else None
+        assert row.renyi2_ppm == r2
+        if n_s > 1:
+            tot_n += n_s
+            tot_max += c_max
+            weighted += r2 * n_s
+    row = got.loc["__ALL__"]
+    assert (row.n_transitions, row.modal_count) == (tot_n, tot_max)
+    assert row.greedy_acc_ppm == tot_max * 10**6 // tot_n
+    assert row.renyi2_ppm == weighted // tot_n
