@@ -7320,3 +7320,138 @@ def markov_predictability_event_types(
         )
         .orderBy("from_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength (eta-squared) at two calendar grains
+# ---------------------------------------------------------------------------
+
+_SEAS_GRAIN = """
+  SELECT '{name}' AS seasonality, {key} AS g, x, v FROM daily
+"""
+
+
+@register(
+    "seasonal_strength_eta_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+keyed AS (
+""" + _SEAS_GRAIN.format(name="dow", key="x % 7")
+    + " UNION ALL "
+    + _SEAS_GRAIN.format(
+        name="month",
+        key="CAST(EXTRACT(month FROM DATE '1970-01-01'"
+        " + INTERVAL (x) DAY) AS BIGINT)",
+    ) + """
+),
+tot AS (
+  SELECT seasonality, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM keyed GROUP BY 1
+),
+grps AS (
+  SELECT seasonality, g, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(SUM(v) AS BIGINT) AS s_g
+  FROM keyed GROUP BY 1, 2
+),
+ssb AS (
+  SELECT grps.seasonality,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(SUM((CAST(tot.n AS HUGEINT) * grps.s_g
+                   - CAST(grps.n_g AS HUGEINT) * tot.s)
+                  * (CAST(tot.n AS HUGEINT) * grps.s_g
+                     - CAST(grps.n_g AS HUGEINT) * tot.s)
+                  // grps.n_g) AS HUGEINT) AS b_terms
+  FROM grps JOIN tot ON tot.seasonality = grps.seasonality
+  GROUP BY 1
+)
+SELECT ssb.seasonality, ssb.n_groups,
+       CASE WHEN CAST(tot.n AS HUGEINT) * tot.q
+                 - CAST(tot.s AS HUGEINT) * tot.s > 0
+            THEN CAST(ssb.b_terms * 1000000
+                 // (CAST(tot.n AS HUGEINT)
+                     * (CAST(tot.n AS HUGEINT) * tot.q
+                        - CAST(tot.s AS HUGEINT) * tot.s))
+                 AS BIGINT)
+       END AS eta_sq_ppm
+FROM ssb JOIN tot ON tot.seasonality = ssb.seasonality
+ORDER BY ssb.seasonality
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def seasonal_strength_eta_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL STRENGTH η² at two calendar grains — the variance
+    share a pure weekday effect (x mod 7 — epoch-phase weekday) and
+    a pure month-of-year effect each explain in daily revenue
+    (η² = SSB/SST, the effect-size the anova_f machinery tests but
+    never publishes as a bounded [0,1] share; STL's
+    seasonal-strength statistic in its exact discrete form):
+    per-group terms (n·S_g − n_g·S)²/n_g are per-term-floored exact
+    HUGEINT ⟷ decimal(38,0) (documented discrete variant), SST is
+    the usual n·Q − S² collapse, the ratio one ppm floor-division.
+    Long format: one row per seasonality, directly comparable —
+    the planning question is WHICH calendar grain drives the
+    series. Scale: one rollup, two bounded group rollups."""
+    daily = _daily_orders(spark, sf_dir)
+    keyed = daily.selectExpr(
+        "'dow' AS seasonality", "x % 7 AS g", "x", "v"
+    ).unionByName(
+        daily.selectExpr(
+            "'month' AS seasonality",
+            "CAST(EXTRACT(month FROM DATE '1970-01-01'"
+            " + make_interval(0, 0, 0, CAST(x AS INT))) AS BIGINT)"
+            " AS g",
+            "x",
+            "v",
+        )
+    )
+    tot = keyed.groupBy("seasonality").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    grps = keyed.groupBy("seasonality", "g").agg(
+        F.count("*").alias("n_g"), F.sum("v").alias("s_g")
+    )
+    ssb = (
+        grps.join(tot, "seasonality")
+        .groupBy("seasonality")
+        .agg(
+            F.count("*").alias("n_groups"),
+            # Spark `div` returns BIGINT and the per-group term
+            # exceeds int64 — floor-divide in decimal instead:
+            # (x - x % n_g) is exactly divisible, the decimal
+            # division exact, re-cast to decimal(38,0)
+            F.sum(
+                F.expr(
+                    f"CAST(((CAST(n AS {_DEC}) * s_g"
+                    f" - CAST(n_g AS {_DEC}) * s)"
+                    f" * (CAST(n AS {_DEC}) * s_g"
+                    f" - CAST(n_g AS {_DEC}) * s)"
+                    f" - (CAST(n AS {_DEC}) * s_g"
+                    f" - CAST(n_g AS {_DEC}) * s)"
+                    f" * (CAST(n AS {_DEC}) * s_g"
+                    f" - CAST(n_g AS {_DEC}) * s) % n_g) / n_g"
+                    f" AS {_DEC})"
+                )
+            ).alias("b_terms"),
+        )
+    )
+    return (
+        ssb.join(tot, "seasonality")
+        .selectExpr(
+            "seasonality",
+            "n_groups",
+            f"CASE WHEN CAST(n AS {_DEC}) * q"
+            f" - CAST(s AS {_DEC}) * s > 0"
+            f" THEN CAST(b_terms * 1000000 div (CAST(n AS {_DEC})"
+            f" * (CAST(n AS {_DEC}) * q - CAST(s AS {_DEC}) * s))"
+            " AS BIGINT) END AS eta_sq_ppm",
+        )
+        .orderBy("seasonality")
+    )

@@ -2116,3 +2116,42 @@ def test_markov_predictability_brute(spark):
     assert (row.n_transitions, row.modal_count) == (tot_n, tot_max)
     assert row.greedy_acc_ppm == tot_max * 10**6 // tot_n
     assert row.renyi2_ppm == weighted // tot_n
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_strength_brute(spark):
+    from datetime import date, timedelta as td
+    xs = sorted(_daily_cents().items())
+    n = len(xs)
+    s = sum(v for _, v in xs)
+    q = sum(v * v for _, v in xs)
+    sst_n = n * q - s * s
+    got = _run(spark, "seasonal_strength_eta_daily").set_index(
+        "seasonality"
+    )
+
+    def eta(keyfn):
+        groups = defaultdict(lambda: [0, 0])
+        for x, v in xs:
+            g = keyfn(x)
+            groups[g][0] += 1
+            groups[g][1] += v
+        b = 0
+        for n_g, s_g in groups.values():
+            dev = n * s_g - n_g * s
+            b += dev * dev // n_g
+        return len(groups), b * 10**6 // (n * sst_n)
+
+    ng_dow, eta_dow = eta(lambda x: x % 7)
+    ng_mon, eta_mon = eta(
+        lambda x: (date(1970, 1, 1) + td(days=x)).month
+    )
+    row = got.loc["dow"]
+    assert (row.n_groups, row.eta_sq_ppm) == (ng_dow, eta_dow)
+    row = got.loc["month"]
+    assert (row.n_groups, row.eta_sq_ppm) == (ng_mon, eta_mon)
+    assert 0 <= eta_dow <= 10**6 and 0 <= eta_mon <= 10**6
