@@ -6124,7 +6124,7 @@ def arch_lm_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH
 """ + _LAB_CTE + """,
 expo AS (
-  SELECT lab.score, lab.pos,
+  SELECT lab.score, lab.pos, lab.o_orderkey AS okey,
          CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
              AS treated
   FROM lab
@@ -6133,7 +6133,8 @@ expo AS (
 ),
 rk AS (
   SELECT pos, treated,
-         ntile(10) OVER (ORDER BY score DESC, treated, pos) AS decile
+         ntile(10) OVER (ORDER BY score DESC, treated, pos, okey)
+             AS decile
   FROM expo
 ),
 byd AS (
@@ -6186,23 +6187,36 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # global decile WITHOUT a single-task ntile window: grank's
+    # binned 2-pass global rank + the exact ntile_from_rank closed
+    # form (the order is made TOTAL by the okey tiebreak — an
+    # ntile over a non-total order is nondeterministic)
+    from spark_lever_spark.operators.grank import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
     expo = (
         lab.join(o, "o_orderkey")
         .join(cu, o["o_custkey"] == cu["c_custkey"])
         .select(
             "score",
             "pos",
+            F.col("o_orderkey").alias("okey"),
             F.when(F.col("c_mktsegment") == "BUILDING", 1)
             .otherwise(0)
             .alias("treated"),
         )
     )
-    rk = expo.select(
+    ranked = with_global_rank(
+        expo, -F.col("score"), ["treated", "pos", "okey"]
+    )
+    rk = ranked.select(
         "pos",
         "treated",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "treated", "pos"))
-        .alias("decile"),
+        ntile_from_rank(
+            F.col("_rk"), F.col("_n_tot"), 10
+        ).alias("decile"),
     )
     byd = rk.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.sum(

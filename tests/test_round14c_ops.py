@@ -1763,12 +1763,13 @@ def test_qini_brute(spark):
         )
         SELECT lab.score, lab.pos,
                CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0
-               END
+               END,
+               lab.o_orderkey
         FROM lab JOIN '{SF}/customer.parquet' cu
           ON cu.c_custkey = lab.ck
     """)
-    # replicate ntile(10) over (score DESC, treated, pos)
-    order = sorted(rows, key=lambda r: (-r[0], r[2], r[1]))
+    # replicate ntile(10) over (score DESC, treated, pos, okey)
+    order = sorted(rows, key=lambda r: (-r[0], r[2], r[1], r[3]))
     n = len(order)
     base, rem = n // 10, n % 10
     deciles = []
@@ -1780,10 +1781,10 @@ def test_qini_brute(spark):
     cyt = cnt_t = cyc = cnc = 0
     got = _run(spark, "qini_uplift_deciles").set_index("decile")
     for d, chunk in enumerate(deciles, start=1):
-        cyt += sum(p for _, p, t in chunk if t == 1)
-        cnt_t += sum(1 for *_, t in chunk if t == 1)
-        cyc += sum(p for _, p, t in chunk if t == 0)
-        cnc += sum(1 for *_, t in chunk if t == 0)
+        cyt += sum(p for _, p, t, _k in chunk if t == 1)
+        cnt_t += sum(1 for _, _p, t, _k in chunk if t == 1)
+        cyc += sum(p for _, p, t, _k in chunk if t == 0)
+        cnc += sum(1 for _, _p, t, _k in chunk if t == 0)
         row = got.loc[d]
         assert (row.cum_treated_pos, row.cum_treated) == (cyt, cnt_t)
         assert (row.cum_control_pos, row.cum_control) == (cyc, cnc)
