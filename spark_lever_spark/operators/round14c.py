@@ -7469,3 +7469,135 @@ def seasonal_strength_eta_daily(
         )
         .orderBy("seasonality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval recall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "matryoshka_prefix_recall",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < 20
+),
+pairs AS (
+  SELECT q.qid, e.vec_id AS cid,
+         CAST(SUM(CAST(floor(CAST(q.qe[CAST(t.i AS INT) + 1]
+                             AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(e.embedding[CAST(t.i AS INT) + 1]
+                               AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+              AS BIGINT) AS dot_full,
+         CAST(SUM(CASE WHEN t.i < 16
+                  THEN CAST(floor(CAST(q.qe[CAST(t.i AS INT) + 1]
+                            AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                       * CAST(floor(CAST(e.embedding[CAST(t.i AS INT)
+                                    + 1] AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS dot_16
+  FROM q, embeddings e, LATERAL unnest(range(len(q.qe))) AS t(i)
+  WHERE e.vec_id <> q.qid
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot_full DESC, cid) AS r_full,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot_16 DESC, cid) AS r_16
+  FROM pairs
+),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM rk a JOIN rk b
+    ON b.qid = a.qid AND b.cid = a.cid
+  WHERE a.r_full <= 10 AND b.r_16 <= 10
+  GROUP BY 1
+)
+SELECT q.qid AS query_id, COALESCE(h.n_overlap, 0) AS overlap_at_10,
+       CAST(COALESCE(h.n_overlap, 0) * 100000 AS BIGINT)
+           AS recall_ppm
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY query_id
+""",
+    category="llm_similarity",
+    tags=("defer-window2",),
+)
+def matryoshka_prefix_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATRYOSHKA PREFIX-DIMENSION RECALL@10 — the evaluation
+    behind dimension-truncated (MRL-style) retrieval: for each of
+    the first 20 query vectors, rank the corpus by exact
+    milli-grid dot product using ONLY the first 16 of 64
+    dimensions, and report the overlap with the full-dimension
+    top-10 (recall = overlap/10 in ppm). This is the measurement a
+    vector-store operator runs before switching to truncated
+    embeddings (¼ the memory/bandwidth — what does it cost in
+    recall?); complements ann_jl_projected_topk (random projection)
+    with the PREFIX projection MRL training promises.
+    Exactness: components quantize to the shared milli grid
+    (floor(v·1000 + 0.5)), dot products are exact int64 sums,
+    ranks deterministic (dot DESC, vec_id). Scale: 20 × N exact
+    scoring — the brute baseline; the IVF/LSH variants are the
+    scale path (same doctrine as knn_cosine_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).selectExpr(
+        "vec_id",
+        "pos",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q",
+    )
+    qc = comp.filter(F.col("vec_id") < 20).selectExpr(
+        "vec_id AS qid", "pos AS qpos", "q AS qq"
+    )
+    pairs = (
+        F.broadcast(qc)
+        .join(
+            comp.selectExpr(
+                "vec_id AS cid", "pos AS cpos", "q AS cq"
+            ),
+            (F.col("qpos") == F.col("cpos"))
+            & (F.col("cid") != F.col("qid")),
+        )
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.col("qq") * F.col("cq")).alias("dot_full"),
+            F.sum(
+                F.when(
+                    F.col("qpos") < 16, F.col("qq") * F.col("cq")
+                ).otherwise(0)
+            ).alias("dot_16"),
+        )
+    )
+    wq_full = Window.partitionBy("qid").orderBy(
+        F.desc("dot_full"), "cid"
+    )
+    wq_16 = Window.partitionBy("qid").orderBy(F.desc("dot_16"), "cid")
+    rk = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(wq_full).alias("r_full"),
+        F.row_number().over(wq_16).alias("r_16"),
+    )
+    hits = (
+        rk.filter((F.col("r_full") <= 10) & (F.col("r_16") <= 10))
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        q.join(hits, q["query_id"] == hits["qid"], "left")
+        .selectExpr(
+            "query_id",
+            "COALESCE(n_overlap, 0) AS overlap_at_10",
+            "CAST(COALESCE(n_overlap, 0) * 100000 AS BIGINT)"
+            " AS recall_ppm",
+        )
+        .orderBy("query_id")
+    )

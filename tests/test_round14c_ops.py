@@ -2156,3 +2156,42 @@ def test_seasonal_strength_brute(spark):
     row = got.loc["month"]
     assert (row.n_groups, row.eta_sq_ppm) == (ng_mon, eta_mon)
     assert 0 <= eta_dow <= 10**6 and 0 <= eta_mon <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix recall
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_brute(spark):
+    vecs = {}
+    for vid, emb in _sql(
+        "SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ):
+        vecs[vid] = [math.floor(float(v) * 1000 + 0.5) for v in emb]
+    got = _run(spark, "matryoshka_prefix_recall").set_index("query_id")
+    qids = sorted(v for v in vecs if v < 20)
+    assert len(got) == len(qids)
+    for qid in qids:
+        qv = vecs[qid]
+        scored = []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            full = sum(a * b for a, b in zip(qv, cv))
+            p16 = sum(a * b for a, b in zip(qv[:16], cv[:16]))
+            scored.append((cid, full, p16))
+        top_full = {
+            cid for cid, *_ in sorted(
+                scored, key=lambda t: (-t[1], t[0])
+            )[:10]
+        }
+        top_16 = {
+            cid for cid, *_ in sorted(
+                scored, key=lambda t: (-t[2], t[0])
+            )[:10]
+        }
+        ov = len(top_full & top_16)
+        row = got.loc[qid]
+        assert row.overlap_at_10 == ov
+        assert row.recall_ppm == ov * 100000
