@@ -7601,3 +7601,178 @@ def matryoshka_prefix_recall(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Accumulation/Distribution line + Force Index on the event bars
+# ---------------------------------------------------------------------------
+
+# Daily event-value bars (the atr_sma14_daily construction): hi/lo =
+# window extrema of value cents, close = max_by on the deterministic
+# event_id key, volume = event count.
+_EVENT_BARS_CTE = """
+bars AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS hi,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS lo,
+         CAST(arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+              AS BIGINT) AS cl,
+         CAST(count(*) AS BIGINT) AS vol
+  FROM events GROUP BY 1
+)
+"""
+
+
+def _event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("hi"),
+        F.min(F.round(F.col("value") * 100).cast("long")).alias("lo"),
+        F.expr(
+            "max_by(CAST(round(value * 100) AS BIGINT), event_id)"
+        ).alias("cl"),
+        F.count("*").alias("vol"),
+    )
+
+
+_ADL_TERM = _ss_div("(2 * cl - lo - hi) * vol", "hi - lo", 1000000)
+
+
+@register(
+    "accumulation_distribution_daily",
+    oracle="""
+WITH
+""" + _EVENT_BARS_CTE + """,
+clv AS (
+  SELECT d, hi, lo, cl, vol,
+         CASE WHEN hi > lo THEN """ + _duck(_ADL_TERM) + """
+              ELSE 0 END AS mf_micro
+  FROM bars
+)
+SELECT d, hi AS high_cents, lo AS low_cents, cl AS close_cents,
+       vol AS volume, mf_micro AS money_flow_micro,
+       CAST(SUM(mf_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS adl_micro
+FROM clv ORDER BY d
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def accumulation_distribution_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACCUMULATION/DISTRIBUTION LINE over daily event-value bars —
+    the volume-flow pressure gauge (Chaikin's money-flow volume
+    CLV·V = ((C−L)−(H−C))/(H−L)·V accumulated): where OBV signs the
+    WHOLE day's volume by the close-over-close direction,
+    A/D weights it by WHERE in the range the close landed —
+    divergence between the two is the classic exhaustion signal,
+    and chaikin_money_flow is this same term windowed instead of
+    accumulated. Bars are the atr_sma14 construction (extrema +
+    deterministic max_by close + count volume); each money-flow
+    term is ONE SIGN-SPLIT micro floor-division (the published
+    grid, flat bars contribute exactly 0 via the same CASE), the
+    line one prefix-sum window of exact integers. Scale:
+    calendar-bounded day domain — one rollup, one window."""
+    bars = _event_bars(spark, sf_dir)
+    clv = bars.selectExpr(
+        "d",
+        "hi",
+        "lo",
+        "cl",
+        "vol",
+        "CASE WHEN hi > lo THEN " + _spark(_ADL_TERM)
+        + " ELSE CAST(0 AS BIGINT) END AS mf_micro",
+    )
+    return clv.select(
+        "d",
+        F.col("hi").alias("high_cents"),
+        F.col("lo").alias("low_cents"),
+        F.col("cl").alias("close_cents"),
+        F.col("vol").alias("volume"),
+        F.col("mf_micro").alias("money_flow_micro"),
+        F.sum("mf_micro")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("adl_micro"),
+    ).orderBy("d")
+
+
+_FI_SEL = _ss_div("s13", "13", 1)
+
+
+@register(
+    "force_index_13_daily",
+    oracle="""
+WITH
+""" + _EVENT_BARS_CTE + """,
+fi AS (
+  SELECT d,
+         CAST((cl - LAG(cl) OVER (ORDER BY d)) * vol AS BIGINT)
+             AS force_raw
+  FROM bars
+),
+win AS (
+  SELECT d, force_raw,
+         CAST(SUM(force_raw) OVER (ORDER BY d ROWS BETWEEN 12
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS s13,
+         CAST(count(force_raw) OVER (ORDER BY d ROWS BETWEEN 12
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt
+  FROM fi WHERE force_raw IS NOT NULL
+)
+SELECT d, force_raw AS force_cents_vol,
+       """ + _duck(_FI_SEL) + """ AS force_index_sma13
+FROM win WHERE cnt = 13 ORDER BY d
+""",
+    category="events",
+    tags=("defer-window2",),
+)
+def force_index_13_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ELDER'S FORCE INDEX (13-period, SMA form) over daily event
+    bars — price change × volume, the three-ingredient momentum
+    gauge (direction, extent, volume) of 'Trading for a Living',
+    here with the SMA smoothing variant (documented — Elder's EMA-13
+    needs the float recursion; the SMA form keeps every published
+    value an exact integer: raw force is one int64 product per day,
+    the smoother one SIGN-SPLIT floor-division by the constant 13
+    on a full-window count guard). Complements
+    accumulation_distribution_daily (range position × volume) with
+    close-over-close × volume. Scale: one rollup, one lag, one row
+    window."""
+    bars = _event_bars(spark, sf_dir)
+    wl = Window.orderBy("d")
+    fi = bars.select(
+        "d",
+        (
+            (F.col("cl") - F.lag("cl").over(wl)) * F.col("vol")
+        ).alias("force_raw"),
+    ).filter(F.col("force_raw").isNotNull())
+    w13 = Window.orderBy("d").rowsBetween(-12, 0)
+    win = fi.select(
+        "d",
+        "force_raw",
+        F.sum("force_raw").over(w13).alias("s13"),
+        F.count("force_raw").over(w13).alias("cnt"),
+    )
+    return (
+        win.filter(F.col("cnt") == 13)
+        .selectExpr(
+            "d",
+            "force_raw AS force_cents_vol",
+            _spark(_FI_SEL) + " AS force_index_sma13",
+        )
+        .orderBy("d")
+    )

@@ -2195,3 +2195,66 @@ def test_matryoshka_recall_brute(spark):
         row = got.loc[qid]
         assert row.overlap_at_10 == ov
         assert row.recall_ppm == ov * 100000
+
+
+# ---------------------------------------------------------------------------
+# A/D line + Force Index
+# ---------------------------------------------------------------------------
+
+
+def _event_bars_py():
+    bars = {}
+    for ts, eid, val in _sql(
+        "SELECT ts, event_id, value FROM '{SF}/events.parquet'"
+    ):
+        d = _day(ts)
+        c = _cents(val)
+        if d not in bars:
+            bars[d] = [c, c, (eid, c), 0]
+        b = bars[d]
+        b[0] = max(b[0], c)
+        b[1] = min(b[1], c)
+        if eid > b[2][0]:
+            b[2] = (eid, c)
+        b[3] += 1
+    return {
+        d: (hi, lo, cl[1], vol)
+        for d, (hi, lo, cl, vol) in bars.items()
+    }
+
+
+def test_adl_brute(spark):
+    bars = _event_bars_py()
+    got = _run(spark, "accumulation_distribution_daily").set_index("d")
+    assert len(got) == len(bars)
+    adl = 0
+    for d in sorted(bars):
+        hi, lo, cl, vol = bars[d]
+        mf = (
+            _ssdiv((2 * cl - lo - hi) * vol, hi - lo, 10**6)
+            if hi > lo
+            else 0
+        )
+        adl += mf
+        row = got.loc[d]
+        assert (row.high_cents, row.low_cents, row.close_cents,
+                row.volume) == (hi, lo, cl, vol)
+        assert row.money_flow_micro == mf
+        assert row.adl_micro == adl
+
+
+def test_force_index_brute(spark):
+    bars = _event_bars_py()
+    days = sorted(bars)
+    raw = []
+    for a, b in zip(days, days[1:]):
+        raw.append((b, (bars[b][2] - bars[a][2]) * bars[b][3]))
+    got = _run(spark, "force_index_13_daily").set_index("d")
+    cnt = 0
+    for i in range(12, len(raw)):
+        s13 = sum(f for _, f in raw[i - 12: i + 1])
+        row = got.loc[raw[i][0]]
+        assert row.force_cents_vol == raw[i][1]
+        assert row.force_index_sma13 == _ssdiv(s13, 13, 1)
+        cnt += 1
+    assert len(got) == cnt
