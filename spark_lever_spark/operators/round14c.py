@@ -7776,3 +7776,163 @@ def force_index_13_daily(
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-walk + homogeneity tests
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cowles_jones_daily",
+    oracle="""
+WITH
+""" + _DAILY_RET_CTE + """,
+sgn AS (
+  SELECT x, CASE WHEN r > 0 THEN 1 ELSE -1 END AS s
+  FROM ret WHERE r IS NOT NULL AND r <> 0
+),
+led AS (
+  SELECT s, lead(s) OVER (ORDER BY x) AS s2 FROM sgn
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN s = s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cont,
+         CAST(SUM(CASE WHEN s <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rev
+  FROM led WHERE s2 IS NOT NULL
+)
+SELECT cont AS continuations, rev AS reversals,
+       CASE WHEN rev > 0
+            THEN CAST(cont * 1000000 // rev AS BIGINT)
+       END AS cj_ratio_ppm
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def cowles_jones_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COWLES-JONES RATIO of daily revenue changes — the original
+    (1937) random-walk test markets people still quote: count sign
+    CONTINUATIONS (today's direction repeats tomorrow) against
+    REVERSALS; under a driftless random walk CJ = 1, momentum
+    pushes it above, mean-reversion below. Zero-change days drop
+    (the classic convention — a zero has no sign to continue);
+    the published ratio is one non-negative ppm floor-division of
+    exact counts. The pairwise-SIGN complement to
+    updown_streak_census_daily (full run-length distribution) and
+    runs_test_daily_value (level runs around the median). Scale:
+    one rollup, two lag windows, 1-row reduce."""
+    ret = _daily_ret(spark, sf_dir).filter(
+        F.col("r").isNotNull() & (F.col("r") != 0)
+    )
+    sgn = ret.select(
+        "x", F.when(F.col("r") > 0, 1).otherwise(-1).alias("s")
+    )
+    led = sgn.select(
+        "s", F.lead("s").over(Window.orderBy("x")).alias("s2")
+    ).filter(F.col("s2").isNotNull())
+    m = led.agg(
+        F.sum(
+            F.when(F.col("s") == F.col("s2"), 1).otherwise(0)
+        ).alias("cont"),
+        F.sum(
+            F.when(F.col("s") != F.col("s2"), 1).otherwise(0)
+        ).alias("rev"),
+    )
+    return m.selectExpr(
+        "cont AS continuations",
+        "rev AS reversals",
+        "CASE WHEN rev > 0 THEN"
+        " CAST(cont * 1000000 div rev AS BIGINT)"
+        " END AS cj_ratio_ppm",
+    )
+
+
+_BUISHAND_SEL = (
+    "CASE WHEN vv > 0 THEN CAST(floor("
+    "CAST(pmax - pmin AS DOUBLE) * 1000"
+    " / (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))))"
+    " AS BIGINT) END"
+)
+
+
+@register(
+    "buishand_range_daily",
+    oracle="""
+WITH
+""" + _DAILY_ORDERS_CTE + """,
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+  FROM daily
+),
+p AS (
+  SELECT d.x,
+         CAST(SUM(g.n * d.v - g.s) OVER (ORDER BY d.x
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pt,
+         g.n,
+         CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS HUGEINT)
+             AS vv
+  FROM daily d, g
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(MAX(pt) AS BIGINT) AS pmax,
+         CAST(MIN(pt) AS BIGINT) AS pmin,
+         CAST(max(vv) AS HUGEINT) AS vv
+  FROM p
+)
+SELECT n, pmax AS max_partial_sum, pmin AS min_partial_sum,
+       """ + _BUISHAND_SEL + """ AS rescaled_range_milli
+FROM m
+""",
+    category="temporal",
+    tags=("defer-window2",),
+)
+def buishand_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUISHAND RANGE TEST for series homogeneity — the hydrology
+    standard for 'did the level shift somewhere?': the RANGE of the
+    demeaned partial-sum walk, R = max Sₜ − min Sₜ, rescaled by
+    σ√n (R/(σ√n) ~ tabulated critical values; a level shift pulls
+    the walk far from zero in one direction). KPSS integrates the
+    SQUARED walk (variance-sensitive), CUSUM finds the argmax —
+    Buishand reads the full excursion envelope; together they
+    complete the partial-sum triad. With the n-scaled deviations
+    E = n·x − S the walk Pₜ = ΣE is exact int64 (= n·Σ(x−x̄)), and
+    R/(σ√n) = (Pmax − Pmin)/(n·σ·√n) with σ = √(nQ−S²)/n collapses
+    to (Pmax − Pmin)/(√(nQ−S²)·√n) — the n's cancel, leaving ONE
+    fixed double tree (two sqrts, one division), milli-floored.
+    Scale: one rollup, one prefix window, 1-row reduce."""
+    daily = _daily_orders(spark, sf_dir)
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v")).alias("q"),
+    )
+    p = daily.crossJoin(F.broadcast(g)).select(
+        "x",
+        F.sum(F.expr("n * v - s"))
+        .over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("pt"),
+        "n",
+        F.expr(f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC})").alias(
+            "vv"
+        ),
+    )
+    m = p.agg(
+        F.max("n").alias("n"),
+        F.max("pt").alias("pmax"),
+        F.min("pt").alias("pmin"),
+        F.max("vv").alias("vv"),
+    )
+    return m.selectExpr(
+        "n",
+        "pmax AS max_partial_sum",
+        "pmin AS min_partial_sum",
+        _BUISHAND_SEL + " AS rescaled_range_milli",
+    )

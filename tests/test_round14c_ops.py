@@ -2258,3 +2258,56 @@ def test_force_index_brute(spark):
         assert row.force_index_sma13 == _ssdiv(s13, 13, 1)
         cnt += 1
     assert len(got) == cnt
+
+
+# ---------------------------------------------------------------------------
+# Cowles-Jones + Buishand range
+# ---------------------------------------------------------------------------
+
+
+def test_cowles_jones_brute(spark):
+    signs = [
+        1 if r > 0 else -1
+        for _, r in _returns(_daily_cents())
+        if r != 0
+    ]
+    cont = sum(1 for a, b in zip(signs, signs[1:]) if a == b)
+    rev = sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    got = _run(spark, "cowles_jones_daily").iloc[0]
+    assert (got.continuations, got.reversals) == (cont, rev)
+    assert got.cj_ratio_ppm == (
+        cont * 10**6 // rev if rev > 0 else None
+    )
+
+
+def test_buishand_brute(spark):
+    vs = [v for _, v in sorted(_daily_cents().items())]
+    n = len(vs)
+    s, q = sum(vs), sum(v * v for v in vs)
+    vv = n * q - s * s
+    pt = 0
+    pmax = pmin = None
+    for v in vs:
+        pt += n * v - s
+        pmax = pt if pmax is None else max(pmax, pt)
+        pmin = pt if pmin is None else min(pmin, pt)
+    got = _run(spark, "buishand_range_daily").iloc[0]
+    assert (got.n, got.max_partial_sum, got.min_partial_sum) == (
+        n, pmax, pmin,
+    )
+    want = math.floor(
+        float(pmax - pmin) * 1000
+        / (math.sqrt(float(vv)) * math.sqrt(float(n)))
+    )
+    assert got.rescaled_range_milli == want
+    # float cross-check vs the textbook R/(sigma*sqrt(n))
+    import statistics
+    mean = s / n
+    sig = math.sqrt(sum((v - mean) ** 2 for v in vs) / n)
+    parts = []
+    acc = 0.0
+    for v in vs:
+        acc += v - mean
+        parts.append(acc)
+    r_classic = (max(parts) - min(parts)) / (sig * math.sqrt(n))
+    assert abs(want / 1000 - r_classic) < 2e-3
