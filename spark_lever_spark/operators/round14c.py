@@ -4247,6 +4247,12 @@ def ewma_control_chart_daily(
 # lcm(1..20) — exact divisor-method sort keys: rev/k ordered by
 # rev * (LCM // k) with no rational arithmetic (HUGEINT / decimal keys).
 _LCM20 = 232792560
+# lcm(1,3,5,...,39) for Sainte-Laguë: every odd divisor 2k-1 (k<=20)
+# divides it exactly, so rev * (_LCM_ODD39 // (2k-1)) is the exact
+# integer-scaled quotient key (lcm(1..20) is NOT divisible by 23,25,
+# 27,29,31,37 — flooring there could seat-misorder near-ties).
+# Product fits decimal(38,0)/HUGEINT: r<=~1e14 cents * 1.7e14 < 1e29.
+_LCM_ODD39 = 166966608033225
 
 
 @register(
@@ -4272,7 +4278,7 @@ dh AS (
 sl AS (
   SELECT nation, r, k,
          row_number() OVER (
-           ORDER BY CAST(r AS HUGEINT) * ({_LCM20 * 2} // (2 * k - 1))
+           ORDER BY CAST(r AS HUGEINT) * ({_LCM_ODD39} // (2 * k - 1))
                     DESC, nation, k) AS rnk
   FROM rev, ks
 )
@@ -4298,9 +4304,11 @@ def dhondt_allocation_nations(
     assignment, shard budgeting and A/B traffic splits (and the
     divisor complement to prorate_fee_largest_remainder's quota
     method — the two famously disagree: Alabama paradox): each
-    quotient rev/k orders EXACTLY via the integer key
-    rev·(lcm(1..20)//k) (HUGEINT ⟷ decimal(38,0) — no rational or
-    float division anywhere), deterministic (key, nation, k)
+    quotient orders EXACTLY via an integer key — rev·(lcm(1..20)//k)
+    for D'Hondt, rev·(lcm(1,3,..,39)//(2k-1)) for Sainte-Laguë; both
+    LCMs are divisible by every divisor in their ladder, so the keys
+    are exact scaled quotients (HUGEINT ⟷ decimal(38,0) — no rational
+    or float division anywhere), deterministic (key, nation, k)
     tie-break, top-20 by rank per method. Scale: one fact rollup to
     the 25-nation domain, a 20-row divisor broadcast, two 500-row
     rank windows."""
@@ -4344,7 +4352,7 @@ def dhondt_allocation_nations(
             Window.orderBy(
                 F.expr(
                     f"CAST(r AS {_DEC})"
-                    f" * ({_LCM20 * 2} div (2 * k - 1))"
+                    f" * ({_LCM_ODD39} div (2 * k - 1))"
                 ).desc(),
                 "nation",
                 "k",
@@ -5079,7 +5087,6 @@ def pandas_grouped_agg_iqr(
     a Python-rounding or nearest-rank-convention slip in the UDF
     cannot hash-match. Scale: one shuffle on the bounded priority
     key."""
-    import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     o = load_table(spark, sf_dir, "orders").select(
