@@ -214,6 +214,27 @@ def main() -> None:
     time.sleep(1.0)
     run_phase([(n, q) for n, q in all_qs if n in HEAVY_PHASE])
 
+    # Phase breakdown for the election query (BASELINE.md v3.4 phase
+    # gates): the end-to-end number drifted 1.2x round-over-round at
+    # r14 with no way to attribute the drift to candidate-gen vs CC vs
+    # election; the per-phase timings (pipeline boundaries persisted,
+    # so each phase excludes its upstream) make that attribution part
+    # of the artifact itself. Runs once, outside `timings`, so the
+    # headline total and the common-set comparability are untouched.
+    phases: dict[str, dict] = {}
+    if "dedup_cluster_quality_election" in timings:
+        try:
+            from spark_lever_spark.llm.graph import election_phase_timings
+
+            phases["dedup_cluster_quality_election"] = (
+                election_phase_timings(spark, sf_dir)
+            )
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            print(
+                f"[bench] election phase split FAILED: {exc}",
+                file=sys.stderr,
+            )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "bench_suite_total",
@@ -222,6 +243,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if phases:
+        result["phases"] = phases
     if errs:
         result["errs"] = errs
     if isinstance(result["sf"], float) and abs(result["sf"] - 0.1) < 1e-9:

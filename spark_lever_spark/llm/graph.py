@@ -759,21 +759,45 @@ def dedup_cluster_quality_election(
     mid-band pairs is LSH-governed by design (the whole point of
     banding selectivity). The oracle replays the ENTIRE tuning
     decision + banding + CC + election in SQL, so the hash certifies
-    the tuned pipeline end-to-end."""
+    the tuned pipeline end-to-end.
+
+    Phase boundaries are factored (`_election_candidate_pairs` /
+    `_election_from_components`) so bench.py can time candidate-gen,
+    CC and election in isolation against the per-phase gates frozen in
+    BASELINE.md v3.4 (the r14 round-over-round drift crossed the 1.1×
+    bar the v3.0 note set, triggering the documented phase split)."""
+    pairs = _election_candidate_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return _election_from_components(spark, sf_dir, comp)
+
+
+def _election_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-gen phase: tuner decision + banded LSH self-join +
+    est >= 0.5 filter (the dominant cost — ~3.7M surviving pairs at
+    sf0.1, a density property of the synthetic corpus)."""
     from spark_lever_spark.llm.dedup import (
         lsh_candidate_pairs,
         tune_lsh_banding,
     )
-    from spark_lever_spark.llm.textstats import token_count
 
     docs = load_table(spark, sf_dir, "documents")
     b, _r = tune_lsh_banding(
         docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
     )
-    pairs = lsh_candidate_pairs(docs, k=32, bands=b).filter(
+    return lsh_candidate_pairs(docs, k=32, bands=b).filter(
         F.col("est_jaccard") >= 0.5
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+
+
+def _election_from_components(
+    spark: SparkSession, sf_dir: str, comp: DataFrame
+) -> DataFrame:
+    """Election phase: one equi-join to the token counts + per-cluster
+    top-1 window (cluster-keyed, parallel across clusters)."""
+    from spark_lever_spark.llm.textstats import token_count
+
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
     )
@@ -797,6 +821,43 @@ def dedup_cluster_quality_election(
         )
         .orderBy("component")
     )
+
+
+def election_phase_timings(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Time the election query's three phases in ISOLATION (BASELINE.md
+    v3.4 phase gates): each phase boundary is persisted and counted so
+    a phase's wall-clock excludes its upstream — this is what makes
+    "host drift" vs "plan regression" decidable per-phase when the
+    end-to-end number moves (the r12-r14 reads could not attribute the
+    1.2× drift to any one stage).  Returns phase seconds + the
+    surviving candidate-pair count (the cost driver — a pair-count
+    change means the tuner or corpus moved, not the plan)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    pairs = _election_candidate_pairs(spark, sf_dir).persist()
+    n_pairs = pairs.count()
+    t_cand = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    comp = connected_components(pairs, src="id_a", dst="id_b").persist()
+    comp.count()
+    t_cc = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    _election_from_components(spark, sf_dir, comp).collect()
+    t_el = _time.perf_counter() - t0
+
+    pairs.unpersist()
+    comp.unpersist()
+    return {
+        "candidates_sec": round(t_cand, 3),
+        "cc_sec": round(t_cc, 3),
+        "election_sec": round(t_el, 3),
+        "n_candidate_pairs": n_pairs,
+    }
 
 
 @register(
