@@ -140,6 +140,17 @@ def minhash_bands(
     (dedup_incremental_minhash); the digests are md5-affine so DuckDB
     replays them exactly (_MINHASH_BAND_CTES)."""
     rows_per_band = k // bands
+    # Parallelize the signature map: a single small parquet file scans
+    # as ONE partition, serializing the k-hash minhash stage (measured
+    # 7.4 s of the election query's candidate phase at sf0.1; the r12
+    # repartition experiment regressed only because it pre-dated the
+    # AQE-planned join downstream — with AQE the repartitioned variant
+    # re-measured 16.4 -> 3.5 s warm, identical pair sets). At cluster
+    # scale the input already carries >= parallelism partitions and
+    # this is a no-op; results are per-doc deterministic either way.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sig = docs.select(
         "doc_id",
         minhash_signature(
