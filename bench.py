@@ -40,9 +40,11 @@ GATES = {
     "bloom_semi_join_prune": 1.09,
     "bfs_hops_copurchase": 3.23,  # v2.7 addition (round 10)
     "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
-    "dedup_cluster_quality_election": 20.53,  # v2.5 re-freeze (round 9:
-    # candidacy routed through tune_lsh_banding — (4,8) on this corpus,
-    # 7.4M -> 3.7M candidate pairs; was 32.96 under fixed 8x4)
+    "dedup_cluster_quality_election": 8.93,  # v3.4 re-freeze (round 15:
+    # minhash signature stage parallelized — conditional repartition to
+    # session parallelism in minhash_bands; was 20.53 with the 1-task
+    # signature map. Phase gates: candidates 6.70 / cc 5.61 /
+    # election 0.54, pair-count invariant 3,674,019)
     "dbscan_box_clusters_errors": 7.45,  # v2.8 addition (round 11)
     "dedup_exact_md5": 0.34,
     "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
