@@ -587,3 +587,84 @@ def source_doc_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+WITH RECURSIVE """ + __import__("spark_lever_spark.llm.dedup", fromlist=["_TUNED_EST_CTES"])._TUNED_EST_CTES + """,
+thr AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT) AS t_milli),
+flt AS (
+  SELECT thr.t_milli, e.id_a, e.id_b
+  FROM tune_est e, thr
+  WHERE e.est_jaccard >= CAST(thr.t_milli AS DOUBLE) / 1000.0
+),
+pairs_ct AS (
+  SELECT t_milli, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM flt GROUP BY 1
+),
+docs_ct AS (
+  SELECT t_milli, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT t_milli, id_a AS d FROM flt
+        UNION ALL SELECT t_milli, id_b FROM flt)
+  GROUP BY 1
+)
+SELECT thr.t_milli AS threshold_milli,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(d.n_docs, 0) AS n_docs
+FROM thr LEFT JOIN pairs_ct p ON p.t_milli = thr.t_milli
+LEFT JOIN docs_ct d ON d.t_milli = thr.t_milli
+ORDER BY thr.t_milli
+""",
+    category="llm_dedup",
+    tags=("defer-window2",),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP — the knob-tuning table every dedup
+    rollout needs before committing a similarity cutoff: for each
+    candidate threshold (0.5..0.9 on the milli grid), how many tuned
+    LSH candidate pairs survive and how many documents they touch.
+    n_docs is the upper bound on removals at that threshold (every
+    dup cluster keeps one member), so the sweep reads directly as
+    "corpus shrinkage vs aggressiveness" — the curve operators consult
+    before picking the est-filter floor (BASELINE.md's documented
+    candidate-cut direction for the election query). ONE pass over the
+    tuned candidate pairs (threshold list broadcast-exploded, never a
+    re-scan per threshold); the DuckDB oracle replays the full tuner
+    decision + banding + sweep. Scale: the pair table is the data
+    grain; per-threshold rollups are a 5x fan-out of it, all
+    equi-keyed."""
+    from spark_lever_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        tune_lsh_banding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b, _r = tune_lsh_banding(
+        docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
+    )
+    pairs = lsh_candidate_pairs(docs, k=32, bands=b)
+    th = spark.range(5).selectExpr(
+        "CAST(500 + id * 100 AS BIGINT) AS t_milli"
+    )
+    flt = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("est_jaccard")
+        >= F.col("t_milli").cast("double") / F.lit(1000.0)
+    )
+    pairs_ct = flt.groupBy("t_milli").agg(F.count("*").alias("n_pairs"))
+    docs_ct = (
+        flt.select("t_milli", F.col("id_a").alias("d"))
+        .unionAll(flt.select("t_milli", F.col("id_b").alias("d")))
+        .groupBy("t_milli")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        th.join(pairs_ct, "t_milli", "left")
+        .join(docs_ct, "t_milli", "left")
+        .selectExpr(
+            "t_milli AS threshold_milli",
+            "COALESCE(n_pairs, 0) AS n_pairs",
+            "COALESCE(n_docs, 0) AS n_docs",
+        )
+        .orderBy("threshold_milli")
+    )

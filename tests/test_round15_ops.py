@@ -235,3 +235,33 @@ def test_source_doc_cap_brute(spark):
         assert row.n_dropped == len(docs) - len(kept)
         assert row.kept_chars == sum(c for c, _ in kept)
         assert row.total_chars == sum(c for c, _ in docs)
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Sweep invariants: counts non-increasing in the threshold, the
+    0.5 row equals the tuned pair table's own footprint, and n_docs
+    never exceeds 2*n_pairs."""
+    got = _run(spark, "dedup_threshold_sweep").sort_values(
+        "threshold_milli"
+    )
+    pairs = list(got["n_pairs"])
+    docs = list(got["n_docs"])
+    assert list(got["threshold_milli"]) == [500, 600, 700, 800, 900]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for p, d in zip(pairs, docs):
+        assert d <= 2 * p
+    from spark_lever_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        tune_lsh_banding,
+    )
+    from spark_lever_spark.catalog import load_table
+
+    docs_df = load_table(spark, SF, "documents")
+    b, _r = tune_lsh_banding(
+        docs_df, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
+    )
+    base = lsh_candidate_pairs(docs_df, k=32, bands=b).filter(
+        "est_jaccard >= 0.5"
+    )
+    assert pairs[0] == base.count()
