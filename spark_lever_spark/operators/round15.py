@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
+from spark_lever_spark.llm.dedup import _TUNED_EST_CTES
 from spark_lever_spark.operators.round14c import (
     _WC_CTE,
     _duck,
@@ -592,7 +593,7 @@ def source_doc_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_threshold_sweep",
     oracle="""
-WITH RECURSIVE """ + __import__("spark_lever_spark.llm.dedup", fromlist=["_TUNED_EST_CTES"])._TUNED_EST_CTES + """,
+WITH RECURSIVE """ + _TUNED_EST_CTES + """,
 thr AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT) AS t_milli),
 flt AS (
   SELECT thr.t_milli, e.id_a, e.id_b
