@@ -1,11 +1,11 @@
-"""Round-15 training-data-pipeline additions (5 queries, paced to the
+"""Round-15 training-data-pipeline additions (6 queries, paced to the
 driver's stamp budget — VERDICT r14 item 2).
 
 Corpus-shape measures a 100 TB curation pipeline runs between dedup
 and packing: type-token growth (Heaps), exact distributional
 homogeneity (two-sample chi-square), inter-source shingle overlap,
-train/val n-gram leakage coverage, and the RefinedWeb-style per-source
-document cap. All arithmetic follows the house cross-engine doctrine:
+train/val n-gram leakage coverage, the RefinedWeb-style per-source
+document cap, and the dedup threshold sweep. All arithmetic follows the house cross-engine doctrine:
 integer counts, dyadic log2 via ``length(bin(x))-1``, sign-split
 scaled integer division ({I}/{D} placeholders) — no transcendental in
 any hash-gated output.
@@ -280,9 +280,13 @@ def chi_square_homogeneity_sources(
     once onto the micro grid per cell ({I} = HUGEINT/decimal(38,0);
     numerators are squares, so truncating div and flooring // agree)
     — ZERO floating-point anywhere, the sum is bit-exact by
-    construction. Scale: one (source, token) shuffle + a vocab-grain
-    two-column pivot; the 2xV table never materializes wider than the
-    vocabulary."""
+    construction. Headroom: the per-cell numerator d^2 * 1e6 with
+    |d| <= c*N needs c*N <= 1e16 for decimal(38,0) — guaranteed at
+    ~1e8 two-source tokens even if one token is the whole corpus, and
+    far beyond under any real (Zipfian, c << N) vocabulary; past that,
+    drop the micro scale one notch per 100x. Scale: one (source, token) shuffle
+    + a vocab-grain two-column pivot; the 2xV table never materializes
+    wider than the vocabulary."""
     wc = _word_counts(spark, sf_dir)
     tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
     rk = tot.select(
