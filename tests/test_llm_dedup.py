@@ -238,3 +238,36 @@ def test_tuned_banding_reduces_sf_corpus_candidates(spark, sf_dir):
     assert len(tuned) < len(fixed), (len(tuned), len(fixed))
     assert identical <= tuned
     assert identical <= fixed
+
+
+def test_minhash_bands_partitioning_invariant(spark, sf_dir):
+    """The r15 parallel-signature fix (minhash_bands repartitions
+    narrow inputs to session parallelism) must be a pure physical
+    change: signatures and band digests are per-doc deterministic, so
+    a 1-partition and an 8-partition input must produce identical
+    frames — and the repartition must actually engage on a narrow
+    input (the scan of a single small parquet file is 1 partition,
+    which serialized the k-hash map until round 15)."""
+    from spark_lever_spark.catalog import load_table
+    from spark_lever_spark.llm.dedup import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    sig1, band1 = minhash_bands(docs.coalesce(1), k=32, bands=4)
+    sig8, band8 = minhash_bands(docs.repartition(8), k=32, bands=4)
+    assert sig1.rdd.getNumPartitions() > 1  # repartition engaged
+    a = sorted(
+        (r.doc_id, tuple(r.sig)) for r in sig1.collect()
+    )
+    b = sorted(
+        (r.doc_id, tuple(r.sig)) for r in sig8.collect()
+    )
+    assert a == b
+    ba = sorted(
+        (r.doc_id, r.band_idx, r.band_digest) for r in band1.collect()
+    )
+    bb = sorted(
+        (r.doc_id, r.band_idx, r.band_digest) for r in band8.collect()
+    )
+    assert ba == bb
