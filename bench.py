@@ -132,6 +132,12 @@ def main() -> None:
     from spark_lever_spark.session import get_session
     from spark_lever_spark import registry
 
+    # Self-heal a stale STAMP_HASHES.json before anything else (VERDICT
+    # r15 task #6 — the driver runs bench.py every round, so a forgotten
+    # `scripts/stamp_hashes.py` can no longer waste a driver window).
+    # Status goes to stderr; stdout stays the one-JSON-line contract.
+    print(registry.sync_stamp_hashes(), file=sys.stderr)
+
     spark = get_session(
         app_name="spark_lever_spark-bench",
         master=f"local[{cpus}]",

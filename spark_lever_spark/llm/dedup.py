@@ -148,8 +148,20 @@ def minhash_bands(
     # re-measured 16.4 -> 3.5 s warm, identical pair sets). At cluster
     # scale the input already carries >= parallelism partitions and
     # this is a no-op; results are per-doc deterministic either way.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    # Classic-mode fast path: sparkContext/.rdd are unavailable under
+    # Spark Connect (ADVICE r15), and .rdd costs a plan-to-RDD
+    # conversion per call — so probe once and fall back to an
+    # unconditional repartition to the session's shuffle parallelism
+    # when the classic introspection surface is absent. Results are
+    # per-doc deterministic under either branch.
+    try:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        par = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         docs = docs.repartition(par)
     sig = docs.select(
         "doc_id",

@@ -147,6 +147,78 @@ def test_stamp_hashes_sidecar_covers_all_stamped_queries():
             assert registry._driver_group(q)[0] <= 1
 
 
+def _git(tmp_path, *args):
+    import subprocess
+
+    subprocess.run(
+        ["git", *args], cwd=tmp_path, check=True, capture_output=True,
+        env={"PATH": "/usr/bin:/bin", "HOME": str(tmp_path),
+             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+    )
+
+
+def test_sync_stamp_hashes_heals_missing_round(tmp_path):
+    """bench.py's round-start guard (VERDICT r15 task #6): a sidecar
+    missing the latest CORRECTNESS round's stamps is regenerated in
+    place for queries whose source is untouched since the artifact
+    landed, so a forgotten scripts/stamp_hashes.py run no longer wastes
+    a 50-query driver window."""
+    _git(tmp_path, "init", "-q")
+    _write(tmp_path, 99, {"q1_pricing_summary": GREEN, "join_inner": GREEN})
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "artifact")
+
+    # No sidecar at all -> both r99 stamps healed (tmp repo's diff vs
+    # the artifact commit is empty, so no source counts as changed).
+    msg = registry.sync_stamp_hashes(tmp_path)
+    assert "healed 2 r99 stamps" in msg, msg
+    sidecar = json.loads((tmp_path / "STAMP_HASHES.json").read_text())
+    q = registry.all_queries()["q1_pricing_summary"]
+    assert sidecar["q1_pricing_summary"] == {
+        "round": 99,
+        "hash": registry.content_hash(q),
+    }
+
+    # Second call is a no-op: fresh.
+    assert "fresh through r99" in registry.sync_stamp_hashes(tmp_path)
+
+
+def test_sync_stamp_hashes_skips_edited_sources(tmp_path, monkeypatch):
+    """A query whose source FILE changed since the artifact commit must
+    NOT be healed — the current hash no longer matches what the driver
+    verified, and the query legitimately re-fronts."""
+    import subprocess
+
+    _git(tmp_path, "init", "-q")
+    _write(tmp_path, 99, {"q1_pricing_summary": GREEN, "join_inner": GREEN})
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "artifact")
+
+    import inspect as _inspect
+    from pathlib import Path
+
+    q1_file = str(
+        Path(_inspect.getfile(registry.all_queries()["q1_pricing_summary"].fn))
+        .resolve()
+        .relative_to(Path(registry.__file__).resolve().parent.parent)
+    )
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[:2] == ["git", "diff"]:
+            r = real_run(cmd, **kw)
+            r.stdout = q1_file + "\n"
+            return r
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    msg = registry.sync_stamp_hashes(tmp_path)
+    assert "healed 1 r99 stamps" in msg and "q1_pricing_summary" in msg, msg
+    sidecar = json.loads((tmp_path / "STAMP_HASHES.json").read_text())
+    assert "join_inner" in sidecar and "q1_pricing_summary" not in sidecar
+
+
 def test_no_silent_deregistration():
     """Every query name ever committed must stay registered — a
     refactor that slices a module (this exact accident deleted
