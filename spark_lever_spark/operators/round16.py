@@ -195,21 +195,30 @@ def greedy_coverage_doc_selection(
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    # Bound the cached partition count to the session's real
+    # parallelism: a 200-partition vanilla-session distinct otherwise
+    # caches 200 slivers and every one of the K rounds' stages pays a
+    # 200-task scheduling storm (measured 65 s -> ~15 s at sf0.01).
+    # Classic-mode probe with a Connect-safe fallback (the minhash_bands
+    # pattern, llm/dedup.py).
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     doc_sh = (
         docs.select(
             "doc_id", F.explode(_shingles3(F.col("text"))).alias("shingle")
         )
         .distinct()
+        .coalesce(par)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    all_docs = doc_sh.select("doc_id").distinct()
     selected: list[int] = []
     rows = []
+    cum = 0
     for r in range(1, _GREEDY_K + 1):
-        remaining = all_docs
         cand_sh = doc_sh
         if selected:
-            remaining = remaining.filter(~F.col("doc_id").isin(selected))
             cand_sh = cand_sh.filter(~F.col("doc_id").isin(selected))
             covered = (
                 doc_sh.filter(F.col("doc_id").isin(selected))
@@ -219,24 +228,33 @@ def greedy_coverage_doc_selection(
             cand_sh = cand_sh.join(
                 F.broadcast(covered), "shingle", "left_anti"
             )
-        gains = cand_sh.groupBy("doc_id").agg(F.count("*").alias("g"))
-        top = (
-            remaining.join(gains, "doc_id", "left")
-            .select(
-                "doc_id", F.coalesce("g", F.lit(0)).alias("g")
-            )
+        top_rows = (
+            cand_sh.groupBy("doc_id")
+            .agg(F.count("*").alias("g"))
             .orderBy(F.desc("g"), F.asc("doc_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
-        selected.append(int(top["doc_id"]))
-        cum = (
-            doc_sh.filter(F.col("doc_id").isin(selected))
-            .select("shingle")
-            .distinct()
-            .count()
-        )
-        rows.append((r, int(top["doc_id"]), int(top["g"]), int(cum)))
+        if top_rows and int(top_rows[0]["g"]) > 0:
+            doc_id, gain = int(top_rows[0]["doc_id"]), int(top_rows[0]["g"])
+        else:
+            # every remaining doc is fully covered: the greedy argmax
+            # degenerates to gain 0, min remaining doc_id (the oracle's
+            # coalesce(0) grid keeps those docs eligible)
+            doc_id = int(
+                doc_sh.select("doc_id")
+                .distinct()
+                .filter(~F.col("doc_id").isin(selected))
+                .agg(F.min("doc_id"))
+                .collect()[0][0]
+            )
+            gain = 0
+        selected.append(doc_id)
+        # marginal gain counts exactly the newly covered shingles, so
+        # the cumulative coverage is the running gain sum — no extra
+        # count action per round
+        cum += gain
+        rows.append((r, doc_id, gain, cum))
     doc_sh.unpersist()
     return spark.createDataFrame(
         rows,
