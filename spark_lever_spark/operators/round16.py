@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from spark_lever_spark.catalog import load_table
 from spark_lever_spark.llm.dedup import token_hash, tokens_distinct
@@ -541,10 +540,16 @@ def term_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_t"), F.asc("w"))
         .limit(20)
     )
+    # Prune wc to the top-20 terms BEFORE the grid join: the pruned
+    # side is <= 20 x n_sources rows (broadcast-sized at any SF), so
+    # the full vocabulary table never shuffles for a 400-row grid.
+    wc_top = wc.join(F.broadcast(term.select("w")), "w").withColumnRenamed(
+        "c", "c_raw"
+    )
     grid = (
         term.crossJoin(F.broadcast(src))
         .crossJoin(F.broadcast(tot))
-        .join(wc.withColumnRenamed("c", "c_raw"), ["w", "source"], "left")
+        .join(F.broadcast(wc_top), ["w", "source"], "left")
         .select(
             "w",
             "c_t",
