@@ -28,6 +28,10 @@ import time
 # only at sf0.1 (the freeze's operating point).
 GATES = {
     "agg_stats_full": 1.38,
+    "simhash_bit_balance_audit": 2.29,  # v3.5 addition (round 16):
+    # token-hash explode throughput shape — doc tokens x 60 bit rows
+    # (~45M at sf0.1) through two map-side-combinable aggregations;
+    # quiet min-of-3 freeze
     "bm25_rsj_topk": 1.01,  # v3.3 addition (round 14): postings
     # semi-join + per-doc rational-idf rollup shape
     "sample_entropy_kernel_daily": 2.32,  # v3.3 addition (round 14):

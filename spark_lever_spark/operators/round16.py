@@ -44,6 +44,7 @@ from spark_lever_spark.registry import register
 
 @register(
     "simhash_bit_balance_audit",
+    bench=True,
     oracle="""
 WITH tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok
