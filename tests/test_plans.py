@@ -665,3 +665,50 @@ def test_no_unsanctioned_nested_loops_registry_wide(spark, sf_dir):
         if h:
             flagged[name] = h
     assert not flagged, flagged
+
+
+def test_round16_dispersion_grid_joins_broadcast(spark, sf_dir):
+    """Gries-DP: the 400-row term x source grid must meet the pruned
+    word-count side through BROADCAST joins only — the full vocabulary
+    table never shuffles for the grid probe (it appears once, under
+    the three upstream aggregations)."""
+    df = ALL["term_dispersion_gries_dp"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
+    assert nested_loop_join_count(df) <= 2  # scalar tot attaches only
+    assert shuffle_join_count(df) == 0
+
+
+def test_round16_ate_broadcasts_customer_dim(spark, sf_dir):
+    """Stratified ATE: the customer dim arrives broadcast; the only
+    shuffles are the fact equi-join and the 125-cell aggregation."""
+    df = ALL["stratified_ate_priority_returns"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert nested_loop_join_count(df) <= 1  # 1-row naive scalar attach
+
+
+def test_round16_eb_broadcasts_part_dim(spark, sf_dir):
+    """EB shrinkage: part dim broadcast; grand totals attach as a
+    broadcast scalar, never a shuffle of the 25-brand table."""
+    df = ALL["eb_shrunk_brand_return_rates"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_join_count(df) == 0
+
+
+def test_round16_config_model_triangle_joins_are_equi(spark, sf_dir):
+    """Configuration-model null check: the triangle enumeration stays
+    the compact-forward pair of HASH equi-joins (the
+    triangle_count_copurchase contract); the expectation rollup
+    attaches as a broadcast scalar."""
+    df = ALL["config_model_triangle_excess_copurchase"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) <= 1  # 1-row t_obs scalar attach
+    assert shuffle_join_count(df) + broadcast_join_count(df) >= 3
+
+
+def test_round16_simhash_audit_is_pure_aggregation(spark, sf_dir):
+    """Bit-balance audit: no joins at all — one explode scan through
+    two map-side-combinable aggregations; the plan must stay inside
+    whole-stage codegen with exactly the two grouping exchanges."""
+    df = ALL["simhash_bit_balance_audit"].fn(spark, sf_dir)
+    assert shuffle_join_count(df) == 0
+    assert nested_loop_join_count(df) == 0
+    assert exchange_count(df) <= 3  # (doc,j) agg + j rollup + sort
