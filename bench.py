@@ -153,8 +153,13 @@ def main() -> None:
     # Self-heal a stale STAMP_HASHES.json before anything else (VERDICT
     # r15 task #6 — the driver runs bench.py every round, so a forgotten
     # `scripts/stamp_hashes.py` can no longer waste a driver window).
-    # Status goes to stderr; stdout stays the one-JSON-line contract.
-    print(registry.sync_stamp_hashes(), file=sys.stderr)
+    # Status goes to stderr; stdout stays the one-JSON-line contract,
+    # and NO guard failure may break it (BENCH_r03/r04 were both lost
+    # to a pre-print crash) — the sync is best-effort by design.
+    try:
+        print(registry.sync_stamp_hashes(), file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — never break the artifact
+        print(f"stamp-sync: failed non-fatally: {exc!r}", file=sys.stderr)
 
     spark = get_session(
         app_name="spark_lever_spark-bench",
