@@ -60,7 +60,11 @@ GATES = {
     "dedup_exact_md5": 0.34,
     "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
     "ann_pq_adc_topk": 1.7,  # v2.9 addition (round 11)
-    "dedup_shingle_containment": 8.16,  # v2.7 addition (round 10)
+    "dedup_shingle_containment": 2.9,  # v3.5 re-freeze (round 16):
+    # persist the shingle table + token index — base fed 3 consumers
+    # and tok 3 more, so the shingle explode re-ran per consumer
+    # (A/B 8.6 -> 2.5 s warm, identical 158 rows); 2.9 is the
+    # post-fix quiet min-of-3 of the registered query (was 8.16)
     "dedup_paragraph_rebuild": 0.88,
     "dsir_importance_weights": 1.71,
     "ewma_daily_event_value": 0.38,

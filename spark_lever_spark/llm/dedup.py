@@ -1201,10 +1201,20 @@ def dedup_shingle_containment(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", "lang", shingles.alias("sh"))
+    # base feeds three consumers (tok + both verification sides) and
+    # tok three more (document frequencies, the prefix build, the
+    # candidate index) — without materialization the shingle explode
+    # re-runs per consumer (r16 A/B: 8.6 -> 2.5 s warm at sf0.1,
+    # identical output). Both tables are corpus-linear;
+    # MEMORY_AND_DISK spills rather than OOMs at cluster scale.
+    from pyspark import StorageLevel
+
+    base = docs.select("doc_id", "lang", shingles.alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tok = base.select(
         "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (
@@ -1244,7 +1254,7 @@ def dedup_shingle_containment(
     )
     n_common = F.size(F.array_intersect("sha", "shb"))
     n_a = F.size("sha")
-    return (
+    out = (
         cand.join(sa, "id_contained")
         .join(sb, "id_container")
         .where(F.lit(t_den) * n_common >= F.lit(t_num) * n_a)
@@ -1262,6 +1272,13 @@ def dedup_shingle_containment(
         )
         .orderBy("id_contained", "id_container")
     )
+    # result is true-duplicate-pair-sized: pin it eagerly so the
+    # persisted corpus tables release before the caller collects
+    # (the dbscan/personalized-pagerank pattern)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    tok.unpersist()
+    return out
 
 
 @register(
