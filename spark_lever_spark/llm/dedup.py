@@ -162,7 +162,21 @@ def minhash_bands(
         par = int(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        docs = docs.repartition(par)
+        # ADVICE r16 (low): an unconditional repartition here forces a
+        # full corpus shuffle on every call at cluster scale (and can
+        # repartition DOWN a wider input) where the classic branch is a
+        # no-op. inputFiles() IS available under Connect and gives a
+        # cheap width lower bound for file-backed frames — skip the
+        # shuffle when the scan is already at least `par` wide. Non-file
+        # sources (empty inputFiles) keep the repartition: the k-hash
+        # signature map is expensive enough that under-parallelism
+        # costs more than one shuffle of (doc_id, text).
+        try:
+            width = len(docs.inputFiles())
+        except Exception:
+            width = 0
+        if width < par:
+            docs = docs.repartition(par)
     sig = docs.select(
         "doc_id",
         minhash_signature(

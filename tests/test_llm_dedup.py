@@ -271,3 +271,49 @@ def test_minhash_bands_partitioning_invariant(spark, sf_dir):
         (r.doc_id, r.band_idx, r.band_digest) for r in band8.collect()
     )
     assert ba == bb
+
+
+def test_minhash_bands_connect_fallback_width_probe(spark, sf_dir):
+    """ADVICE r16 (low): the Spark Connect fallback (no sparkContext /
+    .rdd) must not force a full corpus shuffle when the file-backed
+    scan is already at least session-parallelism wide — inputFiles()
+    is the Connect-safe width probe. Narrow or non-file inputs still
+    repartition (the k-hash signature map needs the parallelism)."""
+    from spark_lever_spark.catalog import load_table
+    from spark_lever_spark.llm.dedup import minhash_bands
+
+    real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    class ConnectLike:
+        """Delegating proxy that hides the classic introspection
+        surface (.rdd), driving minhash_bands into its fallback."""
+
+        def __init__(self, df, files):
+            self._df, self._files = df, files
+            self.repartition_calls = 0
+
+        def __getattr__(self, name):
+            if name == "rdd":
+                raise AttributeError("DataFrame.rdd unavailable (Connect)")
+            return getattr(self._df, name)
+
+        def inputFiles(self):
+            return self._files
+
+        def repartition(self, *a, **kw):
+            self.repartition_calls += 1
+            return self._df.repartition(*a, **kw)
+
+    # Wide file-backed scan: probe says >= par files -> NO shuffle.
+    wide = ConnectLike(real, [f"f{i}.parquet" for i in range(par)])
+    sig, _ = minhash_bands(wide, k=16, bands=4)
+    assert wide.repartition_calls == 0
+    # Narrow / non-file input (inputFiles empty): shuffle engages.
+    narrow = ConnectLike(real, [])
+    sig_n, _ = minhash_bands(narrow, k=16, bands=4)
+    assert narrow.repartition_calls == 1
+    # Fallback is a pure physical choice: identical signatures.
+    a = sorted((r.doc_id, tuple(r.sig)) for r in sig.collect())
+    b = sorted((r.doc_id, tuple(r.sig)) for r in sig_n.collect())
+    assert a == b

@@ -219,6 +219,60 @@ def test_sync_stamp_hashes_skips_edited_sources(tmp_path, monkeypatch):
     assert "join_inner" in sidecar and "q1_pricing_summary" not in sidecar
 
 
+def test_sync_stamp_hashes_fails_closed_on_git_error(tmp_path, monkeypatch):
+    """ADVICE r16 (medium): a nonzero `git diff` exit leaves stdout
+    empty, which must degrade to the run-the-script message — NOT read
+    as 'nothing changed' and certify every stale query."""
+    import subprocess
+
+    _git(tmp_path, "init", "-q")
+    _write(tmp_path, 99, {"q1_pricing_summary": GREEN})
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "artifact")
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        r = real_run(cmd, **kw)
+        if cmd[:2] == ["git", "diff"]:
+            r.returncode, r.stdout = 128, ""
+        return r
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    msg = registry.sync_stamp_hashes(tmp_path)
+    assert "run scripts/stamp_hashes.py" in msg, msg
+    assert not (tmp_path / "STAMP_HASHES.json").exists()
+
+
+def test_sync_stamp_hashes_skips_helper_module_edits(tmp_path, monkeypatch):
+    """ADVICE r16 (medium): an oracle composed at import time from a
+    helper in ANOTHER module (round16 splices round14c's _WC_CTE)
+    changes content hash when the helper file is edited, while the
+    query's own file stays untouched — sync must still skip it."""
+    import subprocess
+
+    target = "chebyshev_coverage_audit"  # lives in operators/round16.py,
+    # which imports helpers from operators/round14c.py
+    _git(tmp_path, "init", "-q")
+    _write(tmp_path, 99, {target: GREEN, "join_inner": GREEN})
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "artifact")
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        r = real_run(cmd, **kw)
+        if cmd[:2] == ["git", "diff"]:
+            r.stdout = "spark_lever_spark/operators/round14c.py\n"
+        return r
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    msg = registry.sync_stamp_hashes(tmp_path)
+    assert "healed 1 r99 stamps" in msg and target in msg, msg
+    sidecar = json.loads((tmp_path / "STAMP_HASHES.json").read_text())
+    assert "join_inner" in sidecar and target not in sidecar
+
+
 def test_no_silent_deregistration():
     """Every query name ever committed must stay registered — a
     refactor that slices a module (this exact accident deleted
