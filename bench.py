@@ -167,6 +167,28 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — never break the artifact
         print(f"stamp-sync: failed non-fatally: {exc!r}", file=sys.stderr)
 
+    # Regenerate the STAMP_AGE.md ledger the same self-healing way
+    # (VERDICT r16 task #5: it was the last manually-synced ledger and
+    # its header lagged the artifacts two rounds running). Subprocess
+    # so a ledger bug can never touch this process; stdout routed to
+    # stderr to keep the one-JSON-line contract.
+    try:
+        import subprocess
+        from pathlib import Path
+
+        r = subprocess.run(
+            [sys.executable, "scripts/stamp_age.py", "--ledger-only"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True, text=True, timeout=120,
+        )
+        print(
+            (r.stdout.strip() or r.stderr.strip() or
+             f"stamp-age: exit {r.returncode}"),
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — never break the artifact
+        print(f"stamp-age: failed non-fatally: {exc!r}", file=sys.stderr)
+
     spark = get_session(
         app_name="spark_lever_spark-bench",
         master=f"local[{cpus}]",
