@@ -146,6 +146,7 @@ HEAVY_PHASE = {
     "bpe_learn_merges",
     "dbscan_box_clusters_errors",
     "mutual_nn_int8_ivf",
+    "er_cross_source_docs",  # round 17: ~8 s resident LSH+CC pipeline
 }
 
 

@@ -608,6 +608,12 @@ NESTED_LOOP_WHITELIST = {
         "vector probes exactly 16 rows map-side, a query constant at "
         "any SF"
     ),
+    "kmeans_lloyd_refine_embeddings": (
+        "broadcast k=8 centroid table per Lloyd iteration (init = "
+        "vec_id < 8 prefix; refined = 8-row aggregate stats) — every "
+        "vector probes exactly 8 rows map-side, a query constant at "
+        "any SF"
+    ),
     "mutual_nn_int8_ivf": (
         "broadcast k = max(16, sqrt(N)) prefix-centroid table for IVF "
         "probe assignment — N*k = O(N^1.5) map-side probes; candidate "
