@@ -60,6 +60,12 @@ GATES = {
     # a same-session A/B (10.7 -> 9.0 steady-state); 9.0 is that
     # post-fix quiet steady-state.
     "dedup_exact_md5": 0.34,
+    "er_cross_source_docs": 7.81,  # v3.6 addition (round 17): LSH
+    # block -> signature screen -> exact verify -> CC merge entity
+    # pipeline; in-suite min-of-2 at first exposure (heavy phase)
+    "kmeans_lloyd_refine_embeddings": 2.04,  # v3.6 addition (round
+    # 17): int8-grid Lloyd round — 2x broadcast k=8 probe + one
+    # (cid, dim)-keyed update shuffle; in-suite min-of-2
     "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
     "ann_pq_adc_topk": 1.7,  # v2.9 addition (round 11)
     "dedup_shingle_containment": 2.9,  # v3.5 re-freeze (round 16):
