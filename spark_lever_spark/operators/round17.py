@@ -617,12 +617,17 @@ def kmeans_lloyd_refine_embeddings(
         )
 
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # a1 feeds FIVE consumers (update sums, counts, n1, mv, and a2's
+    # comparison) — persist it or the broadcast probe + window re-run
+    # per consumer (the r16 recompute-elimination class; the un-persisted
+    # plan re-expanded this subtree 33x).
     a1 = (
         q.crossJoin(F.broadcast(c0))
         .select("vec_id", "cid", sq_l2("qv", "cv").alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "cid")
+        .persist()
     )
     memb = a1.join(q, "vec_id")
     sums = (

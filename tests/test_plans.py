@@ -718,3 +718,55 @@ def test_round16_simhash_audit_is_pure_aggregation(spark, sf_dir):
     assert shuffle_join_count(df) == 0
     assert nested_loop_join_count(df) == 0
     assert exchange_count(df) <= 3  # (doc,j) agg + j rollup + sort
+
+
+def test_round17_er_pipeline_joins_are_equi(spark, sf_dir):
+    """Cross-source ER: nothing in the visible plan degrades to a
+    nested loop (the band-digest equi-join property of the shared
+    candidate helper is pinned by test_minhash_lsh_band_join_is_equi_
+    hash; the CC rounds' localCheckpoints hide the upstream joins from
+    the final assembly's plan, so the assertion here covers the
+    entity-table assembly)."""
+    df = ALL["er_cross_source_docs"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
+    assert shuffle_join_count(df) + broadcast_join_count(df) >= 1
+
+
+def test_round17_blocking_audit_sample_pairs_via_lang_hash_join(
+    spark, sf_dir
+):
+    """Blocking audit: the within-sample all-pairs enumeration rides a
+    lang HASH equi-join (inequality + source filters as residuals);
+    the five scalar metric attaches are aggregate-derived broadcast
+    crosses, which are the only nested loops in the plan."""
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["er_lsh_blocking_audit"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_join_count(df) + broadcast_join_count(df) >= 5
+
+
+def test_round17_kmeans_refine_broadcasts_centroids(spark, sf_dir):
+    """Lloyd refinement: both assignment passes probe BROADCAST k=8
+    centroid tables; the only data-grain shuffles are the (cid, dim)
+    update aggregation and the keyed windows."""
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["kmeans_lloyd_refine_embeddings"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # iteration-1 assignments are persisted: every one of their five
+    # consumers must read the cache (the formatted plan reprints the
+    # cached fragment per reference, so substring counts of the BNLJ
+    # probes are presentation, not recompute — the pin is that the
+    # cache IS there and no data-grain shuffle cross exists)
+    assert "InMemoryTableScan" in plan
+    assert shuffle_join_count(df) <= 5
+
+
+def test_round17_duplication_matrix_equi_only(spark, sf_dir):
+    """Source x source matrix: pair grain from the band equi-join,
+    meta attaches keyed, rollups keyed — zero nested loops."""
+    df = ALL["cross_source_duplication_matrix"].fn(spark, sf_dir)
+    assert nested_loop_join_count(df) == 0
