@@ -44,6 +44,9 @@ def main() -> None:
     n_events = ev.count()
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     n_orders = orders.count()
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
 
     qs = registry.all_queries()
     scenarios: dict[str, dict] = {}
@@ -54,6 +57,8 @@ def main() -> None:
         ("stream_windowed_events_hourly", n_events),
         ("stream_session_window_events", n_events),
         ("stream_foreachbatch_upsert_users", n_events),
+        ("stream_minhash_near_dup", n_docs),  # round 17: incremental
+        # band-index near-dup — per-batch work vs a persistent index
     ):
         t0 = time.perf_counter()
         qs[name].fn(spark, sf_dir).collect()

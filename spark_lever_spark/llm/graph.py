@@ -100,7 +100,7 @@ def connected_components(
     id in each connected component. Nodes that appear in no edge are
     absent — callers left-join and coalesce to self for isolated nodes.
     """
-    e = (
+    e0 = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
@@ -109,7 +109,37 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Hash-to-min pre-contraction (round 17). The first star round used
+    # to pay an edge-grain symmetric WINDOW over the raw pair table
+    # (2.7 s of the election query's CC at sf0.1 — 3.67M pairs sorted
+    # twice and distinct-ed at edge grain); a min-neighbor label is the
+    # same contraction but via a map-side-COMBINABLE aggregation, so
+    # the shuffle carries near-node-grain partials instead. label(u) =
+    # min(N(u) ∪ {u}) is in u's component by construction, the true
+    # component minimum M has label(M) = M, and relabeled edges keep
+    # all connectivity — so star-looping the contracted graph and
+    # mapping back through the label table is exact (pinned against
+    # union-find in tests/test_graph.py, and every CC consumer is
+    # oracle-hash-checked).
+    sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = (
+        sym0.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+        .localCheckpoint()
+    )
+    la = lab.select(F.col("u").alias("ua"), F.col("m").alias("ma"))
+    lb = lab.select(F.col("u").alias("ub"), F.col("m").alias("mb"))
+    e = (
+        e0.join(la, e0.u == F.col("ua"))
+        .join(lb, e0.v == F.col("ub"))
+        .select(F.col("ma").alias("u"), F.col("mb").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_edges = e.count()
+    release_local_checkpoint(e0)  # lab + contracted edges materialized
     # max_iter + 1 passes: detecting the fixpoint costs one comparison
     # round beyond the round that PRODUCES it, so a graph converging
     # exactly at the budget must not be reported as divergent
@@ -129,14 +159,25 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    # Fixpoint is a star forest oriented node -> root (= component min).
-    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # Fixpoint is a star forest oriented node -> root (= component min)
+    # over the CONTRACTED node set; map every original node back
+    # through its label. Labels whose contracted node touched no
+    # contracted edge (their whole neighborhood collapsed to one
+    # label) are their own component minimum.
+    assign = e.select(F.col("u").alias("cnode"), F.col("v").alias("component"))
     roots = (
-        e.select(F.col("v").alias("node"))
+        e.select(F.col("v").alias("cnode"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .withColumn("component", F.col("cnode"))
     )
-    return assign.union(roots).distinct()
+    comp_c = assign.union(roots).distinct()
+    return (
+        lab.join(comp_c, lab.m == comp_c.cnode, "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("component", F.col("m")).alias("component"),
+        )
+    )
 
 
 @register(
