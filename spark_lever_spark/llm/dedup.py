@@ -555,6 +555,13 @@ def lsh_candidate_pairs(
     bare id pairs first; signatures re-attach afterwards, once per
     distinct pair."""
     sig, banded = minhash_bands(docs, k=k, bands=bands)
+    # sig feeds THREE consumers (the band table and both signature
+    # re-attach sides), so without a persist the k-hash signature map
+    # — the pipeline's expensive stage — runs three times (the r16
+    # containment-fix recompute class). Corpus-linear, spills to disk.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
