@@ -459,7 +459,10 @@ def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    pairs = spark.read.parquet(pairs_dir)
+    # distinct at read: foreachBatch is at-least-once, so a replayed
+    # micro-batch may append its emissions twice — the pair SET is the
+    # idempotent unit, partner counts must come from it.
+    pairs = spark.read.parquet(pairs_dir).distinct()
     bi = pairs.select(
         F.col("id_a").alias("d"), F.col("id_b").alias("o")
     ).unionByName(pairs.select(F.col("id_b").alias("d"), F.col("id_a").alias("o")))
