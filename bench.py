@@ -46,11 +46,14 @@ GATES = {
     "bloom_semi_join_prune": 1.09,
     "bfs_hops_copurchase": 3.23,  # v2.7 addition (round 10)
     "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
-    "dedup_cluster_quality_election": 8.93,  # v3.4 re-freeze (round 15:
-    # minhash signature stage parallelized — conditional repartition to
-    # session parallelism in minhash_bands; was 20.53 with the 1-task
-    # signature map. Phase gates: candidates 6.70 / cc 5.61 /
-    # election 0.54, pair-count invariant 3,674,019)
+    "dedup_cluster_quality_election": 7.0,  # v3.6 re-freeze (round 17:
+    # lsh_candidate_pairs now persists the signature table — the
+    # k-hash map ran 3x per call; post-fix in-suite read 6.28 (was
+    # 8.74 same round pre-fix), frozen with the containment-fix
+    # headroom pattern. History: v3.4 8.93 after the r15 signature-
+    # stage parallelization (20.53 before). Phase references now:
+    # candidates 4.29 / cc 4.50 / election 0.44, pair-count invariant
+    # 3,674,019)
     "dbscan_box_clusters_errors": 9.0,  # v3.5 re-freeze (round 16).
     # Adjudication: the v2.8 7.45 gate read 1.27-1.33x in driver r14/r15
     # and 1.40-1.51x in three quiet min-of-N sessions this round — the
@@ -66,9 +69,11 @@ GATES = {
     # exposure: 7.81 / 9.14 in-suite, 8.21 / 8.50 quiet min-of-3 —
     # frozen to the quiet min-of-3 of the shipping code, not the
     # fastest read (the simhash-audit honesty precedent)
-    "kmeans_lloyd_refine_embeddings": 2.04,  # v3.6 addition (round
+    "kmeans_lloyd_refine_embeddings": 1.6,  # v3.6 addition (round
     # 17): int8-grid Lloyd round — 2x broadcast k=8 probe + one
-    # (cid, dim)-keyed update shuffle; in-suite min-of-2
+    # (cid, dim)-keyed update shuffle. Frozen to the post-a1-persist
+    # in-suite min-of-2 (1.42) + headroom; the pre-persist first
+    # exposure read 2.04
     "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
     "ann_pq_adc_topk": 1.7,  # v2.9 addition (round 11)
     "dedup_shingle_containment": 2.9,  # v3.5 re-freeze (round 16):
