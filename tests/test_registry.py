@@ -273,6 +273,42 @@ def test_sync_stamp_hashes_skips_helper_module_edits(tmp_path, monkeypatch):
     assert "join_inner" in sidecar and target not in sidecar
 
 
+def test_sync_stamp_hashes_counts_untracked_files_as_changed(
+    tmp_path, monkeypatch
+):
+    """ADVICE r16 (medium, tail case): `git diff` never lists UNTRACKED
+    files, so an untracked helper module a query's oracle splices from
+    must still taint it — ls-files --others feeds the same changed set."""
+    import subprocess
+
+    _git(tmp_path, "init", "-q")
+    _write(tmp_path, 99, {"q1_pricing_summary": GREEN, "join_inner": GREEN})
+    _git(tmp_path, "add", "-A")
+    _git(tmp_path, "commit", "-qm", "artifact")
+
+    import inspect as _inspect
+    from pathlib import Path
+
+    q1_file = str(
+        Path(_inspect.getfile(registry.all_queries()["q1_pricing_summary"].fn))
+        .resolve()
+        .relative_to(Path(registry.__file__).resolve().parent.parent)
+    )
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        r = real_run(cmd, **kw)
+        if cmd[:2] == ["git", "ls-files"]:
+            r.stdout = q1_file + "\n"
+        return r
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    msg = registry.sync_stamp_hashes(tmp_path)
+    assert "healed 1 r99 stamps" in msg and "q1_pricing_summary" in msg, msg
+    sidecar = json.loads((tmp_path / "STAMP_HASHES.json").read_text())
+    assert "join_inner" in sidecar and "q1_pricing_summary" not in sidecar
+
+
 def test_no_silent_deregistration():
     """Every query name ever committed must stay registered — a
     refactor that slices a module (this exact accident deleted
