@@ -90,6 +90,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.union(center).filter(F.col("u") != F.col("v")).distinct()
 
 
+# Below this edge count the hash-to-min pre-contraction is skipped: its
+# fixed overhead (a symmetric union + groupBy-min, two relabel joins and
+# two eager localCheckpoint materializations) cannot amortize on small
+# graphs.  Calibrated by a same-tree, same-session A/B at sf0.1
+# (round 18, VERDICT r17 task #1, min-of-N clearCache'd reads):
+#   dbscan_box_clusters_errors (~192k-edge core graph):
+#     contract-always 8.97 s / contract-never 7.69 s / conditional 7.52 s
+#   dedup_cluster_quality_election (3.67M-pair graph):
+#     contract-always min-of-3 7.45 s / contract-never min-of-3 8.16 s
+# so the threshold sits between those two graph sizes; at cluster scale
+# the contraction's map-side-combinable shuffle is the right shape for
+# any graph large enough to cross it.
+_CONTRACT_MIN_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -109,37 +124,45 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # Hash-to-min pre-contraction (round 17). The first star round used
-    # to pay an edge-grain symmetric WINDOW over the raw pair table
-    # (2.7 s of the election query's CC at sf0.1 — 3.67M pairs sorted
-    # twice and distinct-ed at edge grain); a min-neighbor label is the
-    # same contraction but via a map-side-COMBINABLE aggregation, so
-    # the shuffle carries near-node-grain partials instead. label(u) =
-    # min(N(u) ∪ {u}) is in u's component by construction, the true
-    # component minimum M has label(M) = M, and relabeled edges keep
-    # all connectivity — so star-looping the contracted graph and
-    # mapping back through the label table is exact (pinned against
-    # union-find in tests/test_graph.py, and every CC consumer is
-    # oracle-hash-checked).
-    sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    lab = (
-        sym0.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("mv", F.col("u")).alias("m"))
-        .localCheckpoint()
-    )
-    la = lab.select(F.col("u").alias("ua"), F.col("m").alias("ma"))
-    lb = lab.select(F.col("u").alias("ub"), F.col("m").alias("mb"))
-    e = (
-        e0.join(la, e0.u == F.col("ua"))
-        .join(lb, e0.v == F.col("ub"))
-        .select(F.col("ma").alias("u"), F.col("mb").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_edges = e.count()
-    release_local_checkpoint(e0)  # lab + contracted edges materialized
+    n_edges = e0.count()
+    # Hash-to-min pre-contraction (round 17; made conditional round 18).
+    # The first star round used to pay an edge-grain symmetric WINDOW
+    # over the raw pair table (2.7 s of the election query's CC at
+    # sf0.1 — 3.67M pairs sorted twice and distinct-ed at edge grain);
+    # a min-neighbor label is the same contraction but via a map-side-
+    # COMBINABLE aggregation, so the shuffle carries near-node-grain
+    # partials instead. label(u) = min(N(u) ∪ {u}) is in u's component
+    # by construction, the true component minimum M has label(M) = M,
+    # and relabeled edges keep all connectivity — so star-looping the
+    # contracted graph and mapping back through the label table is
+    # exact (pinned against union-find in tests/test_graph.py, and
+    # every CC consumer is oracle-hash-checked).  On graphs below
+    # _CONTRACT_MIN_EDGES the star loop runs directly on e0 — the
+    # contraction's fixed materialization cost dominates there.
+    contracted = n_edges >= _CONTRACT_MIN_EDGES
+    if contracted:
+        sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lab = (
+            sym0.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+            .localCheckpoint()
+        )
+        la = lab.select(F.col("u").alias("ua"), F.col("m").alias("ma"))
+        lb = lab.select(F.col("u").alias("ub"), F.col("m").alias("mb"))
+        e = (
+            e0.join(la, e0.u == F.col("ua"))
+            .join(lb, e0.v == F.col("ub"))
+            .select(F.col("ma").alias("u"), F.col("mb").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_edges = e.count()
+        release_local_checkpoint(e0)  # lab + contracted edges materialized
+    else:
+        lab = None
+        e = e0
     # max_iter + 1 passes: detecting the fixpoint costs one comparison
     # round beyond the round that PRODUCES it, so a graph converging
     # exactly at the budget must not be reported as divergent
@@ -160,10 +183,11 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     # Fixpoint is a star forest oriented node -> root (= component min)
-    # over the CONTRACTED node set; map every original node back
-    # through its label. Labels whose contracted node touched no
-    # contracted edge (their whole neighborhood collapsed to one
-    # label) are their own component minimum.
+    # over the (possibly contracted) node set; when the pre-contraction
+    # ran, map every original node back through its label. Labels whose
+    # contracted node touched no contracted edge (their whole
+    # neighborhood collapsed to one label) are their own component
+    # minimum.
     assign = e.select(F.col("u").alias("cnode"), F.col("v").alias("component"))
     roots = (
         e.select(F.col("v").alias("cnode"))
@@ -171,6 +195,10 @@ def connected_components(
         .withColumn("component", F.col("cnode"))
     )
     comp_c = assign.union(roots).distinct()
+    if not contracted:
+        return comp_c.select(
+            F.col("cnode").alias("node"), F.col("component")
+        )
     return (
         lab.join(comp_c, lab.m == comp_c.cnode, "left")
         .select(
