@@ -172,9 +172,42 @@ def minhash_bands(
         # signature map is expensive enough that under-parallelism
         # costs more than one shuffle of (doc_id, text).
         try:
-            width = len(docs.inputFiles())
+            files = docs.inputFiles()
         except Exception:
-            width = 0
+            files = []
+        width = len(files)
+        # ADVICE r17 (low): a raw file count over-estimates scan width
+        # — Spark bin-packs many small files into fewer scan partitions
+        # (maxPartitionBytes), so >= par TINY files would skip the
+        # repartition while actually scanning in few tasks. When every
+        # input is a locally-resolvable file, bound the estimate by
+        # ceil(total_bytes / maxPartitionBytes); remote schemes (s3://,
+        # hdfs://) keep the advisory file-count estimate rather than
+        # guessing.
+        if width >= par:
+            try:
+                import os as _os
+                import re as _re
+                from urllib.parse import unquote, urlparse
+
+                raw = str(
+                    docs.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728b"
+                    )
+                )
+                m = _re.fullmatch(r"(\d+)([bkmg]?)", raw.strip().lower())
+                mult = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
+                        "g": 1 << 30}[m.group(2)]
+                mpb = int(m.group(1)) * mult
+                total = 0
+                for f in files:
+                    p = urlparse(f)
+                    if p.scheme not in ("file", ""):
+                        raise ValueError("non-local input file")
+                    total += _os.path.getsize(unquote(p.path))
+                width = min(width, max(1, -(-total // mpb)))
+            except Exception:
+                pass  # estimate stays the advisory file count
         if width < par:
             docs = docs.repartition(par)
     sig = docs.select(
@@ -559,6 +592,13 @@ def lsh_candidate_pairs(
     # re-attach sides), so without a persist the k-hash signature map
     # — the pipeline's expensive stage — runs three times (the r16
     # containment-fix recompute class). Corpus-linear, spills to disk.
+    # KNOWN LEAK (ADVICE r17, documented by design): the returned frame
+    # is lazy, so there is no post-action point inside this helper to
+    # unpersist from — the cache entry lives until the session's next
+    # explicit clear. bench.py's phase barrier calls
+    # catalog.clearCache() and test/driver sessions are short-lived;
+    # long-running sessions composing many dedup calls should
+    # clearCache() between pipelines.
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)

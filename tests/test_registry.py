@@ -329,3 +329,24 @@ def test_no_silent_deregistration():
     assert not new, (
         f"new queries not yet in registry_names.txt (regenerate it): {sorted(new)}"
     )
+
+
+def test_import_re_captures_every_module_of_multi_import_line():
+    """ADVICE r17 (low): the plain-import branch used to capture only
+    the FIRST module of `import spark_lever_spark.a, spark_lever_spark.b`
+    — an edit to the second escaped the taint closure (fail-open). The
+    regex now captures the whole name list and the closure splits it on
+    commas, keeping package-prefixed names (including mixed lines where
+    a stdlib module leads)."""
+    src = (
+        "import os, spark_lever_spark.llm.dedup, "
+        "spark_lever_spark.llm.graph as g\n"
+    )
+    m = registry._IMPORT_RE.search(src)
+    assert m is not None and m.group(3)
+    mods = [x.split(" as ")[0].strip() for x in m.group(3).split(",")]
+    kept = [x for x in mods if x.startswith("spark_lever_spark")]
+    assert kept == [
+        "spark_lever_spark.llm.dedup",
+        "spark_lever_spark.llm.graph",
+    ]
