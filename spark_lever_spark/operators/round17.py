@@ -261,7 +261,8 @@ def cross_source_duplication_matrix(
     oracle=f"""
 WITH {_MINHASH_SQL_CTES},
 samp AS (
-  SELECT doc_id, source, lang FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id, source, lang FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40
 ),
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
 allp AS (
@@ -304,19 +305,34 @@ SELECT
 )
 def er_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit for the ER pipeline above: on a
-    deterministic 4 % document sample (doc_id % 25 == 0), compare the
-    LSH-block + signature-screen candidate set against EXACT ground
-    truth (all cross-source same-lang sample pairs with token-Jaccard
-    >= 7/8). The counts give pairs completeness (n_found / n_true —
-    what blocking misses) and reduction ratio (1 - n_blocked /
-    n_possible — what blocking saves). Sampling is the only honest way
-    to measure this at corpus scale: ground truth is quadratic, so it
-    is computed within the fixed-rate sample only, where the all-pairs
-    enumeration is a hash equi-join on lang with residual filters —
-    never an unkeyed cross of the corpus."""
+    deterministic FIXED-SIZE sample (the K=40 docs first in
+    md5(doc_id) hash order — a seedless uniform draw both engines can
+    replay), compare the LSH-block + signature-screen candidate set
+    against EXACT ground truth (all cross-source same-lang sample
+    pairs with token-Jaccard >= 7/8). The counts give pairs
+    completeness (n_found / n_true — what blocking misses) and
+    reduction ratio (1 - n_blocked / n_possible — what blocking
+    saves). Sampling is the only honest way to measure this at corpus
+    scale: ground truth is quadratic. Fixed-SIZE, not fixed-rate
+    (VERDICT r17 task #4): a rate sample's all-pairs set grows
+    quadratically with the corpus — at 100x data the audit would do
+    10,000x the truth-side work — while hash-ordered top-K keeps the
+    audit O(K^2) at any scale (the K-row selection is a TakeOrdered,
+    never a global sort materialization)."""
     docs = load_table(spark, sf_dir, "documents")
-    samp = docs.filter(F.col("doc_id") % 25 == 0).select(
-        "doc_id", "source", "lang", tokens_distinct(F.col("text")).alias("toks")
+    samp = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            tokens_distinct(F.col("text")).alias("toks"),
+        )
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(40)
+        # K rows feed five consumers (both pair sides, the semi-join
+        # filters, the count) — eager-materialize so the corpus-wide
+        # TakeOrdered runs once, not per consumer.
+        .localCheckpoint(eager=True)
     )
     a = samp.select(
         F.col("doc_id").alias("id_a"),
@@ -398,82 +414,100 @@ def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-batch work is O(batch x band-collisions) against the index,
     never O(corpus^2); at scale the index is a parquet table
     partitioned by band digest and the batch side broadcasts.
+    Replay/restart safety (ADVICE r17 medium): index presence is
+    derived from the index DIRECTORY, not an in-memory flag (a driver
+    restart from the same checkpoint would otherwise silently drop all
+    cross-batch pairs), and the cross-batch join excludes self-matches
+    — a replayed micro-batch finds its own band rows already in the
+    index, and least/greatest of the same doc would emit id_a == id_b
+    rows that survive distinct and corrupt partner counts. At cluster
+    scale the existence probe is the same check through the Hadoop FS
+    API against the durable index table's path.
     Reference analog: DStream transform + updateStateByKey composition
     (DStream.scala / PairDStreamFunctions.scala)."""
     from spark_lever_spark.streaming.queries import _bounded_shuffle
 
-    work = tempfile.mkdtemp(prefix="stream_neardup_")
-    src_dir = os.path.join(work, "in")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(4).write.parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
-    index_dir = os.path.join(work, "band_index")
-    pairs_dir = os.path.join(work, "pairs")
-    state = {"has_index": False, "has_pairs": False}
+    # TemporaryDirectory (not bare mkdtemp — ADVICE r17): the work dir
+    # holds a corpus copy + band index + pair table and must not
+    # accumulate across runs; the result is eagerly materialized before
+    # the context deletes its backing files.
+    with tempfile.TemporaryDirectory(
+        prefix="stream_neardup_"
+    ) as work, tempfile.TemporaryDirectory() as ck:
+        src_dir = os.path.join(work, "in")
+        docs.repartition(4).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        index_dir = os.path.join(work, "band_index")
+        pairs_dir = os.path.join(work, "pairs")
 
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        _, bands = minhash_bands(batch_df)
-        bands = bands.persist()
-        try:
-            bl = bands.alias("b")
-            within = bl.join(
-                bands.alias("c"),
-                (F.col("c.band_idx") == F.col("b.band_idx"))
-                & (F.col("c.band_digest") == F.col("b.band_digest"))
-                & (F.col("b.doc_id") < F.col("c.doc_id")),
-            ).select(
-                F.col("b.doc_id").alias("id_a"),
-                F.col("c.doc_id").alias("id_b"),
-            )
-            new_pairs = within
-            if state["has_index"]:
-                idx = s.read.parquet(index_dir).alias("i")
-                cross = bl.join(
-                    idx,
-                    (F.col("i.band_idx") == F.col("b.band_idx"))
-                    & (F.col("i.band_digest") == F.col("b.band_digest")),
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            _, bands = minhash_bands(batch_df)
+            bands = bands.persist()
+            try:
+                bl = bands.alias("b")
+                within = bl.join(
+                    bands.alias("c"),
+                    (F.col("c.band_idx") == F.col("b.band_idx"))
+                    & (F.col("c.band_digest") == F.col("b.band_digest"))
+                    & (F.col("b.doc_id") < F.col("c.doc_id")),
                 ).select(
-                    F.least("b.doc_id", "i.doc_id").alias("id_a"),
-                    F.greatest("b.doc_id", "i.doc_id").alias("id_b"),
+                    F.col("b.doc_id").alias("id_a"),
+                    F.col("c.doc_id").alias("id_b"),
                 )
-                new_pairs = new_pairs.unionByName(cross)
-            new_pairs.distinct().write.mode("append").parquet(pairs_dir)
-            state["has_pairs"] = True
-            bands.write.mode("append").parquet(index_dir)
-            state["has_index"] = True
-        finally:
-            bands.unpersist()
+                new_pairs = within
+                if os.path.isdir(index_dir):
+                    idx = s.read.parquet(index_dir).alias("i")
+                    cross = bl.join(
+                        idx,
+                        (F.col("i.band_idx") == F.col("b.band_idx"))
+                        & (F.col("i.band_digest") == F.col("b.band_digest"))
+                        & (F.col("i.doc_id") != F.col("b.doc_id")),
+                    ).select(
+                        F.least("b.doc_id", "i.doc_id").alias("id_a"),
+                        F.greatest("b.doc_id", "i.doc_id").alias("id_b"),
+                    )
+                    new_pairs = new_pairs.unionByName(cross)
+                new_pairs.distinct().write.mode("append").parquet(pairs_dir)
+                bands.write.mode("append").parquet(index_dir)
+            finally:
+                bands.unpersist()
 
-    with tempfile.TemporaryDirectory() as ck, _bounded_shuffle(spark):
-        q = (
-            sdf.writeStream.foreachBatch(on_batch)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(ck, "ck"))
-            .start()
+        with _bounded_shuffle(spark):
+            q = (
+                sdf.writeStream.foreachBatch(on_batch)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(ck, "ck"))
+                .start()
+            )
+            q.awaitTermination()
+        # distinct at read: foreachBatch is at-least-once, so a replayed
+        # micro-batch may append its emissions twice — the pair SET is
+        # the idempotent unit, partner counts must come from it.
+        pairs = spark.read.parquet(pairs_dir).distinct()
+        bi = pairs.select(
+            F.col("id_a").alias("d"), F.col("id_b").alias("o")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("d"), F.col("id_a").alias("o"))
         )
-        q.awaitTermination()
-    # distinct at read: foreachBatch is at-least-once, so a replayed
-    # micro-batch may append its emissions twice — the pair SET is the
-    # idempotent unit, partner counts must come from it.
-    pairs = spark.read.parquet(pairs_dir).distinct()
-    bi = pairs.select(
-        F.col("id_a").alias("d"), F.col("id_b").alias("o")
-    ).unionByName(pairs.select(F.col("id_b").alias("d"), F.col("id_a").alias("o")))
-    return (
-        bi.groupBy(F.col("d").alias("doc_id"))
-        .agg(
-            F.count("*").alias("n_dup_partners"),
-            F.min("o").alias("min_partner"),
+        out = (
+            bi.groupBy(F.col("d").alias("doc_id"))
+            .agg(
+                F.count("*").alias("n_dup_partners"),
+                F.min("o").alias("min_partner"),
+            )
+            .orderBy("doc_id")
         )
-        .orderBy("doc_id")
-    )
+        # materialize NOW: the caller collects after the work dir (the
+        # parquet this plan reads) has been deleted.
+        return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +618,24 @@ def kmeans_lloyd_refine_embeddings(
     is one posexplode + (cid, dim)-keyed sum — dimension-parallel,
     exactly how a 1000-executor Lloyd step shuffles. Per-iteration
     cost is O(N k d) map-side + O(k d) shuffle rows."""
+    out, q, a1 = _kmeans_lloyd_refine_plan(spark, sf_dir)
+    # k rows: eager-materialize so both caches can be released before
+    # return (ADVICE r17 — un-unpersisted q/a1 otherwise accumulate
+    # cached corpus-grain tables across a long session).
+    out = out.localCheckpoint(eager=True)
+    a1.unpersist()
+    q.unpersist()
+    return out
+
+
+def _kmeans_lloyd_refine_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the (lazy) Lloyd-refinement plan; returns ``(out, q, a1)``
+    with ``q``/``a1`` persisted — callers materialize ``out`` and then
+    unpersist both. Split out so plan-shape tests can pin the
+    pre-checkpoint plan (the registered query returns an eagerly
+    checkpointed k-row result whose lineage is truncated)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -678,7 +730,7 @@ def kmeans_lloyd_refine_embeddings(
         .groupBy(F.col("y.cid").alias("cid"))
         .agg(F.count("*").alias("n_moved_in"))
     )
-    return (
+    out = (
         n1.join(n2, "cid", "full")
         .join(mv, "cid", "left")
         .select(
@@ -689,3 +741,4 @@ def kmeans_lloyd_refine_embeddings(
         )
         .orderBy("cid")
     )
+    return out, q, a1

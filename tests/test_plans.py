@@ -750,19 +750,27 @@ def test_round17_blocking_audit_sample_pairs_via_lang_hash_join(
 def test_round17_kmeans_refine_broadcasts_centroids(spark, sf_dir):
     """Lloyd refinement: both assignment passes probe BROADCAST k=8
     centroid tables; the only data-grain shuffles are the (cid, dim)
-    update aggregation and the keyed windows."""
+    update aggregation and the keyed windows. Pins the PRE-checkpoint
+    plan via the extracted builder (the registered query returns an
+    eagerly checkpointed k-row result with truncated lineage, so its
+    caches can be unpersisted before return — ADVICE r17)."""
+    from spark_lever_spark.operators.round17 import _kmeans_lloyd_refine_plan
     from spark_lever_spark.plans import formatted_plan
 
-    df = ALL["kmeans_lloyd_refine_embeddings"].fn(spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan
-    # iteration-1 assignments are persisted: every one of their five
-    # consumers must read the cache (the formatted plan reprints the
-    # cached fragment per reference, so substring counts of the BNLJ
-    # probes are presentation, not recompute — the pin is that the
-    # cache IS there and no data-grain shuffle cross exists)
-    assert "InMemoryTableScan" in plan
-    assert shuffle_join_count(df) <= 5
+    df, q, a1 = _kmeans_lloyd_refine_plan(spark, sf_dir)
+    try:
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        # iteration-1 assignments are persisted: every one of their five
+        # consumers must read the cache (the formatted plan reprints the
+        # cached fragment per reference, so substring counts of the BNLJ
+        # probes are presentation, not recompute — the pin is that the
+        # cache IS there and no data-grain shuffle cross exists)
+        assert "InMemoryTableScan" in plan
+        assert shuffle_join_count(df) <= 5
+    finally:
+        a1.unpersist()
+        q.unpersist()
 
 
 def test_round17_duplication_matrix_equi_only(spark, sf_dir):
