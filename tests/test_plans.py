@@ -778,3 +778,31 @@ def test_round17_duplication_matrix_equi_only(spark, sf_dir):
     meta attaches keyed, rollups keyed — zero nested loops."""
     df = ALL["cross_source_duplication_matrix"].fn(spark, sf_dir)
     assert nested_loop_join_count(df) == 0
+
+
+def test_round18_bloom_audit_probe_is_broadcast_only(spark, sf_dir):
+    """Bloom decontamination audit: the corpus-side gram stream is
+    probed and exactly verified via BROADCAST joins only (the eval
+    side is the small side by construction) — no corpus-grain shuffle
+    join anywhere; the 1-row filter-size attach and the final metric
+    assembly are the only nested loops."""
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["decontaminate_bloom_ngram_audit"].fn(spark, sf_dir)
+    assert shuffle_join_count(df) == 0
+    assert broadcast_join_count(df) >= 3  # two bit probes + exact verify
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_round18_ivf_recall_curve_broadcasts_panel(spark, sf_dir):
+    """IVF recall curve: the fixed query panel and the centroid table
+    ride broadcasts; per-query top-k is a WindowGroupLimit (k rows per
+    query reach the shuffle, not the Q x N cross)."""
+    from spark_lever_spark.plans import formatted_plan
+
+    df = ALL["ann_ivf_nprobe_recall_curve"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert shuffle_join_count(df) <= 1  # brute x cell-rank equi-join
