@@ -103,3 +103,26 @@ def test_election_phase_timings_consistent(spark, sf_dir):
         t["n_candidate_pairs"]
         == _election_candidate_pairs(spark, sf_dir).count()
     )
+
+
+def test_cc_contracted_path_matches_union_find(spark, monkeypatch):
+    """The hash-to-min pre-contraction is conditional on edge count
+    (round 18: skipped below _CONTRACT_MIN_EDGES, where its eager
+    materializations cannot amortize) — so the default-threshold tests
+    above now exercise only the direct star loop. Force the threshold
+    to 0 so the CONTRACTED path stays pinned against union-find on the
+    same seeded random graph and the tie shapes."""
+    from spark_lever_spark.llm import graph
+
+    monkeypatch.setattr(graph, "_CONTRACT_MIN_EDGES", 0)
+    rng = random.Random(43)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc_spark(spark, edges) == _union_find_components(n, edges)
+    # descending edges + two components through the label-relabel path
+    edges2 = [(5, 3), (3, 9), (20, 11), (11, 20)]
+    assert _cc_spark(spark, edges2) == {3: 3, 5: 3, 9: 3, 11: 11, 20: 11}
+    # a path graph: the contraction halves it, the star loop finishes
+    edges3 = [(i, i + 1) for i in range(63)]
+    assert _cc_spark(spark, edges3, max_iter=10) == {i: 0 for i in range(64)}
