@@ -69,11 +69,15 @@ GATES = {
     # exposure: 7.81 / 9.14 in-suite, 8.21 / 8.50 quiet min-of-3 —
     # frozen to the quiet min-of-3 of the shipping code, not the
     # fastest read (the simhash-audit honesty precedent)
-    "kmeans_lloyd_refine_embeddings": 1.6,  # v3.6 addition (round
-    # 17): int8-grid Lloyd round — 2x broadcast k=8 probe + one
-    # (cid, dim)-keyed update shuffle. Frozen to the post-a1-persist
-    # in-suite min-of-2 (1.42) + headroom; the pre-persist first
-    # exposure read 2.04
+    "kmeans_lloyd_refine_embeddings": 3.0,  # v3.7 METHODOLOGY re-freeze
+    # (round 18): the ADVICE r17 cache-release fix (eager-checkpoint
+    # the k-row result, unpersist q/a1 before return) removed the warm
+    # q/a1 cache that bench's min-of-2 second run used to inherit from
+    # the first — the old 1.6 denominator was measuring that leak, not
+    # the query. Post-fix both bench runs are cold; frozen at the
+    # median of the two post-fix in-suite reads (2.89 / 3.10) in a
+    # documented ~1.2x host-era-offset window. History: v3.6 1.6
+    # (warm-methodology), first exposure 2.04
     "edge_triangle_support_copurchase": 3.2,  # v2.9 addition (round 11)
     "ann_pq_adc_topk": 1.7,  # v2.9 addition (round 11)
     "dedup_shingle_containment": 2.9,  # v3.5 re-freeze (round 16):
