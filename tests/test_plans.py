@@ -599,6 +599,12 @@ NESTED_LOOP_WHITELIST = {
     "join_cartesian": "deliberate cartesian parity query (25 x 5 dims)",
     "join_theta_nonequi": "deliberate theta-join parity over bounded dims",
     "knn_cosine_topk": "broadcast 1-row query vector (vec_id = 0 probe)",
+    "ann_ivf_nprobe_recall_curve": (
+        "broadcast FIXED 20-row query panel for the brute ground-truth "
+        "pass — Q is a query constant at any SF, so the Q x N map-side "
+        "probe stays linear in the corpus; centroid ranking rides the "
+        "same panel broadcast"
+    ),
     "kmeans_assign_embeddings": (
         "broadcast k=8 fixed centroid table — every vector probes "
         "exactly 8 rows map-side, a query constant at any SF"
