@@ -142,3 +142,39 @@ def test_ivf_recall_curve_brute(spark):
     assert rec == sorted(rec)
     if max(_NPROBES) >= len(cents):
         assert rec[-1] == 1.0
+
+
+def test_word_ngrams_short_doc_and_md5_pos_parity(spark):
+    """Edge branches the corpus never hits: a document shorter than
+    the n-gram width yields an EMPTY gram array (not a descending
+    sequence artifact — Spark's sequence(1, 0) would count down), and
+    the Spark-side md5 probe positions equal the Python/DuckDB
+    formula bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from spark_lever_spark.operators.round18 import _md5_pos, _word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b c d e", 2), ("a b c d e f", 3), ("", 4)],
+        ["text", "id"],
+    ).select(
+        "id", _word_ngrams(F.split("text", " "), 5).alias("grams")
+    )
+    got = {r.id: r.grams for r in df.collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c d e"]
+    assert got[3] == ["a b c d e", "b c d e f"]
+    # empty string splits to [''] (1 token) -> shorter than n -> empty
+    assert got[4] == []
+
+    m = 12345
+    probe = (
+        spark.range(1)
+        .select(
+            _md5_pos(F.lit("hello world x"), "b1", F.lit(m)).alias("p1"),
+            _md5_pos(F.lit("hello world x"), "b2", F.lit(m)).alias("p2"),
+        )
+        .first()
+    )
+    assert probe.p1 == _pos("b1", "hello world x", m)
+    assert probe.p2 == _pos("b2", "hello world x", m)
