@@ -636,7 +636,6 @@ def _kmeans_lloyd_refine_plan(
     unpersist both. Split out so plan-shape tests can pin the
     pre-checkpoint plan (the registered query returns an eagerly
     checkpointed k-row result whose lineage is truncated)."""
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     from spark_lever_spark.llm.similarity import as_double
@@ -671,17 +670,20 @@ def _kmeans_lloyd_refine_plan(
             lambda acc, v: acc + v,
         )
 
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # argmin via min_by over struct(dist, cid) — exactly the oracle's
+    # row_number ORDER BY (dist, cid) pick, but as a map-side-
+    # COMBINABLE aggregation: at cluster scale the shuffle carries one
+    # partial per (vec_id, partition) instead of sorting all N x k
+    # probe rows through a window (round 18; the r17 version windowed).
     # a1 feeds FIVE consumers (update sums, counts, n1, mv, and a2's
-    # comparison) — persist it or the broadcast probe + window re-run
+    # comparison) — persist it or the broadcast probe + argmin re-run
     # per consumer (the r16 recompute-elimination class; the un-persisted
     # plan re-expanded this subtree 33x).
     a1 = (
         q.crossJoin(F.broadcast(c0))
         .select("vec_id", "cid", sq_l2("qv", "cv").alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
         .persist()
     )
     memb = a1.join(q, "vec_id")
@@ -713,13 +715,11 @@ def _kmeans_lloyd_refine_plan(
     f = (
         F.col("ss") - 2 * F.col("n") * dot_long("qv", "sv")
     ).cast("double") / (F.col("n") * F.col("n")).cast("double")
-    w2 = Window.partitionBy("vec_id").orderBy("f", "cid")
     a2 = (
         q.crossJoin(F.broadcast(c1))
         .select("vec_id", "cid", f.alias("f"))
-        .withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("f", "cid")).alias("cid"))
     )
     n1 = a1.groupBy("cid").agg(F.count("*").alias("n_iter1"))
     n2 = a2.groupBy("cid").agg(F.count("*").alias("n_iter2"))

@@ -756,7 +756,7 @@ def test_round17_blocking_audit_sample_pairs_via_lang_hash_join(
 def test_round17_kmeans_refine_broadcasts_centroids(spark, sf_dir):
     """Lloyd refinement: both assignment passes probe BROADCAST k=8
     centroid tables; the only data-grain shuffles are the (cid, dim)
-    update aggregation and the keyed windows. Pins the PRE-checkpoint
+    update aggregation and the keyed argmin aggs. Pins the PRE-checkpoint
     plan via the extracted builder (the registered query returns an
     eagerly checkpointed k-row result with truncated lineage, so its
     caches can be unpersisted before return — ADVICE r17)."""
