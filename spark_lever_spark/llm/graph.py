@@ -115,13 +115,27 @@ def connected_components(
     id in each connected component. Nodes that appear in no edge are
     absent — callers left-join and coalesce to self for isolated nodes.
     """
+    # No .distinct() here (optimization r18, guide §2.4): every edge
+    # consumer in this repo already feeds unique pairs, and duplicates
+    # are harmless anyway — the contraction's groupBy-min is
+    # duplicate-insensitive and every star round ends in its own
+    # .distinct(), so round-1 output is duplicate-free regardless. The
+    # old edge-grain distinct was a full extra shuffle+dedup of the
+    # input (measured 1.8 s of the election CC at sf0.1). The
+    # localCheckpoint stays: it pins the (possibly expensive) upstream
+    # pipeline so the contraction/star passes never replay it.
+    # Convergence safety with a duplicated input: the round-1 count
+    # comparison may report a spurious "changed" (raw count vs distinct
+    # count), which only costs one extra star round; from round 2 on
+    # both sides of the check are distinct sets. _CONTRACT_MIN_EDGES
+    # now gates on the RAW edge count — same order of magnitude for
+    # every in-repo caller (their inputs are pre-deduplicated).
     e0 = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint()
     )
     n_edges = e0.count()

@@ -2828,9 +2828,11 @@ def mad_outlier_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-pass grank machinery: no global sort, per-task memory flat;
     the MAD pass re-ranks the deviation column the same way. Three
     aggregate-domain shuffles total at any scale."""
+    from pyspark import StorageLevel
+
     v = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     r1 = with_global_rank(v, F.col("c"), ["o_orderkey"])
     # the .agg() wrapper marks the 1-row broadcast side as
     # aggregate-derived for the registry-wide nested-loop sweep (the
@@ -2838,14 +2840,20 @@ def mad_outlier_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = r1.filter(F.expr("_rk = (_n_tot + 1) div 2")).agg(
         F.max("c").alias("m")
     )
+    # dev feeds the second rank's bounds pass, its main pass and the
+    # final aggregate — without a persist each replays the first
+    # median's full rank machinery (its broadcast subtree), measured
+    # as the query's dominant cost (optimization r18, guide §2.4/§5).
+    # v likewise feeds both passes of rank #1 and dev. Both released
+    # after the 1-row result is pinned.
     dev = v.crossJoin(F.broadcast(med)).select(
         "o_orderkey", "c", "m", F.abs(F.col("c") - F.col("m")).alias("ad")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     r2 = with_global_rank(dev, F.col("ad"), ["o_orderkey"])
     mad = r2.filter(F.expr("_rk = (_n_tot + 1) div 2")).agg(
         F.max("ad").alias("md")
     )
-    return (
+    out = (
         dev.crossJoin(F.broadcast(mad))
         .agg(
             F.max("m").alias("median_cents"),
@@ -2859,6 +2867,10 @@ def mad_outlier_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("worst_deviation_cents"),
         )
     )
+    out = out.localCheckpoint(eager=True)
+    v.unpersist()
+    dev.unpersist()
+    return out
 
 
 @register(
@@ -9225,9 +9237,17 @@ def decision_stump_returns(
             .alias("y")
         )
     )
+    # pts (the value-grain count table) feeds the cumsum helper's
+    # quantile-bounds pass, its main pass AND the totals aggregate —
+    # three replays of the fact-fact join + two rollups without a
+    # persist (optimization r18, guide §2.4/§5). Value-grain, so it
+    # spills rather than OOMs at scale; released after the 1-row
+    # result is pinned below.
+    from pyspark import StorageLevel
+
     pts = lab.groupBy("x").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cum = with_grouped_cumsum(
         pts, [], F.col("x"), ["x"], ["cnt", "pos"]
     ).select(
@@ -9259,13 +9279,18 @@ def decision_stump_returns(
             ).alias("neg_obj_milli"),
         )
     )
+    # sc is consumed three times (argmax aggregate, min-split pick,
+    # final row) — persist so the split scoring runs once, and pin the
+    # 1-row result eagerly so both caches release before return
+    # (optimization r18; the dbscan/ppr eager-pin pattern).
+    sc = sc.persist(StorageLevel.MEMORY_AND_DISK)
     m = sc.agg(F.max("neg_obj_milli").alias("mm"))
     best = (
         sc.crossJoin(F.broadcast(m))
         .filter(F.col("neg_obj_milli") == F.col("mm"))
         .agg(F.min("x").alias("split_x"))
     )
-    return (
+    out = (
         sc.join(F.broadcast(best), sc.x == F.col("split_x"))
         .crossJoin(F.broadcast(tot))
         .select(
@@ -9288,6 +9313,10 @@ def decision_stump_returns(
             ).alias("gini_root_ppm"),
         )
     )
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    sc.unpersist()
+    return out
 
 
 @register(
@@ -9382,6 +9411,14 @@ def isotonic_return_rate_by_price(
             .alias("y")
         )
     )
+    # lab feeds the rank helper's quantile-bounds pass AND its main
+    # pass — without a persist the fact-fact join + per-order rollup
+    # runs twice (optimization r18, guide §2.4/§5: the recompute-
+    # elimination class). Released below once the 20-row grid is
+    # pinned.
+    from pyspark import StorageLevel
+
+    lab = lab.persist(StorageLevel.MEMORY_AND_DISK)
     ranked = with_global_rank(
         lab.select(F.col("x").alias("v"), "o_orderkey", "y"),
         F.col("v"),
@@ -9394,15 +9431,25 @@ def isotonic_return_rate_by_price(
         )
         .agg(F.count("*").alias("nb"), F.sum("y").alias("pb"))
     )
-    cum = with_grouped_cumsum(
-        bkt, [], F.col("b"), ["b"], ["nb", "pb"]
-    ).select(
+    # The bucket grid is <= 20 rows at ANY data size (the grid IS the
+    # scale knob), so the prefix sum may ride a plain ordered window
+    # over the aggregated domain — the 2-pass cumsum helper here would
+    # re-run the whole rank pipeline for its quantile-bounds pass
+    # (optimization r18; the plan sweep sanctions windows over
+    # pre-aggregated domains). Eagerly pinning the grid keeps its FOUR
+    # downstream consumers (j, k, i_frame, final join) from replaying
+    # the data-sized rank stages once each — the r16 pair-table persist
+    # class, measured 7.2 -> 2.7 s at sf0.1 (rows hash-identical).
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bkt.select(
         "b",
         "nb",
         "pb",
-        F.col("_cum_nb").alias("cn"),
-        F.col("_cum_pb").alias("cp"),
+        F.sum("nb").over(wcum).alias("cn"),
+        F.sum("pb").over(wcum).alias("cp"),
     )
+    cum = cum.localCheckpoint(eager=True)
+    lab.unpersist()
     j = cum.select(
         F.col("b").alias("j"),
         F.col("nb").alias("jnb"),
