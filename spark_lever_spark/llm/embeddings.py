@@ -1022,10 +1022,24 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id, and top-1 / mutuality are keyed windows and an equi
     self-join. All distances are exact int64 squared-L2 on the shared
     grid; ties break to the lower vec_id in both engines."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
+    from spark_lever_spark.llm.similarity import (
+        default_parallelism,
+        spread_to_parallelism,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    # Spread the single-partition scan and persist the quantized
+    # table: q feeds FIVE consumers (the k count, the centroid prefix,
+    # probe assignment, and both verify sides) — without the persist
+    # each one replays the scan+quantize as its own serialized job
+    # (optimization r18, guide §2.4/§5 recompute elimination).
+    # Released below once the top-1 neighbor table is pinned.
+    b = spread_to_parallelism(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    )
     sc = b.agg(
         (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
         .alias("s")
@@ -1036,6 +1050,7 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
     )
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
     kdf = q.agg(
         F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
         .cast("long")
@@ -1073,6 +1088,17 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qa = q.select(F.col("vec_id").alias("va"), F.col("qv").alias("qva"))
     qb = q.select(F.col("vec_id").alias("vb"), F.col("qv").alias("qvb"))
+    # Pin the exact-verify stage's parallelism: the candidate shuffle
+    # is narrow metadata (two longs/row), so AQE's byte-based
+    # coalescing collapses the CPU-dense sq_l2 + top-1 stage to a
+    # single task (measured: a 5.0 s one-task stage reading a 101 KB
+    # pair shuffle at sf0.1). An explicit fixed-count repartition on
+    # the window key is exempt from AQE coalescing, spreads the
+    # distance compute across the cluster, and the top-1 window reuses
+    # the hash(va) partitioning with no further exchange (optimization
+    # r18, guide §2.5/§8: decide placement on lightweight proxies; one
+    # extra narrow shuffle buys full parallelism for the heavy stage).
+    cand = cand.repartition(default_parallelism(cand), "va")
     cd = (
         cand.join(qa, "va")
         .join(qb, "vb")
@@ -1084,6 +1110,11 @@ def mutual_nn_int8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("va", "vb", "dist")
     )
+    # Pin the N-row top-1 table once: the mutuality check consumes it
+    # TWICE (both sides of the reciprocal join) and the pin lets q's
+    # cache be released deterministically.
+    nn = nn.localCheckpoint(eager=True)
+    q.unpersist()
     m2 = nn.select(
         F.col("va").alias("va2"), F.col("vb").alias("vb2")
     )
@@ -1701,10 +1732,22 @@ def lof_outliers_int8_cells(
     centroid assignment is N·kc through a broadcast join, then one
     cell-keyed self-join for distances, two keyed windows/rollups,
     one neighbor re-join — √N cells keep both stages O(N^1.5)."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
+    from spark_lever_spark.llm.similarity import (
+        default_parallelism,
+        spread_to_parallelism,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    # Spread the single-partition scan and persist the quantized table
+    # (FOUR consumers: the k count, centroid prefix, the N·kc probe
+    # stage, and the cell re-join) — the mutual_nn_int8_ivf treatment
+    # (optimization r18, guide §2.4/§5). Released once knn is pinned.
+    b = spread_to_parallelism(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("l"))
+    )
     sc = b.agg(
         (F.max(F.array_max(F.transform("l", lambda v: F.abs(v)))) / 127.0)
         .alias("s")
@@ -1715,6 +1758,7 @@ def lof_outliers_int8_cells(
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
     )
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
     kdf = q.agg(
         F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
         .cast("long")
@@ -1748,6 +1792,13 @@ def lof_outliers_int8_cells(
         F.col("label").alias("cell"),
         F.col("qv").alias("qa"),
     )
+    # Pin the cell self-join's parallelism: the pair stage is the
+    # O(N^1.5) CPU core and its inputs are byte-light, so AQE's
+    # coalescing serializes it (the mutual_nn single-task collapse).
+    # hash(cell) at the session's parallelism satisfies the join's
+    # distribution, so only the bb side re-exchanges; cells ≈ √N ≫
+    # cores at scale, so the keyed spread stays balanced.
+    a = a.repartition(default_parallelism(a), "cell")
     bb = q.select(
         F.col("vec_id").alias("j"),
         F.col("label").alias("lb"),
@@ -1769,6 +1820,7 @@ def lof_outliers_int8_cells(
         .select("i", "j", "cell", "dist")
         .localCheckpoint()
     )
+    q.unpersist()  # knn is pinned; nothing re-reads the quantized table
     kd = knn.groupBy(F.col("i").alias("node")).agg(
         F.max("dist").alias("kdist"), F.count("*").alias("cnt")
     )

@@ -28,6 +28,47 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def default_parallelism(df: DataFrame) -> int:
+    """The session's target task parallelism (classic mode), falling
+    back to the shuffle-partition conf under Spark Connect."""
+    try:
+        return df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition `df` up to the session's default
+    parallelism when its current lineage is narrower — the shared
+    remedy for the single-file/single-row-group parquet scan that
+    otherwise serializes every map-side stage built on top of it
+    (optimization r18, guide §2.5 input skew / §6 input split size;
+    the same probe minhash_bands carries inline). At cluster scale a
+    real corpus scans >= parallelism partitions and this is a no-op;
+    under Spark Connect (no sparkContext/.rdd) fall back to the scan's
+    file count as an advisory width bound. Row-to-partition assignment
+    is deterministic under retry (sort-before-repartition is on by
+    default), and every caller's result is per-row deterministic
+    regardless of partitioning."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        par = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        try:
+            width = len(df.inputFiles())
+        except Exception:
+            width = 0
+        if width < par:
+            df = df.repartition(par)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (JVM-side fold)."""
     return F.aggregate(
