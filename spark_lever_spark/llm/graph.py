@@ -63,7 +63,16 @@ def release_local_checkpoint(df: DataFrame) -> None:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, link every strictly-larger neighbor to the
-    minimum of its neighborhood (including itself)."""
+    minimum of its neighborhood (including itself).
+
+    No terminal ``.distinct()`` (optimization r18, guide §2.4): the
+    only consumer is ``_small_star``, whose window-min is
+    duplicate-insensitive and which ends in its own ``.distinct()`` —
+    so the half-round's edge-grain dedup shuffle bought nothing. Two
+    distinct centers u1 != u2 can emit the same (v, m) pair, so the
+    output may carry duplicates (bounded by deg(v)); the per-round
+    convergence check in ``connected_components`` compares only
+    small-star outputs, which stay distinct sets."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -73,7 +82,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -493,7 +501,13 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
     edges = edges.persist()
+    # Materialize the edge cache once before the loop — the
+    # pagerank_copurchase treatment (optimization r18, guide §2.4/§5):
+    # per-round broadcast subqueries compile their own plans, so a lazy
+    # cache lets each one replay the co-purchase self-join from parquet.
+    edges.count()
     labels = edges.select("v").distinct().withColumn("lbl", F.col("v"))
+    prev = None
     for _ in range(_LPA_ROUNDS):
         votes = (
             edges.join(
@@ -508,6 +522,12 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("v", (-F.col("m.nl")).alias("lbl"))
         )
+        # pin each round's node-grain label vector, free its
+        # predecessor (CC lineage doctrine)
+        labels = labels.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = labels
     out = (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("size"))
@@ -519,6 +539,8 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks would otherwise accumulate.
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    if prev is not None:
+        release_local_checkpoint(prev)
     return out
 
 
@@ -739,7 +761,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
     edges = edges.persist()
-    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d")).persist()
     # static degree-annotated edge list: src degree rides the edge so
     # each round joins ONLY the rank vector
     e_src = (
@@ -747,7 +769,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", "u", "d")
         .persist()
     )
+    # Materialize the static tables ONCE before the loop (optimization
+    # r18, guide §2.4/§5 recompute elimination): the rounds' joins pick
+    # runtime broadcasts, and each broadcast subquery compiles its own
+    # plan — exchanges are NOT reused across those plan boundaries, so
+    # with a lazy cache every round's broadcast job replayed the whole
+    # co-purchase self-join from parquet (measured at sf0.1: ~10
+    # overlapping replays of the 64-task construction stages, ~15
+    # executor-s each, dominating the query).
+    e_src.count()
     ranks = deg.select("v", F.lit(_PR_R0).cast("long").alias("r"))
+    prev = None
     for _ in range(_PR_ROUNDS):
         contrib = (
             e_src.join(ranks.select(F.col("v").alias("u"), "r"), "u")
@@ -765,12 +797,23 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        # Pin each round's node-grain rank vector and free its
+        # predecessor: round N+1's broadcast subquery then reads a
+        # materialized LogicalRDD instead of replaying rounds 1..N
+        # (the CC-loop lineage doctrine applied to the rank recursion).
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = ranks
     out = ranks.select(
         F.col("v").alias("part"), F.col("r").alias("rank_units")
     ).orderBy(F.desc("rank_units"), "part")
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    deg.unpersist()
     e_src.unpersist()
+    if prev is not None:
+        release_local_checkpoint(prev)
     return out
 
 
@@ -1708,10 +1751,14 @@ def dbscan_box_clusters_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = core.persist(StorageLevel.MEMORY_AND_DISK)
     c1 = core.select(F.col("id").alias("u_ok"))
     c2 = core.select(F.col("id").alias("v_ok"))
+    # Canonical orientation only (optimization r18, guide §2.4): the
+    # box predicate is symmetric so nb carries BOTH (x, y) and (y, x);
+    # CC symmetrizes internally, so feeding one orientation halves the
+    # edge table every star round touches. Components are identical.
     ce = (
         nb.join(c1, nb.ia == c1.u_ok)
         .join(c2, nb.ib == c2.v_ok)
-        .filter(F.col("ia") != F.col("ib"))
+        .filter(F.col("ia") < F.col("ib"))
         .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     )
     cc = connected_components(ce)
@@ -2332,22 +2379,24 @@ def personalized_pagerank_copurchase(
         und.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
     )
     edges = edges.persist()
-    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    deg = edges.groupBy("v").agg(F.count("*").cast("long").alias("d")).persist()
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#11"
     ).select(F.col("p_partkey").alias("sv"))
-    seeds = deg.join(
-        F.broadcast(p), deg.v == F.col("sv")
-    ).select("v")
     is_seed = F.col("sv").isNotNull()
     marked = deg.join(
         F.broadcast(p), deg.v == F.col("sv"), "left"
-    ).select("v", "d", is_seed.alias("seed"))
+    ).select("v", "d", is_seed.alias("seed")).persist()
     e_src = (
         edges.join(deg.select(F.col("v").alias("u"), "d"), "u")
         .select("v", "u", "d")
         .persist()
     )
+    # Materialize the static tables once before the loop — the
+    # pagerank_copurchase treatment (optimization r18, guide §2.4/§5):
+    # per-round broadcast subqueries compile their own plans, so a lazy
+    # cache lets each one replay the co-purchase self-join from parquet.
+    e_src.count()
     ranks = marked.select(
         "v",
         F.when(F.col("seed"), F.lit(_PR_R0))
@@ -2355,6 +2404,7 @@ def personalized_pagerank_copurchase(
         .cast("long")
         .alias("r"),
     )
+    prev = None
     for _ in range(_PR_ROUNDS):
         contrib = (
             e_src.join(ranks.select(F.col("v").alias("u"), "r"), "u")
@@ -2374,6 +2424,11 @@ def personalized_pagerank_copurchase(
                 ).alias("r"),
             )
         )
+        # pin each round, free its predecessor (CC lineage doctrine)
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = ranks
     out = (
         ranks.filter(F.col("r") > 0)
         .select(F.col("v").alias("part"), F.col("r").alias("rank_units"))
@@ -2381,7 +2436,11 @@ def personalized_pagerank_copurchase(
     )
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    deg.unpersist()
+    marked.unpersist()
     e_src.unpersist()
+    if prev is not None:
+        release_local_checkpoint(prev)
     return out
 
 
@@ -2465,6 +2524,12 @@ def hits_hubs_authorities_purchases(
         .distinct()
         .persist()
     )
+    # Materialize the edge cache once before the loop — the
+    # pagerank_copurchase treatment (optimization r18, guide §2.4/§5):
+    # the half-rounds' broadcast subqueries compile their own plans, so
+    # a lazy cache lets the overlapping round-1 broadcast jobs each
+    # replay the join+distinct edge construction from parquet.
+    e.count()
     auth = e.select("p").distinct().select(
         "p", F.lit(1000000).cast("long").alias("a")
     )
@@ -2478,11 +2543,18 @@ def hits_hubs_authorities_purchases(
     # plan-growth reason specific to the normalize-by-own-aggregate
     # shape; the vectors themselves are node-count-sized and tiny).
     for _ in range(3):
+        # The un-normalized sum vector is referenced twice (its own max
+        # + the normalize select); a lazy persist gives the reuse
+        # without an extra eager job per half-round — the plan growth
+        # the old eager checkpoint guarded against is bounded here
+        # because the previous vector is already a checkpointed
+        # LogicalRDD, so the doubled subplan is one join+agg deep
+        # (optimization r18, guide §1.4 job-count latency).
         hu = (
             e.join(auth.select(F.col("p").alias("ap"), "a"), e.p == F.col("ap"))
             .groupBy("c")
             .agg(F.sum(F.col("a").cast(dec)).alias("h"))
-            .localCheckpoint()
+            .persist()
         )
         hm = hu.agg(F.max("h").alias("m"))
         hubs = (
@@ -2491,11 +2563,12 @@ def hits_hubs_authorities_purchases(
             .select("c", F.expr("CAST(h * 1000000 div m AS BIGINT)").alias("h"))
             .localCheckpoint()
         )
+        hu.unpersist()  # hubs is pinned; the sum vector is done
         au = (
             e.join(hubs.select(F.col("c").alias("hc"), "h"), e.c == F.col("hc"))
             .groupBy("p")
             .agg(F.sum(F.col("h").cast(dec)).alias("a"))
-            .localCheckpoint()
+            .persist()
         )
         am = au.agg(F.max("a").alias("m"))
         auth = (
@@ -2504,6 +2577,7 @@ def hits_hubs_authorities_purchases(
             .select("p", F.expr("CAST(a * 1000000 div m AS BIGINT)").alias("a"))
             .localCheckpoint()
         )
+        au.unpersist()  # auth is pinned; the sum vector is done
     out = (
         auth.select(
             F.lit("authority").alias("kind"),
