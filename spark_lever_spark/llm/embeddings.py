@@ -1378,16 +1378,35 @@ def embedding_top_pc_power_iteration(
             "l", lambda v: F.floor(v / F.col("s") + 0.5).cast("long")
         ).alias("qv"),
     )
-    ex1 = q.select(
-        "vec_id", F.posexplode("qv").alias("i0", "a")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "a")
-    ex2 = q.select(
-        F.col("vec_id").alias("vid2"), F.posexplode("qv").alias("j0", "b")
-    ).select("vid2", (F.col("j0") + 1).alias("j"), "b")
+    # Gram accumulation as ONE map-side pass (optimization r18, guide
+    # §2.4 remove shuffles): the old form posexploded the quantized
+    # vectors twice and self-joined on vec_id — a shuffle of 2·N·64
+    # rows plus a hash join, when the 64x64 outer product of each
+    # vector is a purely local computation. The nested-transform
+    # explode emits the same dim²·N products straight into the
+    # map-side-combinable (i, j) aggregation (4096 groups), so the
+    # only shuffle left is the tiny final partial-merge.
     g = (
-        ex1.join(ex2, ex1.vec_id == F.col("vid2"))
+        q.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "qv",
+                        lambda a, i0: F.transform(
+                            "qv",
+                            lambda b, j0: F.struct(
+                                (i0 + 1).alias("i"),
+                                (j0 + 1).alias("j"),
+                                (a * b).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("a") * F.col("b")).alias("g"))
+        .agg(F.sum("p").alias("g"))
         .localCheckpoint()
     )
     v = g.select("i").distinct().select(

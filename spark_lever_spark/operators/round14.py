@@ -2259,6 +2259,16 @@ def lincoln_petersen_dedup_estimate(
         ).alias("fp"),
     )
 
+    # Each fingerprint table feeds flagged() twice (the dup-fp
+    # aggregate AND the join-back side) — without a persist the
+    # corpus-wide md5 shingle explode runs twice per detector
+    # (optimization r18, guide §5 recompute elimination). Fingerprint
+    # grain, spills to disk at scale.
+    from pyspark import StorageLevel
+
+    paras = paras.persist(StorageLevel.MEMORY_AND_DISK)
+    shing = shing.persist(StorageLevel.MEMORY_AND_DISK)
+
     def flagged(fps: DataFrame) -> DataFrame:
         dup_fp = (
             fps.groupBy("fp")
@@ -2288,7 +2298,7 @@ def lincoln_petersen_dedup_estimate(
             F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
         ).alias("union_flagged"),
     )
-    return cells.select(
+    out = cells.select(
         "n_docs",
         "n1",
         "n2",
@@ -2302,3 +2312,8 @@ def lincoln_petersen_dedup_estimate(
             " - union_flagged, 0) AS BIGINT)"
         ).alias("est_missed"),
     )
+    # 1-row result: pin eagerly, release the fingerprint caches.
+    out = out.localCheckpoint(eager=True)
+    paras.unpersist()
+    shing.unpersist()
+    return out

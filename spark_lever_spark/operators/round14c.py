@@ -2034,27 +2034,43 @@ def sample_entropy_kernel_daily(
         F.col("v1").alias("b1"),
         F.col("v2").alias("b2"),
     )
+    # Tolerance constant hoisted out of the per-pair predicate
+    # (optimization r18, guide §1.2 per-task work): the original form
+    # paid four decimal(38) multiplications per template term per pair
+    # (25·d²·n·n ≤ vv over ~1.6M day-pairs). For non-negative integers
+    # d², vv and M = 25n² > 0:  M·d² ≤ vv  ⟺  d² ≤ vv/M  ⟺
+    # d² ≤ floor(vv/M)  (d² is an integer), so the exact floor quotient
+    # kk — computed ONCE on the 1-row stats frame via remainder
+    # subtraction, which keeps the decimal division exact — replaces
+    # the heavy form with a single decimal multiply per term. vv ≥ 0 by
+    # Cauchy-Schwarz; vv = 0 degenerates to d = 0 in both forms.
+    gk = g.selectExpr(
+        "n",
+        f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS vv",
+    ).selectExpr(
+        f"CAST((vv - vv % (CAST(25 AS {_DEC}) * n * n))"
+        f" / (CAST(25 AS {_DEC}) * n * n) AS {_DEC}) AS kk",
+    )
     pairs = (
         a.join(b, F.col("j") > F.col("i"))
-        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gk))
         .selectExpr(
             "CAST(a0 - b0 AS BIGINT) AS d0",
             "CAST(a1 - b1 AS BIGINT) AS d1",
             "CAST(a2 - b2 AS BIGINT) AS d2",
-            "n",
-            f"CAST(n * q - CAST(s AS {_DEC}) * s AS {_DEC}) AS vv",
+            "kk",
         )
     )
     hit = (
-        f"25 * CAST(d0 AS {_DEC}) * d0 * n * n <= vv"
-        f" AND 25 * CAST(d1 AS {_DEC}) * d1 * n * n <= vv"
+        f"CAST(d0 AS {_DEC}) * d0 <= kk"
+        f" AND CAST(d1 AS {_DEC}) * d1 <= kk"
     )
     m = pairs.agg(
         F.sum(F.expr(f"CASE WHEN {hit} THEN 1 ELSE 0 END")).alias("b"),
         F.sum(
             F.expr(
-                f"CASE WHEN {hit} AND 25 * CAST(d2 AS {_DEC}) * d2"
-                " * n * n <= vv THEN 1 ELSE 0 END"
+                f"CASE WHEN {hit} AND CAST(d2 AS {_DEC}) * d2"
+                " <= kk THEN 1 ELSE 0 END"
             )
         ).alias("a"),
         F.count("*").alias("n_pairs"),

@@ -123,43 +123,75 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PairRDDFunctions.scala:491-649."""
     from spark_lever_spark.llm.graph import connected_components
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     scr = (
         lsh_candidate_pairs(docs)
         .filter(F.col("est_jaccard") >= 0.75)
         .select("id_a", "id_b")
     )
+    # Tokenize the corpus ONCE and cache it: the tokenized base feeds
+    # the metadata screen sides AND both token-array attach sides
+    # (optimization r18, guide §5).
     base = docs.select(
         "doc_id",
         "source",
         "lang",
         tokens_distinct(F.col("text")).alias("toks"),
-    )
-    a = base.select(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Metadata pre-filter BEFORE the token arrays attach (optimization
+    # r18, guide §2.3 shuffle fewer bytes / §1.2 per-task work): the
+    # old plan attached two ~100-token arrays to every screened pair
+    # and only then applied the source/lang rule and the exact-Jaccard
+    # verify — the array attach and the per-pair array_intersect were
+    # the query's hottest stage. The cheap joins below carry only
+    # (source, lang, |toks|); besides the source/lang rule they apply
+    # an exact NECESSARY condition of the match rule: with
+    # c <= min(na, nb),  8c >= 7(na + nb - c)  ⟺  15c >= 7(na + nb)
+    # implies  8·min(na, nb) >= 7·max(na, nb),  so a pair failing the
+    # size-ratio test can never pass the verify — dropping it early
+    # changes nothing. Survivors alone pay the array attach; the final
+    # predicate is unchanged (na = |ta|, nb = |tb| by construction).
+    meta_a = base.select(
         F.col("doc_id").alias("id_a"),
         F.col("source").alias("src_a"),
         F.col("lang").alias("lang_a"),
-        F.col("toks").alias("ta"),
+        F.size("toks").cast("long").alias("na"),
     )
-    b = base.select(
+    meta_b = base.select(
         F.col("doc_id").alias("id_b"),
         F.col("source").alias("src_b"),
         F.col("lang").alias("lang_b"),
-        F.col("toks").alias("tb"),
+        F.size("toks").cast("long").alias("nb"),
     )
-    c = F.size(F.array_intersect("ta", "tb")).cast("long")
-    union_n = F.size("ta").cast("long") + F.size("tb").cast("long") - c
-    edges = (
-        scr.join(a, "id_a")
-        .join(b, "id_b")
+    cand = (
+        scr.join(meta_a, "id_a")
+        .join(meta_b, "id_b")
         .filter(
             (F.col("src_a") != F.col("src_b"))
             & (F.col("lang_a") == F.col("lang_b"))
-            & (8 * c >= 7 * union_n)
+            & (
+                8 * F.least("na", "nb")
+                >= 7 * F.greatest("na", "nb")
+            )
         )
+        .select("id_a", "id_b", "na", "nb")
+    )
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    c = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union_n = F.col("na") + F.col("nb") - c
+    edges = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(8 * c >= 7 * union_n)
         .select("id_a", "id_b")
     )
     comp = connected_components(edges, src="id_a", dst="id_b")
+    # connected_components eagerly materializes its edge input, so the
+    # tokenized corpus cache is released here.
+    base.unpersist()
     meta = docs.select(F.col("doc_id").alias("node"), "source")
     return (
         comp.join(meta, "node")
