@@ -112,6 +112,69 @@ def _small_star(edges: DataFrame) -> DataFrame:
 # any graph large enough to cross it.
 _CONTRACT_MIN_EDGES = 1_000_000
 
+# At or below this (post-contraction) edge count the star loop is
+# replaced by a SINGLE-TASK vectorized min-label kernel (optimization
+# r18, guide §1.2 "the distributed algorithm" + §4.2 native batch
+# code): every star round costs ~3 shuffle stages plus 2 job
+# dispatches, so a small graph pays pure scheduling latency — the
+# dominant cost of dbscan's CC (measured 104 stages for 31 core-s of
+# work) and of every post-contraction election-class graph (3.67M
+# pairs contract to 3,864 edges, then the loop ran ~5 more rounds).
+# This is the same move a cluster-scale CC makes after contraction:
+# once the graph fits one task, finish it there. 2M edges is ~32 MB
+# of Arrow payload — bounded by construction, same class as a
+# broadcast side.
+_LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_local_labels(e: DataFrame) -> DataFrame:
+    """Single-task CC over a bounded edge frame: ``(cnode, component)``
+    with component = min node id, exactly the star-loop fixpoint's
+    output grain. The kernel is vectorized min-label propagation with
+    pointer-jumping to fixpoint each round (hash-to-min; O(log n)
+    rounds, each O(E+N) in numpy) — no per-row Python. Exactness:
+    labels start at identity, are componentwise non-increasing, and a
+    fixpoint under edge-relax + pointer-jumping forces equal labels on
+    every edge, hence constant per component and equal to the
+    component minimum (the minimum can never decrease)."""
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(np.int64))
+            vs.append(b["v"].to_numpy(np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        eu, ev = inv[: u.size], inv[u.size :]
+        p = np.arange(nodes.size, dtype=np.int64)
+        for _ in range(64):
+            mn = np.minimum(p[eu], p[ev])
+            p_new = p.copy()
+            np.minimum.at(p_new, eu, mn)
+            np.minimum.at(p_new, ev, mn)
+            while True:
+                nxt = p_new[p_new]
+                if np.array_equal(nxt, p_new):
+                    break
+                p_new = nxt
+            if np.array_equal(p_new, p):
+                break
+            p = p_new
+        else:  # pragma: no cover — monotone labels cannot cycle
+            raise RuntimeError("local CC kernel did not converge")
+        yield pd.DataFrame({"cnode": nodes, "component": nodes[p]})
+
+    # coalesce, not repartition: the input is localCheckpoint-ed, so
+    # collapsing to one partition constrains nothing upstream and
+    # skips the keyless-repartition pre-sort (guide §2.5).
+    return e.coalesce(1).mapInPandas(part, "cnode long, component long")
+
 
 def connected_components(
     edges: DataFrame,
@@ -185,38 +248,50 @@ def connected_components(
     else:
         lab = None
         e = e0
-    # max_iter + 1 passes: detecting the fixpoint costs one comparison
-    # round beyond the round that PRODUCES it, so a graph converging
-    # exactly at the budget must not be reported as divergent
-    for _ in range(max_iter + 1):
-        e_next = _small_star(_large_star(e)).localCheckpoint()
-        # Both sides are distinct sets, so equal cardinality plus
-        # one-direction containment proves set equality — one count
-        # (cheap agg) replaces one of the two exceptAll jobs, and the
-        # except is skipped entirely when the counts already differ.
-        n_next = e_next.count()
-        changed = n_next != n_edges or not e_next.exceptAll(e).isEmpty()
-        release_local_checkpoint(e)  # predecessor blocks free NOW
-        e, n_edges = e_next, n_next
-        if not changed:
-            break
+    if n_edges <= _LOCAL_CC_MAX_EDGES:
+        # Single-task finisher (see _LOCAL_CC_MAX_EDGES): one Arrow
+        # transfer + one vectorized kernel replaces ~5 star rounds of
+        # 3 shuffles + 2 jobs each. Eagerly pinned so the edge blocks
+        # release now and consumers never replay the Python stage.
+        comp_c = _cc_local_labels(e).localCheckpoint()
+        release_local_checkpoint(e)
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+        # max_iter + 1 passes: detecting the fixpoint costs one
+        # comparison round beyond the round that PRODUCES it, so a
+        # graph converging exactly at the budget must not be reported
+        # as divergent
+        for _ in range(max_iter + 1):
+            e_next = _small_star(_large_star(e)).localCheckpoint()
+            # Both sides are distinct sets, so equal cardinality plus
+            # one-direction containment proves set equality — one
+            # count (cheap agg) replaces one of the two exceptAll
+            # jobs, and the except is skipped entirely when the counts
+            # already differ.
+            n_next = e_next.count()
+            changed = n_next != n_edges or not e_next.exceptAll(e).isEmpty()
+            release_local_checkpoint(e)  # predecessor blocks free NOW
+            e, n_edges = e_next, n_next
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        # Fixpoint is a star forest oriented node -> root (= component
+        # min) over the (possibly contracted) node set; when the
+        # pre-contraction ran, map every original node back through
+        # its label. Labels whose contracted node touched no
+        # contracted edge (their whole neighborhood collapsed to one
+        # label) are their own component minimum.
+        assign = e.select(
+            F.col("u").alias("cnode"), F.col("v").alias("component")
         )
-    # Fixpoint is a star forest oriented node -> root (= component min)
-    # over the (possibly contracted) node set; when the pre-contraction
-    # ran, map every original node back through its label. Labels whose
-    # contracted node touched no contracted edge (their whole
-    # neighborhood collapsed to one label) are their own component
-    # minimum.
-    assign = e.select(F.col("u").alias("cnode"), F.col("v").alias("component"))
-    roots = (
-        e.select(F.col("v").alias("cnode"))
-        .distinct()
-        .withColumn("component", F.col("cnode"))
-    )
-    comp_c = assign.union(roots).distinct()
+        roots = (
+            e.select(F.col("v").alias("cnode"))
+            .distinct()
+            .withColumn("component", F.col("cnode"))
+        )
+        comp_c = assign.union(roots).distinct()
     if not contracted:
         return comp_c.select(
             F.col("cnode").alias("node"), F.col("component")

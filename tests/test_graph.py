@@ -60,10 +60,36 @@ def test_cc_two_components_and_descending_edges(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 11, 20: 11}
 
 
-def test_cc_raises_when_iteration_budget_exhausted(spark):
+def test_cc_raises_when_iteration_budget_exhausted(spark, monkeypatch):
+    # the iteration budget belongs to the distributed star loop — force
+    # it (round 18: small graphs take the single-task kernel, which
+    # always converges)
+    from spark_lever_spark.llm import graph
+
+    monkeypatch.setattr(graph, "_LOCAL_CC_MAX_EDGES", -1)
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_cc_star_loop_matches_local_kernel(spark, monkeypatch):
+    """Round 18: small graphs finish in the single-task vectorized
+    kernel; the distributed star loop must stay pinned to the SAME
+    labels on the same seeded graph (plus a path, the
+    pointer-jumping worst case)."""
+    from spark_lever_spark.llm import graph
+
+    rng = random.Random(44)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    path = [(i, i + 1) for i in range(63)]
+    for g in (edges, path):
+        local = _cc_spark(spark, g)
+        monkeypatch.setattr(graph, "_LOCAL_CC_MAX_EDGES", -1)
+        star = _cc_spark(spark, g)
+        monkeypatch.undo()
+        assert star == local == _union_find_components(n, g)
 
 
 def test_cc_empty_edges(spark):
