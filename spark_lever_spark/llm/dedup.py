@@ -272,15 +272,28 @@ def sample_pair_jaccards(
         .orderBy("doc_id")
         .limit(max_docs)
     )
-    a = sample.select(F.col("doc_id").alias("ia"), F.col("ts").alias("ta"))
-    b = sample.select(F.col("doc_id").alias("ib"), F.col("ts").alias("tb"))
-    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
-        (
-            F.size(F.array_intersect("ta", "tb")).cast("double")
-            / F.size(F.array_union("ta", "tb")).cast("double")
-        ).alias("j")
-    )
-    return [r.j for r in pairs.collect()]
+    # Pair enumeration runs on the DRIVER over the collected sample
+    # (optimization r18, guide §1.2: the old broadcast self-join
+    # materialized the filter+sort+limit subtree once per join side —
+    # two extra full corpus scans plus two job round-trips for a
+    # ≤ max_docs² pair grid that fits in microseconds of Python).
+    # Tokenization stays IN Spark (the collected `ts` is
+    # tokens_distinct's output), so only exact integer set arithmetic
+    # happens here; len(A∩B)/|A∪B| over ints divides to the identical
+    # IEEE double the old array_intersect/array_union expression
+    # produced. Zero-token pairs (union empty) are skipped — the SQL
+    # oracle's token join never emits them and they contribute exactly
+    # 0 to every banding option's expected count.
+    rows = sorted(sample.collect(), key=lambda r: r.doc_id)
+    toks = [set(r.ts) for r in rows]
+    out: list[float] = []
+    for i in range(len(toks)):
+        for j in range(i + 1, len(toks)):
+            inter = len(toks[i] & toks[j])
+            union = len(toks[i]) + len(toks[j]) - inter
+            if union:
+                out.append(inter / union)
+    return out
 
 
 def tune_lsh_banding(
