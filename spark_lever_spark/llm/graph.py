@@ -61,6 +61,60 @@ def release_local_checkpoint(df: DataFrame) -> None:
         )
 
 
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2,
+    pinned: bool = False,
+) -> DataFrame:
+    """Canonical support-thresholded co-purchase edge table
+    ``(pa, pb)`` with pa < pb and >= ``min_support`` co-orders — the
+    shared input of every graph-family query.
+
+    Optimization r18 (guide §2.4 remove shuffles): built shuffle-lean
+    as ONE orderkey aggregation collecting each order's distinct part
+    set (collect_set partially aggregates map-side), local array
+    self-pairing via nested transform (pa < pb by array_sort order —
+    a per-row HOF, no join), and ONE map-side-combinable (pa, pb)
+    support count. The previous distinct + self-join + count chain
+    paid three shuffles and a join for the identical pair multiset
+    (row-set equality pinned in tests/test_graph.py); per-order part
+    arrays are basket-sized, so the explode fan-out is the same
+    Σ C(n_i, 2) rows the join produced, generated in place. Warm A/B
+    at sf0.1: 4.15 -> 2.45 s for the bare build."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i.cast("int") + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
+    out = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_support)
+        .select("pa", "pb")
+    )
+    if pinned:
+        # Multi-consumer queries (triangle family: 4-7 plan branches
+        # each replaying the build) materialize the support-pruned
+        # edge table ONCE — it is graph-sized, orders of magnitude
+        # smaller than lineitem, so the checkpoint is cheap at any
+        # scale and each branch reads a LogicalRDD instead of
+        # re-running the basket aggregation (guide §5 recompute
+        # elimination; measured A/B in OPTIMIZATION_r18.md).
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, link every strictly-larger neighbor to the
     minimum of its neighborhood (including itself).
@@ -445,26 +499,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on vertex keys. The support threshold keeps the edge set
     sparse at every SF (the a-priori pruning a real co-purchase graph
     applies anyway)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir, pinned=True)
     verts = (
         e.select(F.col("pa").alias("v"))
         .unionByName(e.select(F.col("pb").alias("v")))
@@ -552,26 +587,7 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one per-v argmax — all hash shuffles on vertex keys, O(|E|) per
     round, the same budget-bounded iteration doctrine as
     llm/graph.py's CC. The oracle unrolls the identical 5 rounds."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    und = copurchase_edges(spark, sf_dir)
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
@@ -678,27 +694,7 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash work per round, lineage truncated per round. Output is the
     peeling TRAJECTORY (vertices/edges after each round), which pins
     both the algorithm and its convergence behavior."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-        .localCheckpoint(eager=True)
-    )
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     # localCheckpoint (not bare persist) is load-bearing here: each
     # round references its parent ~5x (degree union + two semi-joins),
     # so without lineage truncation the plan tree grows 5^rounds and
@@ -812,26 +808,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank vector plus one dst-key aggregation — O(|E|) hash work per
     round, the LPA doctrine. Fixed round budget; headroom: total mass
     ≈ n·R0 must stay < 2^63/17 ⇒ fine to ~5e8 nodes at R0 = 1e9."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    und = copurchase_edges(spark, sf_dir)
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
@@ -1109,26 +1086,7 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     data size. The DuckDB oracle replays it as a recursive CTE whose
     UNION-dedup bounds states at |V| x hops, then takes min(hop) per
     vertex."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir)
     # localCheckpoint per round: BFS is iterative, and without eager
     # lineage truncation round N re-executes rounds 1..N-1 (measured
     # 35s -> ~8s at sf0.001); same doctrine as connected_components.
@@ -1317,26 +1275,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symmetric edge list; the histogram and its reverse-cumulative
     window live on the degree domain (bounded by max degree, not
     vertex count); total count rides a 1-row broadcast."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("pa").alias("v"))
         .unionByName(e.select(F.col("pb").alias("v")))
@@ -1414,26 +1353,7 @@ def degree_assortativity_copurchase(
     table as graph_degree_histogram; the statistic is exact int64
     moments over the edge-ends domain into one fixed IEEE tree (the
     autocorr/spearman doctrine applied to graph structure)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("pa").alias("v"))
         .unionByName(e.select(F.col("pb").alias("v")))
@@ -1646,25 +1566,7 @@ def link_prediction_common_neighbors(
     exact integers). Top-20 via TakeOrdered. Scale: hub-bounded wedge
     work — cap degree (or sample neighborhoods) per the LSH-tuner
     doctrine if a 100 TB catalog has whale parts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("ok"))
-            & (F.col("a.l_partkey") < F.col("pk")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = copurchase_edges(spark, sf_dir, pinned=True)
     adj = pairs.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
@@ -1923,26 +1825,7 @@ def edge_triangle_support_copurchase(
     triangle back to its 3 canonical edges and counts per edge; the
     unmatched LEFT side marks the bridges. Everything shuffles on
     vertex/edge keys only; the triangle fan-out is 3x, a constant."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir, pinned=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
@@ -2045,26 +1928,7 @@ def modularity_brand_partition_copurchase(
     any community detection must beat. Edges reuse the canonical
     co-purchase set; brands attach through two broadcast part
     joins; degrees live on the ≤25-row community domain."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir)
     pb_ = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ee = (
         e.join(
@@ -2166,25 +2030,7 @@ def link_prediction_resource_allocation(
     center's degree joined IN the wedge pass, existing edges removed
     by anti-join, deterministic top-20 by (ra, cn, pair). Hub caps
     per the LSH-tuner doctrine apply at whale-catalog scale."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("ok"))
-            & (F.col("a.l_partkey") < F.col("pk")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = copurchase_edges(spark, sf_dir, pinned=True)
     adj = pairs.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
@@ -2275,26 +2121,7 @@ def harmonic_closeness_sampled_bfs(
     10⁶ // hop summed per seed (per-term-floored discrete variant).
     State is |seeds|·|V| at worst — seeds is the knob that holds it
     linear at 100 TB."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).localCheckpoint()
@@ -2428,26 +2255,7 @@ def personalized_pagerank_copurchase(
     pagerank_copurchase: one static degree-annotated edge list, one
     rank-vector equi-join + dst aggregation per round; the seed
     restriction adds one broadcast-sized dimension join."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    und = copurchase_edges(spark, sf_dir)
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(

@@ -1563,25 +1563,9 @@ def clustering_coefficient_copurchase(
     Deterministic top-20 (cc desc, degree desc, part). Scale: the
     same support-≥ 2 pruned edge set as every copurchase query; no
     step exceeds the wedge bound."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("ok"))
-            & (F.col("a.l_partkey") < F.col("pk")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    from spark_lever_spark.llm.graph import copurchase_edges
+
+    pairs = copurchase_edges(spark, sf_dir, pinned=True)
     adj = pairs.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).union(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))

@@ -2395,25 +2395,9 @@ pairs AS (
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("ok"))
-            & (F.col("a.l_partkey") < F.col("pk")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("pk").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    from spark_lever_spark.llm.graph import copurchase_edges
+
+    return copurchase_edges(spark, sf_dir, pinned=True)
 
 
 @register(

@@ -982,26 +982,9 @@ def config_model_triangle_excess_copurchase(
     degree sequence, one aggregation. All ratios HUGEINT ⟷
     decimal(38,0) milli floor-divisions (non-negative). Scale shape:
     compact-forward triangle join (Σ deg² bound) + one degree rollup."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("pa", "pb")
-    )
+    from spark_lever_spark.llm.graph import copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("pa").alias("v"))
         .unionByName(e.select(F.col("pb").alias("v")))
