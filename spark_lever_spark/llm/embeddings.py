@@ -1386,6 +1386,19 @@ def embedding_top_pc_power_iteration(
     # explode emits the same dim²·N products straight into the
     # map-side-combinable (i, j) aggregation (4096 groups), so the
     # only shuffle left is the tiny final partial-merge.
+    # Spread the dim² fan-out first (the minhash_bands probe pattern):
+    # a single small parquet file scans as ONE partition, which
+    # serialized the whole Gram pass on one core — the r18 bench read
+    # 5.17 s (2.08x gate) against 0.9 s once spread. No-op when the
+    # input already scans at session parallelism (cluster scale).
+    try:
+        par = q.sparkSession.sparkContext.defaultParallelism
+        if q.rdd.getNumPartitions() < par:
+            q = q.repartition(par)
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        q = q.repartition(
+            int(q.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
     g = (
         q.select(
             F.explode(
