@@ -586,8 +586,18 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds. Per round: one edge-label equi-join + one (v, lbl) count
     + one per-v argmax — all hash shuffles on vertex keys, O(|E|) per
     round, the same budget-bounded iteration doctrine as
-    llm/graph.py's CC. The oracle unrolls the identical 5 rounds."""
-    und = copurchase_edges(spark, sf_dir)
+    llm/graph.py's CC. The oracle unrolls the identical 5 rounds.
+    Below _LOCAL_GRAPH_MAX_EDGES the recursion runs in the single-task
+    vectorized kernel (forced-path-pinned to the loop)."""
+    und = copurchase_edges(spark, sf_dir, pinned=True)
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = (
+            _lpa_local(und, _LPA_ROUNDS)
+            .orderBy(F.desc("size"), "community")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(und)
+        return out
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
@@ -739,6 +749,323 @@ _PR_ROUNDS = 5
 _PR_R0 = 1_000_000_000  # initial rank per node, integer units
 _PR_TELEPORT = _PR_R0 * 3 // 20  # (1-d)·R0 with d = 0.85 = 17/20
 
+# At or below this edge count every bounded-rounds graph ITERATION
+# (PageRank, PPR, LPA, HITS, BFS, sampled-BFS closeness) finishes in a
+# single-task vectorized kernel instead of the distributed per-round
+# join loop — the _LOCAL_CC_MAX_EDGES doctrine applied to the whole
+# iterative family (optimization r18, guide §1.2 "the distributed
+# algorithm" + §4.2 native batch code). Measured at sf0.1: each loop
+# round costs 2-4 shuffle stages plus 1-3 job dispatches (the per-round
+# localCheckpoint the lineage doctrine requires is itself a job), so a
+# graph-sized input pays ~15 jobs of pure scheduling latency for well
+# under one core-second of arithmetic. Every recursion in the family
+# is INTEGER-exact by construction (ranks in integer units with div,
+# mode-with-min-tie labels, hop counts), so a numpy int64 kernel
+# reproduces the distributed fixpoint bit-for-bit — each query's
+# forced-path test pins the two paths to identical rows. Above the
+# threshold the distributed loop runs unchanged: at cluster scale the
+# edge set exceeds any single task and the O(|E|)-per-round join loop
+# is the right shape. 2M edges is ~32 MB of Arrow payload — bounded by
+# construction, same class as a broadcast side.
+_LOCAL_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _pagerank_local(
+    und: DataFrame, seed_marks: DataFrame | None = None
+) -> DataFrame:
+    """Single-task integer-exact PageRank over a bounded ``(pa, pb)``
+    undirected edge frame: ``(part, rank_units)`` for every vertex
+    with >= 1 edge — exactly the distributed loop's output grain.
+
+    When ``seed_marks`` (a ``(sv)`` frame of teleport targets) is
+    given, runs the PERSONALIZED variant: seeds start at R0 and keep
+    the teleport constant, non-seeds start and teleport at 0, vertices
+    never reached are dropped (r > 0) — the _ppr_oracle recursion.
+
+    Exactness: the round update is r'(v) = tele(v) + Σ_{u∈N(v)}
+    (r(u)·17) div (20·deg(u)) in int64 — identical operations in
+    identical order-free form (integer sums are associative), and all
+    terms are non-negative so numpy's ``//`` (floor) equals Spark/
+    DuckDB's truncating ``div``. Overflow headroom: total mass stays
+    <= n·R0 <= 2e6·1e9 = 2e15 under the kernel gate, so r·17 < 2^63."""
+    personalized = seed_marks is not None
+    inp = und.select(
+        F.col("pa").cast("long").alias("pa"), F.col("pb").cast("long").alias("pb")
+    )
+    if personalized:
+        # seed markers ride the same frame as (sv, -1) rows — part keys
+        # are positive, so the sign is an unambiguous tag and the
+        # kernel needs no second input relation
+        inp = inp.unionByName(
+            seed_marks.select(
+                F.col("sv").cast("long").alias("pa"),
+                F.lit(-1).cast("long").alias("pb"),
+            )
+        )
+    r0, tele, rounds = _PR_R0, _PR_TELEPORT, _PR_ROUNDS
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pas, pbs = [], []
+        for b in batches:
+            pas.append(b["pa"].to_numpy(np.int64))
+            pbs.append(b["pb"].to_numpy(np.int64))
+        if not pas:
+            return
+        pa = np.concatenate(pas)
+        pb = np.concatenate(pbs)
+        marks = pa[pb < 0]
+        em = pb >= 0
+        pa, pb = pa[em], pb[em]
+        if pa.size == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([pa, pb]), return_inverse=True)
+        ea, eb = inv[: pa.size], inv[pa.size :]
+        # symmetric directed view: each undirected edge sends both ways
+        send = np.concatenate([ea, eb])
+        recv = np.concatenate([eb, ea])
+        deg = np.bincount(send, minlength=nodes.size).astype(np.int64)
+        if personalized:
+            seed = np.zeros(nodes.size, dtype=bool)
+            seed[np.searchsorted(nodes, np.intersect1d(marks, nodes))] = True
+            r = np.where(seed, np.int64(r0), np.int64(0))
+            t = np.where(seed, np.int64(tele), np.int64(0))
+        else:
+            r = np.full(nodes.size, r0, dtype=np.int64)
+            t = np.full(nodes.size, tele, dtype=np.int64)
+        for _ in range(rounds):
+            c = (r[send] * 17) // (20 * deg[send])
+            s = np.zeros(nodes.size, dtype=np.int64)
+            np.add.at(s, recv, c)
+            r = t + s
+        if personalized:
+            keep = r > 0
+            nodes, r = nodes[keep], r[keep]
+        yield pd.DataFrame({"part": nodes, "rank_units": r})
+
+    # coalesce, not repartition: the input is graph-sized and pinned,
+    # so collapsing to one partition constrains nothing upstream and
+    # skips the keyless-repartition pre-sort (guide §2.5)
+    return inp.coalesce(1).mapInPandas(part, "part long, rank_units long")
+
+
+def _lpa_local(und: DataFrame, rounds: int) -> DataFrame:
+    """Single-task synchronized LPA over a bounded ``(pa, pb)`` edge
+    frame: ``(community, size)`` after ``rounds`` mode-label rounds —
+    the distributed loop's output grain. Exactness: each round every
+    vertex adopts the neighbor label with the highest count, ties to
+    the SMALLEST label — reproduced by sorting candidate (v, c, lbl)
+    triples on (v, -c, lbl) and taking the first per v; labels are
+    node ids (int64) throughout, no float anywhere."""
+    inp = und.select(
+        F.col("pa").cast("long").alias("pa"), F.col("pb").cast("long").alias("pb")
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pas, pbs = [], []
+        for b in batches:
+            pas.append(b["pa"].to_numpy(np.int64))
+            pbs.append(b["pb"].to_numpy(np.int64))
+        if not pas:
+            return
+        pa = np.concatenate(pas)
+        pb = np.concatenate(pbs)
+        if pa.size == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([pa, pb]), return_inverse=True)
+        ea, eb = inv[: pa.size], inv[pa.size :]
+        send = np.concatenate([ea, eb])
+        recv = np.concatenate([eb, ea])
+        n = nodes.size
+        # labels as node INDICES: nodes is ascending, so min label
+        # value == min label index and the tie-break is order-safe
+        lbl = np.arange(n, dtype=np.int64)
+        for _ in range(rounds):
+            votes = recv * np.int64(n) + lbl[send]
+            keys, cnt = np.unique(votes, return_counts=True)
+            vv, ll = keys // n, keys % n
+            order = np.lexsort((ll, -cnt, vv))
+            vv, ll = vv[order], ll[order]
+            first = np.unique(vv, return_index=True)[1]
+            nxt = lbl.copy()
+            nxt[vv[first]] = ll[first]
+            lbl = nxt
+        comm, size = np.unique(lbl, return_counts=True)
+        yield pd.DataFrame(
+            {"community": nodes[comm], "size": size.astype(np.int64)}
+        )
+
+    return inp.coalesce(1).mapInPandas(part, "community long, size long")
+
+
+def _hits_local(e: DataFrame, rounds: int) -> DataFrame:
+    """Single-task integer-exact HITS over a bounded bipartite
+    ``(c, p)`` edge frame: the long-format ``(kind, node,
+    score_micro)`` output. Exactness: v ← ⌊v·10⁶ / max(v)⌋ on
+    non-negative int64 — the raw sums are bounded by 10⁶·deg <=
+    10⁶·|E| <= 2e12 under the kernel gate, so the ·10⁶ product stays
+    < 2^63 and numpy floor-div equals the decimal(38,0)/HUGEINT div
+    both engines use."""
+    inp = e.select(
+        F.col("c").cast("long").alias("c"), F.col("p").cast("long").alias("p")
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        cs, ps = [], []
+        for b in batches:
+            cs.append(b["c"].to_numpy(np.int64))
+            ps.append(b["p"].to_numpy(np.int64))
+        if not cs:
+            return
+        c = np.concatenate(cs)
+        p = np.concatenate(ps)
+        if c.size == 0:
+            return
+        cn, ci = np.unique(c, return_inverse=True)
+        pn, pi = np.unique(p, return_inverse=True)
+        a = np.full(pn.size, 1_000_000, dtype=np.int64)
+        h = np.zeros(cn.size, dtype=np.int64)
+        for _ in range(rounds):
+            hr = np.zeros(cn.size, dtype=np.int64)
+            np.add.at(hr, ci, a[pi])
+            h = hr * 1_000_000 // hr.max()
+            ar = np.zeros(pn.size, dtype=np.int64)
+            np.add.at(ar, pi, h[ci])
+            a = ar * 1_000_000 // ar.max()
+        yield pd.DataFrame(
+            {
+                "kind": ["authority"] * pn.size + ["hub"] * cn.size,
+                "node": np.concatenate([pn, cn]),
+                "score_micro": np.concatenate([a, h]),
+            }
+        )
+
+    return inp.coalesce(1).mapInPandas(
+        part, "kind string, node long, score_micro long"
+    )
+
+
+def _bfs_hops_local(und: DataFrame, max_hop: int) -> DataFrame:
+    """Single-task BFS hop census over a bounded ``(pa, pb)`` edge
+    frame, seeded at the minimum vertex: ``(hop, n_vertices)`` rows
+    for hops 0..max_hop plus the hop = -1 unreachable count —
+    integer frontier relaxation, trivially exact."""
+    inp = und.select(
+        F.col("pa").cast("long").alias("pa"), F.col("pb").cast("long").alias("pb")
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pas, pbs = [], []
+        for b in batches:
+            pas.append(b["pa"].to_numpy(np.int64))
+            pbs.append(b["pb"].to_numpy(np.int64))
+        if not pas:
+            return
+        pa = np.concatenate(pas)
+        pb = np.concatenate(pbs)
+        if pa.size == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([pa, pb]), return_inverse=True)
+        ea, eb = inv[: pa.size], inv[pa.size :]
+        send = np.concatenate([ea, eb])
+        recv = np.concatenate([eb, ea])
+        dist = np.full(nodes.size, -1, dtype=np.int64)
+        dist[0] = 0  # nodes is ascending: index 0 IS the min vertex
+        for hop in range(1, max_hop + 1):
+            reach = recv[dist[send] == hop - 1]
+            fresh = reach[dist[reach] < 0]
+            if fresh.size == 0:
+                break
+            dist[fresh] = hop
+        hops, cnt = np.unique(dist[dist >= 0], return_counts=True)
+        out_h = list(hops) + [-1]
+        out_n = list(cnt.astype(np.int64)) + [
+            int(np.count_nonzero(dist < 0))
+        ]
+        yield pd.DataFrame(
+            {
+                "hop": np.asarray(out_h, dtype=np.int32),
+                "n_vertices": np.asarray(out_n, dtype=np.int64),
+            }
+        )
+
+    return inp.coalesce(1).mapInPandas(part, "hop int, n_vertices long")
+
+
+def _harmonic_local(und: DataFrame, n_seeds: int, max_hop: int) -> DataFrame:
+    """Single-task sampled-seed harmonic closeness over a bounded
+    ``(pa, pb)`` edge frame: ``(seed, n_reached, harmonic_micro)`` for
+    the ``n_seeds`` md5-order sample — hashlib.md5 of str(v) sorts
+    identically to the Spark/DuckDB md5-hex ordering (lowercase hex,
+    lexicographic), per-hop credit is the exact integer 10⁶ // hop."""
+    inp = und.select(
+        F.col("pa").cast("long").alias("pa"), F.col("pb").cast("long").alias("pb")
+    )
+
+    def part(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pas, pbs = [], []
+        for b in batches:
+            pas.append(b["pa"].to_numpy(np.int64))
+            pbs.append(b["pb"].to_numpy(np.int64))
+        if not pas:
+            return
+        pa = np.concatenate(pas)
+        pb = np.concatenate(pbs)
+        if pa.size == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([pa, pb]), return_inverse=True)
+        ea, eb = inv[: pa.size], inv[pa.size :]
+        send = np.concatenate([ea, eb])
+        recv = np.concatenate([eb, ea])
+        seeds = sorted(
+            range(nodes.size),
+            key=lambda i: (
+                hashlib.md5(str(int(nodes[i])).encode()).hexdigest(),
+                int(nodes[i]),
+            ),
+        )[:n_seeds]
+        out = []
+        for si in sorted(seeds):
+            dist = np.full(nodes.size, -1, dtype=np.int64)
+            dist[si] = 0
+            for hop in range(1, max_hop + 1):
+                reach = recv[dist[send] == hop - 1]
+                fresh = reach[dist[reach] < 0]
+                if fresh.size == 0:
+                    break
+                dist[fresh] = hop
+            pos = dist[dist > 0]
+            out.append(
+                (
+                    int(nodes[si]),
+                    int(pos.size),
+                    int((1_000_000 // pos).sum()) if pos.size else 0,
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["seed", "n_reached", "harmonic_micro"]
+        ).astype({"seed": "int64", "n_reached": "int64", "harmonic_micro": "int64"})
+
+    return inp.coalesce(1).mapInPandas(
+        part, "seed long, n_reached long, harmonic_micro long"
+    )
+
 
 def _pagerank_oracle(rounds: int = _PR_ROUNDS) -> str:
     """Unrolled integer-exact PageRank oracle (aggregates are barred
@@ -807,8 +1134,21 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the static degree-annotated edge list against the
     rank vector plus one dst-key aggregation — O(|E|) hash work per
     round, the LPA doctrine. Fixed round budget; headroom: total mass
-    ≈ n·R0 must stay < 2^63/17 ⇒ fine to ~5e8 nodes at R0 = 1e9."""
-    und = copurchase_edges(spark, sf_dir)
+    ≈ n·R0 must stay < 2^63/17 ⇒ fine to ~5e8 nodes at R0 = 1e9.
+
+    Below _LOCAL_GRAPH_MAX_EDGES the whole recursion runs in the
+    single-task vectorized kernel (same integer arithmetic, pinned to
+    the loop by a forced-path test); the distributed loop is the
+    at-scale path."""
+    und = copurchase_edges(spark, sf_dir, pinned=True)
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = (
+            _pagerank_local(und)
+            .orderBy(F.desc("rank_units"), "part")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(und)
+        return out
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(und.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
@@ -1085,8 +1425,17 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of rounds is the hop budget, a query constant, never a
     data size. The DuckDB oracle replays it as a recursive CTE whose
     UNION-dedup bounds states at |V| x hops, then takes min(hop) per
-    vertex."""
-    e = copurchase_edges(spark, sf_dir)
+    vertex. Below _LOCAL_GRAPH_MAX_EDGES the frontier relaxation runs
+    in the single-task vectorized kernel (forced-path-pinned)."""
+    e = copurchase_edges(spark, sf_dir, pinned=True)
+    if e.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = (
+            _bfs_hops_local(e, 4)
+            .orderBy("hop")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(e)
+        return out
     # localCheckpoint per round: BFS is iterative, and without eager
     # lineage truncation round N re-executes rounds 1..N-1 (measured
     # 35s -> ~8s at sf0.001); same doctrine as connected_components.
@@ -2120,8 +2469,19 @@ def harmonic_closeness_sampled_bfs(
     rounds = hop budget), and per-hop credit is the exact integer
     10⁶ // hop summed per seed (per-term-floored discrete variant).
     State is |seeds|·|V| at worst — seeds is the knob that holds it
-    linear at 100 TB."""
-    e = copurchase_edges(spark, sf_dir)
+    linear at 100 TB. Below _LOCAL_GRAPH_MAX_EDGES the multi-source
+    relaxation runs in the single-task vectorized kernel (the md5
+    seed order is replayed exactly — lowercase-hex lexicographic;
+    forced-path-pinned)."""
+    e = copurchase_edges(spark, sf_dir, pinned=True)
+    if e.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = (
+            _harmonic_local(e, 8, 4)
+            .orderBy("seed")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(e)
+        return out
     sym = e.unionByName(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).localCheckpoint()
@@ -2254,8 +2614,24 @@ def personalized_pagerank_copurchase(
     affinity-sized, not catalog-sized. Scale shape identical to
     pagerank_copurchase: one static degree-annotated edge list, one
     rank-vector equi-join + dst aggregation per round; the seed
-    restriction adds one broadcast-sized dimension join."""
-    und = copurchase_edges(spark, sf_dir)
+    restriction adds one broadcast-sized dimension join. Below
+    _LOCAL_GRAPH_MAX_EDGES the recursion runs in the single-task
+    vectorized kernel (forced-path-pinned to the loop); seed markers
+    ride the kernel's input frame so there is no driver collect."""
+    und = copurchase_edges(spark, sf_dir, pinned=True)
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        seeds = (
+            load_table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#11")
+            .select(F.col("p_partkey").alias("sv"))
+        )
+        out = (
+            _pagerank_local(und, seed_marks=seeds)
+            .orderBy(F.desc("rank_units"), "part")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(und)
+        return out
     edges = und.select(
         F.col("pa").alias("v"), F.col("pb").alias("u")
     ).unionByName(
@@ -2412,7 +2788,17 @@ def hits_hubs_authorities_purchases(
     # the half-rounds' broadcast subqueries compile their own plans, so
     # a lazy cache lets the overlapping round-1 broadcast jobs each
     # replay the join+distinct edge construction from parquet.
-    e.count()
+    if e.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        # bounded bipartite edge set: run the 3 alternating rounds in
+        # the single-task vectorized kernel (_LOCAL_GRAPH_MAX_EDGES;
+        # forced-path-pinned to the loop below)
+        out = (
+            _hits_local(e, 3)
+            .orderBy("kind", F.desc("score_micro"), "node")
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        return out
     auth = e.select("p").distinct().select(
         "p", F.lit(1000000).cast("long").alias("a")
     )

@@ -152,3 +152,33 @@ def test_cc_contracted_path_matches_union_find(spark, monkeypatch):
     # a path graph: the contraction halves it, the star loop finishes
     edges3 = [(i, i + 1) for i in range(63)]
     assert _cc_spark(spark, edges3, max_iter=10) == {i: 0 for i in range(64)}
+
+
+def test_iterative_graph_kernels_match_distributed_loops(
+    spark, sf_dir, monkeypatch
+):
+    """Round 18: below _LOCAL_GRAPH_MAX_EDGES the bounded-rounds graph
+    recursions (PageRank, PPR, LPA, HITS, BFS census, sampled-BFS
+    harmonic closeness) finish in a single-task vectorized kernel.
+    The distributed per-round join loop must stay pinned to IDENTICAL
+    rows on the smoke corpus — every recursion is integer-exact, so
+    the two paths may not differ by even one unit."""
+    from spark_lever_spark import registry
+    from spark_lever_spark.llm import graph
+
+    ALL = registry.all_queries()
+    names = [
+        "pagerank_copurchase",
+        "personalized_pagerank_copurchase",
+        "lpa_communities_copurchase",
+        "hits_hubs_authorities_purchases",
+        "bfs_hops_copurchase",
+        "harmonic_closeness_sampled_bfs",
+    ]
+    for name in names:
+        fast = ALL[name].fn(spark, sf_dir).collect()
+        monkeypatch.setattr(graph, "_LOCAL_GRAPH_MAX_EDGES", -1)
+        slow = ALL[name].fn(spark, sf_dir).collect()
+        monkeypatch.undo()
+        assert fast == slow, name
+        assert len(fast) > 0, name
