@@ -278,6 +278,12 @@ def connected_components(
     # every CC consumer is oracle-hash-checked).  On graphs below
     # _CONTRACT_MIN_EDGES the star loop runs directly on e0 — the
     # contraction's fixed materialization cost dominates there.
+    # (r18 second-pass A/B, measured and REJECTED: skipping the
+    # contraction for kernel-sized graphs and feeding the raw 3.67M
+    # election pairs straight to the kernel read 11.0 vs 5.86 s —
+    # np.minimum.at over multi-million-edge arrays loses badly to the
+    # map-side-combinable distributed contraction, which hands the
+    # kernel a ~4k-edge graph instead.)
     contracted = n_edges >= _CONTRACT_MIN_EDGES
     if contracted:
         sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))

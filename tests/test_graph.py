@@ -135,12 +135,16 @@ def test_cc_contracted_path_matches_union_find(spark, monkeypatch):
     """The hash-to-min pre-contraction is conditional on edge count
     (round 18: skipped below _CONTRACT_MIN_EDGES, where its eager
     materializations cannot amortize) — so the default-threshold tests
-    above now exercise only the direct star loop. Force the threshold
-    to 0 so the CONTRACTED path stays pinned against union-find on the
-    same seeded random graph and the tie shapes."""
+    above now exercise only the direct star loop. Force the thresholds
+    (kernel off, contraction floor 0) so the CONTRACTED + star path
+    stays pinned against union-find on the same seeded random graph
+    and the tie shapes; then force contract-then-KERNEL (the at-scale
+    shape: contraction shrinks the graph under the kernel bound and
+    the kernel finishes it) on the same graphs."""
     from spark_lever_spark.llm import graph
 
     monkeypatch.setattr(graph, "_CONTRACT_MIN_EDGES", 0)
+    monkeypatch.setattr(graph, "_LOCAL_CC_MAX_EDGES", -1)
     rng = random.Random(43)
     n = 200
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
@@ -152,6 +156,11 @@ def test_cc_contracted_path_matches_union_find(spark, monkeypatch):
     # a path graph: the contraction halves it, the star loop finishes
     edges3 = [(i, i + 1) for i in range(63)]
     assert _cc_spark(spark, edges3, max_iter=10) == {i: 0 for i in range(64)}
+    # contract-then-kernel: threshold between the contracted size and
+    # the input size, so the contraction fires AND the kernel finishes
+    monkeypatch.setattr(graph, "_LOCAL_CC_MAX_EDGES", 40)
+    assert _cc_spark(spark, edges3, max_iter=10) == {i: 0 for i in range(64)}
+    assert _cc_spark(spark, edges) == _union_find_components(n, edges)
 
 
 def test_iterative_graph_kernels_match_distributed_loops(
