@@ -319,6 +319,65 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ROUNDS = 5
 
+# At or below this vocabulary size the 5 merge rounds run in a
+# single-task kernel over the word-count table (optimization r18 —
+# the iterative-graph-kernel doctrine from llm/graph.py applied to the
+# BPE recursion): each distributed round costs a pair explode +
+# aggregation + global top-1 + a driver collect + a persisted rewrite,
+# ~3 jobs of scheduling latency for vocabulary-grain work. The
+# working set after the first corpus aggregation is the DISTINCT-WORD
+# table — bounded by the language, not the corpus — but the gate keeps
+# the distributed loop for degenerate vocabularies (100 TB of noise
+# can have an unbounded "vocabulary").
+_LOCAL_BPE_MAX_WORDS = 2_000_000
+
+
+def _bpe_local(cur: DataFrame, rounds: int) -> DataFrame:
+    """Single-task BPE merge learner over a bounded ``(sym, n)`` word
+    frame: the ``(round, left_sym, right_sym, cnt)`` merge table.
+    Exactness: pair counts are integer sums over the same adjacency;
+    the election is max count with (a, b) string tie-break — Python
+    code-point ordering equals Spark/DuckDB binary UTF-8 collation
+    (UTF-8 byte order preserves code-point order); the rewrite is the
+    same leftmost non-overlapping space-delimited replace (Python
+    str.replace == SQL replace on ' a b ' -> ' ab '). Symbol strings
+    arrive pre-split by Spark, so no Python-side character splitting
+    can diverge."""
+
+    def part(batches):
+        from collections import defaultdict
+
+        import pandas as pd
+
+        padded, ns = [], []
+        for b in batches:
+            padded.extend(" " + s + " " for s in b["sym"].tolist())
+            ns.extend(int(x) for x in b["n"].tolist())
+        out = []
+        for r in range(1, rounds + 1):
+            cnt: dict = defaultdict(int)
+            for s, n in zip(padded, ns):
+                sy = s.split(" ")[1:-1]
+                for i in range(len(sy) - 1):
+                    cnt[(sy[i], sy[i + 1])] += n
+            if not cnt:
+                break
+            (a, b_), c = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((r, a, b_, c))
+            pat, rep = f" {a} {b_} ", f" {a}{b_} "
+            padded = [
+                s.replace(pat, rep) if pat in s else s for s in padded
+            ]
+        yield pd.DataFrame(
+            out, columns=["round", "left_sym", "right_sym", "cnt"]
+        ).astype({"round": "int32", "cnt": "int64"})
+
+    return cur.coalesce(1).mapInPandas(
+        part, "round int, left_sym string, right_sym string, cnt long"
+    )
+
 
 def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled BPE-merge oracle (each round's top pair feeds the next
@@ -395,6 +454,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = words.select(
         F.array_join(F.split("w", ""), " ").alias("sym"), "n"
     ).persist()
+    if cur.count() <= _LOCAL_BPE_MAX_WORDS:
+        # vocabulary-grain single-task kernel (see _LOCAL_BPE_MAX_WORDS;
+        # forced-path-pinned to the distributed loop in
+        # tests/test_llm_selection.py)
+        out = _bpe_local(cur, _BPE_ROUNDS).orderBy("round").localCheckpoint(
+            eager=True
+        )
+        cur.unpersist()
+        return out
     handles = [cur]
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):

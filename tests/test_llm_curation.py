@@ -249,3 +249,20 @@ def test_pipeline_helpers_match_slim_path(spark, sf_dir):
         .collect()
     }
     assert helper_ids == slim_ids and len(helper_ids) > 0
+
+
+def test_bpe_kernel_matches_distributed_loop(spark, sf_dir, monkeypatch):
+    """Round 18: below _LOCAL_BPE_MAX_WORDS the 5 BPE merge rounds run
+    in a single-task kernel over the word-count table; the distributed
+    per-round loop must stay pinned to IDENTICAL merge rows (counts,
+    symbols, and the (cnt desc, a, b) election tie-break)."""
+    from spark_lever_spark import registry
+    from spark_lever_spark.llm import selection
+
+    fn = registry.all_queries()["bpe_learn_merges"].fn
+    fast = fn(spark, sf_dir).collect()
+    monkeypatch.setattr(selection, "_LOCAL_BPE_MAX_WORDS", -1)
+    slow = fn(spark, sf_dir).collect()
+    monkeypatch.undo()
+    assert fast == slow
+    assert len(fast) > 0
