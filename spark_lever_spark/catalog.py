@@ -115,3 +115,40 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     reference's SqlParser (§2.F)."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Widen a CPU-dense pipeline over a narrow scan to session
+    parallelism (optimization r18, guide §2.5/§6 — the minhash_bands
+    probe pattern made shared).
+
+    The test/bench parquet inputs carry a SINGLE row group per file, so
+    scan parallelism is hard-capped at one task per file no matter how
+    splits are configured — every scan-side stage (basket collect_set,
+    tokenize/shingle explodes, per-doc hashing) then runs on 1-3 cores
+    of 32. A conditional repartition spreads that work; at cluster
+    scale inputs carry >= parallelism row groups and this is a no-op.
+    With ``key`` the repartition hashes on the downstream aggregation
+    key so the following groupBy REUSES the exchange (guide §2.4: same
+    key, same partition count — one shuffle total, the CPU just moves
+    to the wide side of it); keyless spreads round-robin for per-row
+    map pipelines. Row-preserving either way — results of every
+    consumer are partition-independent by construction.
+
+    Under Spark Connect (no ``.rdd``) the probe falls back to assuming
+    the scan is narrow only when the input resolves to fewer local
+    files than cores — mirroring minhash_bands' documented fallback."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < par
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        try:
+            par = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            narrow = len(df.inputFiles()) < par
+        except Exception:
+            return df
+    if not narrow:
+        return df
+    return df.repartition(par, key) if key else df.repartition(par)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_lever_spark.catalog import load_table
+from spark_lever_spark.catalog import load_table, spread_scan
 from spark_lever_spark.registry import register
 
 
@@ -79,8 +79,20 @@ def copurchase_edges(
     (row-set equality pinned in tests/test_graph.py); per-order part
     arrays are basket-sized, so the explode fan-out is the same
     Σ C(n_i, 2) rows the join produced, generated in place. Warm A/B
-    at sf0.1: 4.15 -> 2.45 s for the bare build."""
-    li = load_table(spark, sf_dir, "lineitem")
+    at sf0.1: 4.15 -> 2.45 s for the bare build.
+
+    The scan is spread to session parallelism ON the basket key before
+    the aggregation (optimization r18, catalog.spread_scan): the test
+    parquet carries one row group per file, capping the collect_set
+    map side at one task per file; hashing on l_orderkey lets the
+    groupBy reuse the exchange, so the build still pays exactly one
+    shuffle and the basket CPU runs on every core."""
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        key="l_orderkey",
+    )
     parts = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_lever_spark.catalog import load_table
+from spark_lever_spark.catalog import load_table, spread_scan
 from spark_lever_spark.llm.dedup import _PARA_N
 from spark_lever_spark.llm.similarity import as_double, cosine
 from spark_lever_spark.registry import register
@@ -94,7 +94,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then a map-side sum — no joins wider than (occurrences ×
     1-row totals). At a 10k-bucket production space the stats table is
     still broadcast-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )

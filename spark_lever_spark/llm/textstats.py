@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_lever_spark.catalog import load_table
+from spark_lever_spark.catalog import load_table, spread_scan
 from spark_lever_spark.registry import register
 
 # tiny built-in stopword lists for the n-gram/stopword language ID
@@ -302,7 +302,12 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort exchanges). Fractions are single double divisions of exact
     integer counts, so both engines produce bit-identical doubles (the
     functions/exact.py doctrine applied to ratios)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the narrow scan: the per-doc HOF run-length scans are the
+    # whole query and otherwise run one task per row group
+    # (optimization r18, catalog.spread_scan)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tok = docs.select("doc_id", F.split("text", " ").alias("l"))
     bigrams = F.expr(
         "filter(transform(l, (t, i) -> "

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_lever_spark.catalog import load_table
+from spark_lever_spark.catalog import load_table, spread_scan
 from spark_lever_spark.registry import register
 
 _DEC = "decimal(38,0)"
@@ -2199,7 +2199,12 @@ def lincoln_petersen_dedup_estimate(
     readout is exact integer arithmetic — one floor-division.
     Scale: both flag passes shuffle on fingerprint keys (the kappa
     plan); one doc-keyed join; 1-row output."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the narrow scan before the two md5-explode passes — the
+    # corpus-CPU stage otherwise runs one task per row group
+    # (optimization r18, catalog.spread_scan)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     base = docs.select(
         "doc_id",
         F.split("text", " ").alias("ptoks"),
