@@ -44,8 +44,13 @@ GATES = {
     "backfill_dirty_partitions": 0.85,
     "basket_part_pairs_top": 1.6,
     "bloom_semi_join_prune": 1.09,
-    "bfs_hops_copurchase": 3.23,  # v2.7 addition (round 10)
-    "bpe_learn_merges": 2.76,  # v2.4 addition (round 8)
+    "bfs_hops_copurchase": 3.0,  # v3.8 plan-fix tighten (round 18:
+    # single-task BFS kernel below the 2M-edge gate + keyed
+    # spread_scan edge build; 4 in-suite reads 1.89-2.49, median
+    # 2.04 in a ~1.5x host era). History: v2.7 3.23
+    "bpe_learn_merges": 1.7,  # v3.8 plan-fix tighten (round 18:
+    # vocabulary-grain single-task merge kernel — ABBA 2.86 -> 0.66
+    # warm; 4 in-suite reads 0.69-2.23, median 1.05). History: v2.4 2.76
     "dedup_cluster_quality_election": 7.0,  # v3.6 re-freeze (round 17:
     # lsh_candidate_pairs now persists the signature table — the
     # k-hash map ran 3x per call; post-fix in-suite read 6.28 (was
@@ -54,7 +59,10 @@ GATES = {
     # stage parallelization (20.53 before). Phase references now:
     # candidates 4.29 / cc 4.50 / election 0.44, pair-count invariant
     # 3,674,019)
-    "dbscan_box_clusters_errors": 9.0,  # v3.5 re-freeze (round 16).
+    "dbscan_box_clusters_errors": 4.5,  # v3.8 plan-fix tighten (round
+    # 18: single-task CC kernel finishes the 192k-edge core graph —
+    # ABBA 9.96 -> 3.6-3.9; 4 in-suite reads 2.58-3.41, median 2.96
+    # in a ~1.5x era). History: v3.5 9.0 re-freeze (round 16).
     # Adjudication: the v2.8 7.45 gate read 1.27-1.33x in driver r14/r15
     # and 1.40-1.51x in three quiet min-of-N sessions this round — the
     # v2.8 number is not reproducible on the current host era. The r16
@@ -93,11 +101,16 @@ GATES = {
     "join_broadcast_dim": 0.41,
     "join_inner": 0.38,
     "knn_cosine_topk": 0.34,
-    "lpa_communities_copurchase": 3.92,
+    "lpa_communities_copurchase": 2.8,  # v3.8 plan-fix tighten (r18
+    # LPA kernel + keyed spread_scan; reads 1.60-1.99, median 1.79).
+    # History: 3.92
     "mad_outlier_order_values": 3.61,  # v2.6 addition (round 10)
     "matview_incremental_orders_by_status": 0.58,
     "merge_apply_cdc_orders": 0.6,
-    "mutual_nn_int8_ivf": 5.96,  # v3.0 re-freeze (round 13: centroid
+    "mutual_nn_int8_ivf": 4.0,  # v3.8 plan-fix tighten (round 18:
+    # shared quantize table spread+persisted, window-keyed pair
+    # repartition — mid-round ABBA 6.9 -> 2.8; 4 in-suite reads
+    # 2.64-3.06, median 2.90). History: v3.0 re-freeze (round 13: centroid
     # count k = max(16, floor(sqrt(N))) — candidate work O(N^1.5),
     # was fixed k=16 / 10.88 s)
     "isotonic_return_rate_by_price": 6.77,  # v3.2 addition (r13)
@@ -105,7 +118,9 @@ GATES = {
     # cells re-derived as nearest of k = max(16, floor(sqrt(N)))
     # prefix centroids instead of the 10 fixture labels — pairwise
     # work O(N^1.5); was label-celled / 4.73 s)
-    "personalized_pagerank_copurchase": 6.13,  # v3.5 re-freeze (round
+    "personalized_pagerank_copurchase": 3.0,  # v3.8 plan-fix tighten
+    # (r18 kernel + keyed spread_scan; reads 1.44-2.19, median
+    # 1.95). History: v3.5 6.13 re-freeze (round
     # 16). Adjudication: the v3.1 4.93 freeze never reproduced in ANY
     # driver read (r13/r14/r15: 5.76/6.51/6.13) nor in two quiet
     # min-of-N sessions this round (6.09/7.45) on an unchanged plan —
@@ -113,16 +128,22 @@ GATES = {
     # driver read; the plan (persisted degree-annotated edges, one
     # equi-join + dst-agg per round, broadcast seed dim) is unchanged
     # and remains the right shape at 100x.
-    "hits_hubs_authorities_purchases": 5.81,  # v3.1 addition (r13)
+    "hits_hubs_authorities_purchases": 3.5,  # v3.8 plan-fix tighten
+    # (r18 bipartite HITS kernel — ABBA 7.75 -> 2.14; reads
+    # 1.97-2.80, median 2.27). History: v3.1 5.81
     "decision_stump_returns": 4.77,  # v3.1 addition (r13)
     "fellegi_sunter_weight_table": 0.63,  # v3.1 addition (r13)
-    "harmonic_closeness_sampled_bfs": 4.0,  # v3.0 addition (round 13)
+    "harmonic_closeness_sampled_bfs": 3.2,  # v3.8 plan-fix tighten
+    # (r18 multi-source BFS kernel; reads 1.60-2.44, median 2.06).
+    # History: v3.0 4.0
     "link_prediction_resource_allocation": 3.53,  # v3.0 addition (r13)
     "embedding_top_pc_power_iteration": 2.49,  # v3.0 addition (r13)
     "ohlc_hourly_bars": 0.65,
     "pack_concat_2048": 0.93,  # v2.3 re-freeze (2-pass cumsum)
     "pack_documents_2048": 0.46,
-    "pagerank_copurchase": 5.99,
+    "pagerank_copurchase": 3.0,  # v3.8 plan-fix tighten (r18 kernel —
+    # ABBA 5.21 -> 2.10 — + keyed spread_scan edge build; reads
+    # 1.59-2.25, median 1.88). History: 5.99
     "pipeline_quality_dedup_stats": 0.54,
     "q10_returned_items": 0.72,
     "q13_customer_distribution": 0.42,
