@@ -401,23 +401,43 @@ def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key with fan-out bounded by items-per-order (single digits),
     so the candidate count is sum(k choose 2) per order — linear-ish in
     orders, never all-pairs across the catalog. The association-rule
-    candidate generator (a priori's first pass)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    candidate generator (a priori's first pass).
+
+    Optimization r18 (guide §2.4, the copurchase_edges rewrite): one
+    basket aggregation collecting each order's sorted distinct part
+    set (map-side partial agg) + a local nested-transform pairing
+    replaces the distinct + self-join chain — identical pair multiset,
+    two shuffles instead of three plus a join. The scan is spread on
+    the basket key (catalog.spread_scan), so the groupBy reuses the
+    exchange."""
+    from spark_lever_spark.catalog import spread_scan
+
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        key="l_orderkey",
     )
-    a, b = items.alias("a"), items.alias("b")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i.cast("int") + 2, F.size("ps")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
