@@ -117,10 +117,75 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-def spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128m", plain
+    int) — best-effort, falling back to ``default``."""
+    import re
+
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+        m = re.fullmatch(r"(\d+)\s*([bkmgt]?)b?", raw)
+        mult = {
+            "": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
+            "g": 1 << 30, "t": 1 << 40,
+        }[m.group(2)]
+        return int(m.group(1)) * mult
+    except Exception:
+        return default
+
+
+def _scan_width_estimate(df: DataFrame, par: int) -> int | None:
+    """Cheap scan-width estimate for ``spread_scan`` — the number of
+    tasks the frame's scan will run with, WITHOUT converting the plan
+    to an RDD (``df.rdd.getNumPartitions()`` plans the whole query a
+    second time on the driver; measured per-call latency on every
+    spread consumer — VERDICT r18 task #6).
+
+    File-backed frames reproduce Spark's split math from the file
+    listing: each file costs ``openCostInBytes`` extra and splits pack
+    to ``maxPartitionBytes``, so the estimate is
+    ``ceil((Σsize + n·openCost) / maxPartitionBytes)`` — large inputs
+    at cluster scale estimate wide (no-op) whether they are many small
+    files or few huge ones. Remote schemes (s3://, hdfs://) skip the
+    size probe and use the advisory file count. Non-file frames fall
+    back to the classic RDD probe; if that is unavailable too (Spark
+    Connect), return None — the caller decides the unknown case."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:  # Spark Connect + non-file source
+            return None
+    spark = df.sparkSession
+    try:
+        import os as _os
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                raise ValueError("non-local input file")
+            total += _os.path.getsize(unquote(p.path))
+        mpb = _conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+        )
+        oc = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+        return max(1, -(-(total + len(files) * oc) // mpb))
+    except Exception:
+        return len(files)  # advisory: remote/unsizable listing
+
+
+def spread_scan(
+    df: DataFrame, key: str | None = None, default_narrow: bool = False
+) -> DataFrame:
     """Widen a CPU-dense pipeline over a narrow scan to session
     parallelism (optimization r18, guide §2.5/§6 — the minhash_bands
-    probe pattern made shared).
+    probe pattern made shared; r19: single helper, cheap file-based
+    probe instead of a plan-to-RDD conversion per call).
 
     The test/bench parquet inputs carry a SINGLE row group per file, so
     scan parallelism is hard-capped at one task per file no matter how
@@ -135,20 +200,25 @@ def spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     map pipelines. Row-preserving either way — results of every
     consumer are partition-independent by construction.
 
-    Under Spark Connect (no ``.rdd``) the probe falls back to assuming
-    the scan is narrow only when the input resolves to fewer local
-    files than cores — mirroring minhash_bands' documented fallback."""
+    ``default_narrow`` decides the UNKNOWN case (Spark Connect AND a
+    non-file source, so neither probe can answer): False (default)
+    never adds a blind shuffle; True repartitions — for consumers
+    whose downstream stage is expensive enough that under-parallelism
+    costs more than one shuffle of the input (the minhash signature
+    map, ADVICE r16)."""
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
-        narrow = df.rdd.getNumPartitions() < par
-    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+    except Exception:  # Spark Connect: no sparkContext
         try:
             par = int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
             )
-            narrow = len(df.inputFiles()) < par
         except Exception:
             return df
-    if not narrow:
+    width = _scan_width_estimate(df, par)
+    if width is None:
+        if not default_narrow:
+            return df
+    elif width >= par:
         return df
     return df.repartition(par, key) if key else df.repartition(par)

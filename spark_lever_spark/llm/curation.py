@@ -1315,7 +1315,7 @@ def grouped_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ns") > 1)
         .agg(F.count("*").alias("n_leaky_users"))
     )
-    return (
+    out = (
         ua.groupBy("split")
         .agg(
             F.count("*").alias("n_users"),
@@ -1324,7 +1324,12 @@ def grouped_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .select("split", "n_users", "n_events", "n_leaky_users")
         .orderBy("split")
+        # eager pin (3 rows), then release the (user, split) persist
+        # (r19 cache-leak audit)
+        .localCheckpoint(eager=True)
     )
+    ua.unpersist()
+    return out
 
 
 @register(

@@ -148,68 +148,14 @@ def minhash_bands(
     # re-measured 16.4 -> 3.5 s warm, identical pair sets). At cluster
     # scale the input already carries >= parallelism partitions and
     # this is a no-op; results are per-doc deterministic either way.
-    # Classic-mode fast path: sparkContext/.rdd are unavailable under
-    # Spark Connect (ADVICE r15), and .rdd costs a plan-to-RDD
-    # conversion per call — so probe once and fall back to an
-    # unconditional repartition to the session's shuffle parallelism
-    # when the classic introspection surface is absent. Results are
-    # per-doc deterministic under either branch.
-    try:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
-        par = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        # ADVICE r16 (low): an unconditional repartition here forces a
-        # full corpus shuffle on every call at cluster scale (and can
-        # repartition DOWN a wider input) where the classic branch is a
-        # no-op. inputFiles() IS available under Connect and gives a
-        # cheap width lower bound for file-backed frames — skip the
-        # shuffle when the scan is already at least `par` wide. Non-file
-        # sources (empty inputFiles) keep the repartition: the k-hash
-        # signature map is expensive enough that under-parallelism
-        # costs more than one shuffle of (doc_id, text).
-        try:
-            files = docs.inputFiles()
-        except Exception:
-            files = []
-        width = len(files)
-        # ADVICE r17 (low): a raw file count over-estimates scan width
-        # — Spark bin-packs many small files into fewer scan partitions
-        # (maxPartitionBytes), so >= par TINY files would skip the
-        # repartition while actually scanning in few tasks. When every
-        # input is a locally-resolvable file, bound the estimate by
-        # ceil(total_bytes / maxPartitionBytes); remote schemes (s3://,
-        # hdfs://) keep the advisory file-count estimate rather than
-        # guessing.
-        if width >= par:
-            try:
-                import os as _os
-                import re as _re
-                from urllib.parse import unquote, urlparse
+    # r19 consolidation (VERDICT r18 task #6): the inline probe — the
+    # original of the pattern, including the ADVICE r16/r17 file-count
+    # and split-size refinements — now lives in catalog.spread_scan,
+    # which estimates scan width from the file listing instead of a
+    # plan-to-RDD conversion per call.
+    from spark_lever_spark.catalog import spread_scan
 
-                raw = str(
-                    docs.sparkSession.conf.get(
-                        "spark.sql.files.maxPartitionBytes", "134217728b"
-                    )
-                )
-                m = _re.fullmatch(r"(\d+)([bkmg]?)", raw.strip().lower())
-                mult = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
-                        "g": 1 << 30}[m.group(2)]
-                mpb = int(m.group(1)) * mult
-                total = 0
-                for f in files:
-                    p = urlparse(f)
-                    if p.scheme not in ("file", ""):
-                        raise ValueError("non-local input file")
-                    total += _os.path.getsize(unquote(p.path))
-                width = min(width, max(1, -(-total // mpb)))
-            except Exception:
-                pass  # estimate stays the advisory file count
-        if width < par:
-            docs = docs.repartition(par)
+    docs = spread_scan(docs, default_narrow=True)
     # Two-projection split (optimization r18, guide §1.2 per-task
     # work): the k permutations each reference the hashed-token array,
     # and higher-order functions are CodegenFallback — inlining the
@@ -595,11 +541,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters and its keys are uniformly-distributed digests.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, k=32, bands=8).orderBy("id_a", "id_b")
+    rel: list = []
+    out = (
+        lsh_candidate_pairs(docs, k=32, bands=8, releases=rel)
+        .orderBy("id_a", "id_b")
+        # eager pin, then release the signature persist (r19: no
+        # persisted relation may survive a query's return)
+        .localCheckpoint(eager=True)
+    )
+    for cached in rel:
+        cached.unpersist()
+    return out
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 32, bands: int = 8
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    releases: list | None = None,
 ) -> DataFrame:
     """Distinct LSH candidate pairs ``(id_a, id_b, est_jaccard)`` for
     any ``(bands, k // bands)`` banding — the shared core of the fixed
@@ -617,16 +576,17 @@ def lsh_candidate_pairs(
     # re-attach sides), so without a persist the k-hash signature map
     # — the pipeline's expensive stage — runs three times (the r16
     # containment-fix recompute class). Corpus-linear, spills to disk.
-    # KNOWN LEAK (ADVICE r17, documented by design): the returned frame
-    # is lazy, so there is no post-action point inside this helper to
-    # unpersist from — the cache entry lives until the session's next
-    # explicit clear. bench.py's phase barrier calls
-    # catalog.clearCache() and test/driver sessions are short-lived;
-    # long-running sessions composing many dedup calls should
-    # clearCache() between pipelines.
+    # Release contract (optimization r19, closing the ADVICE r17 /
+    # VERDICT r18 leak): the returned frame is lazy, so there is no
+    # post-action point inside this helper to unpersist from. Callers
+    # pass ``releases`` and unpersist its entries once their own
+    # result is pinned (eager localCheckpoint or a CC pass that
+    # materializes the pairs); every in-repo consumer now does.
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if releases is not None:
+        releases.append(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -760,8 +720,9 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     b, r = tune_lsh_banding(
         docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
     )
-    return (
-        lsh_candidate_pairs(docs, k=32, bands=b)
+    rel: list = []
+    out = (
+        lsh_candidate_pairs(docs, k=32, bands=b, releases=rel)
         .select(
             F.lit(b).alias("bands"),
             F.lit(r).alias("rows_per_band"),
@@ -770,7 +731,12 @@ def dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard",
         )
         .orderBy("id_a", "id_b")
+        # eager pin, then release the signature persist (r19)
+        .localCheckpoint(eager=True)
     )
+    for cached in rel:
+        cached.unpersist()
+    return out
 
 
 @register(

@@ -1391,14 +1391,9 @@ def embedding_top_pc_power_iteration(
     # serialized the whole Gram pass on one core — the r18 bench read
     # 5.17 s (2.08x gate) against 0.9 s once spread. No-op when the
     # input already scans at session parallelism (cluster scale).
-    try:
-        par = q.sparkSession.sparkContext.defaultParallelism
-        if q.rdd.getNumPartitions() < par:
-            q = q.repartition(par)
-    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
-        q = q.repartition(
-            int(q.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+    from spark_lever_spark.catalog import spread_scan
+
+    q = spread_scan(q)
     g = (
         q.select(
             F.explode(
@@ -1791,6 +1786,10 @@ def lof_outliers_int8_cells(
         ).alias("qv"),
     )
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    # keep the persisted handle: `q` is rebound to the labeled join
+    # below, so unpersisting through `q` would release the wrong frame
+    # (the r19 cache-leak audit caught exactly that)
+    q_cached = q
     kdf = q.agg(
         F.greatest(F.lit(16), F.floor(F.sqrt(F.count("*"))))
         .cast("long")
@@ -1852,7 +1851,7 @@ def lof_outliers_int8_cells(
         .select("i", "j", "cell", "dist")
         .localCheckpoint()
     )
-    q.unpersist()  # knn is pinned; nothing re-reads the quantized table
+    q_cached.unpersist()  # knn is pinned; nothing re-reads the quantized table
     kd = knn.groupBy(F.col("i").alias("node")).agg(
         F.max("dist").alias("kdist"), F.count("*").alias("cnt")
     )

@@ -658,6 +658,7 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks would otherwise accumulate.
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    release_local_checkpoint(und)  # ADVICE r18: at-scale branch leaked it
     if prev is not None:
         release_local_checkpoint(prev)
     return out
@@ -705,6 +706,55 @@ e{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + "\n" + stats + "\nORDER BY round"
 
 
+def _kcore_local(e: DataFrame, rounds: int, k: int) -> DataFrame:
+    """Single-task k-core peel over a bounded ``(pa, pb)`` edge frame:
+    the ``(round, n_vertices, n_edges)`` peeling trajectory — the
+    distributed loop's output grain. Exactness: integer degree counts
+    and endpoint-set restrictions only, nothing that can drift. The
+    kernel must emit the full trajectory even when the edge frame is
+    empty (all-zero rounds), matching the loop's per-round counts."""
+    inp = e.select(
+        F.col("pa").cast("long").alias("pa"), F.col("pb").cast("long").alias("pb")
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pas, pbs = [], []
+        for b in batches:
+            pas.append(b["pa"].to_numpy(np.int64))
+            pbs.append(b["pb"].to_numpy(np.int64))
+        pa = np.concatenate(pas) if pas else np.empty(0, dtype=np.int64)
+        pb = np.concatenate(pbs) if pbs else np.empty(0, dtype=np.int64)
+        out = []
+        for i in range(1, rounds + 1):
+            if pa.size:
+                nodes, inv = np.unique(
+                    np.concatenate([pa, pb]), return_inverse=True
+                )
+                deg = np.bincount(inv, minlength=nodes.size)
+                keep = deg >= k
+                mask = keep[inv[: pa.size]] & keep[inv[pa.size :]]
+                pa, pb = pa[mask], pb[mask]
+            out.append(
+                (
+                    i,
+                    int(np.unique(np.concatenate([pa, pb])).size),
+                    int(pa.size),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["round", "n_vertices", "n_edges"]
+        ).astype(
+            {"round": "int32", "n_vertices": "int64", "n_edges": "int64"}
+        )
+
+    return inp.coalesce(1).mapInPandas(
+        part, "round int, n_vertices long, n_edges long"
+    )
+
+
 @register(
     "kcore_peel_copurchase",
     oracle=_kcore_oracle(),
@@ -723,6 +773,19 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling TRAJECTORY (vertices/edges after each round), which pins
     both the algorithm and its convergence behavior."""
     e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    if e.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        # bounded-rounds peel in the single-task vectorized kernel
+        # (_LOCAL_GRAPH_MAX_EDGES doctrine — the LPA shape applied to
+        # the last loop-shaped query; forced-path-pinned to the loop
+        # in tests/test_graph.py). The distributed loop below is the
+        # at-scale path.
+        out = (
+            _kcore_local(e, _KCORE_ROUNDS, _KCORE_K)
+            .orderBy("round")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(e)
+        return out
     # localCheckpoint (not bare persist) is load-bearing here: each
     # round references its parent ~5x (degree union + two semi-joins),
     # so without lineage truncation the plan tree grows 5^rounds and
@@ -1033,6 +1096,7 @@ def _harmonic_local(und: DataFrame, n_seeds: int, max_hop: int) -> DataFrame:
 
     def part(batches):
         import hashlib
+        import heapq
 
         import numpy as np
         import pandas as pd
@@ -1051,13 +1115,17 @@ def _harmonic_local(und: DataFrame, n_seeds: int, max_hop: int) -> DataFrame:
         ea, eb = inv[: pa.size], inv[pa.size :]
         send = np.concatenate([ea, eb])
         recv = np.concatenate([eb, ea])
-        seeds = sorted(
+        # nsmallest keeps a k-long heap instead of fully sorting the
+        # vertex set (ADVICE r18): the md5 key is still computed once
+        # per vertex, but the selection is O(n log k), not O(n log n)
+        seeds = heapq.nsmallest(
+            n_seeds,
             range(nodes.size),
             key=lambda i: (
                 hashlib.md5(str(int(nodes[i])).encode()).hexdigest(),
                 int(nodes[i]),
             ),
-        )[:n_seeds]
+        )
         out = []
         for si in sorted(seeds):
             dist = np.full(nodes.size, -1, dtype=np.int64)
@@ -1222,6 +1290,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     deg.unpersist()
     e_src.unpersist()
+    release_local_checkpoint(und)  # ADVICE r18: at-scale branch leaked it
     if prev is not None:
         release_local_checkpoint(prev)
     return out
@@ -1302,13 +1371,19 @@ def dedup_cluster_quality_election(
     CC and election in isolation against the per-phase gates frozen in
     BASELINE.md v3.4 (the r14 round-over-round drift crossed the 1.1×
     bar the v3.0 note set, triggering the documented phase split)."""
-    pairs = _election_candidate_pairs(spark, sf_dir)
+    rel: list = []
+    pairs = _election_candidate_pairs(spark, sf_dir, releases=rel)
     comp = connected_components(pairs, src="id_a", dst="id_b")
+    # connected_components eagerly materializes its edge input, so the
+    # LSH signature persist is released here (r19: no persisted
+    # relation survives the query's return).
+    for cached in rel:
+        cached.unpersist()
     return _election_from_components(spark, sf_dir, comp)
 
 
 def _election_candidate_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, releases: list | None = None
 ) -> DataFrame:
     """Candidate-gen phase: tuner decision + banded LSH self-join +
     est >= 0.5 filter (the dominant cost — ~3.7M surviving pairs at
@@ -1322,7 +1397,7 @@ def _election_candidate_pairs(
     b, _r = tune_lsh_banding(
         docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
     )
-    return lsh_candidate_pairs(docs, k=32, bands=b).filter(
+    return lsh_candidate_pairs(docs, k=32, bands=b, releases=releases).filter(
         F.col("est_jaccard") >= 0.5
     )
 
@@ -1372,9 +1447,14 @@ def election_phase_timings(
     change means the tuner or corpus moved, not the plan)."""
     import time as _time
 
+    rel: list = []
     t0 = _time.perf_counter()
-    pairs = _election_candidate_pairs(spark, sf_dir).persist()
+    pairs = _election_candidate_pairs(spark, sf_dir, releases=rel).persist()
     n_pairs = pairs.count()
+    # the pair table is pinned by the persist+count above, so the LSH
+    # signature persist releases before the CC phase is timed
+    for cached in rel:
+        cached.unpersist()
     t_cand = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
@@ -1460,6 +1540,7 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.unionByName(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).localCheckpoint()
+    release_local_checkpoint(e)  # ADVICE r18: sym is pinned; e is consumed
     verts = sym.select(F.col("pa").alias("v")).distinct().localCheckpoint()
     seed = (
         verts.agg(F.min("v").alias("v"))
@@ -2503,6 +2584,7 @@ def harmonic_closeness_sampled_bfs(
     sym = e.unionByName(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).localCheckpoint()
+    release_local_checkpoint(e)  # ADVICE r18: sym is pinned; e is consumed
     verts = sym.select(F.col("pa").alias("v")).distinct()
     seeds = (
         verts.orderBy(F.md5(F.col("v").cast("string")), "v")
@@ -2716,6 +2798,7 @@ def personalized_pagerank_copurchase(
     deg.unpersist()
     marked.unpersist()
     e_src.unpersist()
+    release_local_checkpoint(und)  # ADVICE r18: at-scale branch leaked it
     if prev is not None:
         release_local_checkpoint(prev)
     return out

@@ -457,7 +457,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cur.count() <= _LOCAL_BPE_MAX_WORDS:
         # vocabulary-grain single-task kernel (see _LOCAL_BPE_MAX_WORDS;
         # forced-path-pinned to the distributed loop in
-        # tests/test_llm_selection.py)
+        # tests/test_llm_curation.py::test_bpe_kernel_matches_distributed_loop)
         out = _bpe_local(cur, _BPE_ROUNDS).orderBy("round").localCheckpoint(
             eager=True
         )

@@ -41,32 +41,16 @@ def default_parallelism(df: DataFrame) -> int:
 
 def spread_to_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin-repartition `df` up to the session's default
-    parallelism when its current lineage is narrower — the shared
-    remedy for the single-file/single-row-group parquet scan that
-    otherwise serializes every map-side stage built on top of it
-    (optimization r18, guide §2.5 input skew / §6 input split size;
-    the same probe minhash_bands carries inline). At cluster scale a
-    real corpus scans >= parallelism partitions and this is a no-op;
-    under Spark Connect (no sparkContext/.rdd) fall back to the scan's
-    file count as an advisory width bound. Row-to-partition assignment
-    is deterministic under retry (sort-before-repartition is on by
-    default), and every caller's result is per-row deterministic
-    regardless of partitioning."""
-    try:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
-    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
-        par = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        try:
-            width = len(df.inputFiles())
-        except Exception:
-            width = 0
-        if width < par:
-            df = df.repartition(par)
-    return df
+    parallelism when its scan is narrower — a thin alias for
+    ``catalog.spread_scan`` (r19 consolidation: one helper, one cheap
+    file-based width probe; VERDICT r18 task #6). At cluster scale a
+    real corpus scans >= parallelism partitions and this is a no-op.
+    Row-to-partition assignment is deterministic under retry
+    (sort-before-repartition is on by default), and every caller's
+    result is per-row deterministic regardless of partitioning."""
+    from spark_lever_spark.catalog import spread_scan
+
+    return spread_scan(df)
 
 
 def dot(a: Column, b: Column) -> Column:

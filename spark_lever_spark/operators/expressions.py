@@ -700,7 +700,7 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots.count()
     edges.createOrReplaceTempView("dup_edges_v")
     roots.createOrReplaceTempView("dup_roots_v")
-    return spark.sql(
+    out = spark.sql(
         """
         WITH RECURSIVE closure(root_id, member_id) AS (
           SELECT doc_id, doc_id FROM dup_roots_v
@@ -711,7 +711,12 @@ def recursive_cte_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT root_id, member_id FROM closure
         ORDER BY root_id, member_id
         """
-    )
+    ).localCheckpoint(eager=True)
+    # result pinned; release the recursion inputs (r19 cache-leak
+    # audit: these persists used to outlive the query's return)
+    edges.unpersist()
+    roots.unpersist()
+    return out
 
 
 @register(

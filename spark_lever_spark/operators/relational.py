@@ -3066,7 +3066,15 @@ def bitmap_rollup_daily_to_monthly(
             "distinct_users",
         )
     )
-    return per_month.unionByName(total).orderBy("month")
+    out = (
+        per_month.unionByName(total)
+        .orderBy("month")
+        # eager pin (month-domain rows), then release the bucketed
+        # bitmap persist (r19 cache-leak audit)
+        .localCheckpoint(eager=True)
+    )
+    monthly_bkt.unpersist()
+    return out
 
 
 @register(

@@ -648,7 +648,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     b, _r = tune_lsh_banding(
         docs, k=32, dup_threshold=0.95, min_recall=0.9, max_docs=150
     )
-    pairs = lsh_candidate_pairs(docs, k=32, bands=b)
+    rel: list = []
+    pairs = lsh_candidate_pairs(docs, k=32, bands=b, releases=rel)
     th = spark.range(5).selectExpr(
         "CAST(500 + id * 100 AS BIGINT) AS t_milli"
     )
@@ -663,7 +664,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t_milli")
         .agg(F.countDistinct("d").alias("n_docs"))
     )
-    return (
+    out = (
         th.join(pairs_ct, "t_milli", "left")
         .join(docs_ct, "t_milli", "left")
         .selectExpr(
@@ -672,4 +673,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(n_docs, 0) AS n_docs",
         )
         .orderBy("threshold_milli")
+        # eager pin (5 rows), then release the LSH signature persist (r19)
+        .localCheckpoint(eager=True)
     )
+    for cached in rel:
+        cached.unpersist()
+    return out

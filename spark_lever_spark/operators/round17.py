@@ -126,8 +126,9 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    rel: list = []
     scr = (
-        lsh_candidate_pairs(docs)
+        lsh_candidate_pairs(docs, releases=rel)
         .filter(F.col("est_jaccard") >= 0.75)
         .select("id_a", "id_b")
     )
@@ -190,8 +191,11 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges, src="id_a", dst="id_b")
     # connected_components eagerly materializes its edge input, so the
-    # tokenized corpus cache is released here.
+    # tokenized corpus cache AND the LSH signature persist are
+    # released here (r19: no persisted relation survives the return).
     base.unpersist()
+    for cached in rel:
+        cached.unpersist()
     meta = docs.select(F.col("doc_id").alias("node"), "source")
     return (
         comp.join(meta, "node")
@@ -247,10 +251,27 @@ def cross_source_duplication_matrix(
     LSH band equi-join + signature screen; the rollup is two keyed
     aggregations over a 20x20 source domain (a query constant at any
     corpus size)."""
+    rel: list = []
+    out = _cross_source_duplication_matrix_plan(
+        spark, sf_dir, rel
+    ).localCheckpoint(
+        eager=True  # eager pin (<= source-domain² rows), then release
+    )
+    for cached in rel:
+        cached.unpersist()
+    return out
+
+
+def _cross_source_duplication_matrix_plan(
+    spark: SparkSession, sf_dir: str, releases: list
+) -> DataFrame:
+    """Lazy pre-checkpoint matrix pipeline — extracted so the
+    plan-contract suite can pin the join shapes (kmeans-builder
+    precedent, r19)."""
     docs = load_table(spark, sf_dir, "documents")
     meta = docs.select("doc_id", "source")
     pairs = (
-        lsh_candidate_pairs(docs)
+        lsh_candidate_pairs(docs, releases=releases)
         .filter(F.col("est_jaccard") >= 0.8)
         .join(
             meta.select(
@@ -351,6 +372,22 @@ def er_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     10,000x the truth-side work — while hash-ordered top-K keeps the
     audit O(K^2) at any scale (the K-row selection is a TakeOrdered,
     never a global sort materialization)."""
+    rel: list = []
+    out = _er_lsh_blocking_audit_plan(spark, sf_dir, rel).localCheckpoint(
+        eager=True  # eager pin (1 row), then release the LSH sig persist
+    )
+    for cached in rel:
+        cached.unpersist()
+    return out
+
+
+def _er_lsh_blocking_audit_plan(
+    spark: SparkSession, sf_dir: str, releases: list
+) -> DataFrame:
+    """Lazy pre-checkpoint audit pipeline — extracted so the
+    plan-contract suite can pin the join shapes (the registered query
+    returns an eagerly pinned 1-row result with truncated lineage —
+    the kmeans-builder precedent, r19)."""
     docs = load_table(spark, sf_dir, "documents")
     samp = (
         docs.select(
@@ -387,7 +424,7 @@ def er_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = allp.filter(8 * c >= 7 * union_n).select("id_a", "id_b")
     samp_ids = samp.select("doc_id")
     blocked = (
-        lsh_candidate_pairs(docs)
+        lsh_candidate_pairs(docs, releases=releases)
         .filter(F.col("est_jaccard") >= 0.75)
         .join(samp_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
         .join(samp_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")

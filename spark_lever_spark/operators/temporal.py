@@ -4104,7 +4104,7 @@ def hodges_lehmann_daily_value(
         .select(F.col("_b").alias("tb"), "before", "m", "tr")
     )
     w_loc = Window.partitionBy("_b").orderBy("w", "d1", "d2")
-    return (
+    out = (
         binned.join(F.broadcast(tgt), F.col("_b") == F.col("tb"))
         .withColumn("_lrk", F.row_number().over(w_loc).cast("long"))
         .filter(F.col("before") + F.col("_lrk") == F.col("tr"))
@@ -4115,7 +4115,12 @@ def hodges_lehmann_daily_value(
             F.col("w").alias("hl_doubled_cents"),
             F.expr("w div 2").alias("hl_cents"),
         )
+        # eager pin (1 row), then release the daily-aggregate persist
+        # (r19 cache-leak audit)
+        .localCheckpoint(eager=True)
     )
+    daily.unpersist()
+    return out
 
 
 @register(

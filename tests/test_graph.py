@@ -183,6 +183,7 @@ def test_iterative_graph_kernels_match_distributed_loops(
         "hits_hubs_authorities_purchases",
         "bfs_hops_copurchase",
         "harmonic_closeness_sampled_bfs",
+        "kcore_peel_copurchase",  # r19: same kernel doctrine
     ]
     for name in names:
         fast = ALL[name].fn(spark, sf_dir).collect()

@@ -283,7 +283,11 @@ def test_minhash_bands_connect_fallback_width_probe(spark, sf_dir):
     from spark_lever_spark.llm.dedup import minhash_bands
 
     real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r19: the probe lives in catalog.spread_scan now; it resolves the
+    # parallelism target from sparkContext (reachable through this
+    # proxy — only .rdd is hidden), so the fake listing must be that
+    # wide for the "already wide" branch to engage.
+    par = spark.sparkContext.defaultParallelism
 
     class ConnectLike:
         """Delegating proxy that hides the classic introspection

@@ -6,6 +6,7 @@ reference's physical layer."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_lever_spark import registry
@@ -154,10 +155,23 @@ def test_minhash_lsh_band_join_is_equi_hash(spark, sf_dir):
     # band_digest) — uniformly distributed keys, bucketed by hash — and
     # NEVER a nested-loop/cartesian all-pairs scan. This is the single
     # property that makes minhash dedup 100 TB-viable.
+    from spark_lever_spark.catalog import load_table
+    from spark_lever_spark.llm.dedup import lsh_candidate_pairs
     from spark_lever_spark.plans import nested_loop_join_count
-    df = ALL["dedup_minhash_lsh"].fn(spark, sf_dir)
-    assert nested_loop_join_count(df) == 0
-    assert broadcast_join_count(df) + shuffle_join_count(df) >= 1
+
+    # r19: the registered query pins its result eagerly (lineage
+    # truncated) so the LSH signature persist can be released before
+    # return — pin the plan on the shared lazy helper instead.
+    rel: list = []
+    df = lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), releases=rel
+    )
+    try:
+        assert nested_loop_join_count(df) == 0
+        assert broadcast_join_count(df) + shuffle_join_count(df) >= 1
+    finally:
+        for cached in rel:
+            cached.unpersist()
 
 
 def test_cc_half_rounds_are_single_window_shuffles(spark, sf_dir):
@@ -567,7 +581,37 @@ def test_peak_concurrency_window_is_day_bucketed(spark, sf_dir):
     assert shuffle_join_count(df) == 0
 
 
-def test_no_single_partition_scale_hazards_registry_wide(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_plan_hazards(spark, sf_dir):
+    """ONE pass over every batch query's plan, shared by the two
+    registry-wide hazard sweeps below (r19, VERDICT r18 task #2:
+    building all 614 frames — eager queries execute during fn() — was
+    the suite's single most expensive step and the two sweeps each
+    paid it; one pass computes both hazard maps)."""
+    from spark_lever_spark.plans.inspect import (
+        nested_loop_hazards,
+        single_partition_scale_hazards,
+    )
+
+    single_part: dict = {}
+    nested: dict = {}
+    for name, q in ALL.items():
+        if q.category == "streaming":
+            continue
+        df = q.fn(spark, sf_dir)
+        h = single_partition_scale_hazards(df)
+        if h:
+            single_part[name] = h
+        if name not in NESTED_LOOP_WHITELIST:
+            h = nested_loop_hazards(df)
+            if h:
+                nested[name] = h
+    return single_part, nested
+
+
+def test_no_single_partition_scale_hazards_registry_wide(
+    registry_plan_hazards,
+):
     """Mechanical sweep of the grank doctrine over EVERY batch query:
     no plan may feed a Sort/Window from an Exchange SinglePartition
     whose subtree ships raw (un-aggregated) table rows — the
@@ -576,18 +620,7 @@ def test_no_single_partition_scale_hazards_registry_wide(spark, sf_dir):
     range-partitioned presentation sorts are legitimate and pass.
     Streaming queries are excluded (building their frame runs a
     drain); their plans are covered by the streaming suites."""
-    from spark_lever_spark.plans.inspect import (
-        single_partition_scale_hazards,
-    )
-
-    flagged = {}
-    for name, q in ALL.items():
-        if q.category == "streaming":
-            continue
-        df = q.fn(spark, sf_dir)
-        h = single_partition_scale_hazards(df)
-        if h:
-            flagged[name] = h
+    flagged, _ = registry_plan_hazards
     assert not flagged, flagged
 
 
@@ -660,22 +693,15 @@ NESTED_LOOP_WHITELIST = {
 }
 
 
-def test_no_unsanctioned_nested_loops_registry_wide(spark, sf_dir):
+def test_no_unsanctioned_nested_loops_registry_wide(
+    registry_plan_hazards,
+):
     """Every BroadcastNestedLoopJoin/CartesianProduct over raw rows
     must be on the explicit whitelist above — scalar attaches and
     bounds/offset frames (aggregate-derived broadcast sides) pass
     automatically. A refactor that silently turns an equi-join into a
     nested loop anywhere else fails here, not at 100 TB."""
-    from spark_lever_spark.plans.inspect import nested_loop_hazards
-
-    flagged = {}
-    for name, q in ALL.items():
-        if q.category == "streaming" or name in NESTED_LOOP_WHITELIST:
-            continue
-        df = q.fn(spark, sf_dir)
-        h = nested_loop_hazards(df)
-        if h:
-            flagged[name] = h
+    _, flagged = registry_plan_hazards
     assert not flagged, flagged
 
 
@@ -745,12 +771,23 @@ def test_round17_blocking_audit_sample_pairs_via_lang_hash_join(
     lang HASH equi-join (inequality + source filters as residuals);
     the five scalar metric attaches are aggregate-derived broadcast
     crosses, which are the only nested loops in the plan."""
+    from spark_lever_spark.operators.round17 import (
+        _er_lsh_blocking_audit_plan,
+    )
     from spark_lever_spark.plans import formatted_plan
 
-    df = ALL["er_lsh_blocking_audit"].fn(spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan
-    assert shuffle_join_count(df) + broadcast_join_count(df) >= 5
+    # r19: the registered query pins its 1-row result eagerly; the
+    # join shapes are pinned on the extracted lazy builder (the kmeans
+    # builder precedent).
+    rel: list = []
+    df = _er_lsh_blocking_audit_plan(spark, sf_dir, rel)
+    try:
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert shuffle_join_count(df) + broadcast_join_count(df) >= 5
+    finally:
+        for cached in rel:
+            cached.unpersist()
 
 
 def test_round17_kmeans_refine_broadcasts_centroids(spark, sf_dir):
@@ -782,8 +819,19 @@ def test_round17_kmeans_refine_broadcasts_centroids(spark, sf_dir):
 def test_round17_duplication_matrix_equi_only(spark, sf_dir):
     """Source x source matrix: pair grain from the band equi-join,
     meta attaches keyed, rollups keyed — zero nested loops."""
-    df = ALL["cross_source_duplication_matrix"].fn(spark, sf_dir)
-    assert nested_loop_join_count(df) == 0
+    from spark_lever_spark.operators.round17 import (
+        _cross_source_duplication_matrix_plan,
+    )
+
+    # r19: plan pinned on the extracted lazy builder (the registered
+    # query returns an eagerly pinned result with truncated lineage).
+    rel: list = []
+    df = _cross_source_duplication_matrix_plan(spark, sf_dir, rel)
+    try:
+        assert nested_loop_join_count(df) == 0
+    finally:
+        for cached in rel:
+            cached.unpersist()
 
 
 def test_round18_bloom_audit_probe_is_broadcast_only(spark, sf_dir):
