@@ -114,23 +114,44 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity with its record and source counts.
 
     Scale shapes: candidates come only from the band equi-join
-    (uniform md5 digests) and the k=32 signature screen cuts them
-    before any token array moves; exact verification is candidate-
-    grain (array_intersect on two ~100-token arrays per pair — JVM
-    built-ins, no explode); the CC merge is the O(log n)
-    large/small-star loop. Nothing is ever all-pairs. Reference
-    analog: cogroup/join + distinct surface,
+    (uniform md5 digests); the CHEAP metadata rule (source/lang + the
+    exact size-ratio necessary condition) prunes the distinct pair
+    table BEFORE the k=32 signature arrays attach (r19, guide §2.3
+    shuffle fewer bytes — the screen's filters are conjunctive, so
+    they commute; measured at sf0.1: 7.74M band pairs -> 0.98M
+    metadata survivors -> 753,838 screened, the same verify-input
+    invariant as the est-first order, rows identical); exact
+    verification is candidate-grain (array_intersect on two
+    ~100-token arrays per pair — JVM built-ins, no explode); the CC
+    merge is the O(log n) large/small-star loop. Nothing is ever
+    all-pairs. Reference analog: cogroup/join + distinct surface,
     PairRDDFunctions.scala:491-649."""
+    from spark_lever_spark.llm.dedup import minhash_bands
     from spark_lever_spark.llm.graph import connected_components
 
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
     rel: list = []
-    scr = (
-        lsh_candidate_pairs(docs, releases=rel)
-        .filter(F.col("est_jaccard") >= 0.75)
-        .select("id_a", "id_b")
+    # Bare distinct band pairs — signatures deliberately NOT attached
+    # yet (the whole point of the r19 reorder); the sig persist joins
+    # the release list exactly as in lsh_candidate_pairs.
+    sig, banded = minhash_bands(docs, k=32, bands=8)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    rel.append(sig)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
     )
     # Tokenize the corpus ONCE and cache it: the tokenized base feeds
     # the metadata screen sides AND both token-array attach sides
@@ -166,8 +187,8 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_b"),
         F.size("toks").cast("long").alias("nb"),
     )
-    cand = (
-        scr.join(meta_a, "id_a")
+    cand_meta = (
+        pairs.join(meta_a, "id_a")
         .join(meta_b, "id_b")
         .filter(
             (F.col("src_a") != F.col("src_b"))
@@ -177,6 +198,23 @@ def er_cross_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= 7 * F.greatest("na", "nb")
             )
         )
+        .select("id_a", "id_b", "na", "nb")
+    )
+    # k=32 signature screen, attached only to the metadata survivors
+    # (7.9x fewer array-carrying rows at sf0.1). The expression is
+    # lsh_candidate_pairs' est_jaccard verbatim, so the survivor set
+    # is bit-identical to the old est-first order.
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("double") / F.lit(32.0)
+    cand = (
+        cand_meta.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(est, 4) >= 0.75)
         .select("id_a", "id_b", "na", "nb")
     )
     ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
