@@ -9228,8 +9228,17 @@ def decision_stump_returns(
     publishes exact counts and the ppm Gini of root and both leaves.
     Scale: one fact-fact keyed join + per-order conjunction, one
     value-grain rollup, binned cumulative, two scans."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag"
+    from spark_lever_spark.catalog import spread_scan
+
+    # Spread the one-row-group lineitem scan (r19, guide §2.5 — the
+    # copurchase_edges pattern): the label build (scan + broadcast
+    # join + partial agg) otherwise runs on ONE task. ABBA at sf0.1:
+    # 3.58 -> 3.18 s min-of-3, rows identical; no-op at cluster scale.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag"
+        ),
+        key="l_orderkey",
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("x")
@@ -9402,8 +9411,17 @@ def isotonic_return_rate_by_price(
     collapses to two keyed aggregations. Scale: one global rank
     (binned 2-pass), one 20-bucket rollup — the data-sized work is
     rank assignment; the regression itself is grid-sized."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag"
+    from spark_lever_spark.catalog import spread_scan
+
+    # Spread the one-row-group lineitem scan (r19, guide §2.5): the
+    # label build otherwise runs its scan + broadcast join + partial
+    # agg on ONE task. ABBA at sf0.1: 2.99 -> 2.57 s min-of-3, rows
+    # identical; no-op at cluster scale.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag"
+        ),
+        key="l_orderkey",
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("x")
